@@ -1,0 +1,250 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics surface (SURVEY.md §7.1 step 7) over the TPC-H-ish
+  * testdata: joins, aggregations, windows, top-k, grouping sets, event-time
+  * windows, sessionization. All plain DataFrame API — every filter and
+  * projection reaches the parquet scan, joins broadcast their small side.
+  *
+  * Determinism for the DuckDB hash-compare: money sums go through
+  * DECIMAL(20,4) (exact, order-independent) and are cast to DOUBLE at the
+  * end; dates are emitted as 'yyyy-MM-dd' strings; every query has a total
+  * ORDER BY with tie-breaks.
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val dec = "decimal(20,4)"
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // TPC-H Q1-style pricing summary.
+    QuerySpec.sql(
+      "q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4)) * CAST(1 - l_discount AS DECIMAL(20,4))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+          sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // TPC-H Q3-style shipping priority: 3-way join, top-10 revenue.
+    QuerySpec.sql(
+      "q3_join",
+      """SELECT l.l_orderkey,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(20,4)) * CAST(1 - l.l_discount AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+        |GROUP BY l.l_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      val customer = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val orders = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-03-15 00:00:00").cast("timestamp"))
+      val lineitem = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1996-03-15 00:00:00").cast("timestamp"))
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+        .agg(sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec))
+          .cast("double").as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q5-style: 6-table join, revenue per nation within one region.
+    QuerySpec.sql(
+      "q5_join_agg",
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(20,4)) * CAST(1 - l.l_discount AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY n.n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      val dims = broadcast(
+        t(s, dir, "supplier")
+          .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey")))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(dims,
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // Ranking window: top-3 orders per customer by total price.
+    QuerySpec.sql(
+      "q_window_rank",
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders
+        |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    },
+
+    // Analytic window with lag: order-to-order gap in days per customer.
+    QuerySpec.sql(
+      "q_window_lag",
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(date_diff('day',
+        |         lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |         o_orderdate) AS BIGINT) AS days_since_prev
+        |FROM orders
+        |WHERE o_custkey <= 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_custkey") <= 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lag(col("o_orderdate"), 1).over(w).cast("date")).cast("long")
+            .as("days_since_prev"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Top-k (O5-style ordering at relational scale).
+    QuerySpec.sql(
+      "q_top_k",
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |ORDER BY p_retailprice DESC, p_partkey LIMIT 20""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+        .limit(20)
+    },
+
+    // Distinct aggregation.
+    QuerySpec.sql(
+      "q_distinct_agg",
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+
+    // Rollup / grouping sets.
+    QuerySpec.sql(
+      "q_rollup",
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("n_rows"), col("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Semi/anti joins: customers with and without orders.
+    QuerySpec.sql(
+      "q_semi_anti",
+      """SELECT
+        |  (SELECT count(*) FROM customer c WHERE EXISTS
+        |     (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS with_orders,
+        |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |     (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders""".stripMargin) {
+      (s, dir) =>
+        val customer = t(s, dir, "customer")
+        val orders = t(s, dir, "orders")
+        val withO = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi").count()
+        val withoutO = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti").count()
+        import s.implicits._
+        Seq((withO, withoutO)).toDF("with_orders", "without_orders")
+    },
+
+    // Event-time tumbling window over the stream table (hourly).
+    QuerySpec.sql(
+      "q_events_window",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("sum_value"))
+        .orderBy("hour", "event_type")
+    },
+
+    // Sessionization: 30-minute-gap sessions per user (lag + running sum).
+    QuerySpec.sql(
+      "q_events_sessionize",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 OR lag(ts) OVER w IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, event_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_no, count(*) AS n_events
+        |FROM sessions GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("new_session",
+          when(unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)) > 1800, 1)
+            .when(lag(col("ts"), 1).over(w).isNull, 1)
+            .otherwise(0))
+        .withColumn("session_no",
+          sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_no")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_no")
+    })
+}

@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.read.TemporalReads
+import graft.snapshot.Snapshots
+
+/** The reference's query surface (SURVEY.md §2.1–§2.7) exercised over the
+  * driver's `events` table, with DuckDB oracles.
+  *
+  * The `events` stream is deterministically reinterpreted as a mutation
+  * stream — the same mapping in Spark and in the oracle CTE:
+  *   tablet_id   = event_type          (5 tablets)
+  *   height      = event_id            (monotonic, gap-free)
+  *   primary_key = lpad(user_id, 4, '0')
+  *   value       = props
+  *   is_deletion = event_id % 23 == 7  (tombstones interleaved; height 0 is a
+  *                                      plain insert so the height-0 edge case
+  *                                      stays queryable — read_test.go:168–182)
+  */
+object TemporalQueries {
+
+  /** Shared oracle CTE — keep textually in sync with [[mutations]]. */
+  val MutationsCte: String =
+    """WITH mutations AS (
+      |  SELECT event_type AS tablet_id, event_id AS height,
+      |         lpad(CAST(user_id AS VARCHAR), 4, '0') AS primary_key,
+      |         props AS value, (event_id % 23 = 7) AS is_deletion
+      |  FROM events
+      |)""".stripMargin
+
+  /** events.parquet carries a TIMESTAMP(NANOS) column Spark won't infer; an
+    * explicit schema prunes (or long-reads) it at the footer level. */
+  val EventsSchemaNoTs = "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+  val EventsSchemaTsNanos =
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(EventsSchemaNoTs).parquet(s"$dir/events.parquet")
+
+  /** Events with the timestamp as epoch NANOSECONDS (long). */
+  def eventsWithTs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(EventsSchemaTsNanos).parquet(s"$dir/events.parquet")
+
+  def mutations(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("event_type").as("tablet_id"),
+      col("event_id").as("height"),
+      lpad(col("user_id").cast("string"), 4, "0").as("primary_key"),
+      col("props").as("value"),
+      (col("event_id") % 23 === 7).as("is_deletion"))
+
+  private def lwwOracle(tablet: String, h: Long): String =
+    s"""$MutationsCte, ranked AS (
+       |  SELECT primary_key, height, value, is_deletion,
+       |         row_number() OVER (PARTITION BY primary_key ORDER BY height DESC) AS rn
+       |  FROM mutations WHERE tablet_id = '$tablet' AND height <= $h
+       |)
+       |SELECT primary_key, height, value FROM ranked
+       |WHERE rn = 1 AND NOT is_deletion ORDER BY primary_key""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+    // ReadTabletAt — the flagship (J1/A1/P4/O1).
+    QuerySpec.sql("t_read_tablet_at", lwwOracle("click", 8000)) { (s, dir) =>
+      TemporalReads.readTabletAt(mutations(s, dir), "click", 8000)
+    },
+
+    // Height-0 edge case: height 0 is a valid queryable height (§7.4 risk 3).
+    QuerySpec.sql("t_read_tablet_at_h0", lwwOracle("error", 0)) { (s, dir) =>
+      TemporalReads.readTabletAt(mutations(s, dir), "error", 0)
+    },
+
+    // ReadTabletRowAt — single-key as-of lookup (P3).
+    QuerySpec.sql(
+      "t_read_tablet_row_at",
+      s"""$MutationsCte, ranked AS (
+         |  SELECT primary_key, height, value, is_deletion,
+         |         row_number() OVER (PARTITION BY primary_key ORDER BY height DESC) AS rn
+         |  FROM mutations
+         |  WHERE tablet_id = 'view' AND primary_key = '0042' AND height <= 9000
+         |)
+         |SELECT primary_key, height, value FROM ranked
+         |WHERE rn = 1 AND NOT is_deletion""".stripMargin) { (s, dir) =>
+      TemporalReads.readTabletRowAt(mutations(s, dir), "view", "0042", 9000)
+    },
+
+    // ReadSingletEntryAt — as-of point lookup (A2/O2). Singlet stream = one
+    // value per tablet_id (the per-type "latest props").
+    QuerySpec.sql(
+      "t_read_singlet_entry_at",
+      s"""$MutationsCte
+         |SELECT singlet_id, height, value FROM (
+         |  SELECT tablet_id AS singlet_id, height, value, is_deletion,
+         |         row_number() OVER (ORDER BY height DESC) AS rn
+         |  FROM mutations WHERE tablet_id = 'error' AND height <= 9000
+         |) WHERE rn = 1 AND NOT is_deletion""".stripMargin) { (s, dir) =>
+      TemporalReads.readSingletEntryAt(
+        mutations(s, dir).withColumnRenamed("tablet_id", "singlet_id"), "error", 9000)
+    },
+
+    // ReadSingletEntries — bounded history, most recent first (O3).
+    QuerySpec.sql(
+      "t_singlet_history",
+      s"""$MutationsCte
+         |SELECT tablet_id AS singlet_id, height, value, is_deletion
+         |FROM mutations WHERE tablet_id = 'signup' AND height <= 2000
+         |ORDER BY height DESC""".stripMargin) { (s, dir) =>
+      TemporalReads.readSingletEntries(
+        mutations(s, dir)
+          .filter(col("height") <= 2000)
+          .withColumnRenamed("tablet_id", "singlet_id"),
+        "signup")
+        .drop(TemporalReads.SourceRankCol)
+    },
+
+    // Speculative overlay (J2): durable ≤ 7000 overlaid by a speculative set
+    // on (6500, 7500] whose values are tagged; at equal height the
+    // speculative write wins (source_rank tie-break, §7.4 risk 1).
+    QuerySpec.sql(
+      "t_speculative_overlay",
+      s"""$MutationsCte, unioned AS (
+         |  SELECT tablet_id, height, primary_key, value, is_deletion, 0 AS source_rank
+         |  FROM mutations WHERE height <= 7000
+         |  UNION ALL
+         |  SELECT tablet_id, height, primary_key, value || '-spec' AS value, is_deletion, 1 AS source_rank
+         |  FROM mutations WHERE height > 6500 AND height <= 7500
+         |), ranked AS (
+         |  SELECT primary_key, height, value, is_deletion,
+         |         row_number() OVER (PARTITION BY primary_key ORDER BY height DESC, source_rank DESC) AS rn
+         |  FROM unioned WHERE tablet_id = 'click' AND height <= 7500
+         |)
+         |SELECT primary_key, height, value FROM ranked
+         |WHERE rn = 1 AND NOT is_deletion ORDER BY primary_key""".stripMargin) { (s, dir) =>
+      val m = mutations(s, dir)
+      val durableRows = m.filter(col("height") <= 7000)
+      val spec = m
+        .filter(col("height") > 6500 && col("height") <= 7500)
+        .withColumn("value", concat(col("value"), lit("-spec")))
+      TemporalReads.readTabletAt(durableRows, "click", 7500, Seq(spec))
+    },
+
+    // Snapshot-index build (A3, indexing.go:225–302).
+    QuerySpec.sql(
+      "t_snapshot_index_build",
+      s"""$MutationsCte, ranked AS (
+         |  SELECT primary_key, height, is_deletion,
+         |         row_number() OVER (PARTITION BY primary_key ORDER BY height DESC) AS rn
+         |  FROM mutations WHERE tablet_id = 'click' AND height <= 5000
+         |)
+         |SELECT primary_key, height FROM ranked
+         |WHERE rn = 1 AND NOT is_deletion ORDER BY primary_key""".stripMargin) { (s, dir) =>
+      Snapshots.buildTabletIndex(mutations(s, dir), "click", 5000)
+    },
+
+    // Snapshot ∪ tail read (J1): computed THROUGH the snapshot path in Spark,
+    // verified against the plain full-scan oracle — the with-snapshot ≡
+    // without-snapshot invariant, checked by the driver.
+    QuerySpec.sql("t_snapshot_union_tail", lwwOracle("view", 8000)) { (s, dir) =>
+      val m = mutations(s, dir)
+      val snap = Snapshots.buildTabletIndex(m, "view", 5000)
+      Snapshots.readTabletAtWithSnapshot(m, snap, 5000, "view", 8000)
+    },
+
+    // Existence probe (S8).
+    QuerySpec.sql(
+      "t_existence_probe",
+      s"""$MutationsCte, probes(tablet_id) AS (VALUES ('click'), ('view'), ('nosuch'))
+         |SELECT p.tablet_id,
+         |       (EXISTS (SELECT 1 FROM mutations m WHERE m.tablet_id = p.tablet_id)) AS seen
+         |FROM probes p ORDER BY p.tablet_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      TemporalReads.existenceProbe(
+        mutations(s, dir),
+        Seq("click", "view", "nosuch").toDF("tablet_id"))
+    },
+
+    // Checkpoint prefix scan + shard-progress reconciliation (S9 + J3):
+    // shard-NNN checkpoints derived as max height per user shard.
+    QuerySpec.sql(
+      "t_shard_progress",
+      """WITH cps AS (
+        |  SELECT 'shard-' || lpad(CAST(user_id % 8 AS VARCHAR), 3, '0') AS key,
+        |         max(event_id) AS height
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT key, height,
+        |       CASE WHEN height = (SELECT max(height) FROM cps)
+        |            THEN 'complete' ELSE 'behind' END AS status
+        |FROM cps ORDER BY key""".stripMargin) { (s, dir) =>
+      val cps = events(s, dir)
+        .groupBy(pmod(col("user_id"), lit(8)).as("shard"))
+        .agg(max(col("event_id")).as("height"))
+        .select(format_string("shard-%03d", col("shard")).as("key"), col("height"))
+      cps
+        .withColumn("max_h", max(col("height")).over(Window.partitionBy()))
+        .select(col("key"), col("height"),
+          when(col("height") === col("max_h"), lit("complete"))
+            .otherwise(lit("behind")).as("status"))
+        .orderBy("key")
+    },
+
+    // Write-block size stats, top-5 (A4, write.go:274–329).
+    QuerySpec.sql(
+      "t_write_stats",
+      s"""$MutationsCte
+         |SELECT tablet_id, sum(length(value)) AS bytes, count(*) AS n_rows
+         |FROM mutations GROUP BY tablet_id
+         |ORDER BY bytes DESC, tablet_id LIMIT 5""".stripMargin) { (s, dir) =>
+      mutations(s, dir)
+        .groupBy("tablet_id")
+        .agg(sum(length(col("value"))).as("bytes"), count(lit(1)).as("n_rows"))
+        .orderBy(col("bytes").desc, col("tablet_id"))
+        .limit(5)
+    },
+
+    // Shard stats (A5, sharder.go:53–59).
+    QuerySpec.sql(
+      "t_shard_stats",
+      """SELECT user_id % 8 AS shard, count(*) AS n_requests,
+        |       max(event_id) AS last_height,
+        |       count(DISTINCT event_type) AS n_tablets
+        |FROM events GROUP BY 1 ORDER BY shard""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(pmod(col("user_id"), lit(8)).cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_requests"),
+          max(col("event_id")).as("last_height"),
+          countDistinct(col("event_type")).as("n_tablets"))
+        .orderBy("shard")
+    },
+
+    // Batch write dedup (§2.7, store/kv/store.go:452–455): within one batch,
+    // the last write per key wins — tombstones kept (they are writes).
+    QuerySpec.sql(
+      "t_batch_dedup",
+      s"""$MutationsCte, ranked AS (
+         |  SELECT tablet_id, primary_key, height, is_deletion,
+         |         row_number() OVER (PARTITION BY tablet_id, primary_key ORDER BY height DESC) AS rn
+         |  FROM mutations WHERE height <= 1000
+         |)
+         |SELECT tablet_id, primary_key, height, is_deletion FROM ranked
+         |WHERE rn = 1 ORDER BY tablet_id, primary_key""".stripMargin) { (s, dir) =>
+      TemporalReads.latestPerKey(
+        mutations(s, dir).filter(col("height") <= 1000),
+        Seq("tablet_id", "primary_key"), Nil)
+        .select("tablet_id", "primary_key", "height", "is_deletion")
+        .orderBy("tablet_id", "primary_key")
+    })
+}

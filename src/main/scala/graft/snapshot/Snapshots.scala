@@ -1,0 +1,136 @@
+package graft.snapshot
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.read.TemporalReads
+
+/** Snapshot ("TabletIndex") subsystem — reference indexing.go.
+  *
+  * A snapshot materializes, at a chosen height, the map `primary_key → height
+  * of last mutation ≤ at_height` for one tablet (indexing.go:600–667), so an
+  * as-of read only scans the tail `(at_height, H]` instead of `[0, H]`
+  * (read.go:56–63). This is a *data* optimization, not an engine one: the
+  * Spark read path stays a declarative union + argmax, and Catalyst pushes the
+  * narrower height bound into the scan — at 100 TB the snapshot turns a
+  * full-history shuffle into a bounded incremental one.
+  */
+object Snapshots {
+
+  /** Build the index rows for one tablet at `atHeight` (A3, indexing.go:225–302).
+    * Tombstoned keys are dropped from the index; `squelch_count` counts every
+    * scanned row-version (the reference's SquelchCount). Incremental builds
+    * start from a previous snapshot: union it (as rows at their recorded
+    * heights) with the tail and re-aggregate — same code path. */
+  def buildTabletIndex(rows: DataFrame, tabletId: String, atHeight: Long): DataFrame = {
+    val scoped = rows
+      .filter(col("tablet_id") === lit(tabletId) && col("height") <= lit(atHeight))
+    TemporalReads
+      .latestPerKey(TemporalReads.durable(scoped), Seq("primary_key"), Nil)
+      .where(!col("is_deletion"))
+      .select(col("primary_key"), col("height"))
+      .orderBy("primary_key")
+  }
+
+  /** Rows scanned to build the index at `atHeight` (SquelchCount metric). */
+  def squelchCount(rows: DataFrame, tabletId: String, atHeight: Long): Long =
+    rows.filter(col("tablet_id") === lit(tabletId) && col("height") <= lit(atHeight)).count()
+
+  /** Snapshot ∪ tail read (J1, read.go:47–146): hydrate the snapshot as rows
+    * (they are by construction live and latest-as-of `snapshotHeight`), union
+    * the tail scan `(snapshotHeight, H]`, and resolve last-write-wins. The
+    * snapshot rows need their values re-attached: the reference batch-fetches
+    * the exact `(pk, height)` keys in 5,000-key chunks (read.go:66–107); here
+    * it is an equi-join of the snapshot against the rows table on
+    * `(primary_key, height)` — a broadcast join when the snapshot is small.
+    *
+    * Invariant (verified in tests): result ≡ readTabletAt without a snapshot.
+    */
+  def readTabletAtWithSnapshot(
+      rows: DataFrame,
+      snapshot: DataFrame, // (primary_key, height) as of snapshotHeight
+      snapshotHeight: Long,
+      tabletId: String,
+      atHeight: Long,
+      speculative: Seq[DataFrame] = Nil): DataFrame = {
+    require(snapshotHeight <= atHeight, s"snapshot $snapshotHeight is past read height $atHeight")
+    val scopedRows = rows.filter(col("tablet_id") === lit(tabletId))
+    // Hydration: exact-key join, equivalent of the chunked BatchGet.
+    val hydrated = scopedRows
+      .join(snapshot.select("primary_key", "height"), Seq("primary_key", "height"), "left_semi")
+      .filter(col("height") <= lit(snapshotHeight))
+    val tail = scopedRows
+      .filter(col("height") > lit(snapshotHeight) && col("height") <= lit(atHeight))
+    val base = TemporalReads.durable(hydrated.unionByName(tail))
+    val all = speculative.zipWithIndex.foldLeft(base) { case (acc, (spec, i)) =>
+      acc.unionByName(
+        spec
+          .filter(col("tablet_id") === lit(tabletId) && col("height") <= lit(atHeight))
+          .withColumn(TemporalReads.SourceRankCol, lit(i + 1)))
+    }
+    TemporalReads
+      .latestPerKey(all, Seq("primary_key"), Seq("value"))
+      .where(!col("is_deletion"))
+      .select("primary_key", "height", "value")
+      .orderBy("primary_key")
+  }
+
+  /** The reference's index-build throttling heuristic, exactly
+    * (indexing.go:546–575):
+    *   - < 25K mutations since the last index → never index.
+    *   - ≥ 25K mutations and no previous index → index.
+    *   - previous index ≤ 50K rows → index.
+    *   - previous index in (50K, 200K] rows → index iff mutations > rows/2.
+    *   - previous index > 200K rows → index iff mutations ≥ 100K.
+    */
+  def shouldTriggerIndexing(previousIndexRowCount: Option[Long], mutationCount: Long): Boolean = {
+    if (mutationCount < 25000L) return false
+    previousIndexRowCount match {
+      case None => true
+      case Some(rows) if rows > 50000L =>
+        val halfRow = rows / 2
+        if (halfRow <= 100000L) mutationCount > halfRow
+        else mutationCount >= 100000L
+      case Some(_) => true
+    }
+  }
+
+  /** Index retention prune (indexing.go:329–398): keep the first and last
+    * snapshot per tablet, delete every `keepEvery`-th intermediate. Returns
+    * the snapshot heights to KEEP. */
+  def pruneRetention(snapshotHeights: Seq[Long], keepEvery: Int): Seq[Long] = {
+    require(keepEvery > 0)
+    if (snapshotHeights.size <= 2) snapshotHeights
+    else {
+      val sorted = snapshotHeights.sorted
+      val (first, last) = (sorted.head, sorted.last)
+      val middle = sorted.slice(1, sorted.size - 1).zipWithIndex.collect {
+        case (h, i) if (i + 1) % keepEvery == 0 => h
+      }
+      (first +: middle :+ last).distinct
+    }
+  }
+
+  /** Driver-side mutation counters per tablet (indexing.go:486–583's
+    * indexCache): tracks mutations since the last snapshot and decides which
+    * tablets to re-index after each commit. Small (one counter per hot
+    * tablet), lives on the driver like the reference's in-process cache. */
+  final class IndexCache {
+    private val counters = scala.collection.mutable.Map.empty[String, Long]
+    private val lastIndexRows = scala.collection.mutable.Map.empty[String, Long]
+
+    def increment(tabletId: String, mutations: Long): Unit =
+      counters.update(tabletId, counters.getOrElse(tabletId, 0L) + mutations)
+
+    def recordIndexed(tabletId: String, indexRowCount: Long): Unit = {
+      lastIndexRows.update(tabletId, indexRowCount)
+      counters.update(tabletId, 0L)
+    }
+
+    def tabletsToIndex(): Seq[String] =
+      counters.collect {
+        case (tablet, muts) if shouldTriggerIndexing(lastIndexRows.get(tablet), muts) => tablet
+      }.toSeq.sorted
+
+    def mutationCount(tabletId: String): Long = counters.getOrElse(tabletId, 0L)
+  }
+}

@@ -1,0 +1,184 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+
+/** Durable storage layout + batch writer (reference write.go, store/kv).
+  *
+  * Layout (SURVEY.md §1.4): three append-only Parquet tables under a root —
+  *   tablet_rows/      partitioned by collection, sorted within files by
+  *                     (tablet_id, height) so min/max row-group stats prune
+  *                     both the tablet and the height predicate at scan time.
+  *   singlet_entries/  same.
+  *   checkpoints/      tiny commit log; the LAST durably-visible write of a
+  *                     batch, mirroring the reference's checkpoint-key-last
+  *                     flush ordering (store/kv/store.go:418–450).
+  *
+  * Commit protocol: the reference stages at most 100 mutations per KV flush
+  * and orders the checkpoint strictly last so a crash never leaves the
+  * checkpoint ahead of the data (write.go:40–72). Here each `writeBatch` call
+  * appends data files first and the checkpoint row last; a replayed batch is
+  * detected by the `isNextBlock` linearity guard (write.go:331–347).
+  */
+final class StateStore(val root: String)(implicit spark: SparkSession) {
+  import StateStore._
+
+  val tabletRowsPath = s"$root/tablet_rows"
+  val singletEntriesPath = s"$root/singlet_entries"
+  val checkpointsPath = s"$root/checkpoints"
+
+  /** Linearity guard (write.go:331–347): a batch starting at height h is
+    * writable only if h == lastCheckpoint.height + 1 (or the store is empty).
+    * Height 0 is a valid first height (read_test.go:168–182). */
+  def isNextBlock(checkpointKey: String, firstHeight: Long): Boolean =
+    checkpoint(checkpointKey) match {
+      case None     => true
+      case Some(cp) => firstHeight == cp.height + 1
+    }
+
+  /** Append one batch of write requests; checkpoint written last (S5).
+    * `requests` must be contiguous ascending heights. */
+  def writeBatch(
+      requests: Seq[WriteRequest],
+      checkpointKey: String = GlobalCheckpointKey): Unit = {
+    if (requests.isEmpty) return
+    val sorted = requests.sortBy(_.height)
+    require(
+      sorted.sliding(2).forall { case Seq(a, b) => b.height == a.height + 1; case _ => true },
+      "non-contiguous heights in batch")
+    require(
+      isNextBlock(checkpointKey, sorted.head.height),
+      s"batch head ${sorted.head.height} does not follow checkpoint for $checkpointKey")
+
+    import spark.implicits._
+    val rows = sorted.flatMap(_.tabletRows)
+    val entries = sorted.flatMap(_.singletEntries)
+    if (rows.nonEmpty)
+      writeTabletRows(rows.toDF(tabletRowCols: _*))
+    if (entries.nonEmpty)
+      entries
+        .toDF(singletEntryCols: _*)
+        .write.mode(SaveMode.Append).parquet(singletEntriesPath)
+    // Checkpoint last — the durability barrier.
+    val head = sorted.last
+    Seq(Checkpoint(checkpointKey, head.height, head.block.id, head.block.num))
+      .toDF("key", "height", "block_id", "block_num")
+      .write.mode(SaveMode.Append).parquet(checkpointsPath)
+  }
+
+  /** Append pre-shaped mutation DataFrames (streaming foreachBatch path). */
+  def writeTabletRows(df: DataFrame): Unit =
+    df.sortWithinPartitions("tablet_id", "height")
+      .write.mode(SaveMode.Append).parquet(tabletRowsPath)
+
+  def tabletRows: DataFrame = spark.read.schema(Schemas.tabletRows).parquet(tabletRowsPath)
+  def singletEntries: DataFrame =
+    spark.read.schema(Schemas.singletEntries).parquet(singletEntriesPath)
+
+  def checkpointsDF: DataFrame =
+    try spark.read.schema(Schemas.checkpoints).parquet(checkpointsPath)
+    catch { case _: Throwable => spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.checkpoints) }
+
+  /** Latest checkpoint for a key (read.go:417–437). The checkpoint log is
+    * append-only; the live checkpoint is the highest height per key. */
+  def checkpoint(key: String): Option[Checkpoint] = {
+    import spark.implicits._
+    checkpointsDF
+      .filter(col("key") === lit(key))
+      .orderBy(col("height").desc)
+      .limit(1)
+      .as[Checkpoint]
+      .collect()
+      .headOption
+  }
+
+  /** All shard checkpoints (read.go:439–476): prefix scan of "shard-*". */
+  def shardCheckpoints(): DataFrame =
+    checkpointsDF
+      .filter(col("key").startsWith(ShardCheckpointPrefix))
+      .groupBy(col("key"))
+      .agg(max_by(struct(col("height"), col("block_id"), col("block_num")), col("height")).as("w"))
+      .select(col("key"), col("w.height").as("height"), col("w.block_id").as("block_id"),
+        col("w.block_num").as("block_num"))
+
+  /** Shard-progress reconciliation (J3, write.go:82–181): classify every shard
+    * against the highest shard height. Returns (key, height, status). */
+  def verifyAllShardsWritten(expectedShards: Int): DataFrame = {
+    val cps = shardCheckpoints()
+    val refHeight = cps.agg(max(col("height"))).collect().headOption.flatMap(r =>
+      Option(r.get(0)).map(_.asInstanceOf[Long]))
+    import spark.implicits._
+    val expected = (0 until expectedShards)
+      .map(i => f"$ShardCheckpointPrefix$i%03d").toDF("key")
+    expected
+      .join(cps, Seq("key"), "left")
+      .select(col("key"), col("height"),
+        when(col("height").isNull, lit("missing"))
+          .when(col("height") === lit(refHeight.getOrElse(-1L)), lit("complete"))
+          .otherwise(lit("behind")).as("status"))
+      .orderBy("key")
+  }
+}
+
+object StateStore {
+  val GlobalCheckpointKey = "checkpoint" // const.go:17
+  val ShardCheckpointPrefix = "shard-"   // read.go:454–464
+
+  val tabletRowCols =
+    Seq("collection", "tablet_id", "height", "primary_key", "value", "is_deletion")
+  val singletEntryCols = Seq("collection", "singlet_id", "height", "value", "is_deletion")
+}
+
+/** Parallel backfill (reference sharder.go + shardinject.go, SURVEY.md §3.3).
+  *
+  * The reference splits the mutation stream into N shards by
+  * `highwayhash(entity_key) % N` so all versions of one entity land in one
+  * shard (sharder.go:107–192), writes per-shard segment files, then replays
+  * each shard through the writer in a separate process. In Spark the shuffle
+  * IS the sharder and the driver IS the reconciler: one batch job
+  * repartitions by entity hash, sorts within partitions by height, and writes
+  * partitioned output — this is the shape that scales to 100 TB (the
+  * per-entity co-location means downstream as-of reads never cross shards).
+  */
+object Backfill {
+
+  /** Shard expression: deterministic hash of the entity key, non-negative. */
+  def shardExpr(n: Int) =
+    pmod(hash(col("collection"), col("tablet_id")), lit(n)).cast("int")
+
+  /** One-shot backfill: mutations → shard-partitioned, height-sorted Parquet.
+    * `mutations` must carry the tablet_rows schema. */
+  def run(mutations: DataFrame, outPath: String, shards: Int): Unit =
+    mutations
+      .withColumn("shard", shardExpr(shards))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("tablet_id", "primary_key", "height")
+      .write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(outPath)
+
+  /** Replay one shard's segment into a live store (shardinject.go:48–174),
+    * skipping heights at or below the shard checkpoint (startAfter). */
+  def injectShard(
+      spark: SparkSession,
+      shardPath: String,
+      shard: Int,
+      store: StateStore,
+      startAfter: Long = -1L): Unit = {
+    val seg = spark.read.parquet(shardPath).filter(col("shard") === lit(shard))
+      .filter(col("height") > lit(startAfter))
+      .drop("shard")
+    store.writeTabletRows(seg.select(StateStore.tabletRowCols.map(col): _*))
+    val headRow = seg.agg(max(col("height"))).collect().head
+    if (!headRow.isNullAt(0)) {
+      import spark.implicits._
+      Seq(Checkpoint(f"${StateStore.ShardCheckpointPrefix}$shard%03d",
+        headRow.getLong(0), "", headRow.getLong(0)))
+        .toDF("key", "height", "block_id", "block_num")
+        .write.mode(SaveMode.Append).parquet(store.checkpointsPath)
+    }
+  }
+}
