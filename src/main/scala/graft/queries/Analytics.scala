@@ -116,7 +116,7 @@ object Analytics {
         |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, dir, "orders")
-        .select(col("o_custkey"), col("o_orderkey"), row_number().over(w).as("rn"))
+        .select(col("o_custkey"), col("o_orderkey"), row_number().over(w).cast("long").as("rn"))
         .filter(col("rn") <= 3)
         .orderBy("o_custkey", "rn")
     },
@@ -204,15 +204,22 @@ object Analytics {
     },
 
     // Event-time tumbling window over the stream table (hourly).
+    // events.ts is TIMESTAMP(NANOS) in the parquet footer, which Spark's
+    // vectorized reader rejects — read it as raw LONG nanoseconds and do
+    // exact integer bucket math; the oracle buckets via epoch_ns so both
+    // engines compute the identical integer arithmetic.
     QuerySpec.sql(
       "q_events_window",
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      """SELECT strftime(make_timestamp((epoch_ns(ts) // 3600000000000) * 3600000000),
+        |                '%Y-%m-%d %H:%M:%S') AS hour,
         |       event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin) { (s, dir) =>
-      t(s, dir, "events")
+      TemporalQueries.eventsWithTs(s, dir)
         .groupBy(
-          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          date_format(
+            timestamp_seconds(expr("ts div 3600000000000") * 3600L),
+            "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(dec)).cast("double").as("sum_value"))
@@ -220,25 +227,27 @@ object Analytics {
     },
 
     // Sessionization: 30-minute-gap sessions per user (lag + running sum).
+    // Gap comparison in integer nanoseconds on both sides (exact).
     QuerySpec.sql(
       "q_events_sessionize",
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,
-        |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 OR lag(ts) OVER w IS NULL
+        |    CASE WHEN epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+        |           OR lag(ts) OVER w IS NULL
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), sessions AS (
         |  SELECT user_id, event_id,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_no
         |  FROM flagged
         |)
         |SELECT user_id, session_no, count(*) AS n_events
         |FROM sessions GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      t(s, dir, "events")
+      TemporalQueries.eventsWithTs(s, dir)
         .withColumn("new_session",
-          when(unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)) > 1800, 1)
+          when(col("ts") - lag(col("ts"), 1).over(w) > 1800L * 1000000000L, 1)
             .when(lag(col("ts"), 1).over(w).isNull, 1)
             .otherwise(0))
         .withColumn("session_no",

@@ -1,7 +1,616 @@
 package graft.queries
 
-/** LLM-training-data pipeline operators (dedup, similarity search, text
-  * analysis, multimodal) exposed as driver-verifiable queries. */
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over the `documents` and `embeddings`
+  * tables: deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine), similarity search (brute-force cosine top-k and an
+  * LSH-bucketed variant), text analysis (language-ID, quality scoring, token
+  * counting, fingerprinting) and multimodal binary-column plumbing.
+  *
+  * Every query is paired with a DuckDB oracle computing the *identical*
+  * deterministic function, so the driver's hash-compare is exact:
+  *   - All hashes are md5-derived integers: `conv(substr(md5(s),1,K),16,10)`
+  *     in Spark ≡ `CAST(('0x' || substr(md5(s),1,K)) AS BIGINT)` in DuckDB.
+  *   - Similarity thresholds are integer comparisons (`2*n_common >= n_union`
+  *     for Jaccard ≥ 0.5), never float comparisons, except cosine where both
+  *     engines provably produce bit-identical doubles (sequential
+  *     left-to-right summation over 64 elements; verified in round 2).
+  *
+  * 100 TB posture (these run on 500–5,000 docs locally but are shaped for a
+  * 1000-executor cluster):
+  *   - Candidate generation is always an *equi-join on a compact blocking
+  *     key* (LSH band hash, SimHash byte-band, shared shingle) — never an
+  *     O(n²) cross join. The only cross join is ANN brute force, where the
+  *     query side is a broadcast-able constant (top-k per probe).
+  *   - Pairwise verification runs only on candidate pairs (LSH output),
+  *     the standard MinHash→verify architecture for web-scale dedup.
+  *   - At real scale the shingle inverted index would add a document-
+  *     frequency cap on shingles (drop stop-shingles appearing in >X% of
+  *     docs) — omitted here so the oracle stays textually small.
+  *   - Aggregations are single-shuffle `groupBy` with map-side partial
+  *     aggregation; signatures (16 minhashes, 32 simhash bit-sums) are
+  *     computed as agg columns, not row explosion per bit.
+  */
 object PipelineQueries {
-  val specs: Seq[QuerySpec] = Seq.empty
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  // ---------------------------------------------------------------- hashing
+
+  /** 60-bit md5-derived hash, identical in Spark and DuckDB. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 32-bit md5-derived hash (fits a positive INT range). */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private def oH60(sqlExpr: String): String =
+    s"CAST(('0x' || substr(md5($sqlExpr),1,15)) AS BIGINT)"
+  private def oH32(sqlExpr: String): String =
+    s"CAST(('0x' || substr(md5($sqlExpr),1,8)) AS BIGINT)"
+
+  // ------------------------------------------------------------- shingling
+
+  /** Distinct word 3-gram shingles of `text` (empty if < 3 words). */
+  private def shingles3(text: Column): Column = {
+    val ws = split(text, " ")
+    array_distinct(
+      when(size(ws) >= 3,
+        transform(sequence(lit(0), size(ws) - 3), i =>
+          concat_ws(" ",
+            element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Distinct word 4-gram shingles (for fingerprinting). */
+  private def shingles4(text: Column): Column = {
+    val ws = split(text, " ")
+    array_distinct(
+      when(size(ws) >= 4,
+        transform(sequence(lit(0), size(ws) - 4), i =>
+          concat_ws(" ",
+            element_at(ws, i + 1), element_at(ws, i + 2),
+            element_at(ws, i + 3), element_at(ws, i + 4))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** DuckDB CTE producing one row per (doc_id, sh): the same distinct word
+    * 3-gram shingles. Kept textually in sync with [[shingles3]]. */
+  private val OShinglesCte: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), shingles AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(ws) - 1, 1)),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+      |  FROM words
+      |)""".stripMargin
+
+  /** Exploded (doc_id, sh) shingle table plus per-doc set size. */
+  private def shingleRows(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
+
+  private def shingleSizes(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), size(shingles3(col("text"))).as("n"))
+
+  // ------------------------------------------------------------ embeddings
+
+  /** Sequential left-to-right dot product in double precision — the exact
+    * fold DuckDB's `list_dot_product` performs, so both engines produce
+    * bit-identical doubles. */
+  private def dotd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def cosine(a: Column, b: Column): Column =
+    dotd(a, b) / (sqrt(dotd(a, a)) * sqrt(dotd(b, b)))
+
+  private val OCos =
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
+      "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
+      "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+
+  // ---------------------------------------------------------------- queries
+
+  /** Per-language marker lexicons (subset of the corpus vocabulary plus
+    * canonical function words; arbitrary but fixed). Declared before `specs`
+    * — the oracle builders below run during object initialization. */
+  private val LangMarkers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "batch", "merge"),
+    "en" -> Seq("the", "a", "data", "query", "table"),
+    "es" -> Seq("el", "los", "una", "filter", "stream"),
+    "fr" -> Seq("le", "les", "une", "vector", "window"),
+    "zh" -> Seq("scan", "hash", "key"))
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---------------------------------------------------------------------
+    // Exact dedup (hash-groupBy): per-source duplicate stats over the full
+    // text hash. One shuffle; at 100 TB this is the first-pass dedup stage
+    // (hash → groupBy → keep min doc_id per hash).
+    QuerySpec.sql(
+      "p_dedup_exact",
+      """SELECT source, count(*) AS n_docs,
+        |       count(DISTINCT md5(text)) AS n_distinct,
+        |       count(*) - count(DISTINCT md5(text)) AS n_dupes
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_distinct"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dupes"))
+        .orderBy("source")
+    },
+
+    // ---------------------------------------------------------------------
+    // Exact dedup, keeper selection: duplicate groups by 50-char text prefix
+    // (the testdata has no full-text dupes at sf0.01 but does have shared
+    // prefixes); keeper = min doc_id per group, as a dedup pipeline would
+    // pick. Integer/string output only.
+    QuerySpec.sql(
+      "p_dedup_exact_keeper",
+      """SELECT md5(substr(text, 1, 50)) AS grp, min(doc_id) AS keeper,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY grp""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .groupBy(md5(substring(col("text"), 1, 50)).as("grp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .orderBy("grp")
+    },
+
+    // ---------------------------------------------------------------------
+    // N-gram Jaccard near-dup: candidate pairs via the shingle inverted
+    // index (equi-join on shingle — no cross join), verified with integer
+    // Jaccard (2*common >= union ⇔ J >= 0.5). The scan→explode→join→groupBy
+    // shape is exactly the distributed plan used at web scale.
+    QuerySpec.sql(
+      "p_dedup_ngram_jaccard",
+      s"""$OShinglesCte, sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+         |), pairs AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_common
+         |  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT p.da AS doc_a, p.db AS doc_b, p.n_common,
+         |       sa.n + sb.n - p.n_common AS n_union
+         |FROM pairs p
+         |JOIN sizes sa ON sa.doc_id = p.da
+         |JOIN sizes sb ON sb.doc_id = p.db
+         |WHERE 2 * p.n_common >= sa.n + sb.n - p.n_common
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val sh = shingleRows(docs(s, dir))
+      val sizes = shingleSizes(docs(s, dir))
+      val a = sh.select(col("doc_id").as("da"), col("sh"))
+      val b = sh.select(col("doc_id").as("db"), col("sh"))
+      val pairs = a.join(b, a("sh") === b("sh") && col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("n_common"))
+      pairs
+        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .filter(lit(2) * col("n_common") >= col("na") + col("nb") - col("n_common"))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          col("n_common"), (col("na") + col("nb") - col("n_common")).as("n_union"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---------------------------------------------------------------------
+    // MinHash + LSH near-dup: 16 md5-derived minhashes per doc, banded
+    // 4×4; candidate pairs share a band bucket (equi-join on the band
+    // hash); candidates verified by exact integer Jaccard >= 0.5. This is
+    // the scale path: candidate generation cost is bounded by bucket
+    // collisions, not by n².
+    QuerySpec.sql("p_dedup_minhash_lsh", minhashOracle) { (s, dir) =>
+      val d = docs(s, dir)
+      val sh = shingleRows(d)
+      val sigCols = (0 until 16).map { j =>
+        min(h60(concat(lit(j.toString), lit(":"), col("sh")))).as(s"m$j")
+      }
+      val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val bands = (0 until 4).map { b =>
+        val ms = (0 until 4).map(r => col(s"m${4 * b + r}").cast("string"))
+        sig.select(col("doc_id"), lit(b).as("band"),
+          md5(concat_ws(",", ms: _*)).as("bkey"))
+      }.reduce(_.unionByName(_))
+      val ba = bands.select(col("doc_id").as("da"), col("band"), col("bkey"))
+      val bb = bands.select(col("doc_id").as("db"), col("band"), col("bkey"))
+      val cands = ba.join(bb, Seq("band", "bkey")).filter(col("da") < col("db"))
+        .select("da", "db").distinct()
+      val sa = sh.select(col("doc_id").as("da"), col("sh"))
+      val sb = sh.select(col("doc_id").as("db"), col("sh"))
+      val common = cands.join(sa, "da").join(sb, Seq("db", "sh"))
+        .groupBy("da", "db").agg(count(lit(1)).as("n_common"))
+      val sizes = shingleSizes(d)
+      common
+        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .filter(lit(2) * col("n_common") >= col("na") + col("nb") - col("n_common"))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          col("n_common"), (col("na") + col("nb") - col("n_common")).as("n_union"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---------------------------------------------------------------------
+    // SimHash near-dup: 32-bit simhash over shingle hashes (bit-majority),
+    // byte-banded for blocking (hamming <= 3 ⇒ at least one of 4 bytes
+    // equal, by pigeonhole), verified with bit_count(xor) <= 3.
+    QuerySpec.sql("p_dedup_simhash", simhashOracle) { (s, dir) =>
+      val sh = shingleRows(docs(s, dir))
+        .withColumn("h", h32(col("sh")))
+      val bitSums = (0 until 32).map { i =>
+        sum(expr(s"((h div ${1L << i}) % 2) * 2 - 1")).as(s"b$i")
+      }
+      val sums = sh.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      val simhashExpr = (0 until 32)
+        .map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      val sim = sums.select(col("doc_id"), expr(simhashExpr).as("simhash"))
+      val banded = (0 until 4).map { k =>
+        sim.select(col("doc_id"), col("simhash"), lit(k).as("band"),
+          expr(s"(simhash div ${1L << (8 * k)}) % 256").as("bkey"))
+      }.reduce(_.unionByName(_))
+      val ba = banded.select(col("doc_id").as("da"), col("simhash").as("ha"),
+        col("band"), col("bkey"))
+      val bb = banded.select(col("doc_id").as("db"), col("simhash").as("hb"),
+        col("band"), col("bkey"))
+      ba.join(bb, Seq("band", "bkey")).filter(col("da") < col("db"))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---------------------------------------------------------------------
+    // Embedding-cosine near-dup: pairs with cosine >= 0.45. Both engines
+    // compute bit-identical doubles (sequential fold), so the threshold
+    // and the emitted floor(cos*1e6) are exact. Blocking: at this scale a
+    // self-join suffices; the 100 TB path is p_ann_lsh's bucketing.
+    QuerySpec.sql(
+      "p_dedup_embed",
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       CAST(floor(($OCos) * 1000000) AS BIGINT) AS score_micro
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ($OCos) >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+      val e = embs(s, dir)
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      val cos = cosine(col("ea"), col("eb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .filter(cos >= 0.45)
+        .select(col("vec_a"), col("vec_b"),
+          floor(cos * 1000000).cast("long").as("score_micro"))
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // ---------------------------------------------------------------------
+    // ANN brute force: cosine top-5 per probe vector (vec_id < 20). The
+    // probe side is tiny and broadcast; the big side is scanned once —
+    // the right baseline plan at any scale.
+    QuerySpec.sql(
+      "p_ann_topk",
+      s"""SELECT query_id, neighbor_id, rank, score_micro FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |                            ORDER BY ($OCos) DESC, b.vec_id) AS rank,
+         |         CAST(floor(($OCos) * 1000000) AS BIGINT) AS score_micro
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND b.vec_id <> a.vec_id
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val e = embs(s, dir)
+      val probes = broadcast(
+        e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("embedding").as("ea")))
+      val base = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"))
+      val cos = cosine(col("ea"), col("eb"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+      probes.join(base, col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), cos.as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          floor(col("cos") * 1000000).cast("long").as("score_micro"))
+        .orderBy("query_id", "rank")
+    },
+
+    // ---------------------------------------------------------------------
+    // ANN, LSH-bucketed (the scale path): 4 md5-derived random hyperplanes
+    // → 16 sign buckets; probes search only their own bucket. Bucket
+    // assignment is an equi-join key, so at 100 TB this is a co-partitioned
+    // join instead of a scan per probe.
+    QuerySpec.sql("p_ann_lsh", annLshOracle) { (s, dir) =>
+      val e = embs(s, dir)
+      // dot(vec, plane_p) with plane coefficients derived from md5(p || '_' || i)
+      def planeDot(p: Int): Column =
+        aggregate(
+          transform(sequence(lit(0), lit(63)), i =>
+            element_at(col("embedding"), i + 1).cast("double") *
+              (h32(concat(lit(p.toString), lit("_"), i.cast("string"))).cast("double") /
+                lit(2147483648.0) - lit(1.0))),
+          lit(0.0), (acc, v) => acc + v)
+      val bucketExpr = (0 until 4).map { p =>
+        when(planeDot(p) >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val bucketed = e.select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"))
+      val probes = bucketed.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("ea"), col("bucket"))
+      val base = bucketed
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("bucket"))
+      val cos = cosine(col("ea"), col("eb"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+      broadcast(probes).join(base, Seq("bucket"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), cos.as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          floor(col("cos") * 1000000).cast("long").as("score_micro"))
+        .orderBy("query_id", "rank")
+    },
+
+    // ---------------------------------------------------------------------
+    // Token counting: whitespace tokens, alphabetic regex tokens, and a
+    // BPE-ish subword proxy (runs of <=4 letters), all codegen'd scalar
+    // functions on the scan — no shuffle except the final sort.
+    QuerySpec.sql(
+      "p_text_tokens",
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS n_ws_tokens,
+        |       len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens,
+        |       len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_subword_tokens,
+        |       n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long")
+            .as("n_alpha_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0))).cast("long")
+            .as("n_subword_tokens"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------------
+    // Quality scoring: integer word/stopword statistics + a rule-based
+    // quality bucket (all integer comparisons — deterministic).
+    QuerySpec.sql(
+      "p_text_quality",
+      """SELECT doc_id, n_words, n_stop, sum_word_chars,
+        |  CASE WHEN n_words >= 60 AND n_stop * 10 <= n_words THEN 'high'
+        |       WHEN n_words >= 30 THEN 'medium' ELSE 'low' END AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS n_stop,
+        |    len(replace(text, ' ', '')) AS sum_word_chars
+        |  FROM documents
+        |) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ws = split(col("text"), " ")
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(ws).cast("long").as("n_words"),
+          size(filter(ws, w => w.isin("the", "a"))).cast("long").as("n_stop"),
+          length(regexp_replace(col("text"), " ", "")).cast("long").as("sum_word_chars"))
+        .withColumn("quality",
+          when(col("n_words") >= 60 && col("n_stop") * 10 <= col("n_words"), "high")
+            .when(col("n_words") >= 30, "medium")
+            .otherwise("low"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------------
+    // Language ID: marker-word scoring against small per-language lexicons
+    // (the n-gram-profile heuristic reduced to unigram markers; scores are
+    // integer counts, argmax with alphabetical tie-break).
+    QuerySpec.sql("p_text_langid", langidOracle) { (s, dir) =>
+      val ws = split(col("text"), " ")
+      def score(words: Seq[String]): Column =
+        size(filter(ws, w => w.isin(words: _*))).cast("long")
+      val scored = docs(s, dir).select(col("doc_id"),
+        score(LangMarkers("de")).as("s_de"),
+        score(LangMarkers("en")).as("s_en"),
+        score(LangMarkers("es")).as("s_es"),
+        score(LangMarkers("fr")).as("s_fr"),
+        score(LangMarkers("zh")).as("s_zh"))
+      scored
+        .withColumn("best",
+          greatest(col("s_de"), col("s_en"), col("s_es"), col("s_fr"), col("s_zh")))
+        .select(col("doc_id"),
+          when(col("s_de") === col("best"), "de")
+            .when(col("s_en") === col("best"), "en")
+            .when(col("s_es") === col("best"), "es")
+            .when(col("s_fr") === col("best"), "fr")
+            .otherwise("zh").as("pred_lang"),
+          col("best").as("best_score"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------------
+    // Document fingerprinting: min-hash over word 4-gram shingles (a
+    // winnowing-style rolling fingerprint) + shingle count.
+    QuerySpec.sql(
+      "p_text_fingerprint",
+      s"""WITH words AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |), sh4 AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(ws) - 2, 1)),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS sh
+         |  FROM words
+         |)
+         |SELECT doc_id, min(${oH60("sh")}) AS fingerprint,
+         |       count(*) AS n_shingles
+         |FROM sh4 GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(shingles4(col("text"))).as("sh"))
+        .groupBy("doc_id")
+        .agg(min(h60(col("sh"))).as("fingerprint"), count(lit(1)).as("n_shingles"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------------
+    // Multimodal metadata: treat the payload as an opaque binary column
+    // with typed metadata (byte length + sha256) — the schema/plumbing
+    // pattern for image/audio blobs. The blob here is the utf8 encoding of
+    // `text` (the container ships no media decoders).
+    QuerySpec.sql(
+      "p_multimodal_meta",
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |       sha256(text) AS sha
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val blob = col("text").cast("binary")
+      docs(s, dir)
+        .select(col("doc_id"),
+          length(blob).cast("long").as("n_bytes"),
+          sha2(blob, 256).as("sha"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------------
+    // Multimodal decode (rows-only): Dataset[T] mapPartitions plumbing for
+    // a batch media decoder — deterministic stub standing in for the real
+    // image decode (no media libs in this container). Demonstrates the
+    // executor-side batch shape: one decoder init per partition, typed
+    // output schema.
+    QuerySpec.rowsOnly("p_multimodal_decode") { (s, dir) =>
+      import s.implicits._
+      val blobs = docs(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+      blobs.mapPartitions { it =>
+        // Real pipeline: init decoder once per partition (expensive native
+        // lib handle), decode each blob to (width, height, channels, …).
+        // Stub: deterministic pseudo-decode from the payload bytes.
+        it.map { case (id, bytes) =>
+          val checksum = bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0x7fffffffL)
+          val width = 64 + (checksum % 64)
+          val height = 64 + ((checksum / 64) % 64)
+          (id, width, height, width * height, checksum)
+        }
+      }.toDF("doc_id", "width", "height", "n_pixels", "checksum")
+        .orderBy("doc_id")
+    })
+
+  // ------------------------------------------------------ oracle SQL bodies
+
+  private def langidOracle: String = {
+    def score(lang: String): String = {
+      val lst = LangMarkers(lang).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), w -> w IN ($lst))) AS s_$lang"
+    }
+    s"""WITH scored AS (
+       |  SELECT doc_id, ${score("de")}, ${score("en")}, ${score("es")},
+       |         ${score("fr")}, ${score("zh")}
+       |  FROM documents
+       |), best AS (
+       |  SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+       |         greatest(s_de, s_en, s_es, s_fr, s_zh) AS best
+       |  FROM scored
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+       |       WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
+       |       ELSE 'zh' END AS pred_lang,
+       |  best AS best_score
+       |FROM best ORDER BY doc_id""".stripMargin
+  }
+
+  private def minhashOracle: String = {
+    val sigCols = (0 until 16)
+      .map(j => s"min(${oH60(s"CAST($j AS VARCHAR) || ':' || sh")}) AS m$j")
+      .mkString(",\n    ")
+    val bandSelects = (0 until 4).map { b =>
+      val ms = (0 until 4).map(r => s"m${4 * b + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $ms)) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$OShinglesCte, sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM shingles GROUP BY doc_id
+       |), bands AS (
+       |  $bandSelects
+       |), cands AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |), common AS (
+       |  SELECT c.da, c.db, count(*) AS n_common
+       |  FROM cands c
+       |  JOIN shingles sa ON sa.doc_id = c.da
+       |  JOIN shingles sb ON sb.doc_id = c.db AND sb.sh = sa.sh
+       |  GROUP BY 1, 2
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+       |)
+       |SELECT c.da AS doc_a, c.db AS doc_b, c.n_common,
+       |       sa.n + sb.n - c.n_common AS n_union
+       |FROM common c
+       |JOIN sizes sa ON sa.doc_id = c.da
+       |JOIN sizes sb ON sb.doc_id = c.db
+       |WHERE 2 * c.n_common >= sa.n + sb.n - c.n_common
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private def simhashOracle: String = {
+    val bitSums = (0 until 32)
+      .map(i => s"sum(((h // ${1L << i}) % 2) * 2 - 1) AS b$i")
+      .mkString(",\n    ")
+    val simhashExpr = (0 until 32)
+      .map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    val bandSelects = (0 until 4).map { k =>
+      s"SELECT doc_id, simhash, $k AS band, (simhash // ${1L << (8 * k)}) % 256 AS bkey FROM sim"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$OShinglesCte, hashed AS (
+       |  SELECT doc_id, ${oH32("sh")} AS h FROM shingles
+       |), sums AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM hashed GROUP BY doc_id
+       |), sim AS (
+       |  SELECT doc_id, $simhashExpr AS simhash FROM sums
+       |), banded AS (
+       |  $bandSelects
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private def annLshOracle: String = {
+    // plane coefficient for (p, i): md5-derived uniform in [-1, 1)
+    def planeDot(p: Int): String =
+      s"""list_sum(list_transform(range(0, 64), i ->
+         |      embedding[i + 1]::DOUBLE *
+         |      (${oH32(s"CAST($p AS VARCHAR) || '_' || CAST(i AS VARCHAR)")}::DOUBLE / 2147483648.0 - 1.0)))""".stripMargin
+    val bucketExpr = (0 until 4)
+      .map(p => s"(CASE WHEN (${planeDot(p)}) >= 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString("\n    + ")
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, embedding,
+       |    $bucketExpr AS bucket
+       |  FROM embeddings
+       |)
+       |SELECT query_id, neighbor_id, rank, score_micro FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY a.vec_id
+       |                            ORDER BY ($OCos) DESC, b.vec_id) AS rank,
+       |         CAST(floor(($OCos) * 1000000) AS BIGINT) AS score_micro
+       |  FROM bucketed a JOIN bucketed b
+       |    ON a.bucket = b.bucket AND a.vec_id < 20 AND b.vec_id <> a.vec_id
+       |) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
 }

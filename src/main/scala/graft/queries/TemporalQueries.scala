@@ -204,7 +204,7 @@ object TemporalQueries {
     QuerySpec.sql(
       "t_write_stats",
       s"""$MutationsCte
-         |SELECT tablet_id, sum(length(value)) AS bytes, count(*) AS n_rows
+         |SELECT tablet_id, CAST(sum(length(value)) AS BIGINT) AS bytes, count(*) AS n_rows
          |FROM mutations GROUP BY tablet_id
          |ORDER BY bytes DESC, tablet_id LIMIT 5""".stripMargin) { (s, dir) =>
       mutations(s, dir)
