@@ -59,28 +59,14 @@ object PipelineQueries {
 
   // ------------------------------------------------------------- shingling
 
-  /** Distinct word 3-gram shingles of `text` (empty if < 3 words). */
-  private def shingles3(text: Column): Column = {
-    val ws = split(text, " ")
-    array_distinct(
-      when(size(ws) >= 3,
-        transform(sequence(lit(0), size(ws) - 3), i =>
-          concat_ws(" ",
-            element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
-        .otherwise(array().cast("array<string>")))
-  }
+  /** Distinct word 3-gram shingles of `text` (empty if < 3 words); one
+    * compiled pass per row (see [[graft.functions.WordShingles]]). */
+  private def shingles3(text: Column): Column =
+    graft.functions.WordShingles.shingles(text, 3)
 
   /** Distinct word 4-gram shingles (for fingerprinting). */
-  private def shingles4(text: Column): Column = {
-    val ws = split(text, " ")
-    array_distinct(
-      when(size(ws) >= 4,
-        transform(sequence(lit(0), size(ws) - 4), i =>
-          concat_ws(" ",
-            element_at(ws, i + 1), element_at(ws, i + 2),
-            element_at(ws, i + 3), element_at(ws, i + 4))))
-        .otherwise(array().cast("array<string>")))
-  }
+  private def shingles4(text: Column): Column =
+    graft.functions.WordShingles.shingles(text, 4)
 
   /** DuckDB CTE producing one row per (doc_id, sh): the same distinct word
     * 3-gram shingles. Kept textually in sync with [[shingles3]]. */
@@ -103,20 +89,59 @@ object PipelineQueries {
 
   // ------------------------------------------------------------ embeddings
 
-  /** Sequential left-to-right dot product in double precision — the exact
-    * fold DuckDB's `list_dot_product` performs, so both engines produce
-    * bit-identical doubles. */
-  private def dotd(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Codegen'd sequential left-to-right dot product in double precision —
+    * the exact fold DuckDB's `list_dot_product` performs, so both engines
+    * produce bit-identical doubles (see [[graft.functions.ArrayDotProduct]];
+    * the interpreted `aggregate(zip_with(...))` HOF formulation measured
+    * ~36µs/pair, this is a fused codegen loop). */
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.ArrayDotProduct.dot(a, b)
 
-  private def cosine(a: Column, b: Column): Column =
-    dotd(a, b) / (sqrt(dotd(a, a)) * sqrt(dotd(b, b)))
+  /** Embeddings extended with the precomputed L2 norm: O(n) norm
+    * computations instead of recomputing both norms inside every one of the
+    * O(n²)/O(candidates) pair evaluations. `a.norm * b.norm` performs the
+    * identical float ops (`sqrt(dot(a,a)) * sqrt(dot(b,b))`) as the inline
+    * form, so results are bit-equal. */
+  private def embsN(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir).select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
 
+  /** Oracle CTE mirroring [[embsN]]. */
+  private val ONormCte =
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      |  FROM embeddings
+      |)""".stripMargin
+
+  /** Pairwise cosine over the norm-extended tables `a`/`b`. */
   private val OCos =
-    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
-      "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
-      "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / (a.norm * b.norm)"
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Random-hyperplane coefficients for LSH plane `p`: md5-derived uniform
+    * doubles in [-1, 1). Each value is `h32 / 2^31 - 1` with h32 < 2^32 —
+    * ≤33 significant bits, exactly representable, so the decimal literal
+    * rendering round-trips bit-identically through both Spark and DuckDB. */
+  private def planeCoefs(p: Int): Array[Double] =
+    Array.tabulate(64) { i =>
+      java.lang.Long.parseLong(md5hex(s"${p}_$i").substring(0, 8), 16)
+        .toDouble / 2147483648.0 - 1.0
+    }
+
+  /** MinHash permutation family: `m_j(h) = (A_j·h + B_j) mod P` over the
+    * single 32-bit shingle hash. One md5 per shingle + 16 integer affine
+    * maps, instead of 16 md5s per shingle. A_j ≤ 2^28 and h < 2^32 keep
+    * `A·h + B < 2^61` — no 64-bit overflow on either engine (both compute
+    * in BIGINT/LongType). P is the smallest prime > 2^32. */
+  private val MinhashP = 4294967311L
+  private val MinhashA: IndexedSeq[Long] =
+    (0 until 16).map(j => java.lang.Long.parseLong(md5hex(s"A$j").substring(0, 7), 16) + 1L)
+  private val MinhashB: IndexedSeq[Long] =
+    (0 until 16).map(j => java.lang.Long.parseLong(md5hex(s"B$j").substring(0, 7), 16))
 
   // ---------------------------------------------------------------- queries
 
@@ -188,11 +213,13 @@ object PipelineQueries {
          |JOIN sizes sb ON sb.doc_id = p.db
          |WHERE 2 * p.n_common >= sa.n + sb.n - p.n_common
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val sh = shingleRows(docs(s, dir))
-      val sizes = shingleSizes(docs(s, dir))
+      // Persist the shingle inverted index: it feeds both join sides and
+      // the per-doc set sizes (one explode+distinct instead of three).
+      val sh = shingleRows(docs(s, dir)).persist()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val a = sh.select(col("doc_id").as("da"), col("sh"))
       val b = sh.select(col("doc_id").as("db"), col("sh"))
-      val pairs = a.join(b, a("sh") === b("sh") && col("da") < col("db"))
+      val pairs = a.join(b, Seq("sh")).filter(col("da") < col("db"))
         .groupBy("da", "db").agg(count(lit(1)).as("n_common"))
       pairs
         .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
@@ -210,17 +237,23 @@ object PipelineQueries {
     // the scale path: candidate generation cost is bounded by bucket
     // collisions, not by n².
     QuerySpec.sql("p_dedup_minhash_lsh", minhashOracle) { (s, dir) =>
-      val d = docs(s, dir)
-      val sh = shingleRows(d)
+      // The exploded shingle index is reused four times (signatures, both
+      // sides of the verification join, set sizes) — persist it instead of
+      // recomputing the explode+hash per consumer. Same at 100 TB: the
+      // shingle index is the expensive intermediate you materialize.
+      val sh = shingleRows(docs(s, dir))
+        .withColumn("h", h32(col("sh"))).persist()
       val sigCols = (0 until 16).map { j =>
-        min(h60(concat(lit(j.toString), lit(":"), col("sh")))).as(s"m$j")
+        min((lit(MinhashA(j)) * col("h") + lit(MinhashB(j))) % lit(MinhashP)).as(s"m$j")
       }
       val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      val bands = (0 until 4).map { b =>
+      // One pass over sig: each row explodes to its 4 (band, bkey) pairs.
+      val bandCols = (0 until 4).map { b =>
         val ms = (0 until 4).map(r => col(s"m${4 * b + r}").cast("string"))
-        sig.select(col("doc_id"), lit(b).as("band"),
-          md5(concat_ws(",", ms: _*)).as("bkey"))
-      }.reduce(_.unionByName(_))
+        md5(concat_ws(",", ms: _*))
+      }
+      val bands = sig.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
       val ba = bands.select(col("doc_id").as("da"), col("band"), col("bkey"))
       val bb = bands.select(col("doc_id").as("db"), col("band"), col("bkey"))
       val cands = ba.join(bb, Seq("band", "bkey")).filter(col("da") < col("db"))
@@ -229,7 +262,7 @@ object PipelineQueries {
       val sb = sh.select(col("doc_id").as("db"), col("sh"))
       val common = cands.join(sa, "da").join(sb, Seq("db", "sh"))
         .groupBy("da", "db").agg(count(lit(1)).as("n_common"))
-      val sizes = shingleSizes(d)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       common
         .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
         .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
@@ -253,11 +286,12 @@ object PipelineQueries {
       val simhashExpr = (0 until 32)
         .map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)")
         .mkString(" + ")
-      val sim = sums.select(col("doc_id"), expr(simhashExpr).as("simhash"))
-      val banded = (0 until 4).map { k =>
-        sim.select(col("doc_id"), col("simhash"), lit(k).as("band"),
-          expr(s"(simhash div ${1L << (8 * k)}) % 256").as("bkey"))
-      }.reduce(_.unionByName(_))
+      // Persist the tiny per-doc simhash table: both join sides reuse it,
+      // and banding is one posexplode pass (not a 4-way recomputing union).
+      val sim = sums.select(col("doc_id"), expr(simhashExpr).as("simhash")).persist()
+      val bandCols = (0 until 4).map(k => expr(s"(simhash div ${1L << (8 * k)}) % 256"))
+      val banded = sim.select(col("doc_id"), col("simhash"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
       val ba = banded.select(col("doc_id").as("da"), col("simhash").as("ha"),
         col("band"), col("bkey"))
       val bb = banded.select(col("doc_id").as("db"), col("simhash").as("hb"),
@@ -272,20 +306,25 @@ object PipelineQueries {
 
     // ---------------------------------------------------------------------
     // Embedding-cosine near-dup: pairs with cosine >= 0.45. Both engines
-    // compute bit-identical doubles (sequential fold), so the threshold
-    // and the emitted floor(cos*1e6) are exact. Blocking: at this scale a
-    // self-join suffices; the 100 TB path is p_ann_lsh's bucketing.
+    // compute bit-identical doubles (sequential codegen fold), so the
+    // threshold and the emitted floor(cos*1e6) are exact. Norms are
+    // precomputed per vector (O(n), not O(n²)); the pair loop is one fused
+    // codegen dot per pair. Blocking: at this scale a self-join suffices;
+    // the 100 TB path is p_ann_lsh's bucketing.
     QuerySpec.sql(
       "p_dedup_embed",
-      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      s"""$ONormCte
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |       CAST(floor(($OCos) * 1000000) AS BIGINT) AS score_micro
-         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE ($OCos) >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
-      val e = embs(s, dir)
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-      val cos = cosine(col("ea"), col("eb"))
+      val e = embsN(s, dir)
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("norm").as("na"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("norm").as("nb"))
+      val cos = dot(col("ea"), col("eb")) / (col("na") * col("nb"))
       a.join(b, col("vec_a") < col("vec_b"))
         .filter(cos >= 0.45)
         .select(col("vec_a"), col("vec_b"),
@@ -299,19 +338,22 @@ object PipelineQueries {
     // the right baseline plan at any scale.
     QuerySpec.sql(
       "p_ann_topk",
-      s"""SELECT query_id, neighbor_id, rank, score_micro FROM (
+      s"""$ONormCte
+         |SELECT query_id, neighbor_id, rank, score_micro FROM (
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |         row_number() OVER (PARTITION BY a.vec_id
          |                            ORDER BY ($OCos) DESC, b.vec_id) AS rank,
          |         CAST(floor(($OCos) * 1000000) AS BIGINT) AS score_micro
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND b.vec_id <> a.vec_id
+         |  FROM e a JOIN e b ON a.vec_id < 20 AND b.vec_id <> a.vec_id
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
-      val e = embs(s, dir)
+      val e = embsN(s, dir)
       val probes = broadcast(
         e.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("query_id"), col("embedding").as("ea")))
-      val base = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"))
-      val cos = cosine(col("ea"), col("eb"))
+          .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
+            col("norm").as("na")))
+      val base = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
+        col("norm").as("nb"))
+      val cos = dot(col("ea"), col("eb")) / (col("na") * col("nb"))
       val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
       probes.join(base, col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"), cos.as("cos"))
@@ -328,24 +370,23 @@ object PipelineQueries {
     // assignment is an equi-join key, so at 100 TB this is a co-partitioned
     // join instead of a scan per probe.
     QuerySpec.sql("p_ann_lsh", annLshOracle) { (s, dir) =>
-      val e = embs(s, dir)
-      // dot(vec, plane_p) with plane coefficients derived from md5(p || '_' || i)
-      def planeDot(p: Int): Column =
-        aggregate(
-          transform(sequence(lit(0), lit(63)), i =>
-            element_at(col("embedding"), i + 1).cast("double") *
-              (h32(concat(lit(p.toString), lit("_"), i.cast("string"))).cast("double") /
-                lit(2147483648.0) - lit(1.0))),
-          lit(0.0), (acc, v) => acc + v)
+      val e = embsN(s, dir)
+      // dot(vec, plane_p): plane coefficients are md5-derived but computed
+      // once driver-side and shipped as array literals — the per-element
+      // md5-in-SQL formulation evaluated 512k interpreted hashes per pass.
       val bucketExpr = (0 until 4).map { p =>
-        when(planeDot(p) >= 0, lit(1L << p)).otherwise(lit(0L))
+        when(dot(col("embedding"), typedlit(planeCoefs(p).toSeq)) >= 0, lit(1L << p))
+          .otherwise(lit(0L))
       }.reduce(_ + _)
-      val bucketed = e.select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"))
+      val bucketed = e.select(col("vec_id"), col("embedding"), col("norm"),
+        bucketExpr.as("bucket"))
       val probes = bucketed.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("embedding").as("ea"), col("bucket"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
+          col("norm").as("na"), col("bucket"))
       val base = bucketed
-        .select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("bucket"))
-      val cos = cosine(col("ea"), col("eb"))
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
+          col("norm").as("nb"), col("bucket"))
+      val cos = dot(col("ea"), col("eb")) / (col("na") * col("nb"))
       val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
       broadcast(probes).join(base, Seq("bucket"))
         .filter(col("neighbor_id") =!= col("query_id"))
@@ -527,16 +568,18 @@ object PipelineQueries {
 
   private def minhashOracle: String = {
     val sigCols = (0 until 16)
-      .map(j => s"min(${oH60(s"CAST($j AS VARCHAR) || ':' || sh")}) AS m$j")
+      .map(j => s"min((${MinhashA(j)} * h + ${MinhashB(j)}) % $MinhashP) AS m$j")
       .mkString(",\n    ")
     val bandSelects = (0 until 4).map { b =>
       val ms = (0 until 4).map(r => s"m${4 * b + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, md5(concat_ws(',', $ms)) AS bkey FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""$OShinglesCte, sig AS (
+    s"""$OShinglesCte, hashed AS (
+       |  SELECT doc_id, sh, ${oH32("sh")} AS h FROM shingles
+       |), sig AS (
        |  SELECT doc_id,
        |    $sigCols
-       |  FROM shingles GROUP BY doc_id
+       |  FROM hashed GROUP BY doc_id
        |), bands AS (
        |  $bandSelects
        |), cands AS (
@@ -591,25 +634,30 @@ object PipelineQueries {
   }
 
   private def annLshOracle: String = {
-    // plane coefficient for (p, i): md5-derived uniform in [-1, 1)
-    def planeDot(p: Int): String =
-      s"""list_sum(list_transform(range(0, 64), i ->
-         |      embedding[i + 1]::DOUBLE *
-         |      (${oH32(s"CAST($p AS VARCHAR) || '_' || CAST(i AS VARCHAR)")}::DOUBLE / 2147483648.0 - 1.0)))""".stripMargin
+    // Plane coefficients: the same md5-derived doubles as the Spark side,
+    // rendered as exact decimal literals (each is h32/2^31 − 1, ≤33
+    // significant bits — Double.toString round-trips bit-identically).
+    def coefList(p: Int): String =
+      planeCoefs(p).map(_.toString).mkString("[", ", ", "]")
     val bucketExpr = (0 until 4)
-      .map(p => s"(CASE WHEN (${planeDot(p)}) >= 0 THEN ${1L << p} ELSE 0 END)")
+      .map(p => s"(CASE WHEN list_dot_product(embedding::DOUBLE[], " +
+        s"${coefList(p)}::DOUBLE[]) >= 0 THEN ${1L << p} ELSE 0 END)")
       .mkString("\n    + ")
-    s"""WITH bucketed AS (
+    s"""WITH e0 AS (
        |  SELECT vec_id, embedding,
-       |    $bucketExpr AS bucket
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
        |  FROM embeddings
+       |), e AS (
+       |  SELECT vec_id, embedding, norm,
+       |    $bucketExpr AS bucket
+       |  FROM e0
        |)
        |SELECT query_id, neighbor_id, rank, score_micro FROM (
        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |         row_number() OVER (PARTITION BY a.vec_id
        |                            ORDER BY ($OCos) DESC, b.vec_id) AS rank,
        |         CAST(floor(($OCos) * 1000000) AS BIGINT) AS score_micro
-       |  FROM bucketed a JOIN bucketed b
+       |  FROM e a JOIN e b
        |    ON a.bucket = b.bucket AND a.vec_id < 20 AND b.vec_id <> a.vec_id
        |) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
