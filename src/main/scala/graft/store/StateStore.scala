@@ -89,6 +89,8 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
       .filter(col("key") === lit(key))
       .orderBy(col("height").desc)
       .limit(1)
+      .select(col("key"), col("height"),
+        col("block_id").as("blockId"), col("block_num").as("blockNum"))
       .as[Checkpoint]
       .collect()
       .headOption

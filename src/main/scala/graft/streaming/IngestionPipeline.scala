@@ -46,7 +46,7 @@ final class IngestionPipeline(
 
   /** Commit one micro-batch. Runs on the driver per batch (the data writes
     * are distributed; the fork bookkeeping is small, see ForkDB docs). */
-  private[streaming] def commitBatch(batch: Dataset[StreamedBlock], batchId: Long): Unit = {
+  private[graft] def commitBatch(batch: Dataset[StreamedBlock], batchId: Long): Unit = {
     // Fork bookkeeping needs block order; micro-batches are small (seconds of
     // blocks), so collecting the *metadata + payload* here matches the
     // reference's single-threaded handler (pipeline.go:133–137).

@@ -1,0 +1,87 @@
+package graft
+
+import graft.model._
+import graft.store.StateStore
+import graft.streaming.{ForkDB, IngestionPipeline, StreamedBlock}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class ForkStreamingSpec extends SparkTestBase {
+
+  private def ref(n: Long, fork: String = "a") = BlockRef(s"$fork$n", n)
+  private def wr(n: Long, fork: String = "a") =
+    WriteRequest(n, ref(n, fork),
+      Seq(TabletRowM(1, "t1", n, "pk", s"$fork$n".getBytes, false)), Nil)
+
+  test("ForkDB: reversible segment walks parent links back to LIB") {
+    val db = new ForkDB
+    db.moveLIB(ref(0))
+    db.addLink(ref(1), "a0", wr(1))
+    db.addLink(ref(2), "a1", wr(2))
+    // A competing fork at height 2.
+    db.addLink(BlockRef("b2", 2), "a1", wr(2, "b"))
+    assert(db.reversibleSegment("a2").get.map(_.block.id) === Seq("a1", "a2"))
+    assert(db.reversibleSegment("b2").get.map(_.block.id) === Seq("a1", "b2"))
+    assert(db.reversibleSegment("unknown").isEmpty)
+    assert(db.head.id === "a2" || db.head.id === "b2")
+  }
+
+  test("ForkDB: moveLIB purges links deeper than the purge depth") {
+    val db = new ForkDB
+    (1L to 300L).foreach(n => db.addLink(ref(n), s"a${n - 1}", wr(n)))
+    db.moveLIB(ref(290), purgeDepth = 10)
+    assert(db.size === 20) // heights 281..300
+    assert(db.reversibleSegment("a300").get.map(_.height) === (291L to 300L))
+  }
+
+  test("ingestion end-to-end: only irreversible blocks reach storage; " +
+    "speculative reads overlay the fork branch") {
+    implicit val s = spark
+    import s.implicits._
+    val store = new StateStore(tmpDir("store"))
+    val pipeline = new IngestionPipeline(store)
+    implicit val sqlCtx = s.sqlContext
+    val source = MemoryStream[StreamedBlock]
+
+    def block(n: Long, step: String, fork: String = "a") = StreamedBlock(
+      s"$fork$n", s"$fork${n - 1}", n, step,
+      Seq(TabletRowM(1, "t1", n, s"pk${n % 2}", s"$fork$n-v".getBytes, false)), Nil)
+
+    val q = pipeline.start(source.toDS(), tmpDir("ckpt"), triggerMillis = 50)
+    try {
+      // Heights 0..3 irreversible; 4..5 only seen as new (speculative).
+      source.addData(
+        block(0, "irreversible"), block(1, "irreversible"),
+        block(2, "irreversible"), block(3, "irreversible"),
+        block(4, "new"), block(5, "new"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // Durable: exactly heights 0..3.
+    assert(store.tabletRows.select("height").collect().map(_.getLong(0)).sorted
+      === Array(0L, 1L, 2L, 3L))
+    assert(store.checkpoint(StateStore.GlobalCheckpointKey).get.height === 3L)
+
+    // Speculative read at a5 sees the fork branch (heights 4,5).
+    val spec = pipeline.speculativeTabletRows("a5").get
+    assert(spec.map(_.count()).sum === 2L)
+    val asOf = graft.read.TemporalReads
+      .readTabletAt(store.tabletRows, "t1", 5, spec)
+      .collect().map(r => (r.getString(0), new String(r.getAs[Array[Byte]](2))))
+    assert(asOf.toSeq === Seq(("pk0", "a4-v"), ("pk1", "a5-v")))
+  }
+
+  test("ingestion replay is idempotent: re-delivered batch below checkpoint is skipped") {
+    implicit val s = spark
+    val store = new StateStore(tmpDir("store"))
+    val pipeline = new IngestionPipeline(store)
+    import s.implicits._
+    def block(n: Long) = StreamedBlock(
+      s"a$n", s"a${n - 1}", n, "irreversible",
+      Seq(TabletRowM(1, "t1", n, "pk", s"a$n".getBytes, false)), Nil)
+    pipeline.commitBatch(Seq(block(0), block(1)).toDS(), 0)
+    // Redelivery of the same batch (foreachBatch at-least-once).
+    pipeline.commitBatch(Seq(block(0), block(1)).toDS(), 0)
+    assert(store.tabletRows.count() === 2L)
+    assert(store.checkpoint(StateStore.GlobalCheckpointKey).get.height === 1L)
+  }
+}

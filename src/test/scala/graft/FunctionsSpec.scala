@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{ArrayDotProduct, WordShingles}
+
+/** Custom codegen expressions: ArrayDotProduct and WordShingles must agree
+  * with straightforward Scala computations (and, by extension, with the
+  * declarative HOF formulations they replaced). Both codegen and interpreted
+  * paths are exercised: the DataFrame pipeline uses whole-stage codegen,
+  * `nullSafeEval` covers the interpreted fallback. */
+class FunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("ArrayDotProduct: float arrays, sequential double fold") {
+    val a = Array(1.5f, -2.0f, 3.25f)
+    val b = Array(2.0f, 0.5f, -1.0f)
+    val expected = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val out = Seq((a, b)).toDF("a", "b")
+      .select(ArrayDotProduct.dot(col("a"), col("b")).as("d"))
+      .collect().head.getDouble(0)
+    assert(out === expected)
+  }
+
+  test("ArrayDotProduct: double × double and float × double (LSH plane shape)") {
+    val v = Array(0.5f, 0.25f)
+    val plane = Array(-1.0, 0.75)
+    val out = Seq((v, plane)).toDF("v", "p")
+      .select(ArrayDotProduct.dot(col("v"), col("p")).as("d"))
+      .collect().head.getDouble(0)
+    assert(out === (0.5 * -1.0 + 0.25 * 0.75))
+    val dd = Seq((plane, plane)).toDF("a", "b")
+      .select(ArrayDotProduct.dot(col("a"), col("b")).as("d"))
+      .collect().head.getDouble(0)
+    assert(dd === (1.0 + 0.75 * 0.75))
+  }
+
+  test("ArrayDotProduct: null input yields null; empty arrays yield 0.0") {
+    val withNull = Seq((Some(Array(1.0f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+      .select(ArrayDotProduct.dot(col("a"), col("b")).as("d"))
+      .collect().head
+    assert(withNull.isNullAt(0))
+    val empty = Seq((Array.empty[Float], Array.empty[Float])).toDF("a", "b")
+      .select(ArrayDotProduct.dot(col("a"), col("b")).as("d"))
+      .collect().head.getDouble(0)
+    assert(empty === 0.0)
+  }
+
+  test("ArrayDotProduct: interpreted eval agrees with codegen result") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val mk = (xs: Array[Float]) =>
+      Literal.create(new GenericArrayData(xs.map(x => x: Any)), ArrayType(FloatType))
+    val e = ArrayDotProduct(mk(Array(1.0f, 2.0f)), mk(Array(3.0f, 4.0f)))
+    assert(e.eval(null) === 11.0)
+  }
+
+  test("WordShingles: adjacent n-grams, distinct, short-text empty") {
+    def sh(text: String, n: Int): Seq[String] =
+      Seq(Tuple1(text)).toDF("t")
+        .select(WordShingles.shingles(col("t"), n).as("s"))
+        .collect().head.getSeq[String](0)
+    assert(sh("a b c d", 3) === Seq("a b c", "b c d"))
+    assert(sh("a b", 3) === Seq.empty)
+    assert(sh("x x x x", 2) === Seq("x x")) // distinct collapses repeats
+    assert(sh("one", 1) === Seq("one"))
+    // Trailing space ⇒ empty final word, exactly like split(text, ' ').
+    assert(sh("a b c ", 3) === Seq("a b c", "b c "))
+  }
+
+  test("WordShingles: equivalent to the declarative HOF formulation") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a a a a a b a a",
+      "merge batch data query table scan hash key",
+      "short one",
+      "")
+    val df = texts.toDF("text")
+    val ws = split(col("text"), " ")
+    val hof = array_distinct(
+      when(size(ws) >= 3,
+        transform(sequence(lit(0), size(ws) - 3), i =>
+          concat_ws(" ",
+            element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
+        .otherwise(array().cast("array<string>")))
+    val both = df.select(
+      WordShingles.shingles(col("text"), 3).as("fast"), hof.as("ref"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](0).sorted === r.getSeq[String](1).sorted)
+    }
+  }
+}

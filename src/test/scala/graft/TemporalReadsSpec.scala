@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.read.TemporalReads
+
+/** Read-path semantics, mirroring the reference's read_test.go scenarios:
+  * last-write-wins per key, tombstone erase + re-insert, speculative overlay
+  * in block order, height tie-break by source rank. */
+class TemporalReadsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def rows(rs: (String, Long, String, String, Boolean)*): DataFrame =
+    rs.toDF("tablet_id", "height", "primary_key", "v", "is_deletion")
+      .withColumn("value", org.apache.spark.sql.functions.encode(
+        org.apache.spark.sql.functions.col("v"), "utf-8"))
+      .drop("v")
+
+  private def result(df: DataFrame): Seq[(String, Long, String)] =
+    df.collect().toSeq.map(r =>
+      (r.getString(0), r.getLong(1), new String(r.getAs[Array[Byte]](2), "UTF-8")))
+
+  test("readTabletAt: last write wins per primary key, sorted by pk") {
+    val d = rows(
+      ("t1", 1, "a", "a1", false),
+      ("t1", 5, "a", "a5", false),
+      ("t1", 3, "b", "b3", false),
+      ("t2", 9, "a", "other-tablet", false))
+    assert(result(TemporalReads.readTabletAt(d, "t1", 10)) ===
+      Seq(("a", 5L, "a5"), ("b", 3L, "b3")))
+    // As-of an earlier height: the height-5 write is invisible.
+    assert(result(TemporalReads.readTabletAt(d, "t1", 4)) ===
+      Seq(("a", 1L, "a1"), ("b", 3L, "b3")))
+  }
+
+  test("readTabletAt: tombstone erases the key; re-insert resurrects it") {
+    val d = rows(
+      ("t1", 1, "a", "a1", false),
+      ("t1", 2, "a", "", true),
+      ("t1", 3, "b", "b3", false),
+      ("t1", 4, "a", "a4", false))
+    assert(result(TemporalReads.readTabletAt(d, "t1", 2)).isEmpty)
+    assert(result(TemporalReads.readTabletAt(d, "t1", 3)) === Seq(("b", 3L, "b3")))
+    assert(result(TemporalReads.readTabletAt(d, "t1", 9)) ===
+      Seq(("a", 4L, "a4"), ("b", 3L, "b3")))
+  }
+
+  test("readTabletAt: speculative overlay wins over durable; block order wins within overlay") {
+    val durable = rows(("t1", 1, "a", "durable", false))
+    val spec1 = rows(("t1", 2, "a", "spec-block-2", false))
+    val spec2 = rows(("t1", 2, "a", "spec-block-2-later", false))
+    // Same height in both overlay sets: the LATER block (higher source rank)
+    // must win, mirroring ordered application (read.go:155–169).
+    assert(result(TemporalReads.readTabletAt(durable, "t1", 5, Seq(spec1, spec2))) ===
+      Seq(("a", 2L, "spec-block-2-later")))
+    // Speculative tombstone erases a durable key.
+    val specDel = rows(("t1", 3, "a", "", true))
+    assert(result(TemporalReads.readTabletAt(durable, "t1", 5, Seq(specDel))).isEmpty)
+  }
+
+  test("readTabletRowAt: single-key as-of lookup") {
+    val d = rows(
+      ("t1", 1, "a", "a1", false),
+      ("t1", 5, "a", "a5", false),
+      ("t1", 3, "b", "b3", false))
+    assert(result(TemporalReads.readTabletRowAt(d, "t1", "a", 10)) === Seq(("a", 5L, "a5")))
+    assert(result(TemporalReads.readTabletRowAt(d, "t1", "zz", 10)).isEmpty)
+  }
+
+  test("singlet reads: as-of entry and full history ordering") {
+    val e = Seq(
+      ("s1", 1L, "v1", false),
+      ("s1", 4L, "v4", false),
+      ("s1", 7L, "", true),
+      ("s2", 2L, "other", false))
+      .toDF("singlet_id", "height", "v", "is_deletion")
+      .withColumn("value", org.apache.spark.sql.functions.encode(
+        org.apache.spark.sql.functions.col("v"), "utf-8"))
+      .drop("v")
+    val at5 = TemporalReads.readSingletEntryAt(e, "s1", 5).collect()
+    assert(at5.length === 1 && at5.head.getLong(1) === 4L)
+    // Tombstone at 7 ⇒ no live entry as of 8.
+    assert(TemporalReads.readSingletEntryAt(e, "s1", 8).isEmpty)
+    val hist = TemporalReads.readSingletEntries(e, "s1").collect().map(_.getLong(1)).toSeq
+    assert(hist === Seq(7L, 4L, 1L))
+  }
+
+  test("existence probe") {
+    val d = rows(("t1", 1, "a", "x", false))
+    assert(TemporalReads.hasSeenAnyRowForTablet(d, "t1"))
+    assert(!TemporalReads.hasSeenAnyRowForTablet(d, "nope"))
+  }
+}
