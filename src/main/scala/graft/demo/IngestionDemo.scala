@@ -47,6 +47,34 @@ object IngestionDemo {
     println("as-of h=4 with overlay:")
     asOf.collect().foreach(r =>
       println(s"  ${r.getString(0)} -> ${new String(r.getAs[Array[Byte]](2))} (h=${r.getLong(1)})"))
+
+    // Streaming analytics over an event stream: watermarked window agg +
+    // keyed-state sessionization (event-time timeout).
+    import graft.streaming.StreamingAnalytics
+    import graft.streaming.StreamingAnalytics.Event
+    import java.sql.Timestamp
+    val events = MemoryStream[Event]
+    def e(u: Long, min: Long, v: Double = 1.0) =
+      Event(u, "click", new Timestamp(min * 60000L), v)
+    val win = StreamingAnalytics
+      .hourlyWindowCounts(events.toDF().toDF("user_id", "event_type", "ts", "value"))
+      .writeStream.format("memory").queryName("demo_win")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    val sess = StreamingAnalytics
+      .sessionize(events.toDS().withWatermark("ts", "0 seconds"), gapMillis = 10 * 60000L)
+      .writeStream.format("memory").queryName("demo_sess")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    events.addData(e(1, 1), e(1, 5), e(2, 62))
+    win.processAllAvailable(); sess.processAllAvailable()
+    events.addData(e(1, 30)) // gap > 10 min closes user 1's session
+    win.processAllAvailable(); sess.processAllAvailable()
+    win.stop(); sess.stop()
+    println("windowed counts:")
+    spark.table("demo_win").orderBy("window_start", "event_type").collect()
+      .foreach(r => println(s"  ${r.getTimestamp(0)} ${r.getString(1)} n=${r.getLong(2)}"))
+    println("closed sessions:")
+    spark.table("demo_sess").collect().foreach(r =>
+      println(s"  user=${r.getLong(0)} [${r.getLong(1) / 60000}m..${r.getLong(2) / 60000}m] n=${r.getLong(3)}"))
     spark.stop()
   }
 }

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Streaming analytics over an event stream — the Structured Streaming
+  * surface of the engine beyond ingestion (SURVEY.md §2.8 notes the reference
+  * has no event-time windowing; these are the Spark-native operators a user
+  * of the engine gets on the same tables).
+  *
+  * Design notes for scale:
+  *   - The windowed aggregation is a streaming state-store aggregation with
+  *     map-side partial aggregation; the watermark bounds state size (late
+  *     events beyond the threshold are dropped, state for closed windows is
+  *     evicted).
+  *   - Sessionization keeps ONE state object per user key
+  *     (`flatMapGroupsWithState`), emitting a session row when the gap
+  *     timeout closes it — state is O(active users), not O(events).
+  */
+object StreamingAnalytics {
+
+  final case class Event(userId: Long, eventType: String, ts: Timestamp, value: Double)
+
+  /** Watermarked tumbling-window count/sum per event type.
+    * Late data beyond `watermark` is dropped; closed windows are emitted
+    * once (Append) or updated continuously (Update). */
+  def hourlyWindowCounts(
+      events: DataFrame, // columns: user_id, event_type, ts (timestamp), value
+      watermark: String = "30 minutes",
+      window: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class SessionState(
+      sessionStart: Long, lastTs: Long, nEvents: Long, sumValue: Double)
+
+  final case class SessionOut(
+      userId: Long, sessionStartMs: Long, sessionEndMs: Long,
+      nEvents: Long, sumValue: Double)
+
+  /** Gap-based sessionization with explicit keyed state: one open session per
+    * user; a new event either extends it or (gap exceeded) closes it and
+    * emits the finished session. Idle sessions are flushed by an EVENT-TIME
+    * timeout — the watermark passing `lastTs + gap` closes them — so
+    * emission is deterministic under replay (a processing-time timeout would
+    * also busy-loop the no-trigger micro-batch scheduler). The streaming
+    * analog of the batch `q_events_sessionize`. Callers must set a watermark
+    * on `ts` upstream (event-time timeouts require one). */
+  def sessionize(
+      events: Dataset[Event],
+      gapMillis: Long = 30L * 60 * 1000)(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.sessionStart, s.lastTs, s.nEvents, s.sumValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMillis =>
+                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
+                    sumValue = s.sumValue + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.sessionStart, s.lastTs, s.nEvents, s.sumValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.lastTs + gapMillis)
+              case None => ()
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.streaming.StreamingAnalytics
+import graft.streaming.StreamingAnalytics.{Event, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamingAnalyticsSpec extends SparkTestBase {
+
+  private def ev(userId: Long, minute: Long, typ: String = "click", v: Double = 1.0) =
+    Event(userId, typ, new Timestamp(minute * 60000L), v)
+
+  test("watermarked hourly window aggregates per event type") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val source = MemoryStream[Event]
+    val q = StreamingAnalytics
+      .hourlyWindowCounts(source.toDF()
+        .toDF("user_id", "event_type", "ts", "value"))
+      .writeStream.format("memory").queryName("win").outputMode(OutputMode.Update())
+      .start()
+    try {
+      source.addData(ev(1, 5), ev(2, 20), ev(1, 65), ev(3, 70, "view", 2.5))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("win").collect()
+      .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2)))
+      .sorted
+    assert(out.toSeq === Seq((0L, "click", 2L), (60L, "click", 1L), (60L, "view", 1L)))
+  }
+
+  test("flatMapGroupsWithState sessionization: gap closes, watermark flushes idle") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val source = MemoryStream[Event]
+    val withWm = source.toDS().withWatermark("ts", "0 seconds")
+    val q = StreamingAnalytics.sessionize(withWm, gapMillis = 10 * 60000L)
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append())
+      .start()
+    try {
+      // User 1: events at minutes 1, 5 (one session; minute 0 would land ON
+      // the initial watermark and be dropped as late), then 30 (gap > 10min
+      // closes the first and emits it). User 2: single event at minute 31.
+      source.addData(ev(1, 1), ev(1, 5))
+      q.processAllAvailable()
+      source.addData(ev(1, 30), ev(2, 31))
+      q.processAllAvailable()
+      val afterGap = spark.table("sess").as[SessionOut].collect()
+      assert(afterGap.length === 1)
+      val sess = afterGap.head
+      assert(sess.userId === 1L)
+      assert(sess.sessionStartMs === 60000L && sess.sessionEndMs === 5 * 60000L)
+      assert(sess.nEvents === 2L && sess.sumValue === 2.0)
+      // Advance the watermark past user 2's lastTs + gap (31 + 10 = 41min):
+      // the event-time timeout fires and flushes the idle session.
+      source.addData(ev(3, 60))
+      q.processAllAvailable()
+      q.processAllAvailable() // timeout fires on the batch after wm advance
+      val flushed = spark.table("sess").as[SessionOut].collect()
+      assert(flushed.exists(o => o.userId === 2L && o.nEvents === 1L))
+    } finally q.stop()
+  }
+}
