@@ -17,6 +17,7 @@ object IngestionDemo {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -75,6 +76,13 @@ object IngestionDemo {
     println("closed sessions:")
     spark.table("demo_sess").collect().foreach(r =>
       println(s"  user=${r.getLong(0)} [${r.getLong(1) / 60000}m..${r.getLong(2) / 60000}m] n=${r.getLong(3)}"))
+
+    // Custom expressions are registered for SQL via GraftExtensions.
+    println("SQL surface:")
+    spark.sql("SELECT graft_dot(array(1.0D,2.0D), array(3.0D,4.0D)) AS dot, " +
+      "graft_word_shingles('the quick brown fox', 3) AS shingles")
+      .collect().foreach(r =>
+        println(s"  graft_dot=${r.getDouble(0)} shingles=${r.getSeq[String](1).mkString("|")}"))
     spark.stop()
   }
 }

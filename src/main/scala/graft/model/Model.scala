@@ -115,4 +115,27 @@ object CollectionRegistry {
 
   def get(id: Int): Option[CollectionSpec] = byId.get(id)
   def clear(): Unit = byId.clear()
+
+  /** Decode a mutation DataFrame's opaque `value` bytes into the collection's
+    * typed columns (the Spark equivalent of the embedder's `Tablet.Row`
+    * decode, tablet.go:84–87). The default codec is UTF-8 JSON — the
+    * registry's `valueSchema` drives `from_json`, so a registered collection
+    * reads as a fully typed table (`value_decoded.*`). Collections with
+    * bespoke binary codecs supply their own `Column => Column`. */
+  def decoded(
+      df: org.apache.spark.sql.DataFrame,
+      spec: CollectionSpec,
+      custom: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    custom match {
+      case Some(fn) => df.withColumn("value_decoded", fn(col("value")))
+      case None =>
+        spec.valueSchema match {
+          case Some(schema) =>
+            df.withColumn("value_decoded", from_json(decode(col("value"), "utf-8"), schema))
+          case None => df
+        }
+    }
+  }
 }

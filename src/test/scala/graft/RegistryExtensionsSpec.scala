@@ -1,0 +1,56 @@
+package graft
+
+import graft.model.{CollectionRegistry, CollectionSpec}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+class RegistryExtensionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("collection registry: registration rules and typed JSON decode") {
+    CollectionRegistry.clear()
+    val spec = CollectionRegistry.register(
+      CollectionSpec(0x0001, "balances", isSinglet = false,
+        valueSchema = Some(StructType(Seq(
+          StructField("token", StringType), StructField("amount", LongType))))))
+    intercept[IllegalArgumentException] {
+      CollectionRegistry.register(spec) // duplicate id
+    }
+    intercept[IllegalArgumentException] {
+      CollectionRegistry.register(CollectionSpec(0xFFF5, "reserved", isSinglet = true))
+    }
+    val df = Seq(("""{"token":"tk","amount":42}""".getBytes("UTF-8"), 1L))
+      .toDF("value", "height")
+    val decoded = CollectionRegistry.decoded(df, spec)
+    val row = decoded.select($"value_decoded.token", $"value_decoded.amount").collect().head
+    assert(row.getString(0) === "tk" && row.getLong(1) === 42L)
+    CollectionRegistry.clear()
+  }
+
+  test("GraftExtensions registers graft_dot and graft_word_shingles for SQL") {
+    // Extensions apply at session build time. Clear the default session so
+    // getOrCreate builds a NEW session over the existing SparkContext (do
+    // NOT stop it — the context is shared with the other suites).
+    val base = spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val dot = s2.sql(
+        "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .collect().head.getDouble(0)
+      assert(dot === 11.0)
+      val sh = s2.sql(
+        "SELECT graft_word_shingles('a b c d', 3) AS s")
+        .collect().head.getSeq[String](0)
+      assert(sh === Seq("a b c", "b c d"))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
