@@ -132,6 +132,39 @@ object PipelineQueries {
         .toDouble / 2147483648.0 - 1.0
     }
 
+  /** Embeddings with L2 norm and a 4-hyperplane sign bucket (16 buckets).
+    * dot(vec, plane_p): plane coefficients are md5-derived but computed once
+    * driver-side and shipped as array literals — the per-element md5-in-SQL
+    * formulation evaluated 512k interpreted hashes per pass. */
+  private def bucketedEmbs(s: SparkSession, dir: String): DataFrame = {
+    val bucketExpr = (0 until 4).map { p =>
+      when(dot(col("embedding"), typedlit(planeCoefs(p).toSeq)) >= 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    embsN(s, dir).select(col("vec_id"), col("embedding"), col("norm"),
+      bucketExpr.as("bucket"))
+  }
+
+  /** Oracle CTE mirroring [[bucketedEmbs]] (literals round-trip exactly —
+    * see [[planeCoefs]]). */
+  private def oBucketedCte: String = {
+    def coefList(p: Int): String =
+      planeCoefs(p).map(_.toString).mkString("[", ", ", "]")
+    val bucketExpr = (0 until 4)
+      .map(p => s"(CASE WHEN list_dot_product(embedding::DOUBLE[], " +
+        s"${coefList(p)}::DOUBLE[]) >= 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString("\n    + ")
+    s"""WITH e0 AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+       |  FROM embeddings
+       |), e AS (
+       |  SELECT vec_id, embedding, norm,
+       |    $bucketExpr AS bucket
+       |  FROM e0
+       |)""".stripMargin
+  }
+
   /** MinHash permutation family: `m_j(h) = (A_j·h + B_j) mod P` over the
     * single 32-bit shingle hash. One md5 per shingle + 16 integer affine
     * maps, instead of 16 md5s per shingle. A_j ≤ 2^28 and h < 2^32 keep
@@ -333,6 +366,35 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
+    // Embedding-cosine near-dup, LSH-blocked (the 100 TB path for the query
+    // above): candidates are same-bucket pairs under the 4-hyperplane sign
+    // LSH — an equi-join on the bucket key whose cost tracks bucket
+    // collisions (~n²/16 here, and n²/2^planes in general), not n². Sign-LSH
+    // is angle-preserving, so high-cosine pairs collide with high
+    // probability; the oracle computes the identical candidate set, so the
+    // check is exact.
+    QuerySpec.sql(
+      "p_dedup_embed_lsh",
+      s"""$oBucketedCte
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       CAST(floor(($OCos) * 1000000) AS BIGINT) AS score_micro
+         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ($OCos) >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+      val e = bucketedEmbs(s, dir)
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("norm").as("na"), col("bucket"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("norm").as("nb"), col("bucket"))
+      val cos = dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+      a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+        .filter(cos >= 0.45)
+        .select(col("vec_a"), col("vec_b"),
+          floor(cos * 1000000).cast("long").as("score_micro"))
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // ---------------------------------------------------------------------
     // ANN brute force: cosine top-5 per probe vector (vec_id < 20). The
     // probe side is tiny and broadcast; the big side is scanned once —
     // the right baseline plan at any scale.
@@ -370,16 +432,7 @@ object PipelineQueries {
     // assignment is an equi-join key, so at 100 TB this is a co-partitioned
     // join instead of a scan per probe.
     QuerySpec.sql("p_ann_lsh", annLshOracle) { (s, dir) =>
-      val e = embsN(s, dir)
-      // dot(vec, plane_p): plane coefficients are md5-derived but computed
-      // once driver-side and shipped as array literals — the per-element
-      // md5-in-SQL formulation evaluated 512k interpreted hashes per pass.
-      val bucketExpr = (0 until 4).map { p =>
-        when(dot(col("embedding"), typedlit(planeCoefs(p).toSeq)) >= 0, lit(1L << p))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-      val bucketed = e.select(col("vec_id"), col("embedding"), col("norm"),
-        bucketExpr.as("bucket"))
+      val bucketed = bucketedEmbs(s, dir)
       val probes = bucketed.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
           col("norm").as("na"), col("bucket"))
@@ -634,24 +687,7 @@ object PipelineQueries {
   }
 
   private def annLshOracle: String = {
-    // Plane coefficients: the same md5-derived doubles as the Spark side,
-    // rendered as exact decimal literals (each is h32/2^31 − 1, ≤33
-    // significant bits — Double.toString round-trips bit-identically).
-    def coefList(p: Int): String =
-      planeCoefs(p).map(_.toString).mkString("[", ", ", "]")
-    val bucketExpr = (0 until 4)
-      .map(p => s"(CASE WHEN list_dot_product(embedding::DOUBLE[], " +
-        s"${coefList(p)}::DOUBLE[]) >= 0 THEN ${1L << p} ELSE 0 END)")
-      .mkString("\n    + ")
-    s"""WITH e0 AS (
-       |  SELECT vec_id, embedding,
-       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
-       |  FROM embeddings
-       |), e AS (
-       |  SELECT vec_id, embedding, norm,
-       |    $bucketExpr AS bucket
-       |  FROM e0
-       |)
+    s"""$oBucketedCte
        |SELECT query_id, neighbor_id, rank, score_micro FROM (
        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |         row_number() OVER (PARTITION BY a.vec_id

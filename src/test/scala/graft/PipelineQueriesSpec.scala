@@ -1,0 +1,79 @@
+package graft
+
+/** Invariant checks for the pipeline operator suite on the sf0.001 testdata
+  * (the DuckDB hash-compare is the driver's job; these pin the structural
+  * properties a hash can't express, and cover the rows-only queries). */
+class PipelineQueriesSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("dedup pair queries emit ordered, deduplicated pairs") {
+    for (q <- Seq("p_dedup_ngram_jaccard", "p_dedup_minhash_lsh", "p_dedup_embed",
+      "p_dedup_embed_lsh", "p_dedup_simhash")) {
+      val rows = run(q).collect()
+      val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.forall { case (a, b) => a < b }, s"$q: unordered pair")
+      assert(pairs.distinct.length === pairs.length, s"$q: duplicate pair")
+    }
+  }
+
+  test("LSH-blocked candidates are a subset of the exact pairs (embed)") {
+    val exact = run("p_dedup_embed").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = run("p_dedup_embed_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(exact))
+    // No non-emptiness assertion: at cos >= 0.45 (a ~60° angle — these are
+    // weak pairs, the testdata has no true embedding dups) a 4-plane sign
+    // LSH collides only ~0.67^4 ≈ 20% of qualifying pairs, so tiny scale
+    // factors can legitimately block everything. The driver's oracle proves
+    // both engines compute the identical candidate set either way.
+  }
+
+  test("minhash-LSH candidates verified by exact Jaccard are a subset of the " +
+    "full inverted-index pairs") {
+    val exact = run("p_dedup_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = run("p_dedup_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("jaccard outputs satisfy the threshold arithmetic") {
+    run("p_dedup_ngram_jaccard").collect().foreach { r =>
+      val (common, union) = (r.getLong(2), r.getLong(3))
+      assert(common > 0 && union >= common)
+      assert(2 * common >= union, "below the J >= 0.5 threshold")
+    }
+  }
+
+  test("ann top-k is dense-ranked per query and scores are sane") {
+    val byQuery = run("p_ann_topk").collect()
+      .groupBy(_.getLong(0))
+    byQuery.foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq === (1L to rows.length))
+      // cosine*1e6 of unit-ish vectors stays within [-1e6, 1e6]
+      assert(rows.forall(r => math.abs(r.getLong(3)) <= 1000000L))
+    }
+  }
+
+  test("language id emits a known language with a nonnegative score") {
+    val langs = Set("de", "en", "es", "fr", "zh")
+    run("p_text_langid").collect().foreach { r =>
+      assert(langs.contains(r.getString(1)))
+      assert(r.getLong(2) >= 0L)
+    }
+  }
+
+  test("multimodal decode stub (rows-only query) is deterministic and total") {
+    val a = run("p_multimodal_decode").collect()
+    val b = run("p_multimodal_decode").collect()
+    assert(a.length === b.length && a.length > 0)
+    assert(a.map(_.toSeq).toSet === b.map(_.toSeq).toSet)
+    a.foreach { r =>
+      assert(r.getLong(1) >= 64 && r.getLong(1) < 128) // width
+      assert(r.getLong(3) === r.getLong(1) * r.getLong(2)) // n_pixels
+    }
+  }
+}
