@@ -23,8 +23,8 @@ object Probe {
     (1 to n).foreach { i =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
-      println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val c = fn(spark, sfDir).count()
+      println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($c rows)")
     }
     spark.stop()
   }

