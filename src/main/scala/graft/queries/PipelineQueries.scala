@@ -240,54 +240,90 @@ object PipelineQueries {
     //   3. Verification = exact integer Jaccard over full shingle sets
     //      (2*common >= union ⇔ J >= 0.5) on candidates only.
     QuerySpec.sql("p_dedup_ngram_jaccard", jaccardOracle) { (s, dir) =>
-      val d = docs(s, dir).withColumn("grp", md5(col("text")))
-      val members = d.select(col("grp"), col("doc_id")).persist()
-      val reps = members.groupBy("grp").agg(min(col("doc_id")).as("doc_id"))
-      val repDocs = d.join(reps, Seq("grp", "doc_id"))
-      // Persist the rep-level shingle index: feeds the prefix index, both
-      // verification-join sides, and the per-rep set sizes.
-      val sh = shingleRows(repDocs).persist()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val wOrd = Window.partitionBy("doc_id").orderBy(h60(col("sh")), col("sh"))
-      val prefix = sh.withColumn("rk", row_number().over(wOrd))
-        .join(sizes, "doc_id")
-        .filter(col("rk") <= expr("n - (n + 1) div 2 + 1"))
-        .select(col("doc_id"), col("sh"))
-      val a = prefix.select(col("doc_id").as("da"), col("sh"))
-      val b = prefix.select(col("doc_id").as("db"), col("sh"))
-      val cands = a.join(b, Seq("sh")).filter(col("da") < col("db"))
+      val raw = docs(s, dir)
+      // Adaptive rep collapse: one cheap aggregate decides whether the
+      // corpus has exact-dup texts. With no dups the collapse and the
+      // expansion are identities — skip their five joins entirely. (The
+      // oracle's fixed SQL computes the same result either way.)
+      val Array(nDocs, nGrps) = raw
+        .agg(count(lit(1)), countDistinct(md5(col("text")))).collect()
+        .head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val hasDups = nGrps < nDocs
+      val d = raw.withColumn("grp", md5(col("text")))
+      val members = if (hasDups) d.select(col("grp"), col("doc_id")).persist() else null
+      val reps =
+        if (hasDups) members.groupBy("grp").agg(min(col("doc_id")).as("doc_id"))
+        else null
+      val repDocs = if (hasDups) d.join(reps, Seq("grp", "doc_id")) else raw
+      // Per-rep sorted 60-bit shingle-hash ARRAY (persisted): candidates
+      // join on the 8-byte hash; verification is a codegen'd
+      // array_intersect over the arrays (no row explosion — the
+      // explode-based verification measured ~30M intermediate rows at
+      // sf0.1), with the tiny rep-array table broadcast (at larger scale:
+      // bucket both sides by doc_id instead). The PREFIX-FILTER index is a
+      // slice of the sorted array — no window sort.
+      val repArr = shingleRows(repDocs)
+        .withColumn("h", h60(col("sh")))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("h"))).as("shs"), count(lit(1)).as("n"))
+        .persist()
+      // PPJoin candidate filters, both sound at J >= 0.5:
+      //   length: J >= 0.5 forces max(|A|,|B|) <= 2*min(|A|,|B|);
+      //   positional: overlap is bounded by 1 + min(|A|-posA, |B|-posB) at a
+      //   shared prefix token, and J >= 0.5 needs overlap >= ceil((|A|+|B|)/3).
+      val prefix = repArr
+        .select(col("doc_id"), col("n"),
+          posexplode(expr("slice(shs, 1, cast(n - (n + 1) div 2 + 1 as int))"))
+            .as(Seq("pos0", "h")))
+        .select(col("doc_id"), col("h"), (col("pos0") + 1).as("pos"), col("n"))
+      val a = prefix.select(col("doc_id").as("da"), col("h"),
+        col("pos").as("pa"), col("n").as("na"))
+      val b = prefix.select(col("doc_id").as("db"), col("h"),
+        col("pos").as("pb"), col("n").as("nb"))
+      val cands = a.join(b, Seq("h")).filter(col("da") < col("db"))
+        .filter(col("na") <= lit(2) * col("nb") && col("nb") <= lit(2) * col("na"))
+        .filter(least(col("na") - col("pa"), col("nb") - col("pb")) + lit(1) >=
+          expr("(na + nb + 2) div 3"))
         .select("da", "db").distinct()
-      val sa = sh.select(col("doc_id").as("da"), col("sh"))
-      val sb = sh.select(col("doc_id").as("db"), col("sh"))
-      val repPairs = cands.join(sa, "da").join(sb, Seq("db", "sh"))
-        .groupBy("da", "db").agg(count(lit(1)).as("n_common"))
-        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-        .filter(lit(2) * col("n_common") >= col("na") + col("nb") - col("n_common"))
-        .select(col("da"), col("db"),
-          col("n_common"), (col("na") + col("nb") - col("n_common")).as("n_union"))
-      // Expand rep pairs to member pairs (cross product of the two groups).
-      val repGrp = reps.select(col("doc_id").as("rep"), col("grp"))
-      val cross = repPairs
-        .join(repGrp.select(col("rep").as("da"), col("grp").as("ga")), "da")
-        .join(repGrp.select(col("rep").as("db"), col("grp").as("gb")), "db")
-        .join(members.select(col("grp").as("ga"), col("doc_id").as("ma")), "ga")
-        .join(members.select(col("grp").as("gb"), col("doc_id").as("mb")), "gb")
-        .select(least(col("ma"), col("mb")).as("doc_a"),
-          greatest(col("ma"), col("mb")).as("doc_b"),
-          col("n_common"), col("n_union"))
-      // Within-group pairs: identical texts, J = 1 (excluded when the text
-      // has no shingles — identical empty sets share nothing, matching the
-      // candidate-join semantics).
-      val within = members
-        .join(members.select(col("grp"), col("doc_id").as("doc_b")), "grp")
-        .filter(col("doc_id") < col("doc_b"))
-        .join(repGrp.select(col("grp"), col("rep").as("szkey")), "grp")
-        .join(sizes.select(col("doc_id").as("szkey"), col("n")), "szkey")
-        .filter(col("n") >= 1)
-        .select(col("doc_id").as("doc_a"), col("doc_b"),
-          col("n").as("n_common"), col("n").as("n_union"))
-      cross.unionByName(within).orderBy("doc_a", "doc_b")
+      // One broadcast of the rep-array table, reused for both join sides
+      // (identical exchange subtree → ReusedExchange in the plan).
+      val arr = broadcast(repArr)
+      val repPairs = cands
+        .join(arr.as("va"), col("da") === col("va.doc_id"))
+        .join(arr.as("vb"), col("db") === col("vb.doc_id"))
+        .withColumn("n_common",
+          size(array_intersect(col("va.shs"), col("vb.shs"))).cast("long"))
+        .filter(lit(2) * col("n_common") >=
+          col("va.n") + col("vb.n") - col("n_common"))
+        .select(col("da"), col("db"), col("n_common"),
+          (col("va.n") + col("vb.n") - col("n_common")).as("n_union"))
+      if (!hasDups) {
+        repPairs.select(col("da").as("doc_a"), col("db").as("doc_b"),
+          col("n_common"), col("n_union")).orderBy("doc_a", "doc_b")
+      } else {
+        // Expand rep pairs to member pairs (cross product of the groups).
+        val repGrp = reps.select(col("doc_id").as("rep"), col("grp"))
+        val cross = repPairs
+          .join(repGrp.select(col("rep").as("da"), col("grp").as("ga")), "da")
+          .join(repGrp.select(col("rep").as("db"), col("grp").as("gb")), "db")
+          .join(members.select(col("grp").as("ga"), col("doc_id").as("ma")), "ga")
+          .join(members.select(col("grp").as("gb"), col("doc_id").as("mb")), "gb")
+          .select(least(col("ma"), col("mb")).as("doc_a"),
+            greatest(col("ma"), col("mb")).as("doc_b"),
+            col("n_common"), col("n_union"))
+        // Within-group pairs: identical texts, J = 1 (excluded when the
+        // text has no shingles — identical empty sets share nothing,
+        // matching the candidate-join semantics).
+        val within = members
+          .join(members.select(col("grp"), col("doc_id").as("doc_b")), "grp")
+          .filter(col("doc_id") < col("doc_b"))
+          .join(repGrp.select(col("grp"), col("rep").as("szkey")), "grp")
+          .join(repArr.select(col("doc_id").as("szkey"), col("n")), "szkey")
+          .filter(col("n") >= 1)
+          .select(col("doc_id").as("doc_a"), col("doc_b"),
+            col("n").as("n_common"), col("n").as("n_union"))
+        cross.unionByName(within).orderBy("doc_a", "doc_b")
+      }
     },
 
     // ---------------------------------------------------------------------
@@ -665,30 +701,29 @@ object PipelineQueries {
        |    range(1, greatest(len(ws) - 1, 1)),
        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
        |  FROM words
-       |), sizes AS (
-       |  SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
-       |), ranked AS (
-       |  SELECT s.doc_id, s.sh, z.n,
-       |         row_number() OVER (PARTITION BY s.doc_id
-       |                            ORDER BY ${oH60("s.sh")}, s.sh) AS rk
-       |  FROM shingles s JOIN sizes z ON z.doc_id = s.doc_id
+       |), hashed AS (
+       |  SELECT doc_id, ${oH60("sh")} AS h FROM shingles
+       |), lists AS (
+       |  SELECT doc_id, list_sort(list(h)) AS shs, count(*) AS n
+       |  FROM hashed GROUP BY doc_id
        |), prefix AS (
-       |  SELECT doc_id, sh FROM ranked WHERE rk <= n - (n + 1) // 2 + 1
+       |  SELECT doc_id, n, h, list_position(shs, h) AS pos
+       |  FROM (SELECT doc_id, n, shs,
+       |          unnest(shs[1 : n - (n + 1) // 2 + 1]) AS h FROM lists)
        |), cands AS (
        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-       |  FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  FROM prefix a JOIN prefix b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  WHERE a.n <= 2 * b.n AND b.n <= 2 * a.n
+       |    AND least(a.n - a.pos, b.n - b.pos) + 1 >= (a.n + b.n + 2) // 3
        |), reppairs AS (
-       |  SELECT p.da, p.db, p.n_common, sa.n + sb.n - p.n_common AS n_union
-       |  FROM (
-       |    SELECT c.da, c.db, count(*) AS n_common
-       |    FROM cands c
-       |    JOIN shingles sa ON sa.doc_id = c.da
-       |    JOIN shingles sb ON sb.doc_id = c.db AND sb.sh = sa.sh
-       |    GROUP BY 1, 2
-       |  ) p
-       |  JOIN sizes sa ON sa.doc_id = p.da
-       |  JOIN sizes sb ON sb.doc_id = p.db
-       |  WHERE 2 * p.n_common >= sa.n + sb.n - p.n_common
+       |  SELECT c.da, c.db,
+       |         len(list_intersect(la.shs, lb.shs)) AS n_common,
+       |         la.n + lb.n - len(list_intersect(la.shs, lb.shs)) AS n_union
+       |  FROM cands c
+       |  JOIN lists la ON la.doc_id = c.da
+       |  JOIN lists lb ON lb.doc_id = c.db
+       |  WHERE 2 * len(list_intersect(la.shs, lb.shs))
+       |        >= la.n + lb.n - len(list_intersect(la.shs, lb.shs))
        |), cross_pairs AS (
        |  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
        |         greatest(ma.doc_id, mb.doc_id) AS doc_b,
@@ -703,7 +738,7 @@ object PipelineQueries {
        |  FROM members m1
        |  JOIN members m2 ON m2.grp = m1.grp AND m1.doc_id < m2.doc_id
        |  JOIN reps r ON r.grp = m1.grp
-       |  JOIN sizes z ON z.doc_id = r.rep
+       |  JOIN lists z ON z.doc_id = r.rep
        |  WHERE z.n >= 1
        |)
        |SELECT doc_a, doc_b, n_common, n_union FROM cross_pairs
