@@ -245,5 +245,41 @@ object TemporalQueries {
         Seq("tablet_id", "primary_key"), Nil)
         .select("tablet_id", "primary_key", "height", "is_deletion")
         .orderBy("tablet_id", "primary_key")
+    },
+
+    // AS-OF JOIN: a batch of point-in-time lookups resolved in one
+    // distributed pass — each probe (key, at_height) gets the latest
+    // mutation <= its own height (null when absent or tombstoned). The
+    // batch generalization of t_read_tablet_row_at: one equi-join +
+    // per-probe argmax instead of one query per probe.
+    QuerySpec.sql(
+      "t_asof_join",
+      s"""$MutationsCte, probes AS (
+         |  SELECT event_id AS probe_id, event_type AS tablet_id,
+         |         lpad(CAST(user_id AS VARCHAR), 4, '0') AS primary_key,
+         |         event_id + 500 AS at_height
+         |  FROM events WHERE event_id % 199 = 0
+         |), ranked AS (
+         |  SELECT p.probe_id, p.tablet_id, p.primary_key, p.at_height,
+         |         m.height, m.value, m.is_deletion,
+         |         row_number() OVER (PARTITION BY p.probe_id
+         |                            ORDER BY m.height DESC) AS rn
+         |  FROM probes p LEFT JOIN mutations m
+         |    ON m.tablet_id = p.tablet_id AND m.primary_key = p.primary_key
+         |   AND m.height <= p.at_height
+         |)
+         |SELECT probe_id, tablet_id, primary_key, at_height,
+         |       CASE WHEN height IS NOT NULL AND NOT is_deletion
+         |            THEN height END AS height,
+         |       CASE WHEN height IS NOT NULL AND NOT is_deletion
+         |            THEN value END AS value
+         |FROM ranked WHERE rn = 1 ORDER BY probe_id""".stripMargin) { (s, dir) =>
+      val probes = events(s, dir)
+        .filter(col("event_id") % 199 === 0)
+        .select(col("event_id").as("probe_id"),
+          col("event_type").as("tablet_id"),
+          lpad(col("user_id").cast("string"), 4, "0").as("primary_key"),
+          (col("event_id") + 500).as("at_height"))
+      TemporalReads.asOfJoin(mutations(s, dir), probes)
     })
 }

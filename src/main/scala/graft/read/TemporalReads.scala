@@ -116,6 +116,41 @@ object TemporalReads {
       .orderBy(col("height").desc, col(SourceRankCol).desc)
       .select("singlet_id", "height", "value", "is_deletion")
 
+  /** AS-OF JOIN: resolve a whole batch of point-in-time lookups in one
+    * distributed pass — for each probe `(tablet_id, primary_key, at_height)`,
+    * the latest mutation with `height <= at_height` (none if tombstoned or
+    * absent). The batch generalization of [[readTabletRowAt]]: one
+    * equi-join on the entity key + per-probe argmax, instead of one query
+    * per probe. At scale the join shuffles both sides on
+    * `(tablet_id, primary_key)` (or broadcasts a small probe set) and the
+    * argmax is a single map-side-combined aggregation — no window sort, no
+    * per-probe scans.
+    *
+    * Probes must carry a unique `probe_id` so identical `(key, height)`
+    * probes stay distinct in the output. */
+  def asOfJoin(rows: DataFrame, probes: DataFrame): DataFrame = {
+    val m = rows.select(col("tablet_id").as("m_tablet_id"),
+      col("primary_key").as("m_pk"), col("height").as("mut_height"),
+      col("value"), col("is_deletion"))
+    // The height bound lives in the JOIN condition: a probe whose key only
+    // mutates later still yields its (null) row, like a point read would.
+    val joined = probes.join(m,
+      col("tablet_id") === col("m_tablet_id") &&
+        col("primary_key") === col("m_pk") &&
+        col("mut_height") <= col("at_height"),
+      "left")
+    val payload = struct(col("mut_height"), col("is_deletion"), col("value"))
+    joined
+      .groupBy("probe_id", "tablet_id", "primary_key", "at_height")
+      .agg(max_by(payload, col("mut_height")).as("w"))
+      .select(col("probe_id"), col("tablet_id"), col("primary_key"), col("at_height"),
+        when(col("w.mut_height").isNotNull && !col("w.is_deletion"), col("w.mut_height"))
+          .as("height"),
+        when(col("w.mut_height").isNotNull && !col("w.is_deletion"), col("w.value"))
+          .as("value"))
+      .orderBy("probe_id")
+  }
+
   /** `HasSeenAnyRowForTablet` (read.go:410–415): existence probe. Planned as a
     * limit-1 scan — Catalyst stops at the first matching row-group. */
   def hasSeenAnyRowForTablet(rows: DataFrame, tabletId: String): Boolean =

@@ -84,6 +84,33 @@ class TemporalReadsSpec extends SparkTestBase {
     assert(hist === Seq(7L, 4L, 1L))
   }
 
+  test("asOfJoin: batch point-in-time lookups with misses and tombstones") {
+    val d = rows(
+      ("t1", 1, "a", "a1", false),
+      ("t1", 5, "a", "a5", false),
+      ("t1", 3, "b", "", true),
+      ("t1", 6, "b", "b6", false))
+    val probes = Seq(
+      (1L, "t1", "a", 4L),  // resolves a1
+      (2L, "t1", "a", 9L),  // resolves a5
+      (3L, "t1", "b", 4L),  // tombstoned at 3 -> null
+      (4L, "t1", "b", 6L),  // reinserted -> b6
+      (5L, "t1", "zz", 9L), // key never existed -> null
+      (6L, "t1", "a", 0L))  // key exists only later -> null
+      .toDF("probe_id", "tablet_id", "primary_key", "at_height")
+    val out = TemporalReads.asOfJoin(d, probes).collect()
+    assert(out.length === 6)
+    val byId = out.map(r => r.getLong(0) ->
+      (if (r.isNullAt(4)) None else Some((r.getLong(4),
+        new String(r.getAs[Array[Byte]](5), "UTF-8"))))).toMap
+    assert(byId(1L) === Some((1L, "a1")))
+    assert(byId(2L) === Some((5L, "a5")))
+    assert(byId(3L) === None)
+    assert(byId(4L) === Some((6L, "b6")))
+    assert(byId(5L) === None)
+    assert(byId(6L) === None)
+  }
+
   test("existence probe") {
     val d = rows(("t1", 1, "a", "x", false))
     assert(TemporalReads.hasSeenAnyRowForTablet(d, "t1"))
