@@ -9,12 +9,19 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Shuffle/spill files on tmpfs: the virtio disk's kernel-time
+      // spikes dominated bench variance at this data scale.
+      .config("spark.local.dir", "/dev/shm/spark-graft")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the session (codegen compiler, parquet footer reads, shuffle
     // machinery) so the first timed query doesn't pay JVM start-up costs.
     spark.range(1000).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Drop the previous query's persisted intermediates: accumulated
+      // caches otherwise crowd the heap and GC noise dominates the tail
+      // of the run (measured: up to 3x variance on the shingle queries).
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")

@@ -15,6 +15,9 @@ object Probe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Shuffle/spill files on tmpfs: the virtio disk's kernel-time
+      // spikes dominated bench variance at this data scale.
+      .config("spark.local.dir", "/dev/shm/spark-graft")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()

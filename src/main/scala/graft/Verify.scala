@@ -13,6 +13,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Shuffle/spill files on tmpfs: the virtio disk's kernel-time
+      // spikes dominated bench variance at this data scale.
+      .config("spark.local.dir", "/dev/shm/spark-graft")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

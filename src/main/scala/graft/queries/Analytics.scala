@@ -186,6 +186,28 @@ object Analytics {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // CUBE over (return flag, line status): all 2^2 grouping sets in one
+    // pass — map-side partial aggregation per grouping set, one shuffle.
+    // (Differs from q_rollup by the (ALL, status) grouping set.)
+    QuerySpec.sql(
+      "q_cube",
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_price"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("n_rows"), col("sum_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
     // Semi/anti joins: customers with and without orders.
     QuerySpec.sql(
       "q_semi_anti",
