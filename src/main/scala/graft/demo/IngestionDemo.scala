@@ -77,6 +77,20 @@ object IngestionDemo {
     spark.table("demo_sess").collect().foreach(r =>
       println(s"  user=${r.getLong(0)} [${r.getLong(1) / 60000}m..${r.getLong(2) / 60000}m] n=${r.getLong(3)}"))
 
+    // Skew-resistant aggregation: salted two-phase sum equals the direct
+    // aggregation on a 90%-hot-key dataset.
+    import org.apache.spark.sql.functions.{when => sWhen, col => sCol, lit => sLit, concat, sum => sSum}
+    val skewed = spark.range(100000).select(
+      sWhen(sCol("id") % 10 === 0, concat(sLit("k"), sCol("id") % 7))
+        .otherwise(sLit("hot")).as("k"),
+      (sCol("id") % 101).as("v"))
+    val direct = skewed.groupBy("k").agg(sSum("v").as("s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = graft.functions.SkewAgg.saltedSum(skewed, Seq("k"), "v", 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    println(s"salted agg:   keys=${direct.size} equal=${direct == salted} " +
+      s"hot=${salted("hot")}")
+
     // Custom expressions are registered for SQL via GraftExtensions.
     println("SQL surface:")
     spark.sql("SELECT graft_dot(array(1.0D,2.0D), array(3.0D,4.0D)) AS dot, " +

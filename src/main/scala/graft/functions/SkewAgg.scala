@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-resistant aggregation: the standard two-phase salted shape.
+  *
+  * A plain `groupBy(key).agg(...)` sends every row of a hot key to one
+  * reducer; at 100 TB a single pathological key (one token, one empty
+  * document hash) can stall the stage. Salting splits each key into
+  * `salts` sub-keys for the partial aggregate, then combines the partials
+  * in a second (tiny) aggregation. Exact for any commutative+associative
+  * aggregate (sum/count/min/max); AQE's skew handling covers joins, but
+  * single-key aggregation skew still needs this shape.
+  *
+  * The salt is derived from stable row content (a hash of all columns),
+  * not `rand()`, so results are deterministic and retries/speculative
+  * tasks see the same salt.
+  */
+object SkewAgg {
+
+  /** `SELECT key..., sum(value) GROUP BY key...` with two-phase salting. */
+  def saltedSum(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      salts: Int = 32): DataFrame = {
+    require(salts > 0)
+    val salted = df.withColumn("__salt",
+      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    salted
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(sum(col(valueCol)).as("__partial"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__partial")).as(s"sum_$valueCol"))
+  }
+
+  /** Count per key with two-phase salting. */
+  def saltedCount(df: DataFrame, keyCols: Seq[String], salts: Int = 32): DataFrame = {
+    require(salts > 0)
+    val salted = df.withColumn("__salt",
+      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    salted
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__partial")).as("n"))
+  }
+}

@@ -656,6 +656,31 @@ object PipelineQueries {
         }
       }.toDF("doc_id", "width", "height", "n_pixels", "checksum")
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------------
+    // Multimodal frame sampling (rows-only): the video analog of the decode
+    // stub — one row per SAMPLED frame (a flatMap/explode, so row count is
+    // data-dependent). The payload deterministically fakes an 8–23-frame
+    // clip; every 4th frame is sampled, mirroring a real keyframe-stride
+    // sampler's shape (generator output, typed schema, executor-side
+    // decode init per partition).
+    QuerySpec.rowsOnly("p_multimodal_frames") { (s, dir) =>
+      import s.implicits._
+      val blobs = docs(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+      blobs.mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val checksum = bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0x7fffffffL)
+          val nFrames = 8 + (checksum % 16).toInt
+          (0 until nFrames by 4).map { f =>
+            // Stub frame signature standing in for the decoded keyframe.
+            (id, f, nFrames, (checksum * 31 + f) & 0x7fffffffL)
+          }
+        }
+      }.toDF("doc_id", "frame_idx", "n_frames", "frame_sig")
+        .orderBy("doc_id", "frame_idx")
     })
 
   // ------------------------------------------------------ oracle SQL bodies
