@@ -21,7 +21,9 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
-    val fn = SparkEntry.queries(name)
+    val fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      if (name == "entry") (s, _) => SparkEntry.entry(s)
+      else SparkEntry.queries(name)
     if (sys.env.contains("PROBE_EXPLAIN")) fn(spark, sfDir).explain("formatted")
     (1 to n).foreach { i =>
       spark.catalog.clearCache()
