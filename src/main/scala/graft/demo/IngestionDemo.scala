@@ -24,7 +24,9 @@ object IngestionDemo {
 
     val root = java.nio.file.Files.createTempDirectory("graft-demo").toString
     val store = new StateStore(root)
-    val pipeline = new IngestionPipeline(store)
+    // Tiny index threshold so the demo's 3 mutations trigger a snapshot
+    // build inside the commit flow (production default: 25,000).
+    val pipeline = new IngestionPipeline(store, indexMinMutations = 2)
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[StreamedBlock]
 
@@ -44,7 +46,9 @@ object IngestionDemo {
     println(s"fork head:    ${pipeline.forkDB.head} (LIB ${pipeline.forkDB.lib})")
     val spec = pipeline.speculativeTabletRows("a4").getOrElse(Nil)
     println(s"speculative:  ${spec.map(_.count()).sum} rows on branch a4")
-    val asOf = TemporalReads.readTabletAt(store.tabletRows, "balances", 4, spec)
+    println(s"snapshot:     ${store.latestTabletSnapshot("balances")
+      .map { case (h, df) => s"at_height=$h keys=${df.count()}" }.getOrElse("none")}")
+    val asOf = store.readTabletAt("balances", 4, spec) // snapshot ∪ tail ∪ overlay
     println("as-of h=4 with overlay:")
     asOf.collect().foreach(r =>
       println(s"  ${r.getString(0)} -> ${new String(r.getAs[Array[Byte]](2))} (h=${r.getLong(1)})"))

@@ -82,8 +82,11 @@ object Snapshots {
     *   - previous index in (50K, 200K] rows → index iff mutations > rows/2.
     *   - previous index > 200K rows → index iff mutations ≥ 100K.
     */
-  def shouldTriggerIndexing(previousIndexRowCount: Option[Long], mutationCount: Long): Boolean = {
-    if (mutationCount < 25000L) return false
+  def shouldTriggerIndexing(
+      previousIndexRowCount: Option[Long],
+      mutationCount: Long,
+      minMutations: Long = 25000L): Boolean = {
+    if (mutationCount < minMutations) return false
     previousIndexRowCount match {
       case None => true
       case Some(rows) if rows > 50000L =>
@@ -114,7 +117,9 @@ object Snapshots {
     * indexCache): tracks mutations since the last snapshot and decides which
     * tablets to re-index after each commit. Small (one counter per hot
     * tablet), lives on the driver like the reference's in-process cache. */
-  final class IndexCache {
+  /** `minMutations` defaults to the reference's 25,000-mutation floor
+    * (indexing.go:549–552); embedders tune it for their mutation rate. */
+  final class IndexCache(minMutations: Long = 25000L) {
     private val counters = scala.collection.mutable.Map.empty[String, Long]
     private val lastIndexRows = scala.collection.mutable.Map.empty[String, Long]
 
@@ -128,7 +133,9 @@ object Snapshots {
 
     def tabletsToIndex(): Seq[String] =
       counters.collect {
-        case (tablet, muts) if shouldTriggerIndexing(lastIndexRows.get(tablet), muts) => tablet
+        case (tablet, muts)
+            if shouldTriggerIndexing(lastIndexRows.get(tablet), muts, minMutations) =>
+          tablet
       }.toSeq.sorted
 
     def mutationCount(tabletId: String): Long = counters.getOrElse(tabletId, 0L)

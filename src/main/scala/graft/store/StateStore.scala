@@ -27,6 +27,7 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
   val tabletRowsPath = s"$root/tablet_rows"
   val singletEntriesPath = s"$root/singlet_entries"
   val checkpointsPath = s"$root/checkpoints"
+  val snapshotsPath = s"$root/tablet_snapshots"
 
   /** Linearity guard (write.go:331–347): a batch starting at height h is
     * writable only if h == lastCheckpoint.height + 1 (or the store is empty).
@@ -95,6 +96,58 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
       .collect()
       .headOption
   }
+
+  /** Append one tablet snapshot (the reference's TabletIndex write,
+    * indexing.go:100–147): `index` carries (primary_key, height) as built by
+    * [[graft.snapshot.Snapshots.buildTabletIndex]]. */
+  def writeTabletSnapshot(
+      index: DataFrame,
+      tabletId: String,
+      atHeight: Long,
+      squelchCount: Long): Unit =
+    index
+      .select(
+        lit(0).as("collection"),
+        lit(tabletId).as("tablet_id"),
+        lit(atHeight).as("at_height"),
+        lit(squelchCount).as("squelch_count"),
+        col("primary_key"), col("height"))
+      .write.mode(SaveMode.Append).parquet(snapshotsPath)
+
+  def tabletSnapshots: DataFrame =
+    try spark.read.schema(Schemas.tabletSnapshots).parquet(snapshotsPath)
+    catch { case _: Throwable => spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.tabletSnapshots) }
+
+  /** Most recent snapshot of `tabletId` at or below `maxHeight`:
+    * `(at_height, rows)` — the read-path lookup (read.go:47,
+    * indexing.go:451–468). */
+  def latestTabletSnapshot(
+      tabletId: String,
+      maxHeight: Long = Long.MaxValue): Option[(Long, DataFrame)] = {
+    val scoped = tabletSnapshots
+      .filter(col("tablet_id") === lit(tabletId) && col("at_height") <= lit(maxHeight))
+    val heights = scoped.agg(max(col("at_height"))).collect()
+    Option(heights.head.get(0)).map(_.asInstanceOf[Long]).map { h =>
+      h -> scoped.filter(col("at_height") === lit(h)).select("primary_key", "height")
+    }
+  }
+
+  /** Snapshot-aware as-of read: uses the newest snapshot at or below
+    * `atHeight` so the mutation scan is bounded to the tail
+    * `(snapshotHeight, atHeight]` (SURVEY.md §3.1); falls back to the full
+    * scan when no snapshot exists. */
+  def readTabletAt(
+      tabletId: String,
+      atHeight: Long,
+      speculative: Seq[DataFrame] = Nil): DataFrame =
+    latestTabletSnapshot(tabletId, atHeight) match {
+      case Some((snapH, snap)) =>
+        graft.snapshot.Snapshots.readTabletAtWithSnapshot(
+          tabletRows, snap, snapH, tabletId, atHeight, speculative)
+      case None =>
+        graft.read.TemporalReads.readTabletAt(tabletRows, tabletId, atHeight, speculative)
+    }
 
   /** All shard checkpoints (read.go:439–476): prefix scan of "shard-*". */
   def shardCheckpoints(): DataFrame =

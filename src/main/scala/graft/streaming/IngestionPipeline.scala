@@ -40,9 +40,15 @@ object StreamedBlock {
   */
 final class IngestionPipeline(
     store: StateStore,
-    blockFilter: StreamedBlock => Boolean = _ => true)(implicit spark: SparkSession) {
+    blockFilter: StreamedBlock => Boolean = _ => true,
+    indexMinMutations: Long = 25000L)(implicit spark: SparkSession) {
 
   val forkDB = new ForkDB
+
+  /** Index maintenance (write.go:64–69, indexing.go:32–98): per-tablet
+    * mutation counters; tablets that cross the reference's heuristic get a
+    * fresh TabletIndex snapshot built and written in the same commit flow. */
+  val indexCache = new graft.snapshot.Snapshots.IndexCache(indexMinMutations)
 
   /** Commit one micro-batch. Runs on the driver per batch (the data writes
     * are distributed; the fork bookkeeping is small, see ForkDB docs). */
@@ -68,7 +74,24 @@ final class IngestionPipeline(
       // Idempotent replay: drop heights already checkpointed.
       val cp = store.checkpoint(StateStore.GlobalCheckpointKey).map(_.height).getOrElse(-1L)
       val fresh = reqs.filter(_.height > cp)
-      if (fresh.nonEmpty) store.writeBatch(fresh)
+      if (fresh.nonEmpty) {
+        store.writeBatch(fresh)
+        // Index maintenance: count this batch's mutations per tablet and
+        // snapshot any tablet past the trigger heuristic, pinned at the
+        // batch head height (so snapshot ∪ tail reads stay consistent).
+        val head = fresh.map(_.height).max
+        fresh.flatMap(_.tabletRows).groupBy(_.tabletId).foreach {
+          case (tablet, rows) => indexCache.increment(tablet, rows.size.toLong)
+        }
+        indexCache.tabletsToIndex().foreach { tablet =>
+          val idx = graft.snapshot.Snapshots
+            .buildTabletIndex(store.tabletRows, tablet, head)
+          val squelch = graft.snapshot.Snapshots
+            .squelchCount(store.tabletRows, tablet, head)
+          store.writeTabletSnapshot(idx, tablet, head, squelch)
+          indexCache.recordIndexed(tablet, idx.count())
+        }
+      }
     }
   }
 

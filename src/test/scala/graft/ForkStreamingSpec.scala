@@ -70,6 +70,44 @@ class ForkStreamingSpec extends SparkTestBase {
     assert(asOf.toSeq === Seq(("pk0", "a4-v"), ("pk1", "a5-v")))
   }
 
+  test("ingestion triggers index builds past the heuristic; snapshot-aware " +
+    "read equals the direct read") {
+    implicit val s = spark
+    import s.implicits._
+    val store = new StateStore(tmpDir("store"))
+    // Tiny threshold so 30 mutations on tablet t1 cross it mid-stream.
+    val pipeline = new IngestionPipeline(store, indexMinMutations = 10)
+    def block(n: Long) = StreamedBlock(
+      s"a$n", s"a${n - 1}", n, "irreversible",
+      TabletRowM(1, "t1", n, s"pk${n % 5}", s"v$n".getBytes, n % 7 == 3) +:
+        // t2 mutates every 5th block only: stays under the threshold.
+        (if (n % 5 == 0) Seq(TabletRowM(1, "t2", n, "pk", s"w$n".getBytes, false))
+         else Nil),
+      Nil)
+    pipeline.commitBatch((0L until 15L).map(block).toDS(), 0)   // t1: 15 muts -> index
+    pipeline.commitBatch((15L until 30L).map(block).toDS(), 1)  // tail past snapshot
+    val snaps = store.tabletSnapshots.select("tablet_id", "at_height").distinct().collect()
+    assert(snaps.exists(r => r.getString(0) == "t1"), "no snapshot for t1")
+    // Each 15-mutation batch crosses the threshold: snapshots at both batch
+    // heads, and the read path picks the newest at-or-below one.
+    val t1Heights = snaps.filter(_.getString(0) == "t1").map(_.getLong(1)).sorted
+    assert(t1Heights.toSeq === Seq(14L, 29L))
+    assert(store.latestTabletSnapshot("t1").get._1 === 29L)
+    assert(store.latestTabletSnapshot("t1", maxHeight = 20L).get._1 === 14L)
+    // Snapshot-aware read ≡ direct full-scan read, across the snapshot
+    // boundary and at the head.
+    for (h <- Seq(14L, 20L, 29L)) {
+      val viaStore = store.readTabletAt("t1", h)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val direct = graft.read.TemporalReads.readTabletAt(store.tabletRows, "t1", h)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(viaStore === direct, s"at height $h")
+    }
+    // t2 stayed under the threshold: no snapshot, read falls back cleanly.
+    assert(store.latestTabletSnapshot("t2").isEmpty)
+    assert(store.readTabletAt("t2", 29).count() === 1L)
+  }
+
   test("ingestion replay is idempotent: re-delivered batch below checkpoint is skipped") {
     implicit val s = spark
     val store = new StateStore(tmpDir("store"))
