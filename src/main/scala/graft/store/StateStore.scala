@@ -149,6 +149,35 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
         graft.read.TemporalReads.readTabletAt(tabletRows, tabletId, atHeight, speculative)
     }
 
+  /** Apply the retention policy to one tablet's snapshot log
+    * (indexing.go:329–398 via [[graft.snapshot.Snapshots.pruneRetention]]):
+    * keep first, last, and every `keepEvery`-th intermediate height,
+    * physically rewriting the snapshot table. Local-filesystem rewrite via
+    * a temp directory + atomic-ish swap; on a real deployment this is a
+    * Delta `DELETE WHERE` / compaction instead. Returns the kept heights. */
+  def pruneTabletSnapshots(tabletId: String, keepEvery: Int): Seq[Long] = {
+    val heights = tabletSnapshots
+      .filter(col("tablet_id") === lit(tabletId))
+      .select("at_height").distinct().collect().map(_.getLong(0)).toSeq
+    val keep = graft.snapshot.Snapshots.pruneRetention(heights, keepEvery)
+    if (keep.toSet != heights.toSet) {
+      val keepSet = keep.toSet
+      val remaining = tabletSnapshots.filter(
+        col("tablet_id") =!= lit(tabletId) ||
+          col("at_height").isInCollection(keepSet))
+      val tmp = s"$snapshotsPath.pruning"
+      remaining.write.mode(SaveMode.Overwrite).parquet(tmp)
+      val dir = new java.io.File(snapshotsPath)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+      require(new java.io.File(tmp).renameTo(dir), s"swap failed for $snapshotsPath")
+    }
+    keep
+  }
+
   /** All shard checkpoints (read.go:439–476): prefix scan of "shard-*". */
   def shardCheckpoints(): DataFrame =
     checkpointsDF

@@ -68,6 +68,25 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.pruneRetention(Seq(5L), 2) === Seq(5L))
   }
 
+  test("physical snapshot prune rewrites the log and spares other tablets") {
+    implicit val s = spark
+    val store = new graft.store.StateStore(tmpDir("store"))
+    val m = mutations
+    (2L to 10L by 2).foreach { h =>
+      store.writeTabletSnapshot(Snapshots.buildTabletIndex(m, "t1", h), "t1", h,
+        Snapshots.squelchCount(m, "t1", h))
+    }
+    store.writeTabletSnapshot(Snapshots.buildTabletIndex(m, "t1", 5), "other", 5, 5)
+    val kept = store.pruneTabletSnapshots("t1", keepEvery = 2)
+    assert(kept === Seq(2L, 6L, 10L)) // first, every 2nd middle, last
+    val after = store.tabletSnapshots
+      .select("tablet_id", "at_height").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(after === Set(("t1", 2L), ("t1", 6L), ("t1", 10L), ("other", 5L)))
+    // Reads still work after the rewrite.
+    assert(store.latestTabletSnapshot("t1").get._1 === 10L)
+  }
+
   test("IndexCache accumulates and resets per tablet") {
     val c = new Snapshots.IndexCache
     c.increment("t1", 20000); c.increment("t1", 6000); c.increment("t2", 100)
