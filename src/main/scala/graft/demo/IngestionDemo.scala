@@ -48,11 +48,13 @@ object IngestionDemo {
     println(s"speculative:  ${spec.map(_.count()).sum} rows on branch a4")
     println(s"snapshot:     ${store.latestTabletSnapshot("balances")
       .map { case (h, df) => s"at_height=$h keys=${df.count()}" }.getOrElse("none")}")
-    // Retention prune: write two more snapshot versions, keep first+last.
+    // Retention prune: write two more snapshot versions (each built at the
+    // height it is recorded at), keep first+last.
     Seq(3L, 4L).foreach { h =>
       store.writeTabletSnapshot(
-        graft.snapshot.Snapshots.buildTabletIndex(store.tabletRows, "balances", h.min(2L)),
-        "balances", h, 0L)
+        graft.snapshot.Snapshots.buildTabletIndex(store.tabletRows, "balances", h),
+        "balances", h,
+        graft.snapshot.Snapshots.squelchCount(store.tabletRows, "balances", h))
     }
     val keptHeights = store.pruneTabletSnapshots("balances", keepEvery = 99)
     println(s"pruned:       kept snapshot heights ${keptHeights.mkString(",")}")

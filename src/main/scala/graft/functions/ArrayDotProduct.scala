@@ -39,6 +39,11 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     case _ => "getDouble"
   }
 
+  // A null ELEMENT nulls the whole product (matching the
+  // `aggregate(zip_with(...))` formulation and DuckDB's list_dot_product),
+  // so the expression is nullable even over non-null array columns.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val aa = a.asInstanceOf[ArrayData]
     val bb = b.asInstanceOf[ArrayData]
@@ -48,6 +53,7 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (aa.isNullAt(i) || bb.isNullAt(i)) return null
       val x = if (aFloat) aa.getFloat(i).toDouble else aa.getDouble(i)
       val y = if (bFloat) bb.getFloat(i).toDouble else bb.getDouble(i)
       acc += x * y
@@ -67,6 +73,7 @@ case class ArrayDotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += (double) $a.$ga($i) * (double) $b.$gb($i);
          |}
          |${ev.value} = $acc;

@@ -13,11 +13,17 @@ import org.apache.spark.sql.functions._
   * aggregate (sum/count/min/max); AQE's skew handling covers joins, but
   * single-key aggregation skew still needs this shape.
   *
-  * The salt is derived from stable row content (a hash of all columns),
-  * not `rand()`, so results are deterministic and retries/speculative
-  * tasks see the same salt.
+  * The salt is a round-robin over each row's position
+  * (`monotonically_increasing_id % salts`) — NOT a hash of row content
+  * (identical duplicate rows of a hot key would then share one salt, which
+  * is exactly the case salting exists for) and NOT `rand()` (task retries
+  * must see the same salt; the position id is stable for a given input
+  * partitioning, which deterministic re-execution reproduces).
   */
 object SkewAgg {
+
+  private def saltCol(salts: Int) =
+    pmod(monotonically_increasing_id(), lit(salts.toLong))
 
   /** `SELECT key..., sum(value) GROUP BY key...` with two-phase salting. */
   def saltedSum(
@@ -26,8 +32,7 @@ object SkewAgg {
       valueCol: String,
       salts: Int = 32): DataFrame = {
     require(salts > 0)
-    val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    val salted = df.withColumn("__salt", saltCol(salts))
     salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__partial"))
@@ -38,8 +43,7 @@ object SkewAgg {
   /** Count per key with two-phase salting. */
   def saltedCount(df: DataFrame, keyCols: Seq[String], salts: Int = 32): DataFrame = {
     require(salts > 0)
-    val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    val salted = df.withColumn("__salt", saltCol(salts))
     salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(count(lit(1)).as("__partial"))

@@ -80,12 +80,9 @@ object PipelineQueries {
       |  FROM words
       |)""".stripMargin
 
-  /** Exploded (doc_id, sh) shingle table plus per-doc set size. */
+  /** Exploded (doc_id, sh) shingle table. */
   private def shingleRows(d: DataFrame): DataFrame =
     d.select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
-
-  private def shingleSizes(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), size(shingles3(col("text"))).as("n"))
 
   // ------------------------------------------------------------ embeddings
 

@@ -78,9 +78,12 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
     spark.read.schema(Schemas.singletEntries).parquet(singletEntriesPath)
 
   def checkpointsDF: DataFrame =
-    try spark.read.schema(Schemas.checkpoints).parquet(checkpointsPath)
-    catch { case _: Throwable => spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.checkpoints) }
+    // Same missing-path-only semantics as tabletSnapshots: real read
+    // errors must surface.
+    if (!new java.io.File(checkpointsPath).exists())
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.checkpoints)
+    else spark.read.schema(Schemas.checkpoints).parquet(checkpointsPath)
 
   /** Latest checkpoint for a key (read.go:417–437). The checkpoint log is
     * append-only; the live checkpoint is the highest height per key. */
@@ -115,9 +118,13 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
       .write.mode(SaveMode.Append).parquet(snapshotsPath)
 
   def tabletSnapshots: DataFrame =
-    try spark.read.schema(Schemas.tabletSnapshots).parquet(snapshotsPath)
-    catch { case _: Throwable => spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.tabletSnapshots) }
+    // Only a missing path means "no snapshots yet" — a corrupt or
+    // unreadable log must surface, not silently degrade reads to full
+    // scans forever.
+    if (!new java.io.File(snapshotsPath).exists())
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.tabletSnapshots)
+    else spark.read.schema(Schemas.tabletSnapshots).parquet(snapshotsPath)
 
   /** Most recent snapshot of `tabletId` at or below `maxHeight`:
     * `(at_height, rows)` — the read-path lookup (read.go:47,
@@ -167,13 +174,19 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
           col("at_height").isInCollection(keepSet))
       val tmp = s"$snapshotsPath.pruning"
       remaining.write.mode(SaveMode.Overwrite).parquet(tmp)
+      // Swap-before-delete: move the old log aside, promote the new one,
+      // THEN delete — a crash mid-sequence leaves a complete log (old or
+      // new) on disk instead of destroying every tablet's snapshots.
       val dir = new java.io.File(snapshotsPath)
-      def rm(f: java.io.File): Unit = {
+      val old = new java.io.File(s"$snapshotsPath.old")
+      def rm(f: java.io.File): Unit = if (f.exists()) {
         if (f.isDirectory) f.listFiles().foreach(rm)
         f.delete()
       }
-      rm(dir)
+      rm(old)
+      require(dir.renameTo(old), s"could not move aside $snapshotsPath")
       require(new java.io.File(tmp).renameTo(dir), s"swap failed for $snapshotsPath")
+      rm(old)
     }
     keep
   }

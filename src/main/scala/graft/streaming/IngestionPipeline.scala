@@ -84,12 +84,16 @@ final class IngestionPipeline(
           case (tablet, rows) => indexCache.increment(tablet, rows.size.toLong)
         }
         indexCache.tabletsToIndex().foreach { tablet =>
+          // Persist the index across its two consumers (snapshot write +
+          // row count) — without it the full build re-executes per action.
           val idx = graft.snapshot.Snapshots
-            .buildTabletIndex(store.tabletRows, tablet, head)
-          val squelch = graft.snapshot.Snapshots
-            .squelchCount(store.tabletRows, tablet, head)
-          store.writeTabletSnapshot(idx, tablet, head, squelch)
-          indexCache.recordIndexed(tablet, idx.count())
+            .buildTabletIndex(store.tabletRows, tablet, head).persist()
+          try {
+            val squelch = graft.snapshot.Snapshots
+              .squelchCount(store.tabletRows, tablet, head)
+            store.writeTabletSnapshot(idx, tablet, head, squelch)
+            indexCache.recordIndexed(tablet, idx.count())
+          } finally idx.unpersist()
         }
       }
     }

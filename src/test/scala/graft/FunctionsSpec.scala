@@ -46,6 +46,20 @@ class FunctionsSpec extends SparkTestBase {
     assert(empty === 0.0)
   }
 
+  test("ArrayDotProduct: a null ELEMENT nulls the product (both engines' semantics)") {
+    val withNullElem = Seq((Array[java.lang.Double](1.0, null), Array[java.lang.Double](2.0, 3.0)))
+      .toDF("a", "b")
+      .select(ArrayDotProduct.dot(col("a"), col("b")).as("d"))
+      .collect().head
+    assert(withNullElem.isNullAt(0))
+    // Null element past the shorter array's end is never read.
+    val shortStop = Seq((Array[java.lang.Double](2.0), Array[java.lang.Double](4.0, null)))
+      .toDF("a", "b")
+      .select(ArrayDotProduct.dot(col("a"), col("b")).as("d"))
+      .collect().head
+    assert(shortStop.getDouble(0) === 8.0)
+  }
+
   test("ArrayDotProduct: interpreted eval agrees with codegen result") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.GenericArrayData

@@ -27,11 +27,16 @@ class SkewAggSpec extends SparkTestBase {
     assert(directRows.nonEmpty)
   }
 
-  test("salted partial stage actually fans the hot key out") {
-    val df = spark.range(1000).select(lit("hot").as("k"), col("id").as("v"))
+  test("salted partial stage fans out even IDENTICAL duplicate rows of a hot key") {
+    // Every row is byte-identical — a content-derived salt would collapse
+    // them all into one bucket (the exact pathology salting must fix).
+    val df = spark.range(1000).select(lit("hot").as("k"), lit(1L).as("v"))
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(8)))
+      pmod(monotonically_increasing_id(), lit(8L)))
     val groups = salted.groupBy("k", "__salt").count().collect()
-    assert(groups.length > 1, "all rows landed on one salt bucket")
+    assert(groups.length > 1, "all duplicate rows landed on one salt bucket")
+    // And the public API still aggregates duplicates exactly.
+    val out = SkewAgg.saltedSum(df, Seq("k"), "v", 8).collect()
+    assert(out.length === 1 && out.head.getLong(1) === 1000L)
   }
 }
