@@ -31,6 +31,44 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     assert(out.toSeq === Seq((0L, "click", 2L), (60L, "click", 1L), (60L, "view", 1L)))
   }
 
+  test("streaming file-source window agg equals the batch aggregation " +
+    "(lambda parity on the driver's events data)") {
+    implicit val s = spark
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val schema = graft.queries.TemporalQueries.EventsSchemaTsNanos
+    def prep(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(expr("ts div 1000")).as("ts"), col("value"))
+    // The file stream source wants a directory: stream the sf dir with a
+    // glob selecting just the events table.
+    val stream = prep(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val q = StreamingAnalytics.hourlyWindowCounts(stream, watermark = "1 hour")
+      .writeStream.format("memory").queryName("parity")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    // Update-mode memory sink may hold multiple versions per key: take the
+    // last update per (window, type).
+    val streamed = spark.table("parity").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap // later rows overwrite earlier versions
+    val batch = StreamingAnalytics
+      .hourlyWindowCounts(prep(graft.queries.TemporalQueries.eventsWithTs(s, dir)))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(streamed.keySet === batch.keySet)
+    batch.foreach { case (k, (n, sum)) =>
+      assert(streamed(k)._1 === n, s"count mismatch at $k")
+      assert(math.abs(streamed(k)._2 - sum) < 1e-6, s"sum mismatch at $k")
+    }
+    assert(batch.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization: gap closes, watermark flushes idle") {
     implicit val s = spark
     import s.implicits._
