@@ -30,7 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] runs 32 concurrent tasks in one JVM; 8g left the shingle
-  // queries GC-bound once a few persisted intermediates accumulated.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // local[32] runs 32 concurrent tasks in one JVM. Swept 8/12/16/24g at
+  // sf0.1: 12g benched best on average (bigger heaps measurably slower —
+  // worse locality / longer minor-GC sweeps; 8g was GC-tight before
+  // per-query cache clearing landed).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )
