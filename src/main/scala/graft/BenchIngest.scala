@@ -41,6 +41,7 @@ object BenchIngest {
 
     // Warm-up batch (session + codegen + parquet writer init).
     pipeline.commitBatch(Seq(block(0)).toDS(), -1)
+    val rowsBeforeTimed = store.tabletRows.count()
     val t0 = System.nanoTime()
     var h = 1L
     (0 until nBatches).foreach { b =>
@@ -50,7 +51,8 @@ object BenchIngest {
     }
     val secs = (System.nanoTime() - t0) / 1e9
     val rows = nBatches.toLong * blocksPerBatch * rowsPerBlock
-    val written = store.tabletRows.count()
+    // Exclude the warm-up batch so written == rows is a real loss check.
+    val written = store.tabletRows.count() - rowsBeforeTimed
     println(f"""{"metric":"ingest_rows_per_sec","value":${rows / secs}%.0f,"rows":$rows,"sec":$secs%.2f,"written":$written,"batches":$nBatches}""")
     spark.stop()
   }

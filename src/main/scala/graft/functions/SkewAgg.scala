@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions._
   * The salt is a round-robin over each row's position
   * (`monotonically_increasing_id % salts`) — NOT a hash of row content
   * (identical duplicate rows of a hot key would then share one salt, which
-  * is exactly the case salting exists for) and NOT `rand()` (task retries
-  * must see the same salt; the position id is stable for a given input
-  * partitioning, which deterministic re-execution reproduces).
+  * is exactly the case salting exists for) and NOT `rand()`.
+  *
+  * CONTRACT: the input must have deterministic partition contents AND
+  * order — file scans and persisted/checkpointed datasets qualify; the
+  * direct output of a shuffle does not (reduce-side fetch order can differ
+  * across task attempts — the SPARK-23207 class of problem — which would
+  * let a retried partial see different salts and double-count or drop
+  * rows). Persist the input first when salting downstream of a shuffle.
   */
 object SkewAgg {
 

@@ -63,11 +63,18 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
         .write.mode(SaveMode.Append).parquet(singletEntriesPath)
     // Checkpoint last — the durability barrier.
     val head = sorted.last
-    val cp = Checkpoint(checkpointKey, head.height, head.block.id, head.block.num)
+    writeCheckpoint(Checkpoint(checkpointKey, head.height, head.block.id, head.block.num))
+  }
+
+  /** Append a checkpoint row AND update the single-writer cache — every
+    * checkpoint write in this process must go through here (a direct
+    * parquet append would leave `checkpoint()` serving a stale cache). */
+  def writeCheckpoint(cp: Checkpoint): Unit = {
+    import spark.implicits._
     Seq(cp)
       .toDF("key", "height", "block_id", "block_num")
       .write.mode(SaveMode.Append).parquet(checkpointsPath)
-    cpCache.put(checkpointKey, cp)
+    cpCache.put(cp.key, cp)
   }
 
   // Single-writer in-memory mirror of the latest checkpoint per key: the
@@ -124,24 +131,33 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
       index: DataFrame,
       tabletId: String,
       atHeight: Long,
-      squelchCount: Long): Unit =
+      squelchCount: Long,
+      collection: Int = 0): Unit =
     index
       .select(
-        lit(0).as("collection"),
+        lit(collection).as("collection"),
         lit(tabletId).as("tablet_id"),
         lit(atHeight).as("at_height"),
         lit(squelchCount).as("squelch_count"),
         col("primary_key"), col("height"))
       .write.mode(SaveMode.Append).parquet(snapshotsPath)
 
-  def tabletSnapshots: DataFrame =
+  def tabletSnapshots: DataFrame = {
+    // Crash recovery for the prune swap: the log missing while the
+    // moved-aside copy exists means a prune died between its two renames —
+    // restore the complete old log instead of silently reading "empty".
+    val dir = new java.io.File(snapshotsPath)
+    val old = new java.io.File(s"$snapshotsPath.old")
+    if (!dir.exists() && old.exists())
+      require(old.renameTo(dir), s"could not recover $snapshotsPath from .old")
     // Only a missing path means "no snapshots yet" — a corrupt or
     // unreadable log must surface, not silently degrade reads to full
     // scans forever.
-    if (!new java.io.File(snapshotsPath).exists())
+    if (!dir.exists())
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.tabletSnapshots)
     else spark.read.schema(Schemas.tabletSnapshots).parquet(snapshotsPath)
+  }
 
   /** Most recent snapshot of `tabletId` at or below `maxHeight`:
     * `(at_height, rows)` — the read-path lookup (read.go:47,
@@ -288,11 +304,9 @@ object Backfill {
     store.writeTabletRows(seg.select(StateStore.tabletRowCols.map(col): _*))
     val headRow = seg.agg(max(col("height"))).collect().head
     if (!headRow.isNullAt(0)) {
-      import spark.implicits._
-      Seq(Checkpoint(f"${StateStore.ShardCheckpointPrefix}$shard%03d",
+      store.writeCheckpoint(Checkpoint(
+        f"${StateStore.ShardCheckpointPrefix}$shard%03d",
         headRow.getLong(0), "", headRow.getLong(0)))
-        .toDF("key", "height", "block_id", "block_num")
-        .write.mode(SaveMode.Append).parquet(store.checkpointsPath)
     }
   }
 }

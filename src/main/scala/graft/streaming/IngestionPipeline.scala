@@ -50,11 +50,6 @@ final class IngestionPipeline(
     * fresh TabletIndex snapshot built and written in the same commit flow. */
   val indexCache = new graft.snapshot.Snapshots.IndexCache(indexMinMutations)
 
-  /** Committed head height, mirrored in memory like the reference's head
-    * bookkeeping (pipeline.go:341–342) — the durable checkpoint log is read
-    * once at startup and after that only written; re-reading the growing
-    * log per micro-batch cost ~30% of ingestion throughput. */
-  @volatile private var committedHeight: Option[Long] = None
 
   /** Commit one micro-batch. Runs on the driver per batch (the data writes
     * are distributed; the fork bookkeeping is small, see ForkDB docs). */
@@ -78,20 +73,18 @@ final class IngestionPipeline(
     val reqs = irreversible.toSeq
     if (reqs.nonEmpty) {
       // Idempotent replay: drop heights already checkpointed.
-      val cp = committedHeight.getOrElse {
-        val h = store.checkpoint(StateStore.GlobalCheckpointKey).map(_.height).getOrElse(-1L)
-        committedHeight = Some(h)
-        h
-      }
+      // store.checkpoint is O(1) after the first call (single-writer cache
+      // warmed from the durable log) — no second mirror needed here.
+      val cp = store.checkpoint(StateStore.GlobalCheckpointKey).map(_.height).getOrElse(-1L)
       val fresh = reqs.filter(_.height > cp)
       if (fresh.nonEmpty) {
         store.writeBatch(fresh)
-        committedHeight = Some(fresh.map(_.height).max)
         // Index maintenance: count this batch's mutations per tablet and
         // snapshot any tablet past the trigger heuristic, pinned at the
         // batch head height (so snapshot ∪ tail reads stay consistent).
         val head = fresh.map(_.height).max
-        fresh.flatMap(_.tabletRows).groupBy(_.tabletId).foreach {
+        val byTablet = fresh.flatMap(_.tabletRows).groupBy(_.tabletId)
+        byTablet.foreach {
           case (tablet, rows) => indexCache.increment(tablet, rows.size.toLong)
         }
         indexCache.tabletsToIndex().foreach { tablet =>
@@ -102,7 +95,9 @@ final class IngestionPipeline(
           try {
             val squelch = graft.snapshot.Snapshots
               .squelchCount(store.tabletRows, tablet, head)
-            store.writeTabletSnapshot(idx, tablet, head, squelch)
+            val collection = byTablet.get(tablet)
+              .flatMap(_.headOption).map(_.collection).getOrElse(0)
+            store.writeTabletSnapshot(idx, tablet, head, squelch, collection)
             indexCache.recordIndexed(tablet, idx.count())
           } finally idx.unpersist()
         }
