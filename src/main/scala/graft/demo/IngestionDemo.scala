@@ -35,7 +35,8 @@ object IngestionDemo {
 
     def block(n: Long, step: String) = StreamedBlock(
       s"a$n", s"a${n - 1}", n, step,
-      Seq(TabletRowM(1, "balances", n, s"acct${n % 3}", s"v$n".getBytes, false)), Nil)
+      Seq(TabletRowM(1, "balances", n, s"acct${n % 3}", s"v$n".getBytes, false)),
+      Seq(SingletEntryM(1, "total_supply", n, s"supply-$n".getBytes, false)))
 
     val q = pipeline.start(source.toDS(), s"$root/ckpt", triggerMillis = 50)
     source.addData(
@@ -51,6 +52,9 @@ object IngestionDemo {
     println(s"speculative:  ${spec.map(_.count()).sum} rows on branch a4")
     println(s"snapshot:     ${store.latestTabletSnapshot("balances")
       .map { case (h, df) => s"at_height=$h keys=${df.count()}" }.getOrElse("none")}")
+    val singletAt1 = store.readSingletEntryAt("total_supply", 1).collect()
+      .map(r => new String(r.getAs[Array[Byte]](2))).mkString
+    println(s"singlet@h1:   $singletAt1 (history depth ${store.readSingletEntries("total_supply").count()})")
     // Retention prune: write two more snapshot versions (each built at the
     // height it is recorded at), keep first+last.
     Seq(3L, 4L).foreach { h =>

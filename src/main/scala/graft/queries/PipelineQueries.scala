@@ -662,6 +662,22 @@ object PipelineQueries {
     // clip; every 4th frame is sampled, mirroring a real keyframe-stride
     // sampler's shape (generator output, typed schema, executor-side
     // decode init per partition).
+    // ---------------------------------------------------------------------
+    // Approximate distinct (HLL++, rows-only): per-source exact vs
+    // approximate distinct text counts. The sketch is mergeable —
+    // map-side partials combine without row exchange, the aggregation
+    // plan a 100 TB distinct-count must use (exact countDistinct expands
+    // rows per group). Engines' HLL implementations differ, so the check
+    // is rows-only here; `PipelineQueriesSpec` bounds the relative error
+    // against the exact count instead.
+    QuerySpec.rowsOnly("p_approx_distinct") { (s, dir) =>
+      docs(s, dir)
+        .groupBy("source")
+        .agg(countDistinct(col("text")).as("n_exact"),
+          approx_count_distinct(col("text"), 0.02).as("n_approx"))
+        .orderBy("source")
+    },
+
     QuerySpec.rowsOnly("p_multimodal_frames") { (s, dir) =>
       import s.implicits._
       val blobs = docs(s, dir)

@@ -224,6 +224,20 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
     keep
   }
 
+  /** Latest entry of one singlet as of `atHeight` (read.go:300–349). */
+  def readSingletEntryAt(
+      singletId: String,
+      atHeight: Long,
+      speculative: Seq[DataFrame] = Nil): DataFrame =
+    graft.read.TemporalReads.readSingletEntryAt(
+      singletEntries, singletId, atHeight, speculative)
+
+  /** Full history of one singlet, most recent first (read.go:356–408). */
+  def readSingletEntries(
+      singletId: String,
+      speculative: Seq[DataFrame] = Nil): DataFrame =
+    graft.read.TemporalReads.readSingletEntries(singletEntries, singletId, speculative)
+
   /** All shard checkpoints (read.go:439–476): prefix scan of "shard-*". */
   def shardCheckpoints(): DataFrame =
     checkpointsDF

@@ -66,6 +66,18 @@ class PipelineQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("approximate distinct stays within the configured error bound") {
+    run("p_approx_distinct").collect().foreach { r =>
+      val (exact, approx) = (r.getLong(1), r.getLong(2))
+      assert(exact > 0)
+      // rsd=0.02 is a standard deviation, not a hard bound; tiny groups
+      // (tens of values at sf0.001) need an absolute floor on the slack.
+      val slack = math.max(3.0, 0.05 * exact)
+      assert(math.abs(approx - exact) <= slack,
+        s"source=${r.getString(0)} exact=$exact approx=$approx")
+    }
+  }
+
   test("multimodal decode stub (rows-only query) is deterministic and total") {
     val a = run("p_multimodal_decode").collect()
     val b = run("p_multimodal_decode").collect()
