@@ -25,6 +25,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Queries persist shared intermediates (shingle indexes, simhash
+      // tables); running all of them in one session would accumulate those
+      // blocks. Same per-query hygiene as Bench.
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -63,7 +63,7 @@ object IngestionDemo {
         "balances", h,
         graft.snapshot.Snapshots.squelchCount(store.tabletRows, "balances", h))
     }
-    val keptHeights = store.pruneTabletSnapshots("balances", keepEvery = 99)
+    val keptHeights = store.pruneTabletSnapshots("balances", pruneFrequency = 99)
     println(s"pruned:       kept snapshot heights ${keptHeights.mkString(",")}")
     val asOf = store.readTabletAt("balances", 4, spec) // snapshot ∪ tail ∪ overlay
     println("as-of h=4 with overlay:")

@@ -39,15 +39,20 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     case _ => "getDouble"
   }
 
-  // A null ELEMENT nulls the whole product (matching the
-  // `aggregate(zip_with(...))` formulation and DuckDB's list_dot_product),
-  // so the expression is nullable even over non-null array columns.
+  // A null ELEMENT — or a dimension mismatch — nulls the whole product
+  // (matching the null-padded `aggregate(zip_with(...))` formulation it
+  // replaced), so the expression is nullable even over non-null array
+  // columns. Mismatched lengths must NOT silently truncate: a truncated
+  // dot product is a plausible-but-wrong score, while a null is detectable
+  // downstream (and desyncs loudly from DuckDB's list_dot_product, which
+  // errors on mismatch).
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val aa = a.asInstanceOf[ArrayData]
     val bb = b.asInstanceOf[ArrayData]
-    val n = math.min(aa.numElements(), bb.numElements())
+    val n = aa.numElements()
+    if (bb.numElements() != n) return null
     val aFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
     val bFloat = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
     var acc = 0.0
@@ -70,13 +75,17 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val ga = getter(left.dataType)
       val gb = getter(right.dataType)
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += (double) $a.$ga($i) * (double) $b.$gb($i);
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $a.$ga($i) * (double) $b.$gb($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

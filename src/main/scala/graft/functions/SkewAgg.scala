@@ -23,21 +23,36 @@ import org.apache.spark.sql.functions._
   * direct output of a shuffle does not (reduce-side fetch order can differ
   * across task attempts — the SPARK-23207 class of problem — which would
   * let a retried partial see different salts and double-count or drop
-  * rows). Persist the input first when salting downstream of a shuffle.
+  * rows). The contract is ENFORCED by default: unless the caller vouches
+  * with `assumeDeterministic = true`, an un-persisted input is pinned with
+  * `localCheckpoint()` before salting, so a retried task replays the exact
+  * checkpointed blocks instead of re-running a nondeterministic lineage.
   */
 object SkewAgg {
 
   private def saltCol(salts: Int) =
     pmod(monotonically_increasing_id(), lit(salts.toLong))
 
-  /** `SELECT key..., sum(value) GROUP BY key...` with two-phase salting. */
+  /** Pin partition contents/order unless the caller vouches for the input.
+    * Persisted inputs are already stable; everything else is cut from its
+    * lineage via an eager localCheckpoint (blocks are reclaimed by the
+    * ContextCleaner once the result is no longer referenced). */
+  private def pinned(df: DataFrame, assumeDeterministic: Boolean): DataFrame =
+    if (assumeDeterministic ||
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+    else df.localCheckpoint()
+
+  /** `SELECT key..., sum(value) GROUP BY key...` with two-phase salting.
+    * Pass `assumeDeterministic = true` only for inputs with stable
+    * partitioning (file scans, persisted datasets) to skip the pin. */
   def saltedSum(
       df: DataFrame,
       keyCols: Seq[String],
       valueCol: String,
-      salts: Int = 32): DataFrame = {
+      salts: Int = 32,
+      assumeDeterministic: Boolean = false): DataFrame = {
     require(salts > 0)
-    val salted = df.withColumn("__salt", saltCol(salts))
+    val salted = pinned(df, assumeDeterministic).withColumn("__salt", saltCol(salts))
     salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__partial"))
@@ -46,9 +61,13 @@ object SkewAgg {
   }
 
   /** Count per key with two-phase salting. */
-  def saltedCount(df: DataFrame, keyCols: Seq[String], salts: Int = 32): DataFrame = {
+  def saltedCount(
+      df: DataFrame,
+      keyCols: Seq[String],
+      salts: Int = 32,
+      assumeDeterministic: Boolean = false): DataFrame = {
     require(salts > 0)
-    val salted = df.withColumn("__salt", saltCol(salts))
+    val salted = pinned(df, assumeDeterministic).withColumn("__salt", saltCol(salts))
     salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(count(lit(1)).as("__partial"))

@@ -263,7 +263,8 @@ object TemporalQueries {
          |  SELECT p.probe_id, p.tablet_id, p.primary_key, p.at_height,
          |         m.height, m.value, m.is_deletion,
          |         row_number() OVER (PARTITION BY p.probe_id
-         |                            ORDER BY m.height DESC) AS rn
+         |                            ORDER BY m.height DESC, m.is_deletion DESC,
+         |                                     m.value DESC) AS rn
          |  FROM probes p LEFT JOIN mutations m
          |    ON m.tablet_id = p.tablet_id AND m.primary_key = p.primary_key
          |   AND m.height <= p.at_height

@@ -140,9 +140,13 @@ object TemporalReads {
         col("mut_height") <= col("at_height"),
       "left")
     val payload = struct(col("mut_height"), col("is_deletion"), col("value"))
+    // Deterministic tie-break: two mutations of one key at one height (legal
+    // for the generic API, even though the store's write path never emits
+    // them) resolve by (height, is_deletion, value) — the oracle SQL orders
+    // by the same keys, so the hash-compare can never go flaky on a tie.
     joined
       .groupBy("probe_id", "tablet_id", "primary_key", "at_height")
-      .agg(max_by(payload, col("mut_height")).as("w"))
+      .agg(max_by(payload, payload).as("w"))
       .select(col("probe_id"), col("tablet_id"), col("primary_key"), col("at_height"),
         when(col("w.mut_height").isNotNull && !col("w.is_deletion"), col("w.mut_height"))
           .as("height"),

@@ -97,19 +97,28 @@ object Snapshots {
     }
   }
 
-  /** Index retention prune (indexing.go:329–398): keep the first and last
-    * snapshot per tablet, delete every `keepEvery`-th intermediate. Returns
-    * the snapshot heights to KEEP. */
-  def pruneRetention(snapshotHeights: Seq[Long], keepEvery: Int): Seq[Long] = {
-    require(keepEvery > 0)
-    if (snapshotHeights.size <= 2) snapshotHeights
+  /** Index retention prune (PruneTabletIndexes, indexing.go:328–396) —
+    * exactly the reference's policy:
+    *   - `pruneFrequency` must be > 1 (indexing.go:329–331);
+    *   - a tablet with ≤ pruneFrequency + 2 snapshots is left untouched
+    *     (indexing.go:352–356 — first and last are always kept, so there is
+    *     nothing worth thinning);
+    *   - otherwise the first and last snapshots are kept, the middle is
+    *     walked from HIGHEST height to lowest, and every
+    *     `pruneFrequency`-th one is DELETED (indexing.go:363–380) — i.e.
+    *     the prune removes 1/k of the intermediates, keeping the rest.
+    * Returns the snapshot heights to KEEP, ascending. */
+  def pruneRetention(snapshotHeights: Seq[Long], pruneFrequency: Int): Seq[Long] = {
+    require(pruneFrequency > 1, s"prune frequency must be greater than 1, got $pruneFrequency")
+    if (snapshotHeights.size <= pruneFrequency + 2) snapshotHeights.sorted
     else {
       val sorted = snapshotHeights.sorted
       val (first, last) = (sorted.head, sorted.last)
-      val middle = sorted.slice(1, sorted.size - 1).zipWithIndex.collect {
-        case (h, i) if (i + 1) % keepEvery == 0 => h
+      val middleDesc = sorted.slice(1, sorted.size - 1).reverse
+      val keptMiddle = middleDesc.zipWithIndex.collect {
+        case (h, i) if (i + 1) % pruneFrequency != 0 => h
       }
-      (first +: middle :+ last).distinct
+      ((first +: keptMiddle :+ last).distinct).sorted
     }
   }
 

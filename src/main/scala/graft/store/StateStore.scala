@@ -1,25 +1,43 @@
 package graft.store
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import graft.model._
 
 /** Durable storage layout + batch writer (reference write.go, store/kv).
   *
-  * Layout (SURVEY.md §1.4): three append-only Parquet tables under a root —
-  *   tablet_rows/      partitioned by collection, sorted within files by
-  *                     (tablet_id, height) so min/max row-group stats prune
-  *                     both the tablet and the height predicate at scan time.
+  * Layout (SURVEY.md §1.4): append-only Parquet tables under a root —
+  *   tablet_rows/      one COMMITTED sub-directory per batch, sorted within
+  *                     files by (tablet_id, height) so min/max row-group
+  *                     stats prune both the tablet and the height predicate.
   *   singlet_entries/  same.
   *   checkpoints/      tiny commit log; the LAST durably-visible write of a
   *                     batch, mirroring the reference's checkpoint-key-last
-  *                     flush ordering (store/kv/store.go:418–450).
+  *                     flush ordering (store/kv/store.go:418–450). Compacted
+  *                     to latest-per-key once the dir count grows.
+  *   tablet_snapshots/ TabletIndex log (indexing.go).
   *
-  * Commit protocol: the reference stages at most 100 mutations per KV flush
-  * and orders the checkpoint strictly last so a crash never leaves the
-  * checkpoint ahead of the data (write.go:40–72). Here each `writeBatch` call
-  * appends data files first and the checkpoint row last; a replayed batch is
-  * detected by the `isNextBlock` linearity guard (write.go:331–347).
+  * Commit protocol — the Spark stand-in for the reference KV store's atomic
+  * batch flush (store/kv/store.go:332–467):
+  *   1. every append is STAGED under `_staging/<uuid>` (invisible: readers
+  *      list only the table directories, and `_`-prefixed paths are hidden
+  *      to Spark file listings anyway);
+  *   2. the staged directory is atomically RENAMED into the table under a
+  *      deterministic name (`b<from>-<to>` for a batch) — readers therefore
+  *      never observe a partially-written batch;
+  *   3. the checkpoint row is written strictly LAST (write.go:40–72), so a
+  *      crash never leaves the checkpoint ahead of the data.
+  * Replay after a crash between (2) and (3) is idempotent: the linearity
+  * guard re-admits the batch (checkpoint unchanged), and the deterministic
+  * directory name makes the data write a no-op skip, so rows are never
+  * duplicated (the reference gets the same from KV overwrite semantics).
+  *
+  * All filesystem operations go through Hadoop's FileSystem API, so the
+  * store works unchanged against hdfs:// or s3a:// roots (object stores
+  * without atomic rename would want the Delta/Iceberg commit protocol
+  * instead — same staged-data-then-pointer-swap shape).
   */
 final class StateStore(val root: String)(implicit spark: SparkSession) {
   import StateStore._
@@ -28,6 +46,88 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
   val singletEntriesPath = s"$root/singlet_entries"
   val checkpointsPath = s"$root/checkpoints"
   val snapshotsPath = s"$root/tablet_snapshots"
+  private val stagingRoot = s"$root/_staging"
+
+  // ------------------------------------------------------------------
+  // Filesystem plumbing (Hadoop FS — never java.io.File, which silently
+  // answers "false" for any non-local root).
+  // ------------------------------------------------------------------
+
+  private def fsPath(p: String): (FileSystem, Path) = {
+    val path = new Path(p)
+    (path.getFileSystem(spark.sessionState.newHadoopConf()), path)
+  }
+
+  private[graft] def pathExists(p: String): Boolean = {
+    val (fs, path) = fsPath(p); fs.exists(path)
+  }
+
+  private def deletePath(p: String): Unit = {
+    val (fs, path) = fsPath(p)
+    if (fs.exists(path)) require(fs.delete(path, true), s"could not delete $p")
+  }
+
+  private def renamePath(src: String, dst: String): Unit = {
+    val (fs, s) = fsPath(src)
+    require(fs.rename(s, new Path(dst)), s"rename failed: $src -> $dst")
+  }
+
+  /** Stage `df` then atomically promote it into `tablePath/dirName`.
+    * Returns false (and writes nothing) if the target already exists —
+    * the crash-replay skip that makes batch commits idempotent. */
+  private def atomicAppend(df: DataFrame, tablePath: String, dirName: String): Boolean = {
+    val target = s"$tablePath/$dirName"
+    if (pathExists(target)) false
+    else {
+      val staging = s"$stagingRoot/${java.util.UUID.randomUUID().toString}"
+      df.write.mode(SaveMode.Overwrite).parquet(staging)
+      val (fs, _) = fsPath(tablePath)
+      fs.mkdirs(new Path(tablePath))
+      renamePath(staging, target)
+      true
+    }
+  }
+
+  /** Swap-rewrite a whole table (compaction / prune): write the replacement,
+    * move the old table aside, promote, then delete the old copy. A crash at
+    * any point leaves a COMPLETE table either at `path` or at `path.old`;
+    * [[recoverSwap]] (run by every reader) finishes an interrupted swap. */
+  private def rewriteTable(
+      path: String, replacement: DataFrame, format: String = "parquet"): Unit = {
+    val tmp = s"$path.rewrite"
+    deletePath(tmp)
+    replacement.write.mode(SaveMode.Overwrite).format(format).save(tmp)
+    val old = s"$path.old"
+    deletePath(old)
+    renamePath(path, old)
+    renamePath(tmp, path)
+    deletePath(old)
+  }
+
+  /** Crash recovery for [[rewriteTable]]: the table missing while the
+    * moved-aside copy exists means a rewrite died between its two renames —
+    * restore the complete old table instead of silently reading "empty". */
+  private def recoverSwap(path: String): Unit = {
+    val old = s"$path.old"
+    if (!pathExists(path) && pathExists(old)) renamePath(old, path)
+  }
+
+  /** Read one store table. Only a missing path means "empty" — a corrupt or
+    * unreadable table must surface, not silently degrade. Committed batches
+    * are nested directories, hence the recursive listing (partition
+    * inference is off; pruning comes from row-group stats, not dir names). */
+  private def readTable(path: String, schema: StructType): DataFrame = {
+    recoverSwap(path)
+    if (!pathExists(path))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.option("recursiveFileLookup", "true").schema(schema).parquet(path)
+  }
+
+  // ------------------------------------------------------------------
+  // Write path
+  // ------------------------------------------------------------------
 
   /** Linearity guard (write.go:331–347): a batch starting at height h is
     * writable only if h == lastCheckpoint.height + 1 (or the store is empty).
@@ -38,8 +138,12 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
       case Some(cp) => firstHeight == cp.height + 1
     }
 
+  /** Deterministic batch directory name for heights [lo, hi]. */
+  private def batchDirName(lo: Long, hi: Long): String = f"b$lo%017d-$hi%017d"
+
   /** Append one batch of write requests; checkpoint written last (S5).
-    * `requests` must be contiguous ascending heights. */
+    * `requests` must be contiguous ascending heights. Idempotent under
+    * crash-replay (see the commit protocol in the class doc). */
   def writeBatch(
       requests: Seq[WriteRequest],
       checkpointKey: String = GlobalCheckpointKey): Unit = {
@@ -53,14 +157,13 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
       s"batch head ${sorted.head.height} does not follow checkpoint for $checkpointKey")
 
     import spark.implicits._
+    val dir = batchDirName(sorted.head.height, sorted.last.height)
     val rows = sorted.flatMap(_.tabletRows)
     val entries = sorted.flatMap(_.singletEntries)
     if (rows.nonEmpty)
-      writeTabletRows(rows.toDF(tabletRowCols: _*))
+      writeTabletRows(rows.toDF(tabletRowCols: _*), dir)
     if (entries.nonEmpty)
-      entries
-        .toDF(singletEntryCols: _*)
-        .write.mode(SaveMode.Append).parquet(singletEntriesPath)
+      atomicAppend(entries.toDF(singletEntryCols: _*), singletEntriesPath, dir)
     // Checkpoint last — the durability barrier.
     val head = sorted.last
     writeCheckpoint(Checkpoint(checkpointKey, head.height, head.block.id, head.block.num))
@@ -68,13 +171,32 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
 
   /** Append a checkpoint row AND update the single-writer cache — every
     * checkpoint write in this process must go through here (a direct
-    * parquet append would leave `checkpoint()` serving a stale cache). */
+    * file append would leave `checkpoint()` serving a stale cache).
+    *
+    * The log is JSON-lines written straight through the Hadoop FS — one
+    * tiny record per commit does not deserve a Spark job (it was ~15% of
+    * small-batch ingestion wall-clock as a 1-row parquet write). Same
+    * staged-write + atomic-rename protocol as the data tables, and the
+    * file name is deterministic per (key, height), so a crash replay of
+    * the same checkpoint is a no-op skip. */
   def writeCheckpoint(cp: Checkpoint): Unit = {
-    import spark.implicits._
-    Seq(cp)
-      .toDF("key", "height", "block_id", "block_num")
-      .write.mode(SaveMode.Append).parquet(checkpointsPath)
+    val target = s"$checkpointsPath/cp-${cp.key}-${cp.height}.json"
+    if (!pathExists(target)) {
+      def q(s: String) = "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+      val json = s"""{"key":${q(cp.key)},"height":${cp.height},""" +
+        s""""block_id":${q(cp.blockId)},"block_num":${cp.blockNum}}\n"""
+      val staging = s"$stagingRoot/${java.util.UUID.randomUUID().toString}.json"
+      val (fs, sp) = fsPath(staging)
+      val out = fs.create(sp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      fs.mkdirs(new Path(checkpointsPath))
+      renamePath(staging, target)
+    }
     cpCache.put(cp.key, cp)
+    maybeCompactCheckpoints()
   }
 
   // Single-writer in-memory mirror of the latest checkpoint per key: the
@@ -83,22 +205,65 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
   // on every batch is pure overhead (~30% of ingestion throughput).
   private val cpCache = scala.collection.concurrent.TrieMap.empty[String, Checkpoint]
 
-  /** Append pre-shaped mutation DataFrames (streaming foreachBatch path). */
-  def writeTabletRows(df: DataFrame): Unit =
-    df.sortWithinPartitions("tablet_id", "height")
-      .write.mode(SaveMode.Append).parquet(tabletRowsPath)
+  // One directory per checkpoint write would grow without bound (the
+  // reference's KV store overwrites in place); compact the log to
+  // latest-per-key once the directory count crosses the threshold. The
+  // rewrite preserves `checkpoint()` semantics exactly (it is max-per-key).
+  private val cpWritesSinceCompactionCheck = new java.util.concurrent.atomic.AtomicLong
+  private[graft] var checkpointCompactionThreshold = 64
 
-  def tabletRows: DataFrame = spark.read.schema(Schemas.tabletRows).parquet(tabletRowsPath)
-  def singletEntries: DataFrame =
-    spark.read.schema(Schemas.singletEntries).parquet(singletEntriesPath)
+  private def maybeCompactCheckpoints(): Unit =
+    if (cpWritesSinceCompactionCheck.incrementAndGet() % checkpointCompactionThreshold == 0) {
+      val (fs, path) = fsPath(checkpointsPath)
+      if (fs.exists(path) && fs.listStatus(path).length > checkpointCompactionThreshold)
+        compactCheckpoints()
+    }
 
-  def checkpointsDF: DataFrame =
-    // Same missing-path-only semantics as tabletSnapshots: real read
-    // errors must surface.
-    if (!new java.io.File(checkpointsPath).exists())
+  /** Rewrite the checkpoint log to one row per key (its live value). */
+  def compactCheckpoints(): Unit = {
+    val latest = checkpointsDF
+      .groupBy(col("key"))
+      .agg(max_by(struct(col("height"), col("block_id"), col("block_num")), col("height")).as("w"))
+      .select(col("key"), col("w.height").as("height"),
+        col("w.block_id").as("block_id"), col("w.block_num").as("block_num"))
+      .coalesce(1)
+    rewriteTable(checkpointsPath, latest, format = "json")
+  }
+
+  /** Atomically append pre-shaped mutation DataFrames. `commitId` names the
+    * committed directory: pass a deterministic id (batch height range, shard
+    * number) to make crash-replays skip instead of duplicate; the default
+    * random id gives plain append semantics. Returns false if that commit
+    * already exists. */
+  def writeTabletRows(
+      df: DataFrame,
+      commitId: String = java.util.UUID.randomUUID().toString): Boolean =
+    atomicAppend(
+      df.sortWithinPartitions("tablet_id", "height"),
+      tabletRowsPath, commitId)
+
+  /** Atomically append pre-shaped singlet-entry DataFrames (same contract
+    * as [[writeTabletRows]]). */
+  def writeSingletEntries(
+      df: DataFrame,
+      commitId: String = java.util.UUID.randomUUID().toString): Boolean =
+    atomicAppend(
+      df.sortWithinPartitions("singlet_id", "height"),
+      singletEntriesPath, commitId)
+
+  def tabletRows: DataFrame = readTable(tabletRowsPath, Schemas.tabletRows)
+  def singletEntries: DataFrame = readTable(singletEntriesPath, Schemas.singletEntries)
+  def tabletSnapshots: DataFrame = readTable(snapshotsPath, Schemas.tabletSnapshots)
+
+  def checkpointsDF: DataFrame = {
+    recoverSwap(checkpointsPath)
+    if (!pathExists(checkpointsPath))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.checkpoints)
-    else spark.read.schema(Schemas.checkpoints).parquet(checkpointsPath)
+    else
+      spark.read.option("recursiveFileLookup", "true")
+        .schema(Schemas.checkpoints).json(checkpointsPath)
+  }
 
   /** Latest checkpoint for a key (read.go:417–437). The checkpoint log is
     * append-only; the live checkpoint is the highest height per key.
@@ -126,62 +291,69 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
 
   /** Append one tablet snapshot (the reference's TabletIndex write,
     * indexing.go:100–147): `index` carries (primary_key, height) as built by
-    * [[graft.snapshot.Snapshots.buildTabletIndex]]. */
+    * [[graft.snapshot.Snapshots.buildTabletIndex]]. Deterministic commit
+    * name per (tablet, height): a crash-replayed index build skips. */
   def writeTabletSnapshot(
       index: DataFrame,
       tabletId: String,
       atHeight: Long,
       squelchCount: Long,
-      collection: Int = 0): Unit =
-    index
-      .select(
+      collection: Int = 0): Unit = {
+    val tabletHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(tabletId.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    atomicAppend(
+      index.select(
         lit(collection).as("collection"),
         lit(tabletId).as("tablet_id"),
         lit(atHeight).as("at_height"),
         lit(squelchCount).as("squelch_count"),
-        col("primary_key"), col("height"))
-      .write.mode(SaveMode.Append).parquet(snapshotsPath)
-
-  def tabletSnapshots: DataFrame = {
-    // Crash recovery for the prune swap: the log missing while the
-    // moved-aside copy exists means a prune died between its two renames —
-    // restore the complete old log instead of silently reading "empty".
-    val dir = new java.io.File(snapshotsPath)
-    val old = new java.io.File(s"$snapshotsPath.old")
-    if (!dir.exists() && old.exists())
-      require(old.renameTo(dir), s"could not recover $snapshotsPath from .old")
-    // Only a missing path means "no snapshots yet" — a corrupt or
-    // unreadable log must surface, not silently degrade reads to full
-    // scans forever.
-    if (!dir.exists())
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.tabletSnapshots)
-    else spark.read.schema(Schemas.tabletSnapshots).parquet(snapshotsPath)
+        col("primary_key"), col("height")),
+      snapshotsPath, f"s-$collection-$tabletHash-$atHeight%017d")
   }
 
   /** Most recent snapshot of `tabletId` at or below `maxHeight`:
     * `(at_height, rows)` — the read-path lookup (read.go:47,
-    * indexing.go:451–468). */
+    * indexing.go:451–468). `ignoreRange` (fluxdb.go's ignore-index-range
+    * option) skips snapshots inside a corrupted height window: a height
+    * inside `(start, stop]` re-resolves from `start` instead, exactly like
+    * fetchIndex (indexing.go:303–326). */
   def latestTabletSnapshot(
       tabletId: String,
-      maxHeight: Long = Long.MaxValue): Option[(Long, DataFrame)] = {
+      maxHeight: Long = Long.MaxValue,
+      ignoreRange: Option[(Long, Long)] = None): Option[(Long, DataFrame)] = {
+    val effectiveMax = ignoreRange match {
+      case Some((start, stop)) if start < stop && maxHeight > start && maxHeight <= stop =>
+        start
+      case _ => maxHeight
+    }
+    val inIgnore = (h: Long) => ignoreRange.exists {
+      case (start, stop) => start < stop && h > start && h <= stop
+    }
     val scoped = tabletSnapshots
-      .filter(col("tablet_id") === lit(tabletId) && col("at_height") <= lit(maxHeight))
+      .filter(col("tablet_id") === lit(tabletId) && col("at_height") <= lit(effectiveMax))
     val heights = scoped.agg(max(col("at_height"))).collect()
-    Option(heights.head.get(0)).map(_.asInstanceOf[Long]).map { h =>
-      h -> scoped.filter(col("at_height") === lit(h)).select("primary_key", "height")
+    Option(heights.head.get(0)).map(_.asInstanceOf[Long]).flatMap { h =>
+      if (inIgnore(h))
+        // The best snapshot lands inside the ignored window — re-fetch
+        // strictly below it (indexing.go:320–325's recursive re-fetch).
+        latestTabletSnapshot(tabletId, ignoreRange.get._1, ignoreRange)
+      else
+        Some(h -> scoped.filter(col("at_height") === lit(h)).select("primary_key", "height"))
     }
   }
 
   /** Snapshot-aware as-of read: uses the newest snapshot at or below
     * `atHeight` so the mutation scan is bounded to the tail
     * `(snapshotHeight, atHeight]` (SURVEY.md §3.1); falls back to the full
-    * scan when no snapshot exists. */
+    * scan when no snapshot exists. `ignoreRange` skips snapshots in a
+    * corrupted height window (result is identical — only the scan bound
+    * widens). */
   def readTabletAt(
       tabletId: String,
       atHeight: Long,
-      speculative: Seq[DataFrame] = Nil): DataFrame =
-    latestTabletSnapshot(tabletId, atHeight) match {
+      speculative: Seq[DataFrame] = Nil,
+      ignoreRange: Option[(Long, Long)] = None): DataFrame =
+    latestTabletSnapshot(tabletId, atHeight, ignoreRange) match {
       case Some((snapH, snap)) =>
         graft.snapshot.Snapshots.readTabletAtWithSnapshot(
           tabletRows, snap, snapH, tabletId, atHeight, speculative)
@@ -190,36 +362,24 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
     }
 
   /** Apply the retention policy to one tablet's snapshot log
-    * (indexing.go:329–398 via [[graft.snapshot.Snapshots.pruneRetention]]):
-    * keep first, last, and every `keepEvery`-th intermediate height,
-    * physically rewriting the snapshot table. Local-filesystem rewrite via
-    * a temp directory + atomic-ish swap; on a real deployment this is a
-    * Delta `DELETE WHERE` / compaction instead. Returns the kept heights. */
-  def pruneTabletSnapshots(tabletId: String, keepEvery: Int): Seq[Long] = {
+    * (PruneTabletIndexes, indexing.go:328–396 via
+    * [[graft.snapshot.Snapshots.pruneRetention]]): keep first and last,
+    * delete every `pruneFrequency`-th intermediate walking from the highest
+    * height down; tablets with ≤ pruneFrequency + 2 snapshots are left
+    * untouched. Physically rewrites the snapshot table via the crash-safe
+    * swap (on a Delta/Iceberg deployment this is a `DELETE WHERE`).
+    * Returns the kept heights. */
+  def pruneTabletSnapshots(tabletId: String, pruneFrequency: Int): Seq[Long] = {
     val heights = tabletSnapshots
       .filter(col("tablet_id") === lit(tabletId))
       .select("at_height").distinct().collect().map(_.getLong(0)).toSeq
-    val keep = graft.snapshot.Snapshots.pruneRetention(heights, keepEvery)
+    val keep = graft.snapshot.Snapshots.pruneRetention(heights, pruneFrequency)
     if (keep.toSet != heights.toSet) {
       val keepSet = keep.toSet
       val remaining = tabletSnapshots.filter(
         col("tablet_id") =!= lit(tabletId) ||
           col("at_height").isInCollection(keepSet))
-      val tmp = s"$snapshotsPath.pruning"
-      remaining.write.mode(SaveMode.Overwrite).parquet(tmp)
-      // Swap-before-delete: move the old log aside, promote the new one,
-      // THEN delete — a crash mid-sequence leaves a complete log (old or
-      // new) on disk instead of destroying every tablet's snapshots.
-      val dir = new java.io.File(snapshotsPath)
-      val old = new java.io.File(s"$snapshotsPath.old")
-      def rm(f: java.io.File): Unit = if (f.exists()) {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(old)
-      require(dir.renameTo(old), s"could not move aside $snapshotsPath")
-      require(new java.io.File(tmp).renameTo(dir), s"swap failed for $snapshotsPath")
-      rm(old)
+      rewriteTable(snapshotsPath, remaining)
     }
     keep
   }
@@ -237,6 +397,10 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
       singletId: String,
       speculative: Seq[DataFrame] = Nil): DataFrame =
     graft.read.TemporalReads.readSingletEntries(singletEntries, singletId, speculative)
+
+  // ------------------------------------------------------------------
+  // Sharding (parallel backfill) coordination
+  // ------------------------------------------------------------------
 
   /** All shard checkpoints (read.go:439–476): prefix scan of "shard-*". */
   def shardCheckpoints(): DataFrame =
@@ -263,6 +427,45 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
           .when(col("height") === lit(refHeight.getOrElse(-1L)), lit("complete"))
           .otherwise(lit("behind")).as("status"))
       .orderBy("key")
+  }
+
+  /** CheckCleanDBForSharding (read.go:439–452): sharding reprocessing must
+    * start from a store with NO live-injector checkpoint — refuse loudly
+    * otherwise. */
+  def checkCleanForSharding(): Unit =
+    require(
+      checkpoint(GlobalCheckpointKey).isEmpty,
+      "live injector's marker of last written block present, " +
+        "expected no element to exist — refusing to shard into a dirty store")
+
+  /** Sharding finalization (write.go:183–198 WriteShardingFinalCheckpoint +
+    * DeleteAllShardCheckpoints): once every shard reports `complete`, write
+    * the GLOBAL final checkpoint at the common shard head and drop the
+    * per-shard checkpoints (the live injector takes over from here).
+    * Refuses if any shard is missing or behind. */
+  def finalizeSharding(expectedShards: Int): Checkpoint = {
+    val statuses = verifyAllShardsWritten(expectedShards).collect()
+    val notComplete = statuses.filter(_.getString(2) != "complete")
+    require(
+      notComplete.isEmpty,
+      s"cannot finalize sharding: ${notComplete.map(r => s"${r.getString(0)}=${r.getString(2)}").mkString(", ")}")
+    val head = shardCheckpoints()
+      .orderBy(col("height").desc).limit(1).collect().head
+    val cp = Checkpoint(
+      GlobalCheckpointKey, head.getLong(1), head.getString(2), head.getLong(3))
+    writeCheckpoint(cp)
+    deleteAllShardCheckpoints()
+    cp
+  }
+
+  /** DeleteAllShardCheckpoints (write.go:196–198): compacting rewrite of the
+    * checkpoint log without the shard-* keys. */
+  def deleteAllShardCheckpoints(): Unit = {
+    rewriteTable(
+      checkpointsPath,
+      checkpointsDF.filter(!col("key").startsWith(ShardCheckpointPrefix)).coalesce(1),
+      format = "json")
+    cpCache.keys.filter(_.startsWith(ShardCheckpointPrefix)).foreach(cpCache.remove)
   }
 }
 
@@ -305,18 +508,31 @@ object Backfill {
       .parquet(outPath)
 
   /** Replay one shard's segment into a live store (shardinject.go:48–174),
-    * skipping heights at or below the shard checkpoint (startAfter). */
+    * skipping heights at or below the shard checkpoint (startAfter). The
+    * commit id is deterministic per (shard, startAfter): a crash between the
+    * data write and the shard checkpoint replays as a skip, not a duplicate.
+    * Injection refuses a store the live injector already checkpointed
+    * (CheckCleanDBForSharding, read.go:439–452). */
   def injectShard(
       spark: SparkSession,
       shardPath: String,
       shard: Int,
       store: StateStore,
       startAfter: Long = -1L): Unit = {
-    val seg = spark.read.parquet(shardPath).filter(col("shard") === lit(shard))
+    store.checkCleanForSharding()
+    val all = spark.read.parquet(shardPath)
+    val seg = all.filter(col("shard") === lit(shard))
       .filter(col("height") > lit(startAfter))
       .drop("shard")
-    store.writeTabletRows(seg.select(StateStore.tabletRowCols.map(col): _*))
-    val headRow = seg.agg(max(col("height"))).collect().head
+    store.writeTabletRows(
+      seg.select(StateStore.tabletRowCols.map(col): _*),
+      f"shard$shard%03d-after$startAfter")
+    // Every shard replays the same [start, stop] block range, so its
+    // checkpoint is the GLOBAL stop height — not this shard's own max row
+    // height (a shard whose entities stop mutating early still completed
+    // the range; shardinject.go checkpoints the last processed block, and
+    // verifyAllShardsWritten classifies "complete" by this common height).
+    val headRow = all.agg(max(col("height"))).collect().head
     if (!headRow.isNullAt(0)) {
       store.writeCheckpoint(Checkpoint(
         f"${StateStore.ShardCheckpointPrefix}$shard%03d",

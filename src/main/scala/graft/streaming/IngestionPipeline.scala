@@ -51,57 +51,110 @@ final class IngestionPipeline(
   val indexCache = new graft.snapshot.Snapshots.IndexCache(indexMinMutations)
 
 
-  /** Commit one micro-batch. Runs on the driver per batch (the data writes
-    * are distributed; the fork bookkeeping is small, see ForkDB docs). */
+  /** Commit one micro-batch.
+    *
+    * Division of labor (the scale-critical part): the driver sees only
+    * small state — per-block fork METADATA (id, parent, num, step) and the
+    * payloads of reversible (`StepNew`) blocks, which the reference bounds
+    * to the ~300-block reversible segment (pipeline.go:110). The BULK of
+    * the batch — the irreversible mutation rows — never touches the
+    * driver: executors filter, flatten, and write them straight to the
+    * store's committed-batch directory. This mirrors the reference, where
+    * only the serial handler is single-threaded, not the write fan-out
+    * (pipeline.go:133–137, store/kv/store.go:359–450). */
   private[graft] def commitBatch(batch: Dataset[StreamedBlock], batchId: Long): Unit = {
-    // Fork bookkeeping needs block order; micro-batches are small (seconds of
-    // blocks), so collecting the *metadata + payload* here matches the
-    // reference's single-threaded handler (pipeline.go:133–137).
-    val blocks = batch.collect().filter(blockFilter).sortBy(b => (b.num, b.step != StreamedBlock.StepNew))
-    val irreversible = scala.collection.mutable.ListBuffer.empty[WriteRequest]
-    blocks.foreach { b =>
-      val req = WriteRequest(b.num, BlockRef(b.id, b.num), b.tabletRows, b.singletEntries)
-      b.step match {
-        case StreamedBlock.StepNew =>
-          forkDB.addLink(BlockRef(b.id, b.num), b.parentId, req)
-        case StreamedBlock.StepIrreversible =>
-          irreversible += req
-          forkDB.moveLIB(BlockRef(b.id, b.num))
-        case other => throw new IllegalArgumentException(s"unknown step: $other")
-      }
+    import spark.implicits._
+    val bf = blockFilter // local val: don't serialize `this` into closures
+    val filtered = batch.filter(bf)
+
+    // (1) Metadata-only collect — tiny: per block, its fork linkage plus
+    // per-tablet mutation COUNTS and the singlet-entry count (the index
+    // heuristic and write-skipping need numbers, not payloads).
+    val meta = filtered
+      .map(b => (b.id, b.parentId, b.num, b.step,
+        b.tabletRows.groupBy(r => (r.tabletId, r.collection))
+          .map { case ((t, c), rs) => (t, c, rs.size.toLong) }.toSeq,
+        b.singletEntries.size.toLong))
+      .collect()
+      .sortBy { case (_, _, num, step, _, _) => (num, step != StreamedBlock.StepNew) }
+    if (meta.isEmpty) return
+    meta.foreach {
+      case (_, _, _, step, _, _)
+          if step != StreamedBlock.StepNew && step != StreamedBlock.StepIrreversible =>
+        throw new IllegalArgumentException(s"unknown step: $step")
+      case _ => ()
     }
-    val reqs = irreversible.toSeq
-    if (reqs.nonEmpty) {
-      // Idempotent replay: drop heights already checkpointed.
-      // store.checkpoint is O(1) after the first call (single-writer cache
-      // warmed from the durable log) — no second mirror needed here.
-      val cp = store.checkpoint(StateStore.GlobalCheckpointKey).map(_.height).getOrElse(-1L)
-      val fresh = reqs.filter(_.height > cp)
-      if (fresh.nonEmpty) {
-        store.writeBatch(fresh)
-        // Index maintenance: count this batch's mutations per tablet and
-        // snapshot any tablet past the trigger heuristic, pinned at the
-        // batch head height (so snapshot ∪ tail reads stay consistent).
-        val head = fresh.map(_.height).max
-        val byTablet = fresh.flatMap(_.tabletRows).groupBy(_.tabletId)
-        byTablet.foreach {
-          case (tablet, rows) => indexCache.increment(tablet, rows.size.toLong)
-        }
-        indexCache.tabletsToIndex().foreach { tablet =>
-          // Persist the index across its two consumers (snapshot write +
-          // row count) — without it the full build re-executes per action.
-          val idx = graft.snapshot.Snapshots
-            .buildTabletIndex(store.tabletRows, tablet, head).persist()
-          try {
-            val squelch = graft.snapshot.Snapshots
-              .squelchCount(store.tabletRows, tablet, head)
-            val collection = byTablet.get(tablet)
-              .flatMap(_.headOption).map(_.collection).getOrElse(0)
-            store.writeTabletSnapshot(idx, tablet, head, squelch, collection)
-            indexCache.recordIndexed(tablet, idx.count())
-          } finally idx.unpersist()
-        }
-      }
+
+    // (2) Reversible payloads — bounded by the fork window (the reference
+    // caps the reversible segment at ~300 blocks, pipeline.go:110) — feed
+    // the driver-side ForkDB for speculative overlays. Irreversible
+    // payloads are NEVER collected.
+    val newPayloads: Map[String, StreamedBlock] =
+      if (meta.exists(_._4 == StreamedBlock.StepNew))
+        filtered.filter(_.step == StreamedBlock.StepNew).collect().map(b => b.id -> b).toMap
+      else Map.empty
+    meta.foreach {
+      case (id, parentId, num, StreamedBlock.StepNew, _, _) =>
+        val b = newPayloads(id)
+        forkDB.addLink(BlockRef(id, num), parentId,
+          WriteRequest(num, BlockRef(id, num), b.tabletRows, b.singletEntries))
+      case (id, _, num, _, _, _) =>
+        forkDB.moveLIB(BlockRef(id, num))
+    }
+
+    // (3) Irreversible data, written distributed. Idempotent replay: drop
+    // heights already checkpointed (store.checkpoint is O(1) after the
+    // first call — single-writer cache warmed from the durable log).
+    val cp = store.checkpoint(StateStore.GlobalCheckpointKey).map(_.height).getOrElse(-1L)
+    val irrMeta = meta
+      .filter { case (_, _, num, step, _, _) => step == StreamedBlock.StepIrreversible && num > cp }
+    if (irrMeta.isEmpty) return
+    val (lo, hi) = (irrMeta.head._3, irrMeta.last._3)
+    require(
+      irrMeta.toSeq.sliding(2).forall {
+        case Seq(a, b) => b._3 == a._3 + 1
+        case _         => true
+      },
+      "non-contiguous irreversible heights in batch")
+    require(
+      store.isNextBlock(StateStore.GlobalCheckpointKey, lo),
+      s"batch head $lo does not follow checkpoint ${StateStore.GlobalCheckpointKey}")
+
+    // Per-tablet totals from the collected metadata — no extra Spark job.
+    val tabletCounts = irrMeta.iterator.flatMap(_._5)
+      .toSeq.groupBy(t => (t._1, t._2))
+      .map { case ((tablet, collection), ts) => (tablet, collection, ts.map(_._3).sum) }
+      .toSeq
+    val hasEntries = irrMeta.exists(_._6 > 0)
+    val batchDir = f"b$lo%017d-$hi%017d"
+    val irr = filtered.filter(b => b.step == StreamedBlock.StepIrreversible && b.num > cp)
+    if (tabletCounts.nonEmpty)
+      store.writeTabletRows(
+        irr.flatMap(_.tabletRows).toDF(StateStore.tabletRowCols: _*), batchDir)
+    if (hasEntries)
+      store.writeSingletEntries(
+        irr.flatMap(_.singletEntries).toDF(StateStore.singletEntryCols: _*), batchDir)
+    // Checkpoint last — the durability barrier (write.go:40–72).
+    val (headId, _, headNum, _, _, _) = irrMeta.last
+    store.writeCheckpoint(Checkpoint(StateStore.GlobalCheckpointKey, hi, headId, headNum))
+
+    // (4) Index maintenance: bump per-tablet counters from the metadata
+    // counts and snapshot any tablet past the trigger heuristic, pinned at
+    // the batch head height (so snapshot ∪ tail reads stay consistent).
+    tabletCounts.foreach { case (tablet, _, n) => indexCache.increment(tablet, n) }
+    val collectionByTablet = tabletCounts.map(t => t._1 -> t._2).toMap
+    indexCache.tabletsToIndex().foreach { tablet =>
+      // Persist the index across its two consumers (snapshot write +
+      // row count) — without it the full build re-executes per action.
+      val idx = graft.snapshot.Snapshots
+        .buildTabletIndex(store.tabletRows, tablet, hi).persist()
+      try {
+        val squelch = graft.snapshot.Snapshots
+          .squelchCount(store.tabletRows, tablet, hi)
+        store.writeTabletSnapshot(
+          idx, tablet, hi, squelch, collectionByTablet.getOrElse(tablet, 0))
+        indexCache.recordIndexed(tablet, idx.count())
+      } finally idx.unpersist()
     }
   }
 

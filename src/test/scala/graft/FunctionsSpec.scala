@@ -52,12 +52,14 @@ class FunctionsSpec extends SparkTestBase {
       .select(ArrayDotProduct.dot(col("a"), col("b")).as("d"))
       .collect().head
     assert(withNullElem.isNullAt(0))
-    // Null element past the shorter array's end is never read.
-    val shortStop = Seq((Array[java.lang.Double](2.0), Array[java.lang.Double](4.0, null)))
+    // A dimension MISMATCH yields null, never a silently-truncated score
+    // (DuckDB's list_dot_product errors on mismatch; null is the
+    // detectable Spark-side analog).
+    val mismatch = Seq((Array[java.lang.Double](2.0), Array[java.lang.Double](4.0, 5.0)))
       .toDF("a", "b")
       .select(ArrayDotProduct.dot(col("a"), col("b")).as("d"))
       .collect().head
-    assert(shortStop.getDouble(0) === 8.0)
+    assert(mismatch.isNullAt(0))
   }
 
   test("ArrayDotProduct: interpreted eval agrees with codegen result") {

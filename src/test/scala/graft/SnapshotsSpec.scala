@@ -62,10 +62,22 @@ class SnapshotsSpec extends SparkTestBase {
     assert(shouldTriggerIndexing(Some(300000), 100000))
   }
 
-  test("retention prune keeps first, last, and every k-th intermediate") {
+  test("retention prune matches the reference: delete every k-th intermediate " +
+    "desc, keep the rest, skip small tablets (indexing.go:328–396)") {
+    // 10 snapshots, frequency 3: middle walked desc = [9..2]; positions
+    // 3 and 6 (heights 7 and 4) are DELETED, everything else kept.
     val hs = (1L to 10L).toSeq
-    assert(Snapshots.pruneRetention(hs, 3) === Seq(1L, 4L, 7L, 10L))
+    assert(Snapshots.pruneRetention(hs, 3) === Seq(1L, 2L, 3L, 5L, 6L, 8L, 9L, 10L))
+    // ≤ frequency + 2 snapshots: untouched (indexing.go:352–356).
+    assert(Snapshots.pruneRetention((1L to 5L).toSeq, 3) === (1L to 5L).toSeq)
     assert(Snapshots.pruneRetention(Seq(5L), 2) === Seq(5L))
+    // The reference's own shape: a 100..1300 ladder at frequency 2 loses
+    // every 2nd intermediate counting down from 1200.
+    val ladder = (1L to 13L).map(_ * 100)
+    assert(Snapshots.pruneRetention(ladder, 2) ===
+      Seq(100L, 200L, 400L, 600L, 800L, 1000L, 1200L, 1300L))
+    // Frequency must be > 1 (indexing.go:329–331).
+    intercept[IllegalArgumentException] { Snapshots.pruneRetention(hs, 1) }
   }
 
   test("physical snapshot prune rewrites the log and spares other tablets") {
@@ -77,14 +89,46 @@ class SnapshotsSpec extends SparkTestBase {
         Snapshots.squelchCount(m, "t1", h))
     }
     store.writeTabletSnapshot(Snapshots.buildTabletIndex(m, "t1", 5), "other", 5, 5)
-    val kept = store.pruneTabletSnapshots("t1", keepEvery = 2)
-    assert(kept === Seq(2L, 6L, 10L)) // first, every 2nd middle, last
+    // t1 has 5 snapshots [2,4,6,8,10] > freq+2: middle desc [8,6,4], the
+    // 2nd (height 6) is deleted; first/last always kept.
+    val kept = store.pruneTabletSnapshots("t1", pruneFrequency = 2)
+    assert(kept === Seq(2L, 4L, 8L, 10L))
     val after = store.tabletSnapshots
       .select("tablet_id", "at_height").distinct().collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
-    assert(after === Set(("t1", 2L), ("t1", 6L), ("t1", 10L), ("other", 5L)))
+    assert(after === Set(("t1", 2L), ("t1", 4L), ("t1", 8L), ("t1", 10L), ("other", 5L)))
     // Reads still work after the rewrite.
     assert(store.latestTabletSnapshot("t1").get._1 === 10L)
+  }
+
+  test("ignore-range read resolves below the corrupted window and result " +
+    "is unchanged (fetchIndex, indexing.go:303–326)") {
+    implicit val s = spark
+    val store = new graft.store.StateStore(tmpDir("store"))
+    val m = mutations
+    Seq(4L, 8L, 12L).foreach { h =>
+      store.writeTabletSnapshot(Snapshots.buildTabletIndex(m, "t1", h), "t1", h,
+        Snapshots.squelchCount(m, "t1", h))
+    }
+    // Window (5, 9]: the height-8 snapshot is corrupted — lookup at 12
+    // normally lands on 12 (outside), lookup at 9 must re-fetch below 5.
+    val ignore = Some((5L, 9L))
+    assert(store.latestTabletSnapshot("t1", 12L, ignore).get._1 === 12L)
+    assert(store.latestTabletSnapshot("t1", 9L, ignore).get._1 === 4L)
+    assert(store.latestTabletSnapshot("t1", 8L, ignore).get._1 === 4L)
+    assert(store.latestTabletSnapshot("t1", 8L, None).get._1 === 8L)
+    // The read RESULT is identical with and without the ignore range —
+    // only the snapshot choice (scan bound) changes.
+    // Store rows so the snapshot-aware read has its base table.
+    store.writeTabletRows(m.select(
+      org.apache.spark.sql.functions.lit(1).as("collection"),
+      col("tablet_id"), col("height"), col("primary_key"),
+      col("value"), col("is_deletion")))
+    val withIgnore = store.readTabletAt("t1", 9, Nil, ignore)
+      .collect().map(_.toSeq.take(2)).toSeq
+    val without = store.readTabletAt("t1", 9)
+      .collect().map(_.toSeq.take(2)).toSeq
+    assert(withIgnore === without)
   }
 
   test("IndexCache accumulates and resets per tablet") {

@@ -41,6 +41,79 @@ class StateStoreSpec extends SparkTestBase {
     }
   }
 
+  test("crash between data promote and checkpoint: replay skips the data, " +
+    "never duplicates, and lands the checkpoint") {
+    implicit val s = spark
+    import s.implicits._
+    val store = new StateStore(tmpDir("store"))
+    store.writeBatch(Seq(req(0, ("t1", "a", "a0"))))
+    // Simulate the crash window: the batch-1 DATA directory is committed
+    // (deterministic name b…1-…1) but the process died before the
+    // checkpoint write.
+    val orphan = Seq((1, "t1", 1L, "b", "b1".getBytes("UTF-8"), false))
+      .toDF(StateStore.tabletRowCols: _*)
+    store.writeTabletRows(orphan, f"b${1L}%017d-${1L}%017d")
+    assert(store.checkpoint(StateStore.GlobalCheckpointKey).get.height === 0L)
+    // foreachBatch redelivers the batch: the linearity guard admits it
+    // (checkpoint unchanged), the data write SKIPS (directory exists), the
+    // checkpoint lands.
+    store.writeBatch(Seq(req(1, ("t1", "b", "b1"))))
+    assert(store.tabletRows.filter(col("height") === 1L).count() === 1L)
+    assert(store.checkpoint(StateStore.GlobalCheckpointKey).get.height === 1L)
+  }
+
+  test("staged writes are invisible: a reader never observes an " +
+    "unpromoted (partial) batch") {
+    implicit val s = spark
+    import s.implicits._
+    val store = new StateStore(tmpDir("store"))
+    store.writeBatch(Seq(req(0, ("t1", "a", "a0"))))
+    // A batch that died mid-write leaves its files under _staging only.
+    val partial = Seq((1, "t1", 99L, "zz", "partial".getBytes("UTF-8"), false))
+      .toDF(StateStore.tabletRowCols: _*)
+    partial.write.parquet(s"${store.root}/_staging/dead-attempt")
+    assert(store.tabletRows.count() === 1L) // the orphaned staging is not readable
+    // And nothing under the table path is a bare file: every batch is a
+    // committed directory (promoted atomically).
+    assert(store.tabletRows.filter(col("primary_key") === "zz").count() === 0L)
+  }
+
+  test("interrupted table rewrite (prune/compaction) recovers the complete " +
+    "old table on next read") {
+    implicit val s = spark
+    val store = new StateStore(tmpDir("store"))
+    import s.implicits._
+    val idx = Seq(("a", 1L)).toDF("primary_key", "height")
+    store.writeTabletSnapshot(idx, "t1", 5L, 1L)
+    // Simulate a crash between rewriteTable's two renames: table moved
+    // aside, replacement never promoted.
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(store.snapshotsPath)
+    val fs = p.getFileSystem(conf)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(store.snapshotsPath + ".old")))
+    assert(store.tabletSnapshots.count() === 1L) // recovered, not "empty"
+    assert(store.latestTabletSnapshot("t1").get._1 === 5L)
+  }
+
+  test("checkpoint log compaction preserves latest-per-key and shrinks the log") {
+    implicit val s = spark
+    val store = new StateStore(tmpDir("store"))
+    (0L to 9L).foreach(h => store.writeBatch(Seq(req(h, ("t1", "k", s"v$h")))))
+    store.writeCheckpoint(Checkpoint("shard-000", 7L, "s7", 7L))
+    store.compactCheckpoints()
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(store.checkpointsPath)
+    // Compacted: the per-write commit directories are gone (the table is
+    // one flat coalesced file set).
+    assert(p.getFileSystem(conf).listStatus(p).count(_.isDirectory) === 0)
+    assert(store.checkpoint(StateStore.GlobalCheckpointKey).get.height === 9L)
+    assert(store.checkpoint("shard-000").get.height === 7L)
+    // A fresh store instance (cold cache) reads the same answers from disk.
+    val reopened = new StateStore(store.root)
+    assert(reopened.checkpoint(StateStore.GlobalCheckpointKey).get.height === 9L)
+    assert(reopened.checkpoint("shard-000").get.height === 7L)
+  }
+
   test("backfill shards by entity and injectShard replays with checkpoints") {
     implicit val s = spark
     import s.implicits._
@@ -66,5 +139,22 @@ class StateStoreSpec extends SparkTestBase {
     // A shard that never ran reports missing.
     val progress5 = store.verifyAllShardsWritten(n + 1).collect()
     assert(progress5.count(_.getString(2) == "missing") === 1)
+
+    // Finalization refuses while a shard is missing…
+    intercept[IllegalArgumentException] { store.finalizeSharding(n + 1) }
+    // …and with all shards complete: writes the GLOBAL final checkpoint at
+    // the common head, deletes the shard checkpoints (write.go:183–198).
+    val finalCp = store.finalizeSharding(n)
+    assert(finalCp.key === StateStore.GlobalCheckpointKey && finalCp.height === 39L)
+    assert(store.checkpoint(StateStore.GlobalCheckpointKey).get.height === 39L)
+    assert(store.shardCheckpoints().count() === 0L)
+    // A cold-cache reopen agrees the shard checkpoints are gone from disk.
+    val reopened = new StateStore(store.root)
+    assert(reopened.checkpoint("shard-000").isEmpty)
+    // The clean-DB guard now refuses further shard injection into this
+    // store (CheckCleanDBForSharding).
+    intercept[IllegalArgumentException] {
+      Backfill.injectShard(spark, shardPath, 0, reopened)
+    }
   }
 }
