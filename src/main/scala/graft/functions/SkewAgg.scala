@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * across task attempts — the SPARK-23207 class of problem — which would
   * let a retried partial see different salts and double-count or drop
   * rows). The contract is ENFORCED by default: unless the caller vouches
-  * with `assumeDeterministic = true`, an un-persisted input is pinned with
+  * with `assumeDeterministic = true`, the input is pinned with
   * `localCheckpoint()` before salting, so a retried task replays the exact
   * checkpointed blocks instead of re-running a nondeterministic lineage.
   */
@@ -33,14 +33,17 @@ object SkewAgg {
   private def saltCol(salts: Int) =
     pmod(monotonically_increasing_id(), lit(salts.toLong))
 
-  /** Pin partition contents/order unless the caller vouches for the input.
-    * Persisted inputs are already stable; everything else is cut from its
-    * lineage via an eager localCheckpoint (blocks are reclaimed by the
-    * ContextCleaner once the result is no longer referenced). */
+  /** Pin partition contents/order unless the caller vouches for the input,
+    * cutting the lineage via an eager localCheckpoint (blocks are reclaimed
+    * by the ContextCleaner once the result is no longer referenced).
+    *
+    * A merely-`persist()`ed input is NOT exempt: persistence is an
+    * optimization hint — an unmaterialized or evicted cache block
+    * recomputes through the original (possibly nondeterministic) lineage
+    * on retry, which is exactly the salt-desync hazard the pin closes.
+    * Only the caller's explicit `assumeDeterministic` skips it. */
   private def pinned(df: DataFrame, assumeDeterministic: Boolean): DataFrame =
-    if (assumeDeterministic ||
-      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
-    else df.localCheckpoint()
+    if (assumeDeterministic) df else df.localCheckpoint()
 
   /** `SELECT key..., sum(value) GROUP BY key...` with two-phase salting.
     * Pass `assumeDeterministic = true` only for inputs with stable

@@ -48,6 +48,13 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
   val snapshotsPath = s"$root/tablet_snapshots"
   private val stagingRoot = s"$root/_staging"
 
+  // A crash between a staged write and its promoting rename orphans the
+  // staging directory; nothing else ever references it, so the store would
+  // leak one directory per crash forever. Single-writer (the same
+  // assumption the linearity guard and checkpoint cache already make)
+  // means construction happens before any in-flight stage — sweep here.
+  deletePathQuiet(stagingRoot)
+
   // ------------------------------------------------------------------
   // Filesystem plumbing (Hadoop FS — never java.io.File, which silently
   // answers "false" for any non-local root).
@@ -66,6 +73,11 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
     val (fs, path) = fsPath(p)
     if (fs.exists(path)) require(fs.delete(path, true), s"could not delete $p")
   }
+
+  /** Best-effort delete for housekeeping paths whose absence must never
+    * fail store construction. */
+  private def deletePathQuiet(p: String): Unit =
+    try deletePath(p) catch { case _: Exception => () }
 
   private def renamePath(src: String, dst: String): Unit = {
     val (fs, s) = fsPath(src)
@@ -260,9 +272,43 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
     if (!pathExists(checkpointsPath))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.checkpoints)
-    else
+    else {
+      migrateLegacyCheckpointLog
       spark.read.option("recursiveFileLookup", "true")
         .schema(Schemas.checkpoints).json(checkpointsPath)
+    }
+  }
+
+  /** Format guard: older stores wrote the checkpoint log as per-commit
+    * PARQUET directories. JSON-parsing a parquet file in PERMISSIVE mode
+    * yields all-null rows, so `checkpoint()` would silently serve None over
+    * a populated store — and the linearity guard would then re-admit
+    * height-0 batches, duplicating data instead of failing loudly. Detect
+    * legacy parquet files once per instance and migrate them into the JSON
+    * log via the crash-safe table swap (single-writer makes this safe; a
+    * concurrent legacy READER of the same store was already impossible,
+    * since it would be running pre-JSON code). */
+  private lazy val migrateLegacyCheckpointLog: Unit = {
+    val (fs, path) = fsPath(checkpointsPath)
+    val files = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) files += it.next().getPath
+    val parquetFiles = files.filter(_.getName.endsWith(".parquet"))
+    if (parquetFiles.nonEmpty) {
+      val legacy = spark.read.schema(Schemas.checkpoints)
+        .parquet(parquetFiles.map(_.toString).toSeq: _*)
+      val jsonFiles = files.filter(_.getName.endsWith(".json"))
+      val existing =
+        if (jsonFiles.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.checkpoints)
+        else spark.read.schema(Schemas.checkpoints)
+          .json(jsonFiles.map(_.toString).toSeq: _*)
+      // Materializes the union to a tmp table BEFORE the swap, so the
+      // explicit source file paths above are still live while read.
+      rewriteTable(
+        checkpointsPath, existing.unionByName(legacy).coalesce(1), format = "json")
+    }
   }
 
   /** Latest checkpoint for a key (read.go:417–437). The checkpoint log is
@@ -496,8 +542,18 @@ object Backfill {
     pmod(hash(col("collection"), col("tablet_id")), lit(n)).cast("int")
 
   /** One-shot backfill: mutations → shard-partitioned, height-sorted Parquet.
-    * `mutations` must carry the tablet_rows schema. */
-  def run(mutations: DataFrame, outPath: String, shards: Int): Unit =
+    * `mutations` must carry the tablet_rows schema. `blockRefs` (height,
+    * block_id, block_num) is the height→block mapping the sharder saw
+    * (WriteRequest.block in the reference, sharder.go:107–192); it rides
+    * along under `_blockrefs` (underscore: hidden from the shard-data
+    * listing) so [[injectShard]] can checkpoint the REAL (id, num) pair at
+    * the stop height — the reference's WriteShardingFinalCheckpoint relies
+    * on that block ref for fork resolution at handoff. */
+  def run(
+      mutations: DataFrame,
+      outPath: String,
+      shards: Int,
+      blockRefs: Option[DataFrame] = None): Unit = {
     mutations
       .withColumn("shard", shardExpr(shards))
       .repartition(shards, col("shard"))
@@ -506,6 +562,11 @@ object Backfill {
       .mode(SaveMode.Overwrite)
       .partitionBy("shard")
       .parquet(outPath)
+    blockRefs.foreach(
+      _.select(col("height"), col("block_id"), col("block_num"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outPath/_blockrefs"))
+  }
 
   /** Replay one shard's segment into a live store (shardinject.go:48–174),
     * skipping heights at or below the shard checkpoint (startAfter). The
@@ -534,9 +595,26 @@ object Backfill {
     // verifyAllShardsWritten classifies "complete" by this common height).
     val headRow = all.agg(max(col("height"))).collect().head
     if (!headRow.isNullAt(0)) {
+      val stop = headRow.getLong(0)
+      // The real block ref at the stop height, when the sharder recorded
+      // one (_blockrefs): finalizeSharding copies this into the global
+      // final checkpoint, where fork resolution at handoff needs a real
+      // (id, num) — not an empty id. Stores sharded without blockRefs
+      // fall back to ("", stop): documented as "no fork resolution from
+      // the post-sharding checkpoint".
+      val refPath = s"$shardPath/_blockrefs"
+      val (blockId, blockNum) =
+        if (store.pathExists(refPath)) {
+          spark.read.parquet(refPath)
+            .filter(col("height") === lit(stop))
+            .select("block_id", "block_num")
+            .collect()
+            .headOption
+            .map(r => (r.getString(0), r.getLong(1)))
+            .getOrElse(("", stop))
+        } else ("", stop)
       store.writeCheckpoint(Checkpoint(
-        f"${StateStore.ShardCheckpointPrefix}$shard%03d",
-        headRow.getLong(0), "", headRow.getLong(0)))
+        f"${StateStore.ShardCheckpointPrefix}$shard%03d", stop, blockId, blockNum))
     }
   }
 }

@@ -63,9 +63,19 @@ final class IngestionPipeline(
     * only the serial handler is single-threaded, not the write fan-out
     * (pipeline.go:133–137, store/kv/store.go:359–450). */
   private[graft] def commitBatch(batch: Dataset[StreamedBlock], batchId: Long): Unit = {
-    import spark.implicits._
     val bf = blockFilter // local val: don't serialize `this` into closures
-    val filtered = batch.filter(bf)
+    // Pin ONE evaluation of the batch for all four consumers below
+    // (metadata collect, StepNew payload collect, tablet-row write,
+    // singlet-entry write): without it each consumer re-evaluates the
+    // source, so a nondeterministic blockFilter or source re-read could
+    // commit rows that disagree with the checkpoint/metadata — and even
+    // the good case scans the source 4x per batch.
+    val filtered = batch.filter(bf).persist()
+    try commitPinned(filtered) finally filtered.unpersist()
+  }
+
+  private def commitPinned(filtered: Dataset[StreamedBlock]): Unit = {
+    import spark.implicits._
 
     // (1) Metadata-only collect — tiny: per block, its fork linkage plus
     // per-tablet mutation COUNTS and the singlet-entry count (the index

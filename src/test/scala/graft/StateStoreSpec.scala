@@ -114,6 +114,48 @@ class StateStoreSpec extends SparkTestBase {
     assert(reopened.checkpoint("shard-000").get.height === 7L)
   }
 
+  test("legacy parquet checkpoint log is detected and migrated, not " +
+    "silently parsed as null JSON") {
+    implicit val s = spark
+    import s.implicits._
+    val root = tmpDir("store")
+    // A pre-JSON-era store: its checkpoint was a 1-row parquet commit dir.
+    Seq(("checkpoint", 41L, "blk-41", 41L))
+      .toDF("key", "height", "block_id", "block_num")
+      .write.parquet(s"$root/checkpoints/cp-checkpoint-41")
+    val store = new StateStore(root)
+    val cp = store.checkpoint(StateStore.GlobalCheckpointKey)
+    assert(cp.get.height === 41L && cp.get.blockId === "blk-41")
+    // The guard must hold: height 42 follows, height 0 is a re-admission.
+    assert(store.isNextBlock(StateStore.GlobalCheckpointKey, 42L))
+    assert(!store.isNextBlock(StateStore.GlobalCheckpointKey, 0L))
+    // Post-migration the log is JSON: a new write and a cold reopen agree.
+    store.writeBatch(Seq(req(42, ("t1", "a", "a42"))))
+    val reopened = new StateStore(root)
+    assert(reopened.checkpoint(StateStore.GlobalCheckpointKey).get.height === 42L)
+  }
+
+  test("orphaned staging directories are swept on store construction") {
+    implicit val s = spark
+    import s.implicits._
+    val root = tmpDir("store")
+    val store = new StateStore(root)
+    store.writeBatch(Seq(req(0, ("t1", "a", "a0"))))
+    // A write that died mid-stage leaves its files under _staging only.
+    Seq((1, "t1", 99L, "zz", "dead".getBytes("UTF-8"), false))
+      .toDF(StateStore.tabletRowCols: _*)
+      .write.parquet(s"$root/_staging/orphan-from-crash")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/_staging/orphan-from-crash")))
+    // Reopening (the restart after the crash) sweeps the orphan; data and
+    // checkpoint are untouched.
+    val reopened = new StateStore(root)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_staging/orphan-from-crash")))
+    assert(reopened.tabletRows.count() === 1L)
+    assert(reopened.checkpoint(StateStore.GlobalCheckpointKey).get.height === 0L)
+  }
+
   test("backfill shards by entity and injectShard replays with checkpoints") {
     implicit val s = spark
     import s.implicits._
@@ -121,8 +163,10 @@ class StateStoreSpec extends SparkTestBase {
     val muts = (0L until 40L).map { h =>
       (1, s"t${h % 8}", h, s"pk${h % 8}", Array[Byte](h.toByte), false)
     }.toDF(StateStore.tabletRowCols: _*)
+    val refs = (0L until 40L).map(h => (h, s"blk-$h", h))
+      .toDF("height", "block_id", "block_num")
     val shardPath = tmpDir("shards")
-    Backfill.run(muts, shardPath, n)
+    Backfill.run(muts, shardPath, n, blockRefs = Some(refs))
     // Every row of one tablet lands in exactly one shard.
     val spread = spark.read.parquet(shardPath)
       .groupBy("tablet_id").agg(org.apache.spark.sql.functions
@@ -146,6 +190,10 @@ class StateStoreSpec extends SparkTestBase {
     // the common head, deletes the shard checkpoints (write.go:183–198).
     val finalCp = store.finalizeSharding(n)
     assert(finalCp.key === StateStore.GlobalCheckpointKey && finalCp.height === 39L)
+    // The final checkpoint carries the REAL block ref at the stop height
+    // (WriteShardingFinalCheckpoint, write.go:183–198) — fork resolution
+    // at the sharding→live handoff depends on it.
+    assert(finalCp.blockId === "blk-39" && finalCp.blockNum === 39L)
     assert(store.checkpoint(StateStore.GlobalCheckpointKey).get.height === 39L)
     assert(store.shardCheckpoints().count() === 0L)
     // A cold-cache reopen agrees the shard checkpoints are gone from disk.
