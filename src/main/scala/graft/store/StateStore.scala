@@ -1,7 +1,7 @@
 package graft.store
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import graft.model._
@@ -407,6 +407,95 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
         graft.read.TemporalReads.readTabletAt(tabletRows, tabletId, atHeight, speculative)
     }
 
+  /** ReindexTablets (indexing.go:100–171): rebuild EXISTING tablet index
+    * entries from the mutation rows — the operational answer to a corrupted
+    * or format-changed index. The reference loops tablet-by-tablet,
+    * entry-by-entry through its KV store (ordered by tablet, ascending by
+    * height); the columnar re-expression rebuilds ALL in-scope
+    * `(tablet, at_height)` entries in ONE distributed job — the entry list
+    * joins the mutation table, a per-entry argmax recomputes each index,
+    * and the snapshot table is swap-rewritten crash-safely in place.
+    *
+    * `maxHeight` bounds entries (reference `height`, 0 → all); `lowerBound`
+    * restarts from a tablet id (reference `lowerBound`); `dryRun` only
+    * counts. Returns `(tabletCount, indexCount)` like the reference. */
+  def reindexTablets(
+      maxHeight: Long = Long.MaxValue,
+      lowerBound: String = "",
+      dryRun: Boolean = false,
+      heavyIndexRows: Long = HeavyIndexRowWarning): (Long, Long) =
+    reindexScoped(
+      col("at_height") <= lit(maxHeight) && col("tablet_id") >= lit(lowerBound),
+      dryRun, heavyIndexRows)
+
+  /** ReindexTablet (indexing.go:173–223): recompute the LATEST index entry
+    * of one tablet at or below `maxHeight`, in place. Returns the reindexed
+    * height, or None when no index exists there ("re-index not required").
+    * `write = false` mirrors the reference's read-only mode. */
+  def reindexTablet(
+      tabletId: String,
+      maxHeight: Long = Long.MaxValue,
+      write: Boolean = true): Option[Long] =
+    latestTabletSnapshot(tabletId, maxHeight).map { case (h, _) =>
+      if (write)
+        reindexScoped(
+          col("tablet_id") === lit(tabletId) && col("at_height") === lit(h),
+          dryRun = false, HeavyIndexRowWarning)
+      h
+    }
+
+  private def reindexScoped(
+      inScope: Column, dryRun: Boolean, heavyIndexRows: Long): (Long, Long) = {
+    val snaps = tabletSnapshots
+    val entries = snaps.filter(inScope)
+      .select("collection", "tablet_id", "at_height").distinct().persist()
+    try {
+      val stats = entries.agg(countDistinct(col("tablet_id")), count(lit(1)))
+        .collect().head
+      val (tabletCount, indexCount) = (stats.getLong(0), stats.getLong(1))
+      if (dryRun || indexCount == 0L) return (tabletCount, indexCount)
+
+      // Same aggregation semantics as Snapshots.buildTabletIndex (durable
+      // rows only; per-pk argmax of height; tombstones filtered AFTER the
+      // argmax), generalized to every entry at once. A mutation row
+      // participates in each of its tablet's indexes at or above its height
+      // — exactly the reference's per-entry rebuild, as one shuffle.
+      val rowsSlim = tabletRows
+        .select(col("tablet_id"), col("height"), col("primary_key"), col("is_deletion"))
+      val perPk = rowsSlim.join(entries, Seq("tablet_id"))
+        .filter(col("height") <= col("at_height"))
+        .groupBy("collection", "tablet_id", "at_height", "primary_key")
+        .agg(
+          max_by(struct(col("height"), col("is_deletion")), col("height")).as("w"),
+          count(lit(1)).as("n_versions"))
+        .persist()
+      try {
+        val perEntry = perPk.groupBy("collection", "tablet_id", "at_height")
+          .agg(sum(col("n_versions")).as("squelch_count"),
+            sum(when(col("w.is_deletion"), 0L).otherwise(1L)).as("n_index_rows"))
+          .persist()
+        try {
+          // The reference flags serialized index values above 25 MB
+          // (indexing.go:145–148); the columnar analogue is a row-count
+          // threshold (1M (pk, height) pairs ≈ tens of MB).
+          perEntry.filter(col("n_index_rows") >= lit(heavyIndexRows))
+            .collect().foreach { r =>
+              Console.err.println(
+                s"[reindex] index pretty heavy: tablet=${r.getString(1)} " +
+                  s"at_height=${r.getLong(2)} rows=${r.getLong(4)}")
+            }
+          val rebuilt = perPk.filter(!col("w.is_deletion"))
+            .join(perEntry.select("collection", "tablet_id", "at_height", "squelch_count"),
+              Seq("collection", "tablet_id", "at_height"))
+            .select(col("collection"), col("tablet_id"), col("at_height"),
+              col("squelch_count"), col("primary_key"), col("w.height").as("height"))
+          rewriteTable(snapshotsPath, snaps.filter(!inScope).unionByName(rebuilt))
+        } finally perEntry.unpersist()
+      } finally perPk.unpersist()
+      (tabletCount, indexCount)
+    } finally entries.unpersist()
+  }
+
   /** Apply the retention policy to one tablet's snapshot log
     * (PruneTabletIndexes, indexing.go:328–396 via
     * [[graft.snapshot.Snapshots.pruneRetention]]): keep first and last,
@@ -518,6 +607,9 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
 object StateStore {
   val GlobalCheckpointKey = "checkpoint" // const.go:17
   val ShardCheckpointPrefix = "shard-"   // read.go:454–464
+  /** Row-count analogue of the reference's 25 MB heavy-index warning
+    * (indexing.go:145–148). */
+  val HeavyIndexRowWarning = 1000000L
 
   val tabletRowCols =
     Seq("collection", "tablet_id", "height", "primary_key", "value", "is_deletion")

@@ -189,6 +189,33 @@ final class IngestionPipeline(
     })
   }
 
+  /** Singlet-entry speculative overlay for a read at block `refId` — feeds
+    * the `speculative` argument of `readSingletEntryAt`/`readSingletEntries`
+    * (read.go:333–345, 385–393), completing the facade pair with
+    * [[speculativeTabletRows]]. */
+  def speculativeSingletEntries(refId: String): Option[Seq[DataFrame]] = {
+    import spark.implicits._
+    forkDB.speculativeWrites(refId).map(_.map { req =>
+      req.singletEntries.toDF(StateStore.singletEntryCols: _*)
+    })
+  }
+
+  /** `FetchSpeculativeWrites` parity (pipeline.go:228–265): resolve an
+    * optional request block — by id, by BARE num in the current chain, or
+    * None for the whole overlay — with the reference's NotReady /
+    * RequestedBlockNotFound error semantics. */
+  def fetchSpeculativeWrites(request: Option[BlockRef] = None): SpeculativeFetch =
+    forkDB.fetchSpeculativeWrites(request)
+
+  /** Create head/LIB/lag gauges for this pipeline and register them on the
+    * session's streaming listener bus (T7 — see [[PipelineMetrics]]). */
+  def registerMetrics(
+      headTimestampMillis: Option[Long => Long] = None): PipelineMetrics = {
+    val m = new PipelineMetrics(forkDB, headTimestampMillis)
+    spark.streams.addListener(m)
+    m
+  }
+
   /** Readiness (T6, pipeline.go:441–443): head within `thresholdSeconds` of
     * wall clock. The block→time mapping is embedder-supplied. */
   def isReady(headTimestampMillis: Long, nowMillis: Long, thresholdSeconds: Int = 15): Boolean =

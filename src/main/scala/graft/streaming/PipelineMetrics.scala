@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Head/LIB/lag gauges (T7; reference metrics/metrics.go:15–24 publishes
+  * `statedb` HeadBlockNumber and HeadTimeDrift from its in-process handler).
+  *
+  * The Spark-native seam is a [[StreamingQueryListener]]: progress events
+  * fire once per micro-batch ON THE DRIVER — exactly where the [[ForkDB]]
+  * lives — so sampling the fork state is a lock-read, needs no executor
+  * plumbing, and rides the same bus every metrics sink (Prometheus servlet,
+  * Dropwizard, custom) already listens to.
+  *
+  * `headTimestampMillis` maps a block num to its event-time millis (the
+  * block→time mapping is embedder-supplied, like
+  * [[IngestionPipeline.isReady]]); when present, the drift gauge tracks
+  * wall-clock minus head event-time, the reference's HeadTimeDrift.
+  */
+final class PipelineMetrics(
+    forkDB: ForkDB,
+    headTimestampMillis: Option[Long => Long] = None,
+    clockMillis: () => Long = () => System.currentTimeMillis())
+    extends StreamingQueryListener {
+
+  private val headNum = new AtomicLong(-1L)
+  private val libNum = new AtomicLong(-1L)
+  private val lag = new AtomicLong(-1L)
+  private val driftMillis = new AtomicLong(-1L)
+  private val batchCount = new AtomicLong(0L)
+  private val inputRowCount = new AtomicLong(0L)
+
+  /** HeadBlockNumber gauge (-1 until the first sampled block). */
+  def headBlockNumber: Long = headNum.get()
+
+  /** Last-irreversible-block gauge. */
+  def libBlockNumber: Long = libNum.get()
+
+  /** Reversible lag: head − LIB, the depth of the speculative overlay. */
+  def reversibleLag: Long = lag.get()
+
+  /** HeadTimeDrift in millis (-1 without a block→time mapping). */
+  def headTimeDriftMillis: Long = driftMillis.get()
+
+  /** Micro-batches observed via the listener bus. */
+  def batchesObserved: Long = batchCount.get()
+
+  /** Cumulative input rows observed via the listener bus. */
+  def inputRowsObserved: Long = inputRowCount.get()
+
+  /** One flat scrape of every gauge. */
+  def snapshot: Map[String, Long] = Map(
+    "head_block_num" -> headBlockNumber,
+    "lib_block_num" -> libBlockNumber,
+    "reversible_lag" -> reversibleLag,
+    "head_time_drift_millis" -> headTimeDriftMillis,
+    "batches_observed" -> batchesObserved,
+    "input_rows_observed" -> inputRowsObserved)
+
+  /** Sample the fork state now (also invoked per progress event). */
+  def sample(): Unit = {
+    val h = forkDB.head
+    val l = forkDB.lib
+    headNum.set(h.num)
+    libNum.set(l.num)
+    lag.set(h.num - l.num)
+    headTimestampMillis.foreach(f => driftMillis.set(clockMillis() - f(h.num)))
+  }
+
+  override def onQueryStarted(
+      event: StreamingQueryListener.QueryStartedEvent): Unit = ()
+
+  override def onQueryProgress(
+      event: StreamingQueryListener.QueryProgressEvent): Unit = {
+    batchCount.incrementAndGet()
+    inputRowCount.addAndGet(event.progress.numInputRows)
+    sample()
+  }
+
+  override def onQueryTerminated(
+      event: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+}

@@ -70,6 +70,71 @@ class ForkStreamingSpec extends SparkTestBase {
     assert(asOf.toSeq === Seq(("pk0", "a4-v"), ("pk1", "a5-v")))
   }
 
+  test("FetchSpeculativeWrites parity: NotReady before any head, by-num in " +
+    "the current chain, RequestedBlockNotFound above head or off-chain") {
+    import graft.streaming.SpeculativeFetch
+    val db = new ForkDB
+    // No block processed yet: ErrNotReady.
+    assert(db.fetchSpeculativeWrites() === SpeculativeFetch.NotReady)
+    db.moveLIB(ref(0))
+    // An all-irreversible stream is ready, with an empty overlay at LIB 0.
+    assert(db.fetchSpeculativeWrites() === SpeculativeFetch.Writes(Nil, 0L))
+    db.addLink(ref(1), "a0", wr(1))
+    db.addLink(ref(2), "a1", wr(2))
+    db.addLink(ref(3), "a2", wr(3))
+    db.addLink(BlockRef("b2", 2), "a1", wr(2, "b")) // competing fork
+    // None -> the whole current overlay (LIB, head].
+    val SpeculativeFetch.Writes(all, lib0) = db.fetchSpeculativeWrites(): @unchecked
+    assert(all.map(_.block.id) === Seq("a1", "a2", "a3") && lib0 === 0L)
+    def ids(f: SpeculativeFetch): Seq[String] = (f: @unchecked) match {
+      case SpeculativeFetch.Writes(ws, _) => ws.map(_.block.id)
+    }
+    // Bare num: current chain truncated at that num (pipeline.go:263).
+    assert(ids(db.fetchSpeculativeWrites(Some(BlockRef("", 2)))) === Seq("a1", "a2"))
+    // Bare num equal to head num: up-to-head fast path.
+    assert(ids(db.fetchSpeculativeWrites(Some(BlockRef("", 3)))) === Seq("a1", "a2", "a3"))
+    // By id on a fork branch.
+    assert(ids(db.fetchSpeculativeWrites(Some(BlockRef("b2", 2)))) === Seq("a1", "b2"))
+    // Above head / unknown id: ErrRequestedBlockNotFound.
+    assert(db.fetchSpeculativeWrites(Some(BlockRef("", 9)))
+      === SpeculativeFetch.RequestedBlockNotFound)
+    assert(db.fetchSpeculativeWrites(Some(BlockRef("zz", 2)))
+      === SpeculativeFetch.RequestedBlockNotFound)
+  }
+
+  test("singlet speculative overlay: pipeline facade feeds readSingletEntryAt " +
+    "with fork-branch entries, tombstones erase") {
+    implicit val s = spark
+    import s.implicits._
+    val store = new StateStore(tmpDir("store"))
+    val pipeline = new IngestionPipeline(store)
+    def block(n: Long, step: String, value: String, del: Boolean = false) =
+      StreamedBlock(s"a$n", s"a${n - 1}", n, step, Nil,
+        Seq(SingletEntryM(1, "s1", n, value.getBytes, del)))
+    // Heights 0..1 irreversible, 2..3 speculative on singlet s1.
+    pipeline.commitBatch(Seq(
+      block(0, "irreversible", "v0"), block(1, "irreversible", "v1"),
+      block(2, "new", "v2"), block(3, "new", "v3")).toDS(), 0)
+    assert(store.singletEntries.count() === 2L)
+    // Overlay at a3: the speculative entry v3 wins over durable v1.
+    val spec = pipeline.speculativeSingletEntries("a3").get
+    val at3 = store.readSingletEntryAt("s1", 3L, spec).collect()
+    assert(at3.length === 1 && new String(at3.head.getAs[Array[Byte]](2)) === "v3")
+    // At height 2 the overlay serves v2.
+    val at2 = store.readSingletEntryAt("s1", 2L, pipeline.speculativeSingletEntries("a2").get)
+      .collect()
+    assert(new String(at2.head.getAs[Array[Byte]](2)) === "v2")
+    // A speculative deletion erases the entry (read.go:337–341).
+    pipeline.commitBatch(Seq(block(4, "new", "", del = true)).toDS(), 1)
+    val at4 = store.readSingletEntryAt("s1", 4L, pipeline.speculativeSingletEntries("a4").get)
+    assert(at4.count() === 0L)
+    // FetchSpeculativeWrites through the pipeline: by bare num.
+    import graft.streaming.SpeculativeFetch
+    val SpeculativeFetch.Writes(byNum, atFinal) =
+      pipeline.fetchSpeculativeWrites(Some(BlockRef("", 3))): @unchecked
+    assert(byNum.map(_.height) === Seq(2L, 3L) && atFinal === 1L)
+  }
+
   test("ingestion triggers index builds past the heuristic; snapshot-aware " +
     "read equals the direct read") {
     implicit val s = spark
@@ -106,6 +171,46 @@ class ForkStreamingSpec extends SparkTestBase {
     // t2 stayed under the threshold: no snapshot, read falls back cleanly.
     assert(store.latestTabletSnapshot("t2").isEmpty)
     assert(store.readTabletAt("t2", 29).count() === 1L)
+  }
+
+  test("PipelineMetrics gauges update from a streaming run: head, LIB, " +
+    "reversible lag, time drift, batch/row counters") {
+    implicit val s = spark
+    import s.implicits._
+    val store = new StateStore(tmpDir("store"))
+    val pipeline = new IngestionPipeline(store)
+    // Deterministic clock + block->time mapping: block n "happened" at
+    // n*1000 ms, the wall clock is pinned at 10_000 ms.
+    val metrics = new graft.streaming.PipelineMetrics(
+      pipeline.forkDB, Some((n: Long) => n * 1000L), () => 10000L)
+    s.streams.addListener(metrics)
+    implicit val sqlCtx = s.sqlContext
+    val source = MemoryStream[StreamedBlock]
+    def block(n: Long, step: String) = StreamedBlock(
+      s"a$n", s"a${n - 1}", n, step,
+      Seq(TabletRowM(1, "t1", n, "pk", s"a$n".getBytes, false)), Nil)
+    val q = pipeline.start(source.toDS(), tmpDir("ckpt"), triggerMillis = 50)
+    try {
+      source.addData(
+        block(0, "irreversible"), block(1, "irreversible"),
+        block(2, "irreversible"), block(3, "new"), block(4, "new"))
+      q.processAllAvailable()
+      // Listener events are delivered asynchronously — poll briefly.
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (metrics.headBlockNumber < 4L && System.nanoTime() < deadline)
+        Thread.sleep(20)
+    } finally {
+      q.stop()
+      s.streams.removeListener(metrics)
+    }
+    assert(metrics.headBlockNumber === 4L)
+    assert(metrics.libBlockNumber === 2L)
+    assert(metrics.reversibleLag === 2L)
+    // Drift = pinned clock 10_000 - head event-time 4_000.
+    assert(metrics.headTimeDriftMillis === 6000L)
+    assert(metrics.batchesObserved >= 1L)
+    assert(metrics.inputRowsObserved >= 5L)
+    assert(metrics.snapshot("head_block_num") === 4L)
   }
 
   test("ingestion replay is idempotent: re-delivered batch below checkpoint is skipped") {

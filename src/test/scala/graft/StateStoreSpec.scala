@@ -156,6 +156,65 @@ class StateStoreSpec extends SparkTestBase {
     assert(reopened.checkpoint(StateStore.GlobalCheckpointKey).get.height === 0L)
   }
 
+  test("reindexTablets rebuilds corrupted index entries from the mutation " +
+    "rows; dryRun counts without writing; lowerBound scopes") {
+    implicit val s = spark
+    import s.implicits._
+    val store = new StateStore(tmpDir("store"))
+    // Two tablets; t1 mutates a/b (b tombstoned at h3), t2 mutates c.
+    store.writeBatch(Seq(
+      WriteRequest(0, BlockRef("b0", 0), Seq(
+        TabletRowM(1, "t1", 0, "a", "a0".getBytes, false),
+        TabletRowM(1, "t1", 0, "b", "b0".getBytes, false),
+        TabletRowM(1, "t2", 0, "c", "c0".getBytes, false)), Nil),
+      WriteRequest(1, BlockRef("b1", 1), Seq(
+        TabletRowM(1, "t1", 1, "a", "a1".getBytes, false)), Nil),
+      WriteRequest(2, BlockRef("b2", 2), Seq(
+        TabletRowM(1, "t2", 2, "c", "c2".getBytes, false)), Nil),
+      WriteRequest(3, BlockRef("b3", 3), Seq(
+        TabletRowM(1, "t1", 3, "b", Array[Byte](), true)), Nil)))
+    // CORRUPTED index entries (wrong keys/heights) at (t1, 3) and (t2, 2).
+    store.writeTabletSnapshot(
+      Seq(("zz", 99L)).toDF("primary_key", "height"), "t1", 3L, 0L, 1)
+    store.writeTabletSnapshot(
+      Seq(("zz", 99L)).toDF("primary_key", "height"), "t2", 2L, 0L, 1)
+
+    // dryRun: counts only, nothing rewritten.
+    assert(store.reindexTablets(dryRun = true) === ((2L, 2L)))
+    assert(store.latestTabletSnapshot("t1", 3L).get._2
+      .collect().map(_.getString(0)).toSeq === Seq("zz"))
+
+    // lowerBound scopes the rebuild to tablets >= it (reference lowerBound).
+    assert(store.reindexTablets(lowerBound = "t2") === ((1L, 1L)))
+    assert(store.latestTabletSnapshot("t1", 3L).get._2
+      .collect().map(_.getString(0)).toSeq === Seq("zz")) // untouched
+    val t2Idx = store.latestTabletSnapshot("t2", 2L).get._2
+      .orderBy("primary_key").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(t2Idx.toSeq === Seq(("c", 2L))) // rebuilt: latest c at h2
+
+    // Full reindex fixes t1 too: live key a at h1, tombstoned b dropped —
+    // exactly Snapshots.buildTabletIndex's output (indexing_test.go shape).
+    assert(store.reindexTablets() === ((2L, 2L)))
+    val t1Idx = store.latestTabletSnapshot("t1", 3L).get._2
+      .orderBy("primary_key").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(t1Idx.toSeq === Seq(("a", 1L)))
+    // squelch_count recomputed: 4 t1 row-versions scanned at h3.
+    val squelch = store.tabletSnapshots
+      .filter(col("tablet_id") === "t1" && col("at_height") === 3L)
+      .select("squelch_count").distinct().collect().map(_.getLong(0)).toSeq
+    assert(squelch === Seq(4L))
+
+    // Single-tablet variant: corrupt t2 again, reindexTablet repairs just it.
+    store.writeTabletSnapshot(
+      Seq(("zz", 99L)).toDF("primary_key", "height"), "t2", 4L, 0L, 1)
+    assert(store.reindexTablet("t2") === Some(4L))
+    val t2Latest = store.latestTabletSnapshot("t2").get._2
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(t2Latest.toSeq === Seq(("c", 2L)))
+    // No index at all -> None ("re-index not required").
+    assert(store.reindexTablet("t-none") === None)
+  }
+
   test("backfill shards by entity and injectShard replays with checkpoints") {
     implicit val s = spark
     import s.implicits._
