@@ -20,6 +20,10 @@ object Probe {
       .config("spark.local.dir", "/dev/shm/spark-graft")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional broadcast-threshold override, for exercising size-gated
+    // non-broadcast paths on scaled corpora.
+    sys.env.get("PROBE_BC_THRESHOLD")
+      .foreach(spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
     spark.range(1000).selectExpr("sum(id)").collect()
     val fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
       if (name == "entry") (s, _) => SparkEntry.entry(s)

@@ -217,12 +217,18 @@ object Analytics {
         |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
         |     (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders""".stripMargin) {
       (s, dir) =>
+        // Semi + anti counts fused into ONE distributed pass: left-join
+        // customers against the distinct order custkeys (no fanout) and
+        // split the count on match presence — instead of two driver
+        // actions each scanning customer and joining orders.
         val customer = t(s, dir, "customer")
-        val orders = t(s, dir, "orders")
-        val withO = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi").count()
-        val withoutO = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti").count()
-        import s.implicits._
-        Seq((withO, withoutO)).toDF("with_orders", "without_orders")
+        val orderKeys = t(s, dir, "orders")
+          .select(col("o_custkey")).distinct().withColumn("has_order", lit(1))
+        customer
+          .join(orderKeys, col("c_custkey") === col("o_custkey"), "left")
+          .agg(
+            sum(when(col("has_order").isNotNull, 1L).otherwise(0L)).as("with_orders"),
+            sum(when(col("has_order").isNull, 1L).otherwise(0L)).as("without_orders"))
     },
 
     // Event-time tumbling window over the stream table (hourly).

@@ -239,11 +239,13 @@ object PipelineQueries {
     QuerySpec.sql("p_dedup_ngram_jaccard", jaccardOracle) { (s, dir) =>
       val raw = docs(s, dir)
       // Adaptive rep collapse: one cheap aggregate decides whether the
-      // corpus has exact-dup texts. With no dups the collapse and the
-      // expansion are identities — skip their five joins entirely. (The
-      // oracle's fixed SQL computes the same result either way.)
-      val Array(nDocs, nGrps) = raw
-        .agg(count(lit(1)), countDistinct(md5(col("text")))).collect()
+      // corpus has exact-dup texts (with no dups the collapse and the
+      // expansion are identities — skip their five joins entirely) AND
+      // sizes the verification join's build side, all in a single scan.
+      // (The oracle's fixed SQL computes the same result either way.)
+      val Array(nDocs, nGrps, totalChars) = raw
+        .agg(count(lit(1)), countDistinct(md5(col("text"))),
+          coalesce(sum(length(col("text"))), lit(0L))).collect()
         .head.toSeq.map(_.asInstanceOf[Long]).toArray
       val hasDups = nGrps < nDocs
       val d = raw.withColumn("grp", md5(col("text")))
@@ -282,9 +284,19 @@ object PipelineQueries {
         .filter(least(col("na") - col("pa"), col("nb") - col("pb")) + lit(1) >=
           expr("(na + nb + 2) div 3"))
         .select("da", "db").distinct()
-      // One broadcast of the rep-array table, reused for both join sides
-      // (identical exchange subtree → ReusedExchange in the plan).
-      val arr = broadcast(repArr)
+      // SIZE-GATED verification side: the per-rep hash-array table is
+      // broadcast only while its estimated bytes (~8 per shingle hash ≈
+      // chars × 1.4, + per-row array overhead) fit the session's broadcast
+      // threshold — one broadcast REUSED for both join sides (identical
+      // exchange subtree → ReusedExchange). Past the gate — the 100 TB
+      // case — the candidate pairs shuffle-join the persisted rep arrays
+      // on doc_id instead: cost tracks candidates, never a driver-side
+      // collect of the full corpus.
+      val estArrBytes = (totalChars * 14L) / 10L + nGrps * 64L
+      val bcThreshold = s.sessionState.conf.autoBroadcastJoinThreshold
+      val arr =
+        if (bcThreshold > 0 && estArrBytes <= bcThreshold) broadcast(repArr)
+        else repArr
       val repPairs = cands
         .join(arr.as("va"), col("da") === col("va.doc_id"))
         .join(arr.as("vb"), col("db") === col("vb.doc_id"))
@@ -631,37 +643,37 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
-    // Multimodal decode (rows-only): Dataset[T] mapPartitions plumbing for
-    // a batch media decoder — deterministic stub standing in for the real
-    // image decode (no media libs in this container). Demonstrates the
-    // executor-side batch shape: one decoder init per partition, typed
-    // output schema.
+    // Multimodal decode (rows-only): Dataset[T] mapPartitions over a REAL
+    // image codec — each document's payload is a deterministic PNG (derived
+    // from its text, since the corpus ships no image column) decoded
+    // through javax.imageio, the JDK's actual PNG plugin. The executor-side
+    // batch shape (one codec context per partition, typed output schema)
+    // and the decode cost are those of a genuine image pipeline; swapping
+    // in a real binary parquet column changes one `select`. See
+    // [[graft.functions.Media]].
     QuerySpec.rowsOnly("p_multimodal_decode") { (s, dir) =>
       import s.implicits._
       val blobs = docs(s, dir)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
       blobs.mapPartitions { it =>
-        // Real pipeline: init decoder once per partition (expensive native
-        // lib handle), decode each blob to (width, height, channels, …).
-        // Stub: deterministic pseudo-decode from the payload bytes.
-        it.map { case (id, bytes) =>
-          val checksum = bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0x7fffffffL)
-          val width = 64 + (checksum % 64)
-          val height = 64 + ((checksum / 64) % 64)
-          (id, width, height, width * height, checksum)
+        it.map { case (id, text) =>
+          val png = graft.functions.Media.textToPng(text)
+          val (w, h, lum) = graft.functions.Media.decodePng(png)
+          (id, w.toLong, h.toLong, w.toLong * h, png.length.toLong, lum)
         }
-      }.toDF("doc_id", "width", "height", "n_pixels", "checksum")
+      }.toDF("doc_id", "width", "height", "n_pixels", "png_bytes", "mean_luma_milli")
         .orderBy("doc_id")
     },
 
     // ---------------------------------------------------------------------
-    // Multimodal frame sampling (rows-only): the video analog of the decode
-    // stub — one row per SAMPLED frame (a flatMap/explode, so row count is
-    // data-dependent). The payload deterministically fakes an 8–23-frame
-    // clip; every 4th frame is sampled, mirroring a real keyframe-stride
-    // sampler's shape (generator output, typed schema, executor-side
-    // decode init per partition).
+    // Multimodal frame sampling (rows-only): the video analog of the
+    // decode query — one row per SAMPLED keyframe (a flatMap, so row count
+    // is data-dependent). The payload deterministically models an
+    // 8–23-frame clip; every 4th frame is rendered as a distinct PNG and
+    // decoded through the same real javax.imageio path, mirroring a
+    // keyframe-stride sampler (generator output, typed schema, per-
+    // partition codec init).
     // ---------------------------------------------------------------------
     // Approximate distinct (HLL++, rows-only): per-source exact vs
     // approximate distinct text counts. The sketch is mergeable —
@@ -681,18 +693,21 @@ object PipelineQueries {
     QuerySpec.rowsOnly("p_multimodal_frames") { (s, dir) =>
       import s.implicits._
       val blobs = docs(s, dir)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
       blobs.mapPartitions { it =>
-        it.flatMap { case (id, bytes) =>
-          val checksum = bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0x7fffffffL)
+        it.flatMap { case (id, text) =>
+          val checksum = graft.functions.Media.payloadHash(text.getBytes("UTF-8"))
           val nFrames = 8 + (checksum % 16).toInt
           (0 until nFrames by 4).map { f =>
-            // Stub frame signature standing in for the decoded keyframe.
-            (id, f, nFrames, (checksum * 31 + f) & 0x7fffffffL)
+            // Each sampled keyframe is a REAL PNG encode+decode round-trip
+            // (frame index perturbs the rendered image).
+            val (w, h, lum) = graft.functions.Media
+              .decodePng(graft.functions.Media.textToPng(text, f))
+            (id, f, nFrames, w.toLong, h.toLong, lum)
           }
         }
-      }.toDF("doc_id", "frame_idx", "n_frames", "frame_sig")
+      }.toDF("doc_id", "frame_idx", "n_frames", "width", "height", "mean_luma_milli")
         .orderBy("doc_id", "frame_idx")
     })
 

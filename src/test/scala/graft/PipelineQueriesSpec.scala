@@ -78,14 +78,49 @@ class PipelineQueriesSpec extends SparkTestBase {
     }
   }
 
-  test("multimodal decode stub (rows-only query) is deterministic and total") {
+  test("multimodal decode (real javax.imageio PNG path) is deterministic " +
+    "and total; decoded dims round-trip the encoder's") {
     val a = run("p_multimodal_decode").collect()
     val b = run("p_multimodal_decode").collect()
     assert(a.length === b.length && a.length > 0)
     assert(a.map(_.toSeq).toSet === b.map(_.toSeq).toSet)
     a.foreach { r =>
-      assert(r.getLong(1) >= 64 && r.getLong(1) < 128) // width
+      assert(r.getLong(1) >= 16 && r.getLong(1) < 32) // width
       assert(r.getLong(3) === r.getLong(1) * r.getLong(2)) // n_pixels
+      assert(r.getLong(4) > 0) // a real PNG has bytes
+      val lum = r.getLong(5)
+      assert(lum >= 0 && lum <= 255000) // BT.601 luma * 1000
+    }
+  }
+
+  test("jaccard verification paths agree: size-gated shuffle join (broadcast " +
+    "disabled) produces exactly the broadcast path's pairs") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val orig = spark.conf.get(key)
+    val viaBroadcast = run("p_dedup_ngram_jaccard").collect().map(_.toSeq).toSeq
+    try {
+      spark.conf.set(key, "-1") // gate closed -> shuffle-join verification
+      val viaShuffle = run("p_dedup_ngram_jaccard").collect().map(_.toSeq).toSeq
+      assert(viaShuffle === viaBroadcast)
+    } finally spark.conf.set(key, orig)
+  }
+
+  test("Media: PNG encode/decode round-trips dimensions through the real " +
+    "JDK codec, is deterministic, and rejects junk payloads") {
+    import graft.functions.Media
+    val png = Media.textToPng("hello multimodal world")
+    // A real PNG: magic bytes present.
+    assert(png.take(4).toSeq === Seq[Byte](0x89.toByte, 'P', 'N', 'G'))
+    val (w, h, lum) = Media.decodePng(png)
+    assert(w >= 16 && w < 32 && h >= 16 && h < 32)
+    assert(lum > 0 && lum < 255000)
+    // Determinism across calls (and thus across executors/retries).
+    assert(Media.textToPng("hello multimodal world").toSeq === png.toSeq)
+    // Distinct frames render distinct images (keyframe sampling).
+    assert(Media.textToPng("hello multimodal world", frame = 4).toSeq !== png.toSeq)
+    // Junk payload fails loudly, not with a null-deref downstream.
+    intercept[IllegalArgumentException] {
+      Media.decodePng("not a png".getBytes("UTF-8"))
     }
   }
 }
