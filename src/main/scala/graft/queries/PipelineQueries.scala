@@ -162,6 +162,15 @@ object PipelineQueries {
        |)""".stripMargin
   }
 
+  /** IVF coarse-quantizer centroids: `IvfK` md5-derived 64-dim vectors
+    * (seed namespace disjoint from the LSH hyperplanes). Like
+    * [[planeCoefs]], every coordinate is exactly representable, so the
+    * literals round-trip bit-identically through both engines. A real
+    * deployment trains these with k-means; the OPERATOR (assign → probe
+    * nprobe lists → rank) is identical either way. */
+  private val IvfK = 8
+  private def centroidCoefs(c: Int): Array[Double] = planeCoefs(100 + c)
+
   /** MinHash permutation family: `m_j(h) = (A_j·h + B_j) mod P` over the
     * single 32-bit shingle hash. One md5 per shingle + 16 integer affine
     * maps, instead of 16 md5s per shingle. A_j ≤ 2^28 and h < 2^32 keep
@@ -524,6 +533,53 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
+    // ANN, IVF-style (inverted-file coarse quantization — the other
+    // canonical 100 TB similarity-search layout): every base vector is
+    // assigned to its nearest of 8 coarse centroids (argmax of dot, ties
+    // to the lowest index); a probe searches only its `nprobe = 2` nearest
+    // centroid lists. At scale the base table is PARTITIONED BY cluster,
+    // so a probe batch is a broadcast join against 2/8 of the data per
+    // probe — cost tracks nprobe/K, not corpus size. Centroids here are
+    // md5-derived literals (a deployment would k-means them; the operator
+    // is unchanged).
+    QuerySpec.sql("p_ann_ivf", annIvfOracle) { (s, dir) =>
+      val dk = (0 until IvfK).map(k =>
+        dot(col("embedding"), typedlit(centroidCoefs(k).toSeq)).as(s"d$k"))
+      val withDots = embsN(s, dir).select(
+        (Seq(col("vec_id"), col("embedding"), col("norm")) ++ dk): _*)
+      val best = greatest((0 until IvfK).map(k => col(s"d$k")): _*)
+      // First k attaining the max: deterministic on bit-identical doubles.
+      val cluster = (0 until IvfK).foldRight(lit(-1): Column) { (k, rest) =>
+        when(col(s"d$k") === best, lit(k)).otherwise(rest)
+      }
+      val assigned = withDots.withColumn("cluster", cluster)
+      // Probes rank ALL centroids and keep the nprobe nearest — one
+      // posexplode over a tiny probe set, not a per-centroid pass.
+      val probeK = assigned.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
+          col("norm").as("na"),
+          posexplode(array((0 until IvfK).map(k => col(s"d$k")): _*))
+            .as(Seq("k", "dk")))
+      val wc = Window.partitionBy("query_id").orderBy(col("dk").desc, col("k"))
+      val probeClusters = probeK
+        .withColumn("crank", row_number().over(wc))
+        .filter(col("crank") <= 2)
+        .select(col("query_id"), col("ea"), col("na"), col("k").as("cluster"))
+      val base = assigned.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("eb"), col("norm").as("nb"), col("cluster"))
+      val cos = dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+      broadcast(probeClusters).join(base, Seq("cluster"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), cos.as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          floor(col("cos") * 1000000).cast("long").as("score_micro"))
+        .orderBy("query_id", "rank")
+    },
+
+    // ---------------------------------------------------------------------
     // Token counting: whitespace tokens, alphabetic regex tokens, and a
     // BPE-ish subword proxy (runs of <=4 letters), all codegen'd scalar
     // functions on the scan — no shuffle except the final sort.
@@ -875,6 +931,55 @@ object PipelineQueries {
        |         CAST(floor(($OCos) * 1000000) AS BIGINT) AS score_micro
        |  FROM e a JOIN e b
        |    ON a.bucket = b.bucket AND a.vec_id < 20 AND b.vec_id <> a.vec_id
+       |) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Oracle mirroring p_ann_ivf: same centroid literals, same
+    * argmax-assignment (first index attaining the max), same nprobe = 2
+    * probe ranking, same cosine top-3. All comparisons are over
+    * bit-identical doubles (see [[planeCoefs]]), so the hash-compare is
+    * exact. */
+  private def annIvfOracle: String = {
+    def coefList(c: Int): String =
+      centroidCoefs(c).map(_.toString).mkString("[", ", ", "]")
+    val dots = (0 until IvfK)
+      .map(k => s"list_dot_product(embedding::DOUBLE[], ${coefList(k)}::DOUBLE[]) AS d$k")
+      .mkString(",\n         ")
+    val bestExpr = s"greatest(${(0 until IvfK).map(k => s"d$k").mkString(", ")})"
+    val clusterExpr = (0 until IvfK)
+      .map(k => s"WHEN d$k = best THEN $k").mkString("CASE ", " ", " END")
+    val probeArms = (0 until IvfK)
+      .map(k => s"SELECT vec_id AS query_id, embedding, norm, $k AS k, d$k AS dk " +
+        s"FROM assigned WHERE vec_id < 20")
+      .mkString("\n  UNION ALL ")
+    val pcos = "list_dot_product(p.embedding::DOUBLE[], b.embedding::DOUBLE[]) / (p.norm * b.norm)"
+    s"""WITH e0 AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+       |  FROM embeddings
+       |), d AS (
+       |  SELECT vec_id, embedding, norm,
+       |         $dots
+       |  FROM e0
+       |), assigned AS (
+       |  SELECT *, $clusterExpr AS cluster
+       |  FROM (SELECT *, $bestExpr AS best FROM d)
+       |), probe_k AS (
+       |  $probeArms
+       |), probe_clusters AS (
+       |  SELECT query_id, embedding, norm, k AS cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY dk DESC, k) AS crank
+       |    FROM probe_k
+       |  ) WHERE crank <= 2
+       |)
+       |SELECT query_id, neighbor_id, rank, score_micro FROM (
+       |  SELECT p.query_id, b.vec_id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY p.query_id
+       |                            ORDER BY ($pcos) DESC, b.vec_id) AS rank,
+       |         CAST(floor(($pcos) * 1000000) AS BIGINT) AS score_micro
+       |  FROM probe_clusters p JOIN assigned b
+       |    ON p.cluster = b.cluster AND b.vec_id <> p.query_id
        |) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 }

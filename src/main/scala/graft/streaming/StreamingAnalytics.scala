@@ -37,6 +37,68 @@ object StreamingAnalytics {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming EXACT dedup for a document stream (the training-data
+    * pipeline's first stage, online): emit only the FIRST document per
+    * content hash; later duplicates are dropped. Dedup state lives in the
+    * streaming state store, sharded by hash across executors — the same
+    * hash-partitioned layout the batch `p_dedup_exact` groupBy uses, kept
+    * incrementally. The watermark bounds state: a duplicate arriving
+    * beyond the horizon can re-emit (the standard bounded-state trade;
+    * unbounded exactness is the batch dedup over the durable table). */
+  def streamingDedup(
+      docs: DataFrame, // columns: doc_id, text, ts (timestamp)
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("text_hash", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicates("text_hash")
+
+  final case class DocEvent(docId: Long, textHash: String, ts: Timestamp)
+  final case class DedupGroupState(
+      keeperDocId: Long, firstTsMs: Long, lastTsMs: Long, nCopies: Long)
+  final case class DedupGroupOut(
+      textHash: String, keeperDocId: Long, nCopies: Long,
+      firstTsMs: Long, lastTsMs: Long)
+
+  /** Streaming dedup-keeper stats: one state object per content hash
+    * accumulates (keeper = min doc_id, copy count, first/last event time)
+    * and emits ONE summary row when the hash goes idle past `horizonMillis`
+    * (event-time timeout — deterministic under replay). The streaming form
+    * of the batch `p_dedup_exact_keeper`: same keeper rule, state
+    * O(active hashes), emission driven by the watermark. Callers must set
+    * a watermark on `ts` upstream. */
+  def dedupKeeperStats(
+      docs: Dataset[DocEvent],
+      horizonMillis: Long = 30L * 60 * 1000)(
+      implicit spark: SparkSession): Dataset[DedupGroupOut] = {
+    import spark.implicits._
+    docs
+      .groupByKey(_.textHash)
+      .flatMapGroupsWithState[DedupGroupState, DedupGroupOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (hash: String, rows: Iterator[DocEvent], state: GroupState[DedupGroupState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(DedupGroupOut(hash, s.keeperDocId, s.nCopies, s.firstTsMs, s.lastTsMs))
+          } else {
+            val batch = rows.toSeq
+            val s0 = state.getOption.getOrElse(
+              DedupGroupState(Long.MaxValue, Long.MaxValue, Long.MinValue, 0L))
+            val s1 = batch.foldLeft(s0) { (s, e) =>
+              DedupGroupState(
+                math.min(s.keeperDocId, e.docId),
+                math.min(s.firstTsMs, e.ts.getTime),
+                math.max(s.lastTsMs, e.ts.getTime),
+                s.nCopies + 1)
+            }
+            state.update(s1)
+            state.setTimeoutTimestamp(s1.lastTsMs + horizonMillis)
+            Iterator.empty
+          }
+      }
+  }
+
   final case class SessionState(
       sessionStart: Long, lastTs: Long, nEvents: Long, sumValue: Double)
 

@@ -69,6 +69,61 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     assert(batch.nonEmpty)
   }
 
+  test("streaming exact dedup: first doc per content hash passes, " +
+    "duplicates across micro-batches are dropped") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val source = MemoryStream[(Long, String, Timestamp)]
+    val docs = source.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingAnalytics.streamingDedup(docs)
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    def ts(minute: Long) = new Timestamp(minute * 60000L)
+    try {
+      source.addData((1L, "alpha", ts(1)), (2L, "beta", ts(2)), (3L, "alpha", ts(3)))
+      q.processAllAvailable()
+      // A later micro-batch re-sends a seen text and adds a new one.
+      source.addData((4L, "beta", ts(4)), (5L, "gamma", ts(5)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("dedup").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(kept === Seq((1L, "alpha"), (2L, "beta"), (5L, "gamma")))
+  }
+
+  test("streaming dedup-keeper stats: per-hash state accumulates copies and " +
+    "flushes one summary on event-time timeout") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import StreamingAnalytics.{DocEvent, DedupGroupOut}
+    val source = MemoryStream[DocEvent]
+    def ev(docId: Long, hash: String, minute: Long) =
+      DocEvent(docId, hash, new Timestamp(minute * 60000L))
+    val withWm = source.toDS().withWatermark("ts", "0 seconds")
+    val q = StreamingAnalytics.dedupKeeperStats(withWm, horizonMillis = 10 * 60000L)
+      .writeStream.format("memory").queryName("keeper")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // h1 has 3 copies (keeper = min doc_id 2), h2 a single copy.
+      source.addData(ev(5, "h1", 1), ev(2, "h1", 2))
+      q.processAllAvailable()
+      source.addData(ev(9, "h1", 3), ev(7, "h2", 4))
+      q.processAllAvailable()
+      assert(spark.table("keeper").isEmpty) // nothing idle yet
+      // Advance the watermark past lastTs + horizon for both hashes.
+      source.addData(ev(100, "h3", 60))
+      q.processAllAvailable()
+      q.processAllAvailable() // timeout fires on the batch after wm advance
+    } finally q.stop()
+    val out = spark.table("keeper").as[DedupGroupOut].collect()
+      .map(o => o.textHash -> o).toMap
+    assert(out("h1").keeperDocId === 2L && out("h1").nCopies === 3L)
+    assert(out("h1").firstTsMs === 60000L && out("h1").lastTsMs === 3 * 60000L)
+    assert(out("h2").keeperDocId === 7L && out("h2").nCopies === 1L)
+  }
+
   test("flatMapGroupsWithState sessionization: gap closes, watermark flushes idle") {
     implicit val s = spark
     import s.implicits._
