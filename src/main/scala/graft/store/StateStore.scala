@@ -407,6 +407,47 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
         graft.read.TemporalReads.readTabletAt(tabletRows, tabletId, atHeight, speculative)
     }
 
+  /** Small-files maintenance for the mutation tables: a 1 s micro-batch
+    * cadence appends one committed directory per batch (~86k/day), and at
+    * scale the file LISTING and footer reads come to dominate scan cost
+    * long before data size does. Compaction rewrites the table as `n`
+    * range-partitioned, height-sorted files on (tablet_id, height) —
+    * contiguous key ranges per file, so parquet row-group stats prune BOTH
+    * the tablet and the height predicate — via the crash-safe swap
+    * ([[recoverSwap]] finishes an interrupted one; readers never see a
+    * partial table). Contents are preserved exactly.
+    *
+    * Replay safety after compaction rests on the checkpoint linearity
+    * guard, NOT on batch-directory names: a redelivered batch drops
+    * heights at or below the checkpoint before writing, so the loss of
+    * the deterministic directory skip is harmless. Single-writer: run
+    * between batches, like pruning. Returns the number of committed
+    * directories folded in. */
+  def compactTabletRows(numFiles: Int = 0): Long =
+    compactMutationTable(tabletRowsPath, Schemas.tabletRows,
+      Seq("tablet_id", "height"), numFiles)
+
+  /** [[compactTabletRows]] for the singlet-entry table. */
+  def compactSingletEntries(numFiles: Int = 0): Long =
+    compactMutationTable(singletEntriesPath, Schemas.singletEntries,
+      Seq("singlet_id", "height"), numFiles)
+
+  private def compactMutationTable(
+      path: String, schema: StructType, keys: Seq[String], numFiles: Int): Long = {
+    recoverSwap(path)
+    if (!pathExists(path)) return 0L
+    val (fs, p) = fsPath(path)
+    val before = fs.listStatus(p).count(_.isDirectory)
+    val n =
+      if (numFiles > 0) numFiles
+      else spark.sessionState.conf.numShufflePartitions
+    rewriteTable(path,
+      readTable(path, schema)
+        .repartitionByRange(n, keys.map(col): _*)
+        .sortWithinPartitions(keys.map(col): _*))
+    before.toLong
+  }
+
   /** ReindexTablets (indexing.go:100–171): rebuild EXISTING tablet index
     * entries from the mutation rows — the operational answer to a corrupted
     * or format-changed index. The reference loops tablet-by-tablet,

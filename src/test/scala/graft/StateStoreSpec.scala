@@ -156,6 +156,38 @@ class StateStoreSpec extends SparkTestBase {
     assert(reopened.checkpoint(StateStore.GlobalCheckpointKey).get.height === 0L)
   }
 
+  test("mutation-table compaction folds per-batch directories into a " +
+    "range-partitioned layout; contents, reads, and further writes survive") {
+    implicit val s = spark
+    val store = new StateStore(tmpDir("store"))
+    (0L to 19L).foreach(h =>
+      store.writeBatch(Seq(req(h, (s"t${h % 4}", s"pk${h % 3}", s"v$h")))))
+    val beforeRows = store.tabletRows.collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getString(3))).sorted.toSeq
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(store.tabletRowsPath)
+    val fs = p.getFileSystem(conf)
+    assert(fs.listStatus(p).count(_.isDirectory) === 20) // one dir per batch
+    val folded = store.compactTabletRows(numFiles = 2)
+    assert(folded === 20L)
+    // Flat file layout now, identical contents.
+    assert(fs.listStatus(p).count(_.isDirectory) === 0)
+    val afterRows = store.tabletRows.collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getString(3))).sorted.toSeq
+    assert(afterRows === beforeRows)
+    // The store keeps working: next batch appends, checkpoint advances,
+    // and a REPLAYED batch is still dropped by the linearity guard even
+    // though its deterministic directory name is gone post-compaction.
+    store.writeBatch(Seq(req(20, ("t0", "pk0", "v20"))))
+    assert(store.checkpoint(StateStore.GlobalCheckpointKey).get.height === 20L)
+    intercept[IllegalArgumentException] {
+      store.writeBatch(Seq(req(20, ("t0", "pk0", "v20"))))
+    }
+    assert(store.tabletRows.count() === 21L)
+    // Compacting an empty/missing table is a no-op.
+    assert(store.compactSingletEntries() === 0L)
+  }
+
   test("reindexTablets rebuilds corrupted index entries from the mutation " +
     "rows; dryRun counts without writing; lowerBound scopes") {
     implicit val s = spark
