@@ -580,6 +580,31 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
+    // Cross-modal join: text metadata × embedding cluster (the IVF coarse
+    // quantizer doubles as a corpus clustering). Per (lang, cluster):
+    // document count and total chars — the "how does my corpus distribute
+    // over embedding space" report every curation pipeline runs. One
+    // equi-join (doc_id = vec_id) + one groupBy; at 100 TB both sides
+    // shuffle on the id (or the assigned table is bucketed by id and the
+    // join is co-located).
+    QuerySpec.sql("p_text_embed_join", textEmbedJoinOracle) { (s, dir) =>
+      val dk = (0 until IvfK).map(k =>
+        dot(col("embedding"), typedlit(centroidCoefs(k).toSeq)).as(s"d$k"))
+      val withDots = embs(s, dir).select((Seq(col("vec_id")) ++ dk): _*)
+      val best = greatest((0 until IvfK).map(k => col(s"d$k")): _*)
+      val cluster = (0 until IvfK).foldRight(lit(-1): Column) { (k, rest) =>
+        when(col(s"d$k") === best, lit(k)).otherwise(rest)
+      }
+      val assigned = withDots.select(col("vec_id"), cluster.as("cluster"))
+      docs(s, dir)
+        .join(assigned, col("doc_id") === col("vec_id"))
+        .groupBy("lang", "cluster")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc_id"))
+        .orderBy("lang", "cluster")
+    },
+
+    // ---------------------------------------------------------------------
     // Token counting: whitespace tokens, alphabetic regex tokens, and a
     // BPE-ish subword proxy (runs of <=4 letters), all codegen'd scalar
     // functions on the scan — no shuffle except the final sort.
@@ -932,6 +957,32 @@ object PipelineQueries {
        |  FROM e a JOIN e b
        |    ON a.bucket = b.bucket AND a.vec_id < 20 AND b.vec_id <> a.vec_id
        |) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Oracle mirroring p_text_embed_join: same centroid assignment CTE as
+    * [[annIvfOracle]], then the documents join + per-(lang, cluster) agg. */
+  private def textEmbedJoinOracle: String = {
+    def coefList(c: Int): String =
+      centroidCoefs(c).map(_.toString).mkString("[", ", ", "]")
+    val dots = (0 until IvfK)
+      .map(k => s"list_dot_product(embedding::DOUBLE[], ${coefList(k)}::DOUBLE[]) AS d$k")
+      .mkString(",\n         ")
+    val bestExpr = s"greatest(${(0 until IvfK).map(k => s"d$k").mkString(", ")})"
+    val clusterExpr = (0 until IvfK)
+      .map(k => s"WHEN d$k = best THEN $k").mkString("CASE ", " ", " END")
+    s"""WITH d AS (
+       |  SELECT vec_id,
+       |         $dots
+       |  FROM embeddings
+       |), assigned AS (
+       |  SELECT vec_id, $clusterExpr AS cluster
+       |  FROM (SELECT *, $bestExpr AS best FROM d)
+       |)
+       |SELECT lang, cluster, count(*) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |       min(doc_id) AS min_doc_id
+       |FROM documents JOIN assigned ON doc_id = vec_id
+       |GROUP BY lang, cluster ORDER BY lang, cluster""".stripMargin
   }
 
   /** Oracle mirroring p_ann_ivf: same centroid literals, same
