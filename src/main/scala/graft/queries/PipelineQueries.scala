@@ -171,6 +171,29 @@ object PipelineQueries {
   private val IvfK = 8
   private def centroidCoefs(c: Int): Array[Double] = planeCoefs(100 + c)
 
+  /** Per-(vector, centroid) scores: 8 rows per vector from a broadcast of
+    * the tiny centroid TABLE, with the dot as a codegen'd column-column
+    * fold. A centroid TABLE (not K inline 64-literal expressions) is the
+    * formulation that survives K = 4096: plan size stays constant as the
+    * quantizer grows, and a trained-centroid refresh is a data swap, not a
+    * recompile. (Cold-run cost measured identical to the literal variant —
+    * the fixed cost is stage/plan overhead, not expression compilation.) */
+  private def ivfScored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val centroids =
+      (0 until IvfK).map(k => (k, centroidCoefs(k).toSeq)).toDF("k", "cvec")
+    embsN(s, dir).crossJoin(broadcast(centroids))
+      .withColumn("dk", dot(col("embedding"), col("cvec")))
+      .drop("cvec")
+  }
+
+  /** `vec_id → cluster`: argmax_k of the centroid dot, ties to the lowest
+    * k — identical to the oracle's first-match CASE chain on bit-identical
+    * doubles. */
+  private def ivfAssigned(scored: DataFrame): DataFrame =
+    scored.groupBy("vec_id")
+      .agg(max_by(col("k"), struct(col("dk"), (-col("k")).as("nk"))).as("cluster"))
+
   /** MinHash permutation family: `m_j(h) = (A_j·h + B_j) mod P` over the
     * single 32-bit shingle hash. One md5 per shingle + 16 integer affine
     * maps, instead of 16 md5s per shingle. A_j ≤ 2^28 and h < 2^32 keep
@@ -543,28 +566,20 @@ object PipelineQueries {
     // md5-derived literals (a deployment would k-means them; the operator
     // is unchanged).
     QuerySpec.sql("p_ann_ivf", annIvfOracle) { (s, dir) =>
-      val dk = (0 until IvfK).map(k =>
-        dot(col("embedding"), typedlit(centroidCoefs(k).toSeq)).as(s"d$k"))
-      val withDots = embsN(s, dir).select(
-        (Seq(col("vec_id"), col("embedding"), col("norm")) ++ dk): _*)
-      val best = greatest((0 until IvfK).map(k => col(s"d$k")): _*)
-      // First k attaining the max: deterministic on bit-identical doubles.
-      val cluster = (0 until IvfK).foldRight(lit(-1): Column) { (k, rest) =>
-        when(col(s"d$k") === best, lit(k)).otherwise(rest)
-      }
-      val assigned = withDots.withColumn("cluster", cluster)
-      // Probes rank ALL centroids and keep the nprobe nearest — one
-      // posexplode over a tiny probe set, not a per-centroid pass.
-      val probeK = assigned.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
-          col("norm").as("na"),
-          posexplode(array((0 until IvfK).map(k => col(s"d$k")): _*))
-            .as(Seq("k", "dk")))
-      val wc = Window.partitionBy("query_id").orderBy(col("dk").desc, col("k"))
-      val probeClusters = probeK
+      // The scored table feeds both the base assignment and the probe
+      // ranking — persist the one cheap intermediate instead of scoring
+      // the corpus twice.
+      val scored = ivfScored(s, dir).persist()
+      val assigned = ivfAssigned(scored)
+        .join(scored.filter(col("k") === 0).select("vec_id", "embedding", "norm"),
+          "vec_id")
+      // Probes rank ALL centroids and keep the nprobe = 2 nearest.
+      val wc = Window.partitionBy("vec_id").orderBy(col("dk").desc, col("k"))
+      val probeClusters = scored.filter(col("vec_id") < 20)
         .withColumn("crank", row_number().over(wc))
         .filter(col("crank") <= 2)
-        .select(col("query_id"), col("ea"), col("na"), col("k").as("cluster"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
+          col("norm").as("na"), col("k").as("cluster"))
       val base = assigned.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("eb"), col("norm").as("nb"), col("cluster"))
       val cos = dot(col("ea"), col("eb")) / (col("na") * col("nb"))
@@ -588,16 +603,8 @@ object PipelineQueries {
     // shuffle on the id (or the assigned table is bucketed by id and the
     // join is co-located).
     QuerySpec.sql("p_text_embed_join", textEmbedJoinOracle) { (s, dir) =>
-      val dk = (0 until IvfK).map(k =>
-        dot(col("embedding"), typedlit(centroidCoefs(k).toSeq)).as(s"d$k"))
-      val withDots = embs(s, dir).select((Seq(col("vec_id")) ++ dk): _*)
-      val best = greatest((0 until IvfK).map(k => col(s"d$k")): _*)
-      val cluster = (0 until IvfK).foldRight(lit(-1): Column) { (k, rest) =>
-        when(col(s"d$k") === best, lit(k)).otherwise(rest)
-      }
-      val assigned = withDots.select(col("vec_id"), cluster.as("cluster"))
       docs(s, dir)
-        .join(assigned, col("doc_id") === col("vec_id"))
+        .join(ivfAssigned(ivfScored(s, dir)), col("doc_id") === col("vec_id"))
         .groupBy("lang", "cluster")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
           min(col("doc_id")).as("min_doc_id"))
