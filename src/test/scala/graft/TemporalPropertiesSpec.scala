@@ -85,6 +85,43 @@ class TemporalPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("store round-trip property: ingest → corrupted snapshots → reindex → " +
+    "snapshot-aware reads (incl. ignore ranges) equal the reference model") {
+    import graft.model.{BlockRef, TabletRowM, WriteRequest}
+    implicit val s = spark
+    for (seed <- 30 to 31) {
+      val rnd = new Random(seed)
+      val ms = randomStream(rnd, 30)
+      val store = new graft.store.StateStore(tmpDir(s"prop$seed"))
+      ms.grouped(10).foreach { batch =>
+        store.writeBatch(batch.map(m => WriteRequest(
+          m.height, BlockRef(s"b${m.height}", m.height),
+          Seq(TabletRowM(1, m.tablet, m.height, m.pk, m.v.getBytes("UTF-8"), m.del)),
+          Nil)))
+      }
+      // Index entries whose CONTENT is corrupt from day one (junk key at a
+      // height no mutation has): reads through them would silently lose
+      // the pre-snapshot state — the scenario ReindexTablets repairs.
+      val snapHeights = Seq(9L, 19L, 29L)
+      snapHeights.foreach { h =>
+        store.writeTabletSnapshot(
+          Seq(("junk", 999L)).toDF("primary_key", "height"), "t1", h, 0L, 1)
+      }
+      store.reindexTablets()
+      for (h <- Seq(0L, 9L, 15L, 29L)) {
+        val expected = model(Seq(ms), "t1", h)
+        def viaStore(ignore: Option[(Long, Long)]) =
+          store.readTabletAt("t1", h, Nil, ignore).collect().toSeq
+            .map(r => (r.getString(0), r.getLong(1),
+              new String(r.getAs[Array[Byte]](2), "UTF-8")))
+        assert(viaStore(None) === expected, s"seed=$seed h=$h")
+        // An ignore window over the middle snapshot must only widen the
+        // tail scan, never change the result.
+        assert(viaStore(Some((5L, 25L))) === expected, s"seed=$seed h=$h ignored")
+      }
+    }
+  }
+
   test("snapshot ∪ tail reads equal direct reads for random streams and heights") {
     for (seed <- 20 to 23) {
       val rnd = new Random(seed)
