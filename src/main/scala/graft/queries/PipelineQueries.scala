@@ -778,6 +778,28 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // ---------------------------------------------------------------------
+    // Approximate quantiles (rows-only): per-source p50/p90/p99 of document
+    // length via a mergeable quantile summary — like the HLL sketch, the
+    // aggregation plan a 100 TB length-distribution report must use
+    // (map-side partial summaries merge without a global sort; exact
+    // percentiles would sort the corpus per group). Engines' summaries
+    // differ, so the check is rows-only; the spec bounds the rank error
+    // against exact percentiles instead.
+    QuerySpec.rowsOnly("p_approx_quantiles") { (s, dir) =>
+      docs(s, dir)
+        .groupBy("source")
+        .agg(
+          percentile_approx(col("n_chars"),
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("q"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          count(lit(1)).as("n_docs"))
+        .select(col("source"), col("q")(0).as("p50"), col("q")(1).as("p90"),
+          col("q")(2).as("p99"), col("min_chars"), col("max_chars"), col("n_docs"))
+        .orderBy("source")
+    },
+
     QuerySpec.rowsOnly("p_multimodal_frames") { (s, dir) =>
       import s.implicits._
       val blobs = docs(s, dir)

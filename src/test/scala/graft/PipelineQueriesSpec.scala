@@ -78,6 +78,34 @@ class PipelineQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("approximate quantiles stay within the sketch's rank-error bound of " +
+    "exact percentiles") {
+    implicit val s = spark
+    val sfDir = sf
+    val exact = s.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.expr(
+        "percentile(n_chars, array(0.5, 0.9, 0.99))").as("eq"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    run("p_approx_quantiles").collect().foreach { r =>
+      val src = r.getString(0)
+      val (p50, p90, p99) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val n = r.getLong(6).toDouble
+      // accuracy=10000 -> rank error <= n/10000; tiny groups get a floor.
+      val rankSlack = math.max(2.0, n / 10000.0)
+      // Convert rank slack to a VALUE slack via the observed spread (chars
+      // per rank step is bounded by the full range for these small groups).
+      val spread = (r.getLong(5) - r.getLong(4)).toDouble.max(1.0)
+      val valueSlack = rankSlack / n * spread * 3 + 3
+      Seq((p50, exact(src)(0)), (p90, exact(src)(1)), (p99, exact(src)(2)))
+        .foreach { case (approx, ex) =>
+          assert(math.abs(approx - ex) <= valueSlack,
+            s"source=$src approx=$approx exact=$ex slack=$valueSlack")
+        }
+      assert(r.getLong(4) <= p50 && p50 <= p90 && p90 <= p99 && p99 <= r.getLong(5))
+    }
+  }
+
   test("multimodal decode (real javax.imageio PNG path) is deterministic " +
     "and total; decoded dims round-trip the encoder's") {
     val a = run("p_multimodal_decode").collect()
