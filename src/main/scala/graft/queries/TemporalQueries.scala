@@ -192,8 +192,11 @@ object TemporalQueries {
         .groupBy(pmod(col("user_id"), lit(8)).as("shard"))
         .agg(max(col("event_id")).as("height"))
         .select(format_string("shard-%03d", col("shard")).as("key"), col("height"))
+      // Global max via a broadcast 1-row aggregate, NOT an unpartitioned
+      // window (WindowExec would funnel every row through one partition —
+      // harmless on 8 shard rows, lethal as a pattern).
       cps
-        .withColumn("max_h", max(col("height")).over(Window.partitionBy()))
+        .crossJoin(broadcast(cps.agg(max(col("height")).as("max_h"))))
         .select(col("key"), col("height"),
           when(col("height") === col("max_h"), lit("complete"))
             .otherwise(lit("behind")).as("status"))
