@@ -560,6 +560,23 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
     keep
   }
 
+  /** One row of one tablet as of `atHeight` (ReadTabletRowAt,
+    * read.go:186–293) — the store-level facade over the pushed-predicate
+    * point read; snapshots don't help a single-key lookup (the key
+    * predicate already prunes the scan), so this goes straight to the
+    * mutation table. */
+  def readTabletRowAt(
+      tabletId: String,
+      primaryKey: String,
+      atHeight: Long,
+      speculative: Seq[DataFrame] = Nil): DataFrame =
+    graft.read.TemporalReads.readTabletRowAt(
+      tabletRows, tabletId, primaryKey, atHeight, speculative)
+
+  /** HasSeenAnyRowForTablet (read.go:410–415): limit-1 existence probe. */
+  def hasSeenAnyRowForTablet(tabletId: String): Boolean =
+    graft.read.TemporalReads.hasSeenAnyRowForTablet(tabletRows, tabletId)
+
   /** Latest entry of one singlet as of `atHeight` (read.go:300–349). */
   def readSingletEntryAt(
       singletId: String,

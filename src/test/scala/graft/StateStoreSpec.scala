@@ -19,6 +19,11 @@ class StateStoreSpec extends SparkTestBase {
     assert(store.tabletRows.count() === 2)
     val cp = store.checkpoint(StateStore.GlobalCheckpointKey).get
     assert(cp.height === 1L && cp.blockId === "blk-1")
+    // Store-level point read + existence facades.
+    val row = store.readTabletRowAt("t1", "a", 5L).collect()
+    assert(row.length === 1 && row.head.getString(0) === "a")
+    assert(store.hasSeenAnyRowForTablet("t1"))
+    assert(!store.hasSeenAnyRowForTablet("t-unknown"))
   }
 
   test("isNextBlock linearity guard rejects gaps and replays") {
