@@ -741,8 +741,13 @@ object PipelineQueries {
     // [[graft.functions.Media]].
     QuerySpec.rowsOnly("p_multimodal_decode") { (s, dir) =>
       import s.implicits._
+      // Decode parallelism must track CORES, not input-file count: the
+      // corpus parquet is one small file → one scan partition, which would
+      // run the (CPU-bound) codec serially. At 100 TB the same holds —
+      // repartition media batches to the cluster's cores before decode.
       val blobs = docs(s, dir)
         .select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
         .as[(Long, String)]
       blobs.mapPartitions { it =>
         it.map { case (id, text) =>
@@ -802,8 +807,11 @@ object PipelineQueries {
 
     QuerySpec.rowsOnly("p_multimodal_frames") { (s, dir) =>
       import s.implicits._
+      // Same cores-not-files repartition as p_multimodal_decode: ~21k PNG
+      // round-trips at sf0.1 are pure CPU and must fan out.
       val blobs = docs(s, dir)
         .select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
         .as[(Long, String)]
       blobs.mapPartitions { it =>
         it.flatMap { case (id, text) =>
