@@ -16,11 +16,12 @@ import graft.read.TemporalReads
   */
 object Snapshots {
 
-  /** Build the index rows for one tablet at `atHeight` (A3, indexing.go:225–302).
-    * Tombstoned keys are dropped from the index; `squelch_count` counts every
-    * scanned row-version (the reference's SquelchCount). Incremental builds
-    * start from a previous snapshot: union it (as rows at their recorded
-    * heights) with the tail and re-aggregate — same code path. */
+  /** Build the index rows for one tablet at `atHeight` from scratch (A3,
+    * indexing.go:225–302). Tombstoned keys are dropped from the index;
+    * `squelch_count` counts every scanned row-version (the reference's
+    * SquelchCount). The steady-state path is
+    * [[buildTabletIndexIncremental]]; this full-history form is for the
+    * FIRST index of a tablet and for operational rebuilds (reindex). */
   def buildTabletIndex(rows: DataFrame, tabletId: String, atHeight: Long): DataFrame = {
     val scoped = rows
       .filter(col("tablet_id") === lit(tabletId) && col("height") <= lit(atHeight))
@@ -34,6 +35,32 @@ object Snapshots {
   /** Rows scanned to build the index at `atHeight` (SquelchCount metric). */
   def squelchCount(rows: DataFrame, tabletId: String, atHeight: Long): Long =
     rows.filter(col("tablet_id") === lit(tabletId) && col("height") <= lit(atHeight)).count()
+
+  /** Incremental index build (indexing.go:265–271: startHeight =
+    * prev.AtHeight + 1): seed from the PREVIOUS index and aggregate only the
+    * tail slice — the whole point of the snapshot subsystem, since a hot
+    * tablet's index cost must be bounded by mutations since the last
+    * snapshot, not by total history.
+    *
+    * `tail` must be the mutation rows in `(prevHeight, atHeight]` for the
+    * tablet; `prevIndex` the previous snapshot's `(primary_key, height)`
+    * rows. Previous-index rows re-enter the argmax as live rows at their
+    * recorded heights — all strictly below every tail height, so
+    * last-write-wins resolves tail-over-seed exactly as a from-scratch
+    * build would (invariant `incremental ≡ from-scratch` is spec-tested).
+    * A key tombstoned in the tail drops out; an untouched key keeps its
+    * seeded height. */
+  def buildTabletIndexIncremental(tail: DataFrame, prevIndex: DataFrame): DataFrame = {
+    val seed = prevIndex
+      .select(col("primary_key"), col("height"), lit(false).as("is_deletion"))
+    val all = tail.select(col("primary_key"), col("height"), col("is_deletion"))
+      .unionByName(seed)
+    TemporalReads
+      .latestPerKey(TemporalReads.durable(all), Seq("primary_key"), Nil)
+      .where(!col("is_deletion"))
+      .select(col("primary_key"), col("height"))
+      .orderBy("primary_key")
+  }
 
   /** Snapshot ∪ tail read (J1, read.go:47–146): hydrate the snapshot as rows
     * (they are by construction live and latest-as-of `snapshotHeight`), union

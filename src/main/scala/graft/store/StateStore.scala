@@ -388,6 +388,19 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
     }
   }
 
+  /** [[latestTabletSnapshot]] plus the winning snapshot's stored
+    * `squelch_count` — the incremental index build seeds from all three
+    * (prev height, prev squelch, prev rows). */
+  def latestTabletSnapshotMeta(
+      tabletId: String,
+      maxHeight: Long = Long.MaxValue): Option[(Long, Long, DataFrame)] =
+    latestTabletSnapshot(tabletId, maxHeight).map { case (h, idx) =>
+      val squelch = tabletSnapshots
+        .filter(col("tablet_id") === lit(tabletId) && col("at_height") === lit(h))
+        .agg(max(col("squelch_count"))).collect().head.getLong(0)
+      (h, squelch, idx)
+    }
+
   /** Snapshot-aware as-of read: uses the newest snapshot at or below
     * `atHeight` so the mutation scan is bounded to the tail
     * `(snapshotHeight, atHeight]` (SURVEY.md §3.1); falls back to the full

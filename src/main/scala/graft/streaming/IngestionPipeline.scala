@@ -154,17 +154,46 @@ final class IngestionPipeline(
     tabletCounts.foreach { case (tablet, _, n) => indexCache.increment(tablet, n) }
     val collectionByTablet = tabletCounts.map(t => t._1 -> t._2).toMap
     indexCache.tabletsToIndex().foreach { tablet =>
-      // Persist the index across its two consumers (snapshot write +
-      // row count) — without it the full build re-executes per action.
-      val idx = graft.snapshot.Snapshots
-        .buildTabletIndex(store.tabletRows, tablet, hi).persist()
-      try {
-        val squelch = graft.snapshot.Snapshots
-          .squelchCount(store.tabletRows, tablet, hi)
-        store.writeTabletSnapshot(
-          idx, tablet, hi, squelch, collectionByTablet.getOrElse(tablet, 0))
-        indexCache.recordIndexed(tablet, idx.count())
-      } finally idx.unpersist()
+      val coll = collectionByTablet.getOrElse(tablet, 0)
+      store.latestTabletSnapshotMeta(tablet, hi) match {
+        case Some((prevH, prevSquelch, prevIdx)) if prevH < hi =>
+          // Steady state — INCREMENTAL (indexing.go:265–271): seed from the
+          // previous snapshot and scan only the tail (prevH, hi]. Cost is
+          // bounded by mutations since the last index, never by history.
+          // The tail is pinned so its one scan feeds both the squelch
+          // count and the argmax; squelch carries forward as prev + tail.
+          val tail = store.tabletRows.filter(
+            col("tablet_id") === lit(tablet) &&
+              col("height") > lit(prevH) && col("height") <= lit(hi)).persist()
+          try {
+            val tailCount = tail.count()
+            val idx = graft.snapshot.Snapshots
+              .buildTabletIndexIncremental(tail, prevIdx).persist()
+            try {
+              store.writeTabletSnapshot(idx, tablet, hi, prevSquelch + tailCount, coll)
+              indexCache.recordIndexed(tablet, idx.count())
+            } finally idx.unpersist()
+          } finally tail.unpersist()
+        case Some((_, _, prevIdx)) =>
+          // Already indexed at exactly `hi` (crash-replayed batch): the
+          // snapshot write would be a deterministic skip — just resync the
+          // cache counters.
+          indexCache.recordIndexed(tablet, prevIdx.count())
+        case None =>
+          // First index of this tablet: one full-history build, with the
+          // scanned slice pinned so the squelch count is not a second scan.
+          val scoped = store.tabletRows.filter(
+            col("tablet_id") === lit(tablet) && col("height") <= lit(hi)).persist()
+          try {
+            val squelch = scoped.count()
+            val idx = graft.snapshot.Snapshots
+              .buildTabletIndex(scoped, tablet, hi).persist()
+            try {
+              store.writeTabletSnapshot(idx, tablet, hi, squelch, coll)
+              indexCache.recordIndexed(tablet, idx.count())
+            } finally idx.unpersist()
+          } finally scoped.unpersist()
+      }
     }
   }
 

@@ -159,6 +159,15 @@ class ForkStreamingSpec extends SparkTestBase {
     assert(t1Heights.toSeq === Seq(14L, 29L))
     assert(store.latestTabletSnapshot("t1").get._1 === 29L)
     assert(store.latestTabletSnapshot("t1", maxHeight = 20L).get._1 === 14L)
+    // The height-29 build was INCREMENTAL off the height-14 snapshot:
+    // squelch carries forward as prev + tail (15 + 15), identical to what a
+    // from-scratch scan of [0, 29] would have counted.
+    val squelches = store.tabletSnapshots
+      .filter(org.apache.spark.sql.functions.col("tablet_id") === "t1")
+      .select("at_height", "squelch_count").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(squelches === Map(14L -> 15L, 29L -> 30L))
+    assert(store.latestTabletSnapshotMeta("t1").get._2 === 30L)
     // Snapshot-aware read ≡ direct full-scan read, across the snapshot
     // boundary and at the head.
     for (h <- Seq(14L, 20L, 29L)) {

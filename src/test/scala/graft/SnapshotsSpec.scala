@@ -27,6 +27,23 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.squelchCount(mutations, "t1", 5) === 5L)
   }
 
+  test("incremental build ≡ from-scratch build; squelch carries as prev + tail") {
+    for (prevH <- Seq(0L, 3L, 4L, 5L, 8L, 11L); atH <- Seq(5L, 8L, 11L, 12L) if prevH < atH) {
+      val prev = Snapshots.buildTabletIndex(mutations, "t1", prevH)
+      val tail = mutations.filter(
+        col("tablet_id") === "t1" && col("height") > prevH && col("height") <= atH)
+      val inc = Snapshots.buildTabletIndexIncremental(tail, prev)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val scratch = Snapshots.buildTabletIndex(mutations, "t1", atH)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(inc === scratch, s"prev=$prevH at=$atH")
+      assert(
+        Snapshots.squelchCount(mutations, "t1", prevH) + tail.count()
+          === Snapshots.squelchCount(mutations, "t1", atH),
+        s"squelch carry prev=$prevH at=$atH")
+    }
+  }
+
   test("snapshot ∪ tail read ≡ direct full-scan read (the J1 invariant)") {
     for (snapH <- Seq(0L, 4L, 5L, 8L, 12L); atH <- Seq(5L, 8L, 12L) if snapH <= atH) {
       val snap = Snapshots.buildTabletIndex(mutations, "t1", snapH)
