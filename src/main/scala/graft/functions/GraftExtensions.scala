@@ -20,6 +20,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *     product ([[ArrayDotProduct]]).
   *   - `graft_word_shingles(text, n) -> array<string>` — distinct word
   *     n-grams in one compiled pass ([[WordShingles]]).
+  *   - `graft_sorted_intersect_count(a, b) -> bigint` — distinct
+  *     intersection count of two sorted long arrays
+  *     ([[SortedIntersectCount]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -43,6 +46,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_word_shingles: n must be an integer literal, got $other")
         }
         WordShingles(children.head, n)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_sorted_intersect_count(a, b) takes exactly 2 arguments")
+        SortedIntersectCount(children.head, children(1))
       }))
   }
 }

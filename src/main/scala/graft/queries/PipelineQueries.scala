@@ -332,8 +332,12 @@ object PipelineQueries {
       val repPairs = cands
         .join(arr.as("va"), col("da") === col("va.doc_id"))
         .join(arr.as("vb"), col("db") === col("vb.doc_id"))
+        // Two-pointer merge over the already-sorted hash arrays — exact
+        // array_intersect count semantics without the per-pair hash-set
+        // build and intersection-array materialization (the verify joins'
+        // measured hot spot; see functions/SortedIntersectCount).
         .withColumn("n_common",
-          size(array_intersect(col("va.shs"), col("vb.shs"))).cast("long"))
+          graft.functions.SortedIntersectCount.count(col("va.shs"), col("vb.shs")))
         .filter(lit(2) * col("n_common") >=
           col("va.n") + col("vb.n") - col("n_common"))
         .select(col("da"), col("db"), col("n_common"),

@@ -72,6 +72,46 @@ class FunctionsSpec extends SparkTestBase {
     assert(e.eval(null) === 11.0)
   }
 
+  test("SortedIntersectCount ≡ size(array_intersect) on sorted arrays " +
+    "(duplicates, empties, disjoint, null arrays)") {
+    val cases = Seq(
+      (Seq(1L, 3L, 5L, 7L), Seq(3L, 4L, 5L, 9L)),        // partial overlap
+      (Seq(1L, 1L, 2L, 2L, 3L), Seq(1L, 2L, 2L, 4L)),    // duplicate runs count once
+      (Seq.empty[Long], Seq(1L, 2L)),                    // empty side
+      (Seq(1L, 2L), Seq(5L, 6L)),                        // disjoint
+      (Seq(-5L, 0L, 2L), Seq(-5L, 0L, 2L)),              // identical incl. negatives
+      (Seq(Long.MinValue, Long.MaxValue), Seq(Long.MinValue, Long.MaxValue)))
+    val df = cases.toDF("a", "b")
+    val out = df.select(
+      graft.functions.SortedIntersectCount.count(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1), r.toString))
+    // A null ARRAY nulls the count (same as array_intersect).
+    val withNull = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+      .select(graft.functions.SortedIntersectCount.count(col("a"), col("b")).as("c"))
+      .collect().head
+    assert(withNull.isNullAt(0))
+  }
+
+  test("SortedIntersectCount: interpreted eval agrees with codegen; " +
+    "null ELEMENT runs count once when present in both") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    import graft.functions.SortedIntersectCount
+    def mk(xs: Seq[Any]) =
+      Literal.create(new GenericArrayData(xs.toArray), ArrayType(LongType, containsNull = true))
+    assert(SortedIntersectCount(
+      mk(Seq(1L, 2L, 2L, 7L)), mk(Seq(2L, 7L, 9L))).eval(null) === 2L)
+    // sort_array(asc) places nulls FIRST: null in both sides ⇒ one common
+    // distinct value, like array_intersect.
+    assert(SortedIntersectCount(
+      mk(Seq(null, 1L, 3L)), mk(Seq(null, null, 3L))).eval(null) === 2L)
+    assert(SortedIntersectCount(
+      mk(Seq(null, 1L)), mk(Seq(2L, 3L))).eval(null) === 0L)
+  }
+
   test("WordShingles: adjacent n-grams, distinct, short-text empty") {
     def sh(text: String, n: Int): Seq[String] =
       Seq(Tuple1(text)).toDF("t")

@@ -48,6 +48,10 @@ class RegistryExtensionsSpec extends SparkTestBase {
         "SELECT graft_word_shingles('a b c d', 3) AS s")
         .collect().head.getSeq[String](0)
       assert(sh === Seq("a b c", "b c d"))
+      val ic = s2.sql(
+        "SELECT graft_sorted_intersect_count(array(1L, 3L, 5L), array(3L, 5L, 9L)) AS c")
+        .collect().head.getLong(0)
+      assert(ic === 2L)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
