@@ -437,11 +437,16 @@ object PipelineQueries {
         col("band"), col("bkey"))
       val bb = banded.select(col("doc_id").as("db"), col("simhash").as("hb"),
         col("band"), col("bkey"))
+      // Hamming filter BEFORE the distinct: a pair can collide in up to 4
+      // bands, so the dedup exchange would otherwise carry every candidate
+      // pair (~208k at sf0.1); filtering first shrinks it to the matches
+      // (~hundreds). Catalyst does not push a filter through Deduplicate on
+      // its own — measured 1.0 s → 0.75 s warm at sf0.1.
       ba.join(bb, Seq("band", "bkey")).filter(col("da") < col("db"))
         .select(col("da").as("doc_a"), col("db").as("doc_b"),
           expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
-        .distinct()
         .filter(col("hamming") <= 3)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     },
 
