@@ -9,9 +9,12 @@ import graft.model._
 /** Durable storage layout + batch writer (reference write.go, store/kv).
   *
   * Layout (SURVEY.md §1.4): append-only Parquet tables under a root —
-  *   tablet_rows/      one COMMITTED sub-directory per batch, sorted within
-  *                     files by (tablet_id, height) so min/max row-group
-  *                     stats prune both the tablet and the height predicate.
+  *   tablet_rows/      hive-partitioned by `collection=N`, one COMMITTED
+  *                     sub-directory per batch below the partition dir,
+  *                     sorted within files by (tablet_id, height). A
+  *                     collection predicate prunes whole directories
+  *                     (PartitionFilters); tablet/height predicates prune
+  *                     via min/max row-group stats.
   *   singlet_entries/  same.
   *   checkpoints/      tiny commit log; the LAST durably-visible write of a
   *                     batch, mirroring the reference's checkpoint-key-last
@@ -54,6 +57,14 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
   // assumption the linearity guard and checkpoint cache already make)
   // means construction happens before any in-flight stage — sweep here.
   deletePathQuiet(stagingRoot)
+
+  // Crash recovery for interrupted table swaps is a WRITER responsibility:
+  // it runs once at construction (covering a crash in a previous process)
+  // and again at the head of every [[rewriteTable]]. Readers never rename —
+  // a reader racing a live rewrite between its two renames could otherwise
+  // restore `path.old` over the writer's about-to-promote replacement.
+  Seq(tabletRowsPath, singletEntriesPath, checkpointsPath, snapshotsPath)
+    .foreach(recoverSwap)
 
   // ------------------------------------------------------------------
   // Filesystem plumbing (Hadoop FS — never java.io.File, which silently
@@ -100,15 +111,49 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
     }
   }
 
+  /** [[atomicAppend]] for the collection-partitioned mutation tables
+    * (SURVEY §1.4 "partition by collection"): the staged write is
+    * `partitionBy("collection")`, and each `collection=N` directory is
+    * promoted to `tablePath/collection=N/dirName` — so a collection
+    * predicate prunes whole DIRECTORIES at the file-index level
+    * (PartitionFilters), not just row groups. One rename per collection in
+    * the batch; a crash between renames is covered by checkpoint-last plus
+    * the per-collection deterministic-name skip on replay. */
+  private def atomicAppendPartitioned(
+      df: DataFrame, tablePath: String, dirName: String): Boolean = {
+    val staging = s"$stagingRoot/${java.util.UUID.randomUUID().toString}"
+    df.write.mode(SaveMode.Overwrite).partitionBy("collection").parquet(staging)
+    val (fs, sp) = fsPath(staging)
+    val parts = fs.listStatus(sp).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith("collection="))
+      .sortBy(_.getName)
+    var any = false
+    parts.foreach { p =>
+      val collDir = s"$tablePath/${p.getName}"
+      val target = s"$collDir/$dirName"
+      if (!pathExists(target)) {
+        fs.mkdirs(new Path(collDir))
+        renamePath(p.toString, target)
+        any = true
+      }
+    }
+    deletePathQuiet(staging)
+    any
+  }
+
   /** Swap-rewrite a whole table (compaction / prune): write the replacement,
     * move the old table aside, promote, then delete the old copy. A crash at
     * any point leaves a COMPLETE table either at `path` or at `path.old`;
-    * [[recoverSwap]] (run by every reader) finishes an interrupted swap. */
+    * [[recoverSwap]] (run at store construction and here — never by a
+    * reader) finishes an interrupted swap. */
   private def rewriteTable(
-      path: String, replacement: DataFrame, format: String = "parquet"): Unit = {
+      path: String, replacement: DataFrame, format: String = "parquet",
+      partitionCols: Seq[String] = Nil): Unit = {
+    recoverSwap(path)
     val tmp = s"$path.rewrite"
     deletePath(tmp)
-    replacement.write.mode(SaveMode.Overwrite).format(format).save(tmp)
+    replacement.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).format(format).save(tmp)
     val old = s"$path.old"
     deletePath(old)
     renamePath(path, old)
@@ -118,7 +163,9 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
 
   /** Crash recovery for [[rewriteTable]]: the table missing while the
     * moved-aside copy exists means a rewrite died between its two renames —
-    * restore the complete old table instead of silently reading "empty". */
+    * restore the complete old table instead of silently reading "empty".
+    * Called ONLY from construction and write paths (see the constructor
+    * note); the read path performs no filesystem mutation. */
   private def recoverSwap(path: String): Unit = {
     val old = s"$path.old"
     if (!pathExists(path) && pathExists(old)) renamePath(old, path)
@@ -129,12 +176,26 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
     * are nested directories, hence the recursive listing (partition
     * inference is off; pruning comes from row-group stats, not dir names). */
   private def readTable(path: String, schema: StructType): DataFrame = {
-    recoverSwap(path)
     if (!pathExists(path))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
       spark.read.option("recursiveFileLookup", "true").schema(schema).parquet(path)
+  }
+
+  /** [[readTable]] for the collection-partitioned mutation tables:
+    * partition DISCOVERY (not recursive lookup — the two are mutually
+    * exclusive) binds `collection` to the directory key, so a collection
+    * predicate becomes a PartitionFilter that prunes whole directories
+    * before any footer is read. Discovery appends the partition column
+    * last; the select restores the declared schema order. */
+  private def readPartitionedTable(path: String, schema: StructType): DataFrame = {
+    if (!pathExists(path))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.option("basePath", path).schema(schema).parquet(path)
+        .select(schema.fieldNames.map(col).toSeq: _*)
   }
 
   // ------------------------------------------------------------------
@@ -175,7 +236,7 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
     if (rows.nonEmpty)
       writeTabletRows(rows.toDF(tabletRowCols: _*), dir)
     if (entries.nonEmpty)
-      atomicAppend(entries.toDF(singletEntryCols: _*), singletEntriesPath, dir)
+      writeSingletEntries(entries.toDF(singletEntryCols: _*), dir)
     // Checkpoint last — the durability barrier.
     val head = sorted.last
     writeCheckpoint(Checkpoint(checkpointKey, head.height, head.block.id, head.block.num))
@@ -250,8 +311,11 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
   def writeTabletRows(
       df: DataFrame,
       commitId: String = java.util.UUID.randomUUID().toString): Boolean =
-    atomicAppend(
-      df.sortWithinPartitions("tablet_id", "height"),
+    atomicAppendPartitioned(
+      // Leading `collection` in the sort satisfies the partitioned
+      // writer's required ordering (no second sort) and keeps each output
+      // file sorted by (tablet_id, height) for row-group pruning.
+      df.sortWithinPartitions("collection", "tablet_id", "height"),
       tabletRowsPath, commitId)
 
   /** Atomically append pre-shaped singlet-entry DataFrames (same contract
@@ -259,16 +323,16 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
   def writeSingletEntries(
       df: DataFrame,
       commitId: String = java.util.UUID.randomUUID().toString): Boolean =
-    atomicAppend(
-      df.sortWithinPartitions("singlet_id", "height"),
+    atomicAppendPartitioned(
+      df.sortWithinPartitions("collection", "singlet_id", "height"),
       singletEntriesPath, commitId)
 
-  def tabletRows: DataFrame = readTable(tabletRowsPath, Schemas.tabletRows)
-  def singletEntries: DataFrame = readTable(singletEntriesPath, Schemas.singletEntries)
+  def tabletRows: DataFrame = readPartitionedTable(tabletRowsPath, Schemas.tabletRows)
+  def singletEntries: DataFrame =
+    readPartitionedTable(singletEntriesPath, Schemas.singletEntries)
   def tabletSnapshots: DataFrame = readTable(snapshotsPath, Schemas.tabletSnapshots)
 
   def checkpointsDF: DataFrame = {
-    recoverSwap(checkpointsPath)
     if (!pathExists(checkpointsPath))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.checkpoints)
@@ -450,15 +514,21 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
     recoverSwap(path)
     if (!pathExists(path)) return 0L
     val (fs, p) = fsPath(path)
-    val before = fs.listStatus(p).count(_.isDirectory)
+    // Committed batch directories live one level down, under collection=N.
+    val before = fs.listStatus(p).filter(_.isDirectory).map { c =>
+      if (c.getPath.getName.startsWith("collection="))
+        fs.listStatus(c.getPath).count(_.isDirectory).toLong
+      else 1L
+    }.sum
     val n =
       if (numFiles > 0) numFiles
       else spark.sessionState.conf.numShufflePartitions
     rewriteTable(path,
-      readTable(path, schema)
+      readPartitionedTable(path, schema)
         .repartitionByRange(n, keys.map(col): _*)
-        .sortWithinPartitions(keys.map(col): _*))
-    before.toLong
+        .sortWithinPartitions(col("collection") +: keys.map(col): _*),
+      partitionCols = Seq("collection"))
+    before
   }
 
   /** ReindexTablets (indexing.go:100–171): rebuild EXISTING tablet index

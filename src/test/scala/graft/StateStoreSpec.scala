@@ -83,10 +83,11 @@ class StateStoreSpec extends SparkTestBase {
     assert(store.tabletRows.filter(col("primary_key") === "zz").count() === 0L)
   }
 
-  test("interrupted table rewrite (prune/compaction) recovers the complete " +
-    "old table on next read") {
+  test("interrupted table rewrite: READERS never rename (no race against a " +
+    "live swap); recovery happens at writer construction") {
     implicit val s = spark
-    val store = new StateStore(tmpDir("store"))
+    val root = tmpDir("store")
+    val store = new StateStore(root)
     import s.implicits._
     val idx = Seq(("a", 1L)).toDF("primary_key", "height")
     store.writeTabletSnapshot(idx, "t1", 5L, 1L)
@@ -94,10 +95,35 @@ class StateStoreSpec extends SparkTestBase {
     // aside, replacement never promoted.
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(store.snapshotsPath)
+    val old = new org.apache.hadoop.fs.Path(store.snapshotsPath + ".old")
     val fs = p.getFileSystem(conf)
-    assert(fs.rename(p, new org.apache.hadoop.fs.Path(store.snapshotsPath + ".old")))
-    assert(store.tabletSnapshots.count() === 1L) // recovered, not "empty"
-    assert(store.latestTabletSnapshot("t1").get._1 === 5L)
+    assert(fs.rename(p, old))
+    // A reader mid-window performs NO filesystem mutation: were it to
+    // restore `.old` here, it could race a live rewrite between its two
+    // renames and clobber the writer's promote (the round-5 wart). It sees
+    // the table as absent and leaves `.old` exactly where the writer put it.
+    assert(store.tabletSnapshots.count() === 0L)
+    assert(fs.exists(old) && !fs.exists(p))
+    // Crash RECOVERY is the writer's job: reopening the store (the restart
+    // path) restores the complete old table before any write could run.
+    val reopened = new StateStore(root)
+    assert(!fs.exists(old) && fs.exists(p))
+    assert(reopened.tabletSnapshots.count() === 1L)
+    assert(reopened.latestTabletSnapshot("t1").get._1 === 5L)
+  }
+
+  test("in-process rewrite self-heals a prior interrupted swap before writing") {
+    implicit val s = spark
+    val store = new StateStore(tmpDir("store"))
+    (0L to 3L).foreach(h => store.writeBatch(Seq(req(h, ("t1", "k", s"v$h")))))
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(store.tabletRowsPath)
+    val fs = p.getFileSystem(conf)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(store.tabletRowsPath + ".old")))
+    // compaction (a write path) recovers the moved-aside table, then
+    // compacts it — no rows lost.
+    store.compactTabletRows()
+    assert(store.tabletRows.count() === 4L)
   }
 
   test("checkpoint log compaction preserves latest-per-key and shrinks the log") {
@@ -172,11 +198,15 @@ class StateStoreSpec extends SparkTestBase {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(store.tabletRowsPath)
     val fs = p.getFileSystem(conf)
-    assert(fs.listStatus(p).count(_.isDirectory) === 20) // one dir per batch
+    // Hive layout: collection=1/ holds one committed dir per batch.
+    val collDir = new org.apache.hadoop.fs.Path(store.tabletRowsPath + "/collection=1")
+    assert(fs.listStatus(p).count(_.isDirectory) === 1)
+    assert(fs.listStatus(collDir).count(_.isDirectory) === 20)
     val folded = store.compactTabletRows(numFiles = 2)
     assert(folded === 20L)
-    // Flat file layout now, identical contents.
-    assert(fs.listStatus(p).count(_.isDirectory) === 0)
+    // Batch dirs folded into flat files under the partition dir,
+    // identical contents.
+    assert(fs.listStatus(collDir).count(_.isDirectory) === 0)
     val afterRows = store.tabletRows.collect()
       .map(r => (r.getString(1), r.getLong(2), r.getString(3))).sorted.toSeq
     assert(afterRows === beforeRows)
@@ -191,6 +221,24 @@ class StateStoreSpec extends SparkTestBase {
     assert(store.tabletRows.count() === 21L)
     // Compacting an empty/missing table is a no-op.
     assert(store.compactSingletEntries() === 0L)
+  }
+
+  test("collection predicate prunes partition DIRECTORIES " +
+    "(PartitionFilters in the scan, SURVEY §1.4 layout)") {
+    implicit val s = spark
+    val store = new StateStore(tmpDir("store"))
+    store.writeBatch(Seq(WriteRequest(0, BlockRef("b0", 0), Seq(
+      TabletRowM(1, "t1", 0, "a", "x".getBytes("UTF-8"), false),
+      TabletRowM(2, "u1", 0, "b", "y".getBytes("UTF-8"), false)), Nil)))
+    val df = store.tabletRows.filter(col("collection") === 2)
+    assert(df.collect().map(_.getString(1)).toSeq === Seq("u1"))
+    val explained = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("PartitionFilters"), explained)
+    assert(explained.replaceAll("#\\d+", "").contains("(collection = 2)"), explained)
+    // Both collections round-trip with the declared schema order.
+    assert(store.tabletRows.columns.toSeq === StateStore.tabletRowCols)
+    assert(store.tabletRows.count() === 2L)
   }
 
   test("reindexTablets rebuilds corrupted index entries from the mutation " +
