@@ -1,0 +1,204 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Object-store-safe commit protocol for one table (the manifest-pointer
+  * alternative to [[StateStore]]'s staged-rename protocol — reference
+  * equivalent: the transactional KV batch, store/kv/store.go:332–467).
+  *
+  * S3-class stores have no atomic directory rename, so "stage then rename
+  * into place" cannot be the visibility barrier. Here data files are
+  * written ONCE under stable per-commit directories and never moved;
+  * visibility comes from metadata:
+  *
+  *   1. `d-<commitId>-g<gen>/` — the commit's data files. Deterministic
+  *      per (commitId, generation): a crash-replay rewrites the SAME
+  *      directory in overwrite mode, so orphans self-clean on retry.
+  *   2. `_manifests/m-<gen>.json` — the full committed file list as of
+  *      generation `gen` (JSON lines, one per commit).
+  *   3. `_gen` — the generation POINTER. The swap of this one small file
+  *      is the only "atomic" operation the protocol needs: a single-object
+  *      PUT on an object store (here: tmp file + single-file rename, the
+  *      local/HDFS equivalent).
+  *
+  * Readers resolve pointer → manifest → file list. A crash anywhere
+  * before the pointer swap leaves only files no manifest references —
+  * readers never observe a partial batch; no directory rename is ever
+  * issued. Unreferenced attempt directories are swept opportunistically
+  * by the next successful commit of the same commitId (overwrite) or by
+  * [[sweepOrphans]].
+  *
+  * The manifest is rewritten whole per commit — fine for a micro-batch
+  * cadence where [[replaceAll]] (compaction) periodically collapses the
+  * log; a production object-store deployment would adopt Delta/Iceberg,
+  * which are this exact shape plus manifest checkpointing.
+  */
+final class ManifestTable(val tablePath: String, schema: StructType)(
+    implicit spark: SparkSession) {
+
+  private val genPointerPath = s"$tablePath/_gen"
+  private val manifestDir = s"$tablePath/_manifests"
+
+  private def fsOf(p: String): (FileSystem, Path) = {
+    val path = new Path(p)
+    (path.getFileSystem(spark.sessionState.newHadoopConf()), path)
+  }
+
+  /** Test hook: simulate a crash after the data write, before publish. */
+  private[graft] var failBeforePublish: Boolean = false
+
+  // -------------------------------------------------------------- pointer
+
+  /** Current generation, or None for an empty table. */
+  def currentGeneration(): Option[Long] = {
+    val (fs, p) = fsOf(genPointerPath)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val s = new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        Some(s.toLong)
+      } finally in.close()
+    }
+  }
+
+  /** Swap the generation pointer. One SMALL single file: on an object
+    * store this is one atomic PUT; locally/HDFS a tmp + single-FILE
+    * rename (file renames need no directory atomicity). */
+  private def publish(gen: Long): Unit = {
+    val (fs, p) = fsOf(genPointerPath)
+    val tmp = new Path(s"$genPointerPath.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(gen.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"pointer swap failed for $tablePath")
+  }
+
+  // ------------------------------------------------------------- manifest
+
+  private def manifestPath(gen: Long): String = f"$manifestDir/m-$gen%09d.json"
+
+  private def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  /** Committed (commitId, relative file paths), in commit order. */
+  private[graft] def manifestEntries(gen: Long): Seq[(String, Seq[String])] = {
+    val (fs, p) = fsOf(manifestPath(gen))
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val text =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      text.linesIterator.filter(_.nonEmpty).map { line =>
+        // Minimal parser for the writer's own fixed shape:
+        // {"commit_id":"...","files":["a","b"]}
+        val commitId = line.split("\"commit_id\":\"", 2)(1).split("\"", 2)(0)
+        val filesPart = line.split("\"files\":\\[", 2)(1).split("\\]", 2)(0)
+        val files =
+          if (filesPart.isEmpty) Seq.empty[String]
+          else filesPart.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        (commitId, files)
+      }.toSeq
+    }
+  }
+
+  private def writeManifest(gen: Long, entries: Seq[(String, Seq[String])]): Unit = {
+    val (fs, p) = fsOf(manifestPath(gen))
+    fs.mkdirs(p.getParent)
+    val json = entries.map { case (id, files) =>
+      s"""{"commit_id":${quote(id)},"files":[${files.map(quote).mkString(",")}]}"""
+    }.mkString("", "\n", "\n")
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def listDataFiles(dir: String): Seq[String] = {
+    val (fs, p) = fsOf(dir)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) buf += f.toString
+    }
+    // Relative to tablePath, so the table survives a root move.
+    val prefix = fsOf(tablePath)._2.toUri.getPath
+    buf.toSeq.map(f => new Path(f).toUri.getPath.stripPrefix(prefix).stripPrefix("/")).sorted
+  }
+
+  // --------------------------------------------------------------- commit
+
+  /** Append `df` as `commitId`. Idempotent: an already-manifested
+    * commitId skips (returns false). Crash-safe: the pointer swap is the
+    * last step, and a replay after a crash rewrites the same attempt
+    * directory in overwrite mode. */
+  def commit(df: DataFrame, commitId: String): Boolean = {
+    val gen = currentGeneration().getOrElse(0L)
+    val entries = manifestEntries(gen)
+    if (entries.exists(_._1 == commitId)) return false
+    val next = gen + 1
+    val dataDir = s"$tablePath/d-$commitId-g$next"
+    df.write.mode(SaveMode.Overwrite).parquet(dataDir)
+    val files = listDataFiles(dataDir)
+    if (failBeforePublish)
+      throw new IllegalStateException(s"injected crash before publish of $commitId")
+    writeManifest(next, entries :+ (commitId -> files))
+    publish(next)
+    true
+  }
+
+  /** Replace the WHOLE table with `df` under `commitId` (compaction): new
+    * manifest references only the replacement; prior generations' files
+    * become invisible immediately and sweepable later. */
+  def replaceAll(df: DataFrame, commitId: String): Unit = {
+    val next = currentGeneration().getOrElse(0L) + 1
+    val dataDir = s"$tablePath/d-$commitId-g$next"
+    df.write.mode(SaveMode.Overwrite).parquet(dataDir)
+    val files = listDataFiles(dataDir)
+    if (failBeforePublish)
+      throw new IllegalStateException(s"injected crash before publish of $commitId")
+    writeManifest(next, Seq(commitId -> files))
+    publish(next)
+  }
+
+  // ----------------------------------------------------------------- read
+
+  /** The table as of the current generation — only manifested files. */
+  def read(): DataFrame = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    currentGeneration() match {
+      case None => empty
+      case Some(gen) =>
+        val files = manifestEntries(gen).flatMap(_._2).map(f => s"$tablePath/$f")
+        if (files.isEmpty) empty
+        else spark.read.schema(schema).parquet(files: _*)
+    }
+  }
+
+  /** Delete data directories no manifest generation ≤ current references
+    * (crashed attempts, pre-compaction generations). Safe any time in the
+    * single-writer model: an unreferenced directory can never become
+    * referenced again (generations only grow). Returns deleted dirs. */
+  def sweepOrphans(): Seq[String] = {
+    val (fs, root) = fsOf(tablePath)
+    if (!fs.exists(root)) return Seq.empty
+    val live: Set[String] = currentGeneration() match {
+      case None => Set.empty
+      case Some(gen) =>
+        manifestEntries(gen).flatMap(_._2).map(_.split("/", 2)(0)).toSet
+    }
+    val victims = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath).filter { p =>
+        p.getName.startsWith("d-") && !live.contains(p.getName)
+      }
+    victims.foreach(p => fs.delete(p, true))
+    victims.map(_.getName).toSeq
+  }
+}

@@ -38,11 +38,18 @@ import graft.model._
   * duplicated (the reference gets the same from KV overwrite semantics).
   *
   * All filesystem operations go through Hadoop's FileSystem API, so the
-  * store works unchanged against hdfs:// or s3a:// roots (object stores
-  * without atomic rename would want the Delta/Iceberg commit protocol
-  * instead — same staged-data-then-pointer-swap shape).
+  * store works unchanged against hdfs:// or s3a:// roots. The staged-
+  * rename protocol above needs atomic DIRECTORY rename (HDFS/local);
+  * for S3-class object stores construct the store with
+  * `commitProtocol = StateStore.ManifestCommit`: the mutation tables then
+  * commit via [[ManifestTable]] — data files written once and never
+  * renamed, visibility from a manifest plus a single generation-pointer
+  * swap (one small-object PUT), readers listing from the manifest.
   */
-final class StateStore(val root: String)(implicit spark: SparkSession) {
+final class StateStore(
+    val root: String,
+    val commitProtocol: StateStore.CommitProtocol = StateStore.RenameCommit)(
+    implicit spark: SparkSession) {
   import StateStore._
 
   val tabletRowsPath = s"$root/tablet_rows"
@@ -308,28 +315,47 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
     * number) to make crash-replays skip instead of duplicate; the default
     * random id gives plain append semantics. Returns false if that commit
     * already exists. */
+  // Manifest-protocol table handles (unused under RenameCommit).
+  private lazy val manifestTabletRows = new ManifestTable(tabletRowsPath, Schemas.tabletRows)
+  private lazy val manifestSingletEntries =
+    new ManifestTable(singletEntriesPath, Schemas.singletEntries)
+
+  private[graft] def manifestTableFor(path: String): ManifestTable =
+    if (path == tabletRowsPath) manifestTabletRows else manifestSingletEntries
+
   def writeTabletRows(
       df: DataFrame,
-      commitId: String = java.util.UUID.randomUUID().toString): Boolean =
-    atomicAppendPartitioned(
-      // Leading `collection` in the sort satisfies the partitioned
-      // writer's required ordering (no second sort) and keeps each output
-      // file sorted by (tablet_id, height) for row-group pruning.
-      df.sortWithinPartitions("collection", "tablet_id", "height"),
-      tabletRowsPath, commitId)
+      commitId: String = java.util.UUID.randomUUID().toString): Boolean = {
+    // Leading `collection` in the sort satisfies the partitioned writer's
+    // required ordering (no second sort) and keeps each output file
+    // sorted by (tablet_id, height) for row-group pruning.
+    val sorted = df.sortWithinPartitions("collection", "tablet_id", "height")
+    commitProtocol match {
+      case ManifestCommit => manifestTabletRows.commit(sorted, commitId)
+      case RenameCommit => atomicAppendPartitioned(sorted, tabletRowsPath, commitId)
+    }
+  }
 
   /** Atomically append pre-shaped singlet-entry DataFrames (same contract
     * as [[writeTabletRows]]). */
   def writeSingletEntries(
       df: DataFrame,
-      commitId: String = java.util.UUID.randomUUID().toString): Boolean =
-    atomicAppendPartitioned(
-      df.sortWithinPartitions("collection", "singlet_id", "height"),
-      singletEntriesPath, commitId)
+      commitId: String = java.util.UUID.randomUUID().toString): Boolean = {
+    val sorted = df.sortWithinPartitions("collection", "singlet_id", "height")
+    commitProtocol match {
+      case ManifestCommit => manifestSingletEntries.commit(sorted, commitId)
+      case RenameCommit => atomicAppendPartitioned(sorted, singletEntriesPath, commitId)
+    }
+  }
 
-  def tabletRows: DataFrame = readPartitionedTable(tabletRowsPath, Schemas.tabletRows)
-  def singletEntries: DataFrame =
-    readPartitionedTable(singletEntriesPath, Schemas.singletEntries)
+  def tabletRows: DataFrame = commitProtocol match {
+    case ManifestCommit => manifestTabletRows.read()
+    case RenameCommit => readPartitionedTable(tabletRowsPath, Schemas.tabletRows)
+  }
+  def singletEntries: DataFrame = commitProtocol match {
+    case ManifestCommit => manifestSingletEntries.read()
+    case RenameCommit => readPartitionedTable(singletEntriesPath, Schemas.singletEntries)
+  }
   def tabletSnapshots: DataFrame = readTable(snapshotsPath, Schemas.tabletSnapshots)
 
   def checkpointsDF: DataFrame = {
@@ -511,24 +537,42 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
 
   private def compactMutationTable(
       path: String, schema: StructType, keys: Seq[String], numFiles: Int): Long = {
-    recoverSwap(path)
-    if (!pathExists(path)) return 0L
-    val (fs, p) = fsPath(path)
-    // Committed batch directories live one level down, under collection=N.
-    val before = fs.listStatus(p).filter(_.isDirectory).map { c =>
-      if (c.getPath.getName.startsWith("collection="))
-        fs.listStatus(c.getPath).count(_.isDirectory).toLong
-      else 1L
-    }.sum
     val n =
       if (numFiles > 0) numFiles
       else spark.sessionState.conf.numShufflePartitions
-    rewriteTable(path,
-      readPartitionedTable(path, schema)
-        .repartitionByRange(n, keys.map(col): _*)
-        .sortWithinPartitions(col("collection") +: keys.map(col): _*),
-      partitionCols = Seq("collection"))
-    before
+    commitProtocol match {
+      case ManifestCommit =>
+        val t = manifestTableFor(path)
+        val before = t.currentGeneration()
+          .map(g => t.manifestEntries(g).size.toLong).getOrElse(0L)
+        if (before == 0L) return 0L
+        // replaceAll publishes a manifest referencing only the compacted
+        // files; prior generations become invisible at the pointer swap
+        // and their directories are swept after.
+        t.replaceAll(
+          t.read()
+            .repartitionByRange(n, keys.map(col): _*)
+            .sortWithinPartitions(col("collection") +: keys.map(col): _*),
+          "compact")
+        t.sweepOrphans()
+        before
+      case RenameCommit =>
+        recoverSwap(path)
+        if (!pathExists(path)) return 0L
+        val (fs, p) = fsPath(path)
+        // Committed batch directories live one level down, under collection=N.
+        val before = fs.listStatus(p).filter(_.isDirectory).map { c =>
+          if (c.getPath.getName.startsWith("collection="))
+            fs.listStatus(c.getPath).count(_.isDirectory).toLong
+          else 1L
+        }.sum
+        rewriteTable(path,
+          readPartitionedTable(path, schema)
+            .repartitionByRange(n, keys.map(col): _*)
+            .sortWithinPartitions(col("collection") +: keys.map(col): _*),
+          partitionCols = Seq("collection"))
+        before
+    }
   }
 
   /** ReindexTablets (indexing.go:100–171): rebuild EXISTING tablet index
@@ -746,6 +790,16 @@ final class StateStore(val root: String)(implicit spark: SparkSession) {
 }
 
 object StateStore {
+  /** Mutation-table commit protocol (class doc): [[RenameCommit]] stages
+    * then atomically renames directories (HDFS/local); [[ManifestCommit]]
+    * is the object-store-safe manifest-pointer protocol
+    * ([[ManifestTable]]). Checkpoints and snapshots are unaffected: the
+    * checkpoint log already writes deterministic single FILES (an atomic
+    * PUT on object stores), and snapshot appends are operationally rare. */
+  sealed trait CommitProtocol
+  case object RenameCommit extends CommitProtocol
+  case object ManifestCommit extends CommitProtocol
+
   val GlobalCheckpointKey = "checkpoint" // const.go:17
   val ShardCheckpointPrefix = "shard-"   // read.go:454–464
   /** Row-count analogue of the reference's 25 MB heavy-index warning

@@ -223,6 +223,50 @@ class StateStoreSpec extends SparkTestBase {
     assert(store.compactSingletEntries() === 0L)
   }
 
+  test("manifest commit protocol (object-store mode): a crash between data " +
+    "write and pointer swap is invisible to readers; replay commits exactly " +
+    "once; compaction and orphan sweep work") {
+    implicit val s = spark
+    val store = new StateStore(tmpDir("store"), StateStore.ManifestCommit)
+    store.writeBatch(Seq(req(0, ("t1", "a", "a0")), req(1, ("t1", "b", "b1"))))
+    assert(store.tabletRows.count() === 2L)
+    assert(store.checkpoint(StateStore.GlobalCheckpointKey).get.height === 1L)
+    // Inject the crash window: data files land, no manifest, no pointer.
+    val mt = store.manifestTableFor(store.tabletRowsPath)
+    mt.failBeforePublish = true
+    intercept[IllegalStateException] {
+      store.writeBatch(Seq(req(2, ("t1", "c", "c2"))))
+    }
+    // Readers resolve pointer → manifest → files: the crashed attempt is
+    // unreferenced, so they see the last published generation whole —
+    // never a partial batch — and the checkpoint (written after data) did
+    // not advance, so the linearity guard re-admits the batch.
+    assert(store.tabletRows.count() === 2L)
+    assert(store.checkpoint(StateStore.GlobalCheckpointKey).get.height === 1L)
+    // "Restart" replay: commits exactly once (the crashed attempt's
+    // deterministic directory is rewritten, not duplicated).
+    mt.failBeforePublish = false
+    store.writeBatch(Seq(req(2, ("t1", "c", "c2"))))
+    assert(store.tabletRows.count() === 3L)
+    assert(store.readTabletAt("t1", 2L).count() === 3L)
+    // An already-manifested commit id is a skip, like the rename protocol.
+    import s.implicits._
+    val dup = Seq((1, "t1", 2L, "c", "c2".getBytes("UTF-8"), false))
+      .toDF(StateStore.tabletRowCols: _*)
+    assert(!store.writeTabletRows(dup, f"b${2L}%017d-${2L}%017d"))
+    // Compaction folds the 2 manifest entries into one replacement
+    // generation and sweeps now-unreferenced directories; contents intact.
+    val beforeRows = store.tabletRows.collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getString(3))).sorted.toSeq
+    assert(store.compactTabletRows(numFiles = 2) === 2L)
+    val afterRows = store.tabletRows.collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getString(3))).sorted.toSeq
+    assert(afterRows === beforeRows)
+    // The store keeps accepting batches afterwards.
+    store.writeBatch(Seq(req(3, ("t1", "d", "d3"))))
+    assert(store.tabletRows.count() === 4L)
+  }
+
   test("collection predicate prunes partition DIRECTORIES " +
     "(PartitionFilters in the scan, SURVEY §1.4 layout)") {
     implicit val s = spark
