@@ -31,17 +31,25 @@ object IngestionDemo {
     // build inside the commit flow (production default: 25,000).
     val pipeline = new IngestionPipeline(store, indexMinMutations = 2)
     implicit val sqlCtx = spark.sqlContext
-    val source = MemoryStream[StreamedBlock]
 
     def block(n: Long, step: String) = StreamedBlock(
       s"a$n", s"a${n - 1}", n, step,
       Seq(TabletRowM(1, "balances", n, s"acct${n % 3}", s"v$n".getBytes, false)),
       Seq(SingletEntryM(1, "total_supply", n, s"supply-$n".getBytes, false)))
 
-    val q = pipeline.start(source.toDS(), s"$root/ckpt", triggerMillis = 50)
-    source.addData(
-      block(0, "irreversible"), block(1, "irreversible"), block(2, "irreversible"),
-      block(3, "new"), block(4, "new"))
+    // Blocks arrive as one-block FILES in a tailed archive directory (the
+    // concrete source, reference pipeline.go:37–62): one file pre-exists,
+    // one appears while the query is running.
+    import graft.streaming.BlockArchiveSource
+    val archive = s"$root/blocks"
+    BlockArchiveSource.writeArchiveFile(
+      Seq(block(0, "irreversible"), block(1, "irreversible"), block(2, "irreversible")),
+      archive)
+    val q = pipeline.start(
+      BlockArchiveSource.readStream(spark, archive), s"$root/ckpt", triggerMillis = 50)
+    q.processAllAvailable()
+    BlockArchiveSource.writeArchiveFile(
+      Seq(block(3, "new"), block(4, "new")), archive)
     q.processAllAvailable()
     q.stop()
 

@@ -135,6 +135,53 @@ class ForkStreamingSpec extends SparkTestBase {
     assert(byNum.map(_.height) === Seq(2L, 3L) && atFinal === 1L)
   }
 
+  test("block-archive FILE source end-to-end: pipeline ingests one-block " +
+    "files from disk, serves an as-of read mid-stream, and tails files " +
+    "that appear while running (S1/S2, pipeline.go:37–62, 93–108)") {
+    implicit val s = spark
+    import graft.streaming.BlockArchiveSource
+    val store = new StateStore(tmpDir("store"))
+    val pipeline = new IngestionPipeline(store)
+    val archive = tmpDir("archive")
+    def block(n: Long, step: String = "irreversible") = StreamedBlock(
+      s"a$n", s"a${n - 1}", n, step,
+      Seq(TabletRowM(1, "t1", n, s"pk${n % 3}", s"v$n".getBytes, false)),
+      if (n % 2 == 0) Seq(SingletEntryM(1, "s1", n, s"e$n".getBytes, false)) else Nil)
+    // Historical archive: two files on DISK before the query starts.
+    BlockArchiveSource.writeArchiveFile(Seq(block(0), block(1), block(2)), archive)
+    BlockArchiveSource.writeArchiveFile(
+      Seq(block(3), block(4), block(5), block(6, "new")), archive)
+    val q = pipeline.start(
+      BlockArchiveSource.readStream(s, archive), tmpDir("ckpt"), triggerMillis = 50)
+    try {
+      q.processAllAvailable()
+      // Replay drained: durable rows 0..5 committed, block 6 on the fork
+      // overlay only.
+      assert(store.checkpoint(StateStore.GlobalCheckpointKey).get.height === 5L)
+      assert(store.tabletRows.count() === 6L)
+      // As-of read MID-STREAM (query still running), with the speculative
+      // head overlaid.
+      val at4 = store.readTabletAt("t1", 4L).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(at4 === Seq(("pk0", 3L), ("pk1", 4L), ("pk2", 2L)))
+      val spec = pipeline.speculativeTabletRows("a6").get
+      val at6 = store.readTabletAt("t1", 6L, spec).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(at6 === Seq(("pk0", 6L), ("pk1", 4L), ("pk2", 5L)))
+      // TAIL: new files appear while the query runs; the file source picks
+      // them up and the pipeline advances LIB over the old fork head.
+      BlockArchiveSource.writeArchiveFile(
+        Seq(block(6), block(7), block(8)), archive)
+      q.processAllAvailable()
+      assert(store.checkpoint(StateStore.GlobalCheckpointKey).get.height === 8L)
+      val at8 = store.readTabletAt("t1", 8L).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(at8 === Seq(("pk0", 6L), ("pk1", 7L), ("pk2", 8L)))
+      // Singlet entries rode along from the same files.
+      assert(store.readSingletEntries("s1").count() === 5L)
+    } finally q.stop()
+  }
+
   test("ingestion triggers index builds past the heuristic; snapshot-aware " +
     "read equals the direct read") {
     implicit val s = spark
