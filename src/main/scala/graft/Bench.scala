@@ -18,20 +18,32 @@ object Bench {
     // machinery) so the first timed query doesn't pay JVM start-up costs.
     spark.range(1000).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Drop the previous query's persisted intermediates: accumulated
-      // caches otherwise crowd the heap and GC noise dominates the tail
-      // of the run (measured: up to 3x variance on the shingle queries).
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true } catch {
+      def once(): Double = {
+        // Drop the previous run's persisted intermediates: accumulated
+        // caches otherwise crowd the heap and GC noise dominates the tail
+        // of the run (measured: up to 3x variance on the shingle queries).
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val v =
+        try {
+          val first = once()
+          // Queries at or above 1 s re-run twice and report the MIN of 3:
+          // a single sample mixes one-time analysis/codegen and ±40% host
+          // noise into round-over-round deltas (both measured), so single
+          // runs could not adjudicate even 2x regressions. The min is the
+          // most reproducible point estimate of the query's actual cost.
+          if (first >= 1.0) (first +: (1 to 2).map(_ => once())).min else first
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
+            // A crashed query must not read as a fast run: -1, not its
+            // time-to-failure.
+            -1.0
         }
-      // A crashed query must not read as a fast run: report -1, not its
-      // time-to-failure.
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> v
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
