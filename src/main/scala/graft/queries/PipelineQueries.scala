@@ -171,6 +171,11 @@ object PipelineQueries {
   private val IvfK = 8
   private def centroidCoefs(c: Int): Array[Double] = planeCoefs(100 + c)
 
+  /** The md5-derived quantizer, exposed for comparison against TRAINED
+    * centroids (see [[Ivf.trainKMeans]] and the recall spec). */
+  private[graft] def ivfHashCentroids: Seq[Array[Double]] =
+    (0 until IvfK).map(centroidCoefs)
+
   /** Per-(vector, centroid) scores: 8 rows per vector from a broadcast of
     * the tiny centroid TABLE, with the dot as a codegen'd column-column
     * fold. A centroid TABLE (not K inline 64-literal expressions) is the

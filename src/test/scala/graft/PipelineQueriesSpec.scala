@@ -18,6 +18,48 @@ class PipelineQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("trained IVF centroids (spherical k-means) reach recall@3 at least " +
+    "as high as the md5 hash centroids on the same nprobe budget") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Ivf
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // Brute-force cosine top-3 per probe = ground truth.
+    val a = embs.select(col("vec_id").as("qid"), col("embedding").as("ea"))
+    val b = embs.select(col("vec_id").as("nid"), col("embedding").as("eb"))
+    val dotC = graft.functions.ArrayDotProduct.dot(col("ea"), col("eb"))
+    val normA = sqrt(graft.functions.ArrayDotProduct.dot(col("ea"), col("ea")))
+    val normB = sqrt(graft.functions.ArrayDotProduct.dot(col("eb"), col("eb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    val truth = a.filter(col("qid") < 20).crossJoin(b)
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), (dotC / (normA * normB)).as("cos"))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(centroids: Seq[Array[Double]]): Double = {
+      import spark.implicits._
+      val cdf = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toDF("k", "cvec")
+      val got = Ivf.search(embs, cdf, col("vec_id") < 20, nprobe = 2, topK = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val overlaps = truth.map { case (q, t) =>
+        got.get(q).map(g => (g & t).size.toDouble / t.size).getOrElse(0.0)
+      }
+      overlaps.sum / overlaps.size
+    }
+    val hash = graft.queries.PipelineQueries.ivfHashCentroids
+    val rHash = recall(hash)
+    // Deterministic training: seeded from the hash centroids themselves.
+    val rTrained = recall(Ivf.trainKMeans(embs, iters = 5, init = hash))
+    info(f"recall@3 hash=$rHash%.3f trained=$rTrained%.3f")
+    assert(rTrained >= rHash,
+      f"trained centroids lost recall: $rTrained%.3f < $rHash%.3f")
+    assert(rTrained > 0.0)
+  }
+
   test("LSH-blocked candidates are a subset of the exact pairs (embed)") {
     val exact = run("p_dedup_embed").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
