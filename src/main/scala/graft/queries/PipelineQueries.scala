@@ -757,12 +757,17 @@ object PipelineQueries {
       import s.implicits._
       // Decode parallelism must track CORES, not input-file count: the
       // corpus parquet is one small file → one scan partition, which would
-      // run the (CPU-bound) codec serially. At 100 TB the same holds —
-      // repartition media batches to the cluster's cores before decode.
-      val blobs = docs(s, dir)
-        .select(col("doc_id"), col("text"))
-        .repartition(s.sparkContext.defaultParallelism)
-        .as[(Long, String)]
+      // run the (CPU-bound) codec serially. GUARDED: only widen when the
+      // scan is narrower than the cores — a big corpus already has
+      // plentiful scan partitions, and full-shuffling media payloads to
+      // "gain" parallelism would be pure waste there (prefer a smaller
+      // files.maxPartitionBytes at ingest if decode needs finer splits).
+      val narrow = docs(s, dir).select(col("doc_id"), col("text"))
+      val blobs = (
+        if (narrow.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+          narrow.repartition(s.sparkContext.defaultParallelism)
+        else narrow
+      ).as[(Long, String)]
       blobs.mapPartitions { it =>
         it.map { case (id, text) =>
           val png = graft.functions.Media.textToPng(text)
@@ -821,12 +826,15 @@ object PipelineQueries {
 
     QuerySpec.rowsOnly("p_multimodal_frames") { (s, dir) =>
       import s.implicits._
-      // Same cores-not-files repartition as p_multimodal_decode: ~21k PNG
-      // round-trips at sf0.1 are pure CPU and must fan out.
-      val blobs = docs(s, dir)
-        .select(col("doc_id"), col("text"))
-        .repartition(s.sparkContext.defaultParallelism)
-        .as[(Long, String)]
+      // Same GUARDED cores-not-files repartition as p_multimodal_decode:
+      // ~21k PNG round-trips at sf0.1 are pure CPU and must fan out, but
+      // only when the scan is narrower than the cores.
+      val narrow = docs(s, dir).select(col("doc_id"), col("text"))
+      val blobs = (
+        if (narrow.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+          narrow.repartition(s.sparkContext.defaultParallelism)
+        else narrow
+      ).as[(Long, String)]
       blobs.mapPartitions { it =>
         it.flatMap { case (id, text) =>
           val checksum = graft.functions.Media.payloadHash(text.getBytes("UTF-8"))
