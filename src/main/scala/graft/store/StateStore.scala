@@ -429,14 +429,17 @@ final class StateStore(
     * indexing.go:100–147): `index` carries (primary_key, height) as built by
     * [[graft.snapshot.Snapshots.buildTabletIndex]]. Deterministic commit
     * name per (tablet, height): a crash-replayed index build skips. */
+  private def tabletHashOf(tabletId: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(tabletId.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   def writeTabletSnapshot(
       index: DataFrame,
       tabletId: String,
       atHeight: Long,
       squelchCount: Long,
       collection: Int = 0): Unit = {
-    val tabletHash = java.security.MessageDigest.getInstance("MD5")
-      .digest(tabletId.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tabletHash = tabletHashOf(tabletId)
     atomicAppend(
       index.select(
         lit(collection).as("collection"),
@@ -669,20 +672,41 @@ final class StateStore(
     * [[graft.snapshot.Snapshots.pruneRetention]]): keep first and last,
     * delete every `pruneFrequency`-th intermediate walking from the highest
     * height down; tablets with ≤ pruneFrequency + 2 snapshots are left
-    * untouched. Physically rewrites the snapshot table via the crash-safe
-    * swap (on a Delta/Iceberg deployment this is a `DELETE WHERE`).
-    * Returns the kept heights. */
+    * untouched.
+    *
+    * Physical deletion exploits the append-only layout: every snapshot is
+    * committed as its OWN deterministic directory (`s-<coll>-<hash>-<h>`),
+    * so pruning one is one directory delete — O(dropped snapshots), the
+    * columnar equivalent of the reference's per-key KV delete, never a
+    * table rewrite. Fallback: if any dropped height no longer has its own
+    * directory (a reindex rewrote the table flat), prune that tablet via
+    * the crash-safe swap as before. Returns the kept heights. */
   def pruneTabletSnapshots(tabletId: String, pruneFrequency: Int): Seq[Long] = {
     val heights = tabletSnapshots
       .filter(col("tablet_id") === lit(tabletId))
       .select("at_height").distinct().collect().map(_.getLong(0)).toSeq
     val keep = graft.snapshot.Snapshots.pruneRetention(heights, pruneFrequency)
     if (keep.toSet != heights.toSet) {
-      val keepSet = keep.toSet
-      val remaining = tabletSnapshots.filter(
-        col("tablet_id") =!= lit(tabletId) ||
-          col("at_height").isInCollection(keepSet))
-      rewriteTable(snapshotsPath, remaining)
+      val drop = heights.toSet -- keep.toSet
+      val tabletHash = tabletHashOf(tabletId)
+      val (fs, p) = fsPath(snapshotsPath)
+      val dirByHeight: Map[Long, Path] = fs.listStatus(p)
+        .filter(_.isDirectory).map(_.getPath)
+        .flatMap { d =>
+          d.getName.split("-") match {
+            case Array("s", _, hash, h) if hash == tabletHash =>
+              Some(h.toLong -> d)
+            case _ => None
+          }
+        }.toMap
+      if (drop.forall(dirByHeight.contains))
+        drop.foreach(h => fs.delete(dirByHeight(h), true))
+      else {
+        val keepSet = keep.toSet
+        rewriteTable(snapshotsPath, tabletSnapshots.filter(
+          col("tablet_id") =!= lit(tabletId) ||
+            col("at_height").isInCollection(keepSet)))
+      }
     }
     keep
   }

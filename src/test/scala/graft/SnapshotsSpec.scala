@@ -106,15 +106,46 @@ class SnapshotsSpec extends SparkTestBase {
         Snapshots.squelchCount(m, "t1", h))
     }
     store.writeTabletSnapshot(Snapshots.buildTabletIndex(m, "t1", 5), "other", 5, 5)
+    val conf = spark.sessionState.newHadoopConf()
+    val sp = new org.apache.hadoop.fs.Path(store.snapshotsPath)
+    val fs = sp.getFileSystem(conf)
+    val dirsBefore = fs.listStatus(sp).count(_.isDirectory)
     // t1 has 5 snapshots [2,4,6,8,10] > freq+2: middle desc [8,6,4], the
     // 2nd (height 6) is deleted; first/last always kept.
     val kept = store.pruneTabletSnapshots("t1", pruneFrequency = 2)
     assert(kept === Seq(2L, 4L, 8L, 10L))
+    // FAST PATH: exactly one per-snapshot directory deleted — no table
+    // rewrite (O(dropped), the KV-delete equivalent).
+    assert(fs.listStatus(sp).count(_.isDirectory) === dirsBefore - 1)
     val after = store.tabletSnapshots
       .select("tablet_id", "at_height").distinct().collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(after === Set(("t1", 2L), ("t1", 4L), ("t1", 8L), ("t1", 10L), ("other", 5L)))
     // Reads still work after the rewrite.
+    assert(store.latestTabletSnapshot("t1").get._1 === 10L)
+  }
+
+  test("snapshot prune falls back to the table swap when snapshots no " +
+    "longer live in per-snapshot directories (post-reindex flat layout)") {
+    implicit val s = spark
+    val store = new graft.store.StateStore(tmpDir("store"))
+    val m = mutations
+    store.writeTabletRows(m.select(
+      org.apache.spark.sql.functions.lit(1).as("collection"),
+      col("tablet_id"), col("height"), col("primary_key"),
+      col("value"), col("is_deletion")))
+    (2L to 10L by 2).foreach { h =>
+      store.writeTabletSnapshot(Snapshots.buildTabletIndex(m, "t1", h), "t1", h,
+        Snapshots.squelchCount(m, "t1", h), collection = 1)
+    }
+    // A reindex swap-rewrites the whole snapshot table: per-snapshot
+    // directories are gone afterwards.
+    store.reindexTablets()
+    val kept = store.pruneTabletSnapshots("t1", pruneFrequency = 2)
+    assert(kept === Seq(2L, 4L, 8L, 10L))
+    val after = store.tabletSnapshots.select("at_height").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(after === Set(2L, 4L, 8L, 10L))
     assert(store.latestTabletSnapshot("t1").get._1 === 10L)
   }
 
