@@ -602,16 +602,46 @@ final class StateStore(
   /** ReindexTablet (indexing.go:173–223): recompute the LATEST index entry
     * of one tablet at or below `maxHeight`, in place. Returns the reindexed
     * height, or None when no index exists there ("re-index not required").
-    * `write = false` mirrors the reference's read-only mode. */
+    * `write = false` mirrors the reference's read-only mode.
+    *
+    * When the entry still lives in its own committed directory (the
+    * append-only layout), the repair is a per-DIRECTORY swap — delete the
+    * corrupt entry's directory, rebuild, re-append — never a whole-table
+    * rewrite (reindex is rerunnable, so a crash mid-repair just repairs
+    * again). The table swap remains as the fallback for a flattened
+    * table, where leftover rows would otherwise merge with the rebuilt
+    * entry. */
   def reindexTablet(
       tabletId: String,
       maxHeight: Long = Long.MaxValue,
       write: Boolean = true): Option[Long] =
     latestTabletSnapshot(tabletId, maxHeight).map { case (h, _) =>
-      if (write)
-        reindexScoped(
-          col("tablet_id") === lit(tabletId) && col("at_height") === lit(h),
-          dryRun = false, HeavyIndexRowWarning)
+      if (write) {
+        val entry = tabletSnapshots
+          .filter(col("tablet_id") === lit(tabletId) && col("at_height") === lit(h))
+          .select("collection").limit(1).collect().head
+        val collection = entry.getInt(0)
+        val dir = f"s-$collection-${tabletHashOf(tabletId)}-$h%017d"
+        if (pathExists(s"$snapshotsPath/$dir")) {
+          val scoped = tabletRows.filter(
+            col("tablet_id") === lit(tabletId) && col("height") <= lit(h)).persist()
+          try {
+            val squelch = scoped.count()
+            val idx = graft.snapshot.Snapshots
+              .buildTabletIndex(scoped, tabletId, h).persist()
+            try {
+              if (idx.count() >= HeavyIndexRowWarning)
+                Console.err.println(
+                  s"[reindex] index pretty heavy: tablet=$tabletId at_height=$h")
+              deletePath(s"$snapshotsPath/$dir")
+              writeTabletSnapshot(idx, tabletId, h, squelch, collection)
+            } finally idx.unpersist()
+          } finally scoped.unpersist()
+        } else
+          reindexScoped(
+            col("tablet_id") === lit(tabletId) && col("at_height") === lit(h),
+            dryRun = false, HeavyIndexRowWarning)
+      }
       h
     }
 
