@@ -727,6 +727,70 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
+    // Stratified train/val/test split: DETERMINISTIC hash-bucket
+    // assignment (md5 of the doc id — reproducible across runs, clusters,
+    // and engines; never rand()), reported per (source, split). This is
+    // the split every training pipeline needs to be able to re-derive
+    // from scratch. Scan-local assignment + one groupBy shuffle.
+    QuerySpec.sql(
+      "p_sample_stratified",
+      s"""SELECT source,
+         |  CASE WHEN ${oH32("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+         |       WHEN ${oH32("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val bucket = pmod(h32(col("doc_id").cast("string")), lit(100))
+      docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          when(bucket < 90, lit("train"))
+            .when(bucket < 95, lit("val"))
+            .otherwise(lit("test")).as("split"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("sum_tokens"),
+          min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"))
+        .orderBy("source", "split")
+    },
+
+    // ---------------------------------------------------------------------
+    // Sequence packing: greedy CONTIGUOUS packing of documents into
+    // fixed-token-budget training sequences (bin = running token total
+    // before the doc, integer-divided by the budget), per source in
+    // doc_id order. The window partitions by source — at 100 TB each
+    // source packs independently in one shuffle, and the downstream
+    // writer emits one sequence per (source, bin).
+    QuerySpec.sql(
+      "p_pack_sequences",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, ' ')) AS ntok,
+        |    CAST(sum(len(string_split(text, ' '))) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM documents
+        |)
+        |SELECT source, (cum - ntok) // 512 AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+        .withColumn("cum", sum(col("ntok")).over(w))
+        .withColumn("bin", expr("(cum - ntok) div 512"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("sum_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "bin")
+    },
+
+    // ---------------------------------------------------------------------
     // Multimodal metadata: treat the payload as an opaque binary column
     // with typed metadata (byte length + sha256) — the schema/plumbing
     // pattern for image/audio blobs. The blob here is the utf8 encoding of

@@ -18,6 +18,27 @@ class PipelineQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("stratified split and sequence packing both partition the corpus " +
+    "exactly (every doc in one split / one bin)") {
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val split = run("p_sample_stratified").collect()
+    assert(split.map(_.getLong(2)).sum === nDocs)
+    assert(split.map(_.getString(1)).toSet.subsetOf(Set("train", "val", "test")))
+    val pack = run("p_pack_sequences").collect()
+    assert(pack.map(_.getLong(2)).sum === nDocs)
+    // Bins are non-negative and doc ranges within a source never overlap:
+    // packing is contiguous in doc_id order.
+    pack.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val ordered = rows.sortBy(_.getLong(1))
+      assert(ordered.forall(_.getLong(1) >= 0L))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(5) < b.getLong(4), s"$src: overlapping bins")
+        case _ => ()
+      }
+    }
+  }
+
   test("trained IVF centroids (spherical k-means) reach recall@3 at least " +
     "as high as the md5 hash centroids on the same nprobe budget") {
     import org.apache.spark.sql.functions._
