@@ -759,9 +759,11 @@ object PipelineQueries {
     // Sequence packing: greedy CONTIGUOUS packing of documents into
     // fixed-token-budget training sequences (bin = running token total
     // before the doc, integer-divided by the budget), per source in
-    // doc_id order. The window partitions by source — at 100 TB each
-    // source packs independently in one shuffle, and the downstream
-    // writer emits one sequence per (source, bin).
+    // doc_id order. The Spark side runs the DISTRIBUTED two-phase prefix
+    // sum (SequencePack — partial sums + broadcast offsets) so one giant
+    // source never serializes into a single window task; the oracle IS
+    // the window formulation, so the hash-compare proves the distributed
+    // scan exact every round.
     QuerySpec.sql(
       "p_pack_sequences",
       """WITH t AS (
@@ -777,17 +779,7 @@ object PipelineQueries {
         |  CAST(sum(ntok) AS BIGINT) AS sum_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs(s, dir)
-        .select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).cast("long").as("ntok"))
-        .withColumn("cum", sum(col("ntok")).over(w))
-        .withColumn("bin", expr("(cum - ntok) div 512"))
-        .groupBy("source", "bin")
-        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("sum_tokens"),
-          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-        .orderBy("source", "bin")
+      SequencePack.packed(docs(s, dir), budget = 512L)
     },
 
     // ---------------------------------------------------------------------

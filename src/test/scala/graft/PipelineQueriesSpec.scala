@@ -39,6 +39,32 @@ class PipelineQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("distributed prefix-sum packing ≡ window packing for any partition " +
+    "count (sources split across range partitions)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val viaWindow = d
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .withColumn("cum", sum(col("ntok")).over(w))
+      .withColumn("bin", expr("(cum - ntok) div 512"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "bin")
+      .collect().map(_.toSeq).toSeq
+    // 1 partition (degenerate), fewer than sources, many more than docs —
+    // each exercises different (partition, source) boundary splits.
+    for (n <- Seq(1, 3, 16, 64)) {
+      val viaScan = graft.queries.SequencePack.packed(d, 512L, nPartitions = n)
+        .collect().map(_.toSeq).toSeq
+      assert(viaScan === viaWindow, s"nPartitions=$n")
+    }
+  }
+
   test("trained IVF centroids (spherical k-means) reach recall@3 at least " +
     "as high as the md5 hash centroids on the same nprobe budget") {
     import org.apache.spark.sql.functions._
