@@ -29,7 +29,12 @@ object BenchIngest {
     import spark.implicits._
 
     val root = java.nio.file.Files.createTempDirectory("graft-ingest-bench").toString
-    val store = new StateStore(root)
+    // GRAFT_COMMIT_PROTOCOL=manifest benches the object-store commit path.
+    val proto =
+      if (sys.env.get("GRAFT_COMMIT_PROTOCOL").contains("manifest"))
+        StateStore.ManifestCommit
+      else StateStore.RenameCommit
+    val store = new StateStore(root, proto)
     val pipeline = new IngestionPipeline(store)
 
     def block(h: Long) = StreamedBlock(
