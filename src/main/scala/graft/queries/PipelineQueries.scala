@@ -210,6 +210,43 @@ object PipelineQueries {
   private val MinhashB: IndexedSeq[Long] =
     (0 until 16).map(j => java.lang.Long.parseLong(md5hex(s"B$j").substring(0, 7), 16))
 
+  /** Verified minhash-LSH near-dup pairs `(da, db, n_common, n_union)` —
+    * shared by the pair query and the clustering query. The exploded
+    * shingle index is reused four times (signatures, both sides of the
+    * verification join, set sizes) — persist it instead of recomputing
+    * the explode+hash per consumer. Same at 100 TB: the shingle index is
+    * the expensive intermediate you materialize. */
+  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRows(docs(s, dir))
+      .withColumn("h", h32(col("sh"))).persist()
+    val sigCols = (0 until 16).map { j =>
+      min((lit(MinhashA(j)) * col("h") + lit(MinhashB(j))) % lit(MinhashP)).as(s"m$j")
+    }
+    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // One pass over sig: each row explodes to its 4 (band, bkey) pairs.
+    val bandCols = (0 until 4).map { b =>
+      val ms = (0 until 4).map(r => col(s"m${4 * b + r}").cast("string"))
+      md5(concat_ws(",", ms: _*))
+    }
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
+    val ba = bands.select(col("doc_id").as("da"), col("band"), col("bkey"))
+    val bb = bands.select(col("doc_id").as("db"), col("band"), col("bkey"))
+    val cands = ba.join(bb, Seq("band", "bkey")).filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    val sa = sh.select(col("doc_id").as("da"), col("sh"))
+    val sb = sh.select(col("doc_id").as("db"), col("sh"))
+    val common = cands.join(sa, "da").join(sb, Seq("db", "sh"))
+      .groupBy("da", "db").agg(count(lit(1)).as("n_common"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    common
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(lit(2) * col("n_common") >= col("na") + col("nb") - col("n_common"))
+      .select(col("da"), col("db"), col("n_common"),
+        (col("na") + col("nb") - col("n_common")).as("n_union"))
+  }
+
   // ---------------------------------------------------------------- queries
 
   /** Per-language marker lexicons (subset of the corpus vocabulary plus
@@ -383,39 +420,62 @@ object PipelineQueries {
     // the scale path: candidate generation cost is bounded by bucket
     // collisions, not by n².
     QuerySpec.sql("p_dedup_minhash_lsh", minhashOracle) { (s, dir) =>
-      // The exploded shingle index is reused four times (signatures, both
-      // sides of the verification join, set sizes) — persist it instead of
-      // recomputing the explode+hash per consumer. Same at 100 TB: the
-      // shingle index is the expensive intermediate you materialize.
-      val sh = shingleRows(docs(s, dir))
-        .withColumn("h", h32(col("sh"))).persist()
-      val sigCols = (0 until 16).map { j =>
-        min((lit(MinhashA(j)) * col("h") + lit(MinhashB(j))) % lit(MinhashP)).as(s"m$j")
-      }
-      val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      // One pass over sig: each row explodes to its 4 (band, bkey) pairs.
-      val bandCols = (0 until 4).map { b =>
-        val ms = (0 until 4).map(r => col(s"m${4 * b + r}").cast("string"))
-        md5(concat_ws(",", ms: _*))
-      }
-      val bands = sig.select(col("doc_id"),
-        posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
-      val ba = bands.select(col("doc_id").as("da"), col("band"), col("bkey"))
-      val bb = bands.select(col("doc_id").as("db"), col("band"), col("bkey"))
-      val cands = ba.join(bb, Seq("band", "bkey")).filter(col("da") < col("db"))
-        .select("da", "db").distinct()
-      val sa = sh.select(col("doc_id").as("da"), col("sh"))
-      val sb = sh.select(col("doc_id").as("db"), col("sh"))
-      val common = cands.join(sa, "da").join(sb, Seq("db", "sh"))
-        .groupBy("da", "db").agg(count(lit(1)).as("n_common"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      common
-        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-        .filter(lit(2) * col("n_common") >= col("na") + col("nb") - col("n_common"))
+      minhashVerifiedPairs(s, dir)
         .select(col("da").as("doc_a"), col("db").as("doc_b"),
-          col("n_common"), (col("na") + col("nb") - col("n_common")).as("n_union"))
+          col("n_common"), col("n_union"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // ---------------------------------------------------------------------
+    // Near-dup CLUSTERING: connected components over the verified minhash
+    // pairs — the step a real dedup pipeline runs after pair generation
+    // (keep one doc per component, not one per pair). Min-label
+    // propagation: each doc starts as its own label and repeatedly takes
+    // the min over its neighbors until fixpoint — converges in
+    // O(component diameter) rounds (near-dup clusters are shallow), each
+    // round one equi-join + one map-side-combined min agg; the standard
+    // web-scale CC (GraphFrames' algorithm), no transitive-closure
+    // materialization. The oracle IS the closure (DuckDB recursive CTE) —
+    // fine at oracle scale, and the fixpoint is unique so both agree
+    // exactly.
+    QuerySpec.sql("p_dedup_cluster", dedupClusterOracle) { (s, dir) =>
+      val pairs = minhashVerifiedPairs(s, dir).select("da", "db").persist()
+      val sym = pairs
+        .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
+        .toDF("a", "b").persist()
+      var labels = sym.select(col("a").as("doc")).distinct()
+        .withColumn("rep", col("doc")).localCheckpoint(true)
+      def labelSum(df: DataFrame): Long =
+        df.agg(sum(col("rep"))).collect().head.getLong(0)
+      var prevSum = labelSum(labels)
+      var changed = true
+      while (changed) {
+        val nbr = sym
+          .join(labels.select(col("doc").as("b"), col("rep").as("brep")), "b")
+          .groupBy("a").agg(min(col("brep")).as("nrep"))
+          .select(col("a").as("doc"), col("nrep"))
+        // localCheckpoint truncates the lineage each round — an iterative
+        // plan otherwise grows by two joins per round and re-executes from
+        // the scan at every convergence check.
+        val next = labels.join(nbr, Seq("doc"), "left")
+          .select(col("doc"),
+            least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+          .localCheckpoint(true)
+        // Labels only ever decrease, so the label sum strictly decreases
+        // until the fixpoint — one cheap aggregate per round instead of a
+        // change-detection join.
+        val s2 = labelSum(next)
+        changed = s2 != prevSum
+        prevSum = s2
+        labels = next
+      }
+      val out = labels
+        .groupBy(col("rep").as("cluster_rep"))
+        .agg(count(lit(1)).as("n_members"), max(col("doc")).as("max_doc"))
+        .orderBy("cluster_rep")
+        .localCheckpoint(true)
+      sym.unpersist(); pairs.unpersist()
+      out
     },
 
     // ---------------------------------------------------------------------
@@ -995,7 +1055,10 @@ object PipelineQueries {
        |SELECT doc_a, doc_b, n_common, n_union FROM within_pairs
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  private def minhashOracle: String = {
+  /** CTE chain ending in `verified(da, db, n_common, n_union)` — the
+    * minhash-LSH verified pair set, shared by the pair query's oracle and
+    * the clustering oracle. */
+  private def minhashVerifiedCtes: String = {
     val sigCols = (0 until 16)
       .map(j => s"min((${MinhashA(j)} * h + ${MinhashB(j)}) % $MinhashP) AS m$j")
       .mkString(",\n    ")
@@ -1023,14 +1086,39 @@ object PipelineQueries {
        |  GROUP BY 1, 2
        |), sizes AS (
        |  SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+       |), verified AS (
+       |  SELECT c.da, c.db, c.n_common,
+       |         sa.n + sb.n - c.n_common AS n_union
+       |  FROM common c
+       |  JOIN sizes sa ON sa.doc_id = c.da
+       |  JOIN sizes sb ON sb.doc_id = c.db
+       |  WHERE 2 * c.n_common >= sa.n + sb.n - c.n_common
+       |)""".stripMargin
+  }
+
+  private def minhashOracle: String =
+    s"""$minhashVerifiedCtes
+       |SELECT da AS doc_a, db AS doc_b, n_common, n_union
+       |FROM verified ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Connected components of the verified pairs as a transitive closure —
+    * exact at oracle scale; the unique min-label fixpoint matches the
+    * Spark side's label propagation. */
+  private def dedupClusterOracle: String = {
+    val ctes = minhashVerifiedCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    s"""$ctes, sym AS (
+       |  SELECT da AS a, db AS b FROM verified
+       |  UNION ALL SELECT db, da FROM verified
+       |), reach(doc, r) AS (
+       |  SELECT DISTINCT a, a FROM sym
+       |  UNION
+       |  SELECT s.a, reach.r FROM sym s JOIN reach ON reach.doc = s.b
+       |), rep AS (
+       |  SELECT doc, min(r) AS cluster_rep FROM reach GROUP BY doc
        |)
-       |SELECT c.da AS doc_a, c.db AS doc_b, c.n_common,
-       |       sa.n + sb.n - c.n_common AS n_union
-       |FROM common c
-       |JOIN sizes sa ON sa.doc_id = c.da
-       |JOIN sizes sb ON sb.doc_id = c.db
-       |WHERE 2 * c.n_common >= sa.n + sb.n - c.n_common
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |SELECT cluster_rep, CAST(count(*) AS BIGINT) AS n_members,
+       |       max(doc) AS max_doc
+       |FROM rep GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   private def simhashOracle: String = {

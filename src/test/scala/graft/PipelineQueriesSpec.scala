@@ -18,6 +18,28 @@ class PipelineQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("dup clustering equals a Scala union-find model over the pair graph") {
+    val pairs = run("p_dedup_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val docsInPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = docsInPairs.groupBy(find)
+      .map { case (rep, ms) => (rep, ms.size.toLong, ms.max) }
+      .toSeq.sortBy(_._1)
+    val clusters = run("p_dedup_cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(clusters === expected)
+    assert(clusters.forall(_._2 >= 2)) // components, not singletons
+  }
+
   test("stratified split and sequence packing both partition the corpus " +
     "exactly (every doc in one split / one bin)") {
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
