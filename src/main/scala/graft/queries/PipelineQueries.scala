@@ -787,6 +787,47 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
+    // Curation funnel: the survival report every training-data pipeline
+    // produces — how many docs (and tokens) remain after each stage of
+    // raw → exact-dedup (keep min doc_id per content hash) → quality
+    // floor. One persisted base, three aggregates; at 100 TB the keeper
+    // flag is one hash-partitioned window (or the groupBy-join form) and
+    // each stage is a map-side-combined count/sum.
+    QuerySpec.sql(
+      "p_curate_funnel",
+      """WITH base AS (
+        |  SELECT doc_id, md5(text) AS grp,
+        |         len(string_split(text, ' ')) AS ntok
+        |  FROM documents
+        |), keep AS (
+        |  SELECT *, doc_id = min(doc_id) OVER (PARTITION BY grp) AS keeper
+        |  FROM base
+        |)
+        |SELECT 'a_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(ntok) AS BIGINT) AS sum_tokens
+        |FROM base
+        |UNION ALL
+        |SELECT 'b_dedup', CAST(count(*) AS BIGINT), CAST(sum(ntok) AS BIGINT)
+        |FROM keep WHERE keeper
+        |UNION ALL
+        |SELECT 'c_quality', CAST(count(*) AS BIGINT), CAST(sum(ntok) AS BIGINT)
+        |FROM keep WHERE keeper AND ntok >= 30
+        |ORDER BY stage""".stripMargin) { (s, dir) =>
+      val base = docs(s, dir).select(col("doc_id"), md5(col("text")).as("grp"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      val keep = base.withColumn("keeper",
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy("grp")))
+      def stage(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("sum_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("sum_tokens"))
+      stage("a_raw", base)
+        .unionByName(stage("b_dedup", keep.filter(col("keeper"))))
+        .unionByName(stage("c_quality",
+          keep.filter(col("keeper") && col("ntok") >= 30)))
+        .orderBy("stage")
+    },
+
+    // ---------------------------------------------------------------------
     // Stratified train/val/test split: DETERMINISTIC hash-bucket
     // assignment (md5 of the doc id — reproducible across runs, clusters,
     // and engines; never rand()), reported per (source, split). This is
