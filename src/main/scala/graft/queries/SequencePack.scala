@@ -51,12 +51,17 @@ object SequencePack {
         .collect()
         .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
       // Prefix offsets: total of earlier partitions for the same source
-      // (range partition ids ascend with the key order).
-      val offsets: Map[(Int, String), Long] = partials.map { case ((pid, src), _) =>
-        (pid, src) -> partials.collect {
-          case ((p2, s2), v) if s2 == src && p2 < pid => v
-        }.sum
-      }.toMap
+      // (range partition ids ascend with the key order). One sorted scan
+      // per source — linear in the partials, which matters when both the
+      // partition count and the source count are large.
+      val offsets: Map[(Int, String), Long] = partials.toSeq
+        .groupBy(_._1._2)
+        .flatMap { case (_, ps) =>
+          var acc = 0L
+          ps.sortBy(_._1._1).map { case (key, v) =>
+            val off = acc; acc += v; key -> off
+          }
+        }
       val bc = spark.sparkContext.broadcast(offsets)
       val outSchema = StructType(Seq(
         StructField("doc_id", LongType), StructField("source", StringType),
