@@ -182,6 +182,42 @@ class ForkStreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("block-archive source: rate-limited replay (maxFilesPerTrigger=1) " +
+    "stays ordered across triggers, and a RESTART from the same streaming " +
+    "checkpoint resumes without re-delivery") {
+    implicit val s = spark
+    import graft.streaming.BlockArchiveSource
+    val store = new StateStore(tmpDir("store"))
+    val pipeline = new IngestionPipeline(store)
+    val archive = tmpDir("archive")
+    val ckpt = tmpDir("ckpt")
+    def block(n: Long) = StreamedBlock(
+      s"a$n", s"a${n - 1}", n, "irreversible",
+      Seq(TabletRowM(1, "t1", n, "pk", s"v$n".getBytes, false)), Nil)
+    // Three files; one file per trigger forces multi-batch replay where
+    // any misordering would trip the linearity guard and fail the query.
+    BlockArchiveSource.writeArchiveFile(Seq(block(0), block(1)), archive)
+    BlockArchiveSource.writeArchiveFile(Seq(block(2), block(3)), archive)
+    BlockArchiveSource.writeArchiveFile(Seq(block(4)), archive)
+    val q1 = pipeline.start(
+      BlockArchiveSource.readStream(s, archive, maxFilesPerTrigger = Some(1)),
+      ckpt, triggerMillis = 50)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(store.checkpoint(StateStore.GlobalCheckpointKey).get.height === 4L)
+    assert(store.tabletRows.count() === 5L)
+    // Restart against the SAME checkpoint dir: already-committed files are
+    // not re-delivered (file-source offsets) — and even a redelivery would
+    // be dropped by the idempotent replay guard. New files continue.
+    BlockArchiveSource.writeArchiveFile(Seq(block(5), block(6)), archive)
+    val pipeline2 = new IngestionPipeline(store)
+    val q2 = pipeline2.start(
+      BlockArchiveSource.readStream(s, archive, maxFilesPerTrigger = Some(1)),
+      ckpt, triggerMillis = 50)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(store.checkpoint(StateStore.GlobalCheckpointKey).get.height === 6L)
+    assert(store.tabletRows.count() === 7L) // no duplicates from the restart
+  }
+
   test("ingestion triggers index builds past the heuristic; snapshot-aware " +
     "read equals the direct read") {
     implicit val s = spark
