@@ -99,6 +99,33 @@ object StreamingAnalytics {
       }
   }
 
+  /** Watermarked stream-stream INTERVAL join (the attribution shape):
+    * each left event matches right events of the same user whose event
+    * time lands in `[l_ts, l_ts + windowMillis]`. The time bound plus the
+    * watermarks on BOTH sides is what makes the join's state finite — a
+    * stream-stream equi-join without them would buffer both streams
+    * forever; with them, rows older than `watermark + window` are evicted
+    * from the join state store every trigger. State is sharded by the
+    * join key (user), the same layout as a batch shuffle join. */
+  def intervalJoin(
+      left: DataFrame, // columns: user_id, event_type, ts, value
+      right: DataFrame,
+      windowMillis: Long = 10L * 60 * 1000,
+      watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_type").as("l_type"),
+        col("ts").as("l_ts"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("event_type").as("r_type"),
+        col("ts").as("r_ts"), col("value").as("r_value"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"interval $windowMillis milliseconds"))
+      .select(col("user_id"), col("l_type"), col("l_ts"),
+        col("r_type"), col("r_ts"), col("r_value"))
+  }
+
   final case class SessionState(
       sessionStart: Long, lastTs: Long, nEvents: Long, sumValue: Double)
 

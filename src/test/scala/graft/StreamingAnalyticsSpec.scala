@@ -31,6 +31,38 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     assert(out.toSeq === Seq((0L, "click", 2L), (60L, "click", 1L), (60L, "view", 1L)))
   }
 
+  test("stream-stream interval join matches right events inside the window, " +
+    "per user, and drops the rest") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val views = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val q = StreamingAnalytics.intervalJoin(
+      views.toDF().toDF("user_id", "event_type", "ts", "value"),
+      buys.toDF().toDF("user_id", "event_type", "ts", "value"),
+      windowMillis = 10L * 60 * 1000)
+      .writeStream.format("memory").queryName("ij").outputMode(OutputMode.Append())
+      .start()
+    try {
+      // Times sit well past the epoch: the join's state watermark is
+      // clamped at 0, so epoch-adjacent event times read as already-late
+      // and never match (a real deployment never sees 1970 timestamps).
+      views.addData(ev(1, 1000, "view"), ev(2, 1000, "view"))
+      // user 1 buys inside the 10-minute window; a second buy outside it;
+      // user 2's buy is in-window but a different user's view must not
+      // match; user 3 buys with no view at all.
+      buys.addData(ev(1, 1005, "buy", 9.99), ev(1, 1020, "buy", 5.0),
+        ev(2, 1008, "buy", 3.0), ev(3, 1002, "buy", 7.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("ij").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).getTime / 60000,
+        r.getTimestamp(4).getTime / 60000, r.getDouble(5)))
+      .sorted
+    assert(out.toSeq === Seq((1L, 1000L, 1005L, 9.99), (2L, 1000L, 1008L, 3.0)))
+  }
+
   test("streaming file-source window agg equals the batch aggregation " +
     "(lambda parity on the driver's events data)") {
     implicit val s = spark
