@@ -1,0 +1,52 @@
+package graft
+
+import graft.model._
+import graft.store.StateStore
+import graft.streaming.{BlockArchiveSource, StreamedBlock}
+
+/** End-to-end exercise of the operational CLI verbs against real stores —
+  * the reference app-mode surface (inject / reproc / repair) as one flow. */
+class ToolsSpec extends SparkTestBase {
+
+  test("inject → checkpoint → reindex → prune → compact → shard round-trip") {
+    implicit val s = spark
+    val root = tmpDir("tools-store")
+    val archive = tmpDir("tools-archive")
+    def block(n: Long) = StreamedBlock(
+      s"a$n", s"a${n - 1}", n, "irreversible",
+      Seq(TabletRowM(1, "t1", n, s"pk${n % 3}", s"v$n".getBytes, false)), Nil)
+    BlockArchiveSource.writeArchiveFile((0L to 9L).map(block), archive)
+
+    assert(Tools.run(Seq("inject", root, archive, tmpDir("tools-ckpt")))
+      === "checkpoint height=9 block=a9")
+    assert(Tools.run(Seq("checkpoint", root)) === "checkpoint height=9 block=a9")
+
+    // Repair verbs over a store with snapshots.
+    val store = new StateStore(root)
+    Seq(3L, 5L, 7L, 9L).foreach { h =>
+      store.writeTabletSnapshot(
+        graft.snapshot.Snapshots.buildTabletIndex(store.tabletRows, "t1", h),
+        "t1", h, h + 1, 1)
+    }
+    assert(Tools.run(Seq("reindex", root, "dryRun")) === "would reindex 4 entries across 1 tablets")
+    assert(Tools.run(Seq("reindex-tablet", root, "t1")) === "reindexed t1 at height 9")
+    assert(Tools.run(Seq("reindex-tablet", root, "t-none")) === "re-index not required")
+    assert(Tools.run(Seq("prune", root, "t1", "99")) === "kept snapshot heights 3,5,7,9")
+    assert(Tools.run(Seq("compact", root)).startsWith("compacted 1 tablet-row"))
+    assert(new StateStore(root).tabletRows.count() === 10L)
+
+    // Reproc: shard the mutations into a fresh store, reconcile, finalize.
+    val shardOut = tmpDir("tools-shards")
+    val root2 = tmpDir("tools-store2")
+    Tools.run(Seq("shard", s"$root/tablet_rows", shardOut, "2"))
+    Tools.run(Seq("inject-shard", shardOut, "0", root2))
+    val status = Tools.run(Seq("shard-status", root2, "2"))
+    assert(status.contains("shard-000 height=9 complete") && status.contains("shard-001 height=null missing"))
+    Tools.run(Seq("inject-shard", shardOut, "1", root2))
+    assert(Tools.run(Seq("finalize-sharding", root2, "2"))
+      === "finalized at height 9 (block )")
+    assert(new StateStore(root2).tabletRows.count() === 10L)
+
+    intercept[IllegalArgumentException] { Tools.run(Seq("bogus")) }
+  }
+}
