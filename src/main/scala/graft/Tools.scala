@@ -21,6 +21,7 @@ import graft.streaming.{BlockArchiveSource, IngestionPipeline}
   *   prune <root> <tablet> <frequency>        snapshot retention prune
   *   compact <root>                           fold per-batch dirs + checkpoint log
   *   checkpoint <root>                        print the live global checkpoint
+  *   read-tablet <root> <tablet> <height>     snapshot-aware as-of read
   */
 object Tools {
 
@@ -69,6 +70,12 @@ object Tools {
       new StateStore(root).checkpoint(StateStore.GlobalCheckpointKey)
         .map(cp => s"checkpoint height=${cp.height} block=${cp.blockId}")
         .getOrElse("no checkpoint")
+    case "read-tablet" :: root :: tablet :: height :: Nil =>
+      // The server mode's flagship read (read.go:35–178), snapshot-aware.
+      new StateStore(root).readTabletAt(tablet, height.toLong).collect()
+        .map(r => s"${r.getString(0)} h=${r.getLong(1)} " +
+          new String(r.getAs[Array[Byte]](2), "UTF-8"))
+        .mkString("\n")
     case other =>
       throw new IllegalArgumentException(
         s"unknown command: ${other.mkString(" ")} (see Tools scaladoc)")

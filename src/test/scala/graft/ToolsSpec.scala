@@ -47,6 +47,9 @@ class ToolsSpec extends SparkTestBase {
       === "finalized at height 9 (block )")
     assert(new StateStore(root2).tabletRows.count() === 10L)
 
+    assert(Tools.run(Seq("read-tablet", root2, "t1", "4"))
+      === "pk0 h=3 v3\npk1 h=4 v4\npk2 h=2 v2")
+
     intercept[IllegalArgumentException] { Tools.run(Seq("bogus")) }
   }
 }
