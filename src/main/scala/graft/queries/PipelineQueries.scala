@@ -445,8 +445,11 @@ object PipelineQueries {
         .toDF("a", "b").persist()
       var labels = sym.select(col("a").as("doc")).distinct()
         .withColumn("rep", col("doc")).localCheckpoint(true)
+      // sum() over an EMPTY label table (a corpus with no dup pairs) is
+      // null, not 0 — guard it or the convergence check NPEs.
       def labelSum(df: DataFrame): Long =
-        df.agg(sum(col("rep"))).collect().head.getLong(0)
+        Option(df.agg(sum(col("rep"))).collect().head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
       var prevSum = labelSum(labels)
       var changed = true
       while (changed) {

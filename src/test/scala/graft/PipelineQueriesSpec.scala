@@ -40,6 +40,18 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(clusters.forall(_._2 >= 2)) // components, not singletons
   }
 
+  test("dup clustering handles a corpus with no duplicate pairs (empty graph)") {
+    import spark.implicits._
+    val dir = tmpDir("nodup")
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "web", 35L),
+      (2L, "one two three four five six seven", "en", "web", 33L),
+      (3L, "spark catalyst tungsten codegen shuffle exchange", "en", "code", 48L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    assert(SparkEntry.queries("p_dedup_cluster")(spark, dir).count() === 0L)
+  }
+
   test("stratified split and sequence packing both partition the corpus " +
     "exactly (every doc in one split / one bin)") {
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
