@@ -428,57 +428,12 @@ object PipelineQueries {
 
     // ---------------------------------------------------------------------
     // Near-dup CLUSTERING: connected components over the verified minhash
-    // pairs — the step a real dedup pipeline runs after pair generation
-    // (keep one doc per component, not one per pair). Min-label
-    // propagation: each doc starts as its own label and repeatedly takes
-    // the min over its neighbors until fixpoint — converges in
-    // O(component diameter) rounds (near-dup clusters are shallow), each
-    // round one equi-join + one map-side-combined min agg; the standard
-    // web-scale CC (GraphFrames' algorithm), no transitive-closure
-    // materialization. The oracle IS the closure (DuckDB recursive CTE) —
-    // fine at oracle scale, and the fixpoint is unique so both agree
-    // exactly.
+    // pairs — size-gated driver union-find with a distributed min-label-
+    // propagation fallback; see DedupCluster for the full design. The
+    // oracle IS the closure (DuckDB recursive CTE) — fine at oracle scale,
+    // and the min-label fixpoint is unique so both agree exactly.
     QuerySpec.sql("p_dedup_cluster", dedupClusterOracle) { (s, dir) =>
-      val pairs = minhashVerifiedPairs(s, dir).select("da", "db").persist()
-      val sym = pairs
-        .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
-        .toDF("a", "b").persist()
-      var labels = sym.select(col("a").as("doc")).distinct()
-        .withColumn("rep", col("doc")).localCheckpoint(true)
-      // sum() over an EMPTY label table (a corpus with no dup pairs) is
-      // null, not 0 — guard it or the convergence check NPEs.
-      def labelSum(df: DataFrame): Long =
-        Option(df.agg(sum(col("rep"))).collect().head.get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)
-      var prevSum = labelSum(labels)
-      var changed = true
-      while (changed) {
-        val nbr = sym
-          .join(labels.select(col("doc").as("b"), col("rep").as("brep")), "b")
-          .groupBy("a").agg(min(col("brep")).as("nrep"))
-          .select(col("a").as("doc"), col("nrep"))
-        // localCheckpoint truncates the lineage each round — an iterative
-        // plan otherwise grows by two joins per round and re-executes from
-        // the scan at every convergence check.
-        val next = labels.join(nbr, Seq("doc"), "left")
-          .select(col("doc"),
-            least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-          .localCheckpoint(true)
-        // Labels only ever decrease, so the label sum strictly decreases
-        // until the fixpoint — one cheap aggregate per round instead of a
-        // change-detection join.
-        val s2 = labelSum(next)
-        changed = s2 != prevSum
-        prevSum = s2
-        labels = next
-      }
-      val out = labels
-        .groupBy(col("rep").as("cluster_rep"))
-        .agg(count(lit(1)).as("n_members"), max(col("doc")).as("max_doc"))
-        .orderBy("cluster_rep")
-        .localCheckpoint(true)
-      sym.unpersist(); pairs.unpersist()
-      out
+      DedupCluster.clusters(s, minhashVerifiedPairs(s, dir).select("da", "db"))
     },
 
     // ---------------------------------------------------------------------

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, Dataset}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
@@ -11,4 +11,19 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Drop the materialized blocks behind a `localCheckpoint(eager = true)`
+    * Dataset. `spark.catalog.clearCache()` only covers `persist`ed plans, so
+    * iterative algorithms that checkpoint per round would otherwise leak one
+    * block set per round until the ContextCleaner happens to GC the RDD —
+    * measured as multi-second slowdowns of *subsequent* queries in a long
+    * benchmark session. Only call once nothing will read the Dataset again:
+    * a localCheckpoint has no lineage to recompute from.
+    */
+  def freeLocalCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -40,6 +40,25 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(clusters.forall(_._2 >= 2)) // components, not singletons
   }
 
+  test("dup clustering: driver union-find and distributed propagation paths " +
+    "are row-identical (gate forced both ways)") {
+    import spark.implicits._
+    // A graph with a chain (transitivity across several hops), a triangle,
+    // an isolated edge, and ids chosen so min-labels cross join directions.
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), // chain, rep 10
+      (5L, 7L), (5L, 9L), (7L, 9L), // triangle, rep 5
+      (100L, 3L), // reversed min: rep 3
+      (50L, 51L)).toDF("da", "db")
+    val viaDriver = queries.DedupCluster.clusters(spark, pairs, Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaDistributed = queries.DedupCluster.clusters(spark, pairs, -1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaDriver === viaDistributed)
+    assert(viaDriver === Seq((3L, 2L, 100L), (5L, 3L, 9L), (10L, 5L, 14L),
+      (50L, 2L, 51L)))
+  }
+
   test("dup clustering handles a corpus with no duplicate pairs (empty graph)") {
     import spark.implicits._
     val dir = tmpDir("nodup")
