@@ -745,6 +745,108 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
+    // Benchmark decontamination: per train doc, how many of its distinct
+    // word 3-grams also occur anywhere in the held-out eval slice (sources
+    // src0/src1 — a deterministic stand-in for a benchmark suite), flagged
+    // at >= 10% overlap. The n-gram-overlap check every LLM pipeline runs
+    // before training. 100 TB posture: one equi-join of train shingles
+    // against the DISTINCT eval shingle set — eval suites are tiny next to
+    // the corpus, so Catalyst broadcasts the eval side; past broadcast
+    // size it is a plain shuffle join on the shingle, never a cross join.
+    QuerySpec.sql(
+      "p_decontaminate",
+      s"""$OShinglesCte, esh AS (
+         |  SELECT DISTINCT sh FROM shingles s JOIN documents d USING (doc_id)
+         |  WHERE d.source IN ('src0', 'src1')
+         |), tsh AS (
+         |  SELECT s.doc_id, s.sh FROM shingles s JOIN documents d USING (doc_id)
+         |  WHERE d.source NOT IN ('src0', 'src1')
+         |), tot AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+         |  FROM tsh GROUP BY 1
+         |), hit AS (
+         |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS nc
+         |  FROM tsh t JOIN esh USING (sh) GROUP BY 1
+         |)
+         |SELECT t.doc_id, coalesce(h.nc, 0) AS n_contaminated, t.n_shingles,
+         |       CAST(coalesce(h.nc, 0) * 10 >= t.n_shingles AS BIGINT) AS flagged
+         |FROM tot t LEFT JOIN hit h USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val isEval = col("source").isin("src0", "src1")
+      val evalSh = shingleRows(d.filter(isEval)).select("sh").distinct()
+      val trainSh = shingleRows(d.filter(!isEval)).persist()
+      val tot = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val hit = trainSh.join(evalSh, "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("nc"))
+      tot.join(hit, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nc"), lit(0L)).as("n_contaminated"),
+          col("n_shingles"),
+          (coalesce(col("nc"), lit(0L)) * 10 >= col("n_shingles"))
+            .cast("long").as("flagged"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------------
+    // Intra-document repetition (Gopher-style duplicate-n-gram signal):
+    // total vs distinct word 3-grams per doc, repetition ratio in exact
+    // integer micro-units (floor((total-distinct)*1e6/total) — no float
+    // compare). Entirely scan-local codegen'd work: the 100 TB plan is a
+    // single pass with no shuffle at all (the orderBy exists only for the
+    // deterministic oracle compare).
+    QuerySpec.sql(
+      "p_text_repetition",
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |)
+        |SELECT doc_id, n_grams_total, n_grams_distinct,
+        |  CAST(CASE WHEN n_grams_total > 0
+        |    THEN (n_grams_total - n_grams_distinct) * 1000000 // n_grams_total
+        |    ELSE 0 END AS BIGINT) AS rep_micro
+        |FROM (
+        |  SELECT doc_id, greatest(len(ws) - 2, 0) AS n_grams_total,
+        |    len(list_distinct(list_transform(
+        |      range(1, greatest(len(ws) - 1, 1)),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS n_grams_distinct
+        |  FROM words
+        |) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          greatest(size(split(col("text"), " ")) - 2, lit(0)).cast("long")
+            .as("n_grams_total"),
+          size(shingles3(col("text"))).cast("long").as("n_grams_distinct"))
+        .withColumn("rep_micro",
+          when(col("n_grams_total") > 0,
+            expr("(n_grams_total - n_grams_distinct) * 1000000 div n_grams_total"))
+            .otherwise(lit(0L)))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------------
+    // Corpus boilerplate report: the 50 highest-document-frequency
+    // shingles above a min-support floor — the "stop-shingle" list a
+    // web-scale jaccard/minhash index caps away (see the
+    // p_dedup_ngram_jaccard note), here as a first-class report. One
+    // map-side-combined groupBy on the shingle plus a global top-k
+    // (TakeOrdered — no full sort). Total order (df desc, sh) makes the
+    // LIMIT deterministic on both engines.
+    QuerySpec.sql(
+      "p_text_boilerplate",
+      s"""$OShinglesCte, df AS (
+         |  SELECT sh, CAST(count(*) AS BIGINT) AS df FROM shingles GROUP BY sh
+         |)
+         |SELECT sh, df FROM df
+         |WHERE df >= 3
+         |ORDER BY df DESC, sh LIMIT 50""".stripMargin) { (s, dir) =>
+      shingleRows(docs(s, dir))
+        .groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 3)
+        .orderBy(col("df").desc, col("sh"))
+        .limit(50)
+    },
+
+    // ---------------------------------------------------------------------
     // Curation funnel: the survival report every training-data pipeline
     // produces — how many docs (and tokens) remain after each stage of
     // raw → exact-dedup (keep min doc_id per content hash) → quality

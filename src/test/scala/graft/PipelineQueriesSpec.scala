@@ -71,6 +71,54 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(SparkEntry.queries("p_dedup_cluster")(spark, dir).count() === 0L)
   }
 
+  test("decontamination counts match a Scala set-intersection model and " +
+    "never exceed the doc's shingle total") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val evalSh = d.filter(r => Set("src0", "src1")(r._3)).flatMap(r => grams(r._2)).toSet
+    val expected = d.filterNot(r => Set("src0", "src1")(r._3))
+      .map { case (id, t, _) =>
+        val g = grams(t)
+        (id, (g & evalSh).size.toLong, g.size.toLong)
+      }
+      .filter(_._3 > 0).sortBy(_._1).toSeq
+    val got = run("p_decontaminate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    assert(got.forall { case (_, nc, tot) => nc <= tot })
+  }
+
+  test("repetition ratio is exact integer micro-units and zero iff the doc " +
+    "has no duplicate 3-grams") {
+    val rows = run("p_text_repetition").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (tot, dist, micro) =>
+      assert(dist <= tot)
+      val want = if (tot > 0) (tot - dist) * 1000000L / tot else 0L
+      assert(micro === want)
+      assert((micro == 0L) === (tot == dist))
+    }
+  }
+
+  test("boilerplate report is the top-50 by (df desc, sh) with support >= 3, " +
+    "and repetition runs with no shuffle in the plan") {
+    val rows = run("p_text_boilerplate").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length <= 50)
+    assert(rows.forall(_._2 >= 3L))
+    // Sorted by the total order the LIMIT depends on.
+    assert(rows === rows.sortBy { case (sh, df) => (-df, sh) }.toSeq)
+    // p_text_repetition's 100 TB plan: scan-local (single Exchange from the
+    // orderBy only — no aggregation/join shuffle).
+    val plan = run("p_text_repetition").queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortMergeJoin"))
+  }
+
   test("stratified split and sequence packing both partition the corpus " +
     "exactly (every doc in one split / one bin)") {
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
