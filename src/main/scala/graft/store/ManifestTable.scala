@@ -35,7 +35,8 @@ import org.apache.spark.sql.types.StructType
   * log; a production object-store deployment would adopt Delta/Iceberg,
   * which are this exact shape plus manifest checkpointing.
   */
-final class ManifestTable(val tablePath: String, schema: StructType)(
+final class ManifestTable(val tablePath: String, schema: StructType,
+    partitionCol: Option[String] = None)(
     implicit spark: SparkSession) {
 
   private val genPointerPath = s"$tablePath/_gen"
@@ -144,7 +145,7 @@ final class ManifestTable(val tablePath: String, schema: StructType)(
     if (entries.exists(_._1 == commitId)) return false
     val next = gen + 1
     val dataDir = s"$tablePath/d-$commitId-g$next"
-    df.write.mode(SaveMode.Overwrite).parquet(dataDir)
+    writeData(df, dataDir)
     val files = listDataFiles(dataDir)
     if (failBeforePublish)
       throw new IllegalStateException(s"injected crash before publish of $commitId")
@@ -159,7 +160,7 @@ final class ManifestTable(val tablePath: String, schema: StructType)(
   def replaceAll(df: DataFrame, commitId: String): Unit = {
     val next = currentGeneration().getOrElse(0L) + 1
     val dataDir = s"$tablePath/d-$commitId-g$next"
-    df.write.mode(SaveMode.Overwrite).parquet(dataDir)
+    writeData(df, dataDir)
     val files = listDataFiles(dataDir)
     if (failBeforePublish)
       throw new IllegalStateException(s"injected crash before publish of $commitId")
