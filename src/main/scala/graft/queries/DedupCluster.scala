@@ -38,11 +38,14 @@ import org.apache.spark.sql.graftbridge.GraftBridge
   */
 object DedupCluster {
 
-  /** Edge-count ceiling for the driver path. 4M edges ≈ 64 MB of longs —
-    * trivially driver-safe. Env-overridable for clusters with bigger
-    * driver heaps. */
+  /** Edge-count ceiling for the driver path. The driver materializes
+    * collected Rows, a tuple array, and a boxed label map — budget
+    * ~100 bytes/edge, so 1M edges ≈ 100 MB: safe under any default
+    * driver heap. Env-overridable (malformed values fall back). */
   def driverMaxEdges: Long =
-    sys.env.get("GRAFT_CLUSTER_DRIVER_MAX").map(_.toLong).getOrElse(4000000L)
+    sys.env.get("GRAFT_CLUSTER_DRIVER_MAX")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(1000000L)
 
   /** Cluster report over verified pairs `(da, db)`:
     * `(cluster_rep, n_members, max_doc)` sorted by representative. */

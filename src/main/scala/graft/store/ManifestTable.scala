@@ -133,6 +133,13 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     buf.toSeq.map(f => new Path(f).toUri.getPath.stripPrefix(prefix).stripPrefix("/")).sorted
   }
 
+  /** Write one commit's data files under `dir`, hive-partitioned by
+    * `partitionCol` when set (so downstream reads prune on it). */
+  private def writeData(df: DataFrame, dir: String): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    partitionCol.fold(w)(c => w.partitionBy(c)).parquet(dir)
+  }
+
   // --------------------------------------------------------------- commit
 
   /** Append `df` as `commitId`. Idempotent: an already-manifested
