@@ -42,10 +42,10 @@ object DedupCluster {
     * collected Rows, a tuple array, and a boxed label map — budget
     * ~100 bytes/edge, so 1M edges ≈ 100 MB: safe under any default
     * driver heap. Env-overridable (malformed values fall back). */
-  def driverMaxEdges: Long =
-    sys.env.get("GRAFT_CLUSTER_DRIVER_MAX")
-      .flatMap(v => scala.util.Try(v.toLong).toOption)
-      .getOrElse(1000000L)
+  def driverMaxEdges: Long = parseDriverMax(sys.env.get("GRAFT_CLUSTER_DRIVER_MAX"))
+
+  private[graft] def parseDriverMax(raw: Option[String]): Long =
+    raw.flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(1000000L)
 
   /** Cluster report over verified pairs `(da, db)`:
     * `(cluster_rep, n_members, max_doc)` sorted by representative. */

@@ -177,16 +177,43 @@ final class ManifestTable(val tablePath: String, schema: StructType,
 
   // ----------------------------------------------------------------- read
 
-  /** The table as of the current generation — only manifested files. */
+  /** The table as of the current generation — only manifested files.
+    *
+    * With `partitionCol` set the data files carry the column only in their
+    * `col=value/` directory names. Spark's partition parsing requires the
+    * `col=value` segments to sit DIRECTLY under `basePath` (a non-partition
+    * commit dir in between raises CONFLICTING_DIRECTORY_STRUCTURES), so
+    * each commit directory is scanned with itself as the base and the
+    * scans unioned: every branch still gets PartitionFilters, so a
+    * predicate on `partitionCol` prunes whole directories exactly like the
+    * rename-protocol layout. The union's width is the live commit count,
+    * which [[replaceAll]] (compaction) periodically collapses to one —
+    * same steady state as Iceberg/Delta manifest compaction. Partition
+    * parsing moves the column to the end of the schema — re-select
+    * restores the declared order. */
   def read(): DataFrame = {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     currentGeneration() match {
       case None => empty
       case Some(gen) =>
-        val files = manifestEntries(gen).flatMap(_._2).map(f => s"$tablePath/$f")
-        if (files.isEmpty) empty
-        else spark.read.schema(schema).parquet(files: _*)
+        val rel = manifestEntries(gen).flatMap(_._2)
+        if (rel.isEmpty) empty
+        else partitionCol match {
+          case None =>
+            spark.read.schema(schema).parquet(rel.map(f => s"$tablePath/$f"): _*)
+          case Some(_) =>
+            rel.groupBy(_.split("/", 2)(0)).toSeq.sortBy(_._1)
+              .map { case (commitDir, files) =>
+                spark.read
+                  .option("basePath", s"$tablePath/$commitDir")
+                  .schema(schema)
+                  .parquet(files.map(f => s"$tablePath/$f"): _*)
+                  .select(schema.fieldNames.map(
+                    org.apache.spark.sql.functions.col).toSeq: _*)
+              }
+              .reduce(_ unionByName _)
+        }
     }
   }
 

@@ -315,10 +315,13 @@ final class StateStore(
     * number) to make crash-replays skip instead of duplicate; the default
     * random id gives plain append semantics. Returns false if that commit
     * already exists. */
-  // Manifest-protocol table handles (unused under RenameCommit).
-  private lazy val manifestTabletRows = new ManifestTable(tabletRowsPath, Schemas.tabletRows)
+  // Manifest-protocol table handles (unused under RenameCommit). Same
+  // collection=N hive layout as the rename protocol, nested per commit dir,
+  // so collection predicates prune directories under BOTH protocols.
+  private lazy val manifestTabletRows =
+    new ManifestTable(tabletRowsPath, Schemas.tabletRows, Some("collection"))
   private lazy val manifestSingletEntries =
-    new ManifestTable(singletEntriesPath, Schemas.singletEntries)
+    new ManifestTable(singletEntriesPath, Schemas.singletEntries, Some("collection"))
 
   private[graft] def manifestTableFor(path: String): ManifestTable =
     if (path == tabletRowsPath) manifestTabletRows else manifestSingletEntries

@@ -59,6 +59,16 @@ class PipelineQueriesSpec extends SparkTestBase {
       (50L, 2L, 51L)))
   }
 
+  test("dup clustering driver gate: malformed GRAFT_CLUSTER_DRIVER_MAX falls " +
+    "back to the default instead of crashing") {
+    import queries.DedupCluster.parseDriverMax
+    assert(parseDriverMax(None) === 1000000L)
+    assert(parseDriverMax(Some("42")) === 42L)
+    assert(parseDriverMax(Some(" 250000 ")) === 250000L)
+    for (bad <- Seq("", "banana", "1e6", "0x10", "9999999999999999999999"))
+      assert(parseDriverMax(Some(bad)) === 1000000L, s"input: '$bad'")
+  }
+
   test("dup clustering handles a corpus with no duplicate pairs (empty graph)") {
     import spark.implicits._
     val dir = tmpDir("nodup")

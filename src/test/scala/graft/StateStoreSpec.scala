@@ -393,4 +393,52 @@ class StateStoreSpec extends SparkTestBase {
       Backfill.injectShard(spark, shardPath, 0, reopened)
     }
   }
+
+  test("manifest protocol partitions data by collection: reads are identical " +
+    "to the written rows, a collection predicate gets PartitionFilters, and " +
+    "the crash window stays invisible with multi-collection batches") {
+    implicit val s = spark
+    val store = new StateStore(tmpDir("store"), StateStore.ManifestCommit)
+    def multiReq(h: Long): WriteRequest = WriteRequest(h, BlockRef(s"blk-$h", h),
+      Seq(TabletRowM(1, "t1", h, "a", s"c1-$h".getBytes("UTF-8"), false),
+        TabletRowM(2, "u1", h, "b", s"c2-$h".getBytes("UTF-8"), false)), Nil)
+    store.writeBatch(Seq(multiReq(0), multiReq(1)))
+    // Round-trip: declared column order, partition values parsed back from
+    // the collection=N directory names, contents exact.
+    assert(store.tabletRows.columns.toSeq === StateStore.tabletRowCols)
+    val rows = store.tabletRows.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getString(3),
+        new String(r.getAs[Array[Byte]](4), "UTF-8"))).sorted.toSeq
+    assert(rows === Seq(
+      (1, "t1", 0L, "a", "c1-0"), (1, "t1", 1L, "a", "c1-1"),
+      (2, "u1", 0L, "b", "c2-0"), (2, "u1", 1L, "b", "c2-1")))
+    // The collection predicate prunes DIRECTORIES (PartitionFilters), same
+    // as the rename protocol's layout.
+    val pruned = store.tabletRows.filter(col("collection") === 2)
+    assert(pruned.collect().map(_.getString(1)).toSeq === Seq("u1", "u1"))
+    val explained = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("PartitionFilters"), explained)
+    assert(explained.replaceAll("#\\d+", "").contains("(collection = 2)"), explained)
+    // Crash injection on a partitioned write: data files land under
+    // collection=N dirs but no manifest references them — readers see the
+    // prior generation whole; replay commits exactly once.
+    val mt = store.manifestTableFor(store.tabletRowsPath)
+    mt.failBeforePublish = true
+    intercept[IllegalStateException] { store.writeBatch(Seq(multiReq(2))) }
+    assert(store.tabletRows.count() === 4L)
+    assert(store.checkpoint(StateStore.GlobalCheckpointKey).get.height === 1L)
+    mt.failBeforePublish = false
+    store.writeBatch(Seq(multiReq(2)))
+    assert(store.tabletRows.count() === 6L)
+    assert(store.tabletRows.filter(col("collection") === 2).count() === 3L)
+    // Compaction (2 commits -> 1 replacement) preserves the partitioned
+    // layout and the pruning.
+    assert(store.compactTabletRows(numFiles = 1) === 2L)
+    val afterCompact = store.tabletRows.filter(col("collection") === 2)
+    assert(afterCompact.count() === 3L)
+    assert(afterCompact.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .contains("PartitionFilters"))
+  }
 }
