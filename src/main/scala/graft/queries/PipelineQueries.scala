@@ -1022,6 +1022,80 @@ object PipelineQueries {
     // keyframe-stride sampler (generator output, typed schema, per-
     // partition codec init).
     // ---------------------------------------------------------------------
+    // TF-IDF keyword extraction: top-5 terms per source (domain) by an
+    // exact-integer tf-idf variant — score = tf·(N/df) in micro-units via
+    // BIGINT division, a monotone rational stand-in for tf·log(N/df) that
+    // both engines compute bit-identically (log would differ at ULP level
+    // and break the hash gate). Shape at 100 TB: one explode + two
+    // map-side-combined aggregations (term frequency per (source, word);
+    // document frequency per word), one equi-join on `word` — the df side
+    // is vocabulary-sized, orders below the corpus, and broadcastable
+    // after a df floor — and a per-source top-k window over data already
+    // shuffled to a handful of source partitions. No all-pairs, no
+    // corpus-sized sort. Overflow headroom: tf·1e6·N fits BIGINT up to
+    // ~9e12 doc-occurrences; past that, scale the micro factor down.
+    QuerySpec.sql("p_text_tfidf", tfidfOracle) { (s, dir) =>
+      val toks = docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          explode(split(col("text"), " ")).as("word"))
+      val tf = toks.groupBy("source", "word")
+        .agg(count(lit(1)).as("tf"))
+      val df = toks.select("word", "doc_id").distinct()
+        .groupBy("word").agg(count(lit(1)).as("df"))
+      val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs_total"))
+      val scored = tf.join(broadcast(df), "word")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score_micro",
+          expr("(tf * 1000000 * n_docs_total) div df"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("score_micro").desc, col("word"))
+      scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("source"), col("word"), col("tf"), col("df"),
+          col("score_micro"), col("rank"))
+        .orderBy("source", "rank")
+    },
+
+    // ---------------------------------------------------------------------
+    // Domain mixture weights: the data-mixing table an LLM training run
+    // needs — per source, doc/token counts, the source's token share, and
+    // the resampling weight that rebalances to a UNIFORM target mixture
+    // (weight = target_share / actual_share, in exact ppm integer math).
+    // One map-side-combined aggregation to a handful of rows, then a
+    // broadcast of the 1-row total — the post-agg cross join touches
+    // #sources rows regardless of corpus size. BIGINT headroom: exact up
+    // to ~9e12 total tokens; a 100 TB corpus near that edge drops the ppm
+    // factor to per-mille.
+    QuerySpec.sql(
+      "p_mix_weights",
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |), tot AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_sources
+        |  FROM per
+        |)
+        |SELECT source, n_docs, n_tokens,
+        |       (n_tokens * 1000000) // total_tokens AS token_share_ppm,
+        |       (total_tokens * 1000000) // (n_sources * n_tokens) AS weight_ppm
+        |FROM per, tot ORDER BY source""".stripMargin) { (s, dir) =>
+      val per = docs(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+      val tot = per.agg(sum(col("n_tokens")).as("total_tokens"),
+        count(lit(1)).as("n_sources"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("(n_tokens * 1000000) div total_tokens").as("token_share_ppm"),
+          expr("(total_tokens * 1000000) div (n_sources * n_tokens)").as("weight_ppm"))
+        .orderBy("source")
+    },
+
+    // ---------------------------------------------------------------------
     // Approximate distinct (HLL++, rows-only): per-source exact vs
     // approximate distinct text counts. The sketch is mergeable —
     // map-side partials combine without row exchange, the aggregation
@@ -1109,6 +1183,34 @@ object PipelineQueries {
        |  best AS best_score
        |FROM best ORDER BY doc_id""".stripMargin
   }
+
+  /** Oracle for the integer tf-idf keyword extraction (same rational
+    * score, same top-5-per-source window, same tiebreak). */
+  private def tfidfOracle: String =
+    """WITH toks AS (
+      |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents
+      |), tfreq AS (
+      |  SELECT source, word, CAST(count(*) AS BIGINT) AS tf
+      |  FROM toks GROUP BY source, word
+      |), dfreq AS (
+      |  SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |  FROM toks GROUP BY word
+      |), nd AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs_total FROM documents
+      |), scored AS (
+      |  SELECT source, tfreq.word AS word, tf, df,
+      |         (tf * 1000000 * n_docs_total) // df AS score_micro
+      |  FROM tfreq JOIN dfreq ON tfreq.word = dfreq.word CROSS JOIN nd
+      |), ranked AS (
+      |  SELECT source, word, tf, df, score_micro,
+      |         CAST(row_number() OVER (
+      |           PARTITION BY source ORDER BY score_micro DESC, word
+      |         ) AS BIGINT) AS rank
+      |  FROM scored
+      |)
+      |SELECT source, word, tf, df, score_micro, rank
+      |FROM ranked WHERE rank <= 5 ORDER BY source, rank""".stripMargin
 
   /** Oracle for the exact-dedup-first + prefix-filtered Jaccard join; same
     * three-stage construction as the Spark side (see the query comment). */

@@ -59,6 +59,61 @@ class PipelineQueriesSpec extends SparkTestBase {
       (50L, 2L, 51L)))
   }
 
+  test("tf-idf top terms: a term unique to one source outranks corpus-wide " +
+    "terms there, ranks are dense 1..5, and the score arithmetic is exact") {
+    import spark.implicits._
+    val dir = tmpDir("tfidf")
+    // 'zebra' appears ONLY in web docs (df=2), 'the' in every doc (df=6).
+    Seq(
+      (1L, "the zebra runs zebra fast zebra", "en", "web", 30L),
+      (2L, "the zebra sleeps now here too", "en", "web", 29L),
+      (3L, "the cat sits on the mat", "en", "books", 23L),
+      (4L, "the dog sits on the log", "en", "books", 23L),
+      (5L, "the sun is hot and bright", "en", "books", 25L),
+      (6L, "the moon is cold and dim", "en", "books", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("p_text_tfidf")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // Dense ranks per source, capped at 5.
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.map(_._6).sorted.toSeq === (1L to rs.length), s"ranks in $src")
+      assert(rs.length <= 5)
+    }
+    // web's #1 is the source-exclusive term, scored exactly tf*1e6*N/df.
+    val webTop = rows.filter(_._1 == "web").minBy(_._6)
+    assert(webTop._2 === "zebra" && webTop._3 === 4L && webTop._4 === 2L)
+    assert(webTop._5 === 4L * 1000000L * 6L / 2L)
+    // 'the' (df = all docs) scores tf*1e6 exactly — no idf lift.
+    rows.filter(_._2 == "the").foreach(r => assert(r._5 === r._3 * 1000000L))
+  }
+
+  test("mix weights: shares sum to ~1e6 ppm and weight inverts the share " +
+    "against the uniform target exactly") {
+    import spark.implicits._
+    val dir = tmpDir("mix")
+    // 3 sources with 1:2:5 token counts (8 tokens per doc).
+    val mk = (n: Int, src: String) => (1 to n).map(i =>
+      (s"$src$i".hashCode.toLong, "a b c d e f g h", "en", src, 15L))
+    (mk(1, "web") ++ mk(2, "books") ++ mk(5, "code"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("p_mix_weights")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(rows.map(_._1) === Seq("books", "code", "web"))
+    assert(rows.map(_._3) === Seq(16L, 40L, 8L)) // tokens = 8/doc
+    // Integer-division shares: floor(n/64 * 1e6) each, sum within n_sources
+    // ulps of 1e6.
+    val shares = rows.map(_._4)
+    assert(shares === Seq(16L * 1000000 / 64, 40L * 1000000 / 64, 8L * 1000000 / 64))
+    assert(math.abs(shares.sum - 1000000L) < 3)
+    // weight_ppm = uniform target (1/3) over actual share, exact BIGINT div.
+    assert(rows.map(_._5) === Seq(64L * 1000000 / (3 * 16), 64L * 1000000 / (3 * 40),
+      64L * 1000000 / (3 * 8)))
+  }
+
   test("dup clustering driver gate: malformed GRAFT_CLUSTER_DRIVER_MAX falls " +
     "back to the default instead of crashing") {
     import queries.DedupCluster.parseDriverMax
