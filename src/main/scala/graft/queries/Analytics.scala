@@ -283,5 +283,65 @@ object Analytics {
         .groupBy("user_id", "session_no")
         .agg(count(lit(1)).as("n_events"))
         .orderBy("user_id", "session_no")
+    },
+
+    // Semi-structured metadata extraction: pull a typed field out of the
+    // JSON `props` column and aggregate it — the pattern for event/doc
+    // metadata that ships as JSON blobs. `get_json_object` is a codegen'd
+    // path evaluation inside the scan stage (no UDF, no full from_json
+    // struct materialization for a single field), then one map-side-
+    // combined groupBy to #event_types rows. At 100 TB the JSON parse is
+    // the scan's CPU cost and nothing shuffles but the partial aggregates.
+    QuerySpec.sql(
+      "q_events_json",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+        |       CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+      TemporalQueries.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    },
+
+    // Pivot: event counts and value sums per user bucket × event type,
+    // types as columns. The value list is EXPLICIT (no extra distinct-
+    // values job — on a 100 TB table the implicit `pivot(col)` first runs
+    // a full distinct over the pivot column); the plan is then a single
+    // map-side-combined aggregate, conditional per pivot value, to
+    // #buckets rows. Sums in exact DECIMAL then cast, so the engines'
+    // float-summation order cannot break the hash gate.
+    QuerySpec.sql(
+      "q_pivot",
+      """SELECT user_id % 10 AS user_bucket,
+        |       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+        |       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+        |       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+        |       CAST(sum(CASE WHEN event_type = 'purchase'
+        |                     THEN CAST(value AS DECIMAL(20,4)) END) AS DOUBLE)
+        |         AS purchase_value
+        |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin) { (s, dir) =>
+      TemporalQueries.events(s, dir)
+        .withColumn("user_bucket", col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", col("value").cast(dec)))
+            .cast("double").as("v"))
+        .select(col("user_bucket"),
+          // A (bucket, type) combo with no rows pivots to NULL where the
+          // oracle's FILTER count is 0 — coalesce the counts (sums stay
+          // NULL-on-empty in both engines).
+          coalesce(col("click_n"), lit(0L)).as("n_click"),
+          coalesce(col("view_n"), lit(0L)).as("n_view"),
+          coalesce(col("purchase_n"), lit(0L)).as("n_purchase"),
+          col("purchase_v").as("purchase_value"))
+        .orderBy("user_bucket")
     })
 }

@@ -1133,6 +1133,88 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // ---------------------------------------------------------------------
+    // Corpus n-gram top-k: the 20 most frequent word bigrams with counts —
+    // the corpus statistic a tokenizer/BPE-merge pre-pass needs. One scan,
+    // one transform (no self-join: consecutive pairs come from a single
+    // array-slice lambda over each doc's word array), one map-side-combined
+    // groupBy, and a global top-k that Spark plans as TakeOrderedAndProject
+    // (per-partition partial top-20 → driver merge of 20-row heaps — never
+    // a corpus-wide sort). Ties break on the bigram string so the oracle
+    // hash-compare is exact.
+    QuerySpec.sql(
+      "p_ngram_topk",
+      """WITH w AS (
+        |  SELECT string_split(text, ' ') AS ws FROM documents
+        |), b AS (
+        |  SELECT unnest(list_transform(range(1, len(ws)),
+        |                               i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        |  FROM w
+        |)
+        |SELECT bigram, CAST(count(*) AS BIGINT) AS n
+        |FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(split(col("text"), " ").as("ws"))
+        .select(explode(expr(
+          "transform(slice(ws, 1, size(ws) - 1), (w, i) -> concat(w, ' ', ws[i + 1]))"))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    },
+
+    // ---------------------------------------------------------------------
+    // Per-source quota sampling: cap every source (domain) at 10 documents,
+    // chosen by a deterministic md5 order — the standard per-domain cap a
+    // web-crawl curation pass applies so no single domain dominates the
+    // mixture. The `row_number ≤ k` filter over the per-source window is
+    // planned as WindowGroupLimit: each map task keeps only its local
+    // top-10 per source BEFORE the exchange, so the shuffle carries
+    // O(sources × k × tasks), not the corpus. Salting is unnecessary even
+    // for a skewed giant domain because the partial limit bounds every
+    // task's output.
+    QuerySpec.sql(
+      "p_source_quota",
+      s"""SELECT source, doc_id, rank FROM (
+         |  SELECT source, doc_id,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY source
+         |           ORDER BY ${oH60("text || CAST(doc_id AS VARCHAR)")}, doc_id
+         |         ) AS BIGINT) AS rank
+         |  FROM documents
+         |) WHERE rank <= 10 ORDER BY source, rank""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("source")
+        .orderBy(h60(concat(col("text"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      docs(s, dir)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select("source", "doc_id", "rank")
+        .orderBy("source", "rank")
+    },
+
+    // ---------------------------------------------------------------------
+    // Embedding dominant-dimension histogram: per label, which dimension
+    // holds each vector's max — the cheap diagnostic for a collapsed or
+    // un-whitened embedding space (a healthy space spreads argmax across
+    // dims; a collapsed one concentrates). Exact comparisons only (argmax
+    // position, first occurrence on ties — both engines' semantics), no
+    // float arithmetic, so the oracle hash-compare is exact. Scan-local
+    // per row + one map-side-combined groupBy to #labels × #dims rows.
+    QuerySpec.sql(
+      "p_embed_dominant_dim",
+      """SELECT label,
+        |       CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS dim,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM embeddings GROUP BY 1, 2 ORDER BY label, dim""".stripMargin) { (s, dir) =>
+      embs(s, dir)
+        .select(col("label"),
+          array_position(col("embedding"), array_max(col("embedding"))).as("dim"))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "dim")
+    },
+
     QuerySpec.rowsOnly("p_multimodal_frames") { (s, dir) =>
       import s.implicits._
       // Same GUARDED cores-not-files repartition as p_multimodal_decode:

@@ -114,6 +114,75 @@ class PipelineQueriesSpec extends SparkTestBase {
       64L * 1000000 / (3 * 8)))
   }
 
+  test("ngram top-k equals a Scala bigram-count model (count desc, bigram asc)") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    for (t <- texts; Array(a, b) <- t.split(" ").sliding(2))
+      counts(s"$a $b") = counts.getOrElse(s"$a $b", 0L) + 1
+    val expect = counts.toSeq.sortBy { case (bg, n) => (-n, bg) }.take(20)
+    val got = run("p_ngram_topk").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === expect)
+  }
+
+  test("source quota keeps at most 10 docs per source, ranks contiguous from 1, " +
+    "and the selection is deterministic across runs") {
+    val rows = run("p_source_quota").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySrc = rows.groupBy(_._1)
+    for ((src, grp) <- bySrc) {
+      assert(grp.length <= 10, s"$src over quota")
+      assert(grp.map(_._3).sorted.toSeq === (1L to grp.length).toSeq, s"$src ranks")
+    }
+    val again = run("p_source_quota").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sortBy(r => (r._1, r._3)).toSeq === again.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
+  test("embedding dominant-dim histogram equals a Scala argmax model and " +
+    "covers every vector exactly once") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val expect = vecs
+      .map { case (l, e) => (l, e.indexOf(e.max).toLong + 1) } // 1-based, first max
+      .groupBy(identity).map { case (k, v) => (k._1, k._2, v.length.toLong) }
+      .toSeq.sorted
+    val got = run("p_embed_dominant_dim").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got === expect)
+    assert(got.map(_._3).sum === vecs.length.toLong)
+  }
+
+  test("events json extraction equals a Scala model over the parsed props") {
+    val evs = queries.TemporalQueries.events(spark, sf)
+      .select("event_type", "props").collect()
+      .map { r =>
+        val k = """"k":\s*(-?\d+)""".r.findFirstMatchIn(r.getString(1)).get.group(1).toLong
+        (r.getString(0), k)
+      }
+    val expect = evs.groupBy(_._1).map { case (t, g) =>
+      (t, g.length.toLong, g.map(_._2).sum, g.map(_._2).min, g.map(_._2).max)
+    }.toSeq.sortBy(_._1)
+    val got = run("q_events_json").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sortBy(_._1)
+    assert(got === expect)
+  }
+
+  test("pivot counts per bucket sum to the bucket's click+view+purchase total " +
+    "and never go null") {
+    val rows = run("q_pivot").collect()
+    val byType = queries.TemporalQueries.events(spark, sf)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0) % 10, r.getString(1)))
+    for (r <- rows; bucket = r.getLong(0)) {
+      for ((c, t) <- Seq(("n_click", "click"), ("n_view", "view"), ("n_purchase", "purchase")))
+        assert(r.getAs[Long](c) === byType.count(e => e._1 == bucket && e._2 == t),
+          s"bucket $bucket $c")
+    }
+  }
+
   test("dup clustering driver gate: malformed GRAFT_CLUSTER_DRIVER_MAX falls " +
     "back to the default instead of crashing") {
     import queries.DedupCluster.parseDriverMax
