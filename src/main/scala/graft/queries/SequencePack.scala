@@ -37,52 +37,55 @@ object SequencePack {
     val n =
       if (nPartitions > 0) nPartitions
       else spark.sessionState.conf.numShufflePartitions
+    // Narrow projection (3 longs + source per doc) pinned for the two
+    // passes. Stays persisted after return so the lazy result never
+    // recomputes under a different partitioning than the offsets were
+    // collected for; session-scoped like the verified-pairs memo (a
+    // catalog.clearCache or session end reclaims it). Persisting THIS —
+    // not checkpointing the corpus-sized output — is the scale-correct
+    // side of the trade: the old eager localCheckpoint materialized one
+    // output row per document a second time just to make unpersist safe.
     val base = docsDf
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("ntok"))
       .repartitionByRange(n, col("source"), col("doc_id"))
       .sortWithinPartitions("source", "doc_id")
       .persist()
-    try {
-      // Phase 1: per-(partition, source) totals — tiny.
-      val partials = base
-        .select(spark_partition_id().as("pid"), col("source"), col("ntok"))
-        .groupBy("pid", "source").agg(sum("ntok").as("psum"))
-        .collect()
-        .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
-      // Prefix offsets: total of earlier partitions for the same source
-      // (range partition ids ascend with the key order). One sorted scan
-      // per source — linear in the partials, which matters when both the
-      // partition count and the source count are large.
-      val offsets: Map[(Int, String), Long] = partials.toSeq
-        .groupBy(_._1._2)
-        .flatMap { case (_, ps) =>
-          var acc = 0L
-          ps.sortBy(_._1._1).map { case (key, v) =>
-            val off = acc; acc += v; key -> off
-          }
-        }
-      val bc = spark.sparkContext.broadcast(offsets)
-      val outSchema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("source", StringType),
-        StructField("ntok", LongType), StructField("cum", LongType)))
-      implicit val enc: ExpressionEncoder[Row] =
-        ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-      base.mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
-        var curSource: String = null
-        var running = 0L
-        it.map { r =>
-          val src = r.getString(1)
-          if (src != curSource) { curSource = src; running = bc.value.getOrElse((pid, src), 0L) }
-          running += r.getLong(2)
-          Row(r.getLong(0), src, r.getLong(2), running)
+    // Phase 1: per-(partition, source) totals — tiny.
+    val partials = base
+      .select(spark_partition_id().as("pid"), col("source"), col("ntok"))
+      .groupBy("pid", "source").agg(sum("ntok").as("psum"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+    // Prefix offsets: total of earlier partitions for the same source
+    // (range partition ids ascend with the key order). One sorted scan
+    // per source — linear in the partials, which matters when both the
+    // partition count and the source count are large.
+    val offsets: Map[(Int, String), Long] = partials.toSeq
+      .groupBy(_._1._2)
+      .flatMap { case (_, ps) =>
+        var acc = 0L
+        ps.sortBy(_._1._1).map { case (key, v) =>
+          val off = acc; acc += v; key -> off
         }
       }
-        // Materialize before unpersisting the pinned base (three lazy
-        // consumers otherwise race the finally-unpersist).
-        .localCheckpoint(true)
-    } finally base.unpersist()
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("ntok", LongType), StructField("cum", LongType)))
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    base.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var curSource: String = null
+      var running = 0L
+      it.map { r =>
+        val src = r.getString(1)
+        if (src != curSource) { curSource = src; running = bc.value.getOrElse((pid, src), 0L) }
+        running += r.getLong(2)
+        Row(r.getLong(0), src, r.getLong(2), running)
+      }
+    }
   }
 
   /** Greedy contiguous packing into `budget`-token bins, aggregated per
