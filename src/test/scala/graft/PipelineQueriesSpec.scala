@@ -114,6 +114,23 @@ class PipelineQueriesSpec extends SparkTestBase {
       64L * 1000000 / (3 * 8)))
   }
 
+  test("incremental dedup equals the full pair set restricted to the incoming " +
+    "batch, with vs_existing classifying old-corpus vs intra-batch hits") {
+    val full = run("p_dedup_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val maxId = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(org.apache.spark.sql.functions.max("doc_id")).head.getLong(0)
+    val split = maxId * 4 / 5
+    val expect = full.filter(_._2 > split)
+      .map { case (a, b, c, u) => (a, b, c, u, a <= split) }
+      .sortBy(t => (t._1, t._2)).toSeq
+    val got = run("p_dedup_incremental").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSeq
+    assert(got === expect)
+    assert(got.nonEmpty, "sf0.001 should contain at least one incoming-batch duplicate")
+  }
+
   test("ngram top-k equals a Scala bigram-count model (count desc, bigram asc)") {
     val texts = spark.read.parquet(s"$sf/documents.parquet")
       .select("text").collect().map(_.getString(0))
