@@ -1195,6 +1195,31 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
+    // PII-shaped redaction: mask every digit run in the semi-structured
+    // `props` payload and report the per-record redaction count — the
+    // masking pass a training pipeline runs over user-generated metadata
+    // (emails/phones/SSNs differ only in the regex; the corpus's digit
+    // runs are the pattern that exists in this testdata). Entirely
+    // scan-local codegen (regexp_replace + regexp_extract_all inside the
+    // scan stage, zero shuffle before the output sort) — at 100 TB this
+    // is a map-only pass whose cost is the regex engine, which is the
+    // correct floor.
+    QuerySpec.sql(
+      "p_pii_redact",
+      """SELECT event_id,
+        |       regexp_replace(props, '\d+', '<NUM>', 'g') AS redacted,
+        |       CAST(len(regexp_extract_all(props, '\d+')) AS BIGINT)
+        |         AS n_redactions
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      TemporalQueries.events(s, dir)
+        .select(col("event_id"),
+          regexp_replace(col("props"), "\\d+", "<NUM>").as("redacted"),
+          size(regexp_extract_all(col("props"), lit("\\d+"), lit(0)))
+            .cast("long").as("n_redactions"))
+        .orderBy("event_id")
+    },
+
+    // ---------------------------------------------------------------------
     // Corpus n-gram top-k: the 20 most frequent word bigrams with counts —
     // the corpus statistic a tokenizer/BPE-merge pre-pass needs. One scan,
     // one transform (no self-join: consecutive pairs come from a single

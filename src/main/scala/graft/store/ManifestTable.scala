@@ -191,43 +191,59 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * same steady state as Iceberg/Delta manifest compaction. Partition
     * parsing moves the column to the end of the schema — re-select
     * restores the declared order. */
-  def read(): DataFrame = {
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    currentGeneration() match {
-      case None => empty
-      case Some(gen) =>
-        val rel = manifestEntries(gen).flatMap(_._2)
-        if (rel.isEmpty) empty
-        else partitionCol match {
-          case None =>
-            spark.read.schema(schema).parquet(rel.map(f => s"$tablePath/$f"): _*)
-          case Some(_) =>
-            rel.groupBy(_.split("/", 2)(0)).toSeq.sortBy(_._1)
-              .map { case (commitDir, files) =>
-                spark.read
-                  .option("basePath", s"$tablePath/$commitDir")
-                  .schema(schema)
-                  .parquet(files.map(f => s"$tablePath/$f"): _*)
-                  .select(schema.fieldNames.map(
-                    org.apache.spark.sql.functions.col).toSeq: _*)
-              }
-              .reduce(_ unionByName _)
-        }
+  def read(): DataFrame =
+    currentGeneration().map(readAt).getOrElse(emptyDf)
+
+  /** TIME-TRAVEL read: the table exactly as of generation `gen` — every
+    * commit the `m-<gen>` manifest references, nothing later. Manifests
+    * are never deleted (small metadata), so any historical generation
+    * resolves; its DATA remains readable until [[sweepOrphans]] reclaims
+    * directories outside its retention window — the same contract as
+    * Delta/Iceberg time travel vs VACUUM. Reading a swept generation
+    * fails on the missing files rather than returning partial data. */
+  def readAt(gen: Long): DataFrame = {
+    require(gen >= 0, s"negative generation $gen")
+    val rel = manifestEntries(gen).flatMap(_._2)
+    if (rel.isEmpty) emptyDf
+    else partitionCol match {
+      case None =>
+        spark.read.schema(schema).parquet(rel.map(f => s"$tablePath/$f"): _*)
+      case Some(_) =>
+        rel.groupBy(_.split("/", 2)(0)).toSeq.sortBy(_._1)
+          .map { case (commitDir, files) =>
+            spark.read
+              .option("basePath", s"$tablePath/$commitDir")
+              .schema(schema)
+              .parquet(files.map(f => s"$tablePath/$f"): _*)
+              .select(schema.fieldNames.map(
+                org.apache.spark.sql.functions.col).toSeq: _*)
+          }
+          .reduce(_ unionByName _)
     }
   }
 
-  /** Delete data directories no manifest generation ≤ current references
-    * (crashed attempts, pre-compaction generations). Safe any time in the
-    * single-writer model: an unreferenced directory can never become
-    * referenced again (generations only grow). Returns deleted dirs. */
-  def sweepOrphans(): Seq[String] = {
+  private def emptyDf: DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Delete data directories referenced by no retained manifest
+    * generation (crashed attempts, pre-compaction generations older than
+    * the retention window). `retainGenerations` = how many trailing
+    * generations stay time-travel readable via [[readAt]]; 1 keeps only
+    * the current one — the VACUUM/retention trade exactly as in
+    * Delta/Iceberg. Safe any time in the single-writer model: a directory
+    * outside every retained manifest can never become referenced again
+    * (generations only grow). Returns deleted dirs. */
+  def sweepOrphans(retainGenerations: Int = 1): Seq[String] = {
+    require(retainGenerations >= 1, "must retain at least the current generation")
     val (fs, root) = fsOf(tablePath)
     if (!fs.exists(root)) return Seq.empty
     val live: Set[String] = currentGeneration() match {
       case None => Set.empty
       case Some(gen) =>
-        manifestEntries(gen).flatMap(_._2).map(_.split("/", 2)(0)).toSet
+        val lo = math.max(0L, gen - (retainGenerations - 1).toLong)
+        (lo to gen).flatMap(g =>
+          manifestEntries(g).flatMap(_._2).map(_.split("/", 2)(0))).toSet
     }
     val victims = fs.listStatus(root).filter(_.isDirectory)
       .map(_.getPath).filter { p =>

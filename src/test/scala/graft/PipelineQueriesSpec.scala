@@ -131,6 +131,20 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(got.nonEmpty, "sf0.001 should contain at least one incoming-batch duplicate")
   }
 
+  test("pii redaction leaves no digit unmasked and counts every masked run") {
+    val rows = run("p_pii_redact").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val origs = queries.TemporalQueries.events(spark, sf)
+      .select("event_id", "props").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, red, n) <- rows) {
+      assert(!red.exists(_.isDigit), s"event $id: unmasked digit in '$red'")
+      assert(n === """\d+""".r.findAllIn(origs(id)).length, s"event $id count")
+      assert(red === """\d+""".r.replaceAllIn(origs(id), "<NUM>"), s"event $id mask")
+    }
+  }
+
   test("ngram top-k equals a Scala bigram-count model (count desc, bigram asc)") {
     val texts = spark.read.parquet(s"$sf/documents.parquet")
       .select("text").collect().map(_.getString(0))

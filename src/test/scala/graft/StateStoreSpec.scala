@@ -267,6 +267,40 @@ class StateStoreSpec extends SparkTestBase {
     assert(store.tabletRows.count() === 4L)
   }
 
+  test("manifest time travel: readAt(g) reproduces each committed generation; " +
+    "retention-windowed sweep keeps retained generations readable (VACUUM " +
+    "contract); the current read never breaks") {
+    implicit val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val mt = new graft.store.ManifestTable(tmpDir("tt"), schema)
+    def df(rows: (Long, String)*) = rows.toDF("id", "v")
+    def setAt(g: Long) = mt.readAt(g).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(mt.read().count() === 0L)
+    assert(mt.commit(df(1L -> "a"), "c1"))               // gen 1
+    assert(mt.commit(df(2L -> "b"), "c2"))               // gen 2
+    mt.replaceAll(df(9L -> "z"), "c3")                   // gen 3 (compaction)
+    assert(mt.currentGeneration() === Some(3L))
+    assert(setAt(1) === Set(1L -> "a"))
+    assert(setAt(2) === Set(1L -> "a", 2L -> "b"))
+    assert(setAt(3) === Set(9L -> "z"))
+    // Manifests are cumulative, so retaining gen 2 retains every dir gen 2
+    // references: a retain-2 sweep deletes nothing here.
+    assert(mt.sweepOrphans(retainGenerations = 2) === Seq.empty)
+    assert(setAt(2) === Set(1L -> "a", 2L -> "b"))
+    // Retain-1 (the default) reclaims the pre-compaction directories:
+    // time travel to swept generations FAILS (missing files), it never
+    // silently returns partial data; the current generation is untouched.
+    val swept = mt.sweepOrphans()
+    assert(swept.toSet === Set("d-c1-g1", "d-c2-g2"))
+    assert(setAt(3) === Set(9L -> "z"))
+    assert(mt.read().count() === 1L)
+    intercept[Exception] { setAt(2) }
+  }
+
   test("collection predicate prunes partition DIRECTORIES " +
     "(PartitionFilters in the scan, SURVEY §1.4 layout)") {
     implicit val s = spark
