@@ -203,12 +203,12 @@ object PipelineQueries {
     * single 32-bit shingle hash. One md5 per shingle + 16 integer affine
     * maps, instead of 16 md5s per shingle. A_j ≤ 2^28 and h < 2^32 keep
     * `A·h + B < 2^61` — no 64-bit overflow on either engine (both compute
-    * in BIGINT/LongType). P is the smallest prime > 2^32. */
-  private val MinhashP = 4294967311L
-  private val MinhashA: IndexedSeq[Long] =
-    (0 until 16).map(j => java.lang.Long.parseLong(md5hex(s"A$j").substring(0, 7), 16) + 1L)
-  private val MinhashB: IndexedSeq[Long] =
-    (0 until 16).map(j => java.lang.Long.parseLong(md5hex(s"B$j").substring(0, 7), 16))
+    * in BIGINT/LongType). P is the smallest prime > 2^32. Constants and
+    * band construction live in [[MinHashLsh]] (shared with the streaming
+    * stream-static probe). */
+  private val MinhashP = MinHashLsh.P
+  private val MinhashA: IndexedSeq[Long] = MinHashLsh.A
+  private val MinhashB: IndexedSeq[Long] = MinHashLsh.B
 
   /** Verified minhash-LSH near-dup pairs `(da, db, n_common, n_union)` —
     * shared by the pair query and the clustering query. The exploded
@@ -250,18 +250,7 @@ object PipelineQueries {
 
   /** `(doc_id, band, bkey)` LSH band index over the hashed shingles: 16
     * affine minhashes folded into 4 band keys, one posexplode pass. */
-  private def minhashBands(sh: DataFrame): DataFrame = {
-    val sigCols = (0 until 16).map { j =>
-      min((lit(MinhashA(j)) * col("h") + lit(MinhashB(j))) % lit(MinhashP)).as(s"m$j")
-    }
-    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    // One pass over sig: each row explodes to its 4 (band, bkey) pairs.
-    val bandCols = (0 until 4).map { b =>
-      val ms = (0 until 4).map(r => col(s"m${4 * b + r}").cast("string"))
-      md5(concat_ws(",", ms: _*))
-    }
-    sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
-  }
+  private def minhashBands(sh: DataFrame): DataFrame = MinHashLsh.bandsOf(sh)
 
   /** Exact-Jaccard verification of candidate `(da, db)` pairs against the
     * shingle index: keeps pairs with J >= 0.5 (integer arithmetic), with

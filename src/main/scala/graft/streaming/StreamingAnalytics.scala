@@ -99,6 +99,33 @@ object StreamingAnalytics {
       }
   }
 
+  /** Stream-STATIC near-dup probe: flag each arriving document whose LSH
+    * band key collides with the materialized corpus band index — the
+    * streaming front door of `p_dedup_incremental` (same constants, same
+    * band construction, shared via [[graft.queries.MinHashLsh]]).
+    *
+    * Stateless by design: the incoming doc's signature is computed
+    * per-row inside the scan stage ([[graft.queries.MinHashLsh.perRowBands]]
+    * — `array_min(transform(...))`, zero shuffle, so no watermark is
+    * needed), and a stream-static inner join keeps NO stream state — the
+    * static side is just re-planned per micro-batch. Output is one row
+    * per (incoming doc, colliding corpus doc, band): CANDIDATES, possibly
+    * repeated across bands — exact-Jaccard verification stays a batch
+    * concern on the flagged subset (the standard two-stage shape; a
+    * candidate row here only routes the doc to quarantine/verify).
+    * At 100 TB the static side is the store's band-index table and the
+    * join broadcasts or bucket-joins it exactly as the batch plan does. */
+  def streamStaticNearDupProbe(
+      docs: DataFrame, // streaming; columns: doc_id, text
+      bandIndex: DataFrame // static corpus band index: doc_id, band, bkey
+  ): DataFrame =
+    graft.queries.MinHashLsh.perRowBands(docs)
+      .join(bandIndex
+          .select(col("doc_id").as("corpus_doc_id"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("corpus_doc_id") =!= col("doc_id"))
+      .select(col("doc_id"), col("corpus_doc_id"), col("band"))
+
   /** Watermarked stream-stream INTERVAL join (the attribution shape):
     * each left event matches right events of the same user whose event
     * time lands in `[l_ts, l_ts + windowMillis]`. The time bound plus the

@@ -124,6 +124,54 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     assert(kept === Seq((1L, "alpha"), (2L, "beta"), (5L, "gamma")))
   }
 
+  test("per-row LSH bands equal the batch groupBy form on the real corpus") {
+    import graft.queries.MinHashLsh
+    import org.apache.spark.sql.functions.{col, explode}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = docs
+      .select(col("doc_id"),
+        explode(graft.functions.WordShingles.shingles(col("text"), 3)).as("sh"))
+      .withColumn("h", MinHashLsh.h32(col("sh")))
+    val batch = MinHashLsh.bandsOf(sh).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    val perRow = MinHashLsh.perRowBands(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    assert(perRow === batch)
+    assert(perRow.nonEmpty)
+  }
+
+  test("stream-static near-dup probe flags docs colliding with the corpus " +
+    "band index, stays silent for novel docs, keeps no stream state") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.queries.MinHashLsh
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "completely different corpus text about spark physical plans"))
+      .toDF("doc_id", "text")
+    val index = MinHashLsh.perRowBands(corpus)
+    val source = MemoryStream[(Long, String)]
+    val probe = StreamingAnalytics.streamStaticNearDupProbe(
+      source.toDF().toDF("doc_id", "text"), index)
+    val q = probe.writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(
+        // exact copy of corpus doc 100 → every band collides
+        (1L, "the quick brown fox jumps over the lazy dog again and again"),
+        // novel text → no collision
+        (2L, "unrelated words that share no shingle with anything stored"),
+        // too short to shingle → emits nothing at all
+        (3L, "hi there"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.forall(_ == (1L, 100L)))
+    assert(out.count(_ == (1L, 100L)) === 4, s"all 4 bands should collide: $out")
+  }
+
   test("streaming dedup-keeper stats: per-hash state accumulates copies and " +
     "flushes one summary on event-time timeout") {
     implicit val s = spark
