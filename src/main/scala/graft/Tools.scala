@@ -22,12 +22,26 @@ import graft.streaming.{BlockArchiveSource, IngestionPipeline}
   *   compact <root>                           fold per-batch dirs + checkpoint log
   *   checkpoint <root>                        print the live global checkpoint
   *   read-tablet <root> <tablet> <height>     snapshot-aware as-of read
+  *   table-generations <root>                 manifest-protocol commit history
+  *   read-tablet-at-gen <root> <gen> <tablet> <height>   time-travel as-of read
   */
 object Tools {
 
+  /** Open `root` under the protocol its on-disk layout declares: a
+    * `_gen` generation pointer under tablet_rows marks a manifest-protocol
+    * store; anything else is the rename protocol. Lets every verb work on
+    * either store without a flag. */
+  private def storeFor(root: String)(implicit spark: SparkSession): StateStore = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/tablet_rows/_gen")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val protocol =
+      if (fs.exists(p)) StateStore.ManifestCommit else StateStore.RenameCommit
+    new StateStore(root, protocol)
+  }
+
   def run(args: Seq[String])(implicit spark: SparkSession): String = args.toList match {
     case "inject" :: root :: archive :: ckpt :: Nil =>
-      val pipeline = new IngestionPipeline(new StateStore(root))
+      val pipeline = new IngestionPipeline(storeFor(root))
       val q = pipeline.start(BlockArchiveSource.readStream(spark, archive), ckpt)
       q.processAllAvailable()
       q.stop()
@@ -36,14 +50,14 @@ object Tools {
       Backfill.run(spark.read.parquet(mutations), out, n.toInt)
       s"sharded $mutations into $n shards at $out"
     case "inject-shard" :: shardPath :: i :: root :: Nil =>
-      Backfill.injectShard(spark, shardPath, i.toInt, new StateStore(root))
+      Backfill.injectShard(spark, shardPath, i.toInt, storeFor(root))
       s"injected shard $i"
     case "shard-status" :: root :: n :: Nil =>
-      new StateStore(root).verifyAllShardsWritten(n.toInt).collect()
+      storeFor(root).verifyAllShardsWritten(n.toInt).collect()
         .map(r => s"${r.getString(0)} height=${r.get(1)} ${r.getString(2)}")
         .mkString("\n")
     case "finalize-sharding" :: root :: n :: Nil =>
-      val cp = new StateStore(root).finalizeSharding(n.toInt)
+      val cp = storeFor(root).finalizeSharding(n.toInt)
       s"finalized at height ${cp.height} (block ${cp.blockId})"
     case "reindex" :: root :: rest =>
       val dry = rest.contains("dryRun")
@@ -51,28 +65,50 @@ object Tools {
       val maxH = pos.headOption.map(_.toLong).getOrElse(Long.MaxValue)
       val lower = pos.drop(1).headOption.getOrElse("")
       val (tablets, entries) =
-        new StateStore(root).reindexTablets(maxH, lower, dryRun = dry)
+        storeFor(root).reindexTablets(maxH, lower, dryRun = dry)
       s"${if (dry) "would reindex" else "reindexed"} $entries entries across $tablets tablets"
     case "reindex-tablet" :: root :: tablet :: Nil =>
-      new StateStore(root).reindexTablet(tablet)
+      storeFor(root).reindexTablet(tablet)
         .map(h => s"reindexed $tablet at height $h")
         .getOrElse("re-index not required")
     case "prune" :: root :: tablet :: freq :: Nil =>
-      val kept = new StateStore(root).pruneTabletSnapshots(tablet, freq.toInt)
+      val kept = storeFor(root).pruneTabletSnapshots(tablet, freq.toInt)
       s"kept snapshot heights ${kept.mkString(",")}"
     case "compact" :: root :: Nil =>
-      val store = new StateStore(root)
+      val store = storeFor(root)
       val t = store.compactTabletRows()
       val e = store.compactSingletEntries()
       store.compactCheckpoints()
       s"compacted $t tablet-row and $e singlet-entry batch dirs; checkpoint log folded"
     case "checkpoint" :: root :: Nil =>
-      new StateStore(root).checkpoint(StateStore.GlobalCheckpointKey)
+      storeFor(root).checkpoint(StateStore.GlobalCheckpointKey)
         .map(cp => s"checkpoint height=${cp.height} block=${cp.blockId}")
         .getOrElse("no checkpoint")
     case "read-tablet" :: root :: tablet :: height :: Nil =>
       // The server mode's flagship read (read.go:35–178), snapshot-aware.
-      new StateStore(root).readTabletAt(tablet, height.toLong).collect()
+      storeFor(root).readTabletAt(tablet, height.toLong).collect()
+        .map(r => s"${r.getString(0)} h=${r.getLong(1)} " +
+          new String(r.getAs[Array[Byte]](2), "UTF-8"))
+        .mkString("\n")
+    case "table-generations" :: root :: Nil =>
+      // Manifest-protocol commit history (one line per generation).
+      val store = new StateStore(root, StateStore.ManifestCommit)
+      val mt = store.manifestTableFor(store.tabletRowsPath)
+      mt.currentGeneration() match {
+        case None => "empty table (no generation pointer)"
+        case Some(g) =>
+          (1L to g).map { gen =>
+            val ids = mt.manifestEntries(gen).map(_._1)
+            s"g$gen: ${ids.size} commits [${ids.mkString(", ")}]"
+          }.mkString("\n")
+      }
+    case "read-tablet-at-gen" :: root :: gen :: tablet :: height :: Nil =>
+      // TIME-TRAVEL as-of read: the flagship read over the mutation table
+      // exactly as of manifest generation `gen` (readable while the
+      // generation is inside the sweep retention window).
+      val store = new StateStore(root, StateStore.ManifestCommit)
+      val rows = store.manifestTableFor(store.tabletRowsPath).readAt(gen.toLong)
+      graft.read.TemporalReads.readTabletAt(rows, tablet, height.toLong).collect()
         .map(r => s"${r.getString(0)} h=${r.getLong(1)} " +
           new String(r.getAs[Array[Byte]](2), "UTF-8"))
         .mkString("\n")

@@ -1146,6 +1146,56 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
+    // Mixture resampling materializer: APPLY the p_mix_weights rebalance —
+    // per document, the number of copies a uniform-target resample keeps
+    // (floor(weight) guaranteed + one more with probability frac(weight),
+    // decided by the document's own md5 hash, never rand(): re-derivable
+    // on any cluster, any partitioning, any retry). Shape at 100 TB: the
+    // weights aggregate to #sources rows, broadcast back, and the
+    // per-doc decision is scan-local — one map-side agg + one broadcast
+    // join for the whole materialization pass.
+    QuerySpec.sql(
+      "p_mix_resample",
+      s"""WITH per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source
+         |), tot AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |         CAST(count(*) AS BIGINT) AS n_sources
+         |  FROM per
+         |), w AS (
+         |  SELECT source,
+         |         (total_tokens * 1000000) // (n_sources * n_tokens) AS weight_ppm
+         |  FROM per, tot
+         |)
+         |SELECT doc_id, d.source AS source, weight_ppm,
+         |       CAST(weight_ppm // 1000000
+         |            + CASE WHEN ${oH60("text || CAST(doc_id AS VARCHAR)")} % 1000000
+         |                        < weight_ppm % 1000000
+         |                   THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+         |FROM documents d JOIN w USING (source)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val per = docs(s, dir)
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+      val tot = per.agg(sum(col("n_tokens")).as("total_tokens"),
+        count(lit(1)).as("n_sources"))
+      val weights = per.crossJoin(broadcast(tot))
+        .select(col("source"),
+          expr("(total_tokens * 1000000) div (n_sources * n_tokens)")
+            .as("weight_ppm"))
+      docs(s, dir)
+        .join(broadcast(weights), "source")
+        .select(col("doc_id"), col("source"), col("weight_ppm"),
+          (expr("weight_ppm div 1000000") +
+            when(h60(concat(col("text"), col("doc_id").cast("string")))
+              % lit(1000000L) < col("weight_ppm") % lit(1000000L), lit(1L))
+              .otherwise(lit(0L))).as("n_repeats"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------------
     // Approximate distinct (HLL++, rows-only): per-source exact vs
     // approximate distinct text counts. The sketch is mergeable —
     // map-side partials combine without row exchange, the aggregation

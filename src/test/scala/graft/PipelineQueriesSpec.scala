@@ -131,6 +131,22 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(got.nonEmpty, "sf0.001 should contain at least one incoming-batch duplicate")
   }
 
+  test("mixture resample: per-doc copies are floor(weight) or floor+1, the " +
+    "weight agrees with p_mix_weights, and the decision is deterministic") {
+    val weights = run("p_mix_weights").collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    val rows = run("p_mix_resample").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    for ((id, src, w, n) <- rows) {
+      assert(w === weights(src), s"doc $id weight mismatch vs p_mix_weights")
+      assert(n === w / 1000000 || n === w / 1000000 + 1, s"doc $id repeats $n for w=$w")
+    }
+    val again = run("p_mix_resample").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+    assert(rows.map(r => (r._1, r._4)).sorted.toSeq === again)
+  }
+
   test("pii redaction leaves no digit unmasked and counts every masked run") {
     val rows = run("p_pii_redact").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))

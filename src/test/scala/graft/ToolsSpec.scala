@@ -52,4 +52,23 @@ class ToolsSpec extends SparkTestBase {
 
     intercept[IllegalArgumentException] { Tools.run(Seq("bogus")) }
   }
+
+  test("manifest time-travel verbs: table-generations lists the commit " +
+    "history; read-tablet-at-gen reads the state as of an older generation") {
+    implicit val s = spark
+    val root = tmpDir("tools-tt")
+    val store = new StateStore(root, StateStore.ManifestCommit)
+    def req(h: Long, pk: String, v: String) = WriteRequest(
+      h, BlockRef(s"blk-$h", h),
+      Seq(TabletRowM(1, "t1", h, pk, v.getBytes("UTF-8"), false)), Nil)
+    store.writeBatch(Seq(req(0, "a", "v0")))   // generation 1
+    store.writeBatch(Seq(req(1, "a", "v1")))   // generation 2: overwrites pk a
+    val gens = Tools.run(Seq("table-generations", root))
+    assert(gens.startsWith("g1: 1 commits [") && gens.linesIterator.size === 2, gens)
+    // As of generation 1 the tablet knows only v0; the current read (and
+    // generation 2) sees the overwrite.
+    assert(Tools.run(Seq("read-tablet-at-gen", root, "1", "t1", "5")) === "a h=0 v0")
+    assert(Tools.run(Seq("read-tablet-at-gen", root, "2", "t1", "5")) === "a h=1 v1")
+    assert(Tools.run(Seq("read-tablet", root, "t1", "5")) === "a h=1 v1")
+  }
 }
