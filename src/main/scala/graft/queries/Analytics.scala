@@ -285,6 +285,34 @@ object Analytics {
         .orderBy("user_id", "session_no")
     },
 
+    // Relational set operations: INTERSECT / EXCEPT over two sources'
+    // vocabularies (src0 ∩ src1, src0 ∖ src1). Spark plans both as the
+    // distinct-aggregate forms (left-semi / left-anti over hash-
+    // partitioned distinct sets) — one shuffle each on the set key, the
+    // same plan a 100 TB vocabulary diff needs. The union tags each word
+    // with its set so one query carries both results.
+    QuerySpec.sql(
+      "q_set_ops",
+      """WITH a AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+        |           FROM documents WHERE source = 'src0'),
+        |     b AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+        |           FROM documents WHERE source = 'src1')
+        |SELECT 'common' AS set_name, word FROM (SELECT word FROM a INTERSECT SELECT word FROM b)
+        |UNION ALL
+        |SELECT 'only_src0' AS set_name, word FROM (SELECT word FROM a EXCEPT SELECT word FROM b)
+        |ORDER BY set_name, word""".stripMargin) { (s, dir) =>
+      def vocab(src: String) =
+        s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("source") === src)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .distinct()
+      val a = vocab("src0"); val b = vocab("src1")
+      a.intersect(b).select(lit("common").as("set_name"), col("word"))
+        .unionByName(
+          a.except(b).select(lit("only_src0").as("set_name"), col("word")))
+        .orderBy("set_name", "word")
+    },
+
     // Semi-structured metadata extraction: pull a typed field out of the
     // JSON `props` column and aggregate it — the pattern for event/doc
     // metadata that ships as JSON blobs. `get_json_object` is a codegen'd

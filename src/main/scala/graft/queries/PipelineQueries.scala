@@ -505,6 +505,41 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
+    // Cross-source duplication matrix: which sources (domains) duplicate
+    // into which — the report that decides which crawl feeds to cut. Pure
+    // analytics over the ALREADY-verified minhash pairs (shared memo —
+    // the corpus-wide candidate join is not re-paid): two doc_id→source
+    // equi-joins + one map-side-combined count to #source-pairs rows.
+    // Build-side choice stays with AQE on purpose: the source lookup is
+    // corpus-sized and a dup-heavy corpus inflates the pair side, so
+    // neither is universally broadcastable — forcing either hint is
+    // wrong at some corpus shape. Pair sources are ordered
+    // (src_a <= src_b) so the matrix is triangular and deterministic.
+    QuerySpec.sql(
+      "p_dedup_source_matrix",
+      s"""$minhashVerifiedCtes
+         |SELECT least(da_src, db_src) AS src_a,
+         |       greatest(da_src, db_src) AS src_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM (
+         |  SELECT a.source AS da_src, b.source AS db_src
+         |  FROM verified v
+         |  JOIN documents a ON a.doc_id = v.da
+         |  JOIN documents b ON b.doc_id = v.db
+         |)
+         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      val src = docs(s, dir).select(col("doc_id"), col("source"))
+      minhashVerifiedPairsShared(s, dir)
+        .join(src.select(col("doc_id").as("da"), col("source").as("da_src")), "da")
+        .join(src.select(col("doc_id").as("db"), col("source").as("db_src")), "db")
+        .select(least(col("da_src"), col("db_src")).as("src_a"),
+          greatest(col("da_src"), col("db_src")).as("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("src_a", "src_b")
+    },
+
+    // ---------------------------------------------------------------------
     // SimHash near-dup: 32-bit simhash over shingle hashes (bit-majority),
     // byte-banded for blocking (hamming <= 3 ⇒ at least one of 4 bytes
     // equal, by pigeonhole), verified with bit_count(xor) <= 3.

@@ -131,6 +131,41 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(got.nonEmpty, "sf0.001 should contain at least one incoming-batch duplicate")
   }
 
+  test("source duplication matrix equals a Scala model over the verified " +
+    "pairs and stays triangular") {
+    val srcOf = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = run("p_dedup_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = pairs
+      .map { case (a, b) =>
+        val (sa, sb) = (srcOf(a), srcOf(b))
+        (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+      }
+      .groupBy(identity).map { case ((a, b), g) => (a, b, g.length.toLong) }
+      .toSeq.sorted
+    val got = run("p_dedup_source_matrix").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    assert(got === expect)
+    assert(got.map(_._3).sum === pairs.length.toLong)
+    assert(got.forall(t => t._1 <= t._2))
+  }
+
+  test("set ops query equals Scala set arithmetic over the two vocabularies") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def vocab(src: String) =
+      texts.filter(_._1 == src).flatMap(_._2.split(" ")).toSet
+    val (a, b) = (vocab("src0"), vocab("src1"))
+    val expect = (a.intersect(b).map(("common", _)) ++ a.diff(b).map(("only_src0", _)))
+      .toSeq.sorted
+    val got = run("q_set_ops").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(got === expect)
+  }
+
   test("mixture resample: per-doc copies are floor(weight) or floor+1, the " +
     "weight agrees with p_mix_weights, and the decision is deterministic") {
     val weights = run("p_mix_weights").collect()
