@@ -1181,6 +1181,53 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
+    // Span-level duplication report (exact-substring dedup shape): every
+    // 8-word span, hashed with position-free identity, flagged when the
+    // SAME span text appears in another document — per doc, the span
+    // count, cross-doc duplicated span count, and the duplication ratio.
+    // This is the "repeated long span" statistic substring-dedup passes
+    // act on (span granularity, unlike the per-doc Jaccard operators).
+    // Shape at 100 TB: spans live once in a persisted (doc, h) relation;
+    // duplicate detection is one hash-partitioned aggregate over h; the
+    // flag join is an equi-join on h against the (much smaller) dup-hash
+    // set. A production pass adds a document-frequency cap on stop-spans
+    // exactly like the shingle index; omitted so the oracle stays small.
+    QuerySpec.sql(
+      "p_span_dedup",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |         ${oH60("array_to_string(ws[i:i+7], ' ')")} AS h
+         |  FROM w, unnest(range(1, greatest(len(ws) - 6, 1))) t(i)
+         |),
+         |dup AS (SELECT h FROM s GROUP BY h HAVING count(DISTINCT doc_id) > 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |       CAST(count(*) FILTER (WHERE h IN (SELECT h FROM dup)) AS BIGINT)
+         |         AS n_dup_spans,
+         |       (CAST(count(*) FILTER (WHERE h IN (SELECT h FROM dup)) AS BIGINT)
+         |        * 1000000) // CAST(count(*) AS BIGINT) AS dup_ratio_micro
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val spans = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          "transform(slice(ws, 1, greatest(size(ws) - 7, 0)), " +
+            "(x, i) -> concat_ws(' ', slice(ws, i + 1, 8)))")).as("span"))
+        .select(col("doc_id"), h60(col("span")).as("h"))
+        .persist()
+      val dup = spans.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+        .select(col("h"), lit(1L).as("is_dup"))
+      spans.join(dup, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("is_dup").isNotNull, 1L).otherwise(0L)).as("n_dup_spans"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+          expr("(n_dup_spans * 1000000) div n_spans").as("dup_ratio_micro"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------------
     // Mixture resampling materializer: APPLY the p_mix_weights rebalance —
     // per document, the number of copies a uniform-target resample keeps
     // (floor(weight) guaranteed + one more with probability frac(weight),

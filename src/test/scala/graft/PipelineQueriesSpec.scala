@@ -131,6 +131,26 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(got.nonEmpty, "sf0.001 should contain at least one incoming-batch duplicate")
   }
 
+  test("span dedup equals a Scala 8-gram model: per-doc span counts, " +
+    "cross-doc duplicated spans, and ratio") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val docSpans = texts.map { case (id, t) =>
+      id -> t.split(" ").sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSeq
+    }.filter(_._2.nonEmpty)
+    val docsOfSpan = docSpans
+      .flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (sp, g) => sp -> g.length }
+    val expect = docSpans.map { case (id, ss) =>
+      val nDup = ss.count(sp => docsOfSpan(sp) > 1).toLong
+      (id, ss.length.toLong, nDup, nDup * 1000000 / ss.length)
+    }.sortBy(_._1).toSeq
+    val got = run("p_span_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expect)
+  }
+
   test("source duplication matrix equals a Scala model over the verified " +
     "pairs and stays triangular") {
     val srcOf = spark.read.parquet(s"$sf/documents.parquet")
