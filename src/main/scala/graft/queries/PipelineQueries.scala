@@ -1278,6 +1278,38 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
+    // Embedding int8 quantization (rows-only): per-vector symmetric int8
+    // compression — scale = max|x|/127, q_i = round(x_i/scale) — the 4×
+    // memory cut an at-scale ANN index takes before anything else. All
+    // array math is scan-local (`transform`/`aggregate` inside codegen,
+    // zero shuffle); the report aggregates per label so the output stays
+    // small while the spec checks the per-element contract. Engines'
+    // float rounding differs at ULP level, so the check is rows-only;
+    // `PipelineQueriesSpec` bounds the dequantization error at scale/2
+    // per element and proves the quantized ints live in [-127, 127].
+    QuerySpec.rowsOnly("p_embed_quantize") { (s, dir) =>
+      // The 1e-30 floor makes an all-zero vector quantize to zeros instead
+      // of 0/0 = NaN (which an ANSI int cast rejects); it cannot perturb a
+      // nonzero vector, whose scale is >= ulp(float)/127 >> 1e-30.
+      val qcols = embs(s, dir)
+        .withColumn("scale",
+          expr("greatest(aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+            "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE)))) / 127.0, 1e-30d)"))
+        .withColumn("q",
+          expr("transform(embedding, x -> CAST(round(x / scale) AS INT))"))
+      qcols
+        .select(col("label"), col("scale"),
+          expr("aggregate(q, 0L, (acc, v) -> acc + abs(v))").as("l1_q"),
+          expr("aggregate(q, 0, (acc, v) -> greatest(acc, abs(v)))").as("linf_q"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          avg(col("scale")).as("avg_scale"),
+          avg(col("l1_q")).as("avg_l1_q"),
+          max(col("linf_q")).as("max_linf_q"))
+        .orderBy("label")
+    },
+
+    // ---------------------------------------------------------------------
     // Approximate distinct (HLL++, rows-only): per-source exact vs
     // approximate distinct text counts. The sketch is mergeable —
     // map-side partials combine without row exchange, the aggregation

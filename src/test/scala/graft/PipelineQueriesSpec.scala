@@ -532,6 +532,32 @@ class PipelineQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("int8 quantization: quantized ints live in [-127,127] and " +
+    "dequantization error is bounded by scale/2 per element") {
+    val report = run("p_embed_quantize").collect()
+    assert(report.nonEmpty)
+    report.foreach { r =>
+      assert(r.getLong(1) > 0, "n_vecs")
+      assert(r.getDouble(2) > 0.0, "avg_scale")
+      assert(r.getInt(4) <= 127, "max_linf_q")
+    }
+    // Per-element contract, recomputed from the raw table (the query only
+    // reports per-label aggregates so its output stays small).
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("embedding").collect().map(_.getSeq[Float](0))
+    assert(vecs.nonEmpty)
+    vecs.foreach { v =>
+      val scale = v.map(x => math.abs(x.toDouble)).max / 127.0
+      assert(scale > 0.0) // testdata has no all-zero vectors
+      v.foreach { x =>
+        val q = math.round(x / scale)
+        assert(q >= -127 && q <= 127, s"q=$q out of int8 symmetric range")
+        assert(math.abs(q * scale - x) <= scale / 2 + 1e-12,
+          s"dequant error ${math.abs(q * scale - x)} > ${scale / 2}")
+      }
+    }
+  }
+
   test("multimodal decode (real javax.imageio PNG path) is deterministic " +
     "and total; decoded dims round-trip the encoder's") {
     val a = run("p_multimodal_decode").collect()
