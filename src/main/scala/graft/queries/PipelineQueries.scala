@@ -634,6 +634,35 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
+    // Semantic dedup (the SemDeDup shape — Abbas et al. 2023,
+    // arXiv:2303.09540): cluster the corpus with the IVF coarse quantizer,
+    // then prune, within each cluster, every vector that has a lower-id
+    // neighbor at cosine >= 0.45 (greedy keep-first — deterministic, no
+    // RNG). Per pruned doc: its cluster, the keeper (min such neighbor)
+    // and how many lower near-dup neighbors it had. 100 TB posture: the
+    // pairwise work is confined to within-cluster join partitions — cost
+    // tracks sum(|cluster|²) controlled by the quantizer's K, never
+    // corpus n²; the assignment pass is p_ann_ivf's broadcast
+    // centroid-table scan. (A deployment trains the centroids — see
+    // Ivf.trainKMeans; the operator is unchanged.)
+    QuerySpec.sql("p_dedup_semantic", dedupSemanticOracle) { (s, dir) =>
+      val scored = ivfScored(s, dir).persist()
+      val assigned = ivfAssigned(scored)
+        .join(scored.filter(col("k") === 0).select("vec_id", "embedding", "norm"),
+          "vec_id")
+      val a = assigned.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("norm").as("na"), col("cluster"))
+      val b = assigned.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("norm").as("nb"), col("cluster"))
+      val cos = dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+      a.join(b, Seq("cluster")).filter(col("vec_a") < col("vec_b"))
+        .filter(cos >= 0.45)
+        .groupBy(col("vec_b").as("pruned_id"), col("cluster"))
+        .agg(min(col("vec_a")).as("keeper_id"), count(lit(1)).as("n_dup_lower"))
+        .orderBy("pruned_id")
+    },
+
+    // ---------------------------------------------------------------------
     // ANN brute force: cosine top-5 per probe vector (vec_id < 20). The
     // probe side is tiny and broadcast; the big side is scanned once —
     // the right baseline plan at any scale.
@@ -798,6 +827,79 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
+    // Gopher-style quality rules (Rae et al. 2021, arXiv:2112.11446 §A1.1),
+    // restated in exact integer arithmetic: word-count bounds, mean word
+    // length in [3, 10] chars (as 3·n ≤ chars ≤ 10·n), ≥ 2 stopwords, and
+    // the most-frequent-word share ≤ 20% (as 5·top ≤ n). The top-word
+    // count is a run-length fold over the SORTED word array — one HOF on
+    // the scan instead of an explode + two groupBy shuffles, so the whole
+    // report is scan-local: the 100 TB plan has no shuffle at all (the
+    // orderBy exists only for the deterministic oracle compare).
+    QuerySpec.sql(
+      "p_quality_gopher",
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |), top AS (
+        |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word_n
+        |  FROM (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2)
+        |  GROUP BY 1
+        |), base AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |         CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_word_chars,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |                              x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_words, n_stop, top_word_n,
+        |       (n_word_chars * 1000000) // n_words AS mean_wlen_micro,
+        |       CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS r_wordcount,
+        |       CAST(3 * n_words <= n_word_chars
+        |            AND n_word_chars <= 10 * n_words AS BIGINT) AS r_wordlen,
+        |       CAST(n_stop >= 2 AS BIGINT) AS r_stopwords,
+        |       CAST(5 * top_word_n <= n_words AS BIGINT) AS r_repetition,
+        |       CAST(n_words >= 50 AND n_words <= 100000
+        |            AND 3 * n_words <= n_word_chars
+        |            AND n_word_chars <= 10 * n_words
+        |            AND n_stop >= 2
+        |            AND 5 * top_word_n <= n_words AS BIGINT) AS keep
+        |FROM base JOIN top USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ws = split(col("text"), " ")
+      // Longest run in the sorted word array == max per-word frequency.
+      val topWord = expr(
+        """aggregate(
+          |  array_sort(split(text, ' ')),
+          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+          |  (acc, x) -> named_struct(
+          |    'prev', x,
+          |    'run', IF(x <=> acc.prev, acc.run + 1L, 1L),
+          |    'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L))),
+          |  acc -> acc.best)""".stripMargin)
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(ws).cast("long").as("n_words"),
+          length(regexp_replace(col("text"), " ", "")).cast("long")
+            .as("n_word_chars"),
+          size(filter(ws, x => x.isin("the", "a"))).cast("long").as("n_stop"),
+          topWord.as("top_word_n"))
+        .select(col("doc_id"), col("n_words"), col("n_stop"), col("top_word_n"),
+          expr("(n_word_chars * 1000000) div n_words").as("mean_wlen_micro"),
+          (col("n_words") >= 50 && col("n_words") <= 100000).cast("long")
+            .as("r_wordcount"),
+          (lit(3) * col("n_words") <= col("n_word_chars") &&
+            col("n_word_chars") <= lit(10) * col("n_words")).cast("long")
+            .as("r_wordlen"),
+          (col("n_stop") >= 2).cast("long").as("r_stopwords"),
+          (lit(5) * col("top_word_n") <= col("n_words")).cast("long")
+            .as("r_repetition"))
+        .withColumn("keep",
+          (col("r_wordcount") === 1 && col("r_wordlen") === 1 &&
+            col("r_stopwords") === 1 && col("r_repetition") === 1).cast("long"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------------
     // Language ID: marker-word scoring against small per-language lexicons
     // (the n-gram-profile heuristic reduced to unigram markers; scores are
     // integer counts, argmax with alphabetical tie-break).
@@ -887,6 +989,38 @@ object PipelineQueries {
           coalesce(col("nc"), lit(0L)).as("n_contaminated"),
           col("n_shingles"),
           (coalesce(col("nc"), lit(0L)) * 10 >= col("n_shingles"))
+            .cast("long").as("flagged"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------------
+    // Bloom-filter decontamination probe (rows-only): the 100 TB form of
+    // p_decontaminate. The distinct eval shingle set folds into a
+    // mergeable Bloom sketch (per-partition partial filters, OR-merged —
+    // df.stat.bloomFilter's treeAggregate), broadcast once, and the train
+    // corpus is probed scan-locally: ZERO shuffle of the corpus shingles,
+    // vs the join form which shuffles every train shingle at broadcast
+    // overflow. The price is one-sided error — false positives only,
+    // never false negatives — so bloom counts dominate the exact join's
+    // per doc and every exact-flagged doc stays flagged (the safe
+    // direction: may over-quarantine, never under). fpp = 1e-3. No DuckDB
+    // oracle (no Bloom sketch there); PipelineQueriesSpec pins the
+    // superset invariant and the false-positive budget against
+    // p_decontaminate's exact counts.
+    QuerySpec.rowsOnly("p_decontaminate_bloom") { (s, dir) =>
+      val d = docs(s, dir)
+      val isEval = col("source").isin("src0", "src1")
+      val evalSh = shingleRows(d.filter(isEval)).select("sh").distinct()
+      val bf = evalSh.stat.bloomFilter("sh", math.max(evalSh.count(), 1L), 0.001)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((sh: String) => bfB.value.mightContain(sh))
+      shingleRows(d.filter(!isEval))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(mightContain(col("sh")), 1L).otherwise(0L))
+            .as("n_contaminated_bloom"))
+        .select(col("doc_id"), col("n_contaminated_bloom"), col("n_shingles"),
+          (col("n_contaminated_bloom") * 10 >= col("n_shingles"))
             .cast("long").as("flagged"))
         .orderBy("doc_id")
     },
@@ -1740,6 +1874,39 @@ object PipelineQueries {
        |       min(doc_id) AS min_doc_id
        |FROM documents JOIN assigned ON doc_id = vec_id
        |GROUP BY lang, cluster ORDER BY lang, cluster""".stripMargin
+  }
+
+  /** Oracle mirroring p_dedup_semantic: the annIvfOracle assignment CTE,
+    * then the within-cluster lower-neighbor prune at the same bit-exact
+    * cosine threshold. */
+  private def dedupSemanticOracle: String = {
+    def coefList(c: Int): String =
+      centroidCoefs(c).map(_.toString).mkString("[", ", ", "]")
+    val dots = (0 until IvfK)
+      .map(k => s"list_dot_product(embedding::DOUBLE[], ${coefList(k)}::DOUBLE[]) AS d$k")
+      .mkString(",\n         ")
+    val bestExpr = s"greatest(${(0 until IvfK).map(k => s"d$k").mkString(", ")})"
+    val clusterExpr = (0 until IvfK)
+      .map(k => s"WHEN d$k = best THEN $k").mkString("CASE ", " ", " END")
+    s"""WITH e0 AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+       |  FROM embeddings
+       |), d AS (
+       |  SELECT vec_id, embedding, norm,
+       |         $dots
+       |  FROM e0
+       |), assigned AS (
+       |  SELECT vec_id, embedding, norm, $clusterExpr AS cluster
+       |  FROM (SELECT *, $bestExpr AS best FROM d)
+       |)
+       |SELECT b.vec_id AS pruned_id, b.cluster AS cluster,
+       |       min(a.vec_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_dup_lower
+       |FROM assigned a JOIN assigned b
+       |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |WHERE ($OCos) >= 0.45
+       |GROUP BY b.vec_id, b.cluster
+       |ORDER BY pruned_id""".stripMargin
   }
 
   /** Oracle mirroring p_ann_ivf: same centroid literals, same

@@ -532,6 +532,62 @@ class PipelineQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("semantic dedup equals a Scala model: IVF cluster assignment + " +
+    "within-cluster lower-neighbor prune at cosine >= 0.45") {
+    val centroids = queries.PipelineQueries.ivfHashCentroids
+    def dotFD(a: Seq[Float], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i); i += 1 }
+      acc
+    }
+    def dotFF(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val assigned = vecs.map { case (id, v) =>
+      val scores = centroids.map(c => dotFD(v, c))
+      val best = scores.max
+      (id, v, math.sqrt(dotFF(v, v)), scores.indexWhere(_ == best))
+    }
+    val expected = (for {
+      (ia, va, na, ca) <- assigned
+      (ib, vb, nb, cb) <- assigned
+      if ca == cb && ia < ib && dotFF(va, vb) / (na * nb) >= 0.45
+    } yield (ib, ca, ia)).groupBy(p => (p._1, p._2))
+      .map { case ((pruned, cl), ps) =>
+        (pruned, cl, ps.map(_._3).min, ps.length.toLong)
+      }.toSeq.sortBy(_._1)
+    val got = run("p_dedup_semantic").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    assert(got.forall { case (pruned, _, keeper, n) => keeper < pruned && n >= 1 })
+  }
+
+  test("bloom decontamination: per-doc counts dominate the exact join's, " +
+    "flags are a superset, and false positives stay within the fpp budget") {
+    val exact = run("p_decontaminate").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val bloom = run("p_decontaminate_bloom").collect()
+    assert(bloom.length === exact.size)
+    var extra = 0L
+    var probes = 0L
+    bloom.foreach { r =>
+      val (id, nb, ns, fl) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (ne, nsExact, flExact) = exact(id)
+      assert(ns === nsExact, s"doc $id shingle count")
+      assert(nb >= ne, s"doc $id: bloom count $nb below exact $ne")
+      if (flExact == 1L) assert(fl === 1L, s"doc $id lost its exact flag")
+      extra += nb - ne
+      probes += ns
+    }
+    // fpp = 1e-3 per probe; allow a 10x cushion plus a small-corpus floor.
+    assert(extra <= probes / 100 + 10, s"$extra false positives over $probes probes")
+  }
+
   test("int8 quantization: quantized ints live in [-127,127] and " +
     "dequantization error is bounded by scale/2 per element") {
     val report = run("p_embed_quantize").collect()
