@@ -1537,6 +1537,38 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
+    // Count-Min-Sketch heavy hitters (rows-only): the exact bigram top-20
+    // above, re-estimated through a mergeable CMS — completing the sketch
+    // family (HLL distinct, quantile summary, Bloom membership, CMS
+    // frequency) that is the only aggregation toolkit that still works at
+    // 100 TB when the key space itself won't fit anywhere. Per-partition
+    // partial sketches merge associatively (treeAggregate), one fixed-size
+    // table ships to the driver, and per-key estimates cost O(depth).
+    // One-sided error: cms_n >= exact_n always, overshoot <= eps·N with
+    // prob >= 1 - delta (eps = 1e-4, delta = 1e-3 → width 27k × depth 7 —
+    // ~1.5 MB, constant in corpus size). Fixed seed keeps runs
+    // deterministic. No DuckDB oracle (no CMS there);
+    // PipelineQueriesSpec pins the dominance + overshoot-budget
+    // invariants against the exact counts.
+    QuerySpec.rowsOnly("p_ngram_topk_cms") { (s, dir) =>
+      val bigrams = docs(s, dir)
+        .select(split(col("text"), " ").as("ws"))
+        .select(explode(expr(
+          "transform(slice(ws, 1, size(ws) - 1), (w, i) -> concat(w, ' ', ws[i + 1]))"))
+          .as("bigram"))
+      val cms = bigrams.stat.countMinSketch(
+        "bigram", 1e-4, 0.999, 42)
+      val cmsB = s.sparkContext.broadcast(cms)
+      val estimate = udf((b: String) => cmsB.value.estimateCount(b))
+      bigrams
+        .groupBy("bigram").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("bigram"))
+        .limit(20)
+        .withColumn("cms_n", estimate(col("bigram")))
+        .select(col("bigram"), col("exact_n"), col("cms_n"))
+    },
+
+    // ---------------------------------------------------------------------
     // Per-source quota sampling: cap every source (domain) at 10 documents,
     // chosen by a deterministic md5 order — the standard per-domain cap a
     // web-crawl curation pass applies so no single domain dominates the

@@ -588,6 +588,44 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(extra <= probes / 100 + 10, s"$extra false positives over $probes probes")
   }
 
+  test("count-min-sketch heavy hitters: estimates dominate exact counts, " +
+    "agree with the exact top-k keys, and overshoot stays within eps*N") {
+    val exact = run("p_ngram_topk").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val got = run("p_ngram_topk_cms").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(r => (r._1, r._2)).toSeq === exact.toSeq)
+    val totalBigrams = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("sum(greatest(size(split(text, ' ')) - 1, 0))")
+      .collect()(0).getLong(0)
+    got.foreach { case (bigram, exactN, cmsN) =>
+      assert(cmsN >= exactN, s"'$bigram': cms $cmsN below exact $exactN")
+      // eps = 1e-4 per-row overshoot bound, with slack for the tiny corpus.
+      assert(cmsN - exactN <= totalBigrams / 1000 + 3,
+        s"'$bigram': overshoot ${cmsN - exactN} over N=$totalBigrams")
+    }
+  }
+
+  test("gopher quality rules and int8 quantization stay scan-local: no " +
+    "aggregation or join shuffle in the per-doc/per-vector stage") {
+    // p_quality_gopher's top-word count is a HOF fold, not explode+groupBy,
+    // so the only Exchange is the oracle-compare orderBy; p_embed_quantize
+    // aggregates per label AFTER the scan-local array math (one partial agg).
+    val gplan = run("p_quality_gopher").queryExecution.executedPlan.toString
+    assert(!gplan.contains("HashAggregate") && !gplan.contains("SortMergeJoin")
+      && !gplan.contains("BroadcastHashJoin"))
+    val keep = run("p_quality_gopher").collect().map { r =>
+      val flags = Seq("r_wordcount", "r_wordlen", "r_stopwords", "r_repetition")
+        .map(f => r.getLong(r.fieldIndex(f)))
+      (flags, r.getLong(r.fieldIndex("keep")))
+    }
+    keep.foreach { case (flags, k) =>
+      assert(k === flags.min, "keep must be the conjunction of the four rules")
+    }
+    assert(keep.exists(_._2 == 1L) && keep.exists(_._2 == 0L),
+      "testdata should exercise both keep outcomes")
+  }
+
   test("int8 quantization: quantized ints live in [-127,127] and " +
     "dequantization error is bounded by scale/2 per element") {
     val report = run("p_embed_quantize").collect()
