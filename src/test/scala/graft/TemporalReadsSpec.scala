@@ -111,6 +111,36 @@ class TemporalReadsSpec extends SparkTestBase {
     assert(byId(6L) === None)
   }
 
+  test("latestPerKey absorbs per-entity skew map-side: the argmax partial-" +
+    "aggregates before the exchange, so a hot key never concentrates rows " +
+    "(SURVEY §7.4.7)") {
+    import org.apache.spark.sql.functions._
+    // One entity with 100k versions (the read.go:66 worst case) + 1000 cold
+    // keys, spread over 32 input partitions.
+    val hot = spark.range(100000).select(
+      lit("tbl").as("tablet_id"), lit("hot").as("primary_key"),
+      col("id").as("height"), lit(false).as("is_deletion"),
+      encode(concat(lit("v"), col("id")), "utf-8").as("value"))
+    val cold = spark.range(1000).select(
+      lit("tbl").as("tablet_id"), concat(lit("k"), col("id")).as("primary_key"),
+      lit(7L).as("height"), lit(false).as("is_deletion"),
+      encode(lit("c"), "utf-8").as("value"))
+    val d = hot.unionByName(cold).repartition(32)
+    val out = TemporalReads.latestPerKey(
+      d, Seq("tablet_id", "primary_key"), Seq("value"))
+    // max_by is associative, so Spark MUST plan a map-side partial argmax:
+    // each task emits at most one row per key it saw, and the shuffle
+    // carries O(tasks × keys), never the hot key's row count.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max_by"),
+      s"expected a partial max_by stage before the exchange:\n$plan")
+    val got = out.collect()
+    assert(got.length === 1001)
+    val hotRow = got.find(_.getString(1) == "hot").get
+    assert(hotRow.getLong(2) === 99999L)
+    assert(new String(hotRow.getAs[Array[Byte]](3), "UTF-8") === "v99999")
+  }
+
   test("existence probe") {
     val d = rows(("t1", 1, "a", "x", false))
     assert(TemporalReads.hasSeenAnyRowForTablet(d, "t1"))
