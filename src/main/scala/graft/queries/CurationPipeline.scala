@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed curation pass a training-data pipeline actually materializes
+  * — the individual report operators (`p_quality_gopher`, `p_dedup_exact*`,
+  * `p_dedup_minhash_lsh`/`p_dedup_cluster`, `p_decontaminate`,
+  * `p_mix_weights`/`p_mix_resample`) chained into one per-document decision:
+  *
+  *   1. drop held-out eval sources (they are the benchmark, not the corpus);
+  *   2. Gopher quality rules (reuses the `p_quality_gopher` query verbatim);
+  *   3. exact dedup among survivors — keeper = min doc_id per md5(text);
+  *   4. near-dup collapse — verified MinHash-LSH pairs restricted to
+  *      survivors, connected components ([[DedupCluster.labels]]), keep each
+  *      component's min member;
+  *   5. decontamination — drop docs whose 3-gram overlap with the eval
+  *      slice reaches `contaminationPctMax` (reuses the `p_decontaminate`
+  *      query's per-doc counts; the REPORT keeps its canonical 10% flag).
+  *      The default cut is 80% — "verbatim contamination" — because the
+  *      threshold must be calibrated to the corpus's base overlap rate:
+  *      on this synthetic ~40-word vocabulary every doc shares ≥18% of
+  *      its 3-grams with the eval slice at sf0.1 (measured), so the 10%
+  *      cut a real web corpus uses (base rate ≈ 0) would return an empty
+  *      corpus here. Real deployments tune this the same way: pick the
+  *      knee above the corpus's accidental-overlap distribution;
+  *   6. mixture resampling — uniform-target source weights RECOMPUTED over
+  *      the surviving corpus, per-doc copy count = floor(weight) +
+  *      md5-hash bernoulli on frac(weight) (deterministic, never rand();
+  *      same formula as `p_mix_resample`, which derives weights from the
+  *      RAW corpus — here the weights reflect what dedup kept).
+  *
+  * 100 TB posture: every stage is one of the already-audited shapes — the
+  * rules are scan-local, both dedups are hash/band equi-joins, the flag and
+  * keep joins are id equi-joins on ever-shrinking survivor sets, and the
+  * weight table is #sources rows broadcast back. Nothing here adds a new
+  * shuffle class on top of the component operators.
+  */
+object CurationPipeline {
+
+  /** Default held-out slice — matches `p_decontaminate`'s eval stand-in. */
+  val DefaultEvalSources: Seq[String] = Seq("src0", "src1")
+
+  /** Default contamination cut (percent of a doc's distinct 3-grams found
+    * in the eval slice) — see the class note on calibration. */
+  val DefaultContaminationPctMax: Int = 80
+
+  private def queryFn(name: String): (SparkSession, String) => DataFrame =
+    PipelineQueries.specs.find(_.name == name)
+      .getOrElse(sys.error(s"unknown component query $name")).fn
+
+  /** Survivor sets after each stage, in order, as
+    * `(stageName, docs(doc_id, source, ntok, grp, h_mod))`. The text
+    * column is consumed AT THE SCAN — the exact-dedup group key and the
+    * resample bernoulli draw are both md5-derived, so only two fixed-width
+    * columns flow through the stage joins, never the document body (at
+    * 100 TB the text IS the table; shuffling it through five stages would
+    * dominate the job). */
+  private def stages(s: SparkSession, dir: String,
+      evalSources: Seq[String],
+      contaminationPctMax: Int): Seq[(String, DataFrame)] = {
+    val base = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("ntok"),
+        md5(col("text")).as("grp"),
+        (conv(substring(md5(concat(col("text"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+          % lit(1000000L)).as("h_mod"))
+
+    val train = base.filter(!col("source").isin(evalSources: _*))
+
+    val qualityKeep = queryFn("p_quality_gopher")(s, dir)
+      .filter(col("keep") === 1).select("doc_id")
+    val quality = train.join(qualityKeep, "doc_id")
+
+    val exactKeepers = quality
+      .groupBy("grp")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val exact = quality.join(exactKeepers, "doc_id")
+
+    // Verified near-dup pairs restricted to current survivors; component
+    // labels over that subgraph; drop every member that is not its
+    // component's min. The persisted survivor id set is tiny relative to
+    // the corpus — both restriction joins prune pair traffic early.
+    val ids = exact.select("doc_id").persist()
+    val pairs = PipelineQueries.minhashVerifiedPairsShared(s, dir)
+      .join(ids.select(col("doc_id").as("da")), "da")
+      .join(ids.select(col("doc_id").as("db")), "db")
+      .select("da", "db")
+    val pruned = DedupCluster.labels(s, pairs)
+      .filter(col("doc") =!= col("rep"))
+      .select(col("doc").as("doc_id"))
+    val nearDup = exact.join(pruned, Seq("doc_id"), "left_anti")
+
+    // p_decontaminate emits one row per train doc WITH shingles; docs too
+    // short to shingle cannot be contaminated — left join, null ⇒ keep.
+    val flags = queryFn("p_decontaminate")(s, dir)
+      .select(col("doc_id"), col("n_contaminated"), col("n_shingles"))
+    val clean = nearDup.join(flags, Seq("doc_id"), "left")
+      .filter(coalesce(col("n_contaminated"), lit(0L)) * 100 <
+        lit(contaminationPctMax.toLong) * coalesce(col("n_shingles"), lit(1L)))
+      .drop("n_contaminated", "n_shingles")
+
+    Seq("a_raw" -> train, "b_quality" -> quality, "c_exact_dedup" -> exact,
+      "d_near_dedup" -> nearDup, "e_decontaminated" -> clean)
+  }
+
+  /** The curated corpus: one row per kept document —
+    * `(doc_id, source, n_tokens, weight_ppm, n_repeats)`, resampling
+    * weights computed over the SURVIVING corpus. */
+  def curate(s: SparkSession, dir: String,
+      evalSources: Seq[String] = DefaultEvalSources,
+      contaminationPctMax: Int = DefaultContaminationPctMax): DataFrame = {
+    val survivors = stages(s, dir, evalSources, contaminationPctMax).last._2
+    val per = survivors.groupBy("source")
+      .agg(sum(col("ntok")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    val weights = per.crossJoin(broadcast(tot))
+      .select(col("source"),
+        expr("(total_tokens * 1000000) div (n_sources * n_tokens)")
+          .as("weight_ppm"))
+    survivors
+      .join(broadcast(weights), "source")
+      .select(col("doc_id"), col("source"), col("ntok").as("n_tokens"),
+        col("weight_ppm"),
+        (expr("weight_ppm div 1000000") +
+          when(col("h_mod") < col("weight_ppm") % lit(1000000L), lit(1L))
+            .otherwise(lit(0L))).as("n_repeats"))
+  }
+
+  /** Stage survival audit `(stage, n_docs, sum_tokens)` — the composed
+    * pipeline's funnel report (`p_curate_funnel` generalized to the full
+    * stage chain). */
+  def stageCounts(s: SparkSession, dir: String,
+      evalSources: Seq[String] = DefaultEvalSources,
+      contaminationPctMax: Int = DefaultContaminationPctMax): DataFrame =
+    stages(s, dir, evalSources, contaminationPctMax).map { case (name, df) =>
+      // Each stage plan embeds its predecessors; persisting the narrow
+      // (5-column) survivor frames makes the five aggregates pay the chain
+      // once instead of O(stages²) re-derivations. Session-scoped like the
+      // other shared intermediates (Verify/Bench clearCache between runs).
+      df.persist()
+      df.agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("sum_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("sum_tokens"))
+    }.reduce(_ unionByName _).orderBy("stage")
+}

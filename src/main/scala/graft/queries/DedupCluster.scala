@@ -69,6 +69,24 @@ object DedupCluster {
     res
   }
 
+  /** Per-member cluster labels `(doc, rep)` over verified pairs — the
+    * member-level form of [[clusters]], same size gate. Docs in no pair are
+    * absent (their implicit rep is themselves). Past the driver gate the
+    * result is an eager localCheckpoint; callers that fully consume it may
+    * free it via [[GraftBridge.freeLocalCheckpoint]]. */
+  def labels(s: SparkSession, pairsIn: DataFrame,
+      maxDriverEdges: Long = driverMaxEdges): DataFrame = {
+    val pairs = pairsIn
+      .select(col("da").cast("long").as("da"), col("db").cast("long").as("db"))
+      .persist()
+    val nEdges = pairs.count()
+    val res =
+      if (nEdges <= maxDriverEdges) driverLabels(s, pairs)
+      else propagateLabels(s, pairs)
+    pairs.unpersist()
+    res
+  }
+
   private def summarize(labels: DataFrame): DataFrame =
     labels
       .groupBy(col("rep").as("cluster_rep"))

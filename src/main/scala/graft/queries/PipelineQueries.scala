@@ -227,7 +227,7 @@ object PipelineQueries {
   private val verifiedPairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def minhashVerifiedPairsShared(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def minhashVerifiedPairsShared(s: SparkSession, dir: String): DataFrame = {
     val df = verifiedPairsMemo.computeIfAbsent((s, dir),
       _ => minhashVerifiedPairs(s, dir))
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
@@ -1122,6 +1122,23 @@ object PipelineQueries {
         .unionByName(stage("c_quality",
           keep.filter(col("keeper") && col("ntok") >= 30)))
         .orderBy("stage")
+    },
+
+    // ---------------------------------------------------------------------
+    // The COMPOSED curation pass (see [[CurationPipeline]]): eval-source
+    // drop → Gopher rules → exact dedup → near-dup component collapse →
+    // decontamination → survivor-weighted mixture resampling, as the one
+    // per-document materialization a training run consumes. Rows-only (the
+    // component stages are individually oracle-paired; the composition is
+    // model-checked end-to-end in PipelineQueriesSpec against a full Scala
+    // reimplementation on the raw corpus).
+    QuerySpec.rowsOnly("p_curation_pipeline") { (s, dir) =>
+      CurationPipeline.curate(s, dir).orderBy("doc_id")
+    },
+
+    // Its funnel audit: per-stage survival counts across the full chain.
+    QuerySpec.rowsOnly("p_curation_funnel_full") { (s, dir) =>
+      CurationPipeline.stageCounts(s, dir)
     },
 
     // ---------------------------------------------------------------------

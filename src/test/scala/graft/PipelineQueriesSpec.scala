@@ -588,6 +588,88 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(extra <= probes / 100 + 10, s"$extra false positives over $probes probes")
   }
 
+  test("curation pipeline equals a full Scala model of the stage chain " +
+    "(quality -> exact dedup -> component collapse -> decontamination -> " +
+    "survivor-weighted resample)") {
+    val evalSources = Set("src0", "src1")
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+    // Stage 1+2: train slice, Gopher rules.
+    def gopherKeep(text: String): Boolean = {
+      val ws = text.split(" ", -1)
+      val n = ws.length.toLong
+      val chars = text.replace(" ", "").length.toLong
+      val stop = ws.count(w => w == "the" || w == "a").toLong
+      val top = ws.groupBy(identity).values.map(_.length).max.toLong
+      n >= 50 && n <= 100000 && 3 * n <= chars && chars <= 10 * n &&
+        stop >= 2 && 5 * top <= n
+    }
+    val quality = corpus.filter { case (_, src, text) =>
+      !evalSources.contains(src) && gopherKeep(text)
+    }
+    // Stage 3: exact dedup, keeper = min doc_id per md5(text).
+    val keepers = quality.groupBy(d => md5hex(d._3)).values
+      .map(g => g.minBy(_._1)).toSeq
+    // Stage 4: component collapse over survivor-restricted verified pairs.
+    val ids = keepers.map(_._1).toSet
+    val pairs = run("p_dedup_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => ids.contains(a) && ids.contains(b) }
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nearDup = keepers.filter(d => find(d._1) == d._1)
+    // Stage 5: decontamination at the pipeline's 80% verbatim cut.
+    def shingles(text: String): Set[String] =
+      text.split(" ", -1).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val evalSh = corpus.filter(d => evalSources.contains(d._2))
+      .flatMap(d => shingles(d._3)).toSet
+    val clean = nearDup.filter { d =>
+      val sh = shingles(d._3)
+      sh.isEmpty || (sh.count(evalSh.contains) * 100 < 80 * sh.size)
+    }
+    // Stage 6: survivor-weighted uniform-target resample.
+    val perSource = clean.groupBy(_._2).map { case (src, ds) =>
+      src -> ds.map(_._3.split(" ", -1).length.toLong).sum
+    }
+    val totalTokens = perSource.values.sum
+    val nSources = perSource.size.toLong
+    val expected = clean.map { case (id, src, text) =>
+      val w = (totalTokens * 1000000L) / (nSources * perSource(src))
+      val h = BigInt(md5hex(text + id).take(15), 16).toLong % 1000000L
+      (id, src, text.split(" ", -1).length.toLong,
+        w, w / 1000000L + (if (h < w % 1000000L) 1L else 0L))
+    }.sortBy(_._1)
+
+    val got = run("p_curation_pipeline").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected.map(e => (e._1, e._2, e._3, e._4, e._5)).toSeq)
+    assert(got.nonEmpty, "pipeline should keep part of the corpus")
+    assert(got.length < corpus.length, "pipeline should drop part of the corpus")
+
+    // Funnel audit: monotone non-increasing, ends at the survivor count.
+    val funnel = run("p_curation_funnel_full").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(funnel.map(_._1) ===
+      Array("a_raw", "b_quality", "c_exact_dedup", "d_near_dedup",
+        "e_decontaminated"))
+    assert(funnel.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+    assert(funnel.last._2 === got.length.toLong)
+  }
+
   test("count-min-sketch heavy hitters: estimates dominate exact counts, " +
     "agree with the exact top-k keys, and overshoot stays within eps*N") {
     val exact = run("p_ngram_topk").collect()
