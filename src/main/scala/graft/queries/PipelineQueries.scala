@@ -1128,16 +1128,17 @@ object PipelineQueries {
     // The COMPOSED curation pass (see [[CurationPipeline]]): eval-source
     // drop → Gopher rules → exact dedup → near-dup component collapse →
     // decontamination → survivor-weighted mixture resampling, as the one
-    // per-document materialization a training run consumes. Rows-only (the
-    // component stages are individually oracle-paired; the composition is
-    // model-checked end-to-end in PipelineQueriesSpec against a full Scala
-    // reimplementation on the raw corpus).
-    QuerySpec.rowsOnly("p_curation_pipeline") { (s, dir) =>
+    // per-document materialization a training run consumes. The oracle
+    // re-states the WHOLE chain in SQL over the component oracles' own
+    // CTEs (recursive-CTE components for the collapse), so the driver
+    // hash-verifies the composition end to end; PipelineQueriesSpec
+    // additionally model-checks it against a Scala reimplementation.
+    QuerySpec.sql("p_curation_pipeline", curationOracle) { (s, dir) =>
       CurationPipeline.curate(s, dir).orderBy("doc_id")
     },
 
     // Its funnel audit: per-stage survival counts across the full chain.
-    QuerySpec.rowsOnly("p_curation_funnel_full") { (s, dir) =>
+    QuerySpec.sql("p_curation_funnel_full", curationFunnelOracle) { (s, dir) =>
       CurationPipeline.stageCounts(s, dir)
     },
 
@@ -1857,6 +1858,118 @@ object PipelineQueries {
        |       max(doc) AS max_doc
        |FROM rep GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** CTE chain for the COMPOSED curation pipeline — every stage re-stated
+    * in DuckDB SQL over the same CTEs its component oracles use: Gopher
+    * rules (p_quality_gopher), exact keeper (min doc_id per md5),
+    * survivor-restricted verified pairs + recursive-CTE components
+    * (p_dedup_cluster), decontamination counts (p_decontaminate) at the
+    * pipeline's 80% verbatim cut, survivor-weighted resample
+    * (p_mix_resample's formula). Ends in
+    * `resampled(doc_id, source, n_tokens, weight_ppm, n_repeats)`. */
+  private def curationCtes: String = {
+    val ctes = minhashVerifiedCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    s"""$ctes, gtop AS (
+       |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word_n
+       |  FROM (SELECT doc_id, word, count(*) AS c
+       |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |              FROM documents) GROUP BY 1, 2)
+       |  GROUP BY 1
+       |), gbase AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |         CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_word_chars,
+       |         CAST(len(list_filter(string_split(text, ' '),
+       |                              x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+       |  FROM documents
+       |), quality AS (
+       |  SELECT b.doc_id, b.source, b.n_words
+       |  FROM gbase b JOIN gtop t USING (doc_id)
+       |  WHERE b.source NOT IN ('src0', 'src1')
+       |    AND b.n_words >= 50 AND b.n_words <= 100000
+       |    AND 3 * b.n_words <= b.n_word_chars
+       |    AND b.n_word_chars <= 10 * b.n_words
+       |    AND b.n_stop >= 2 AND 5 * t.top_word_n <= b.n_words
+       |), exact AS (
+       |  SELECT q.* FROM quality q JOIN (
+       |    SELECT min(d.doc_id) AS keeper
+       |    FROM documents d JOIN quality USING (doc_id)
+       |    GROUP BY md5(d.text)
+       |  ) k ON k.keeper = q.doc_id
+       |), spairs AS (
+       |  SELECT v.da, v.db FROM verified v
+       |  JOIN exact ea ON ea.doc_id = v.da
+       |  JOIN exact eb ON eb.doc_id = v.db
+       |), csym AS (
+       |  SELECT da AS a, db AS b FROM spairs
+       |  UNION ALL SELECT db, da FROM spairs
+       |), creach(doc, r) AS (
+       |  SELECT DISTINCT a, a FROM csym
+       |  UNION
+       |  SELECT s.a, creach.r FROM csym s JOIN creach ON creach.doc = s.b
+       |), crep AS (
+       |  SELECT doc, min(r) AS rep FROM creach GROUP BY doc
+       |), neardup AS (
+       |  SELECT e.* FROM exact e LEFT JOIN crep ON crep.doc = e.doc_id
+       |  WHERE crep.doc IS NULL OR crep.rep = e.doc_id
+       |), esh AS (
+       |  SELECT DISTINCT sh FROM shingles s JOIN documents d USING (doc_id)
+       |  WHERE d.source IN ('src0', 'src1')
+       |), ssh AS (
+       |  SELECT s.doc_id, s.sh FROM shingles s JOIN neardup USING (doc_id)
+       |), stot AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+       |  FROM ssh GROUP BY 1
+       |), shit AS (
+       |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS nc
+       |  FROM ssh t JOIN esh USING (sh) GROUP BY 1
+       |), clean AS (
+       |  SELECT n.* FROM neardup n
+       |  LEFT JOIN stot ON stot.doc_id = n.doc_id
+       |  LEFT JOIN shit ON shit.doc_id = n.doc_id
+       |  WHERE coalesce(shit.nc, 0) * 100 < 80 * coalesce(stot.n_shingles, 1)
+       |), cper AS (
+       |  SELECT source, CAST(sum(n_words) AS BIGINT) AS n_tokens
+       |  FROM clean GROUP BY source
+       |), ctot AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |         CAST(count(*) AS BIGINT) AS n_sources
+       |  FROM cper
+       |), cw AS (
+       |  SELECT source,
+       |         (total_tokens * 1000000) // (n_sources * n_tokens) AS weight_ppm
+       |  FROM cper, ctot
+       |), resampled AS (
+       |  SELECT c.doc_id, c.source, c.n_words AS n_tokens, weight_ppm,
+       |         CAST(weight_ppm // 1000000
+       |              + CASE WHEN ${oH60("d.text || CAST(d.doc_id AS VARCHAR)")}
+       |                          % 1000000 < weight_ppm % 1000000
+       |                     THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+       |  FROM clean c
+       |  JOIN documents d ON d.doc_id = c.doc_id
+       |  JOIN cw ON cw.source = c.source
+       |)""".stripMargin
+  }
+
+  private def curationOracle: String =
+    s"""$curationCtes
+       |SELECT doc_id, source, n_tokens, weight_ppm, n_repeats
+       |FROM resampled ORDER BY doc_id""".stripMargin
+
+  private def curationFunnelOracle: String =
+    s"""$curationCtes
+       |SELECT 'a_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_words) AS BIGINT) AS sum_tokens
+       |FROM gbase WHERE source NOT IN ('src0', 'src1')
+       |UNION ALL SELECT 'b_quality', CAST(count(*) AS BIGINT),
+       |       CAST(sum(n_words) AS BIGINT) FROM quality
+       |UNION ALL SELECT 'c_exact_dedup', CAST(count(*) AS BIGINT),
+       |       CAST(sum(n_words) AS BIGINT) FROM exact
+       |UNION ALL SELECT 'd_near_dedup', CAST(count(*) AS BIGINT),
+       |       CAST(sum(n_words) AS BIGINT) FROM neardup
+       |UNION ALL SELECT 'e_decontaminated', CAST(count(*) AS BIGINT),
+       |       CAST(sum(n_words) AS BIGINT) FROM clean
+       |ORDER BY stage""".stripMargin
 
   private def simhashOracle: String = {
     val bitSums = (0 until 32)
