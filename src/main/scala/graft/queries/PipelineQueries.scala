@@ -865,37 +865,12 @@ object PipelineQueries {
         |            AND 5 * top_word_n <= n_words AS BIGINT) AS keep
         |FROM base JOIN top USING (doc_id)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val ws = split(col("text"), " ")
-      // Longest run in the sorted word array == max per-word frequency.
-      val topWord = expr(
-        """aggregate(
-          |  array_sort(split(text, ' ')),
-          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
-          |  (acc, x) -> named_struct(
-          |    'prev', x,
-          |    'run', IF(x <=> acc.prev, acc.run + 1L, 1L),
-          |    'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L))),
-          |  acc -> acc.best)""".stripMargin)
-      docs(s, dir)
-        .select(col("doc_id"),
-          size(ws).cast("long").as("n_words"),
-          length(regexp_replace(col("text"), " ", "")).cast("long")
-            .as("n_word_chars"),
-          size(filter(ws, x => x.isin("the", "a"))).cast("long").as("n_stop"),
-          topWord.as("top_word_n"))
-        .select(col("doc_id"), col("n_words"), col("n_stop"), col("top_word_n"),
-          expr("(n_word_chars * 1000000) div n_words").as("mean_wlen_micro"),
-          (col("n_words") >= 50 && col("n_words") <= 100000).cast("long")
-            .as("r_wordcount"),
-          (lit(3) * col("n_words") <= col("n_word_chars") &&
-            col("n_word_chars") <= lit(10) * col("n_words")).cast("long")
-            .as("r_wordlen"),
-          (col("n_stop") >= 2).cast("long").as("r_stopwords"),
-          (lit(5) * col("top_word_n") <= col("n_words")).cast("long")
-            .as("r_repetition"))
-        .withColumn("keep",
-          (col("r_wordcount") === 1 && col("r_wordlen") === 1 &&
-            col("r_stopwords") === 1 && col("r_repetition") === 1).cast("long"))
+      // Rule expressions live in GopherRules — the identical code backs
+      // the streaming qualityGate, so this oracle verifies both.
+      GopherRules.withFlags(docs(s, dir))
+        .select("doc_id", "n_words", "n_stop", "top_word_n",
+          "mean_wlen_micro", "r_wordcount", "r_wordlen", "r_stopwords",
+          "r_repetition", "keep")
         .orderBy("doc_id")
     },
 

@@ -209,4 +209,15 @@ object StreamingAnalytics {
           }
       }
   }
+
+  /** Streaming quality gate: the Gopher rules applied online, routing
+    * every document to `keep` or `quarantine`. STATELESS — the rules are
+    * scan-local column expressions ([[graft.queries.GopherRules]], the
+    * identical code the oracle-verified batch report runs), so the gate
+    * needs no watermark, no state store, and no shuffle: it fuses into
+    * the source scan at any throughput. */
+  def qualityGate(docs: DataFrame): DataFrame = // columns: doc_id, text, ...
+    graft.queries.GopherRules.withFlags(docs)
+      .withColumn("route",
+        when(col("keep") === 1, "keep").otherwise("quarantine"))
 }

@@ -236,4 +236,40 @@ class StreamingAnalyticsSpec extends SparkTestBase {
       assert(flushed.exists(o => o.userId === 2L && o.nEvents === 1L))
     } finally q.stop()
   }
+
+  test("streaming quality gate routes docs identically to the batch Gopher " +
+    "rules (shared expressions) and stays stateless") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // The real corpus exercises both routes (sf0.001 has keep and drop docs).
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).take(100)
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingAnalytics.qualityGate(
+      source.toDF().toDF("doc_id", "text"))
+      .select("doc_id", "route")
+      .writeStream.format("memory").queryName("gate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(corpus.take(50): _*)
+      q.processAllAvailable()
+      source.addData(corpus.drop(50): _*)
+      q.processAllAvailable()
+      // Stateless: no state-store operator in the executed streaming plan.
+      assert(!q.lastProgress.json.contains("stateOperators\":[{"))
+    } finally q.stop()
+    val streamed = spark.table("gate").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val batch = graft.queries.GopherRules.withFlags(
+      corpus.toSeq.toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.getLong(r.fieldIndex("keep")) == 1L) "keep" else "quarantine"))
+      .sortBy(_._1).toSeq
+    assert(streamed === batch)
+    assert(streamed.map(_._2).distinct.length === 2,
+      "corpus should exercise both routes")
+  }
 }
