@@ -176,6 +176,18 @@ object PipelineQueries {
   private[graft] def ivfHashCentroids: Seq[Array[Double]] =
     (0 until IvfK).map(centroidCoefs)
 
+  /** L2 norms of the IVF centroids, computed ONCE driver-side with the
+    * same sequential left-to-right fold as [[dot]] and shipped as double
+    * literals — both engines consume the identical rendered value, so
+    * centroid-cosine comparisons stay bit-exact. */
+  private def centroidNorm(k: Int): Double = {
+    val c = centroidCoefs(k)
+    var acc = 0.0
+    var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    math.sqrt(acc)
+  }
+
   /** Per-(vector, centroid) scores: 8 rows per vector from a broadcast of
     * the tiny centroid TABLE, with the dot as a codegen'd column-column
     * fold. A centroid TABLE (not K inline 64-literal expressions) is the
@@ -660,6 +672,33 @@ object PipelineQueries {
         .groupBy(col("vec_b").as("pruned_id"), col("cluster"))
         .agg(min(col("vec_a")).as("keeper_id"), count(lit(1)).as("n_dup_lower"))
         .orderBy("pruned_id")
+    },
+
+    // ---------------------------------------------------------------------
+    // Embedding outlier report (the prototypicality metric of
+    // data-pruning work, e.g. Sorscher et al. 2022, arXiv:2206.14486 —
+    // SemDeDup's complement): per vector, its best coarse-centroid
+    // alignment (cosine to the nearest IVF centroid); the corpus's
+    // BOTTOM-30 — vectors far from every prototype — are the outlier
+    // candidates a curation pass reviews (mislabeled, off-distribution,
+    // or novel). Reuses the broadcast centroid-table scoring pass;
+    // the global bottom-k plans as TakeOrderedAndProject (per-partition
+    // partial top-k, never a corpus sort). Ties break on vec_id so the
+    // oracle compare is exact; the cosine is floor-scaled to micro only
+    // AFTER the bit-identical double comparison.
+    QuerySpec.sql("p_embed_outliers", embedOutliersOracle) { (s, dir) =>
+      val scored = ivfScored(s, dir)
+      val cnorms = typedlit((0 until IvfK).map(k => k -> centroidNorm(k)).toMap)
+      val wc = Window.partitionBy("vec_id").orderBy(col("dk").desc, col("k"))
+      scored
+        .withColumn("crank", row_number().over(wc))
+        .filter(col("crank") === 1)
+        .select(col("vec_id"), col("k").as("cluster"),
+          (col("dk") / (col("norm") * element_at(cnorms, col("k")))).as("cos"))
+        .orderBy(col("cos").asc, col("vec_id"))
+        .limit(30)
+        .select(col("vec_id"), col("cluster"),
+          floor(col("cos") * 1000000).cast("long").as("align_micro"))
     },
 
     // ---------------------------------------------------------------------
@@ -2011,6 +2050,42 @@ object PipelineQueries {
        |       min(doc_id) AS min_doc_id
        |FROM documents JOIN assigned ON doc_id = vec_id
        |GROUP BY lang, cluster ORDER BY lang, cluster""".stripMargin
+  }
+
+  /** Oracle mirroring p_embed_outliers: same centroid + norm literals,
+    * same argmax assignment, cosine via the identical `norm * cnorm`
+    * product, bottom-30 by (cos asc, vec_id). */
+  private def embedOutliersOracle: String = {
+    def coefList(c: Int): String =
+      centroidCoefs(c).map(_.toString).mkString("[", ", ", "]")
+    val dots = (0 until IvfK)
+      .map(k => s"list_dot_product(embedding::DOUBLE[], ${coefList(k)}::DOUBLE[]) AS d$k")
+      .mkString(",\n         ")
+    val bestExpr = s"greatest(${(0 until IvfK).map(k => s"d$k").mkString(", ")})"
+    val clusterExpr = (0 until IvfK)
+      .map(k => s"WHEN d$k = best THEN $k").mkString("CASE ", " ", " END")
+    val cnormExpr = (0 until IvfK)
+      .map(k => s"WHEN cluster = $k THEN ${centroidNorm(k)}")
+      .mkString("CASE ", " ", " END")
+    s"""WITH e0 AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+       |  FROM embeddings
+       |), d AS (
+       |  SELECT vec_id, norm,
+       |         $dots
+       |  FROM e0
+       |), assigned AS (
+       |  SELECT vec_id, norm, best, $clusterExpr AS cluster
+       |  FROM (SELECT *, $bestExpr AS best FROM d)
+       |), scored AS (
+       |  SELECT vec_id, cluster,
+       |         best / (norm * ($cnormExpr)) AS cos
+       |  FROM assigned
+       |)
+       |SELECT vec_id, cluster,
+       |       CAST(floor(cos * 1000000) AS BIGINT) AS align_micro
+       |FROM scored ORDER BY cos ASC, vec_id LIMIT 30""".stripMargin
   }
 
   /** Oracle mirroring p_dedup_semantic: the annIvfOracle assignment CTE,
