@@ -30,12 +30,14 @@ object Bench {
       val v =
         try {
           val first = once()
-          // Queries at or above 1 s re-run twice and report the MIN of 3:
+          // Queries at or above 0.3 s re-run twice and report the MIN of 3:
           // a single sample mixes one-time analysis/codegen and ±40% host
           // noise into round-over-round deltas (both measured), so single
           // runs could not adjudicate even 2x regressions. The min is the
           // most reproducible point estimate of the query's actual cost.
-          if (first >= 1.0) (first +: (1 to 2).map(_ => once())).min else first
+          // (Threshold lowered from 1.0 s in round 9: with ~70 sub-second
+          // queries the single-sample noise summed to ±7 s on the TOTAL.)
+          if (first >= 0.3) (first +: (1 to 2).map(_ => once())).min else first
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
