@@ -914,6 +914,46 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
+    // Unigram rarity score — the integer-exact stand-in for LM-perplexity
+    // quality filtering (the third classic signal after rule sets and
+    // repetition; real pipelines score with a KenLM/unigram model and cut
+    // on perplexity). Per word, inverse frequency N div n_w (rational, not
+    // log — log would differ at ULP level across engines, see the TF-IDF
+    // note); per doc, the sum and the per-word mean in micro units. Plan:
+    // one map-side-combined vocabulary count (tiny output), broadcast back
+    // onto the exploded words, one per-doc aggregate — the same two-
+    // shuffle shape as decontamination, vocabulary never on the driver.
+    QuerySpec.sql(
+      "p_text_rarity",
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |), wc AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn FROM wc
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |       CAST(sum(nn // n) AS BIGINT) AS rarity_sum,
+        |       (CAST(sum(nn // n) AS BIGINT) * 1000000)
+        |         // CAST(count(*) AS BIGINT) AS rarity_micro
+        |FROM w JOIN wc USING (word), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val words = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val wc = words.groupBy("word").agg(count(lit(1)).as("n"))
+      val tot = wc.agg(sum(col("n")).as("nn"))
+      words
+        .join(broadcast(wc), "word")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(expr("nn div n")).as("rarity_sum"))
+        .select(col("doc_id"), col("n_words"), col("rarity_sum"),
+          expr("(rarity_sum * 1000000) div n_words").as("rarity_micro"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------------
     // Language ID: marker-word scoring against small per-language lexicons
     // (the n-gram-profile heuristic reduced to unigram markers; scores are
     // integer counts, argmax with alphabetical tie-break).
