@@ -24,6 +24,7 @@ import graft.streaming.{BlockArchiveSource, IngestionPipeline}
   *   read-tablet <root> <tablet> <height>     snapshot-aware as-of read
   *   table-generations <root>                 manifest-protocol commit history
   *   read-tablet-at-gen <root> <gen> <tablet> <height>   time-travel as-of read
+  *   curate <sfDir> <out>                     materialize the curated corpus + funnel
   */
 object Tools {
 
@@ -112,6 +113,18 @@ object Tools {
         .map(r => s"${r.getString(0)} h=${r.getLong(1)} " +
           new String(r.getAs[Array[Byte]](2), "UTF-8"))
         .mkString("\n")
+    case "curate" :: sfDir :: out :: Nil =>
+      // Materialize the composed curation pass (quality → dedup → collapse
+      // → decontaminate → resample; queries.CurationPipeline) for a corpus
+      // directory, plus its funnel audit alongside.
+      graft.queries.CurationPipeline.curate(spark, sfDir)
+        .write.mode("overwrite").parquet(s"$out/curated")
+      val funnel = graft.queries.CurationPipeline.stageCounts(spark, sfDir)
+        .collect()
+        .map(r => s"${r.getString(0)}: ${r.getLong(1)} docs, " +
+          s"${if (r.isNullAt(2)) 0L else r.getLong(2)} tokens")
+        .mkString("\n")
+      s"curated corpus written to $out/curated\n$funnel"
     case other =>
       throw new IllegalArgumentException(
         s"unknown command: ${other.mkString(" ")} (see Tools scaladoc)")

@@ -71,4 +71,19 @@ class ToolsSpec extends SparkTestBase {
     assert(Tools.run(Seq("read-tablet-at-gen", root, "2", "t1", "5")) === "a h=1 v1")
     assert(Tools.run(Seq("read-tablet", root, "t1", "5")) === "a h=1 v1")
   }
+
+  test("curate verb materializes the composed pipeline output and reports " +
+    "the funnel") {
+    implicit val s = spark
+    val out = tmpDir("tools-curated")
+    val report = Tools.run(Seq("curate", "/root/testdata/sf0.001", out))
+    assert(report.contains(s"curated corpus written to $out/curated"))
+    assert(report.contains("a_raw:") && report.contains("e_decontaminated:"))
+    val curated = spark.read.parquet(s"$out/curated")
+    val direct = graft.queries.CurationPipeline
+      .curate(spark, "/root/testdata/sf0.001")
+    assert(curated.count() === direct.count() && curated.count() > 0)
+    assert(curated.columns.sorted ===
+      Array("doc_id", "n_repeats", "n_tokens", "source", "weight_ppm"))
+  }
 }
