@@ -688,6 +688,25 @@ class PipelineQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("gopher top-word HOF equals a naive Scala frequency model on seeded " +
+    "random word arrays (runs, ties, singletons, repeats-only)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Vector("a", "b", "cc", "the", "zz")
+    val texts = Vector.tabulate(200) { i =>
+      val n = 1 + rnd.nextInt(30)
+      Vector.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    } :+ "solo" :+ "x x x x" :+ "a b a b a"
+    val got = queries.GopherRules.withFlags(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
+      .select("doc_id", "top_word_n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val expected = t.split(" ", -1).groupBy(identity).values.map(_.length).max.toLong
+      assert(got(i.toLong) === expected, s"text '$t'")
+    }
+  }
+
   test("gopher quality rules and int8 quantization stay scan-local: no " +
     "aggregation or join shuffle in the per-doc/per-vector stage") {
     // p_quality_gopher's top-word count is a HOF fold, not explode+groupBy,
