@@ -759,6 +759,37 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
+    // Hard-negative mining (contrastive-training data op): per probe, the
+    // top-3 most-similar vectors with a DIFFERENT label — the negatives
+    // that actually move an embedding model. Same LSH-bucketed candidate
+    // plan as p_ann_lsh (broadcast probes ⋈ bucket) with the label
+    // inequality pushed into the join filter, so candidates are pruned
+    // before the cosine is evaluated; labels ride along from one extra
+    // id equi-join against the (narrow) embeddings projection.
+    QuerySpec.sql("p_ann_hard_negatives", annHardNegativesOracle) { (s, dir) =>
+      val labels = embs(s, dir).select(col("vec_id"), col("label"))
+      val bucketed = bucketedEmbs(s, dir).join(labels, "vec_id")
+      val probes = bucketed.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
+          col("norm").as("na"), col("bucket"), col("label").as("query_label"))
+      val base = bucketed
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
+          col("norm").as("nb"), col("bucket"), col("label").as("neighbor_label"))
+      val cos = dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+      broadcast(probes).join(base, Seq("bucket"))
+        .filter(col("neighbor_label") =!= col("query_label"))
+        .select(col("query_id"), col("query_label"), col("neighbor_id"),
+          col("neighbor_label"), cos.as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("query_label"), col("neighbor_id"),
+          col("neighbor_label"), col("rank"),
+          floor(col("cos") * 1000000).cast("long").as("score_micro"))
+        .orderBy("query_id", "rank")
+    },
+
+    // ---------------------------------------------------------------------
     // ANN, IVF-style (inverted-file coarse quantization — the other
     // canonical 100 TB similarity-search layout): every base vector is
     // assigned to its nearest of 8 coarse centroids (argmax of dot, ties
@@ -2052,6 +2083,25 @@ object PipelineQueries {
        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Oracle mirroring p_ann_hard_negatives: the LSH bucket CTE plus the
+    * label projection, label inequality in the join, same top-3. */
+  private def annHardNegativesOracle: String = {
+    s"""$oBucketedCte, el AS (
+       |  SELECT e.vec_id, e.embedding, e.norm, e.bucket, x.label
+       |  FROM e JOIN embeddings x USING (vec_id)
+       |)
+       |SELECT query_id, query_label, neighbor_id, neighbor_label, rank,
+       |       score_micro FROM (
+       |  SELECT a.vec_id AS query_id, a.label AS query_label,
+       |         b.vec_id AS neighbor_id, b.label AS neighbor_label,
+       |         row_number() OVER (PARTITION BY a.vec_id
+       |                            ORDER BY ($OCos) DESC, b.vec_id) AS rank,
+       |         CAST(floor(($OCos) * 1000000) AS BIGINT) AS score_micro
+       |  FROM el a JOIN el b
+       |    ON a.bucket = b.bucket AND a.vec_id < 20 AND b.label <> a.label
+       |) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
   private def annLshOracle: String = {
