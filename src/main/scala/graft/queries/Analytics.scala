@@ -23,13 +23,18 @@ object Analytics {
 
   val specs: Seq[QuerySpec] = Seq(
 
-    // TPC-H Q1-style pricing summary.
+    // TPC-H Q1-style pricing summary. Money columns are emitted as
+    // floor(sum * 1e4) BIGINT — the decimal SUMS are exact and equal on
+    // both engines, but the final decimal→DOUBLE conversion rounds
+    // differently at 1-ULP boundaries (hit at sf0.1: 2706323975.3561 vs
+    // ...0996), so the comparison must stay in integers. floor() on the
+    // exact decimal is engine-identical; values sit far below 2^53.
     QuerySpec.sql(
       "q1_agg",
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4)) * CAST(1 - l_discount AS DECIMAL(20,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(floor(sum(CAST(l_quantity AS DECIMAL(20,4))) * 10000) AS BIGINT) AS sum_qty_x10k,
+        |  CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(20,4))) * 10000) AS BIGINT) AS sum_base_price_x10k,
+        |  CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(20,4)) * CAST(1 - l_discount AS DECIMAL(20,4))) * 10000) AS BIGINT) AS sum_disc_price_x10k,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -39,10 +44,13 @@ object Analytics {
         .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
-          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
-          sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec))
-            .cast("double").as("sum_disc_price"),
+          floor(sum(col("l_quantity").cast(dec)) * 10000).cast("long")
+            .as("sum_qty_x10k"),
+          floor(sum(col("l_extendedprice").cast(dec)) * 10000).cast("long")
+            .as("sum_base_price_x10k"),
+          floor(sum(col("l_extendedprice").cast(dec) *
+            (lit(1) - col("l_discount")).cast(dec)) * 10000).cast("long")
+            .as("sum_disc_price_x10k"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -51,7 +59,7 @@ object Analytics {
     QuerySpec.sql(
       "q3_join",
       """SELECT l.l_orderkey,
-        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(20,4)) * CAST(1 - l.l_discount AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+        |  CAST(floor(sum(CAST(l.l_extendedprice AS DECIMAL(20,4)) * CAST(1 - l.l_discount AS DECIMAL(20,4))) * 10000) AS BIGINT) AS revenue_x10k,
         |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -59,7 +67,7 @@ object Analytics {
         |  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
         |  AND l.l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
         |GROUP BY l.l_orderkey, o.o_orderdate
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+        |ORDER BY revenue_x10k DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
       val customer = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val orders = t(s, dir, "orders")
         .filter(col("o_orderdate") < lit("1998-03-15 00:00:00").cast("timestamp"))
@@ -69,10 +77,11 @@ object Analytics {
         .join(orders, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
-        .agg(sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec))
-          .cast("double").as("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate")
-        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .agg(floor(sum(col("l_extendedprice").cast(dec) *
+          (lit(1) - col("l_discount")).cast(dec)) * 10000).cast("long")
+          .as("revenue_x10k"))
+        .select("l_orderkey", "revenue_x10k", "o_orderdate")
+        .orderBy(col("revenue_x10k").desc, col("l_orderkey"))
         .limit(10)
     },
 
@@ -80,7 +89,7 @@ object Analytics {
     QuerySpec.sql(
       "q5_join_agg",
       """SELECT n.n_name,
-        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(20,4)) * CAST(1 - l.l_discount AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+        |  CAST(floor(sum(CAST(l.l_extendedprice AS DECIMAL(20,4)) * CAST(1 - l.l_discount AS DECIMAL(20,4))) * 10000) AS BIGINT) AS revenue_x10k
         |FROM customer c
         |JOIN orders o ON c.c_custkey = o.o_custkey
         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -88,7 +97,7 @@ object Analytics {
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |WHERE r.r_name = 'ASIA'
-        |GROUP BY n.n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+        |GROUP BY n.n_name ORDER BY revenue_x10k DESC, n_name""".stripMargin) { (s, dir) =>
       val dims = broadcast(
         t(s, dir, "supplier")
           .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
@@ -100,9 +109,10 @@ object Analytics {
         .join(dims,
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec))
-          .cast("double").as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name"))
+        .agg(floor(sum(col("l_extendedprice").cast(dec) *
+          (lit(1) - col("l_discount")).cast(dec)) * 10000).cast("long")
+          .as("revenue_x10k"))
+        .orderBy(col("revenue_x10k").desc, col("n_name"))
     },
 
     // Ranking window: top-3 orders per customer by total price.
@@ -172,17 +182,18 @@ object Analytics {
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
         |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
         |       count(*) AS n_rows,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+        |       CAST(floor(sum(CAST(l_quantity AS DECIMAL(20,4))) * 10000) AS BIGINT) AS sum_qty_x10k
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n_rows"),
-          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
+          floor(sum(col("l_quantity").cast(dec)) * 10000).cast("long")
+            .as("sum_qty_x10k"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
-          col("n_rows"), col("sum_qty"))
+          col("n_rows"), col("sum_qty_x10k"))
         .orderBy("l_returnflag", "l_linestatus")
     },
 
@@ -194,17 +205,18 @@ object Analytics {
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
         |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
         |       count(*) AS n_rows,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
+        |       CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(20,4))) * 10000) AS BIGINT) AS sum_price_x10k
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n_rows"),
-          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_price"))
+          floor(sum(col("l_extendedprice").cast(dec)) * 10000).cast("long")
+            .as("sum_price_x10k"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
-          col("n_rows"), col("sum_price"))
+          col("n_rows"), col("sum_price_x10k"))
         .orderBy("l_returnflag", "l_linestatus")
     },
 
@@ -241,7 +253,7 @@ object Analytics {
       """SELECT strftime(make_timestamp((epoch_ns(ts) // 3600000000000) * 3600000000),
         |                '%Y-%m-%d %H:%M:%S') AS hour,
         |       event_type, count(*) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+        |       CAST(floor(sum(CAST(value AS DECIMAL(20,4))) * 10000) AS BIGINT) AS sum_value_x10k
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin) { (s, dir) =>
       TemporalQueries.eventsWithTs(s, dir)
         .groupBy(
@@ -250,7 +262,8 @@ object Analytics {
             "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(dec)).cast("double").as("sum_value"))
+          floor(sum(col("value").cast(dec)) * 10000).cast("long")
+            .as("sum_value_x10k"))
         .orderBy("hour", "event_type")
     },
 
@@ -351,17 +364,17 @@ object Analytics {
         |       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
         |       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
         |       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
-        |       CAST(sum(CASE WHEN event_type = 'purchase'
-        |                     THEN CAST(value AS DECIMAL(20,4)) END) AS DOUBLE)
-        |         AS purchase_value
+        |       CAST(floor(sum(CASE WHEN event_type = 'purchase'
+        |                          THEN CAST(value AS DECIMAL(20,4)) END) * 10000)
+        |            AS BIGINT) AS purchase_value_x10k
         |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin) { (s, dir) =>
       TemporalQueries.events(s, dir)
         .withColumn("user_bucket", col("user_id") % 10)
         .groupBy("user_bucket")
         .pivot("event_type", Seq("click", "view", "purchase"))
         .agg(count(lit(1)).as("n"),
-          sum(when(col("event_type") === "purchase", col("value").cast(dec)))
-            .cast("double").as("v"))
+          floor(sum(when(col("event_type") === "purchase", col("value").cast(dec)))
+            * 10000).cast("long").as("v"))
         .select(col("user_bucket"),
           // A (bucket, type) combo with no rows pivots to NULL where the
           // oracle's FILTER count is 0 — coalesce the counts (sums stay
@@ -369,7 +382,7 @@ object Analytics {
           coalesce(col("click_n"), lit(0L)).as("n_click"),
           coalesce(col("view_n"), lit(0L)).as("n_view"),
           coalesce(col("purchase_n"), lit(0L)).as("n_purchase"),
-          col("purchase_v").as("purchase_value"))
+          col("purchase_v").as("purchase_value_x10k"))
         .orderBy("user_bucket")
     })
 }
