@@ -116,11 +116,12 @@ object Tools {
     case "curate" :: sfDir :: out :: Nil =>
       // Materialize the composed curation pass (quality → dedup → collapse
       // → decontaminate → resample; queries.CurationPipeline) for a corpus
-      // directory, plus its funnel audit alongside.
-      graft.queries.CurationPipeline.curate(spark, sfDir)
-        .write.mode("overwrite").parquet(s"$out/curated")
-      val funnel = graft.queries.CurationPipeline.stageCounts(spark, sfDir)
-        .collect()
+      // directory, plus its funnel audit — both over ONE derivation of the
+      // stage chain (curateWithFunnel shares the persisted survivor frames).
+      val (curated, funnelDf) =
+        graft.queries.CurationPipeline.curateWithFunnel(spark, sfDir)
+      curated.write.mode("overwrite").parquet(s"$out/curated")
+      val funnel = funnelDf.collect()
         .map(r => s"${r.getString(0)}: ${r.getLong(1)} docs, " +
           s"${if (r.isNullAt(2)) 0L else r.getLong(2)} tokens")
         .mkString("\n")

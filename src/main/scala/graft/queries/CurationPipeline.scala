@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.GraftBridge
 
 /** The composed curation pass a training-data pipeline actually materializes
   * — the individual report operators (`p_quality_gopher`, `p_dedup_exact*`,
@@ -15,8 +16,9 @@ import org.apache.spark.sql.functions._
   *      survivors, connected components ([[DedupCluster.labels]]), keep each
   *      component's min member;
   *   5. decontamination — drop docs whose 3-gram overlap with the eval
-  *      slice reaches `contaminationPctMax` (reuses the `p_decontaminate`
-  *      query's per-doc counts; the REPORT keeps its canonical 10% flag).
+  *      slice reaches `contaminationPctMax` (the same shingle construction
+  *      as `p_decontaminate`, parameterized by `evalSources`; the REPORT
+  *      query keeps its canonical src0/src1 slice and 10% flag).
   *      The default cut is 80% — "verbatim contamination" — because the
   *      threshold must be calibrated to the corpus's base overlap rate:
   *      on this synthetic ~40-word vocabulary every doc shares ≥18% of
@@ -59,7 +61,9 @@ object CurationPipeline {
   private def stages(s: SparkSession, dir: String,
       evalSources: Seq[String],
       contaminationPctMax: Int): Seq[(String, DataFrame)] = {
-    val base = s.read.parquet(s"$dir/documents.parquet")
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+    val isEval = col("source").isin(evalSources: _*)
+    val base = raw
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("ntok"),
         md5(col("text")).as("grp"),
@@ -67,7 +71,7 @@ object CurationPipeline {
           col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
           % lit(1000000L)).as("h_mod"))
 
-    val train = base.filter(!col("source").isin(evalSources: _*))
+    val train = base.filter(!isEval)
 
     val qualityKeep = queryFn("p_quality_gopher")(s, dir)
       .filter(col("keep") === 1).select("doc_id")
@@ -83,20 +87,39 @@ object CurationPipeline {
     // labels over that subgraph; drop every member that is not its
     // component's min. The persisted survivor id set is tiny relative to
     // the corpus — both restriction joins prune pair traffic early.
+    // labels() is eager (driver union-find or checkpointed propagation),
+    // so the pruned set is materialized immediately; the checkpoint blocks
+    // and the id cache are then released (free is a no-op on the driver
+    // path — no LogicalRDD in the plan).
     val ids = exact.select("doc_id").persist()
     val pairs = PipelineQueries.minhashVerifiedPairsShared(s, dir)
       .join(ids.select(col("doc_id").as("da")), "da")
       .join(ids.select(col("doc_id").as("db")), "db")
       .select("da", "db")
-    val pruned = DedupCluster.labels(s, pairs)
+    val labels = DedupCluster.labels(s, pairs)
+    val pruned = labels
       .filter(col("doc") =!= col("rep"))
       .select(col("doc").as("doc_id"))
+      .persist()
+    pruned.count()
+    GraftBridge.freeLocalCheckpoint(labels)
+    ids.unpersist()
     val nearDup = exact.join(pruned, Seq("doc_id"), "left_anti")
 
-    // p_decontaminate emits one row per train doc WITH shingles; docs too
-    // short to shingle cannot be contaminated — left join, null ⇒ keep.
-    val flags = queryFn("p_decontaminate")(s, dir)
-      .select(col("doc_id"), col("n_contaminated"), col("n_shingles"))
+    // Same shingle construction as p_decontaminate, parameterized by
+    // evalSources (the report query's slice is fixed at src0/src1 — it
+    // cannot stand in for a custom eval set). One row per train doc WITH
+    // shingles; docs too short to shingle cannot be contaminated — left
+    // join, null ⇒ keep.
+    val evalSh = PipelineQueries.shingleRows(raw.filter(isEval))
+      .select("sh").distinct()
+    val trainSh = PipelineQueries.shingleRows(raw.filter(!isEval)).persist()
+    val tot = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hit = trainSh.join(evalSh, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("nc"))
+    val flags = tot.join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nc"), lit(0L)).as("n_contaminated"), col("n_shingles"))
     val clean = nearDup.join(flags, Seq("doc_id"), "left")
       .filter(coalesce(col("n_contaminated"), lit(0L)) * 100 <
         lit(contaminationPctMax.toLong) * coalesce(col("n_shingles"), lit(1L)))
@@ -106,20 +129,20 @@ object CurationPipeline {
       "d_near_dedup" -> nearDup, "e_decontaminated" -> clean)
   }
 
-  /** The curated corpus: one row per kept document —
-    * `(doc_id, source, n_tokens, weight_ppm, n_repeats)`, resampling
-    * weights computed over the SURVIVING corpus. */
-  def curate(s: SparkSession, dir: String,
-      evalSources: Seq[String] = DefaultEvalSources,
-      contaminationPctMax: Int = DefaultContaminationPctMax): DataFrame = {
-    val survivors = stages(s, dir, evalSources, contaminationPctMax).last._2
+  /** Survivor-weighted uniform-target resample over the final stage's
+    * survivors. Totals are cast to DECIMAL before the ×1e6 scaling: a
+    * 100 TB corpus holds ~1e13 tokens, and `total_tokens * 1000000`
+    * overflows BIGINT there (the DuckDB oracle computes the same
+    * expression in HUGEINT — integer math must not be the divergence). */
+  private def resample(survivors: DataFrame): DataFrame = {
     val per = survivors.groupBy("source")
       .agg(sum(col("ntok")).as("n_tokens"))
     val tot = per.agg(sum(col("n_tokens")).as("total_tokens"),
       count(lit(1)).as("n_sources"))
     val weights = per.crossJoin(broadcast(tot))
       .select(col("source"),
-        expr("(total_tokens * 1000000) div (n_sources * n_tokens)")
+        expr("CAST((CAST(total_tokens AS DECIMAL(38,0)) * 1000000) div " +
+          "(CAST(n_sources AS DECIMAL(38,0)) * n_tokens) AS BIGINT)")
           .as("weight_ppm"))
     survivors
       .join(broadcast(weights), "source")
@@ -130,19 +153,44 @@ object CurationPipeline {
             .otherwise(lit(0L))).as("n_repeats"))
   }
 
-  /** Stage survival audit `(stage, n_docs, sum_tokens)` — the composed
-    * pipeline's funnel report (`p_curate_funnel` generalized to the full
-    * stage chain). */
-  def stageCounts(s: SparkSession, dir: String,
-      evalSources: Seq[String] = DefaultEvalSources,
-      contaminationPctMax: Int = DefaultContaminationPctMax): DataFrame =
-    stages(s, dir, evalSources, contaminationPctMax).map { case (name, df) =>
-      // Each stage plan embeds its predecessors; persisting the narrow
-      // (5-column) survivor frames makes the five aggregates pay the chain
-      // once instead of O(stages²) re-derivations. Session-scoped like the
-      // other shared intermediates (Verify/Bench clearCache between runs).
-      df.persist()
+  private def funnelOf(st: Seq[(String, DataFrame)]): DataFrame =
+    st.map { case (name, df) =>
       df.agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("sum_tokens"))
         .select(lit(name).as("stage"), col("n_docs"), col("sum_tokens"))
     }.reduce(_ unionByName _).orderBy("stage")
+
+  /** The curated corpus: one row per kept document —
+    * `(doc_id, source, n_tokens, weight_ppm, n_repeats)`, resampling
+    * weights computed over the SURVIVING corpus. */
+  def curate(s: SparkSession, dir: String,
+      evalSources: Seq[String] = DefaultEvalSources,
+      contaminationPctMax: Int = DefaultContaminationPctMax): DataFrame =
+    resample(stages(s, dir, evalSources, contaminationPctMax).last._2)
+
+  /** Stage survival audit `(stage, n_docs, sum_tokens)` — the composed
+    * pipeline's funnel report (`p_curate_funnel` generalized to the full
+    * stage chain). Each stage plan embeds its predecessors; the narrow
+    * (5-column) survivor frames are persisted so the five aggregates pay
+    * the chain once instead of O(stages²) re-derivations — session-scoped
+    * like the other shared intermediates (Verify/Bench clearCache between
+    * runs). */
+  def stageCounts(s: SparkSession, dir: String,
+      evalSources: Seq[String] = DefaultEvalSources,
+      contaminationPctMax: Int = DefaultContaminationPctMax): DataFrame = {
+    val st = stages(s, dir, evalSources, contaminationPctMax)
+    st.foreach(_._2.persist())
+    funnelOf(st)
+  }
+
+  /** Both outputs over ONE stage-chain derivation — the curated corpus and
+    * its funnel audit share the persisted survivor frames instead of each
+    * re-running the chain (the `Tools curate` verb consumes this). */
+  def curateWithFunnel(s: SparkSession, dir: String,
+      evalSources: Seq[String] = DefaultEvalSources,
+      contaminationPctMax: Int = DefaultContaminationPctMax)
+      : (DataFrame, DataFrame) = {
+    val st = stages(s, dir, evalSources, contaminationPctMax)
+    st.foreach(_._2.persist())
+    (resample(st.last._2), funnelOf(st))
+  }
 }

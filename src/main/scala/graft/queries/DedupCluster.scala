@@ -51,22 +51,13 @@ object DedupCluster {
     * `(cluster_rep, n_members, max_doc)` sorted by representative. */
   def clusters(s: SparkSession, pairsIn: DataFrame,
       maxDriverEdges: Long = driverMaxEdges): DataFrame = {
-    val pairs = pairsIn
-      .select(col("da").cast("long").as("da"), col("db").cast("long").as("db"))
-      .persist()
-    val nEdges = pairs.count()
-    val res =
-      if (nEdges <= maxDriverEdges) summarize(driverLabels(s, pairs))
-      else {
-        val labels = propagateLabels(s, pairs)
-        // Materialize the report before dropping the labels checkpoint —
-        // a freed localCheckpoint has no lineage to recompute from.
-        val out = summarize(labels).localCheckpoint(true)
-        GraftBridge.freeLocalCheckpoint(labels)
-        out
-      }
-    pairs.unpersist()
-    res
+    val l = labels(s, pairsIn, maxDriverEdges)
+    // Materialize the report before dropping the labels checkpoint —
+    // a freed localCheckpoint has no lineage to recompute from. (On the
+    // driver path the free is a no-op: no LogicalRDD in the plan.)
+    val out = summarize(l).localCheckpoint(true)
+    GraftBridge.freeLocalCheckpoint(l)
+    out
   }
 
   /** Per-member cluster labels `(doc, rep)` over verified pairs — the

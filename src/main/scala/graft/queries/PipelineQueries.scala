@@ -81,7 +81,7 @@ object PipelineQueries {
       |)""".stripMargin
 
   /** Exploded (doc_id, sh) shingle table. */
-  private def shingleRows(d: DataFrame): DataFrame =
+  private[queries] def shingleRows(d: DataFrame): DataFrame =
     d.select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
 
   // ------------------------------------------------------------ embeddings
@@ -1410,10 +1410,16 @@ object PipelineQueries {
           sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
       val tot = per.agg(sum(col("n_tokens")).as("total_tokens"),
         count(lit(1)).as("n_sources"))
+      // DECIMAL before the ×1e6 scaling: a 100 TB corpus holds ~1e13
+      // tokens and the BIGINT product would wrap (DuckDB computes the
+      // same expression in HUGEINT — integer math must not diverge).
       per.crossJoin(broadcast(tot))
         .select(col("source"), col("n_docs"), col("n_tokens"),
-          expr("(n_tokens * 1000000) div total_tokens").as("token_share_ppm"),
-          expr("(total_tokens * 1000000) div (n_sources * n_tokens)").as("weight_ppm"))
+          expr("CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000) div " +
+            "total_tokens AS BIGINT)").as("token_share_ppm"),
+          expr("CAST((CAST(total_tokens AS DECIMAL(38,0)) * 1000000) div " +
+            "(CAST(n_sources AS DECIMAL(38,0)) * n_tokens) AS BIGINT)")
+            .as("weight_ppm"))
         .orderBy("source")
     },
 
@@ -1502,7 +1508,8 @@ object PipelineQueries {
         count(lit(1)).as("n_sources"))
       val weights = per.crossJoin(broadcast(tot))
         .select(col("source"),
-          expr("(total_tokens * 1000000) div (n_sources * n_tokens)")
+          expr("CAST((CAST(total_tokens AS DECIMAL(38,0)) * 1000000) div " +
+            "(CAST(n_sources AS DECIMAL(38,0)) * n_tokens) AS BIGINT)")
             .as("weight_ppm"))
       docs(s, dir)
         .join(broadcast(weights), "source")
@@ -1654,11 +1661,15 @@ object PipelineQueries {
     // PipelineQueriesSpec pins the dominance + overshoot-budget
     // invariants against the exact counts.
     QuerySpec.rowsOnly("p_ngram_topk_cms") { (s, dir) =>
+      // Persisted: the sketch build (eager treeAggregate) and the exact
+      // count both consume the exploded bigrams — the corpus's most
+      // expensive pass must not run twice.
       val bigrams = docs(s, dir)
         .select(split(col("text"), " ").as("ws"))
         .select(explode(expr(
           "transform(slice(ws, 1, size(ws) - 1), (w, i) -> concat(w, ' ', ws[i + 1]))"))
           .as("bigram"))
+        .persist()
       val cms = bigrams.stat.countMinSketch(
         "bigram", 1e-4, 0.999, 42)
       val cmsB = s.sparkContext.broadcast(cms)

@@ -588,10 +588,9 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(extra <= probes / 100 + 10, s"$extra false positives over $probes probes")
   }
 
-  test("curation pipeline equals a full Scala model of the stage chain " +
-    "(quality -> exact dedup -> component collapse -> decontamination -> " +
-    "survivor-weighted resample)") {
-    val evalSources = Set("src0", "src1")
+  // Full Scala model of the curation stage chain for a given eval slice —
+  // returns the expected (doc_id, source, n_tokens, weight_ppm, n_repeats).
+  private def curationModel(evalSources: Set[String]): Seq[(Long, String, Long, Long, Long)] = {
     def md5hex(t: String): String =
       java.security.MessageDigest.getInstance("MD5")
         .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -646,19 +645,25 @@ class PipelineQueriesSpec extends SparkTestBase {
     }
     val totalTokens = perSource.values.sum
     val nSources = perSource.size.toLong
-    val expected = clean.map { case (id, src, text) =>
+    clean.map { case (id, src, text) =>
       val w = (totalTokens * 1000000L) / (nSources * perSource(src))
       val h = BigInt(md5hex(text + id).take(15), 16).toLong % 1000000L
       (id, src, text.split(" ", -1).length.toLong,
         w, w / 1000000L + (if (h < w % 1000000L) 1L else 0L))
-    }.sortBy(_._1)
+    }.sortBy(_._1).toSeq
+  }
 
+  test("curation pipeline equals a full Scala model of the stage chain " +
+    "(quality -> exact dedup -> component collapse -> decontamination -> " +
+    "survivor-weighted resample)") {
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val expected = curationModel(Set("src0", "src1"))
     val got = run("p_curation_pipeline").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSeq
-    assert(got === expected.map(e => (e._1, e._2, e._3, e._4, e._5)).toSeq)
+    assert(got === expected)
     assert(got.nonEmpty, "pipeline should keep part of the corpus")
-    assert(got.length < corpus.length, "pipeline should drop part of the corpus")
+    assert(got.length < nDocs, "pipeline should drop part of the corpus")
 
     // Funnel audit: monotone non-increasing, ends at the survivor count.
     val funnel = run("p_curation_funnel_full").collect()
@@ -668,6 +673,22 @@ class PipelineQueriesSpec extends SparkTestBase {
         "e_decontaminated"))
     assert(funnel.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
     assert(funnel.last._2 === got.length.toLong)
+  }
+
+  test("curation pipeline honors a NON-DEFAULT eval slice end to end — " +
+    "decontamination measures against the configured sources, not src0/src1") {
+    val expected = curationModel(Set("src2"))
+    val got = queries.CurationPipeline
+      .curate(spark, sf, evalSources = Seq("src2"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // src2 is held out; src0/src1 are train under this configuration.
+    assert(got.forall(_._2 != "src2"))
+    assert(got.exists(d => d._2 == "src0" || d._2 == "src1"),
+      "former eval sources must re-enter the train corpus")
   }
 
   test("count-min-sketch heavy hitters: estimates dominate exact counts, " +
