@@ -965,8 +965,8 @@ object PipelineQueries {
         |)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
         |       CAST(sum(nn // n) AS BIGINT) AS rarity_sum,
-        |       (CAST(sum(nn // n) AS BIGINT) * 1000000)
-        |         // CAST(count(*) AS BIGINT) AS rarity_micro
+        |       CAST((sum(nn // n) * 1000000) // count(*) AS BIGINT)
+        |         AS rarity_micro
         |FROM w JOIN wc USING (word), tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val words = docs(s, dir)
@@ -980,7 +980,11 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_words"),
           sum(expr("nn div n")).as("rarity_sum"))
         .select(col("doc_id"), col("n_words"), col("rarity_sum"),
-          expr("(rarity_sum * 1000000) div n_words").as("rarity_micro"))
+          // DECIMAL intermediate: a rare-word-heavy doc's rarity_sum
+          // approaches N per unique word — ×1e6 wraps BIGINT at corpus
+          // scale while the per-word mean stays representable.
+          expr("CAST((CAST(rarity_sum AS DECIMAL(38,0)) * 1000000) div " +
+            "n_words AS BIGINT)").as("rarity_micro"))
         .orderBy("doc_id")
     },
 
@@ -1354,8 +1358,9 @@ object PipelineQueries {
     // is vocabulary-sized, orders below the corpus, and broadcastable
     // after a df floor — and a per-source top-k window over data already
     // shuffled to a handful of source partitions. No all-pairs, no
-    // corpus-sized sort. Overflow headroom: tf·1e6·N fits BIGINT up to
-    // ~9e12 doc-occurrences; past that, scale the micro factor down.
+    // corpus-sized sort. The tf·1e6·N intermediate is computed in DECIMAL
+    // — it wraps BIGINT long before the (small) score output does, and
+    // the oracle's HUGEINT arithmetic must not be the only exact side.
     QuerySpec.sql("p_text_tfidf", tfidfOracle) { (s, dir) =>
       val toks = docs(s, dir)
         .select(col("source"), col("doc_id"),
@@ -1368,7 +1373,8 @@ object PipelineQueries {
       val scored = tf.join(broadcast(df), "word")
         .crossJoin(broadcast(nDocs))
         .withColumn("score_micro",
-          expr("(tf * 1000000 * n_docs_total) div df"))
+          expr("CAST((CAST(tf AS DECIMAL(38,0)) * 1000000 * n_docs_total) " +
+            "div df AS BIGINT)"))
       val w = Window.partitionBy("source")
         .orderBy(col("score_micro").desc, col("word"))
       scored
