@@ -220,4 +220,31 @@ object StreamingAnalytics {
     graft.queries.GopherRules.withFlags(docs)
       .withColumn("route",
         when(col("keep") === 1, "keep").otherwise("quarantine"))
+
+  /** Streaming decontamination probe: incoming documents scored online
+    * against a batch-built Bloom sketch of the eval suite's distinct word
+    * 3-grams (the `p_decontaminate_bloom` sketch — build it once over the
+    * held-out slice, pass it here). Per doc: shingle count, sketch hits,
+    * and a `flagged` bit at `pctMax`% overlap. STATELESS like the quality
+    * gate — the sketch rides along as a broadcast/closure constant and
+    * every row is scored inside the scan stage (shingling via the same
+    * codegen'd [[graft.functions.WordShingles]] the batch query uses), so
+    * there is no watermark and no state store. One-sided error: false
+    * positives only, so an online quarantine can over-hold, never leak a
+    * contaminated doc the batch join would have caught. */
+  def decontaminationProbe(
+      docs: DataFrame, // columns: doc_id, text, ...
+      evalSketch: org.apache.spark.util.sketch.BloomFilter,
+      pctMax: Int = 10): DataFrame = {
+    val hits = udf((shs: Seq[String]) =>
+      shs.count(evalSketch.mightContain).toLong)
+    docs
+      .withColumn("__sh", graft.functions.WordShingles.shingles(col("text"), 3))
+      .withColumn("n_shingles", size(col("__sh")).cast("long"))
+      .withColumn("n_hits", hits(col("__sh")))
+      .withColumn("flagged",
+        (col("n_hits") * 100 >= lit(pctMax.toLong) *
+          greatest(col("n_shingles"), lit(1L))).cast("long"))
+      .drop("__sh")
+  }
 }

@@ -272,4 +272,51 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     assert(streamed.map(_._2).distinct.length === 2,
       "corpus should exercise both routes")
   }
+
+  test("streaming decontamination probe: online flags dominate the exact " +
+    "batch overlap (one-sided sketch error) and agree on the clean docs") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    // Batch side: sketch of the eval slice's distinct 3-grams + exact
+    // per-doc overlap for the train docs (ground truth).
+    val isEval = org.apache.spark.sql.functions.col("source")
+      .isin("src0", "src1")
+    val evalSh = raw.filter(isEval)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.WordShingles.shingles(
+          org.apache.spark.sql.functions.col("text"), 3)).as("sh"))
+      .distinct()
+    val sketch = evalSh.stat.bloomFilter("sh", math.max(evalSh.count(), 1L), 0.001)
+    val evalSet = evalSh.collect().map(_.getString(0)).toSet
+    val train = raw.filter(!isEval).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).take(100)
+    // Stream the train docs through the probe.
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingAnalytics.decontaminationProbe(
+      source.toDF().toDF("doc_id", "text"), sketch)
+      .select("doc_id", "n_shingles", "n_hits", "flagged")
+      .writeStream.format("memory").queryName("decon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(train: _*)
+      q.processAllAvailable()
+      assert(!q.lastProgress.json.contains("stateOperators\":[{"))
+    } finally q.stop()
+    val got = spark.table("decon").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.size === train.length)
+    train.foreach { case (id, text) =>
+      val sh = text.split(" ", -1).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+      val exactHits = sh.count(evalSet.contains).toLong
+      val (ns, hits, flagged) = got(id)
+      assert(ns === sh.size.toLong, s"doc $id shingle count")
+      assert(hits >= exactHits, s"doc $id: sketch hits below exact")
+      if (exactHits * 100 >= 10 * math.max(sh.size.toLong, 1L))
+        assert(flagged === 1L, s"doc $id lost its exact flag")
+    }
+  }
 }
