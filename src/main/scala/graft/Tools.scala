@@ -125,6 +125,9 @@ object Tools {
         .map(r => s"${r.getString(0)}: ${r.getLong(1)} docs, " +
           s"${if (r.isNullAt(2)) 0L else r.getLong(2)} tokens")
         .mkString("\n")
+      // Both outputs are materialized — drop the chain's cached frames so
+      // a long-lived session doesn't accumulate them per invocation.
+      graft.queries.CurationPipeline.release(spark, sfDir)
       s"curated corpus written to $out/curated\n$funnel"
     case other =>
       throw new IllegalArgumentException(

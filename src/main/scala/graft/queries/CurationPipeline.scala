@@ -51,16 +51,64 @@ object CurationPipeline {
     PipelineQueries.specs.find(_.name == name)
       .getOrElse(sys.error(s"unknown component query $name")).fn
 
-  /** Survivor sets after each stage, in order, as
-    * `(stageName, docs(doc_id, source, ntok, grp, h_mod))`. The text
-    * column is consumed AT THE SCAN — the exact-dedup group key and the
-    * resample bernoulli draw are both md5-derived, so only two fixed-width
-    * columns flow through the stage joins, never the document body (at
-    * 100 TB the text IS the table; shuffling it through five stages would
-    * dominate the job). */
-  private def stages(s: SparkSession, dir: String,
+  /** One derived stage chain: the survivor frames, the cache-managed
+    * intermediates, and the eager local checkpoints ([[release]] drops all
+    * three; only the first two re-persist after a clearCache). */
+  private case class StageChain(frames: Seq[(String, DataFrame)],
+      intermediates: Seq[DataFrame], checkpoints: Seq[DataFrame])
+
+  /** Session-scoped memo for the derived stage chain, keyed by the full
+    * parameter tuple: repeated `curate`/`stageCounts` calls with the same
+    * parameters REUSE one set of persisted frames (and pay the eager
+    * label-propagation work once) instead of accumulating a new copy per
+    * invocation. Long-lived service callers drop a configuration with
+    * [[release]]; `catalog.clearCache()` only drops the CacheManager
+    * entries — the chain re-persists on next use, recomputing from the
+    * eager `pruned` checkpoint (whose blocks clearCache does not touch). */
+  private val stageMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Seq[String], Int), StageChain]()
+
+  private def stagesShared(s: SparkSession, dir: String,
       evalSources: Seq[String],
       contaminationPctMax: Int): Seq[(String, DataFrame)] = {
+    val chain = stageMemo.computeIfAbsent(
+      (s, dir, evalSources, contaminationPctMax),
+      _ => stages(s, dir, evalSources, contaminationPctMax))
+    // Re-persist after an external clearCache — same contract as
+    // PipelineQueries.minhashVerifiedPairsShared. The eager checkpoints
+    // are RDD-block-backed, outside the CacheManager: clearCache leaves
+    // them alone, so they need no re-persist.
+    (chain.frames.map(_._2) ++ chain.intermediates).foreach { df =>
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.persist()
+    }
+    chain.frames
+  }
+
+  /** Drop one configuration's cached frames, intermediates, and checkpoint
+    * blocks (no-op for a configuration never derived). Frames previously
+    * returned for this configuration must not be acted on afterwards:
+    * their lineage bottoms out in the freed checkpoint. */
+  def release(s: SparkSession, dir: String,
+      evalSources: Seq[String] = DefaultEvalSources,
+      contaminationPctMax: Int = DefaultContaminationPctMax): Unit =
+    Option(stageMemo.remove((s, dir, evalSources, contaminationPctMax)))
+      .foreach { chain =>
+        (chain.frames.map(_._2) ++ chain.intermediates)
+          .foreach(_.unpersist(blocking = false))
+        chain.checkpoints.foreach(GraftBridge.freeLocalCheckpoint)
+      }
+
+  /** Survivor sets after each stage, in order, as
+    * `(stageName, docs(doc_id, source, ntok, grp, h_mod))`, plus the heavy
+    * persisted intermediates. The text column is consumed AT THE SCAN —
+    * the exact-dedup group key and the resample bernoulli draw are both
+    * md5-derived, so only two fixed-width columns flow through the stage
+    * joins, never the document body (at 100 TB the text IS the table;
+    * shuffling it through five stages would dominate the job). */
+  private def stages(s: SparkSession, dir: String,
+      evalSources: Seq[String],
+      contaminationPctMax: Int): StageChain = {
     val raw = s.read.parquet(s"$dir/documents.parquet")
     val isEval = col("source").isin(evalSources: _*)
     val base = raw
@@ -88,9 +136,13 @@ object CurationPipeline {
     // component's min. The persisted survivor id set is tiny relative to
     // the corpus — both restriction joins prune pair traffic early.
     // labels() is eager (driver union-find or checkpointed propagation),
-    // so the pruned set is materialized immediately; the checkpoint blocks
-    // and the id cache are then released (free is a no-op on the driver
-    // path — no LogicalRDD in the plan).
+    // so `pruned` is materialized immediately as an EAGER localCheckpoint
+    // — its lineage is truncated BEFORE the labels checkpoint is freed, so
+    // a later recomputation (cache eviction, executor loss of ordinary
+    // cached blocks) never walks into freed blocks. The same
+    // no-lineage-to-recompute trade as DedupCluster.clusters applies to
+    // the checkpoint blocks themselves. Free is a no-op on the driver
+    // union-find path — no LogicalRDD in labels' plan.
     val ids = exact.select("doc_id").persist()
     val pairs = PipelineQueries.minhashVerifiedPairsShared(s, dir)
       .join(ids.select(col("doc_id").as("da")), "da")
@@ -100,8 +152,7 @@ object CurationPipeline {
     val pruned = labels
       .filter(col("doc") =!= col("rep"))
       .select(col("doc").as("doc_id"))
-      .persist()
-    pruned.count()
+      .localCheckpoint(true)
     GraftBridge.freeLocalCheckpoint(labels)
     ids.unpersist()
     val nearDup = exact.join(pruned, Seq("doc_id"), "left_anti")
@@ -125,8 +176,11 @@ object CurationPipeline {
         lit(contaminationPctMax.toLong) * coalesce(col("n_shingles"), lit(1L)))
       .drop("n_contaminated", "n_shingles")
 
-    Seq("a_raw" -> train, "b_quality" -> quality, "c_exact_dedup" -> exact,
-      "d_near_dedup" -> nearDup, "e_decontaminated" -> clean)
+    StageChain(
+      Seq("a_raw" -> train, "b_quality" -> quality, "c_exact_dedup" -> exact,
+        "d_near_dedup" -> nearDup, "e_decontaminated" -> clean),
+      intermediates = Seq(trainSh),
+      checkpoints = Seq(pruned))
   }
 
   /** Survivor-weighted uniform-target resample over the final stage's
@@ -165,22 +219,18 @@ object CurationPipeline {
   def curate(s: SparkSession, dir: String,
       evalSources: Seq[String] = DefaultEvalSources,
       contaminationPctMax: Int = DefaultContaminationPctMax): DataFrame =
-    resample(stages(s, dir, evalSources, contaminationPctMax).last._2)
+    resample(stagesShared(s, dir, evalSources, contaminationPctMax).last._2)
 
   /** Stage survival audit `(stage, n_docs, sum_tokens)` — the composed
     * pipeline's funnel report (`p_curate_funnel` generalized to the full
     * stage chain). Each stage plan embeds its predecessors; the narrow
-    * (5-column) survivor frames are persisted so the five aggregates pay
-    * the chain once instead of O(stages²) re-derivations — session-scoped
-    * like the other shared intermediates (Verify/Bench clearCache between
-    * runs). */
+    * (5-column) survivor frames are persisted (via the shared chain) so
+    * the five aggregates pay the chain once instead of O(stages²)
+    * re-derivations. */
   def stageCounts(s: SparkSession, dir: String,
       evalSources: Seq[String] = DefaultEvalSources,
-      contaminationPctMax: Int = DefaultContaminationPctMax): DataFrame = {
-    val st = stages(s, dir, evalSources, contaminationPctMax)
-    st.foreach(_._2.persist())
-    funnelOf(st)
-  }
+      contaminationPctMax: Int = DefaultContaminationPctMax): DataFrame =
+    funnelOf(stagesShared(s, dir, evalSources, contaminationPctMax))
 
   /** Both outputs over ONE stage-chain derivation — the curated corpus and
     * its funnel audit share the persisted survivor frames instead of each
@@ -189,8 +239,7 @@ object CurationPipeline {
       evalSources: Seq[String] = DefaultEvalSources,
       contaminationPctMax: Int = DefaultContaminationPctMax)
       : (DataFrame, DataFrame) = {
-    val st = stages(s, dir, evalSources, contaminationPctMax)
-    st.foreach(_._2.persist())
+    val st = stagesShared(s, dir, evalSources, contaminationPctMax)
     (resample(st.last._2), funnelOf(st))
   }
 }

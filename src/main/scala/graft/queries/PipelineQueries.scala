@@ -1661,8 +1661,9 @@ object PipelineQueries {
     // partial sketches merge associatively (treeAggregate), one fixed-size
     // table ships to the driver, and per-key estimates cost O(depth).
     // One-sided error: cms_n >= exact_n always, overshoot <= eps·N with
-    // prob >= 1 - delta (eps = 1e-4, delta = 1e-3 → width 27k × depth 7 —
-    // ~1.5 MB, constant in corpus size). Fixed seed keeps runs
+    // prob >= 1 - delta (eps = 1e-4, delta = 1e-3; Spark sizes
+    // width = ceil(2/eps) = 20k, depth = ceil(log2(1/(1-confidence))) = 10
+    // — ~1.5 MB, constant in corpus size). Fixed seed keeps runs
     // deterministic. No DuckDB oracle (no CMS there);
     // PipelineQueriesSpec pins the dominance + overshoot-budget
     // invariants against the exact counts.

@@ -203,6 +203,16 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * fails on the missing files rather than returning partial data. */
   def readAt(gen: Long): DataFrame = {
     require(gen >= 0, s"negative generation $gen")
+    // A generation that never existed must fail loudly, not read as an
+    // empty table: gen 0 is the only legitimately empty generation
+    // (pre-first-commit), and manifests are never deleted, so a missing
+    // m-<gen> for any other requested generation means the caller's gen is
+    // a typo / beyond the pointer — or the metadata dir is damaged.
+    if (gen > 0) {
+      val (fs, p) = fsOf(manifestPath(gen))
+      require(fs.exists(p), s"generation $gen does not exist " +
+        s"(current: ${currentGeneration().getOrElse(0L)})")
+    }
     val rel = manifestEntries(gen).flatMap(_._2)
     if (rel.isEmpty) emptyDf
     else partitionCol match {

@@ -691,6 +691,26 @@ class PipelineQueriesSpec extends SparkTestBase {
       "former eval sources must re-enter the train corpus")
   }
 
+  test("curation stage chain is memoized per configuration — a repeat call " +
+    "reuses the cached frames instead of accumulating a new copy, and " +
+    "release() drops them without poisoning later re-derivation") {
+    val a = queries.CurationPipeline.curate(spark, sf)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val b = queries.CurationPipeline.curate(spark, sf)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "repeat call with identical parameters must not add cached relations")
+    assert(b === a)
+    queries.CurationPipeline.release(spark, sf)
+    assert(spark.sparkContext.getPersistentRDDs.size < before,
+      "release must drop the chain's cached/checkpointed blocks")
+    val c = queries.CurationPipeline.curate(spark, sf)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(c === a)
+    queries.CurationPipeline.release(spark, sf)
+  }
+
   test("count-min-sketch heavy hitters: estimates dominate exact counts, " +
     "agree with the exact top-k keys, and overshoot stays within eps*N") {
     val exact = run("p_ngram_topk").collect()

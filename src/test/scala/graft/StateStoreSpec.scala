@@ -299,6 +299,11 @@ class StateStoreSpec extends SparkTestBase {
     assert(setAt(3) === Set(9L -> "z"))
     assert(mt.read().count() === 1L)
     intercept[Exception] { setAt(2) }
+    // A generation that never existed fails loudly instead of reading as
+    // an empty table (gen 0, pre-first-commit, is the only legitimately
+    // empty generation).
+    intercept[IllegalArgumentException] { mt.readAt(99L) }
+    assert(mt.readAt(0L).count() === 0L)
   }
 
   test("collection predicate prunes partition DIRECTORIES " +
