@@ -66,6 +66,45 @@ object Ivf {
     } finally sc.unpersist()
   }
 
+  /** Cluster-blocked greedy prune over per-(vector, centroid) scores —
+    * the SemDeDup core shared by [[semanticDedup]] and the
+    * oracle-verified `p_dedup_semantic` (which passes its
+    * bit-reproducible md5-centroid scores): within each nearest-centroid
+    * cluster, prune every vector with a lower-id neighbor at cosine >=
+    * `cosineThreshold`. Output `(pruned_id, cluster, keeper_id,
+    * n_dup_lower)` sorted by pruned id. */
+  def semanticPrune(scoredDf: DataFrame, cosineThreshold: Double): DataFrame = {
+    val base = assigned(scoredDf)
+      .join(scoredDf.filter(col("k") === 0).select("vec_id", "embedding", "norm"),
+        "vec_id")
+    val a = base.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("norm").as("na"), col("cluster"))
+    val b = base.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("norm").as("nb"), col("cluster"))
+    val cos = dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+    a.join(b, Seq("cluster")).filter(col("vec_a") < col("vec_b"))
+      .filter(cos >= cosineThreshold)
+      .groupBy(col("vec_b").as("pruned_id"), col("cluster"))
+      .agg(min(col("vec_a")).as("keeper_id"), count(lit(1)).as("n_dup_lower"))
+      .orderBy("pruned_id")
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) with a caller-supplied
+    * quantizer TABLE `(k, cvec)` — e.g. [[trainKMeans]] output. The
+    * pairwise work is confined to within-cluster join partitions, so cost
+    * tracks sum(|cluster|²) controlled by K (a corpus-scale deployment
+    * trains K ~10⁵ so clusters stay small); the assignment pass is one
+    * scan against the broadcast centroid table. A quantizer refresh is a
+    * data swap, not a plan change. */
+  def semanticDedup(embs: DataFrame, centroids: DataFrame,
+      cosineThreshold: Double = 0.45): DataFrame = {
+    val sc = scored(embs, centroids).persist()
+    // The scores feed the assignment and both pair sides lazily;
+    // materialize before unpersisting (same pattern as [[search]]).
+    try semanticPrune(sc, cosineThreshold).localCheckpoint(true)
+    finally sc.unpersist()
+  }
+
   /** Spherical k-means (Lloyd's loop) over the embeddings: assign by
     * max-dot against UNIT centroids (≡ cosine), recompute each centroid
     * as its members' per-dimension mean, re-normalize. Deterministic

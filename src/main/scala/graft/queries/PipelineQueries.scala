@@ -103,6 +103,27 @@ object PipelineQueries {
     embs(s, dir).select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
 
+  /** Row ceiling for the exact O(n²) cosine yardstick `p_dedup_embed`.
+    * Past it the quadratic candidate count is hopeless at any cluster
+    * size (250k rows ≈ 3·10¹⁰ pairs), so the operator REFUSES and points
+    * at the LSH-blocked scale path instead of launching a job that cannot
+    * finish. Env-overridable (malformed values fall back). */
+  def embedExactMaxRows: Long =
+    parseEmbedExactMax(sys.env.get("GRAFT_EMBED_EXACT_MAX_ROWS"))
+
+  private[graft] def parseEmbedExactMax(raw: Option[String]): Long =
+    raw.flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(250000L)
+
+  private[graft] def guardEmbedExact(s: SparkSession, dir: String,
+      maxRows: Long = embedExactMaxRows): Unit = {
+    val n = embs(s, dir).count()
+    require(n <= maxRows,
+      s"p_dedup_embed is the exact O(n²) yardstick: $n vectors exceed the " +
+        s"$maxRows-row guard (≈${n * n / 2} candidate pairs). Use " +
+        "p_dedup_embed_lsh (sign-LSH blocking) at this scale, or raise " +
+        "GRAFT_EMBED_EXACT_MAX_ROWS deliberately.")
+  }
+
   /** Oracle CTE mirroring [[embsN]]. */
   private val ONormCte =
     """WITH e AS (
@@ -167,14 +188,32 @@ object PipelineQueries {
     * [[planeCoefs]], every coordinate is exactly representable, so the
     * literals round-trip bit-identically through both engines. A real
     * deployment trains these with k-means; the OPERATOR (assign → probe
-    * nprobe lists → rank) is identical either way. */
-  private val IvfK = 8
+    * nprobe lists → rank) is identical either way.
+    *
+    * `IvfK` is a RUNTIME parameter (`GRAFT_IVF_K`, default 8; malformed
+    * or non-positive values fall back): both the Spark plans and the
+    * generated DuckDB oracle SQL derive from the same value, so the
+    * correctness gate stays green at any K. SemDeDup at corpus scale
+    * wants K ~10⁵ — the centroid-TABLE formulation keeps plan size
+    * constant as K grows; arbitrary (e.g. trained) quantizers flow
+    * through [[Ivf.semanticDedup]] without recompiling anything. */
+  private[graft] val IvfK: Int = parseIvfK(sys.env.get("GRAFT_IVF_K"))
+
+  private[graft] def parseIvfK(raw: Option[String]): Int =
+    raw.flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ > 0).getOrElse(8)
+
   private def centroidCoefs(c: Int): Array[Double] = planeCoefs(100 + c)
+
+  /** The first `n` md5-derived quantizer centroids (any `n` — the seed
+    * family is unbounded), for specs exercising non-default K. */
+  private[graft] def hashCentroidsOf(n: Int): Seq[Array[Double]] =
+    (0 until n).map(centroidCoefs)
 
   /** The md5-derived quantizer, exposed for comparison against TRAINED
     * centroids (see [[Ivf.trainKMeans]] and the recall spec). */
   private[graft] def ivfHashCentroids: Seq[Array[Double]] =
-    (0 until IvfK).map(centroidCoefs)
+    hashCentroidsOf(IvfK)
 
   /** L2 norms of the IVF centroids, computed ONCE driver-side with the
     * same sequential left-to-right fold as [[dot]] and shipped as double
@@ -603,6 +642,7 @@ object PipelineQueries {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE ($OCos) >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+      guardEmbedExact(s, dir)
       val e = embsN(s, dir)
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
         col("norm").as("na"))
@@ -658,20 +698,7 @@ object PipelineQueries {
     // centroid-table scan. (A deployment trains the centroids — see
     // Ivf.trainKMeans; the operator is unchanged.)
     QuerySpec.sql("p_dedup_semantic", dedupSemanticOracle) { (s, dir) =>
-      val scored = ivfScored(s, dir).persist()
-      val assigned = ivfAssigned(scored)
-        .join(scored.filter(col("k") === 0).select("vec_id", "embedding", "norm"),
-          "vec_id")
-      val a = assigned.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-        col("norm").as("na"), col("cluster"))
-      val b = assigned.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-        col("norm").as("nb"), col("cluster"))
-      val cos = dot(col("ea"), col("eb")) / (col("na") * col("nb"))
-      a.join(b, Seq("cluster")).filter(col("vec_a") < col("vec_b"))
-        .filter(cos >= 0.45)
-        .groupBy(col("vec_b").as("pruned_id"), col("cluster"))
-        .agg(min(col("vec_a")).as("keeper_id"), count(lit(1)).as("n_dup_lower"))
-        .orderBy("pruned_id")
+      Ivf.semanticPrune(ivfScored(s, dir).persist(), 0.45)
     },
 
     // ---------------------------------------------------------------------

@@ -444,6 +444,79 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(rTrained > 0.0)
   }
 
+  test("semantic dedup scales with the quantizer K (runtime-parameterized): " +
+    "on a 10x corpus K=32 bounds within-cluster pair work strictly below " +
+    "K=8 (sum cluster^2), every pruned pair is a true >= 0.45 cosine " +
+    "neighbor, and a TRAINED quantizer flows through Ivf.semanticDedup " +
+    "as a data swap") {
+    import spark.implicits._
+    import graft.queries.Ivf
+    import org.apache.spark.sql.functions._
+    // 10x corpus: sf0.1 embeddings replicated with disjoint id shifts
+    // (the PLANS.md probe recipe) — 10x rows, same distribution.
+    val dir10 = "/tmp/graft_sem10x"
+    spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .unionByName(spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .withColumn("vec_id", col("vec_id") + lit(10000000L)))
+      .write.mode("overwrite").parquet(s"$dir10/embeddings.parquet")
+    val embs10x = (0 until 5).map(k =>
+        spark.read.parquet(s"$dir10/embeddings.parquet")
+          .withColumn("vec_id", col("vec_id") + lit(k * 100000000L)))
+      .reduce(_ unionByName _)
+    def centTable(cents: Seq[Array[Double]]) =
+      cents.zipWithIndex.map { case (c, k) => (k, c.toSeq) }.toDF("k", "cvec")
+    def clusterSizes(k: Int): Seq[Long] =
+      Ivf.assigned(Ivf.scored(embs10x,
+          centTable(queries.PipelineQueries.hashCentroidsOf(k))))
+        .groupBy("cluster").count().collect().map(_.getLong(1)).toSeq
+    val s8 = clusterSizes(8)
+    val s32 = clusterSizes(32)
+    assert(s8.sum === s32.sum) // same corpus either way
+    val sq8 = s8.map(n => n * n).sum
+    val sq32 = s32.map(n => n * n).sum
+    assert(sq32 < sq8,
+      s"finer quantizer must shrink the pair-work bound: sum(n^2) K=32 " +
+        s"$sq32 !< K=8 $sq8")
+    // Parse fallbacks for the runtime K knob.
+    assert(queries.PipelineQueries.parseIvfK(Some("32")) === 32)
+    assert(queries.PipelineQueries.parseIvfK(Some("0")) === 8)
+    assert(queries.PipelineQueries.parseIvfK(Some("junk")) === 8)
+    assert(queries.PipelineQueries.parseIvfK(None) === 8)
+
+    // Prune at K=32 on the 10x corpus; verify every pruned pair is a
+    // genuine cosine neighbor by recomputing the cosine locally.
+    val pruned32 = Ivf.semanticDedup(embs10x,
+        centTable(queries.PipelineQueries.hashCentroidsOf(32))).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(pruned32.nonEmpty)
+    assert(pruned32.forall { case (pruned, keeper) => keeper < pruned })
+    val wanted = pruned32.take(50)
+    val ids = wanted.flatMap(p => Seq(p._1, p._2)).distinct
+    val vecById = embs10x.filter(col("vec_id").isin(ids: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+      def d(x: Seq[Float], y: Seq[Float]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < x.length) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
+        acc
+      }
+      d(a, b) / math.sqrt(d(a, a) * d(b, b))
+    }
+    wanted.foreach { case (pruned, keeper) =>
+      assert(cosine(vecById(pruned), vecById(keeper)) >= 0.45,
+        s"pruned pair ($keeper, $pruned) below the threshold")
+    }
+
+    // Trained quantizer: the same operator, centroids swapped as data.
+    val embsSmall = spark.read.parquet(s"$sf/embeddings.parquet")
+    val trained = Ivf.trainKMeans(embsSmall, iters = 3,
+      init = queries.PipelineQueries.hashCentroidsOf(8))
+    val prunedTrained = Ivf.semanticDedup(embsSmall, centTable(trained))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(prunedTrained.forall { case (pruned, keeper) => keeper < pruned })
+  }
+
   test("LSH-blocked candidates are a subset of the exact pairs (embed)") {
     val exact = run("p_dedup_embed").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -689,6 +762,20 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(got.forall(_._2 != "src2"))
     assert(got.exists(d => d._2 == "src0" || d._2 == "src1"),
       "former eval sources must re-enter the train corpus")
+  }
+
+  test("p_dedup_embed guard: refuses a corpus past the configured row " +
+    "ceiling, pointing at the LSH scale path; passes under it; malformed " +
+    "env overrides fall back to the default") {
+    val ex = intercept[IllegalArgumentException] {
+      queries.PipelineQueries.guardEmbedExact(spark, sf, maxRows = 1L)
+    }
+    assert(ex.getMessage.contains("p_dedup_embed_lsh"))
+    queries.PipelineQueries.guardEmbedExact(spark, sf) // under default: fine
+    assert(run("p_dedup_embed").count() > 0)
+    assert(queries.PipelineQueries.parseEmbedExactMax(Some("12")) === 12L)
+    assert(queries.PipelineQueries.parseEmbedExactMax(Some("nope")) === 250000L)
+    assert(queries.PipelineQueries.parseEmbedExactMax(None) === 250000L)
   }
 
   test("curation stage chain is memoized per configuration — a repeat call " +
