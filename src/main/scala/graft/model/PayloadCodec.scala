@@ -1,0 +1,204 @@
+package graft.model
+
+/** Reference VALUE codec — proto3 wire-format packing of the two payloads
+  * the reference marshals as protobuf (keys are [[KeyCodec]]'s job):
+  *
+  *   Checkpoint    (read.go:417–476, write.go:362–365):
+  *                   uint64 height = 1;
+  *                   BlockRef block = 2;   // { uint64 num = 1; string id = 2; }
+  *   TabletIndex   (tablet.go:387–401, indexing.go:620–645):
+  *                   uint64 squelched_count = 1;
+  *                   repeated TabletIndexEntry entries = 2;
+  *                   // entry: { bytes primary_key = 1; uint64 height = 2; }
+  *
+  * The Spark engine stores these as plain columns — this codec is a pure
+  * COMPATIBILITY surface, the KeyCodec treatment applied to values: a
+  * deployment migrating off the reference decodes its existing checkpoint
+  * and index-singlet cells into columns (and re-encodes for a live
+  * deployment still reading the KV form). The wire machinery is the
+  * standard proto3 subset these two messages use — varint and
+  * length-delimited fields — hand-rolled because the build is
+  * dependency-free by design.
+  *
+  * Encode semantics match the Go protobuf marshaller the reference uses:
+  * fields emit in field-number order, default values (0, empty bytes)
+  * are omitted, and a present-but-empty sub-message still emits its tag
+  * with length 0. One deliberate divergence: the reference iterates a Go
+  * map when marshalling index entries, so ITS byte output is
+  * run-nondeterministic; this encoder sorts entries by primary key — a
+  * valid proto3 encoding of the same message that is additionally
+  * deterministic (the reference's own decoder accepts any order, as does
+  * ours). Decode accepts fields in any order and skips unknown fields,
+  * per proto3 rules — proven against the reference's own golden
+  * checkpoint hex vector (utils_test.go:48–60) in `PayloadCodecSpec`.
+  */
+object PayloadCodec {
+
+  /** Decoded `pbfluxdb.Checkpoint` (+ its `pbbstream.BlockRef`). */
+  final case class CheckpointPayload(height: Long, blockNum: Long, blockId: String)
+
+  /** Decoded `pbfluxdb.TabletIndex`; entries as (primaryKey, height). */
+  final case class TabletIndexPayload(
+      squelchedCount: Long, entries: Seq[(Array[Byte], Long)])
+
+  // ------------------------------------------------------ wire primitives
+
+  private final class Writer {
+    private val buf = new java.io.ByteArrayOutputStream()
+    def varint(v: Long): Unit = {
+      var x = v
+      while ((x & ~0x7FL) != 0) { buf.write(((x & 0x7F) | 0x80).toInt); x >>>= 7 }
+      buf.write(x.toInt)
+    }
+    def tag(field: Int, wireType: Int): Unit = varint((field.toLong << 3) | wireType)
+    def bytes(b: Array[Byte]): Unit = { varint(b.length.toLong); buf.write(b) }
+    def toBytes: Array[Byte] = buf.toByteArray
+  }
+
+  private final class Reader(data: Array[Byte]) {
+    private var pos = 0
+    def hasRemaining: Boolean = pos < data.length
+    def varint(): Long = {
+      var shift = 0; var v = 0L
+      while (true) {
+        require(pos < data.length, "truncated varint")
+        val b = data(pos); pos += 1
+        v |= (b & 0x7FL) << shift
+        if ((b & 0x80) == 0) return v
+        shift += 7
+        require(shift < 64, "varint too long")
+      }
+      v // unreachable
+    }
+    def bytes(): Array[Byte] = {
+      val n = varint()
+      require(n >= 0 && pos + n <= data.length, s"truncated length-delimited field ($n bytes)")
+      val out = java.util.Arrays.copyOfRange(data, pos, pos + n.toInt)
+      pos += n.toInt
+      out
+    }
+    /** Skip one field of the given wire type (unknown-field tolerance). */
+    def skip(wireType: Int): Unit = wireType match {
+      case 0 => varint(); ()
+      case 2 => bytes(); ()
+      case 5 => pos += 4
+      case 1 => pos += 8
+      case w => throw new IllegalArgumentException(s"unsupported wire type $w")
+    }
+  }
+
+  // ----------------------------------------------------------- checkpoint
+
+  /** `proto.Marshal(&pbfluxdb.Checkpoint{...})` — write.go:362–365. The
+    * block sub-message is always present in the reference's writes (the
+    * pointer is always non-nil), so field 2 emits even when empty. */
+  def encodeCheckpoint(p: CheckpointPayload): Array[Byte] = {
+    val block = new Writer
+    if (p.blockNum != 0) { block.tag(1, 0); block.varint(p.blockNum) }
+    if (p.blockId.nonEmpty) { block.tag(2, 2); block.bytes(p.blockId.getBytes("UTF-8")) }
+    val w = new Writer
+    if (p.height != 0) { w.tag(1, 0); w.varint(p.height) }
+    w.tag(2, 2); w.bytes(block.toBytes)
+    w.toBytes
+  }
+
+  /** `unmarshalCheckpoint` — read.go:468–476. */
+  def decodeCheckpoint(data: Array[Byte]): CheckpointPayload = {
+    var height = 0L; var num = 0L; var id = ""
+    val r = new Reader(data)
+    while (r.hasRemaining) {
+      val key = r.varint()
+      (key >>> 3, (key & 7).toInt) match {
+        case (1, 0) => height = r.varint()
+        case (2, 2) =>
+          val br = new Reader(r.bytes())
+          while (br.hasRemaining) {
+            val k = br.varint()
+            (k >>> 3, (k & 7).toInt) match {
+              case (1, 0) => num = br.varint()
+              case (2, 2) => id = new String(br.bytes(), "UTF-8")
+              case (_, w) => br.skip(w)
+            }
+          }
+        case (_, w) => r.skip(w)
+      }
+    }
+    CheckpointPayload(height, num, id)
+  }
+
+  // --------------------------------------------------------- tablet index
+
+  /** `TabletIndex.MarshalValue` — tablet.go:387–401 (entries sorted by
+    * primary key for determinism; see the class note). */
+  def encodeTabletIndex(p: TabletIndexPayload): Array[Byte] = {
+    val w = new Writer
+    if (p.squelchedCount != 0) { w.tag(1, 0); w.varint(p.squelchedCount) }
+    p.entries.sortBy(e => e._1.toSeq.map(b => b & 0xFF).toIndexedSeq)(
+        scala.math.Ordering.Implicits.seqOrdering)
+      .foreach { case (pk, height) =>
+        val e = new Writer
+        if (pk.nonEmpty) { e.tag(1, 2); e.bytes(pk) }
+        if (height != 0) { e.tag(2, 0); e.varint(height) }
+        w.tag(2, 2); w.bytes(e.toBytes)
+      }
+    w.toBytes
+  }
+
+  /** `indexSinglet.Entry`'s unmarshal — indexing.go:620–645. */
+  def decodeTabletIndex(data: Array[Byte]): TabletIndexPayload = {
+    var squelched = 0L
+    val entries = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Long)]
+    val r = new Reader(data)
+    while (r.hasRemaining) {
+      val key = r.varint()
+      (key >>> 3, (key & 7).toInt) match {
+        case (1, 0) => squelched = r.varint()
+        case (2, 2) =>
+          val er = new Reader(r.bytes())
+          var pk = Array.emptyByteArray; var h = 0L
+          while (er.hasRemaining) {
+            val k = er.varint()
+            (k >>> 3, (k & 7).toInt) match {
+              case (1, 2) => pk = er.bytes()
+              case (2, 0) => h = er.varint()
+              case (_, w) => er.skip(w)
+            }
+          }
+          entries += ((pk, h))
+        case (_, w) => r.skip(w)
+      }
+    }
+    TabletIndexPayload(squelched, entries.toSeq)
+  }
+
+  // ------------------------------------------------- distributed decoding
+
+  /** Explode a binary column of reference index-singlet cells into
+    * columnar rows `(squelched_count, primary_key, height)` — the
+    * migration path for a corpus of stored `TabletIndex` values (one
+    * cell per tablet per index height; a large deployment holds millions,
+    * so the decode runs where the data is, not on the driver). Entry-less
+    * cells yield one row with a null primary key, preserving the
+    * squelch count. */
+  def explodeTabletIndexCells(
+      df: org.apache.spark.sql.DataFrame, valueCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val other = df.columns.filter(_ != valueCol).toSeq
+    require(other.isEmpty || other == Seq("tablet_key"),
+      "pass (tablet_key, value) or just (value)")
+    if (other.isEmpty)
+      df.as[Array[Byte]].flatMap { v =>
+        val p = decodeTabletIndex(v)
+        if (p.entries.isEmpty) Seq((p.squelchedCount, null: Array[Byte], 0L))
+        else p.entries.map(e => (p.squelchedCount, e._1, e._2))
+      }.toDF("squelched_count", "primary_key", "height")
+    else
+      df.as[(Array[Byte], Array[Byte])].flatMap { case (tk, v) =>
+        val p = decodeTabletIndex(v)
+        if (p.entries.isEmpty) Seq((tk, p.squelchedCount, null: Array[Byte], 0L))
+        else p.entries.map(e => (tk, p.squelchedCount, e._1, e._2))
+      }.toDF("tablet_key", "squelched_count", "primary_key", "height")
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import graft.model.PayloadCodec
+import graft.model.PayloadCodec.{CheckpointPayload, TabletIndexPayload}
+
+/** Byte-parity of the proto3 value codec against the reference's own
+  * golden checkpoint vector (utils_test.go:48–60) and the proto3 wire
+  * rules for the TabletIndex layout (tablet.go:387–401). */
+class PayloadCodecSpec extends SparkTestBase {
+
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+  private def toHex(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
+
+  // The reference's own golden checkpoint cell (utils_test.go:49).
+  private val GoldenCheckpointHex =
+    "08c1c3f21a124708c1c3f21a124030333563613163316564376562303335346362643131" +
+      "3030333664336566366636303838306232656435626438336665626264316161366632" +
+      "39616332346564"
+
+  test("checkpoint decode matches the reference's golden hex vector " +
+    "(utils_test.go:49), and re-encode reproduces the exact bytes") {
+    val got = PayloadCodec.decodeCheckpoint(hex(GoldenCheckpointHex))
+    assert(got.height === 56402369L)
+    assert(got.blockNum === 56402369L)
+    assert(got.blockId ===
+      "035ca1c1ed7eb0354cbd110036d3ef6f60880b2ed5bd83febbd1aa6f29ac24ed")
+    assert(toHex(PayloadCodec.encodeCheckpoint(got)) === GoldenCheckpointHex)
+  }
+
+  test("checkpoint empty/default handling matches Go proto semantics: " +
+    "zero height omitted, block sub-message always present") {
+    val empty = CheckpointPayload(0L, 0L, "")
+    // Checkpoint{Height: 0, Block: &BlockRef{}} marshals to just `12 00`.
+    assert(toHex(PayloadCodec.encodeCheckpoint(empty)) === "1200")
+    assert(PayloadCodec.decodeCheckpoint(hex("1200")) === empty)
+    // Large heights exercise multi-byte varints (uint64 range).
+    val big = CheckpointPayload(Long.MaxValue, 12L, "abc")
+    assert(PayloadCodec.decodeCheckpoint(PayloadCodec.encodeCheckpoint(big)) === big)
+  }
+
+  test("tablet index encodes the reference layout byte-exactly " +
+    "(squelched_count=1 varint, entries=2 repeated{primary_key=1 bytes, " +
+    "height=2 varint}), sorted by primary key for determinism") {
+    // indexing_test.go multi_rows: squelched 2, 16-byte ASCII primary keys.
+    val pk2 = "0000000000000002".getBytes("UTF-8")
+    val pk3 = "0000000000000003".getBytes("UTF-8")
+    // Deliberately pass entries unsorted: the encoder must order by key.
+    val p = TabletIndexPayload(2L, Seq((pk3, 5L), (pk2, 4L)))
+    val expected =
+      "0802" + // squelched_count = 2
+        "1214" + "0a10" + toHex(pk2) + "1004" + // entry{pk2, height 4}
+        "1214" + "0a10" + toHex(pk3) + "1005"   // entry{pk3, height 5}
+    assert(toHex(PayloadCodec.encodeTabletIndex(p)) === expected)
+    val back = PayloadCodec.decodeTabletIndex(hex(expected))
+    assert(back.squelchedCount === 2L)
+    assert(back.entries.map(e => (new String(e._1, "UTF-8"), e._2)) ===
+      Seq(("0000000000000002", 4L), ("0000000000000003", 5L)))
+  }
+
+  test("tablet index decode tolerates the reference's nondeterministic " +
+    "entry order and skips unknown fields (proto3 wire rules)") {
+    val pk2 = "0000000000000002".getBytes("UTF-8")
+    val pk3 = "0000000000000003".getBytes("UTF-8")
+    // Entries REVERSED relative to key order, squelched field LAST, plus
+    // an unknown varint field 7 and an unknown length-delimited field 9 —
+    // all legal on the wire; Go's encoder can emit entries in any order.
+    val scrambled =
+      "1214" + "0a10" + toHex(pk3) + "1005" +
+        "3807" +       // field 7 varint (unknown)
+        "1214" + "0a10" + toHex(pk2) + "1004" +
+        "4a03616263" + // field 9 bytes "abc" (unknown)
+        "0802"         // squelched_count = 2
+    val got = PayloadCodec.decodeTabletIndex(hex(scrambled))
+    assert(got.squelchedCount === 2L)
+    assert(got.entries.map(e => (new String(e._1, "UTF-8"), e._2)).sorted ===
+      Seq(("0000000000000002", 4L), ("0000000000000003", 5L)))
+  }
+
+  test("no_rows index round-trips (indexing_test.go no_rows case): empty " +
+    "entry map, squelch preserved") {
+    val p = TabletIndexPayload(2L, Seq.empty)
+    assert(toHex(PayloadCodec.encodeTabletIndex(p)) === "0802")
+    assert(PayloadCodec.decodeTabletIndex(hex("0802")) ===
+      TabletIndexPayload(2L, Seq.empty))
+  }
+
+  test("explodeTabletIndexCells decodes a corpus of index cells where the " +
+    "data lives (distributed), preserving tablet keys and squelch counts") {
+    implicit val s = spark
+    import s.implicits._
+    val pkA = Array[Byte](1, 2, 3)
+    val cellA = PayloadCodec.encodeTabletIndex(
+      TabletIndexPayload(7L, Seq((pkA, 42L))))
+    val cellB = PayloadCodec.encodeTabletIndex(TabletIndexPayload(1L, Seq.empty))
+    val df = Seq(
+      ("tk-a".getBytes("UTF-8"), cellA),
+      ("tk-b".getBytes("UTF-8"), cellB)).toDF("tablet_key", "value")
+    val out = PayloadCodec.explodeTabletIndexCells(df, "value")
+      .collect()
+      .map(r => (new String(r.getAs[Array[Byte]](0), "UTF-8"), r.getLong(1),
+        Option(r.getAs[Array[Byte]](2)).map(_.toSeq), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out === Array(
+      ("tk-a", 7L, Some(pkA.toSeq), 42L),
+      ("tk-b", 1L, None, 0L)))
+  }
+}
