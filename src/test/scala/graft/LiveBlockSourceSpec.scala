@@ -82,6 +82,69 @@ class LiveBlockSourceSpec extends SparkTestBase {
     }
   }
 
+  test("multi-partition live delivery E2E: a partitioned line-oriented " +
+    "source (Kafka-shaped) feeds parseJsonFrames with partition-interleaved " +
+    "arrival; a delivery GAP trips the contiguity guard without committing; " +
+    "late redelivery of the missing range recovers idempotently") {
+    implicit val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val store = new StateStore(tmpDir("store"))
+    val pipeline = new IngestionPipeline(store)
+    val inDir = new java.io.File(tmpDir("frames"))
+    def dropFile(name: String, nums: Seq[Long]): Unit = {
+      val frames = LiveBlockSource.toJsonFrames(nums.map(block(_, "irreversible")))
+      val f = new java.io.File(inDir, name)
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try frames.foreach(w.println) finally w.close()
+    }
+    // Blocks 1..40 STRIPED across 4 files (file k holds num % 4 == k) — the
+    // multi-partition shape: Spark assigns each file its own partition(s),
+    // so rows reach commitBatch partition-interleaved and unordered. The
+    // guard must accept the batch after its height sort proves contiguity.
+    (0 until 4).foreach(k => dropFile(s"stripe$k.jsonl", (1L to 40L).filter(_ % 4 == k)))
+    val src = LiveBlockSource.parseJsonFrames(
+      s.readStream.text(inDir.getAbsolutePath).select(col("value")).as[java.lang.String])
+    val q = pipeline.start(src, tmpDir("ckpt"), triggerMillis = 50)
+    try {
+      q.processAllAvailable()
+      assert(store.checkpoint(StateStore.GlobalCheckpointKey).get.height === 40L)
+      assert(store.tabletRows.select("height").collect().map(_.getLong(0)).sorted
+        === (1L to 40L).toArray)
+
+      // OUT-OF-ORDER DELIVERY: blocks 45..50 arrive while 41..44 are still
+      // in flight. The batch is internally contiguous but does not follow
+      // the checkpoint — the T4 guard must kill the query, not skip ahead.
+      dropFile("late-head.jsonl", 45L to 50L)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000)
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+      assert(messages(ex).exists(_.contains("does not follow checkpoint")),
+        messages(ex).mkString(" | "))
+      // Nothing from the rejected batch committed; checkpoint unmoved.
+      assert(store.checkpoint(StateStore.GlobalCheckpointKey).get.height === 40L)
+      assert(store.tabletRows.filter(col("height") > 40).count() === 0L)
+    } finally q.stop()
+
+    // RECOVERY: the missing range lands; a fresh query over the directory
+    // re-reads everything, the idempotent replay filter (num > checkpoint)
+    // drops the already-committed 1..40, and 41..50 commit as one
+    // contiguous batch.
+    dropFile("gap-fill.jsonl", 41L to 44L)
+    val src2 = LiveBlockSource.parseJsonFrames(
+      s.readStream.text(inDir.getAbsolutePath).select(col("value")).as[java.lang.String])
+    val q2 = pipeline.start(src2, tmpDir("ckpt2"), triggerMillis = 50)
+    try {
+      q2.processAllAvailable()
+      assert(store.checkpoint(StateStore.GlobalCheckpointKey).get.height === 50L)
+      assert(store.tabletRows.select("height").collect().map(_.getLong(0)).sorted
+        === (1L to 50L).toArray)
+    } finally q2.stop()
+  }
+
   test("synthetic rate source soaks the commit path: contiguous chain from " +
     "startNum, checkpoint advances, payloads round-trip") {
     implicit val s = spark
