@@ -16,6 +16,12 @@ object Verify {
       // Shuffle/spill files on tmpfs: the virtio disk's kernel-time
       // spikes dominated bench variance at this data scale.
       .config("spark.local.dir", "/dev/shm/spark-graft")
+      // Single-JVM local[32] with a large heap: 64 MB broadcasts are safe
+      // and fast here (the default 10 MB is sized for small executors).
+      // Corpus-derived frames stay guarded by their own size gates, which
+      // read THIS threshold - at real corpus scale their estimates exceed
+      // any sane setting and the joins fail over to shuffle plans.
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

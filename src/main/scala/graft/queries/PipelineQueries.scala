@@ -292,7 +292,7 @@ object PipelineQueries {
   private val shingleIndexMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def shingleIndexShared(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def shingleIndexShared(s: SparkSession, dir: String): DataFrame = {
     val df = shingleIndexMemo.computeIfAbsent((s, dir),
       _ => shingleRows(docs(s, dir)).withColumn("h", h32(col("sh"))))
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
@@ -303,15 +303,45 @@ object PipelineQueries {
     * affine minhashes folded into 4 band keys, one posexplode pass. */
   private def minhashBands(sh: DataFrame): DataFrame = MinHashLsh.bandsOf(sh)
 
+  /** TRUE while the EXPLODED shingle index plausibly fits the session's
+    * broadcast threshold. Catalyst sizes the index from the compressed
+    * parquet scan it derives from, but shingling explodes a document into
+    * ~one row per word — a ~50× expansion the estimate misses entirely,
+    * so at corpus scale the planner happily picks a broadcast build side
+    * that OOMs the driver (measured: the 6 MB 100×-probe corpus explodes
+    * to a ~42M-row index; the static BroadcastHashJoin died in
+    * `Not enough memory to build and broadcast`). Same driver-side
+    * estimate discipline as the jaccard rep-array gate: ~12 bytes of
+    * exploded index per corpus character (words ≈ chars/6; per row a
+    * 3-word shingle string + doc_id + row overhead ≈ 70 B). One cheap
+    * single-column scan, memoized per (session, corpus). */
+  private val shingleBcMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Boolean]()
+
+  private[graft] def shingleIndexBroadcastable(s: SparkSession, dir: String): Boolean =
+    shingleBcMemo.computeIfAbsent((s, dir), _ => {
+      val bcThreshold = s.sessionState.conf.autoBroadcastJoinThreshold
+      bcThreshold > 0 && {
+        val totalChars = docs(s, dir).agg(sum(col("n_chars"))).collect()(0).getLong(0)
+        totalChars * 12L <= bcThreshold
+      }
+    })
+
   /** Exact-Jaccard verification of candidate `(da, db)` pairs against the
     * shingle index: keeps pairs with J >= 0.5 (integer arithmetic), with
-    * `n_common`/`n_union` attached. */
-  private def verifyJaccard(sh: DataFrame, cands: DataFrame): DataFrame = {
-    val sa = sh.select(col("doc_id").as("da"), col("sh"))
-    val sb = sh.select(col("doc_id").as("db"), col("sh"))
+    * `n_common`/`n_union` attached. With `indexBroadcastable` false the
+    * corpus-derived sides (shingle index, per-doc size table) carry a
+    * `merge` hint — they grow with the corpus, so past the gate a
+    * broadcast build side is never legitimate, only a misestimate. */
+  private[graft] def verifyJaccard(sh: DataFrame, cands: DataFrame,
+      indexBroadcastable: Boolean): DataFrame = {
+    def gated(df: DataFrame): DataFrame =
+      if (indexBroadcastable) df else df.hint("merge")
+    val sa = gated(sh.select(col("doc_id").as("da"), col("sh")))
+    val sb = gated(sh.select(col("doc_id").as("db"), col("sh")))
     val common = cands.join(sa, "da").join(sb, Seq("db", "sh"))
       .groupBy("da", "db").agg(count(lit(1)).as("n_common"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizes = gated(sh.groupBy("doc_id").agg(count(lit(1)).as("n")))
     common
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
@@ -327,7 +357,7 @@ object PipelineQueries {
     val bb = bands.select(col("doc_id").as("db"), col("band"), col("bkey"))
     val cands = ba.join(bb, Seq("band", "bkey")).filter(col("da") < col("db"))
       .select("da", "db").distinct()
-    verifyJaccard(sh, cands)
+    verifyJaccard(sh, cands, shingleIndexBroadcastable(s, dir))
   }
 
   // ---------------------------------------------------------------- queries
@@ -547,7 +577,7 @@ object PipelineQueries {
         .select(col("doc_id").as("db"), col("band"), col("bkey"))
       val cands = ba.join(bb, Seq("band", "bkey")).filter(col("da") < col("db"))
         .select("da", "db").distinct()
-      verifyJaccard(sh, cands)
+      verifyJaccard(sh, cands, shingleIndexBroadcastable(s, dir))
         .crossJoin(broadcast(split))
         .select(col("da").as("doc_a"), col("db").as("doc_b"),
           col("n_common"), col("n_union"),

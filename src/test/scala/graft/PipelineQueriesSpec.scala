@@ -530,6 +530,40 @@ class PipelineQueriesSpec extends SparkTestBase {
     // both engines compute the identical candidate set either way.
   }
 
+  test("jaccard verify size gate: the corpus-derived shingle index is " +
+    "never a broadcast build side past the gate (merge-hinted SMJ plan), " +
+    "gated and ungated verification produce identical pairs, and the gate " +
+    "trips on the session threshold") {
+    import org.apache.spark.sql.functions.col
+    val P = queries.PipelineQueries
+    val sh = P.shingleIndexShared(spark, sf)
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 40).select(col("doc_id"))
+    val cands = ids.select(col("doc_id").as("da"))
+      .crossJoin(ids.select(col("doc_id").as("db")))
+      .filter(col("da") < col("db"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(p => (p._1, p._2)).toSeq
+    val bc = P.verifyJaccard(sh, cands, indexBroadcastable = true)
+    val smj = P.verifyJaccard(sh, cands, indexBroadcastable = false)
+    assert(rows(bc) === rows(smj))
+    assert(rows(smj).nonEmpty)
+    // The gated plan must not broadcast any shingle-index side; at this
+    // tiny scale the ungated plan broadcasts (the misestimate the gate
+    // exists to catch is only dangerous at corpus scale).
+    val smjPlan = smj.queryExecution.executedPlan.toString
+    assert(!smjPlan.contains("BroadcastHashJoin"), smjPlan)
+    val bcPlan = bc.queryExecution.executedPlan.toString
+    assert(bcPlan.contains("BroadcastHashJoin"), bcPlan)
+    // Gate arithmetic: true under the default 10 MB threshold at sf0.001,
+    // false in a session whose threshold is below the exploded estimate.
+    assert(P.shingleIndexBroadcastable(spark, sf))
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    assert(!P.shingleIndexBroadcastable(s2, sf))
+  }
+
   test("minhash-LSH candidates verified by exact Jaccard are a subset of the " +
     "full inverted-index pairs") {
     val exact = run("p_dedup_ngram_jaccard").collect()
