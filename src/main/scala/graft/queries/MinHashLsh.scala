@@ -33,11 +33,12 @@ object MinHashLsh {
   def h32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** The 4 band-key columns over signature columns `m0..m15`. */
-  private def bandKeyCols: Seq[Column] = (0 until 4).map { b =>
-    val ms = (0 until 4).map(r => col(s"m${4 * b + r}").cast("string"))
+  /** The 4 band-key columns over signature columns `<prefix>0..<prefix>15`. */
+  private def bandKeyColsOf(prefix: String): Seq[Column] = (0 until 4).map { b =>
+    val ms = (0 until 4).map(r => col(s"$prefix${4 * b + r}").cast("string"))
     md5(concat_ws(",", ms: _*))
   }
+  private def bandKeyCols: Seq[Column] = bandKeyColsOf("m")
 
   /** Batch form: `(doc_id, band, bkey)` from exploded hashed shingle rows
     * `(doc_id, sh, h)` — one groupBy + one posexplode pass. */
@@ -64,5 +65,26 @@ object MinHashLsh {
       .filter(size(col("shs")) > 0)
       .select(col("doc_id") +: sigCols: _*)
       .select(col("doc_id"), posexplode(array(bandKeyCols: _*)).as(Seq("band", "bkey")))
+  }
+
+  /** Per-row band keys as COLUMNS `bkey0..bkey3` appended to `docs` —
+    * the same keys [[perRowBands]] explodes, kept un-exploded so a
+    * row-preserving consumer (one output row per doc, e.g. the online
+    * curation gate's flag joins) needs no re-aggregation. Documents with
+    * no shingle (< 3 words) get NULL keys — null never equi-joins, which
+    * reproduces the exploded form's emit-nothing behavior. */
+  def withRowBandKeys(docs: DataFrame): DataFrame = {
+    val shs = graft.functions.WordShingles.shingles(col("text"), 3)
+    val sigCols = (0 until 16).map { j =>
+      array_min(transform(col("__shs"),
+        sh => (lit(A(j)) * h32(sh) + lit(B(j))) % lit(P))).as(s"__m$j")
+    }
+    val sigs = docs
+      .withColumn("__shs", shs)
+      .select(col("*") +: sigCols: _*)
+    val keyed = bandKeyColsOf("__m").map(c => when(size(col("__shs")) > 0, c))
+      .zipWithIndex
+      .foldLeft(sigs) { case (df, (c, b)) => df.withColumn(s"bkey$b", c) }
+    keyed.drop("__shs").drop((0 until 16).map(j => s"__m$j"): _*)
   }
 }

@@ -232,6 +232,64 @@ object StreamingAnalytics {
     * there is no watermark and no state store. One-sided error: false
     * positives only, so an online quarantine can over-hold, never leak a
     * contaminated doc the batch join would have caught. */
+  /** The ONLINE curation front door — [[qualityGate]], the near-dup
+    * probe, and [[decontaminationProbe]] composed into ONE per-document
+    * routing decision: the streaming mirror of the batch
+    * CurationPipeline's screening stages (quality → near-dup →
+    * decontamination) for documents arriving against a materialized
+    * corpus.
+    *
+    * Near-dup stays row-preserving (exactly one output row per incoming
+    * doc) with NO stream state: the corpus band index is pre-aggregated
+    * to one row per `(band, bkey)` — `(n_docs, min_doc)` — and the doc's
+    * four per-row band keys ([[graft.queries.MinHashLsh.withRowBandKeys]],
+    * zero shuffle) each left-join that profile. A key collides with some
+    * OTHER document iff `n_docs > 1` or its only holder isn't this doc —
+    * so re-ingesting a doc already in the corpus does not self-flag,
+    * matching the candidate join's `corpus_doc_id != doc_id` filter. (The
+    * exploded candidate form, [[streamStaticNearDupProbe]], would need a
+    * per-doc aggregation — stream STATE — to fold back to a verdict; it
+    * remains the right op when the consumer wants the colliding ids for
+    * exact verification.)
+    *
+    * Route precedence mirrors the batch stage order:
+    * `quarantine_quality` > `quarantine_neardup` >
+    * `quarantine_contaminated` > `keep`. Still stateless end to end — no
+    * watermark, no state store; the only shuffles are the static side's
+    * one-time aggregation. At 100 TB the per-key profile is bounded by
+    * distinct band keys (≤ corpus docs × 4) and broadcasts or
+    * bucket-joins exactly as the batch candidate join plans. */
+  def onlineCurationGate(
+      docs: DataFrame, // streaming; columns: doc_id, text, ...
+      bandIndex: DataFrame, // static corpus band index: doc_id, band, bkey
+      evalSketch: org.apache.spark.util.sketch.BloomFilter,
+      contaminationPctMax: Int = 10): DataFrame = {
+    val byKey = bandIndex.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+    val screened = decontaminationProbe(
+      qualityGate(docs).drop("route"), evalSketch, contaminationPctMax)
+    val keyed = graft.queries.MinHashLsh.withRowBandKeys(screened)
+    val joined = (0 until 4).foldLeft(keyed) { (df, b) =>
+      df.join(
+        byKey.filter(col("band") === b)
+          .select(col("bkey").as(s"bkey$b"),
+            col("n_docs").as(s"__n$b"), col("min_doc").as(s"__min$b")),
+        Seq(s"bkey$b"), "left")
+    }
+    val collides = (0 until 4).map { b =>
+      col(s"__n$b") > 1 || (col(s"__n$b") === 1 && col(s"__min$b") =!= col("doc_id"))
+    }.reduce(_ || _)
+    joined
+      .withColumn("neardup_flag", coalesce(collides, lit(false)).cast("long"))
+      .withColumn("route",
+        when(col("keep") === 0, "quarantine_quality")
+          .when(col("neardup_flag") === 1, "quarantine_neardup")
+          .when(col("flagged") === 1, "quarantine_contaminated")
+          .otherwise("keep"))
+      .drop((0 until 4).flatMap(b =>
+        Seq(s"bkey$b", s"__n$b", s"__min$b")): _*)
+  }
+
   def decontaminationProbe(
       docs: DataFrame, // columns: doc_id, text, ...
       evalSketch: org.apache.spark.util.sketch.BloomFilter,

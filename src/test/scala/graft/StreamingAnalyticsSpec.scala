@@ -273,6 +273,87 @@ class StreamingAnalyticsSpec extends SparkTestBase {
       "corpus should exercise both routes")
   }
 
+  test("online curation gate E2E: the composed stream (quality -> near-dup " +
+    "-> decontamination) routes every doc exactly as the batch screening " +
+    "operators do on the same corpus, with no stream state") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    val isEval = col("source").isin("src0", "src1")
+    // Batch-materialized statics: the corpus band index (train slice) and
+    // the eval-shingle Bloom sketch — what a deployment maintains anyway.
+    val train = raw.filter(!isEval).select("doc_id", "text")
+    val bandIndex = graft.queries.MinHashLsh.bandsOf(
+      train.select(col("doc_id"),
+        explode(graft.functions.WordShingles.shingles(col("text"), 3)).as("sh"))
+        .withColumn("h", graft.queries.MinHashLsh.h32(col("sh"))))
+    val evalSh = raw.filter(isEval)
+      .select(explode(
+        graft.functions.WordShingles.shingles(col("text"), 3)).as("sh"))
+      .distinct()
+    val sketch = evalSh.stat.bloomFilter("sh", math.max(evalSh.count(), 1L), 0.001)
+
+    // Stream the SAME train corpus through the gate (self-screening: the
+    // batch pipeline's shape — every doc judged against the full corpus).
+    val corpus = train.collect().map(r => (r.getLong(0), r.getString(1)))
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingAnalytics.onlineCurationGate(
+      source.toDF().toDF("doc_id", "text"), bandIndex, sketch)
+      .select("doc_id", "keep", "neardup_flag", "flagged", "route")
+      .writeStream.format("memory").queryName("curation_gate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(corpus.take(60): _*)
+      q.processAllAvailable()
+      source.addData(corpus.drop(60): _*)
+      q.processAllAvailable()
+      assert(!q.lastProgress.json.contains("stateOperators\":[{"),
+        "the gate must hold no stream state")
+    } finally q.stop()
+    val got = spark.table("curation_gate").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toMap
+    assert(got.size === corpus.length, "exactly one verdict row per doc")
+
+    // Batch ground truths, from the operators the gate mirrors.
+    val batchKeep = graft.queries.GopherRules.withFlags(
+        corpus.toSeq.toDF("doc_id", "text"))
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // A doc near-dup-flags iff any of its band keys is shared with some
+    // OTHER doc — i.e. it appears in the batch candidate-pair set.
+    val ba = bandIndex.select(col("doc_id").as("da"), col("band"), col("bkey"))
+    val bb = bandIndex.select(col("doc_id").as("db"), col("band"), col("bkey"))
+    val inPair = ba.join(bb, Seq("band", "bkey"))
+      .filter(col("da") =!= col("db"))
+      .select(explode(array(col("da"), col("db"))).as("doc_id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    // Decontamination ground truth: the probe's own batch run (same
+    // sketch — bit-identical flags, FPs included).
+    val batchDecon = StreamingAnalytics.decontaminationProbe(
+        corpus.toSeq.toDF("doc_id", "text"), sketch)
+      .select("doc_id", "flagged").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    corpus.foreach { case (id, _) =>
+      val (keep, nd, fl, route) = got(id)
+      assert(keep === batchKeep(id), s"doc $id quality verdict")
+      assert(nd === (if (inPair(id)) 1L else 0L), s"doc $id neardup verdict")
+      assert(fl === batchDecon(id), s"doc $id decontamination verdict")
+      val expectedRoute =
+        if (keep == 0L) "quarantine_quality"
+        else if (nd == 1L) "quarantine_neardup"
+        else if (fl == 1L) "quarantine_contaminated"
+        else "keep"
+      assert(route === expectedRoute, s"doc $id route")
+    }
+    assert(got.values.map(_._4).toSet.size >= 3,
+      "corpus should exercise several routes")
+  }
+
   test("streaming decontamination probe: online flags dominate the exact " +
     "batch overlap (one-sided sketch error) and agree on the clean docs") {
     implicit val s = spark
