@@ -171,6 +171,108 @@ object PayloadCodec {
     TabletIndexPayload(squelched, entries.toSeq)
   }
 
+  // -------------------------------------------------------- write request
+
+  /** One KV cell of a marshalled write request: `pbfluxdb.WriteEntry
+    * { bytes key = 1; bytes value = 2; }` — key packed by [[KeyCodec]],
+    * value the embedder's opaque payload (empty ⇔ deletion). */
+  final case class WriteEntryPayload(key: Array[Byte], value: Array[Byte])
+
+  /** Decoded `pbfluxdb.WriteRequest` — the sharder's segment-file record
+    * (sharder.go:61–283) and the gRPC ingestion unit (types.go:52–108):
+    * `repeated WriteEntry singlet_entries = 1; repeated WriteEntry
+    * tablet_rows = 2; uint64 height = 3; BlockRef block = 4` (field
+    * numbers follow the message's declared field order, the same
+    * derivation confirmed byte-exact for Checkpoint by the reference's
+    * golden vector; decode tolerates any on-wire order regardless). */
+  final case class WriteRequestPayload(
+      singletEntries: Seq[WriteEntryPayload],
+      tabletRows: Seq[WriteEntryPayload],
+      height: Long, blockNum: Long, blockId: String)
+
+  def encodeWriteRequest(p: WriteRequestPayload): Array[Byte] = {
+    val w = new Writer
+    def entry(field: Int, e: WriteEntryPayload): Unit = {
+      val ew = new Writer
+      if (e.key.nonEmpty) { ew.tag(1, 2); ew.bytes(e.key) }
+      if (e.value.nonEmpty) { ew.tag(2, 2); ew.bytes(e.value) }
+      w.tag(field, 2); w.bytes(ew.toBytes)
+    }
+    p.singletEntries.foreach(entry(1, _))
+    p.tabletRows.foreach(entry(2, _))
+    if (p.height != 0) { w.tag(3, 0); w.varint(p.height) }
+    val block = new Writer
+    if (p.blockNum != 0) { block.tag(1, 0); block.varint(p.blockNum) }
+    if (p.blockId.nonEmpty) { block.tag(2, 2); block.bytes(p.blockId.getBytes("UTF-8")) }
+    w.tag(4, 2); w.bytes(block.toBytes)
+    w.toBytes
+  }
+
+  def decodeWriteRequest(data: Array[Byte]): WriteRequestPayload = {
+    val singlets = scala.collection.mutable.ArrayBuffer.empty[WriteEntryPayload]
+    val tablets = scala.collection.mutable.ArrayBuffer.empty[WriteEntryPayload]
+    var height = 0L; var num = 0L; var id = ""
+    def entry(b: Array[Byte]): WriteEntryPayload = {
+      val er = new Reader(b)
+      var k = Array.emptyByteArray; var v = Array.emptyByteArray
+      while (er.hasRemaining) {
+        val key = er.varint()
+        (key >>> 3, (key & 7).toInt) match {
+          case (1, 2) => k = er.bytes()
+          case (2, 2) => v = er.bytes()
+          case (_, w) => er.skip(w)
+        }
+      }
+      WriteEntryPayload(k, v)
+    }
+    val r = new Reader(data)
+    while (r.hasRemaining) {
+      val key = r.varint()
+      (key >>> 3, (key & 7).toInt) match {
+        case (1, 2) => singlets += entry(r.bytes())
+        case (2, 2) => tablets += entry(r.bytes())
+        case (3, 0) => height = r.varint()
+        case (4, 2) =>
+          val br = new Reader(r.bytes())
+          while (br.hasRemaining) {
+            val k = br.varint()
+            (k >>> 3, (k & 7).toInt) match {
+              case (1, 0) => num = br.varint()
+              case (2, 2) => id = new String(br.bytes(), "UTF-8")
+              case (_, w) => br.skip(w)
+            }
+          }
+        case (_, w) => r.skip(w)
+      }
+    }
+    WriteRequestPayload(singlets.toSeq, tablets.toSeq, height, num, id)
+  }
+
+  /** A model [[WriteRequest]] as its wire form — `ToProto` + `Marshal`
+    * (types.go:84–108): keys packed by [[KeyCodec]] (identifiers UTF-8,
+    * the test-collection convention), values the rows' opaque payloads,
+    * deletions as empty values. The inverse needs the embedder's
+    * collection registry to size identifiers (key parsing is
+    * registry-driven in the reference too), so decoding returns raw
+    * [[WriteEntryPayload]]s for the caller's [[KeyCodec]] parse —
+    * `PayloadCodecSpec` demonstrates the full round trip. */
+  def writeRequestToWire(r: WriteRequest): Array[Byte] =
+    encodeWriteRequest(WriteRequestPayload(
+      r.singletEntries.map { e =>
+        WriteEntryPayload(
+          KeyCodec.keyForSingletEntry(
+            e.collection, e.singletId.getBytes("UTF-8"), e.height),
+          if (e.isDeletion) Array.emptyByteArray else e.value)
+      },
+      r.tabletRows.map { row =>
+        WriteEntryPayload(
+          KeyCodec.keyForTabletRow(
+            row.collection, row.tabletId.getBytes("UTF-8"),
+            row.height, row.primaryKey.getBytes("UTF-8")),
+          if (row.isDeletion) Array.emptyByteArray else row.value)
+      },
+      r.height, r.block.num, r.block.id))
+
   // ------------------------------------------------- distributed decoding
 
   /** Explode a binary column of reference index-singlet cells into

@@ -85,6 +85,44 @@ class PayloadCodecSpec extends SparkTestBase {
       TabletIndexPayload(2L, Seq.empty))
   }
 
+  test("write request wire round-trip: model -> proto3 bytes -> entries, " +
+    "keys recovered byte-exactly through KeyCodec (the sharder segment " +
+    "format, types.go:84-108 + sharder.go)") {
+    import graft.model.{BlockRef, KeyCodec, SingletEntryM, TabletRowM, WriteRequest}
+    val req = WriteRequest(
+      height = 42L,
+      block = BlockRef("abc123", 42L),
+      tabletRows = Seq(
+        TabletRowM(1, "t1", 42L, "pk0", "v0".getBytes("UTF-8"), isDeletion = false),
+        TabletRowM(1, "t1", 42L, "pk1", Array.emptyByteArray, isDeletion = true)),
+      singletEntries = Seq(
+        SingletEntryM(7, "s1", 42L, Array[Byte](9, 8, 7), isDeletion = false)))
+    val wire = PayloadCodec.writeRequestToWire(req)
+    val back = PayloadCodec.decodeWriteRequest(wire)
+    assert(back.height === 42L)
+    assert(back.blockNum === 42L && back.blockId === "abc123")
+    assert(back.tabletRows.length === 2 && back.singletEntries.length === 1)
+    // Keys parse back through KeyCodec with the embedder's identifiers.
+    back.tabletRows.zip(req.tabletRows).foreach { case (e, row) =>
+      val (h, pk) = KeyCodec.decodeTabletRowKey(
+        e.key, row.collection, row.tabletId.getBytes("UTF-8"))
+      assert(h === row.height)
+      assert(new String(pk, "UTF-8") === row.primaryKey)
+      assert(e.value.isEmpty === row.isDeletion) // deletion ⇔ empty value
+      if (!row.isDeletion) assert(e.value.toSeq === row.value.toSeq)
+    }
+    val se = back.singletEntries.head
+    assert(KeyCodec.decodeSingletEntryKey(se.key, 7, "s1".getBytes("UTF-8")) === 42L)
+    assert(se.value.toSeq === Seq[Byte](9, 8, 7))
+    // Wire-order tolerance: height/block first, entries interleaved.
+    val reordered = PayloadCodec.decodeWriteRequest(
+      hex("1803" + "2202" + "0801" +
+        toHex(PayloadCodec.encodeWriteRequest(
+          PayloadCodec.WriteRequestPayload(Seq.empty, back.tabletRows.take(1), 0, 0, "")))))
+    assert(reordered.height === 3L && reordered.blockNum === 1L)
+    assert(reordered.tabletRows.length === 1)
+  }
+
   test("explodeTabletIndexCells decodes a corpus of index cells where the " +
     "data lives (distributed), preserving tablet keys and squelch counts") {
     implicit val s = spark
