@@ -1747,6 +1747,67 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
+    // Bigram LM fit score (the log-free perplexity proxy): per document,
+    // the MEAN conditional probability of its word bigrams under the
+    // corpus's own bigram model — P(w2|w1) = c(w1 w2) / c(w1 ·) — in exact
+    // ppm integers. Low scores mark out-of-distribution documents (the
+    // quality-ranking signal a KenLM perplexity filter provides, e.g.
+    // CCNet, arXiv:1911.00359), high scores mark formulaic/templated text;
+    // integer rational arithmetic instead of log-probs keeps both engines
+    // bit-identical (a log would diverge at ULP level, and c12·1e6 is
+    // computed in DECIMAL(38,0) — at 1e13 corpus tokens the BIGINT product
+    // wraps). 100 TB posture: both count tables are DISTINCT-bigram-
+    // bounded (≤ min(vocab², corpus tokens)) and map-side combined; the
+    // probability join is one equi-join of the exploded bigrams against
+    // them — shuffle bounded by corpus tokens, with AQE free to broadcast
+    // the count tables only when their POST-AGGREGATE size is known small;
+    // no stage depends on broadcast for correctness. Docs with < 2 words
+    // have no bigram and are excluded by construction in both engines.
+    QuerySpec.sql(
+      "p_lm_bigram_score",
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), b AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |                                       i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        |  FROM w
+        |), cbi AS (
+        |  SELECT bigram, count(*) AS c12 FROM b GROUP BY 1
+        |), cuni AS (
+        |  SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS c1
+        |  FROM b GROUP BY 1
+        |), scored AS (
+        |  SELECT b.doc_id,
+        |         CAST((CAST(c.c12 AS HUGEINT) * 1000000) // u.c1 AS BIGINT) AS p_ppm
+        |  FROM b
+        |  JOIN cbi c USING (bigram)
+        |  JOIN cuni u ON split_part(b.bigram, ' ', 1) = u.w1
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(p_ppm) // count(*) AS BIGINT) AS score_ppm
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val bi = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          "transform(slice(ws, 1, size(ws) - 1), (w, i) -> concat(w, ' ', ws[i + 1]))"))
+          .as("bigram"))
+        // One explode pass feeds both counts and the probability join.
+        .persist()
+      val w1 = element_at(split(col("bigram"), " "), 1)
+      val cBi = bi.groupBy("bigram").agg(count(lit(1)).as("c12"))
+      val cUni = bi.groupBy(w1.as("w1")).agg(count(lit(1)).as("c1"))
+      bi.join(cBi, "bigram")
+        .join(cUni, w1 === col("w1"))
+        .select(col("doc_id"),
+          expr("CAST((CAST(c12 AS DECIMAL(38,0)) * 1000000) div c1 AS BIGINT)")
+            .as("p_ppm"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("CAST(sum(p_ppm) div count(1) AS BIGINT)").as("score_ppm"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------------
     // Per-source quota sampling: cap every source (domain) at 10 documents,
     // chosen by a deterministic md5 order — the standard per-domain cap a
     // web-crawl curation pass applies so no single domain dominates the

@@ -832,6 +832,28 @@ class PipelineQueriesSpec extends SparkTestBase {
     queries.CurationPipeline.release(spark, sf)
   }
 
+  test("bigram LM fit score equals a Scala model: per-doc mean of " +
+    "c(w1 w2)*1e6 div c(w1 .) over the corpus's own bigram counts") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bigrams = corpus.flatMap { case (id, t) =>
+      t.split(" ", -1).sliding(2).filter(_.length == 2).map(a => (id, a(0), a(1)))
+    }
+    val c12 = bigrams.groupBy(b => (b._2, b._3)).map { case (k, v) => k -> v.size }
+    val c1 = bigrams.groupBy(_._2).map { case (k, v) => k -> v.size }
+    val expected = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val ppms = bs.map(b => BigInt(c12((b._2, b._3))) * 1000000 / c1(b._2))
+      (id, bs.length.toLong, (ppms.sum / ppms.length).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = run("p_lm_bigram_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // A conditional-probability mean lives in (0, 1e6] ppm.
+    assert(got.forall(r => r._3 > 0 && r._3 <= 1000000L))
+    assert(got.map(_._3).distinct.length > 1, "scores should discriminate")
+  }
+
   test("count-min-sketch heavy hitters: estimates dominate exact counts, " +
     "agree with the exact top-k keys, and overshoot stays within eps*N") {
     val exact = run("p_ngram_topk").collect()
