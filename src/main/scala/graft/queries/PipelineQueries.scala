@@ -1808,6 +1808,89 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
+    // Data-selection importance weighting (the DSIR shape, arXiv:
+    // 2302.03169, linearized): per TRAIN document, its fit under a bigram
+    // model of the TARGET distribution (the eval slice — what we want
+    // more of) MINUS its fit under the train corpus's own model; positive
+    // importance = looks more like the target than like the corpus —
+    // rank by it to select pretraining data for a domain. DSIR proper
+    // sums log-likelihood ratios; logs (and therefore products) cannot be
+    // bit-identical across engines, so this linearization differences the
+    // MEAN conditional probabilities in exact ppm (documented trade —
+    // the RANKING signal, which is what selection consumes, is
+    // preserved; a bigram unseen in a model scores 0 there, the
+    // zero-smoothing choice made deterministic). Same 100 TB posture as
+    // `p_lm_bigram_score`: two distinct-bigram-bounded count tables per
+    // model, map-side combined; per-doc scoring is LEFT equi-joins of the
+    // exploded train bigrams — token-bounded shuffles, no broadcast
+    // dependence.
+    QuerySpec.sql(
+      "p_dsir_importance",
+      """WITH w AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+        |), b AS (
+        |  SELECT doc_id, source, unnest(list_transform(range(1, len(ws)),
+        |                                i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        |  FROM w
+        |), bt AS (SELECT bigram FROM b WHERE source IN ('src0', 'src1')),
+        |bc AS (SELECT doc_id, bigram FROM b WHERE source NOT IN ('src0', 'src1')),
+        |cbi_t AS (SELECT bigram, count(*) AS c12 FROM bt GROUP BY 1),
+        |cuni_t AS (SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS c1
+        |           FROM bt GROUP BY 1),
+        |cbi_c AS (SELECT bigram, count(*) AS c12 FROM bc GROUP BY 1),
+        |cuni_c AS (SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS c1
+        |           FROM bc GROUP BY 1),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |         coalesce(CAST((CAST(t.c12 AS HUGEINT) * 1000000) // tu.c1
+        |                       AS BIGINT), 0) AS pt_ppm,
+        |         coalesce(CAST((CAST(c.c12 AS HUGEINT) * 1000000) // cu.c1
+        |                       AS BIGINT), 0) AS pc_ppm
+        |  FROM bc b
+        |  LEFT JOIN cbi_t t USING (bigram)
+        |  LEFT JOIN cuni_t tu ON split_part(b.bigram, ' ', 1) = tu.w1
+        |  LEFT JOIN cbi_c c USING (bigram)
+        |  LEFT JOIN cuni_c cu ON split_part(b.bigram, ' ', 1) = cu.w1
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(pt_ppm) // count(*) AS BIGINT) AS target_ppm,
+        |       CAST(sum(pc_ppm) // count(*) AS BIGINT) AS corpus_ppm,
+        |       CAST(sum(pt_ppm) // count(*) - sum(pc_ppm) // count(*)
+        |            AS BIGINT) AS importance_ppm
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val isEval = col("source").isin("src0", "src1")
+      def bigramsOf(d: DataFrame): DataFrame = d
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          "transform(slice(ws, 1, size(ws) - 1), (w, i) -> concat(w, ' ', ws[i + 1]))"))
+          .as("bigram"))
+      val d = docs(s, dir)
+      val bt = bigramsOf(d.filter(isEval))
+      val bc = bigramsOf(d.filter(!isEval)).persist()
+      val w1 = element_at(split(col("bigram"), " "), 1)
+      def model(b: DataFrame, suffix: String): (DataFrame, DataFrame) = (
+        b.groupBy("bigram").agg(count(lit(1)).as(s"c12$suffix")),
+        b.groupBy(w1.as(s"w1$suffix")).agg(count(lit(1)).as(s"c1$suffix")))
+      val (cbiT, cuniT) = model(bt, "_t")
+      val (cbiC, cuniC) = model(bc, "_c")
+      def ppm(c12: String, c1: String): Column = coalesce(
+        expr(s"CAST((CAST($c12 AS DECIMAL(38,0)) * 1000000) div $c1 AS BIGINT)"),
+        lit(0L))
+      bc.join(cbiT, Seq("bigram"), "left")
+        .join(cuniT, w1 === col("w1_t"), "left")
+        .join(cbiC, Seq("bigram"), "left")
+        .join(cuniC, w1 === col("w1_c"), "left")
+        .select(col("doc_id"),
+          ppm("c12_t", "c1_t").as("pt_ppm"), ppm("c12_c", "c1_c").as("pc_ppm"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("CAST(sum(pt_ppm) div count(1) AS BIGINT)").as("target_ppm"),
+          expr("CAST(sum(pc_ppm) div count(1) AS BIGINT)").as("corpus_ppm"))
+        .withColumn("importance_ppm", col("target_ppm") - col("corpus_ppm"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------------
     // Per-source quota sampling: cap every source (domain) at 10 documents,
     // chosen by a deterministic md5 order — the standard per-domain cap a
     // web-crawl curation pass applies so no single domain dominates the

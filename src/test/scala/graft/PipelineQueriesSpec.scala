@@ -854,6 +854,42 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(got.map(_._3).distinct.length > 1, "scores should discriminate")
   }
 
+  test("DSIR importance equals a Scala model: train-doc target-fit minus " +
+    "corpus-fit in exact ppm, eval slice excluded, zero-smoothed OOV") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bigramsOf(rows: Seq[(Long, String, String)]) = rows.flatMap { case (id, t, _) =>
+      t.split(" ", -1).sliding(2).filter(_.length == 2).map(a => (id, a(0), a(1)))
+    }
+    val (eval_, train) = corpus.partition(r => r._3 == "src0" || r._3 == "src1")
+    val bt = bigramsOf(eval_)
+    val bc = bigramsOf(train.toSeq)
+    def modelOf(bs: Seq[(Long, String, String)]) = (
+      bs.groupBy(b => (b._2, b._3)).map { case (k, v) => k -> v.size },
+      bs.groupBy(_._2).map { case (k, v) => k -> v.size })
+    val (c12t, c1t) = modelOf(bt)
+    val (c12c, c1c) = modelOf(bc)
+    def ppm(c12: Map[(String, String), Int], c1: Map[String, Int],
+        b: (Long, String, String)): BigInt =
+      (c12.get((b._2, b._3)), c1.get(b._2)) match {
+        case (Some(n), Some(d)) => BigInt(n) * 1000000 / d
+        case _                  => BigInt(0)
+      }
+    val expected = bc.groupBy(_._1).map { case (id, bs) =>
+      val t = bs.map(ppm(c12t, c1t, _)).sum / bs.length
+      val c = bs.map(ppm(c12c, c1c, _)).sum / bs.length
+      (id, bs.length.toLong, t.toLong, c.toLong, (t - c).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = run("p_dsir_importance").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    val evalIds = eval_.map(_._1).toSet
+    assert(got.forall(r => !evalIds.contains(r._1)), "eval docs must not be scored")
+    assert(got.exists(_._5 != 0L), "importance should discriminate")
+  }
+
   test("count-min-sketch heavy hitters: estimates dominate exact counts, " +
     "agree with the exact top-k keys, and overshoot stays within eps*N") {
     val exact = run("p_ngram_topk").collect()
