@@ -1891,6 +1891,73 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
+    // Winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm):
+    // per document, hash its word 4-grams positionally, slide a w=4
+    // window over the hash sequence, keep each window's MINIMUM — the
+    // guarantee-bearing fingerprint selection (any shared substring of
+    // ≥ w+k−1 grams shares a fingerprint) that samples ~1/w of the grams
+    // position-robustly, unlike a global minhash. Values-only selection
+    // makes the MOSS rightmost-tie rule moot (the selected VALUE is the
+    // min either way). Output per doc: gram count, fingerprint count, and
+    // how many of its fingerprints some OTHER doc also selected — the
+    // span-sharing report at fingerprint (not full-span) cost. 100 TB
+    // posture: selection is scan-local array math (one lambda chain, no
+    // shuffle); the sharing join is fingerprint-bounded (~1/w of corpus
+    // grams, map-side-combined df counts) — the same two-aggregate shape
+    // as the boilerplate report, never a pairwise join.
+    QuerySpec.sql(
+      "p_winnow_fingerprint",
+      s"""WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), g AS (
+        |  SELECT doc_id, list_transform(range(1, len(ws) - 2),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS gs
+        |  FROM w WHERE len(ws) >= 4
+        |), h AS (
+        |  SELECT doc_id, len(gs) AS n_grams,
+        |         list_transform(gs, g -> ${oH32("g")}) AS hs
+        |  FROM g
+        |), f AS (
+        |  SELECT doc_id, n_grams,
+        |         list_distinct(list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+        |           i -> list_min(list_slice(hs, i, i + 3)))) AS fps
+        |  FROM h
+        |), fp AS (
+        |  SELECT doc_id, n_grams, unnest(fps) AS fp FROM f
+        |), df AS (
+        |  SELECT fp, count(*) AS n_docs FROM fp GROUP BY 1
+        |)
+        |SELECT p.doc_id, CAST(p.n_grams AS BIGINT) AS n_grams,
+        |       CAST(count(*) AS BIGINT) AS n_fingerprints,
+        |       CAST(sum(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_shared_fp
+        |FROM fp p JOIN df d USING (fp)
+        |GROUP BY p.doc_id, p.n_grams ORDER BY p.doc_id""".stripMargin) { (s, dir) =>
+      val fpRows = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 4)
+        .select(col("doc_id"), expr(
+          "transform(slice(ws, 1, size(ws) - 3)," +
+            " (w, i) -> concat_ws(' ', w, ws[i+1], ws[i+2], ws[i+3]))").as("gs"))
+        .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"), expr(
+          "transform(gs, g -> CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT))")
+          .as("hs"))
+        .select(col("doc_id"), col("n_grams"), explode(expr(
+          "array_distinct(transform(sequence(1, greatest(size(hs) - 3, 1))," +
+            " i -> array_min(slice(hs, i, 4))))")).as("fp"))
+        // One selection pass feeds both the df counts and the per-doc roll-up.
+        .persist()
+      val dfCounts = fpRows.groupBy("fp").agg(count(lit(1)).as("n_docs"))
+      fpRows.join(dfCounts, "fp")
+        .groupBy("doc_id", "n_grams")
+        .agg(count(lit(1)).as("n_fingerprints"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared_fp"))
+        .select(col("doc_id"), col("n_grams"), col("n_fingerprints"),
+          col("n_shared_fp"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------------
     // Per-source quota sampling: cap every source (domain) at 10 documents,
     // chosen by a deterministic md5 order — the standard per-domain cap a
     // web-crawl curation pass applies so no single domain dominates the

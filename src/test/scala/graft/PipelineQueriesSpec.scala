@@ -890,6 +890,55 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(got.exists(_._5 != 0L), "importance should discriminate")
   }
 
+  test("winnowing fingerprints equal a Scala model (window-min over " +
+    "positional 4-gram hashes) and honor the MOSS guarantee: a shared " +
+    "7-word run forces a shared fingerprint") {
+    import spark.implicits._
+    def winnow(text: String): (Long, Set[Long]) = {
+      val ws = text.split(" ", -1)
+      val gs = ws.sliding(4).filter(_.length == 4).map(_.mkString(" ")).toArray
+      val hs = gs.map(g => java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(g).substring(0, 8), 16))
+      val n = math.max(hs.length - 3, 1)
+      (gs.length.toLong,
+        (0 until n).map(i => hs.slice(i, i + 4).min).toSet)
+    }
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.split(" ", -1).length >= 4)
+    val models = corpus.map { case (id, t) => id -> winnow(t) }.toMap
+    val docCount = models.values.flatMap(_._2.map(_ -> 1)).groupBy(_._1)
+      .map { case (fp, xs) => fp -> xs.size }
+    val expected = models.toSeq.sortBy(_._1).map { case (id, (ng, fps)) =>
+      (id, ng, fps.size.toLong, fps.count(docCount(_) >= 2).toLong)
+    }
+    val got = run("p_winnow_fingerprint").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // Selection density: winnowing keeps ~1/w of grams, never more than all.
+    got.foreach { case (id, ng, nfp, _) =>
+      assert(nfp >= 1 && nfp <= ng, s"doc $id selected $nfp of $ng")
+    }
+
+    // The guarantee, end to end on a synthetic corpus: two docs sharing a
+    // 7-word run (w + k - 1 = 4 + 4 - 1) MUST share a fingerprint; a doc
+    // with fully disjoint vocabulary shares none.
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val dir = tmpDir("winnow")
+    Seq(
+      (1L, s"one two $shared three four", "en", "srcA", 0L),
+      (2L, s"five six seven $shared eight", "en", "srcA", 0L),
+      (3L, "p q r s t u v w x y z aa bb cc", "en", "srcA", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val synth = SparkEntry.queries("p_winnow_fingerprint")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(synth(1L) >= 1L && synth(2L) >= 1L,
+      "docs sharing a 7-word run must share a fingerprint")
+    assert(synth(3L) === 0L, "disjoint-vocabulary doc must share nothing")
+  }
+
   test("count-min-sketch heavy hitters: estimates dominate exact counts, " +
     "agree with the exact top-k keys, and overshoot stays within eps*N") {
     val exact = run("p_ngram_topk").collect()
