@@ -63,10 +63,12 @@ object Bench {
       // intermittently must not report its lucky fast run.
       name -> (if (ss.exists(_ < 0)) -1.0 else ss.min)
     }
-    // 3-decimal times and a basename sf keep the whole line under the
-    // driver's 2,000-char tail capture (round 9's full-precision line was
-    // 2,393 chars and lost its own total to truncation).
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // 2-decimal times and a basename sf keep the whole line under the
+    // driver's 2,000-char tail capture with headroom for more queries
+    // (round 9's full-precision line was 2,393 chars and lost its own
+    // total to truncation; 3 decimals hit exactly 1,998 at 79 queries).
+    // 10 ms resolution is far below the host's run-to-run noise.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
