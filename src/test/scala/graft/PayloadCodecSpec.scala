@@ -123,6 +123,57 @@ class PayloadCodecSpec extends SparkTestBase {
     assert(reordered.tabletRows.length === 1)
   }
 
+  test("property: all three payloads round-trip under seeded random fuzz " +
+    "(uint64-range heights, arbitrary binary keys/values, empty edges)") {
+    val rnd = new scala.util.Random(42)
+    def randBytes(max: Int): Array[Byte] = {
+      val b = new Array[Byte](rnd.nextInt(max))
+      rnd.nextBytes(b); b
+    }
+    def randLong(): Long = rnd.nextInt(4) match {
+      case 0 => rnd.nextLong() & Long.MaxValue // positive
+      case 1 => rnd.nextLong()                 // full uint64 range incl. "negative"
+      case 2 => rnd.nextInt(1000).toLong
+      case _ => 0L                             // the omitted-default path
+    }
+    (1 to 300).foreach { i =>
+      val cp = CheckpointPayload(randLong(), randLong(),
+        new String(randBytes(40).map(b => ('a' + ((b & 0x7F) % 26)).toByte)))
+      assert(PayloadCodec.decodeCheckpoint(PayloadCodec.encodeCheckpoint(cp)) === cp,
+        s"checkpoint iteration $i")
+
+      val ti = TabletIndexPayload(randLong(),
+        // Distinct, non-empty primary keys: the encoder sorts by key and a
+        // duplicate/empty key has no well-defined map semantics upstream
+        // (the reference's map can't hold duplicates either).
+        Seq.fill(rnd.nextInt(8))(randBytes(24)).filter(_.nonEmpty)
+          .map(_.toSeq).distinct.map(_.toArray)
+          .map(pk => (pk, randLong())))
+      val tiBack = PayloadCodec.decodeTabletIndex(PayloadCodec.encodeTabletIndex(ti))
+      assert(tiBack.squelchedCount === ti.squelchedCount, s"index iteration $i")
+      assert(tiBack.entries.map(e => (e._1.toSeq, e._2)).sortBy(_._1.map(b => b & 0xFF).mkString(","))
+        === ti.entries.map(e => (e._1.toSeq, e._2)).sortBy(_._1.map(b => b & 0xFF).mkString(",")),
+        s"index iteration $i")
+
+      val wr = PayloadCodec.WriteRequestPayload(
+        Seq.fill(rnd.nextInt(5))(
+          PayloadCodec.WriteEntryPayload(randBytes(32), randBytes(64))),
+        Seq.fill(rnd.nextInt(5))(
+          PayloadCodec.WriteEntryPayload(randBytes(32), randBytes(64))),
+        randLong(), randLong(),
+        new String(randBytes(20).map(b => ('a' + ((b & 0x7F) % 26)).toByte)))
+      val wrBack = PayloadCodec.decodeWriteRequest(PayloadCodec.encodeWriteRequest(wr))
+      assert(wrBack.height === wr.height && wrBack.blockNum === wr.blockNum &&
+        wrBack.blockId === wr.blockId, s"write request iteration $i")
+      def norm(es: Seq[PayloadCodec.WriteEntryPayload]) =
+        es.map(e => (e.key.toSeq, e.value.toSeq))
+      assert(norm(wrBack.singletEntries) === norm(wr.singletEntries),
+        s"write request singlets iteration $i")
+      assert(norm(wrBack.tabletRows) === norm(wr.tabletRows),
+        s"write request tablets iteration $i")
+    }
+  }
+
   test("explodeTabletIndexCells decodes a corpus of index cells where the " +
     "data lives (distributed), preserving tablet keys and squelch counts") {
     implicit val s = spark
