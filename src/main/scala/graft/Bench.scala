@@ -51,9 +51,8 @@ object Bench {
     // samples of a single query (observed in round 9: simhash min-of-3
     // reported 4.07 s back-to-back while the isolated warm cost was 0.84 s).
     val firstPass = named.map { case (name, fn) => name -> once(name, fn) }
-    val slow = named.filter { case (name, _) =>
-      firstPass.toMap.apply(name) >= 0.3
-    }
+    val firstByName = firstPass.toMap
+    val slow = named.filter { case (name, _) => firstByName(name) >= 0.3 }
     val resamples: Seq[(String, Double)] =
       (1 to 2).flatMap(_ => slow.map { case (name, fn) => name -> once(name, fn) })
     val samplesByName = (firstPass ++ resamples).groupBy(_._1)
@@ -68,7 +67,11 @@ object Bench {
     // (round 9's full-precision line was 2,393 chars and lost its own
     // total to truncation; 3 decimals hit exactly 1,998 at 79 queries).
     // 10 ms resolution is far below the host's run-to-run noise.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+    // on comma-decimal hosts would emit 0,94 and corrupt the JSON line.
+    def fmt(v: Double, places: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -76,7 +79,7 @@ object Bench {
     // incomparable at a glance — a crashed heavy query must not read as a
     // speedup.
     val sfName = new java.io.File(sfDir).getName
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -81,8 +81,12 @@ object PayloadCodec {
     def skip(wireType: Int): Unit = wireType match {
       case 0 => varint(); ()
       case 2 => bytes(); ()
-      case 5 => pos += 4
-      case 1 => pos += 8
+      case 5 =>
+        require(pos + 4 <= data.length, "truncated fixed32 field")
+        pos += 4
+      case 1 =>
+        require(pos + 8 <= data.length, "truncated fixed64 field")
+        pos += 8
       case w => throw new IllegalArgumentException(s"unsupported wire type $w")
     }
   }
@@ -287,10 +291,14 @@ object PayloadCodec {
       : org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val other = df.columns.filter(_ != valueCol).toSeq
-    require(other.isEmpty || other == Seq("tablet_key"),
-      "pass (tablet_key, value) or just (value)")
-    if (other.isEmpty)
+    // Column ORDER matters: the tuple decode below binds by ordinal, so a
+    // (value, tablet_key)-ordered frame must be rejected, not decoded
+    // against the wrong column.
+    require(df.columns.toSeq == Seq(valueCol) ||
+        df.columns.toSeq == Seq("tablet_key", valueCol),
+      s"pass (tablet_key, $valueCol) or just ($valueCol) in that order, " +
+        s"got (${df.columns.mkString(", ")})")
+    if (df.columns.length == 1)
       df.as[Array[Byte]].flatMap { v =>
         val p = decodeTabletIndex(v)
         if (p.entries.isEmpty) Seq((p.squelchedCount, null: Array[Byte], 0L))

@@ -112,7 +112,8 @@ object PipelineQueries {
     parseEmbedExactMax(sys.env.get("GRAFT_EMBED_EXACT_MAX_ROWS"))
 
   private[graft] def parseEmbedExactMax(raw: Option[String]): Long =
-    raw.flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(250000L)
+    raw.flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .filter(_ > 0).getOrElse(250000L)
 
   private[graft] def guardEmbedExact(s: SparkSession, dir: String,
       maxRows: Long = embedExactMaxRows): Unit = {
@@ -316,16 +317,22 @@ object PipelineQueries {
     * 3-word shingle string + doc_id + row overhead ≈ 70 B). One cheap
     * single-column scan, memoized per (session, corpus). */
   private val shingleBcMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), java.lang.Boolean]()
+    (SparkSession, String, Long), java.lang.Boolean]()
 
-  private[graft] def shingleIndexBroadcastable(s: SparkSession, dir: String): Boolean =
-    shingleBcMemo.computeIfAbsent((s, dir), _ => {
-      val bcThreshold = s.sessionState.conf.autoBroadcastJoinThreshold
+  private[graft] def shingleIndexBroadcastable(s: SparkSession, dir: String): Boolean = {
+    // The threshold is part of the memo key: a session that later lowers
+    // autoBroadcastJoinThreshold (Probe's PROBE_BC_THRESHOLD override, a
+    // service reconfiguring) must not inherit a verdict computed under
+    // the old setting.
+    val bcThreshold = s.sessionState.conf.autoBroadcastJoinThreshold
+    shingleBcMemo.computeIfAbsent((s, dir, bcThreshold), _ =>
       bcThreshold > 0 && {
-        val totalChars = docs(s, dir).agg(sum(col("n_chars"))).collect()(0).getLong(0)
+        // sum over zero rows is null — an empty corpus broadcasts trivially.
+        val totalChars = Option(docs(s, dir).agg(sum(col("n_chars")))
+          .collect()(0).get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
         totalChars * 12L <= bcThreshold
-      }
-    })
+      })
+  }
 
   /** Exact-Jaccard verification of candidate `(da, db)` pairs against the
     * shingle index: keeps pairs with J >= 0.5 (integer arithmetic), with

@@ -232,6 +232,22 @@ object StreamingAnalytics {
     * there is no watermark and no state store. One-sided error: false
     * positives only, so an online quarantine can over-hold, never leak a
     * contaminated doc the batch join would have caught. */
+  def decontaminationProbe(
+      docs: DataFrame, // columns: doc_id, text, ...
+      evalSketch: org.apache.spark.util.sketch.BloomFilter,
+      pctMax: Int = 10): DataFrame = {
+    val hits = udf((shs: Seq[String]) =>
+      shs.count(evalSketch.mightContain).toLong)
+    docs
+      .withColumn("__sh", graft.functions.WordShingles.shingles(col("text"), 3))
+      .withColumn("n_shingles", size(col("__sh")).cast("long"))
+      .withColumn("n_hits", hits(col("__sh")))
+      .withColumn("flagged",
+        (col("n_hits") * 100 >= lit(pctMax.toLong) *
+          greatest(col("n_shingles"), lit(1L))).cast("long"))
+      .drop("__sh")
+  }
+
   /** The ONLINE curation front door — [[qualityGate]], the near-dup
     * probe, and [[decontaminationProbe]] composed into ONE per-document
     * routing decision: the streaming mirror of the batch
@@ -290,19 +306,4 @@ object StreamingAnalytics {
         Seq(s"bkey$b", s"__n$b", s"__min$b")): _*)
   }
 
-  def decontaminationProbe(
-      docs: DataFrame, // columns: doc_id, text, ...
-      evalSketch: org.apache.spark.util.sketch.BloomFilter,
-      pctMax: Int = 10): DataFrame = {
-    val hits = udf((shs: Seq[String]) =>
-      shs.count(evalSketch.mightContain).toLong)
-    docs
-      .withColumn("__sh", graft.functions.WordShingles.shingles(col("text"), 3))
-      .withColumn("n_shingles", size(col("__sh")).cast("long"))
-      .withColumn("n_hits", hits(col("__sh")))
-      .withColumn("flagged",
-        (col("n_hits") * 100 >= lit(pctMax.toLong) *
-          greatest(col("n_shingles"), lit(1L))).cast("long"))
-      .drop("__sh")
-  }
 }

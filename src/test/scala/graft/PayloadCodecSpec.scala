@@ -75,6 +75,13 @@ class PayloadCodecSpec extends SparkTestBase {
     assert(got.squelchedCount === 2L)
     assert(got.entries.map(e => (new String(e._1, "UTF-8"), e._2)).sorted ===
       Seq(("0000000000000002", 4L), ("0000000000000003", 5L)))
+    // A payload truncated INSIDE an unknown fixed-width field fails loudly
+    // like every other truncation path (field 7, wire type 1 = fixed64,
+    // only 3 of 8 value bytes present).
+    val exTrunc = intercept[IllegalArgumentException] {
+      PayloadCodec.decodeTabletIndex(hex("0802" + "39" + "aabbcc"))
+    }
+    assert(exTrunc.getMessage.contains("truncated fixed64"))
   }
 
   test("no_rows index round-trips (indexing_test.go no_rows case): empty " +
@@ -193,5 +200,12 @@ class PayloadCodecSpec extends SparkTestBase {
     assert(out === Array(
       ("tk-a", 7L, Some(pkA.toSeq), 42L),
       ("tk-b", 1L, None, 0L)))
+    // The tuple decode binds by ordinal — a frame with the columns in the
+    // wrong ORDER must be rejected, not decoded against the wrong column.
+    val ex = intercept[IllegalArgumentException] {
+      PayloadCodec.explodeTabletIndexCells(
+        df.select("value", "tablet_key"), "value")
+    }
+    assert(ex.getMessage.contains("in that order"))
   }
 }

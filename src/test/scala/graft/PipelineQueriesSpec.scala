@@ -809,6 +809,8 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(run("p_dedup_embed").count() > 0)
     assert(queries.PipelineQueries.parseEmbedExactMax(Some("12")) === 12L)
     assert(queries.PipelineQueries.parseEmbedExactMax(Some("nope")) === 250000L)
+    assert(queries.PipelineQueries.parseEmbedExactMax(Some("0")) === 250000L)
+    assert(queries.PipelineQueries.parseEmbedExactMax(Some("-5")) === 250000L)
     assert(queries.PipelineQueries.parseEmbedExactMax(None) === 250000L)
   }
 
