@@ -2041,7 +2041,324 @@ object PipelineQueries {
         }
       }.toDF("doc_id", "frame_idx", "n_frames", "width", "height", "mean_luma_milli")
         .orderBy("doc_id", "frame_idx")
+    },
+
+    // ---------------------------------------------------------------------
+    // Token-budget document chunking: split every document into C = 32-token
+    // windows at stride S = 24 (8-token overlap) — the context-window prep
+    // pass that turns a curated corpus into model-ready sequences (the
+    // complement of p_pack_sequences, which packs SHORT docs; this splits
+    // LONG ones). Per chunk: its index, 1-based start token, token count,
+    // and a content hash (the downstream join key for chunk-level dedup or
+    // embedding). 100 TB posture: pure scan-local array math — one lambda
+    // builds all chunk slices, the explode is a flatMap inside the scan
+    // stage, ZERO shuffles except the oracle-compare sort (spec asserts no
+    // Exchange before it).
+    QuerySpec.sql(
+      "p_chunk_tokens",
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |), n AS (
+         |  SELECT doc_id, ws,
+         |         CASE WHEN len(ws) <= 32 THEN 1
+         |              ELSE 1 + (len(ws) - 9) // 24 END AS nch
+         |  FROM w
+         |)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         |       CAST(i * 24 + 1 AS BIGINT) AS start_word,
+         |       CAST(len(cws) AS BIGINT) AS n_tokens,
+         |       ${oH60("array_to_string(cws, ' ')")} AS chunk_hash
+         |FROM (
+         |  SELECT doc_id, unnest(range(nch)) AS i,
+         |         unnest(list_transform(range(nch),
+         |           i -> list_slice(ws, i * 24 + 1, i * 24 + 32))) AS cws
+         |  FROM n)
+         |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        // Chunk count in INTEGER arithmetic (1 + ceil((n-C)/S) for n > C):
+        // float division near an exact multiple would be a cross-engine
+        // hazard; `div` and DuckDB's `//` agree on positive operands.
+        .withColumn("nch", expr(
+          "CASE WHEN size(ws) <= 32 THEN 1 ELSE 1 + (size(ws) - 9) div 24 END"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, nch - 1)," +
+            " i -> struct(i AS i, slice(ws, i * 24 + 1, 32) AS cws))")).as("c"))
+        .select(col("doc_id"),
+          col("c.i").cast("long").as("chunk_idx"),
+          (col("c.i") * 24 + 1).cast("long").as("start_word"),
+          size(col("c.cws")).cast("long").as("n_tokens"),
+          h60(array_join(col("c.cws"), " ")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // ---------------------------------------------------------------------
+    // Deterministic training-shard manifest: the global-shuffle prep a data
+    // loader consumes. Every document gets a content-derived order key
+    // (md5 — re-derivable on any cluster, any retry, never rand()) and a
+    // shard = key mod 64; the manifest reports, per shard, its doc/token
+    // mass, source diversity (the interleaving a shuffled loader expects),
+    // and the first document in shard order (the determinism witness a
+    // resumable loader seeks to). 100 TB posture: shard assignment is
+    // scan-local; the aggregate and the per-shard head are one groupBy and
+    // one WindowGroupLimit-style window over the SAME hash-partitioned
+    // exchange on `shard`; the real materialization is a
+    // `partitionBy(shard)` write with in-shard sort — no global sort ever.
+    QuerySpec.sql(
+      "p_train_shards",
+      s"""WITH k AS (
+         |  SELECT doc_id, source,
+         |         len(string_split(text, ' ')) AS n_tok,
+         |         ${oH60("CAST(doc_id AS VARCHAR) || ':' || text")} AS okey
+         |  FROM documents
+         |), s AS (SELECT *, okey % 64 AS shard FROM k),
+         |agg AS (
+         |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+         |  FROM s GROUP BY 1
+         |), head AS (
+         |  SELECT shard, doc_id AS head_doc FROM (
+         |    SELECT shard, doc_id,
+         |           row_number() OVER (PARTITION BY shard
+         |                              ORDER BY okey, doc_id) AS rn
+         |    FROM s) WHERE rn = 1
+         |)
+         |SELECT shard, n_docs, n_tokens, n_sources, head_doc
+         |FROM agg JOIN head USING (shard) ORDER BY shard""".stripMargin) { (s, dir) =>
+      val keyed = docs(s, dir).select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).as("n_tok"),
+          h60(concat(col("doc_id").cast("string"), lit(":"), col("text"))).as("okey"))
+        .withColumn("shard", col("okey") % 64)
+      val agg = keyed.groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      val w = Window.partitionBy("shard").orderBy(col("okey"), col("doc_id"))
+      val head = keyed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("shard"), col("doc_id").as("head_doc"))
+      agg.join(head, "shard")
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          col("n_sources"), col("head_doc"))
+        .orderBy("shard")
+    },
+
+    // ---------------------------------------------------------------------
+    // Exact-substring deduplication with REWRITE (the ExactSubstr recipe of
+    // Lee et al. 2022, arXiv:2107.06499, at fixed-window granularity):
+    // every document is cut into disjoint 8-word blocks; a block whose
+    // content appeared EARLIER in the corpus (global first occurrence by
+    // (doc_id, block_idx)) is removed, and the document is rewritten from
+    // its surviving blocks + the <8-word tail. Output pins the rewrite
+    // exactly: block/removal counts, the new length, and a hash of the
+    // rewritten text. The suffix-array formulation of the paper is a
+    // single-machine construction; disjoint-block hashing is its
+    // distributable form — every stage is a bounded-key join or a linear
+    // aggregate. 100 TB posture: first-occurrence is one min-aggregate
+    // over block hashes (map-side combined), membership is one equi-join
+    // back on the hash (corpus-sized build side — AQE picks the join
+    // strategy from runtime sizes, same shape as p_span_dedup), and the
+    // rewrite is a per-doc regroup on the documents' own key.
+    QuerySpec.sql("p_substr_dedup", substrDedupOracle) { (s, dir) =>
+      val base = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("ws"), size(col("ws")).as("n"),
+          expr("size(ws) div 8").as("nb"))
+      // sequence(0, -1) would DESCEND in Spark; guard the zero-block case.
+      val h = base
+        .select(col("doc_id"), explode(expr(
+          "IF(nb = 0, array()," +
+            " transform(sequence(0, nb - 1)," +
+            "   i -> struct(i AS idx, array_join(slice(ws, i * 8 + 1, 8), ' ') AS btext)))"))
+          .as("c"))
+        .select(col("doc_id"), col("c.idx").as("idx"), col("c.btext").as("btext"))
+        .withColumn("bh", h60(col("btext")))
+        .withColumn("ord", col("doc_id") * 1000000 + col("idx"))
+        .persist()
+      val first = h.groupBy("bh").agg(min(col("ord")).as("keep_ord"))
+      val kept = h.join(first, "bh").filter(col("ord") === col("keep_ord"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          expr("array_join(transform(array_sort(collect_list(struct(idx, btext)))," +
+            " x -> x.btext), ' ')").as("ktext"))
+      base.join(kept, Seq("doc_id"), "left")
+        .withColumn("n_removed", col("nb") - coalesce(col("n_kept"), lit(0L)))
+        .withColumn("tail",
+          expr("IF(n = nb * 8, '', array_join(slice(ws, nb * 8 + 1, n - nb * 8), ' '))"))
+        .withColumn("new_text",
+          expr("array_join(filter(array(coalesce(ktext, ''), tail), x -> x != ''), ' ')"))
+        .select(col("doc_id"),
+          col("nb").cast("long").as("n_blocks"),
+          col("n_removed").cast("long").as("n_removed"),
+          (col("n") - lit(8) * col("n_removed")).cast("long").as("n_words_new"),
+          h60(col("new_text")).as("new_hash"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------------
+    // Product-quantization ANN (Jégou et al. 2011, the IVFADC building
+    // block): 64 dims = 8 subspaces × 8 dims, 16 codewords per subspace —
+    // every base vector collapses to an 8-byte code (32× compression of
+    // the 256-byte float32 vector; the ONLY way 100 TB of embeddings fits
+    // a cluster's RAM). Search is asymmetric distance computation: each
+    // probe precomputes its 8×16 inner-product lookup table; a candidate's
+    // score is 8 table lookups, never a 64-dim float op. Per-term scores
+    // are floor-scaled to integer micros BEFORE the 8-term sum, so the
+    // accumulation is order-independent (float sums are not) and the
+    // oracle compare stays exact. 100 TB posture: the codebook is a
+    // 128-row broadcast table (same table-not-literals reasoning as the
+    // IVF quantizer — a trained codebook is a data swap); encoding is one
+    // crossJoin + map-side-combined argmin per (vector, subspace); the
+    // probe LUT (queries × 128 rows) is broadcast and scoring is one
+    // map-side-combined sum — compose with the IVF coarse lists
+    // (p_ann_ivf) to bound the scored candidates per probe.
+    QuerySpec.sql("p_ann_pq", annPqOracle) { (s, dir) =>
+      val cb = broadcast(pqCodebook(s))
+      val e = embs(s, dir)
+      // Encode: argmin_j ||x_m − c_{m,j}||²; the ||x_m||² term is constant
+      // per (vector, subspace), so argmin(cn2 − 2·x_m·c), ties to lowest j.
+      val codes = e.crossJoin(cb)
+        .withColumn("cost", col("cn2") - lit(2.0) *
+          dot(expr(s"slice(embedding, m * $PqD + 1, $PqD)"), col("cvec")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(max_by(col("j"),
+          struct((-col("cost")).as("nc"), (-col("j")).as("nj"))).as("j"))
+      val lut = e.filter(col("vec_id") < 20)
+        .crossJoin(cb)
+        .select(col("vec_id").as("query_id"), col("m"), col("j"),
+          floor(lit(1000000.0) *
+            dot(expr(s"slice(embedding, m * $PqD + 1, $PqD)"), col("cvec")))
+            .cast("long").as("qd"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("adc_micro").desc, col("neighbor_id"))
+      codes.join(broadcast(lut), Seq("m", "j"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qd"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(sum(col("qd")).as("adc_micro"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc_micro"))
+        .orderBy("query_id", "rank")
     })
+
+  // ------------------------------------------------- product quantization
+
+  /** PQ geometry: 64 dims = PqM × PqD subspaces, PqK codewords per
+    * subspace → an 8-byte code per vector. (defs, not vals: the `specs`
+    * Seq renders the oracle SQL during object init, BEFORE later vals
+    * would be assigned.) */
+  private def PqM = 8
+  private def PqD = 8
+  private def PqK = 16
+
+  /** Codeword `j` of subspace `m`: md5-derived coordinates in [-1, 1)
+    * (seed namespace disjoint from the LSH planes and IVF centroids) —
+    * same exact-representability argument as [[planeCoefs]]. */
+  private def pqCoefs(m: Int, j: Int): Array[Double] =
+    Array.tabulate(PqD) { i =>
+      java.lang.Long.parseLong(md5hex(s"pq_${m}_${j}_$i").substring(0, 8), 16)
+        .toDouble / 2147483648.0 - 1.0
+    }
+
+  /** ||c_{m,j}||², computed once driver-side with the sequential fold both
+    * engines consume as the identical rendered literal. */
+  private def pqNorm2(m: Int, j: Int): Double = {
+    val c = pqCoefs(m, j); var acc = 0.0; var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    acc
+  }
+
+  /** The PQ codebook as a 128-row broadcastable TABLE `(m, j, cvec, cn2)`
+    * — a trained codebook (per-subspace k-means) is a data swap, exactly
+    * like [[Ivf.trainKMeans]] for the coarse quantizer. */
+  private def pqCodebook(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for (m <- 0 until PqM; j <- 0 until PqK)
+      yield (m, j, pqCoefs(m, j).toSeq, pqNorm2(m, j))).toDF("m", "j", "cvec", "cn2")
+  }
+
+  /** Oracle mirroring p_ann_pq: the same codebook literals, argmin by
+    * (cost, j) per (vector, subspace), micro-floored LUT terms, integer
+    * ADC sum, top-5 by (adc DESC, neighbor_id). */
+  private def annPqOracle: String = {
+    val rows = (for (m <- 0 until PqM; j <- 0 until PqK) yield {
+      val lst = pqCoefs(m, j).map(_.toString).mkString("[", ", ", "]")
+      s"($m, $j, $lst::DOUBLE[], ${pqNorm2(m, j)})"
+    }).mkString(",\n    ")
+    s"""WITH cb(m, j, cvec, cn2) AS (VALUES
+       |    $rows
+       |), e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, m, j,
+       |         cn2 - 2 * list_dot_product(
+       |           list_slice(emb, m * $PqD + 1, m * $PqD + $PqD), cvec) AS cost
+       |  FROM e CROSS JOIN cb
+       |), codes AS (
+       |  SELECT vec_id, m, j FROM (
+       |    SELECT vec_id, m, j,
+       |           row_number() OVER (PARTITION BY vec_id, m
+       |                              ORDER BY cost, j) AS rn
+       |    FROM sub) WHERE rn = 1
+       |), lut AS (
+       |  SELECT a.vec_id AS query_id, c.m, c.j,
+       |         CAST(floor(1000000 * list_dot_product(
+       |           list_slice(a.emb, c.m * $PqD + 1, c.m * $PqD + $PqD),
+       |           c.cvec)) AS BIGINT) AS qd
+       |  FROM e a CROSS JOIN cb c WHERE a.vec_id < 20
+       |), adc AS (
+       |  SELECT l.query_id, c.vec_id AS neighbor_id,
+       |         CAST(sum(l.qd) AS BIGINT) AS adc_micro
+       |  FROM codes c JOIN lut l ON c.m = l.m AND c.j = l.j
+       |  WHERE c.vec_id <> l.query_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, neighbor_id, rank, adc_micro FROM (
+       |  SELECT query_id, neighbor_id,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY adc_micro DESC, neighbor_id)
+       |              AS BIGINT) AS rank,
+       |         adc_micro
+       |  FROM adc) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Oracle mirroring p_substr_dedup: same blocks, same global
+    * first-occurrence rule, same rewrite (kept blocks in order + tail). */
+  private def substrDedupOracle: String = {
+    // Outer coalesce: DuckDB's array_to_string over an EMPTY list is NULL
+    // (a fully-removed doc with no tail), where Spark's array_join is ''.
+    val newText = "coalesce(array_to_string(list_filter(" +
+      "[coalesce(ktext, ''), array_to_string(list_slice(ws, nb * 8 + 1, n), ' ')]," +
+      " x -> x <> ''), ' '), '')"
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |), b AS (
+       |  SELECT doc_id, ws, len(ws) AS n, len(ws) // 8 AS nb FROM w
+       |), occ AS (
+       |  SELECT doc_id, unnest(range(nb)) AS idx,
+       |         unnest(list_transform(range(nb),
+       |           i -> array_to_string(list_slice(ws, i * 8 + 1, i * 8 + 8), ' ')))
+       |           AS btext
+       |  FROM b
+       |), h AS (
+       |  SELECT doc_id, idx, btext, ${oH60("btext")} AS bh,
+       |         doc_id * 1000000 + idx AS ord
+       |  FROM occ
+       |), fst AS (
+       |  SELECT bh, min(ord) AS keep_ord FROM h GROUP BY 1
+       |), kept AS (
+       |  SELECT h.doc_id, count(*) AS n_kept,
+       |         string_agg(h.btext, ' ' ORDER BY h.idx) AS ktext
+       |  FROM h JOIN fst f ON f.bh = h.bh AND h.ord = f.keep_ord
+       |  GROUP BY 1
+       |)
+       |SELECT b.doc_id, CAST(nb AS BIGINT) AS n_blocks,
+       |       CAST(nb - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+       |       CAST(n - 8 * (nb - coalesce(n_kept, 0)) AS BIGINT) AS n_words_new,
+       |       ${oH60(newText)} AS new_hash
+       |FROM b LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
 
   // ------------------------------------------------------ oracle SQL bodies
 

@@ -1069,4 +1069,159 @@ class PipelineQueriesSpec extends SparkTestBase {
       Media.decodePng("not a png".getBytes("UTF-8"))
     }
   }
+
+  private def md5h(s: String, k: Int): Long = java.lang.Long.parseLong(
+    org.apache.commons.codec.digest.DigestUtils.md5Hex(s).substring(0, k), 16)
+
+  test("token chunking equals the Scala sliding-window model, covers every " +
+    "token exactly, and stays scan-local") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = corpus.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val nch = if (ws.length <= 32) 1 else 1 + (ws.length - 9) / 24
+      (0 until nch).map { i =>
+        val cws = ws.slice(i * 24, math.min(i * 24 + 32, ws.length))
+        (id, i.toLong, i * 24 + 1L, cws.length.toLong, md5h(cws.mkString(" "), 15))
+      }
+    }.sortBy(r => (r._1, r._2)).toSeq
+    val got = run("p_chunk_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    // Coverage: per doc, chunk i spans tokens [24i+1, 24i+n_tokens]; the
+    // last chunk must END at the doc's token count and starts must step by
+    // the stride — together that is exact coverage with 8-token overlap.
+    corpus.foreach { case (id, t) =>
+      val n = t.split(" ", -1).length
+      val chunks = got.filter(_._1 == id).sortBy(_._2)
+      assert(chunks.head._3 == 1L)
+      assert(chunks.last._3 + chunks.last._4 - 1 == n, s"doc $id tail")
+      chunks.sliding(2).foreach {
+        case Seq(a, b) => assert(b._3 - a._3 == 24, s"doc $id stride")
+        case _ =>
+      }
+    }
+    // Scan-local: chunking itself has no aggregate or join; the only
+    // exchange is the oracle-compare sort.
+    val plan = run("p_chunk_tokens").queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortMergeJoin")
+      && !plan.contains("BroadcastHashJoin"))
+  }
+
+  test("training-shard manifest equals the Scala model: md5 shard " +
+    "assignment, per-shard mass, source mix, and shard-order head doc") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val keyed = corpus.map { case (id, t, src) =>
+      val okey = md5h(s"$id:$t", 15)
+      (okey % 64, id, t.split(" ", -1).length.toLong, src, okey)
+    }
+    val expected = keyed.groupBy(_._1).toSeq.sortBy(_._1).map { case (sh, xs) =>
+      (sh, xs.length.toLong, xs.map(_._3).sum, xs.map(_._4).distinct.length.toLong,
+        xs.minBy(x => (x._5, x._2))._2)
+    }
+    val got = run("p_train_shards").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    // A permutation, not a partition of the id space: every doc in exactly
+    // one shard, and (on this corpus) the hash spreads docs over many
+    // shards rather than clumping.
+    assert(got.map(_._2).sum === corpus.length.toLong)
+    assert(got.length >= 48, s"only ${got.length} of 64 shards populated")
+  }
+
+  test("substring-dedup rewrite equals the Scala first-occurrence model " +
+    "and removes a cross-doc duplicated block end to end") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // Model: global first occurrence per block hash by (doc_id, idx).
+    val occ = corpus.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1)
+      (0 until ws.length / 8).map { i =>
+        (md5h(ws.slice(i * 8, i * 8 + 8).mkString(" "), 15), id, i)
+      }
+    }
+    val keepOrd = occ.groupBy(_._1).map { case (h, xs) =>
+      h -> xs.map(x => x._2 * 1000000L + x._3).min
+    }
+    val expected = corpus.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val nb = ws.length / 8
+      val blocks = (0 until nb).map(i => ws.slice(i * 8, i * 8 + 8).mkString(" "))
+      val kept = blocks.zipWithIndex.filter { case (b, i) =>
+        keepOrd(md5h(b, 15)) == id * 1000000L + i
+      }.map(_._1)
+      val tail = ws.drop(nb * 8).mkString(" ")
+      val newText = (kept ++ (if (tail.nonEmpty) Seq(tail) else Nil)).mkString(" ")
+      (id, nb.toLong, (nb - kept.length).toLong,
+        (ws.length - 8 * (nb - kept.length)).toLong, md5h(newText, 15))
+    }.toSeq
+    val got = run("p_substr_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+
+    // E2E on a synthetic corpus: doc 2's first block repeats doc 1's
+    // second block and must be cut; the rewrite keeps everything else.
+    val a = (1 to 16).map(i => s"w$i").mkString(" ")          // blocks A0, A1
+    val b = ((9 to 16).map(i => s"w$i") ++ (1 to 8).map(i => s"x$i")).mkString(" ")
+    val dir = tmpDir("substr")
+    Seq((1L, a, "en", "srcA", 0L), (2L, b, "en", "srcA", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val synth = SparkEntry.queries("p_substr_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(synth(1L) === ((2L, 0L, 16L, md5h(a, 15))), "keeper doc untouched")
+    val bRewritten = (1 to 8).map(i => s"x$i").mkString(" ")
+    assert(synth(2L) === ((2L, 1L, 8L, md5h(bRewritten, 15))),
+      "duplicated block must be removed and the doc rewritten")
+  }
+
+  test("PQ ANN equals the Scala encode+ADC model and emits a full top-5 " +
+    "per probe") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def coefs(m: Int, j: Int): Array[Double] =
+      Array.tabulate(8)(i => md5h(s"pq_${m}_${j}_$i", 8).toDouble / 2147483648.0 - 1.0)
+    def dotD(x: Array[Float], off: Int, c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < 8) { acc += x(off + i).toDouble * c(i); i += 1 }
+      acc
+    }
+    val norm2 = Array.tabulate(8, 16) { (m, j) =>
+      val c = coefs(m, j); var acc = 0.0; var i = 0
+      while (i < 8) { acc += c(i) * c(i); i += 1 }
+      acc
+    }
+    val codes = vecs.map { case (id, x) =>
+      id -> Array.tabulate(8) { m =>
+        (0 until 16).minBy(j => (norm2(m)(j) - 2.0 * dotD(x, m * 8, coefs(m, j)), j))
+      }
+    }.toMap
+    val probes = vecs.filter(_._1 < 20)
+    val expected = probes.sortBy(_._1).flatMap { case (qid, q) =>
+      val lut = Array.tabulate(8, 16) { (m, j) =>
+        math.floor(1000000.0 * dotD(q, m * 8, coefs(m, j))).toLong
+      }
+      vecs.filter(_._1 != qid).map { case (nid, _) =>
+        val adc = (0 until 8).map(m => lut(m)(codes(nid)(m))).sum
+        (nid, adc)
+      }.sortBy { case (nid, adc) => (-adc, nid) }.take(5).zipWithIndex
+        .map { case ((nid, adc), r) => (qid, nid, r + 1L, adc) }
+    }.toSeq
+    val got = run("p_ann_pq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    assert(got.groupBy(_._1).size === probes.length)
+    got.groupBy(_._1).values.foreach(g =>
+      assert(g.map(_._3).sorted === Seq(1L, 2L, 3L, 4L, 5L)))
+  }
 }
