@@ -71,15 +71,33 @@ object Bench {
     // on comma-decimal hosts would emit 0,94 and corrupt the JSON line.
     def fmt(v: Double, places: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+    def fmtQ(v: Double): String = fmt(v, 2).replaceFirst("\\.?0+$", "")
+    // The stdout line must stay inside the driver's 2,000-char tail capture
+    // or the leading `{"metric":...` is cut and the JSON is lost (happened
+    // in round 9). At 83 queries the full per-query dict alone is ~1,900
+    // chars, so the line reports individual times ONLY for the >= 0.3 s
+    // slow set (the same queries the min-of-3 re-sampling covers — every
+    // number printed here is a sampled minimum) plus every crashed query
+    // by name; the sub-0.3 s tail, where a single sample is host-noise
+    // anyway, folds into one {n, sum, max} rollup. The COMPLETE per-query
+    // table for the round is recorded in PLANS.md, which has no size cap.
+    val (named_, fast) = results.partition { case (_, v) => v < 0 || v >= 0.3 }
+    val qs = named_.map { case (k, v) => "\"" + k + "\":" + fmtQ(v) }
       .mkString("{", ",", "}")
+    val fastStr =
+      if (fast.isEmpty) """{"n":0,"sum":0,"max":0}"""
+      else s"""{"n":${fast.size},"sum":${fmtQ(fast.map(_._2).sum)},""" +
+        s""""max":${fmtQ(fast.map(_._2).max)}}"""
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     // `failed` makes totals across runs with different crash sets honestly
     // incomparable at a glance — a crashed heavy query must not read as a
     // speedup.
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfName"}""")
+    // Full table to stderr for humans / PLANS.md (driver parses stdout only).
+    System.err.println("[bench-full] " + results
+      .map { case (k, v) => s"$k=${fmt(v, 2)}" }.mkString(" "))
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","failed":$failed,"queries":$qs,"fast":$fastStr,"sf":"$sfName"}""")
     spark.stop()
   }
 }
