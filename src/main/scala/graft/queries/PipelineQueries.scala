@@ -2241,6 +2241,52 @@ object PipelineQueries {
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc_micro"))
         .orderBy("query_id", "rank")
+    },
+
+    // ---------------------------------------------------------------------
+    // IVFADC — the full Jégou et al. 2011 composition, and the layout
+    // production ANN systems (FAISS's IndexIVFPQ) actually deploy at this
+    // data scale: the IVF coarse quantizer bounds the candidates to the
+    // probe's nprobe = 2 inverted lists (nprobe/K of the corpus), and PQ
+    // asymmetric distance scores them — 8 integer table lookups per
+    // candidate against vectors stored as 8-byte codes. Per 100 TB query:
+    // cost = (nprobe/K) × corpus × 8 lookups, memory = codes not floats.
+    // Everything composes from the two operators' own building blocks:
+    // the coarse lists partition the base table (at scale: PARTITIONED BY
+    // cluster, so a probe batch touches nprobe/K of the files), the
+    // codebook and probe LUT are the same broadcast tables as p_ann_pq.
+    QuerySpec.sql("p_ann_ivfpq", annIvfPqOracle) { (s, dir) =>
+      val scored = ivfScored(s, dir).persist()
+      val cb = broadcast(pqCodebook(s))
+      val codes = embs(s, dir).crossJoin(cb)
+        .withColumn("cost", col("cn2") - lit(2.0) *
+          dot(expr(s"slice(embedding, m * $PqD + 1, $PqD)"), col("cvec")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(max_by(col("j"),
+          struct((-col("cost")).as("nc"), (-col("j")).as("nj"))).as("j"))
+      val base = ivfAssigned(scored).join(codes, "vec_id")
+      val wc = Window.partitionBy("vec_id").orderBy(col("dk").desc, col("k"))
+      val probeClusters = scored.filter(col("vec_id") < 20)
+        .withColumn("crank", row_number().over(wc))
+        .filter(col("crank") <= 2)
+        .select(col("vec_id").as("query_id"), col("k").as("cluster"))
+      val lut = embs(s, dir).filter(col("vec_id") < 20).crossJoin(cb)
+        .select(col("vec_id").as("query_id"), col("m"), col("j"),
+          floor(lit(1000000.0) *
+            dot(expr(s"slice(embedding, m * $PqD + 1, $PqD)"), col("cvec")))
+            .cast("long").as("qd"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("adc_micro").desc, col("neighbor_id"))
+      broadcast(probeClusters).join(base, Seq("cluster"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .join(broadcast(lut), Seq("query_id", "m", "j"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qd"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(sum(col("qd")).as("adc_micro"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc_micro"))
+        .orderBy("query_id", "rank")
     })
 
   // ------------------------------------------------- product quantization
@@ -2321,6 +2367,81 @@ object PipelineQueries {
        |              AS BIGINT) AS rank,
        |         adc_micro
        |  FROM adc) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Oracle mirroring p_ann_ivfpq: the IVF assignment + probe-cluster
+    * CTEs of [[annIvfOracle]] composed with the PQ codebook/codes/LUT
+    * CTEs of [[annPqOracle]]; candidates restricted to the probe's
+    * nprobe = 2 lists, scored by the integer ADC sum, top-3. */
+  private def annIvfPqOracle: String = {
+    def coefList(c: Int): String =
+      centroidCoefs(c).map(_.toString).mkString("[", ", ", "]")
+    val dots = (0 until IvfK)
+      .map(k => s"list_dot_product(embedding::DOUBLE[], ${coefList(k)}::DOUBLE[]) AS d$k")
+      .mkString(",\n         ")
+    val bestExpr = s"greatest(${(0 until IvfK).map(k => s"d$k").mkString(", ")})"
+    val clusterExpr = (0 until IvfK)
+      .map(k => s"WHEN d$k = best THEN $k").mkString("CASE ", " ", " END")
+    val probeArms = (0 until IvfK)
+      .map(k => s"SELECT vec_id AS query_id, $k AS k, d$k AS dk " +
+        s"FROM assigned WHERE vec_id < 20")
+      .mkString("\n  UNION ALL ")
+    val cbRows = (for (m <- 0 until PqM; j <- 0 until PqK) yield {
+      val lst = pqCoefs(m, j).map(_.toString).mkString("[", ", ", "]")
+      s"($m, $j, $lst::DOUBLE[], ${pqNorm2(m, j)})"
+    }).mkString(",\n    ")
+    s"""WITH cb(m, j, cvec, cn2) AS (VALUES
+       |    $cbRows
+       |), em AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |d AS (
+       |  SELECT vec_id,
+       |         $dots
+       |  FROM embeddings
+       |), assigned AS (
+       |  SELECT vec_id, $clusterExpr AS cluster,
+       |         ${(0 until IvfK).map(k => s"d$k").mkString(", ")}
+       |  FROM (SELECT *, $bestExpr AS best FROM d)
+       |), probe_k AS (
+       |  $probeArms
+       |), probe_clusters AS (
+       |  SELECT query_id, k AS cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY dk DESC, k) AS crank
+       |    FROM probe_k
+       |  ) WHERE crank <= 2
+       |), sub AS (
+       |  SELECT vec_id, m, j,
+       |         cn2 - 2 * list_dot_product(
+       |           list_slice(emb, m * $PqD + 1, m * $PqD + $PqD), cvec) AS cost
+       |  FROM em CROSS JOIN cb
+       |), codes AS (
+       |  SELECT vec_id, m, j FROM (
+       |    SELECT vec_id, m, j,
+       |           row_number() OVER (PARTITION BY vec_id, m
+       |                              ORDER BY cost, j) AS rn
+       |    FROM sub) WHERE rn = 1
+       |), lut AS (
+       |  SELECT a.vec_id AS query_id, c.m, c.j,
+       |         CAST(floor(1000000 * list_dot_product(
+       |           list_slice(a.emb, c.m * $PqD + 1, c.m * $PqD + $PqD),
+       |           c.cvec)) AS BIGINT) AS qd
+       |  FROM em a CROSS JOIN cb c WHERE a.vec_id < 20
+       |), adc AS (
+       |  SELECT p.query_id, b.vec_id AS neighbor_id,
+       |         CAST(sum(l.qd) AS BIGINT) AS adc_micro
+       |  FROM probe_clusters p
+       |  JOIN assigned b ON b.cluster = p.cluster AND b.vec_id <> p.query_id
+       |  JOIN codes c ON c.vec_id = b.vec_id
+       |  JOIN lut l ON l.query_id = p.query_id AND l.m = c.m AND l.j = c.j
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, neighbor_id, rank, adc_micro FROM (
+       |  SELECT query_id, neighbor_id,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY adc_micro DESC, neighbor_id)
+       |              AS BIGINT) AS rank,
+       |         adc_micro
+       |  FROM adc) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
   /** Oracle mirroring p_substr_dedup: same blocks, same global

@@ -1224,4 +1224,57 @@ class PipelineQueriesSpec extends SparkTestBase {
     got.groupBy(_._1).values.foreach(g =>
       assert(g.map(_._3).sorted === Seq(1L, 2L, 3L, 4L, 5L)))
   }
+
+  test("IVFADC equals the Scala coarse-list + ADC model: candidates come " +
+    "only from the probe's nprobe=2 clusters, scored by the PQ codes") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def pq(m: Int, j: Int): Array[Double] =
+      Array.tabulate(8)(i => md5h(s"pq_${m}_${j}_$i", 8).toDouble / 2147483648.0 - 1.0)
+    def cen(k: Int): Array[Double] =
+      Array.tabulate(64)(i => md5h(s"${100 + k}_$i", 8).toDouble / 2147483648.0 - 1.0)
+    def dotD(x: Array[Float], off: Int, c: Array[Double], n: Int): Double = {
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += x(off + i).toDouble * c(i); i += 1 }
+      acc
+    }
+    val ivfK = queries.PipelineQueries.IvfK // tracks GRAFT_IVF_K
+    val clusterOf = vecs.map { case (id, x) =>
+      id -> (0 until ivfK).maxBy(k => (dotD(x, 0, cen(k), 64), -k))
+    }.toMap
+    val norm2 = Array.tabulate(8, 16) { (m, j) =>
+      val c = pq(m, j); var acc = 0.0; var i = 0
+      while (i < 8) { acc += c(i) * c(i); i += 1 }
+      acc
+    }
+    val codes = vecs.map { case (id, x) =>
+      id -> Array.tabulate(8) { m =>
+        (0 until 16).minBy(j => (norm2(m)(j) - 2.0 * dotD(x, m * 8, pq(m, j), 8), j))
+      }
+    }.toMap
+    val expected = vecs.filter(_._1 < 20).sortBy(_._1).flatMap { case (qid, q) =>
+      val probeLists = (0 until ivfK)
+        .sortBy(k => (-dotD(q, 0, cen(k), 64), k)).take(2).toSet
+      val lut = Array.tabulate(8, 16) { (m, j) =>
+        math.floor(1000000.0 * dotD(q, m * 8, pq(m, j), 8)).toLong
+      }
+      vecs.filter { case (nid, _) =>
+        nid != qid && probeLists.contains(clusterOf(nid))
+      }.map { case (nid, _) =>
+        (nid, (0 until 8).map(m => lut(m)(codes(nid)(m))).sum)
+      }.sortBy { case (nid, adc) => (-adc, nid) }.take(3).zipWithIndex
+        .map { case ((nid, adc), r) => (qid, nid, r + 1L, adc) }
+    }.toSeq
+    val got = run("p_ann_ivfpq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // The coarse restriction really bounds the work: every returned
+    // neighbor sits in one of its query's two probe lists.
+    got.foreach { case (qid, nid, _, _) =>
+      val q = vecs.find(_._1 == qid).get._2
+      val lists = (0 until ivfK).sortBy(k => (-dotD(q, 0, cen(k), 64), k)).take(2).toSet
+      assert(lists.contains(clusterOf(nid)), s"query $qid neighbor $nid")
+    }
+  }
 }
