@@ -141,6 +141,35 @@ object PipelineQueries {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** Hashed-classifier bucket weights: md5-derived integers in
+    * [-1e6, 1e6] micro-units, one per feature bucket. Stand-in for a
+    * trained linear model's coefficients (swap = retrain). */
+  private[queries] def qcWeights: Array[Long] =
+    Array.tabulate(64) { b =>
+      (java.lang.Long.parseLong(md5hex(s"qw_$b").substring(0, 8), 16)
+        % 2000001L) - 1000000L
+    }
+
+  /** Oracle mirroring p_quality_classifier: the weight map as a VALUES
+    * table joined on the same md5 bucket hash. */
+  private def qualityClassifierOracle: String = {
+    val rows = qcWeights.zipWithIndex
+      .map { case (w, b) => s"($b, $w)" }.mkString(",\n    ")
+    s"""WITH wt(b, w_micro) AS (VALUES
+       |    $rows
+       |), tok AS (
+       |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+       |  FROM documents
+       |)
+       |SELECT doc_id, any_value(source) AS source,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(w.w_micro) AS BIGINT) AS score_micro,
+       |       CAST(CAST(sum(w.w_micro) AS BIGINT) >= 0 AS BIGINT) AS keep
+       |FROM tok t
+       |JOIN wt w ON w.b = ${oH32("t.word")} % 64
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Random-hyperplane coefficients for LSH plane `p`: md5-derived uniform
     * doubles in [-1, 1). Each value is `h32 / 2^31 - 1` with h32 < 2^32 —
     * ≤33 significant bits, exactly representable, so the decimal literal
@@ -1005,6 +1034,36 @@ object PipelineQueries {
         .select("doc_id", "n_words", "n_stop", "top_word_n",
           "mean_wlen_micro", "r_wordcount", "r_wordlen", "r_stopwords",
           "r_repetition", "keep")
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------------
+    // Hashed linear quality classifier — the fastText shape (Joulin et al.
+    // 2016, arXiv:1607.01759) that GPT-3/CCNet-style pipelines deploy as
+    // their learned quality filter: words hash into `QcBuckets` feature
+    // buckets, a linear model scores the bag, sign decides keep/drop.
+    // Weights here are md5-derived stand-ins in exact integer micro-units
+    // (a TRAINED model = swap the 64-entry literal map — the same
+    // trained-model-as-data reasoning as the PQ codebook and IVF
+    // centroids). 100 TB posture: the model rides inside the scan as a
+    // map literal — scoring is one HOF lambda per row, ZERO shuffle
+    // (the orderBy exists only for the deterministic oracle compare);
+    // classifier application is embarrassingly parallel, which is why
+    // production pipelines run it first. A real fastText model also
+    // hashes word bigrams — same plan, two transform legs.
+    QuerySpec.sql("p_quality_classifier", qualityClassifierOracle) { (s, dir) =>
+      val wm = map(qcWeights.zipWithIndex.flatMap { case (w, b) =>
+        Seq(lit(b.toLong), lit(w)) }: _*)
+      val ws = split(col("text"), " ")
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(ws).cast("long").as("n_words"),
+          aggregate(
+            transform(ws, w =>
+              element_at(wm, conv(substring(md5(w), 1, 8), 16, 10)
+                .cast("long") % 64)),
+            lit(0L), (acc, x) => acc + x).as("score_micro"))
+        .withColumn("keep", (col("score_micro") >= 0L).cast("long"))
         .orderBy("doc_id")
     },
 

@@ -1225,6 +1225,31 @@ class PipelineQueriesSpec extends SparkTestBase {
       assert(g.map(_._3).sorted === Seq(1L, 2L, 3L, 4L, 5L)))
   }
 
+  test("hashed quality classifier equals the Scala bag-of-buckets model " +
+    "and runs with zero shuffle before the compare sort") {
+    val weights = Array.tabulate(64) { b =>
+      (md5h(s"qw_$b", 8) % 2000001L) - 1000000L
+    }
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map { r =>
+        val words = r.getString(2).split(" ", -1)
+        val score = words.map(w => weights((md5h(w, 8) % 64).toInt)).sum
+        (r.getLong(0), r.getString(1), words.length.toLong, score,
+          if (score >= 0) 1L else 0L)
+      }.sortBy(_._1).toSeq
+    val got = run("p_quality_classifier").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    // Both classes occur (the filter actually separates), and the plan is
+    // scan-local: no aggregation or join shuffle — the model rides in the
+    // scan as a map literal.
+    assert(got.map(_._5).toSet === Set(0L, 1L))
+    val plan = run("p_quality_classifier").queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"))
+  }
+
   test("IVFADC equals the Scala coarse-list + ADC model: candidates come " +
     "only from the probe's nprobe=2 clusters, scored by the PQ codes") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
