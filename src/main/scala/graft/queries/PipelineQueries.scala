@@ -1238,6 +1238,64 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
+    // Semantic decontamination — the embedding-level member of the
+    // decontamination family (exact shingle ⋈ / Bloom probe / THIS):
+    // paraphrased benchmark leakage shares no shingle, but its embedding
+    // still sits next to the eval set's, so recent pipelines also cut on
+    // max cosine to any held-out eval vector. Eval = vec_id < 20 (the
+    // ANN probe convention); per train vector: the best eval match
+    // (ties → lower eval id), floor(cos·1e6) micro score, contaminated
+    // at cos ≥ 0.42. 100 TB posture: the eval set is small by nature
+    // (benchmarks, not corpora) — broadcast it once and the whole
+    // operator is a scan-stage fold: per-train-vec max_by over
+    // #eval candidates, map-side combined; no train-side shuffle beyond
+    // n-row partial-agg exchange. Cosines are bit-identical across
+    // engines (sequential codegen fold), so threshold and floor are
+    // exact.
+    QuerySpec.sql(
+      "p_decontaminate_semantic",
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings
+        |), ev AS (SELECT vec_id, emb, norm FROM e WHERE vec_id < 20),
+        |tr AS (SELECT vec_id, label, emb, norm FROM e WHERE vec_id >= 20),
+        |sc AS (
+        |  SELECT t.vec_id, t.label, v.vec_id AS eval_id,
+        |         list_dot_product(t.emb, v.emb) / (t.norm * v.norm) AS cos
+        |  FROM tr t CROSS JOIN ev v
+        |), best AS (
+        |  SELECT vec_id, label, eval_id, cos,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY cos DESC, eval_id) AS rn
+        |  FROM sc
+        |)
+        |SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |       eval_id AS best_eval_id,
+        |       CAST(floor(cos * 1000000) AS BIGINT) AS sim_micro,
+        |       CAST(cos >= 0.42 AS BIGINT) AS contaminated
+        |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val e = embs(s, dir).select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+      val ev = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("ev_emb"),
+          col("norm").as("ev_norm"))
+      val cos = dot(col("embedding"), col("ev_emb")) / (col("norm") * col("ev_norm"))
+      e.filter(col("vec_id") >= 20)
+        .crossJoin(broadcast(ev))
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("eval_id"), cos.as("cos"))
+        .groupBy("vec_id", "label")
+        .agg(max_by(struct(col("eval_id"), col("cos")),
+          struct(col("cos"), (-col("eval_id")).as("nid"))).as("best"))
+        .select(col("vec_id"), col("label"),
+          col("best.eval_id").as("best_eval_id"),
+          floor(col("best.cos") * 1000000).cast("long").as("sim_micro"),
+          (col("best.cos") >= 0.42).cast("long").as("contaminated"))
+        .orderBy("vec_id")
+    },
+
+    // ---------------------------------------------------------------------
     // Intra-document repetition (Gopher-style duplicate-n-gram signal):
     // total vs distinct word 3-grams per doc, repetition ratio in exact
     // integer micro-units (floor((total-distinct)*1e6/total) — no float

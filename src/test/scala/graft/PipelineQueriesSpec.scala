@@ -1250,6 +1250,35 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(!plan.contains("HashAggregate") && !plan.contains("Join"))
   }
 
+  test("semantic decontamination equals the Scala best-eval-match model") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getSeq[Float](2).toArray))
+    def dotF(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val evals = vecs.filter(_._1 < 20)
+    val expected = vecs.filter(_._1 >= 20).sortBy(_._1).map {
+      case (id, label, emb) =>
+        val n = math.sqrt(dotF(emb, emb))
+        val (bid, cos) = evals.map { case (eid, _, ee) =>
+          (eid, dotF(emb, ee) / (n * math.sqrt(dotF(ee, ee))))
+        }.maxBy { case (eid, c) => (c, -eid) }
+        (id, label, bid, math.floor(cos * 1e6).toLong,
+          if (cos >= 0.42) 1L else 0L)
+    }.toSeq
+    val got = run("p_decontaminate_semantic").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    // The threshold separates: contamination exists but is rare.
+    val nc = got.count(_._5 == 1L)
+    assert(nc > 0 && nc < got.size / 10)
+  }
+
   test("IVFADC equals the Scala coarse-list + ADC model: candidates come " +
     "only from the probe's nprobe=2 clusters, scored by the PQ codes") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
