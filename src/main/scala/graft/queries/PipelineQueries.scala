@@ -213,6 +213,53 @@ object PipelineQueries {
        |)""".stripMargin
   }
 
+  /** Oracle mirroring p_bitext_mine: the labeled bucket CTE + the same
+    * integer margin pipeline (floor-to-micro before any sum, so every
+    * aggregate is order-independent). */
+  private def bitextMineOracle: String = {
+    def coefList(p: Int): String =
+      planeCoefs(p).map(_.toString).mkString("[", ", ", "]")
+    val bucketExpr = (0 until 4)
+      .map(p => s"(CASE WHEN list_dot_product(embedding::DOUBLE[], " +
+        s"${coefList(p)}::DOUBLE[]) >= 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString("\n    + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+       |    $bucketExpr AS bucket
+       |  FROM embeddings
+       |), cand AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |         CAST(floor(list_dot_product(a.emb, b.emb)
+       |                    / (a.norm * b.norm) * 1000000) AS BIGINT) AS cos_micro
+       |  FROM e a JOIN e b ON a.bucket = b.bucket
+       |                   AND a.label = 0 AND b.label = 1
+       |  WHERE floor(list_dot_product(a.emb, b.emb)
+       |              / (a.norm * b.norm) * 1000000) > 0
+       |), aa AS (
+       |  SELECT a_id, CAST(sum(cos_micro) // count(*) AS BIGINT) AS avg_a
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+       |                                     ORDER BY cos_micro DESC, b_id) AS rn
+       |        FROM cand) WHERE rn <= 4 GROUP BY 1
+       |), bb AS (
+       |  SELECT b_id, CAST(sum(cos_micro) // count(*) AS BIGINT) AS avg_b
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY b_id
+       |                                     ORDER BY cos_micro DESC, a_id) AS rn
+       |        FROM cand) WHERE rn <= 4 GROUP BY 1
+       |), sc AS (
+       |  SELECT c.a_id, c.b_id, c.cos_micro,
+       |         CAST(c.cos_micro * 1000000 // ((avg_a + avg_b) // 2) AS BIGINT)
+       |           AS margin_ppm
+       |  FROM cand c JOIN aa USING (a_id) JOIN bb USING (b_id)
+       |)
+       |SELECT a_id, b_id, cos_micro, margin_ppm,
+       |       CAST(margin_ppm >= 1200000 AS BIGINT) AS accepted
+       |FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+       |                                   ORDER BY margin_ppm DESC, b_id) AS rn
+       |      FROM sc)
+       |WHERE rn = 1 ORDER BY a_id""".stripMargin
+  }
+
   /** IVF coarse-quantizer centroids: `IvfK` md5-derived 64-dim vectors
     * (seed namespace disjoint from the LSH hyperplanes). Like
     * [[planeCoefs]], every coordinate is exactly representable, so the
@@ -880,6 +927,60 @@ object PipelineQueries {
           col("neighbor_label"), col("rank"),
           floor(col("cos") * 1000000).cast("long").as("score_micro"))
         .orderBy("query_id", "rank")
+    },
+
+    // ---------------------------------------------------------------------
+    // Margin-based cross-source pair mining (Artetxe & Schwenk 2019,
+    // arXiv:1811.01136 — the bitext-mining criterion behind CCMatrix/
+    // NLLB's parallel-corpus harvesting): a raw cosine cutoff over-mines
+    // dense neighborhoods and under-mines sparse ones, so each candidate
+    // pair's cosine is NORMALIZED by the mean similarity of both
+    // endpoints' neighborhoods — accept only pairs that stand OUT of
+    // their neighborhoods (margin ≥ 1.2). Label 0 = source side, label
+    // 1 = target side. Candidates come from the 4-hyperplane sign-LSH
+    // bucket equi-join (each vector has ONE 4-bit bucket, so pairs are
+    // unique by construction — no distinct needed); neighborhood means
+    // are top-4 folds over each endpoint's candidates. Exactness: every
+    // cosine is floored to integer micro BEFORE any sum (the PQ trick),
+    // so aggregates are order-independent and the margin ratio is pure
+    // integer arithmetic on positives. 100 TB posture: candidate
+    // generation is the bucket equi-join (cost tracks collisions, not
+    // |A|×|B|); the two neighborhood windows and the final best-per-a
+    // window are all candidate-bounded shuffles; nothing depends on a
+    // broadcast.
+    QuerySpec.sql("p_bitext_mine", bitextMineOracle) { (s, dir) =>
+      val labels = embs(s, dir).select(col("vec_id"), col("label"))
+      val bucketed = bucketedEmbs(s, dir).join(labels, "vec_id")
+      val a = bucketed.filter(col("label") === 0)
+        .select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+          col("norm").as("na"), col("bucket"))
+      val b = bucketed.filter(col("label") === 1)
+        .select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+          col("norm").as("nb"), col("bucket"))
+      val cos = dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+      val cand = a.join(b, Seq("bucket"))
+        .select(col("a_id"), col("b_id"),
+          floor(cos * 1000000).cast("long").as("cos_micro"))
+        .filter(col("cos_micro") > 0)
+        .persist()
+      val wa = Window.partitionBy("a_id").orderBy(col("cos_micro").desc, col("b_id"))
+      val wb = Window.partitionBy("b_id").orderBy(col("cos_micro").desc, col("a_id"))
+      val avgA = cand.withColumn("rn", row_number().over(wa)).filter(col("rn") <= 4)
+        .groupBy("a_id")
+        .agg(expr("CAST(sum(cos_micro) div count(1) AS BIGINT)").as("avg_a"))
+      val avgB = cand.withColumn("rn", row_number().over(wb)).filter(col("rn") <= 4)
+        .groupBy("b_id")
+        .agg(expr("CAST(sum(cos_micro) div count(1) AS BIGINT)").as("avg_b"))
+      val wBest = Window.partitionBy("a_id")
+        .orderBy(col("margin_ppm").desc, col("b_id"))
+      cand.join(avgA, "a_id").join(avgB, "b_id")
+        .withColumn("margin_ppm",
+          expr("CAST(cos_micro * 1000000 div ((avg_a + avg_b) div 2) AS BIGINT)"))
+        .withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+        .select(col("a_id"), col("b_id"), col("cos_micro"), col("margin_ppm"),
+          (col("margin_ppm") >= 1200000L).cast("long").as("accepted"))
+        .orderBy("a_id")
     },
 
     // ---------------------------------------------------------------------

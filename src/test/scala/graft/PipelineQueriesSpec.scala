@@ -1279,6 +1279,58 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(nc > 0 && nc < got.size / 10)
   }
 
+  test("margin-based bitext mining equals the Scala neighborhood model") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def plane(p: Int): Array[Double] =
+      Array.tabulate(64)(i => md5h(s"${p}_$i", 8).toDouble / 2147483648.0 - 1.0)
+    def dotF(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def dotP(a: Array[Float], c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * c(i); i += 1 }
+      acc
+    }
+    val planes = Array.tabulate(4)(plane)
+    def bucket(x: Array[Float]): Long =
+      (0 until 4).map(p => if (dotP(x, planes(p)) >= 0) 1L << p else 0L).sum
+    val withB = vecs.map { case (id, l, x) =>
+      (id, l, x, bucket(x), math.sqrt(dotF(x, x)))
+    }
+    val as = withB.filter(_._2 == 0)
+    val bs = withB.filter(_._2 == 1)
+    val cand = for {
+      (aid, _, ax, ab, an) <- as
+      (bid, _, bx, bb, bn) <- bs if ab == bb
+      cm = math.floor(dotF(ax, bx) / (an * bn) * 1e6).toLong if cm > 0
+    } yield (aid, bid, cm)
+    def topAvg(xs: Seq[(Long, Long)]): Long = {
+      // xs = (partnerId, cos_micro); top-4 by (cos desc, partner asc).
+      val top = xs.sortBy { case (p, c) => (-c, p) }.take(4)
+      top.map(_._2).sum / top.size
+    }
+    val avgA = cand.groupBy(_._1).map { case (aid, xs) =>
+      aid -> topAvg(xs.map(x => (x._2, x._3)).toSeq) }
+    val avgB = cand.groupBy(_._2).map { case (bid, xs) =>
+      bid -> topAvg(xs.map(x => (x._1, x._3)).toSeq) }
+    val expected = cand.map { case (aid, bid, cm) =>
+      (aid, bid, cm, cm * 1000000L / ((avgA(aid) + avgB(bid)) / 2))
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, xs) =>
+      val (aid, bid, cm, m) = xs.maxBy { case (_, b, _, m) => (m, -b) }
+      (aid, bid, cm, m, if (m >= 1200000L) 1L else 0L)
+    }
+    val got = run("p_bitext_mine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    // The margin criterion separates: some best pairs accepted, not all.
+    assert(got.exists(_._5 == 1L) && got.exists(_._5 == 0L))
+  }
+
   test("IVFADC equals the Scala coarse-list + ADC model: candidates come " +
     "only from the probe's nprobe=2 clusters, scored by the PQ codes") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
