@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training (Sennrich et al. 2016,
+  * arXiv:1508.07909) — the merge-discovery loop every LLM tokenizer
+  * pipeline runs over its corpus before training begins.
+  *
+  * The classic trainer shape (sentencepiece / HF tokenizers): BPE
+  * statistics are a function of the WORD FREQUENCY table, not the raw
+  * corpus — so the corpus is touched exactly once (one map-side-combined
+  * word count whose output is vocabulary-bounded), and every merge round
+  * runs on the vocab table, which is orders of magnitude smaller than the
+  * corpus at any scale. That one aggregation is the entire corpus cost;
+  * at 100 TB the rounds' cost is unchanged (the vocabulary grows
+  * sublinearly — Heaps' law).
+  *
+  * Each round:
+  *   1. adjacent symbol-pair counts weighted by word frequency — one
+  *      explode + map-side-combined sum over the vocab table;
+  *   2. the argmax pair (count desc, then lexicographic — deterministic)
+  *      — a 1-row `orderBy.limit(1)` collect, the only driver traffic;
+  *   3. the merge applied to every word's symbol array by a scan-local
+  *      greedy left-to-right fold (the same associativity BPE defines).
+  *
+  * Rounds chain scan-local column transforms on the persisted vocab; the
+  * plan re-derives each round's state from the single persisted scan (no
+  * per-round shuffle of the vocab, no lineage blowup at merge counts in
+  * the hundreds — a production run would localCheckpoint every ~50
+  * rounds).
+  *
+  * New pairs created by a merge are counted in the NEXT round's
+  * statistics, and their count can never exceed the count of the merge
+  * that created them (every occurrence of `(LR, x)` was an `(R, x)`
+  * adjacent to a merged `(L, R)`) — so the learned merge counts are
+  * non-increasing, which the spec pins.
+  */
+object BpeTrain {
+
+  /** Split `text` into per-word symbol arrays with frequencies: one
+    * corpus-bounded aggregation; everything after runs on this table. */
+  private[queries] def vocab(d: DataFrame): DataFrame =
+    d.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(col("n"), split(col("word"), "").as("syms"))
+
+  /** Adjacent-pair counts over symbol arrays weighted by `n`. */
+  private def pairCounts(v: DataFrame): DataFrame =
+    v.select(col("n"), explode(expr(
+        "transform(slice(syms, 1, size(syms) - 1), " +
+          "(s, i) -> struct(s AS l, syms[i + 1] AS r))")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("n")).as("cnt"))
+
+  /** Greedy left-to-right application of merge (l, r) -> l||r. */
+  private def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Learn `rounds` merges; returns (rank, left, right, merged,
+    * pair_count) ordered by rank. */
+  def train(s: SparkSession, docs: DataFrame, rounds: Int): DataFrame = {
+    import s.implicits._
+    var v = vocab(docs).persist()
+    v.count() // materialize once; rounds chain scan-local transforms
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (rank <- 1 to rounds) {
+      val top = pairCounts(v)
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (l, r, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank.toLong, l, r, l + r, cnt))
+        v = v.select(col("n"), applyMerge(col("syms"), l, r).as("syms"))
+      }
+    }
+    v.unpersist()
+    merges.result().toDF("rank", "left", "right", "merged", "pair_count")
+  }
+}

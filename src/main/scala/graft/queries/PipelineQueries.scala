@@ -1397,6 +1397,20 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
+    // Distributed BPE tokenizer training (Sennrich et al. 2016) — the
+    // merge-discovery loop run over the corpus before any LLM training.
+    // See [[BpeTrain]] for the plan: the corpus is aggregated ONCE into
+    // the word-frequency table; all merge rounds run on that vocab-
+    // bounded table (pair counts map-side combined, argmax is a 1-row
+    // collect, merges applied by a scan-local fold). Iterative + data-
+    // dependent merges make this inherently non-ANSI-SQL (rows-only);
+    // the spec pins exact equality against an independent Scala BPE
+    // model plus the non-increasing-merge-count guarantee.
+    QuerySpec.rowsOnly("p_bpe_train") { (s, dir) =>
+      BpeTrain.train(s, docs(s, dir), rounds = 10)
+    },
+
+    // ---------------------------------------------------------------------
     // Intra-document repetition (Gopher-style duplicate-n-gram signal):
     // total vs distinct word 3-grams per doc, repetition ratio in exact
     // integer micro-units (floor((total-distinct)*1e6/total) — no float

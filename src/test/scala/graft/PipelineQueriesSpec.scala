@@ -1331,6 +1331,48 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(got.exists(_._5 == 1L) && got.exists(_._5 == 0L))
   }
 
+  test("BPE training equals the Scala reference trainer, with " +
+    "non-increasing merge counts") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    var vocab: Seq[(Vector[String], Long)] = texts
+      .flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).view
+      .map { case (w, xs) => (w.map(_.toString).toVector, xs.length.toLong) }
+      .toSeq
+    def fold(syms: Vector[String], l: String, r: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r)
+          acc.init :+ (l + r)
+        else acc :+ x
+      }
+    val expected = (1 to 10).flatMap { rank =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + n
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) None
+      else {
+        val ((l, r), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        vocab = vocab.map { case (syms, n) => (fold(syms, l, r), n) }
+        Some((rank.toLong, l, r, l + r, cnt))
+      }
+    }
+    val got = run("p_bpe_train").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    // The guarantee: a merge's count never exceeds any earlier merge's
+    // (new pairs created by a merge are bounded by that merge's count).
+    got.sliding(2).foreach {
+      case Seq(a, b) => assert(b._5 <= a._5)
+      case _ =>
+    }
+  }
+
   test("IVFADC equals the Scala coarse-list + ADC model: candidates come " +
     "only from the probe's nprobe=2 clusters, scored by the PQ codes") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
