@@ -62,6 +62,29 @@ object BpeTrain {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
         .otherwise(concat(acc, array(x))))
 
+  /** Tokenize the corpus with a learned merge list: per word, start from
+    * characters and apply every merge in rank order (the same greedy fold
+    * as training — BPE's defined application semantics). Entirely
+    * scan-local: the merge table is rank-bounded (a few 10⁴ entries in a
+    * production tokenizer) and rides in the plan; per doc this reports
+    * word/char/token counts and chars-per-token in exact ppm. */
+  def encode(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val tokensPerWord: Column => Column = w =>
+      merges.foldLeft(split(w, ""))((syms, m) =>
+        applyMerge(syms, m._1, m._2))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        col("n_chars"),
+        aggregate(
+          transform(split(col("text"), " "), w => size(tokensPerWord(w))),
+          lit(0L), (acc, x) => acc + x).as("n_bpe_tokens"))
+      .withColumn("chars_per_token_ppm",
+        expr("CAST(CASE WHEN n_bpe_tokens > 0 " +
+          "THEN n_chars * 1000000 div n_bpe_tokens ELSE 0 END AS BIGINT)"))
+      .orderBy("doc_id")
+  }
+
   /** Learn `rounds` merges; returns (rank, left, right, merged,
     * pair_count) ordered by rank. */
   def train(s: SparkSession, docs: DataFrame, rounds: Int): DataFrame = {

@@ -1411,6 +1411,22 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
+    // BPE tokenization APPLIED — the other half of the tokenizer loop:
+    // train's learned merges encode every document (character start,
+    // merges in rank order, the same greedy fold). The merge table is
+    // tiny by construction (ranks, not corpus) and rides in the plan;
+    // encoding is pure scan work — the 100 TB plan is one pass, no
+    // shuffle beyond the oracle-compare sort. Rows-only (merges are
+    // data-dependent); the spec re-derives merges with the independent
+    // Scala trainer and pins per-doc token counts exactly.
+    QuerySpec.rowsOnly("p_bpe_encode") { (s, dir) =>
+      val merges = BpeTrain.train(s, docs(s, dir), rounds = 10)
+        .select("left", "right").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      BpeTrain.encode(docs(s, dir), merges)
+    },
+
+    // ---------------------------------------------------------------------
     // Intra-document repetition (Gopher-style duplicate-n-gram signal):
     // total vs distinct word 3-grams per doc, repetition ratio in exact
     // integer micro-units (floor((total-distinct)*1e6/total) — no float

@@ -1373,6 +1373,55 @@ class PipelineQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("BPE encoding applies the learned merges exactly (Scala model), " +
+    "and every merge strictly reduces the corpus token count") {
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def fold(syms: Vector[String], l: String, r: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+        else acc :+ x
+      }
+    // Re-derive the merge list with the independent trainer model.
+    var vocab: Seq[(Vector[String], Long)] = rows.map(_._2)
+      .flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).view
+      .map { case (w, xs) => (w.map(_.toString).toVector, xs.length.toLong) }
+      .toSeq
+    val merges = (1 to 10).flatMap { _ =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + n
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) None
+      else {
+        val ((l, r), _) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        vocab = vocab.map { case (syms, n) => (fold(syms, l, r), n) }
+        Some((l, r))
+      }
+    }
+    def encodeWord(w: String): Vector[String] =
+      merges.foldLeft(w.map(_.toString).toVector) { case (syms, (l, r)) =>
+        fold(syms, l, r)
+      }
+    val expected = rows.sortBy(_._1).map { case (id, t, nc) =>
+      val ws = t.split(" ", -1)
+      val ntok = ws.map(w => encodeWord(w).size.toLong).sum
+      (id, ws.length.toLong, nc,
+        ntok, if (ntok > 0) nc * 1000000L / ntok else 0L)
+    }.toSeq
+    val got = run("p_bpe_encode").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    // Compression really happened: fewer BPE tokens than characters.
+    assert(got.map(_._4).sum < got.map(_._3).sum)
+  }
+
   test("IVFADC equals the Scala coarse-list + ADC model: candidates come " +
     "only from the probe's nprobe=2 clusters, scored by the PQ codes") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
