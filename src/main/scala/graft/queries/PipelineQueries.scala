@@ -141,19 +141,10 @@ object PipelineQueries {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** Hashed-classifier bucket weights: md5-derived integers in
-    * [-1e6, 1e6] micro-units, one per feature bucket. Stand-in for a
-    * trained linear model's coefficients (swap = retrain). */
-  private[queries] def qcWeights: Array[Long] =
-    Array.tabulate(64) { b =>
-      (java.lang.Long.parseLong(md5hex(s"qw_$b").substring(0, 8), 16)
-        % 2000001L) - 1000000L
-    }
-
   /** Oracle mirroring p_quality_classifier: the weight map as a VALUES
     * table joined on the same md5 bucket hash. */
   private def qualityClassifierOracle: String = {
-    val rows = qcWeights.zipWithIndex
+    val rows = QualityClassifier.weights.zipWithIndex
       .map { case (w, b) => s"($b, $w)" }.mkString(",\n    ")
     s"""WITH wt(b, w_micro) AS (VALUES
        |    $rows
@@ -1152,18 +1143,14 @@ object PipelineQueries {
     // classifier application is embarrassingly parallel, which is why
     // production pipelines run it first. A real fastText model also
     // hashes word bigrams — same plan, two transform legs.
+    // Scoring expression lives in QualityClassifier — the identical code
+    // backs the streaming front door's classifier stage, so this oracle
+    // verifies both.
     QuerySpec.sql("p_quality_classifier", qualityClassifierOracle) { (s, dir) =>
-      val wm = map(qcWeights.zipWithIndex.flatMap { case (w, b) =>
-        Seq(lit(b.toLong), lit(w)) }: _*)
-      val ws = split(col("text"), " ")
       docs(s, dir)
         .select(col("doc_id"), col("source"),
-          size(ws).cast("long").as("n_words"),
-          aggregate(
-            transform(ws, w =>
-              element_at(wm, conv(substring(md5(w), 1, 8), 16, 10)
-                .cast("long") % 64)),
-            lit(0L), (acc, x) => acc + x).as("score_micro"))
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          QualityClassifier.scoreMicro(col("text")).as("score_micro"))
         .withColumn("keep", (col("score_micro") >= 0L).cast("long"))
         .orderBy("doc_id")
     },

@@ -268,9 +268,15 @@ object StreamingAnalytics {
     * remains the right op when the consumer wants the colliding ids for
     * exact verification.)
     *
-    * Route precedence mirrors the batch stage order:
-    * `quarantine_quality` > `quarantine_neardup` >
-    * `quarantine_contaminated` > `keep`. Still stateless end to end — no
+    * Route precedence: `quarantine_quality` > `quarantine_neardup` >
+    * `quarantine_contaminated` > `quarantine_classifier` > `keep`.
+    * Rules first (cheapest, unambiguous); near-dup and contamination
+    * verdicts outrank the classifier because they carry operational
+    * urgency — leaked eval data must surface AS contamination even when
+    * the classifier would also have dropped the doc. The classifier
+    * stage reuses [[graft.queries.QualityClassifier]], so
+    * `p_quality_classifier`'s oracle verifies this stage's arithmetic
+    * too. Still stateless end to end — no
     * watermark, no state store; the only shuffles are the static side's
     * one-time aggregation. At 100 TB the per-key profile is bounded by
     * distinct band keys (≤ corpus docs × 4) and broadcasts or
@@ -282,8 +288,9 @@ object StreamingAnalytics {
       contaminationPctMax: Int = 10): DataFrame = {
     val byKey = bandIndex.groupBy("band", "bkey")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
-    val screened = decontaminationProbe(
-      qualityGate(docs).drop("route"), evalSketch, contaminationPctMax)
+    val screened = graft.queries.QualityClassifier.withScore(
+      decontaminationProbe(
+        qualityGate(docs).drop("route"), evalSketch, contaminationPctMax))
     val keyed = graft.queries.MinHashLsh.withRowBandKeys(screened)
     val joined = (0 until 4).foldLeft(keyed) { (df, b) =>
       df.join(
@@ -301,6 +308,7 @@ object StreamingAnalytics {
         when(col("keep") === 0, "quarantine_quality")
           .when(col("neardup_flag") === 1, "quarantine_neardup")
           .when(col("flagged") === 1, "quarantine_contaminated")
+          .when(col("cls_keep") === 0, "quarantine_classifier")
           .otherwise("keep"))
       .drop((0 until 4).flatMap(b =>
         Seq(s"bkey$b", s"__n$b", s"__min$b")): _*)

@@ -302,7 +302,7 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     val source = MemoryStream[(Long, String)]
     val q = StreamingAnalytics.onlineCurationGate(
       source.toDF().toDF("doc_id", "text"), bandIndex, sketch)
-      .select("doc_id", "keep", "neardup_flag", "flagged", "route")
+      .select("doc_id", "keep", "cls_keep", "neardup_flag", "flagged", "route")
       .writeStream.format("memory").queryName("curation_gate")
       .outputMode(OutputMode.Append()).start()
     try {
@@ -315,7 +315,7 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     } finally q.stop()
     val got = spark.table("curation_gate").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getString(4))).toMap
+        r.getLong(4), r.getString(5))).toMap
     assert(got.size === corpus.length, "exactly one verdict row per doc")
 
     // Batch ground truths, from the operators the gate mirrors.
@@ -338,19 +338,27 @@ class StreamingAnalyticsSpec extends SparkTestBase {
       .select("doc_id", "flagged").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+    // Classifier ground truth: the batch operator's own scoring code.
+    val batchCls = graft.queries.QualityClassifier.withScore(
+        corpus.toSeq.toDF("doc_id", "text"))
+      .select("doc_id", "cls_keep").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
     corpus.foreach { case (id, _) =>
-      val (keep, nd, fl, route) = got(id)
+      val (keep, cls, nd, fl, route) = got(id)
       assert(keep === batchKeep(id), s"doc $id quality verdict")
+      assert(cls === batchCls(id), s"doc $id classifier verdict")
       assert(nd === (if (inPair(id)) 1L else 0L), s"doc $id neardup verdict")
       assert(fl === batchDecon(id), s"doc $id decontamination verdict")
       val expectedRoute =
         if (keep == 0L) "quarantine_quality"
         else if (nd == 1L) "quarantine_neardup"
         else if (fl == 1L) "quarantine_contaminated"
+        else if (cls == 0L) "quarantine_classifier"
         else "keep"
       assert(route === expectedRoute, s"doc $id route")
     }
-    assert(got.values.map(_._4).toSet.size >= 3,
+    assert(got.values.map(_._5).toSet.size >= 3,
       "corpus should exercise several routes")
   }
 
