@@ -890,6 +890,48 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
+    // Corpus kNN graph — EVERY vector gets its top-3 in-bucket
+    // neighbors, not just a probe set: the similarity graph that
+    // graph-based curation consumes (SemDeDup variants prune on it,
+    // near-dup clustering walks it, graph-density sampling weights by
+    // it). Same sign-LSH candidate plan as p_ann_lsh but symmetric:
+    // a co-partitioned bucket self-join (NO broadcast — both sides are
+    // the corpus), so at 100 TB it's one shuffle on the bucket key with
+    // cost tracking bucket collisions. The per-vector top-3 is a
+    // rank-limited window: Spark's WindowGroupLimit caps every map
+    // task's output at k per vector BEFORE the window exchange (the
+    // same skew-immune shape as p_source_quota).
+    QuerySpec.sql(
+      "p_knn_graph",
+      s"""$oBucketedCte
+         |SELECT a_id, b_id, rank, score_micro FROM (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |         CAST(row_number() OVER (PARTITION BY a.vec_id
+         |           ORDER BY list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         |                    / (a.norm * b.norm) DESC, b.vec_id)
+         |              AS BIGINT) AS rank,
+         |         CAST(floor(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         |                    / (a.norm * b.norm) * 1000000) AS BIGINT) AS score_micro
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |) WHERE rank <= 3 ORDER BY a_id, rank""".stripMargin) { (s, dir) =>
+      val bucketed = bucketedEmbs(s, dir)
+      val a = bucketed.select(col("vec_id").as("a_id"),
+        col("embedding").as("ea"), col("norm").as("na"), col("bucket"))
+      val b = bucketed.select(col("vec_id").as("b_id"),
+        col("embedding").as("eb"), col("norm").as("nb"), col("bucket"))
+      val cos = dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+      val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
+      a.join(b, Seq("bucket"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"), cos.as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("a_id"), col("b_id"), col("rank"),
+          floor(col("cos") * 1000000).cast("long").as("score_micro"))
+        .orderBy("a_id", "rank")
+    },
+
+    // ---------------------------------------------------------------------
     // Hard-negative mining (contrastive-training data op): per probe, the
     // top-3 most-similar vectors with a DIFFERENT label — the negatives
     // that actually move an embedding model. Same LSH-bucketed candidate

@@ -1422,6 +1422,43 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(got.map(_._4).sum < got.map(_._3).sum)
   }
 
+  test("corpus kNN graph equals the Scala in-bucket top-3 model, with a " +
+    "map-side WindowGroupLimit in the plan") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def plane(p: Int): Array[Double] =
+      Array.tabulate(64)(i => md5h(s"${p}_$i", 8).toDouble / 2147483648.0 - 1.0)
+    val planes = Array.tabulate(4)(plane)
+    def dotF(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def dotP(a: Array[Float], c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * c(i); i += 1 }
+      acc
+    }
+    val withB = vecs.map { case (id, x) =>
+      (id, x, (0 until 4).map(p => if (dotP(x, planes(p)) >= 0) 1L << p else 0L).sum,
+        math.sqrt(dotF(x, x)))
+    }
+    val expected = withB.sortBy(_._1).flatMap { case (aid, ax, ab, an) =>
+      withB.filter(v => v._3 == ab && v._1 != aid)
+        .map { case (bid, bx, _, bn) => (bid, dotF(ax, bx) / (an * bn)) }
+        .sortBy { case (bid, c) => (-c, bid) }.take(3).zipWithIndex
+        .map { case ((bid, c), i) =>
+          (aid, bid, i + 1L, math.floor(c * 1e6).toLong) }
+    }.toSeq
+    val got = run("p_knn_graph").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // The top-k is capped map-side before the window exchange.
+    val plan = run("p_knn_graph").queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
   test("IVFADC equals the Scala coarse-list + ADC model: candidates come " +
     "only from the probe's nprobe=2 clusters, scored by the PQ codes") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
