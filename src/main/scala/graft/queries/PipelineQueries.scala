@@ -1456,6 +1456,19 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
+    // Best-fit-decreasing sequence packing — the padding-minimizing
+    // counterpart to p_pack_sequences' order-preserving contiguous
+    // bins (see [[BinPack]]): docs md5-routed to packing partitions,
+    // each independently running deterministic textbook BFD; at most
+    // one ≤-half-full bin can exist per partition (the BFD guarantee
+    // the spec pins). Sequential placement dependence makes this
+    // non-ANSI-SQL (rows-only); the spec pins exact per-doc
+    // assignments against an independent Scala BFD model.
+    QuerySpec.rowsOnly("p_pack_bfd") { (s, dir) =>
+      BinPack.packBestFit(docs(s, dir), capacity = 512L)
+    },
+
+    // ---------------------------------------------------------------------
     // Intra-document repetition (Gopher-style duplicate-n-gram signal):
     // total vs distinct word 3-grams per doc, repetition ratio in exact
     // integer micro-units (floor((total-distinct)*1e6/total) — no float

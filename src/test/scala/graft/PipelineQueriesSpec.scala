@@ -1459,6 +1459,46 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"))
   }
 
+  test("BFD packing equals the Scala best-fit-decreasing model, respects " +
+    "capacity, and leaves at most one half-empty bin per partition") {
+    val cap = 512L
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+    val expected = rows
+      .map { case (id, n) => (id, n, md5h(id.toString, 8) % 32) }
+      .groupBy(_._3).toSeq.flatMap { case (part, ds) =>
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        ds.sortBy { case (id, n, _) => (-n, id) }.map { case (id, n, _) =>
+          // Best fit: fullest bin that still takes n, ties to lowest id.
+          val cands = fills.zipWithIndex
+            .filter { case (f, _) => f + n <= cap }
+          val bin =
+            if (cands.isEmpty) { fills += n; fills.size - 1 }
+            else {
+              val (_, b) = cands.maxBy { case (f, b) => (f, -b) }
+              fills(b) += n; b
+            }
+          (id, n, part, bin.toLong)
+        }
+      }.sortBy(_._1)
+    val got = run("p_pack_bfd").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected.toSeq)
+    // Capacity respected for every multi-doc bin (singletons may be
+    // oversized docs — splitting is chunking's job).
+    val binFills = got.groupBy(g => (g._3, g._4))
+      .map { case (k, ds) => (k, ds.map(_._2).sum, ds.size) }
+    binFills.foreach { case (k, fill, nDocs) =>
+      assert(nDocs == 1 || fill <= cap, s"bin $k overflows: $fill")
+    }
+    // The BFD guarantee: at most one bin at or under half capacity per
+    // partition (two such bins would have been packed together).
+    binFills.groupBy(_._1._1).foreach { case (part, bins) =>
+      assert(bins.count(_._2 <= cap / 2) <= 1, s"part $part waste")
+    }
+  }
+
   test("IVFADC equals the Scala coarse-list + ADC model: candidates come " +
     "only from the probe's nprobe=2 clusters, scored by the PQ codes") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
