@@ -1499,6 +1499,42 @@ class PipelineQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("content-defined chunking equals the Scala boundary model, covers " +
+    "every word exactly once, and is insertion-stable") {
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def chunksOf(t: String): Vector[Vector[String]] = {
+      val (done, cur) = t.split(" ", -1).filter(_ => true).toVector
+        .foldLeft((Vector.empty[Vector[String]], Vector.empty[String])) {
+          case ((d, c), w) =>
+            if (md5h(w, 8) % 8 == 0) (d :+ (c :+ w), Vector.empty)
+            else (d, c :+ w)
+        }
+      if (cur.nonEmpty) done :+ cur else done
+    }
+    val expected = rows.sortBy(_._1).flatMap { case (id, t) =>
+      chunksOf(t).zipWithIndex.map { case (c, i) =>
+        (id, i.toLong, c.size.toLong, md5h(c.mkString(" "), 15))
+      }
+    }.toSeq
+    val got = run("p_chunk_cdc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // Exact coverage: chunk word counts sum to each doc's word count.
+    val byDoc = got.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    rows.foreach { case (id, t) =>
+      assert(byDoc.getOrElse(id, 0L) === t.split(" ", -1).length.toLong)
+    }
+    // The CDC property: prepending a sentence leaves every chunk after
+    // the first boundary identical (fixed-stride chunking would shift
+    // them all).
+    val sample = rows.maxBy(_._2.length)._2
+    val edited = "inserted preamble words " + sample
+    val tail = chunksOf(sample).drop(1)
+    assert(tail.nonEmpty && chunksOf(edited).containsSlice(tail))
+  }
+
   test("IVFADC equals the Scala coarse-list + ADC model: candidates come " +
     "only from the probe's nprobe=2 clusters, scored by the PQ codes") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
