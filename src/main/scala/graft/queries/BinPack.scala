@@ -55,8 +55,7 @@ object BinPack {
     docsDf
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("ntok"),
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % nParts).as("part"))
+        (MinHashLsh.h32(col("doc_id").cast("string")) % nParts).as("part"))
       .repartition(nParts, col("part"))
       .mapPartitions { it =>
         val docs = it.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -46,6 +46,13 @@ object BpeTrain {
       .groupBy("word").agg(count(lit(1)).as("n"))
       .select(col("n"), split(col("word"), "").as("syms"))
 
+  /** Tie-break ordering for the argmax pair: count desc, then the
+    * ENGINE's string order — Spark compares strings as unsigned UTF-8
+    * bytes (UTF8String.binaryCompare), which differs from Java/Scala
+    * `String.compareTo` (UTF-16 units) for supplementary-plane
+    * characters vs U+E000..U+FFFF. The spec's reference model compares
+    * UTF-8 bytes for exactly this reason. */
+
   /** Adjacent-pair counts over symbol arrays weighted by `n`. */
   private def pairCounts(v: DataFrame): DataFrame =
     v.select(col("n"), explode(expr(
@@ -89,21 +96,28 @@ object BpeTrain {
     * pair_count) ordered by rank. */
   def train(s: SparkSession, docs: DataFrame, rounds: Int): DataFrame = {
     import s.implicits._
-    var v = vocab(docs).persist()
-    v.count() // materialize once; rounds chain scan-local transforms
-    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-    for (rank <- 1 to rounds) {
-      val top = pairCounts(v)
-        .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (top.nonEmpty) {
-        val (l, r, cnt) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((rank.toLong, l, r, l + r, cnt))
-        v = v.select(col("n"), applyMerge(col("syms"), l, r).as("syms"))
+    // Keep the persisted BASE reference: the merge loop reassigns `v`
+    // to Project chains over it, and unpersisting one of those would be
+    // a silent no-op (CacheManager matches the cached plan, not its
+    // descendants) — the leak class the round-9 advice flagged on the
+    // curation pipeline.
+    val base = vocab(docs).persist()
+    base.count() // materialize once; rounds chain scan-local transforms
+    try {
+      var v: DataFrame = base
+      val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+      for (rank <- 1 to rounds) {
+        val top = pairCounts(v)
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.nonEmpty) {
+          val (l, r, cnt) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((rank.toLong, l, r, l + r, cnt))
+          v = v.select(col("n"), applyMerge(col("syms"), l, r).as("syms"))
+        }
       }
-    }
-    v.unpersist()
-    merges.result().toDF("rank", "left", "right", "merged", "pair_count")
+      merges.result().toDF("rank", "left", "right", "merged", "pair_count")
+    } finally base.unpersist()
   }
 }

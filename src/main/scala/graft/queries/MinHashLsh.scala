@@ -22,7 +22,9 @@ object MinHashLsh {
 
   /** Smallest prime > 2^32; `A·h + B < 2^61` — no 64-bit overflow. */
   val P = 4294967311L
-  private def md5hex(s: String): String =
+  /** Driver-side md5 hex — the single shared copy (seed derivation here,
+    * classifier weights, oracle literal generation all hash with it). */
+  private[queries] def md5hex(s: String): String =
     org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
   val A: IndexedSeq[Long] =
     (0 until 16).map(j => java.lang.Long.parseLong(md5hex(s"A$j").substring(0, 7), 16) + 1L)

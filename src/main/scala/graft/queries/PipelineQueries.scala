@@ -2419,8 +2419,7 @@ object PipelineQueries {
          |       ${oH60("string_agg(word, ' ' ORDER BY pos)")} AS chunk_hash
          |FROM c GROUP BY doc_id, chunk_idx
          |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
-      val boundary = (w: Column) =>
-        conv(substring(md5(w), 1, 8), 16, 10).cast("long") % 8 === 0
+      val boundary = (w: Column) => h32(w) % 8 === 0
       // 1-based positions of chunk-closing words.
       val bpos = transform(
         filter(

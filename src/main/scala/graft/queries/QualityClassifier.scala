@@ -17,14 +17,10 @@ object QualityClassifier {
 
   val Buckets = 64
 
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
   /** Bucket weights in [-1e6, 1e6] micro-units. */
   def weights: Array[Long] =
     Array.tabulate(Buckets) { b =>
-      (java.lang.Long.parseLong(md5hex(s"qw_$b").substring(0, 8), 16)
+      (java.lang.Long.parseLong(MinHashLsh.md5hex(s"qw_$b").substring(0, 8), 16)
         % 2000001L) - 1000000L
     }
 
@@ -32,12 +28,13 @@ object QualityClassifier {
     map(weights.zipWithIndex.flatMap { case (w, b) =>
       Seq(lit(b.toLong), lit(w)) }: _*)
 
-  /** Sum of bucket weights over the words of `text`, in micro-units. */
+  /** Sum of bucket weights over the words of `text`, in micro-units.
+    * Bucket = the shared [[MinHashLsh.h32]] (the Spark/DuckDB-parity
+    * hash) mod [[Buckets]]. */
   def scoreMicro(text: Column): Column =
     aggregate(
       transform(split(text, " "), w =>
-        element_at(weightMap, conv(substring(md5(w), 1, 8), 16, 10)
-          .cast("long") % Buckets)),
+        element_at(weightMap, MinHashLsh.h32(w) % Buckets)),
       lit(0L), (acc, x) => acc + x)
 
   /** `df` + (`cls_score_micro`, `cls_keep`): keep iff the linear score

@@ -1331,6 +1331,17 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(got.exists(_._5 == 1L) && got.exists(_._5 == 0L))
   }
 
+  /** Spark compares strings as unsigned UTF-8 bytes; the reference BPE
+    * models must break count ties the same way (String.compareTo would
+    * diverge on supplementary-plane characters). */
+  private val utf8Order: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n && x(i) == y(i)) i += 1
+    if (i < n) (x(i) & 0xff) - (y(i) & 0xff) else x.length - y.length
+  }
+
   test("BPE training equals the Scala reference trainer, with " +
     "non-increasing merge counts") {
     val texts = spark.read.parquet(s"$sf/documents.parquet")
@@ -1356,7 +1367,8 @@ class PipelineQueriesSpec extends SparkTestBase {
       }
       if (counts.isEmpty) None
       else {
-        val ((l, r), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        val ((l, r), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }(
+          Ordering.Tuple3(Ordering.Long, utf8Order, utf8Order))
         vocab = vocab.map { case (syms, n) => (fold(syms, l, r), n) }
         Some((rank.toLong, l, r, l + r, cnt))
       }
@@ -1399,7 +1411,8 @@ class PipelineQueriesSpec extends SparkTestBase {
       }
       if (counts.isEmpty) None
       else {
-        val ((l, r), _) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        val ((l, r), _) = counts.minBy { case ((a, b), c) => (-c, a, b) }(
+          Ordering.Tuple3(Ordering.Long, utf8Order, utf8Order))
         vocab = vocab.map { case (syms, n) => (fold(syms, l, r), n) }
         Some((l, r))
       }
@@ -1505,7 +1518,7 @@ class PipelineQueriesSpec extends SparkTestBase {
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     def chunksOf(t: String): Vector[Vector[String]] = {
-      val (done, cur) = t.split(" ", -1).filter(_ => true).toVector
+      val (done, cur) = t.split(" ", -1).toVector
         .foldLeft((Vector.empty[Vector[String]], Vector.empty[String])) {
           case ((d, c), w) =>
             if (md5h(w, 8) % 8 == 0) (d :+ (c :+ w), Vector.empty)
