@@ -2449,6 +2449,51 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
+    // Curriculum ordering: phase docs easy→hard for staged training
+    // (curriculum-learning data prep). Difficulty = mean word length in
+    // exact micro units; phases are VALUE-bucketed at fixed cutoffs
+    // (4.40/4.50/4.63 chars — the corpus quartiles, stable across SFs)
+    // rather than rank-bucketed: ntile() over a global ORDER BY funnels
+    // the corpus into ONE window task, while value cutoffs keep phase
+    // assignment scan-local with zero shuffle — the difference between
+    // a curriculum that plans at 100 TB and one that doesn't (rank
+    // boundaries at scale come from approx quantiles over a sample,
+    // then apply as values — this operator IS that apply step). The
+    // within-phase order key is the md5 shuffle convention of
+    // p_train_shards: a loader sorts by (phase, order_key) and gets a
+    // deterministic easy→hard schedule, shuffled within each phase.
+    QuerySpec.sql(
+      "p_curriculum_order",
+      s"""SELECT doc_id,
+         |       (len(replace(text, ' ', '')) * 1000000)
+         |         // len(string_split(text, ' ')) AS difficulty_micro,
+         |       CAST(CASE
+         |         WHEN (len(replace(text, ' ', '')) * 1000000)
+         |              // len(string_split(text, ' ')) < 4400000 THEN 0
+         |         WHEN (len(replace(text, ' ', '')) * 1000000)
+         |              // len(string_split(text, ' ')) < 4500000 THEN 1
+         |         WHEN (len(replace(text, ' ', '')) * 1000000)
+         |              // len(string_split(text, ' ')) < 4630000 THEN 2
+         |         ELSE 3 END AS BIGINT) AS phase,
+         |       ${oH60("CAST(doc_id AS VARCHAR) || ':' || text")} AS order_key
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          // BIGINT before the ×1e6: a ~2200-char doc would wrap INT32.
+          expr("(CAST(length(replace(text, ' ', '')) AS BIGINT) * 1000000) " +
+            "div size(split(text, ' '))").cast("long").as("difficulty_micro"),
+          h60(concat(col("doc_id").cast("string"), lit(":"), col("text")))
+            .as("order_key"))
+        .withColumn("phase",
+          when(col("difficulty_micro") < 4400000L, 0L)
+            .when(col("difficulty_micro") < 4500000L, 1L)
+            .when(col("difficulty_micro") < 4630000L, 2L)
+            .otherwise(3L))
+        .select("doc_id", "difficulty_micro", "phase", "order_key")
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------------
     // Deterministic training-shard manifest: the global-shuffle prep a data
     // loader consumes. Every document gets a content-derived order key
     // (md5 — re-derivable on any cluster, any retry, never rand()) and a

@@ -1548,6 +1548,29 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(tail.nonEmpty && chunksOf(edited).containsSlice(tail))
   }
 
+  test("curriculum ordering equals the Scala value-bucket model, stays " +
+    "scan-local, and populates every phase") {
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = rows.sortBy(_._1).map { case (id, t) =>
+      val chars = t.replace(" ", "").length.toLong
+      val words = t.split(" ", -1).length.toLong
+      val d = chars * 1000000L / words
+      val phase =
+        if (d < 4400000L) 0L else if (d < 4500000L) 1L
+        else if (d < 4630000L) 2L else 3L
+      (id, d, phase, md5h(s"$id:$t", 15))
+    }.toSeq
+    val got = run("p_curriculum_order").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    assert(got.map(_._3).toSet === Set(0L, 1L, 2L, 3L))
+    val plan = run("p_curriculum_order").queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("Window") &&
+      !plan.contains("Join"))
+  }
+
   test("IVFADC equals the Scala coarse-list + ADC model: candidates come " +
     "only from the probe's nprobe=2 clusters, scored by the PQ codes") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
