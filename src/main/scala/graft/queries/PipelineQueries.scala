@@ -932,6 +932,73 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
+    // Contrastive triplet generation — the training-set materializer for
+    // embedding models (anchor, hardest positive, hardest negative):
+    // per anchor, its most-similar SAME-label and most-similar
+    // DIFFERENT-label in-bucket neighbor; the margin (pos − neg) is the
+    // triplet-loss signal, and near-zero/negative margins are exactly
+    // the triplets that move a model. Anchors missing either side are
+    // dropped (no degenerate triplets). Plan: ONE bucket self-join and
+    // ONE groupBy with two FILTERed max_by aggregates — both argmaxes
+    // ride the same map-side combine; ordering is on the floored micro
+    // score with ties to the lower id, so both engines rank
+    // identically. 100 TB posture: candidates are bucket-collision-
+    // bounded (the kNN-graph law), the aggregate is one shuffle of
+    // one row per anchor.
+    QuerySpec.sql(
+      "p_contrastive_triplets",
+      s"""$oBucketedCte, lab AS (
+         |  SELECT e.vec_id, e.embedding, e.norm, e.bucket, b.label
+         |  FROM e JOIN embeddings b USING (vec_id)
+         |), cand AS (
+         |  SELECT a.vec_id AS anchor_id, b.vec_id AS b_id,
+         |         a.label AS la, b.label AS lb,
+         |         CAST(floor(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         |                    / (a.norm * b.norm) * 1000000) AS BIGINT) AS cm
+         |  FROM lab a JOIN lab b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |), pos AS (
+         |  SELECT anchor_id, b_id AS pos_id, cm AS pos_micro,
+         |         row_number() OVER (PARTITION BY anchor_id
+         |                            ORDER BY cm DESC, b_id) AS rn
+         |  FROM cand WHERE la = lb
+         |), neg AS (
+         |  SELECT anchor_id, b_id AS neg_id, cm AS neg_micro,
+         |         row_number() OVER (PARTITION BY anchor_id
+         |                            ORDER BY cm DESC, b_id) AS rn
+         |  FROM cand WHERE la <> lb
+         |)
+         |SELECT anchor_id, pos_id, pos_micro, neg_id, neg_micro,
+         |       pos_micro - neg_micro AS margin_micro
+         |FROM pos JOIN neg USING (anchor_id)
+         |WHERE pos.rn = 1 AND neg.rn = 1
+         |ORDER BY anchor_id""".stripMargin) { (s, dir) =>
+      val labels = embs(s, dir).select(col("vec_id"), col("label"))
+      val lab = bucketedEmbs(s, dir).join(labels, "vec_id")
+      val a = lab.select(col("vec_id").as("anchor_id"), col("embedding").as("ea"),
+        col("norm").as("na"), col("bucket"), col("label").as("la"))
+      val b = lab.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+        col("norm").as("nb"), col("bucket"), col("label").as("lb"))
+      val cos = dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+      a.join(b, Seq("bucket"))
+        .filter(col("anchor_id") =!= col("b_id"))
+        .select(col("anchor_id"), col("b_id"), col("la"), col("lb"),
+          floor(cos * 1000000).cast("long").as("cm"))
+        .groupBy("anchor_id")
+        .agg(
+          expr("max_by(b_id, struct(cm, -b_id)) FILTER (WHERE la = lb)")
+            .as("pos_id"),
+          expr("max(cm) FILTER (WHERE la = lb)").as("pos_micro"),
+          expr("max_by(b_id, struct(cm, -b_id)) FILTER (WHERE la <> lb)")
+            .as("neg_id"),
+          expr("max(cm) FILTER (WHERE la <> lb)").as("neg_micro"))
+        .filter(col("pos_id").isNotNull && col("neg_id").isNotNull)
+        .select(col("anchor_id"), col("pos_id"), col("pos_micro"),
+          col("neg_id"), col("neg_micro"),
+          (col("pos_micro") - col("neg_micro")).as("margin_micro"))
+        .orderBy("anchor_id")
+    },
+
+    // ---------------------------------------------------------------------
     // Hard-negative mining (contrastive-training data op): per probe, the
     // top-3 most-similar vectors with a DIFFERENT label — the negatives
     // that actually move an embedding model. Same LSH-bucketed candidate

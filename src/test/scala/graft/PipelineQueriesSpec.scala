@@ -1571,6 +1571,53 @@ class PipelineQueriesSpec extends SparkTestBase {
       !plan.contains("Join"))
   }
 
+  test("contrastive triplets equal the Scala hardest-positive/negative " +
+    "model and include the near-zero margins that train a model") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def plane(p: Int): Array[Double] =
+      Array.tabulate(64)(i => md5h(s"${p}_$i", 8).toDouble / 2147483648.0 - 1.0)
+    val planes = Array.tabulate(4)(plane)
+    def dotF(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def dotP(a: Array[Float], c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * c(i); i += 1 }
+      acc
+    }
+    val withB = vecs.map { case (id, l, x) =>
+      (id, l, x,
+        (0 until 4).map(p => if (dotP(x, planes(p)) >= 0) 1L << p else 0L).sum,
+        math.sqrt(dotF(x, x)))
+    }
+    val expected = withB.sortBy(_._1).flatMap { case (aid, la, ax, ab, an) =>
+      val cands = withB.filter(v => v._4 == ab && v._1 != aid)
+        .map { case (bid, lb, bx, _, bn) =>
+          (bid, lb, math.floor(dotF(ax, bx) / (an * bn) * 1e6).toLong) }
+      def best(pred: Int => Boolean): Option[(Long, Long)] = {
+        val c = cands.filter(v => pred(v._2))
+        if (c.isEmpty) None
+        else Some(c.maxBy { case (bid, _, cm) => (cm, -bid) })
+          .map { case (bid, _, cm) => (bid, cm) }
+      }
+      for {
+        (pid, pm) <- best(_ == la)
+        (nid, nm) <- best(_ != la)
+      } yield (aid, pid, pm, nid, nm, pm - nm)
+    }.toSeq
+    val got = run("p_contrastive_triplets").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+    // The hard triplets exist: some margins are at or below zero (the
+    // negative outranks the positive — exactly what the loss needs).
+    assert(got.exists(_._6 <= 0L) && got.exists(_._6 > 0L))
+  }
+
   test("IVFADC equals the Scala coarse-list + ADC model: candidates come " +
     "only from the probe's nprobe=2 clusters, scored by the PQ codes") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
