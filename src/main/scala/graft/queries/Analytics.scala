@@ -384,5 +384,91 @@ object Analytics {
           coalesce(col("purchase_n"), lit(0L)).as("n_purchase"),
           col("purchase_v").as("purchase_value_x10k"))
         .orderBy("user_bucket")
+    },
+
+    // Ordered conversion funnel: view → click → purchase, each step's
+    // first occurrence constrained to happen AT OR AFTER the previous
+    // step's first occurrence for that user (the product-analytics funnel,
+    // not three independent counts). All comparisons in integer epoch
+    // nanoseconds. Shape at 100 TB: each stage is one filtered min-
+    // aggregate (map-side combined) equi-joined to the previous stage's
+    // user-bounded table — the stage tables shrink monotonically, and
+    // nothing ever shuffles more than (user, ts) pairs. Conversion ppm is
+    // arithmetic on the 3-row output against the broadcast stage-1 count.
+    QuerySpec.sql(
+      "q_events_funnel",
+      """WITH v AS (
+        |  SELECT user_id, min(epoch_ns(ts)) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t
+        |  FROM events e JOIN v ON e.user_id = v.user_id AND epoch_ns(e.ts) >= v.t
+        |  WHERE e.event_type = 'click' GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t
+        |  FROM events e JOIN c ON e.user_id = c.user_id AND epoch_ns(e.ts) >= c.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1
+        |), stages AS (
+        |  SELECT 1 AS stage_no, 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+        |  UNION ALL
+        |  SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM c
+        |  UNION ALL
+        |  SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p
+        |)
+        |SELECT stage_no, stage, n_users,
+        |       (n_users * 1000000) // (SELECT n_users FROM stages WHERE stage_no = 1)
+        |         AS conv_from_view_ppm
+        |FROM stages ORDER BY stage_no""".stripMargin) { (s, dir) =>
+      val ev = TemporalQueries.eventsWithTs(s, dir)
+      def firstAtOrAfter(stepType: String, prev: DataFrame): DataFrame =
+        ev.filter(col("event_type") === stepType)
+          .join(prev.select(col("user_id"), col("t").as("prev_t")), "user_id")
+          .filter(col("ts") >= col("prev_t"))
+          .groupBy("user_id").agg(min(col("ts")).as("t"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t"))
+      val c = firstAtOrAfter("click", v)
+      val p = firstAtOrAfter("purchase", c)
+      def stageCount(no: Int, nm: String, d: DataFrame): DataFrame =
+        d.agg(count(lit(1)).as("n_users"))
+          .select(lit(no).as("stage_no"), lit(nm).as("stage"), col("n_users"))
+      val stages = stageCount(1, "view", v)
+        .unionByName(stageCount(2, "click", c))
+        .unionByName(stageCount(3, "purchase", p))
+      val viewN = stages.filter(col("stage_no") === 1)
+        .select(col("n_users").as("view_n"))
+      stages.crossJoin(broadcast(viewN))
+        .select(col("stage_no"), col("stage"), col("n_users"),
+          expr("(n_users * 1000000) div view_n").as("conv_from_view_ppm"))
+        .orderBy("stage_no")
+    },
+
+    // Cohort retention matrix: users grouped by their FIRST-activity day,
+    // distinct active users per (cohort day, day offset) — the classic
+    // retention triangle. Day buckets in exact integer nanosecond
+    // division. Shape at 100 TB: the cohort table is one min-aggregate to
+    // #users rows; the activity join is an equi-join on user_id (hash-
+    // partitioned both sides, AQE picks broadcast only if the user
+    // dimension fits); the matrix aggregate is a distinct-count to
+    // #days × #offsets rows with partial aggregation on (cohort, offset,
+    // user) before the final shuffle.
+    QuerySpec.sql(
+      "q_events_retention",
+      """WITH d AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+        |), coh AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1
+        |)
+        |SELECT cohort_day, d.day - cohort_day AS offset_days,
+        |       CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        |FROM d JOIN coh ON d.user_id = coh.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, offset_days""".stripMargin) { (s, dir) =>
+      val d = TemporalQueries.eventsWithTs(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val coh = d.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      d.join(coh, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "offset_days")
     })
 }

@@ -84,6 +84,34 @@ object PipelineQueries {
   private[queries] def shingleRows(d: DataFrame): DataFrame =
     d.select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
 
+  /** DuckDB CTE for the distinct (source, sh) relation — the per-SOURCE
+    * shingle vocabulary (p_source_overlap). */
+  private def OShinglesCteBySource: String =
+    """WITH words AS (
+      |  SELECT source, string_split(text, ' ') AS ws FROM documents
+      |), ssh AS (
+      |  SELECT DISTINCT source, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(ws) - 1, 1)),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+      |  FROM words
+      |)""".stripMargin
+
+  // --------------------------------------------------------- topic lexicons
+
+  /** Topic lexicons for p_topic_tag — tiny here, but the contract (lexicon
+    * rides inside the scan; at real sizes, a broadcast trie) is the real
+    * one. Names chosen alphabetical: relational < storage < streaming, so
+    * the tie-break CASE reads in declaration order. */
+  private def TopicRelational = Seq("join", "filter", "agg", "sort", "scan", "merge", "group")
+  private def TopicStorage    = Seq("table", "key", "column", "row", "hash", "part")
+  private def TopicStreaming  = Seq("stream", "window", "batch", "spark")
+
+  private def oTopicList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+  private def OTopicRelational = oTopicList(TopicRelational)
+  private def OTopicStorage    = oTopicList(TopicStorage)
+  private def OTopicStreaming  = oTopicList(TopicStreaming)
+
   // ------------------------------------------------------------ embeddings
 
   /** Codegen'd sequential left-to-right dot product in double precision —
@@ -2755,6 +2783,150 @@ object PipelineQueries {
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc_micro"))
         .orderBy("query_id", "rank")
+    },
+
+    // ---------------------------------------------------------------------
+    // Inter-source overlap matrix: pairwise shingle-level Jaccard between
+    // every pair of sources — the corpus-DIVERSITY report a mixture
+    // designer reads before setting weights (near-identical crawls get
+    // merged or down-weighted; p_dedup_source_matrix counts verified
+    // doc-level duplicate PAIRS, this measures vocabulary-level overlap of
+    // the sources themselves). Shape at 100 TB: the distinct (source, sh)
+    // relation is vocabulary-bounded (Heaps' law), the self-join is an
+    // equi-join on the shingle — a shingle present in k sources emits
+    // C(k,2) ≤ C(#sources,2) pairs, so the join output is bounded by
+    // #shingles × #sources², never doc-count²; the full pair frame is
+    // #sources² rows built from the per-source count table. A production
+    // pass adds the standard document-frequency cap on stop-shingles.
+    QuerySpec.sql(
+      "p_source_overlap",
+      s"""$OShinglesCteBySource,
+         |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ssh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |         CAST(count(*) AS BIGINT) AS n_common
+         |  FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.source < b.source
+         |  GROUP BY 1, 2
+         |)
+         |SELECT pa.source AS src_a, pb.source AS src_b,
+         |       coalesce(n_common, 0) AS n_common,
+         |       pa.n AS n_a, pb.n AS n_b,
+         |       (coalesce(n_common, 0) * 1000000)
+         |         // (pa.n + pb.n - coalesce(n_common, 0)) AS jaccard_ppm
+         |FROM per pa JOIN per pb ON pa.source < pb.source
+         |LEFT JOIN inter ON src_a = pa.source AND src_b = pb.source
+         |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      val sh = docs(s, dir)
+        .select(col("source"), explode(shingles3(col("text"))).as("sh"))
+        .distinct()
+      val per = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a")
+        .join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+      // #sources² pair frame from the tiny per-source table; the overlap
+      // join fills in zero for disjoint pairs.
+      val pairs = per.select(col("source").as("src_a"), col("n").as("n_a"))
+        .join(per.select(col("source").as("src_b"), col("n").as("n_b")),
+          col("src_a") < col("src_b"))
+      pairs.join(inter, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          col("n_a"), col("n_b"),
+          expr("(coalesce(n_common, 0) * 1000000) div " +
+            "(n_a + n_b - coalesce(n_common, 0))").as("jaccard_ppm"))
+        .orderBy("src_a", "src_b")
+    },
+
+    // ---------------------------------------------------------------------
+    // Temperature-scaled mixture weights (multilingual sampling, XLM
+    // arXiv:1901.07291 §3.1): resampling shares ∝ share^(1/T) with T = 2 —
+    // the standard low-resource up-weighting. Cross-engine exactness
+    // hinges on IEEE-754 sqrt being CORRECTLY ROUNDED (unlike pow/exp/ln,
+    // which differ at ULP level between libm and the JVM): share_ppm·1e6
+    // ≤ 1e12 is exactly representable in double, both engines produce the
+    // bit-identical square root, and floor lands on the same integer.
+    // Shape at 100 TB: one map-side-combined corpus aggregate to #sources
+    // rows; everything after is arithmetic on that tiny frame.
+    QuerySpec.sql(
+      "p_mix_temperature",
+      """WITH per AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per),
+        |shr AS (
+        |  SELECT source, n_tokens,
+        |         (n_tokens * 1000000) // total_tokens AS token_share_ppm,
+        |         CAST(floor(sqrt(CAST((n_tokens * 1000000) // total_tokens
+        |           AS DOUBLE) * 1000000)) AS BIGINT) AS root
+        |  FROM per, tot
+        |), rtot AS (SELECT CAST(sum(root) AS BIGINT) AS root_total FROM shr)
+        |SELECT source, n_tokens, token_share_ppm,
+        |       (root * 1000000) // root_total AS temp_share_ppm,
+        |       ((root * 1000000) // root_total) * 1000000 // token_share_ppm
+        |         AS boost_ppm
+        |FROM shr, rtot ORDER BY source""".stripMargin) { (s, dir) =>
+      val per = docs(s, dir)
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+      val tot = per.agg(sum(col("n_tokens")).as("total_tokens"))
+      val shr = per.crossJoin(broadcast(tot))
+        .withColumn("token_share_ppm",
+          expr("CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000) div " +
+            "total_tokens AS BIGINT)"))
+        .withColumn("root",
+          floor(sqrt(col("token_share_ppm").cast("double") * 1000000.0))
+            .cast("long"))
+      val rtot = shr.agg(sum(col("root")).as("root_total"))
+      shr.crossJoin(broadcast(rtot))
+        .select(col("source"), col("n_tokens"), col("token_share_ppm"),
+          expr("(root * 1000000) div root_total").as("temp_share_ppm"),
+          expr("((root * 1000000) div root_total) * 1000000 div " +
+            "token_share_ppm").as("boost_ppm"))
+        .orderBy("source")
+    },
+
+    // ---------------------------------------------------------------------
+    // Lexicon topic tagging: per document, match counts against small
+    // topical lexicons plus the dominant topic (deterministic tie-break to
+    // the alphabetically-first topic) — the taxonomy-labeling pass a
+    // mixture report slices on (FlashText/Aho-Corasick shape; at real
+    // vocabulary sizes the lexicons become a broadcast map feeding one
+    // trie-match pass, same contract). The lexicons ride INSIDE the scan
+    // as array literals — one lambda pass per row over the word array,
+    // ZERO shuffle (the spec asserts no Exchange in the plan).
+    QuerySpec.sql(
+      "p_topic_tag",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(ws, x -> list_contains($OTopicRelational, x))) AS BIGINT) AS n_relational,
+         |         CAST(len(list_filter(ws, x -> list_contains($OTopicStorage, x))) AS BIGINT) AS n_storage,
+         |         CAST(len(list_filter(ws, x -> list_contains($OTopicStreaming, x))) AS BIGINT) AS n_streaming
+         |  FROM w
+         |)
+         |SELECT doc_id, n_relational, n_storage, n_streaming,
+         |       CASE WHEN n_relational >= n_storage AND n_relational >= n_streaming
+         |              THEN 'relational'
+         |            WHEN n_storage >= n_streaming THEN 'storage'
+         |            ELSE 'streaming' END AS top_topic
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      def matches(lexicon: Seq[String]): Column =
+        size(filter(col("ws"),
+          w => array_contains(array(lexicon.map(lit): _*), w))).cast("long")
+      docs(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n_relational", matches(TopicRelational))
+        .withColumn("n_storage", matches(TopicStorage))
+        .withColumn("n_streaming", matches(TopicStreaming))
+        .select(col("doc_id"), col("n_relational"), col("n_storage"),
+          col("n_streaming"),
+          when(col("n_relational") >= col("n_storage") &&
+            col("n_relational") >= col("n_streaming"), "relational")
+            .when(col("n_storage") >= col("n_streaming"), "storage")
+            .otherwise("streaming").as("top_topic"))
+        .orderBy("doc_id")
     })
 
   // ------------------------------------------------- product quantization

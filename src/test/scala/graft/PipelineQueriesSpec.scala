@@ -1670,4 +1670,140 @@ class PipelineQueriesSpec extends SparkTestBase {
       assert(lists.contains(clusterOf(nid)), s"query $qid neighbor $nid")
     }
   }
+
+  test("source overlap matrix equals the Scala per-source shingle-set " +
+    "Jaccard model and covers every source pair") {
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val setOf = rows.groupBy(_._1).map { case (src, ds) =>
+      src -> ds.flatMap { case (_, t) =>
+        val ws = t.split(" ", -1)
+        (0 to ws.length - 3).map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")
+      }.toSet
+    }
+    val srcs = setOf.keys.toSeq.sorted
+    val expected = (for {
+      a <- srcs; b <- srcs if a < b
+    } yield {
+      val (sa, sb) = (setOf(a), setOf(b))
+      val inter = (sa & sb).size.toLong
+      val (na, nb) = (sa.size.toLong, sb.size.toLong)
+      (a, b, inter, na, nb, inter * 1000000L / (na + nb - inter))
+    }).sortBy(t => (t._1, t._2))
+    val got = run("p_source_overlap").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+    val n = srcs.length
+    assert(got.length === n * (n - 1) / 2) // the full triangular matrix
+  }
+
+  test("temperature mixture weights equal the Scala sqrt-flatten model and " +
+    "boost exactly the below-average sources") {
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+    val per = rows.groupBy(_._1).map { case (s, ds) => s -> ds.map(_._2).sum }
+    val total = per.values.sum
+    val shr = per.map { case (s, n) =>
+      val share = n * 1000000L / total
+      (s, n, share, math.floor(math.sqrt(share.toDouble * 1000000.0)).toLong)
+    }.toSeq.sortBy(_._1)
+    val rootTotal = shr.map(_._4).sum
+    val expected = shr.map { case (s, n, share, root) =>
+      val temp = root * 1000000L / rootTotal
+      (s, n, share, temp, temp * 1000000L / share)
+    }
+    val got = run("p_mix_temperature").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    // T=2 flattens toward uniform: every below-average source is boosted
+    // (temp share above its raw share), every above-average one damped.
+    val uniform = 1000000L / got.length
+    got.foreach { case (s, _, share, temp, _) =>
+      if (share < uniform) assert(temp >= share, s"$s not boosted")
+      if (share > uniform) assert(temp <= share, s"$s not damped")
+    }
+    // Normalization: temp shares sum to 1e6 up to per-source floor loss.
+    val sumTemp = got.map(_._4).sum
+    assert(sumTemp <= 1000000L && sumTemp > 1000000L - got.length)
+  }
+
+  test("topic tagging equals the Scala lexicon-count model with the " +
+    "alphabetical tie-break and plans no aggregate or join") {
+    val relational = Set("join", "filter", "agg", "sort", "scan", "merge", "group")
+    val storage = Set("table", "key", "column", "row", "hash", "part")
+    val streaming = Set("stream", "window", "batch", "spark")
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = rows.sortBy(_._1).map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val (nr, nsto, nstr) = (ws.count(relational), ws.count(storage),
+        ws.count(streaming))
+      val top =
+        if (nr >= nsto && nr >= nstr) "relational"
+        else if (nsto >= nstr) "storage"
+        else "streaming"
+      (id, nr.toLong, nsto.toLong, nstr.toLong, top)
+    }.toSeq
+    val got = run("p_topic_tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(got === expected)
+    // Lexicon matching is scan-resident work: no aggregate, no join, no
+    // window — the only exchange is the output ORDER BY.
+    val plan = run("p_topic_tag").queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join") &&
+      !plan.contains("Window"))
+  }
+
+  test("event funnel equals the Scala first-occurrence-ordered model and " +
+    "its stages shrink monotonically") {
+    val ev = queries.TemporalQueries.eventsWithTs(spark, sf)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def firstAtOrAfter(tpe: String, prev: Map[Long, Long]): Map[Long, Long] =
+      ev.filter(e => e._2 == tpe && prev.contains(e._1) && e._3 >= prev(e._1))
+        .groupBy(_._1).map { case (u, es) => u -> es.map(_._3).min }
+    val v = ev.filter(_._2 == "view").groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._3).min }
+    val c = firstAtOrAfter("click", v)
+    val p = firstAtOrAfter("purchase", c)
+    val expected = Seq(
+      (1L, "view", v.size.toLong), (2L, "click", c.size.toLong),
+      (3L, "purchase", p.size.toLong))
+      .map { case (no, nm, n) => (no, nm, n, n * 1000000L / v.size) }
+    val got = run("q_events_funnel").collect()
+      .map(r => (r.getInt(0).toLong, r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // A funnel can only narrow.
+    assert(got(0)._3 >= got(1)._3 && got(1)._3 >= got(2)._3)
+    assert(got(0)._4 === 1000000L)
+  }
+
+  test("cohort retention equals the Scala first-day-cohort model; offset 0 " +
+    "carries the whole cohort") {
+    val ev = queries.TemporalQueries.eventsWithTs(spark, sf)
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 86400000000000L))
+    val cohort = ev.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).min }
+    val expected = ev.map { case (u, d) => (cohort(u), d - cohort(u), u) }
+      .distinct.groupBy(t => (t._1, t._2))
+      .map { case ((cd, off), us) => (cd, off, us.map(_._3).distinct.length.toLong) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    val got = run("q_events_retention").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // Every user is active on their own cohort day, so offset 0 is the
+    // cohort's full size and bounds every later offset's count.
+    val byCohort = got.groupBy(_._1)
+    byCohort.foreach { case (cd, rows) =>
+      val day0 = rows.find(_._2 == 0L)
+      assert(day0.isDefined, s"cohort $cd missing offset 0")
+      rows.foreach(r => assert(r._3 <= day0.get._3))
+    }
+  }
 }
