@@ -189,6 +189,52 @@ object PipelineQueries {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Oracle mirroring p_filter_agreement: the Gopher-rule keep (as in
+    * p_quality_gopher's oracle) and the classifier keep (as in
+    * [[qualityClassifierOracle]]) joined per doc, aggregated to the 2×2
+    * agreement cells. */
+  private def filterAgreementOracle: String = {
+    val rows = QualityClassifier.weights.zipWithIndex
+      .map { case (w, b) => s"($b, $w)" }.mkString(",\n    ")
+    s"""WITH wt(b, w_micro) AS (VALUES
+       |    $rows
+       |), tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+       |), cls AS (
+       |  SELECT doc_id,
+       |         CAST(CAST(sum(w.w_micro) AS BIGINT) >= 0 AS BIGINT) AS cls_keep
+       |  FROM tok t JOIN wt w ON w.b = ${oH32("t.word")} % 64
+       |  GROUP BY doc_id
+       |), top AS (
+       |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word_n
+       |  FROM (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2)
+       |  GROUP BY 1
+       |), base AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |         CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_word_chars,
+       |         CAST(len(list_filter(string_split(text, ' '),
+       |                              x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+       |  FROM documents
+       |), rules AS (
+       |  SELECT doc_id, n_words,
+       |         CAST(n_words >= 50 AND n_words <= 100000
+       |              AND 3 * n_words <= n_word_chars
+       |              AND n_word_chars <= 10 * n_words
+       |              AND n_stop >= 2
+       |              AND 5 * top_word_n <= n_words AS BIGINT) AS rule_keep
+       |  FROM base JOIN top USING (doc_id)
+       |), cells AS (
+       |  SELECT r.rule_keep, c.cls_keep,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(r.n_words) AS BIGINT) AS n_words
+       |  FROM rules r JOIN cls c USING (doc_id) GROUP BY 1, 2
+       |), tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM cells)
+       |SELECT rule_keep, cls_keep, n_docs, n_words,
+       |       (n_docs * 1000000) // total_docs AS share_ppm
+       |FROM cells, tot ORDER BY rule_keep, cls_keep""".stripMargin
+  }
+
   /** Random-hyperplane coefficients for LSH plane `p`: md5-derived uniform
     * doubles in [-1, 1). Each value is `h32 / 2^31 - 1` with h32 < 2^32 —
     * ≤33 significant bits, exactly representable, so the decimal literal
@@ -1290,6 +1336,137 @@ object PipelineQueries {
           QualityClassifier.scoreMicro(col("text")).as("score_micro"))
         .withColumn("keep", (col("score_micro") >= 0L).cast("long"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------------
+    // Quality-filter agreement matrix: the 2×2 confusion table between the
+    // rule-based gate (Gopher) and the learned classifier — the report a
+    // pipeline designer reads before choosing (or chaining) filters:
+    // off-diagonal cells are exactly the documents where swapping filters
+    // changes the corpus. Both verdicts come from the SAME shared
+    // expressions that back the oracle-verified single-filter queries and
+    // the streaming gate (GopherRules / QualityClassifier), so this
+    // operator adds no new semantics to trust — only the join of two
+    // proven ones. Shape at 100 TB: both verdicts are scan-local column
+    // expressions on the same pass over the corpus (no join between the
+    // two filters — they compute side by side on each row), then ONE
+    // map-side-combined aggregate to ≤ 4 cells; the share arithmetic runs
+    // on the 4-row frame against its broadcast total.
+    QuerySpec.sql("p_filter_agreement", filterAgreementOracle) { (s, dir) =>
+      val flagged = QualityClassifier.withScore(GopherRules.withFlags(docs(s, dir)))
+      val cells = flagged
+        .groupBy(col("keep").as("rule_keep"), col("cls_keep"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_words")).cast("long").as("n_words"))
+      val tot = cells.agg(sum(col("n_docs")).as("total_docs"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("rule_keep"), col("cls_keep"), col("n_docs"), col("n_words"),
+          expr("(n_docs * 1000000) div total_docs").as("share_ppm"))
+        .orderBy("rule_keep", "cls_keep")
+    },
+
+    // ---------------------------------------------------------------------
+    // PMI collocations: top-20 adjacent word pairs by pointwise mutual
+    // information — the phrase-discovery pass (word2vec's phrase step,
+    // NLTK collocations) that decides which bigrams a tokenizer should
+    // treat as units. PMI's log is monotone, so ranking by the RATIO
+    // c_xy·N_w² / (N_b·c_x·c_y) is ranking by PMI — and the ratio stays
+    // in exact integer arithmetic (DECIMAL(38,0) intermediates; log would
+    // differ at ULP level across engines, see the TF-IDF note). Support
+    // floor c_xy ≥ 5 kills the hapax-pair degeneracy (a once-seen pair of
+    // once-seen words maximizes PMI). Shape at 100 TB: bigram and unigram
+    // counts are map-side-combined aggregates with vocabulary-bounded
+    // output (Heaps' law); the two count joins are vocabulary-sized; the
+    // final top-k is TakeOrderedAndProject partial heaps — the corpus is
+    // touched exactly twice (once per n-gram order), never sorted.
+    QuerySpec.sql(
+      "p_pmi_collocations",
+      """WITH w AS (
+        |  SELECT string_split(text, ' ') AS ws FROM documents
+        |), uni AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(ws) AS word FROM w) GROUP BY 1
+        |), bi AS (
+        |  SELECT bigram, CAST(count(*) AS BIGINT) AS c_xy FROM (
+        |    SELECT unnest(list_transform(range(1, len(ws)),
+        |                                 i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        |    FROM w) GROUP BY 1
+        |), nw AS (SELECT CAST(sum(c) AS BIGINT) AS n_words FROM uni),
+        |nb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bigrams FROM bi)
+        |SELECT bigram, c_xy, ux.c AS c_x, uy.c AS c_y,
+        |       CAST((c_xy::HUGEINT * n_words * n_words * 1000000)
+        |            // (n_bigrams::HUGEINT * ux.c * uy.c) AS BIGINT)
+        |         AS lift_ppm
+        |FROM bi, nw, nb
+        |JOIN uni ux ON ux.word = string_split(bigram, ' ')[1]
+        |JOIN uni uy ON uy.word = string_split(bigram, ' ')[2]
+        |WHERE c_xy >= 5
+        |ORDER BY lift_ppm DESC, bigram LIMIT 20""".stripMargin) { (s, dir) =>
+      val w = docs(s, dir).select(split(col("text"), " ").as("ws"))
+      val uni = w.select(explode(col("ws")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+      val bi = w.select(explode(expr(
+          "transform(slice(ws, 1, size(ws) - 1), (w, i) -> concat(w, ' ', ws[i + 1]))"))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+      val nw = uni.agg(sum(col("c")).as("n_words"))
+      val nb = docs(s, dir)
+        .agg(sum(greatest(size(split(col("text"), " ")) - 1, lit(0)))
+          .cast("long").as("n_bigrams"))
+      bi
+        .withColumn("x", expr("split(bigram, ' ')[0]"))
+        .withColumn("y", expr("split(bigram, ' ')[1]"))
+        .join(uni.select(col("word").as("x"), col("c").as("c_x")), "x")
+        .join(uni.select(col("word").as("y"), col("c").as("c_y")), "y")
+        .crossJoin(broadcast(nw)).crossJoin(broadcast(nb))
+        .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"),
+          expr("""CAST((CAST(c_xy AS DECIMAL(38,0)) * n_words * n_words * 1000000)
+                 |     div (CAST(n_bigrams AS DECIMAL(38,0)) * c_x * c_y) AS BIGINT)"""
+            .stripMargin).as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("bigram"))
+        .limit(20)
+    },
+
+    // ---------------------------------------------------------------------
+    // Vocabulary-growth report: per source, token count, type (distinct
+    // word) count, hapax legomena count, and the type/token + hapax/type
+    // ratios in ppm — the Heaps'-law diagnostic that distinguishes a
+    // natural-language source (hapax share ~40–60%, vocabulary still
+    // growing) from template/boilerplate output (tiny closed vocabulary),
+    // and the empirical basis for the vocabulary-bounded cost claims the
+    // shingle/BPE/TF-IDF operators make. Shape at 100 TB: explode →
+    // (source, word) count with map-side combine — output is the
+    // vocabulary, not the corpus — then a second vocabulary-sized
+    // aggregate to #sources rows. The corpus is touched once.
+    QuerySpec.sql(
+      "p_vocab_growth",
+      """WITH w AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+        |), wc AS (
+        |  SELECT source, word, CAST(count(*) AS BIGINT) AS c
+        |  FROM w GROUP BY 1, 2
+        |)
+        |SELECT source,
+        |       CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_types,
+        |       CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+        |       (CAST(count(*) AS BIGINT) * 1000000) // CAST(sum(c) AS BIGINT)
+        |         AS type_token_ppm,
+        |       (CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) * 1000000)
+        |         // CAST(count(*) AS BIGINT) AS hapax_type_ppm
+        |FROM wc GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("source", "word").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+          count(lit(1)).cast("long").as("n_types"),
+          count(when(col("c") === 1, 1)).cast("long").as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          expr("(n_types * 1000000) div n_tokens").as("type_token_ppm"),
+          expr("(n_hapax * 1000000) div n_types").as("hapax_type_ppm"))
+        .orderBy("source")
     },
 
     // ---------------------------------------------------------------------
