@@ -35,10 +35,20 @@ object Probe {
       if (name == "entry") (s, _) => SparkEntry.entry(s)
       else SparkEntry.queries(name)
     if (sys.env.contains("PROBE_EXPLAIN")) fn(spark, sfDir).explain("formatted")
+    // count() lets Catalyst prune projections (and eliminate sorts) the
+    // aggregate doesn't need — fine for shuffle-bound queries, but a
+    // scan-local operator's whole cost can vanish. PROBE_FULL=1 instead
+    // folds every output column through xxhash64, forcing materialization
+    // while still returning one row.
+    val full = sys.env.contains("PROBE_FULL")
     (1 to n).foreach { i =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      val c = fn(spark, sfDir).count()
+      val df = fn(spark, sfDir)
+      val c =
+        if (full) { df.selectExpr("count(*)", "bit_xor(xxhash64(struct(*)))")
+          .collect(); -1L }
+        else df.count()
       println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($c rows)")
     }
     spark.stop()
