@@ -46,8 +46,8 @@ object Probe {
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       val c =
-        if (full) { df.selectExpr("count(*)", "bit_xor(xxhash64(struct(*)))")
-          .collect(); -1L }
+        if (full) df.selectExpr("count(*)", "bit_xor(xxhash64(struct(*)))")
+          .collect().head.getLong(0)
         else df.count()
       println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($c rows)")
     }

@@ -416,8 +416,10 @@ object Analytics {
         |  SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p
         |)
         |SELECT stage_no, stage, n_users,
-        |       (n_users * 1000000) // (SELECT n_users FROM stages WHERE stage_no = 1)
-        |         AS conv_from_view_ppm
+        |       CASE WHEN (SELECT n_users FROM stages WHERE stage_no = 1) > 0
+        |            THEN (n_users * 1000000)
+        |                   // (SELECT n_users FROM stages WHERE stage_no = 1)
+        |            ELSE 0 END AS conv_from_view_ppm
         |FROM stages ORDER BY stage_no""".stripMargin) { (s, dir) =>
       val ev = TemporalQueries.eventsWithTs(s, dir)
       def firstAtOrAfter(stepType: String, prev: DataFrame): DataFrame =
@@ -439,7 +441,10 @@ object Analytics {
         .select(col("n_users").as("view_n"))
       stages.crossJoin(broadcast(viewN))
         .select(col("stage_no"), col("stage"), col("n_users"),
-          expr("(n_users * 1000000) div view_n").as("conv_from_view_ppm"))
+          // Zero-view corpus: DuckDB's // errors and Spark's div NULLs, so
+          // both engines pin conversion at 0 instead of diverging.
+          expr("CASE WHEN view_n > 0 THEN (n_users * 1000000) div view_n " +
+            "ELSE 0 END").as("conv_from_view_ppm"))
         .orderBy("stage_no")
     },
 

@@ -70,15 +70,23 @@ object PipelineQueries {
 
   /** DuckDB CTE producing one row per (doc_id, sh): the same distinct word
     * 3-gram shingles. Kept textually in sync with [[shingles3]]. */
+  /** One shingle-CTE builder so doc-level and source-level oracles can
+    * never drift apart: `key` is the grouping column, `cte` the output
+    * CTE name, `distinct` collapses cross-row repeats (needed when the
+    * key is coarser than the document). */
+  private def oShinglesCteFor(key: String, cte: String,
+      distinct: Boolean): String =
+    s"""WITH words AS (
+       |  SELECT $key, string_split(text, ' ') AS ws FROM documents
+       |), $cte AS (
+       |  SELECT ${if (distinct) "DISTINCT " else ""}$key, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(ws) - 1, 1)),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+       |  FROM words
+       |)""".stripMargin
+
   private val OShinglesCte: String =
-    """WITH words AS (
-      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-      |), shingles AS (
-      |  SELECT doc_id, unnest(list_distinct(list_transform(
-      |    range(1, greatest(len(ws) - 1, 1)),
-      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
-      |  FROM words
-      |)""".stripMargin
+    oShinglesCteFor("doc_id", "shingles", distinct = false)
 
   /** Exploded (doc_id, sh) shingle table. */
   private[queries] def shingleRows(d: DataFrame): DataFrame =
@@ -87,14 +95,7 @@ object PipelineQueries {
   /** DuckDB CTE for the distinct (source, sh) relation — the per-SOURCE
     * shingle vocabulary (p_source_overlap). */
   private def OShinglesCteBySource: String =
-    """WITH words AS (
-      |  SELECT source, string_split(text, ' ') AS ws FROM documents
-      |), ssh AS (
-      |  SELECT DISTINCT source, unnest(list_distinct(list_transform(
-      |    range(1, greatest(len(ws) - 1, 1)),
-      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
-      |  FROM words
-      |)""".stripMargin
+    oShinglesCteFor("source", "ssh", distinct = true)
 
   // --------------------------------------------------------- topic lexicons
 
@@ -169,13 +170,45 @@ object PipelineQueries {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** The classifier's 64-entry weight map as VALUES rows — ONE rendering
+    * shared by every oracle that scores with it, so a weight-formula or
+    * bucket-count change cannot update one oracle and strand another. */
+  private def oQcWeightRows: String =
+    QualityClassifier.weights.zipWithIndex
+      .map { case (w, b) => s"($b, $w)" }.mkString(",\n    ")
+
+  /** Gopher per-doc statistics CTE bodies (`w` words, `top` top-word
+    * count, `base` length/stopword stats) — shared by the gopher report
+    * and the agreement-matrix oracle. No leading WITH. */
+  private val OGopherStatsCtes: String =
+    """w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      |), top AS (
+      |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word_n
+      |  FROM (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2)
+      |  GROUP BY 1
+      |), base AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |         CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_word_chars,
+      |         CAST(len(list_filter(string_split(text, ' '),
+      |                              x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+      |  FROM documents
+      |)""".stripMargin
+
+  /** The gopher keep conjunction over base+top columns — the ONE
+    * rendering of the rule thresholds (GopherRules.withFlags is the Spark
+    * side of the same contract). */
+  private val OGopherKeepCond: String =
+    "n_words >= 50 AND n_words <= 100000 " +
+      "AND 3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words " +
+      "AND n_stop >= 2 AND 5 * top_word_n <= n_words"
+
   /** Oracle mirroring p_quality_classifier: the weight map as a VALUES
     * table joined on the same md5 bucket hash. */
-  private def qualityClassifierOracle: String = {
-    val rows = QualityClassifier.weights.zipWithIndex
-      .map { case (w, b) => s"($b, $w)" }.mkString(",\n    ")
+  private def qualityClassifierOracle: String =
     s"""WITH wt(b, w_micro) AS (VALUES
-       |    $rows
+       |    $oQcWeightRows
        |), tok AS (
        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
        |  FROM documents
@@ -187,42 +220,22 @@ object PipelineQueries {
        |FROM tok t
        |JOIN wt w ON w.b = ${oH32("t.word")} % 64
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
 
-  /** Oracle mirroring p_filter_agreement: the Gopher-rule keep (as in
-    * p_quality_gopher's oracle) and the classifier keep (as in
-    * [[qualityClassifierOracle]]) joined per doc, aggregated to the 2×2
-    * agreement cells. */
+  /** Oracle mirroring p_filter_agreement: built FROM the shared fragments
+    * ([[OGopherStatsCtes]], [[OGopherKeepCond]], [[oQcWeightRows]]) that
+    * also back the two single-filter oracles — the SQL-side analogue of
+    * the Spark side sharing GopherRules/QualityClassifier expressions. */
   private def filterAgreementOracle: String = {
-    val rows = QualityClassifier.weights.zipWithIndex
-      .map { case (w, b) => s"($b, $w)" }.mkString(",\n    ")
     s"""WITH wt(b, w_micro) AS (VALUES
-       |    $rows
-       |), tok AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
-       |), cls AS (
+       |    $oQcWeightRows
+       |), $OGopherStatsCtes, cls AS (
        |  SELECT doc_id,
-       |         CAST(CAST(sum(w.w_micro) AS BIGINT) >= 0 AS BIGINT) AS cls_keep
-       |  FROM tok t JOIN wt w ON w.b = ${oH32("t.word")} % 64
+       |         CAST(CAST(sum(ww.w_micro) AS BIGINT) >= 0 AS BIGINT) AS cls_keep
+       |  FROM w t JOIN wt ww ON ww.b = ${oH32("t.word")} % 64
        |  GROUP BY doc_id
-       |), top AS (
-       |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word_n
-       |  FROM (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2)
-       |  GROUP BY 1
-       |), base AS (
-       |  SELECT doc_id,
-       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-       |         CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_word_chars,
-       |         CAST(len(list_filter(string_split(text, ' '),
-       |                              x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
-       |  FROM documents
        |), rules AS (
        |  SELECT doc_id, n_words,
-       |         CAST(n_words >= 50 AND n_words <= 100000
-       |              AND 3 * n_words <= n_word_chars
-       |              AND n_word_chars <= 10 * n_words
-       |              AND n_stop >= 2
-       |              AND 5 * top_word_n <= n_words AS BIGINT) AS rule_keep
+       |         CAST($OGopherKeepCond AS BIGINT) AS rule_keep
        |  FROM base JOIN top USING (doc_id)
        |), cells AS (
        |  SELECT r.rule_keep, c.cls_keep,
@@ -1345,34 +1358,17 @@ object PipelineQueries {
     // orderBy exists only for the deterministic oracle compare).
     QuerySpec.sql(
       "p_quality_gopher",
-      """WITH w AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
-        |), top AS (
-        |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word_n
-        |  FROM (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2)
-        |  GROUP BY 1
-        |), base AS (
-        |  SELECT doc_id,
-        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-        |         CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_word_chars,
-        |         CAST(len(list_filter(string_split(text, ' '),
-        |                              x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
-        |  FROM documents
-        |)
-        |SELECT doc_id, n_words, n_stop, top_word_n,
-        |       (n_word_chars * 1000000) // n_words AS mean_wlen_micro,
-        |       CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS r_wordcount,
-        |       CAST(3 * n_words <= n_word_chars
-        |            AND n_word_chars <= 10 * n_words AS BIGINT) AS r_wordlen,
-        |       CAST(n_stop >= 2 AS BIGINT) AS r_stopwords,
-        |       CAST(5 * top_word_n <= n_words AS BIGINT) AS r_repetition,
-        |       CAST(n_words >= 50 AND n_words <= 100000
-        |            AND 3 * n_words <= n_word_chars
-        |            AND n_word_chars <= 10 * n_words
-        |            AND n_stop >= 2
-        |            AND 5 * top_word_n <= n_words AS BIGINT) AS keep
-        |FROM base JOIN top USING (doc_id)
-        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      s"""WITH $OGopherStatsCtes
+         |SELECT doc_id, n_words, n_stop, top_word_n,
+         |       (n_word_chars * 1000000) // n_words AS mean_wlen_micro,
+         |       CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS r_wordcount,
+         |       CAST(3 * n_words <= n_word_chars
+         |            AND n_word_chars <= 10 * n_words AS BIGINT) AS r_wordlen,
+         |       CAST(n_stop >= 2 AS BIGINT) AS r_stopwords,
+         |       CAST(5 * top_word_n <= n_words AS BIGINT) AS r_repetition,
+         |       CAST($OGopherKeepCond AS BIGINT) AS keep
+         |FROM base JOIN top USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       // Rule expressions live in GopherRules — the identical code backs
       // the streaming qualityGate, so this oracle verifies both.
       GopherRules.withFlags(docs(s, dir))
@@ -3048,7 +3044,12 @@ object PipelineQueries {
     QuerySpec.sql(
       "p_source_overlap",
       s"""$OShinglesCteBySource,
-         |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ssh GROUP BY 1),
+         |per AS (
+         |  SELECT s.source, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+         |  FROM (SELECT DISTINCT source FROM documents) s
+         |  LEFT JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |             FROM ssh GROUP BY 1) c ON s.source = c.source
+         |),
          |inter AS (
          |  SELECT a.source AS src_a, b.source AS src_b,
          |         CAST(count(*) AS BIGINT) AS n_common
@@ -3058,15 +3059,25 @@ object PipelineQueries {
          |SELECT pa.source AS src_a, pb.source AS src_b,
          |       coalesce(n_common, 0) AS n_common,
          |       pa.n AS n_a, pb.n AS n_b,
-         |       (coalesce(n_common, 0) * 1000000)
-         |         // (pa.n + pb.n - coalesce(n_common, 0)) AS jaccard_ppm
+         |       CASE WHEN pa.n + pb.n - coalesce(n_common, 0) > 0
+         |            THEN (coalesce(n_common, 0) * 1000000)
+         |                   // (pa.n + pb.n - coalesce(n_common, 0))
+         |            ELSE 0 END AS jaccard_ppm
          |FROM per pa JOIN per pb ON pa.source < pb.source
          |LEFT JOIN inter ON src_a = pa.source AND src_b = pb.source
          |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
       val sh = docs(s, dir)
         .select(col("source"), explode(shingles3(col("text"))).as("sh"))
         .distinct()
-      val per = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      // Source list from the DOCUMENTS table, not the shingle relation: a
+      // source whose docs are all < 3 words has an empty vocabulary but
+      // still belongs in every one of its matrix rows (n=0, jaccard 0 —
+      // the two-empty-vocab denominator is pinned in both engines).
+      val allSrc = docs(s, dir).select("source").distinct()
+      val per = allSrc
+        .join(sh.groupBy("source").agg(count(lit(1)).as("cnt")),
+          Seq("source"), "left")
+        .select(col("source"), coalesce(col("cnt"), lit(0L)).as("n"))
       val inter = sh.as("a")
         .join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
@@ -3081,8 +3092,10 @@ object PipelineQueries {
         .select(col("src_a"), col("src_b"),
           coalesce(col("n_common"), lit(0L)).as("n_common"),
           col("n_a"), col("n_b"),
-          expr("(coalesce(n_common, 0) * 1000000) div " +
-            "(n_a + n_b - coalesce(n_common, 0))").as("jaccard_ppm"))
+          expr("CASE WHEN n_a + n_b - coalesce(n_common, 0) > 0 THEN " +
+            "(coalesce(n_common, 0) * 1000000) div " +
+            "(n_a + n_b - coalesce(n_common, 0)) ELSE 0 END")
+            .as("jaccard_ppm"))
         .orderBy("src_a", "src_b")
     },
 
@@ -3111,8 +3124,10 @@ object PipelineQueries {
         |), rtot AS (SELECT CAST(sum(root) AS BIGINT) AS root_total FROM shr)
         |SELECT source, n_tokens, token_share_ppm,
         |       (root * 1000000) // root_total AS temp_share_ppm,
-        |       ((root * 1000000) // root_total) * 1000000 // token_share_ppm
-        |         AS boost_ppm
+        |       CASE WHEN token_share_ppm > 0
+        |            THEN ((root * 1000000) // root_total) * 1000000
+        |                   // token_share_ppm
+        |            ELSE 0 END AS boost_ppm
         |FROM shr, rtot ORDER BY source""".stripMargin) { (s, dir) =>
       val per = docs(s, dir)
         .groupBy("source")
@@ -3129,8 +3144,13 @@ object PipelineQueries {
       shr.crossJoin(broadcast(rtot))
         .select(col("source"), col("n_tokens"), col("token_share_ppm"),
           expr("(root * 1000000) div root_total").as("temp_share_ppm"),
-          expr("((root * 1000000) div root_total) * 1000000 div " +
-            "token_share_ppm").as("boost_ppm"))
+          // A source below 1 ppm of the corpus floors to share 0; DuckDB's
+          // // would error and Spark's div would NULL on it, so the boost
+          // is pinned to 0 in BOTH engines (the sub-ppm tail needs a wider
+          // unit, not a boost number).
+          expr("CASE WHEN token_share_ppm > 0 THEN " +
+            "((root * 1000000) div root_total) * 1000000 div " +
+            "token_share_ppm ELSE 0 END").as("boost_ppm"))
         .orderBy("source")
     },
 
