@@ -154,13 +154,19 @@ object PipelineQueries {
         "GRAFT_EMBED_EXACT_MAX_ROWS deliberately.")
   }
 
+  /** Body of the norm-extended embeddings CTE (no WITH/name wrapper), so
+    * oracles composing it after other CTEs share one rendering with
+    * [[ONormCte]]. */
+  private val ONormBody =
+    """SELECT vec_id, embedding,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      |  FROM embeddings""".stripMargin
+
   /** Oracle CTE mirroring [[embsN]]. */
   private val ONormCte =
-    """WITH e AS (
-      |  SELECT vec_id, embedding,
-      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
-      |  FROM embeddings
-      |)""".stripMargin
+    s"""WITH e AS (
+       |  $ONormBody
+       |)""".stripMargin
 
   /** Pairwise cosine over the norm-extended tables `a`/`b`. */
   private val OCos =
@@ -290,6 +296,49 @@ object PipelineQueries {
        |  FROM e0
        |)""".stripMargin
   }
+
+  /** One integer-PageRank iteration as a CTE: scores from `prev`, damped
+    * 0.85 in BIGINT (truncating //), teleport base 0.15·10⁹. Kept textually
+    * identical across the three unrolled iterations by construction. */
+  private def oPrIter(prev: String, name: String): String =
+    s"""$name AS (
+       |  SELECT n.vec_id,
+       |         CAST(150000000 + (85 * COALESCE(f.inflow, 0)) // 100
+       |              AS BIGINT) AS score
+       |  FROM e n LEFT JOIN (
+       |    SELECT k.dst, sum(p.score // od.outdeg) AS inflow
+       |    FROM $prev p
+       |    JOIN od ON od.src = p.vec_id
+       |    JOIN knn k ON k.src = p.vec_id
+       |    GROUP BY k.dst
+       |  ) f ON f.dst = n.vec_id
+       |)""".stripMargin
+
+  /** Oracle mirroring p_graph_pagerank: the bucketed-embeddings CTE, the
+    * p_knn_graph top-3 edge set, out/in-degrees, and three unrolled
+    * integer-PageRank iterations ([[oPrIter]]). */
+  private def pagerankOracle: String =
+    s"""$oBucketedCte, knn AS (
+       |  SELECT a_id AS src, b_id AS dst FROM (
+       |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+       |                      / (a.norm * b.norm) DESC, b.vec_id) AS rank
+       |    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  ) WHERE rank <= 3
+       |), od AS (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM knn GROUP BY src
+       |), it0 AS (
+       |  SELECT vec_id, CAST(1000000000 AS BIGINT) AS score FROM e
+       |), ${oPrIter("it0", "it1")},
+       |${oPrIter("it1", "it2")},
+       |${oPrIter("it2", "it3")},
+       |ind AS (
+       |  SELECT dst, CAST(count(*) AS BIGINT) AS in_deg FROM knn GROUP BY dst
+       |)
+       |SELECT t.vec_id, t.score AS pr_score, COALESCE(i.in_deg, 0) AS in_deg
+       |FROM it3 t LEFT JOIN ind i ON i.dst = t.vec_id
+       |ORDER BY pr_score DESC, vec_id LIMIT 30""".stripMargin
 
   /** Oracle mirroring p_bitext_mine: the labeled bucket CTE + the same
     * integer margin pipeline (floor-to-micro before any sum, so every
@@ -3194,6 +3243,216 @@ object PipelineQueries {
             .when(col("n_storage") >= col("n_streaming"), "storage")
             .otherwise("streaming").as("top_topic"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------------
+    // Sequence-length bucketing report — the batching-efficiency audit a
+    // training launch runs before picking bucket boundaries (pad-to-
+    // power-of-two batching, the dynamic-batching complement of
+    // p_pack_sequences): each doc lands in the smallest power-of-two
+    // bucket holding its token count; per bucket the report gives doc and
+    // token mass, the padded cost of batching at that width, the padding
+    // waste (ppm, integer arithmetic), and the batch count at an
+    // 8192-token batch budget. ONE scan-local CASE ladder + ONE map-side-
+    // combined groupBy over ≤9 groups — no join, no window; at 100 TB
+    // this is a single partial-agg pass whose reduce side is 9 rows.
+    // (The ladder tops out at 4096; corpus max here is 100 tokens — a
+    // longer-context corpus extends the ladder, it never changes shape.)
+    QuerySpec.sql(
+      "p_len_bucket",
+      """WITH t AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents
+        |), b AS (
+        |  SELECT ntok,
+        |         CASE WHEN ntok <= 16 THEN 16 WHEN ntok <= 32 THEN 32
+        |              WHEN ntok <= 64 THEN 64 WHEN ntok <= 128 THEN 128
+        |              WHEN ntok <= 256 THEN 256 WHEN ntok <= 512 THEN 512
+        |              WHEN ntok <= 1024 THEN 1024 WHEN ntok <= 2048 THEN 2048
+        |              ELSE 4096 END AS bucket
+        |  FROM t
+        |)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+        |       CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
+        |       CAST(((count(*) * bucket - sum(ntok)) * 1000000)
+        |            // (count(*) * bucket) AS BIGINT) AS waste_ppm,
+        |       CAST((count(*) + (8192 // bucket) - 1) // (8192 // bucket)
+        |            AS BIGINT) AS n_batches
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(size(split(col("text"), " ")).cast("long").as("ntok"))
+        .withColumn("bucket",
+          when(col("ntok") <= 16, 16L).when(col("ntok") <= 32, 32L)
+            .when(col("ntok") <= 64, 64L).when(col("ntok") <= 128, 128L)
+            .when(col("ntok") <= 256, 256L).when(col("ntok") <= 512, 512L)
+            .when(col("ntok") <= 1024, 1024L).when(col("ntok") <= 2048, 2048L)
+            .otherwise(4096L))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("sum_tokens"))
+        .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+          (col("n_docs") * col("bucket")).as("padded_tokens"),
+          expr("((n_docs * bucket - sum_tokens) * 1000000) " +
+            "div (n_docs * bucket)").as("waste_ppm"),
+          expr("(n_docs + (8192 div bucket) - 1) div (8192 div bucket)")
+            .as("n_batches"))
+        .orderBy("bucket")
+    },
+
+    // ---------------------------------------------------------------------
+    // Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009,
+    // SIGIR — the fusion rule RAG stacks and dataset-search tools default
+    // to): per probe document (doc_id < 10), a LEXICAL arm ranks the
+    // corpus by shared distinct 3-gram shingles (the inverted-index
+    // retrieval shape: probe shingles broadcast, ONE equi-join on the
+    // shingle, count per candidate — at 100 TB this is the posting-list
+    // intersection, never a doc×doc scan) and a VECTOR arm ranks by
+    // embedding cosine (brute-force broadcast arm here, the p_ann_topk
+    // yardstick; a deployment swaps in the LSH/IVF arm — same contract).
+    // Each arm keeps its top-20; fusion scores 10⁹//(60+rank) per arm in
+    // BIGINT (k=60 from the paper; integer division so the oracle compare
+    // is exact), a FULL OUTER join merges the two lists (0-rank sentinel
+    // = "not retrieved by this arm"), and the fused top-5 per probe is a
+    // rank-limited window. Candidate-bounded end to end: ≤40 fused rows
+    // per probe regardless of corpus size.
+    QuerySpec.sql(
+      "p_retrieve_hybrid",
+      s"""$OShinglesCte, lexov AS (
+         |  SELECT q.doc_id AS query_id, d.doc_id AS doc_id,
+         |         CAST(count(*) AS BIGINT) AS ov
+         |  FROM shingles q JOIN shingles d
+         |    ON q.sh = d.sh AND q.doc_id < 10 AND d.doc_id <> q.doc_id
+         |  GROUP BY 1, 2
+         |), lex AS (
+         |  SELECT query_id, doc_id, lex_rank FROM (
+         |    SELECT query_id, doc_id,
+         |           CAST(row_number() OVER (PARTITION BY query_id
+         |             ORDER BY ov DESC, doc_id) AS BIGINT) AS lex_rank
+         |    FROM lexov
+         |  ) WHERE lex_rank <= 20
+         |), e AS (
+         |  $ONormBody
+         |), vec AS (
+         |  SELECT query_id, doc_id, vec_rank FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+         |           CAST(row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY ($OCos) DESC, b.vec_id) AS BIGINT) AS vec_rank
+         |    FROM e a JOIN e b ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+         |  ) WHERE vec_rank <= 20
+         |), fused AS (
+         |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+         |         COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |         COALESCE(l.lex_rank, 0) AS lex_rank,
+         |         COALESCE(v.vec_rank, 0) AS vec_rank,
+         |         CAST((CASE WHEN l.lex_rank IS NULL THEN 0
+         |                    ELSE 1000000000 // (60 + l.lex_rank) END)
+         |            + (CASE WHEN v.vec_rank IS NULL THEN 0
+         |                    ELSE 1000000000 // (60 + v.vec_rank) END)
+         |              AS BIGINT) AS rrf_score
+         |  FROM lex l FULL OUTER JOIN vec v
+         |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+         |)
+         |SELECT query_id, doc_id, lex_rank, vec_rank, rrf_score, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+         |  FROM fused
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val sh = shingleRows(docs(s, dir))
+      val qsh = broadcast(sh.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("sh")))
+      val wl = Window.partitionBy("query_id").orderBy(col("ov").desc, col("doc_id"))
+      val lex = qsh.join(sh, Seq("sh"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("ov"))
+        .withColumn("lex_rank", row_number().over(wl).cast("long"))
+        .filter(col("lex_rank") <= 20)
+        .select("query_id", "doc_id", "lex_rank")
+      val e = embsN(s, dir)
+      val probes = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
+          col("norm").as("na")))
+      val base = e.select(col("vec_id").as("doc_id"), col("embedding").as("eb"),
+        col("norm").as("nb"))
+      val cosc = dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+      val wv = Window.partitionBy("query_id").orderBy(col("cos").desc, col("doc_id"))
+      val vec = probes.join(base, col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"), cosc.as("cos"))
+        .withColumn("vec_rank", row_number().over(wv).cast("long"))
+        .filter(col("vec_rank") <= 20)
+        .select("query_id", "doc_id", "vec_rank")
+      val wf = Window.partitionBy("query_id").orderBy(col("rrf_score").desc, col("doc_id"))
+      lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf_score",
+          expr("(CASE WHEN lex_rank IS NULL THEN CAST(0 AS BIGINT) " +
+            "ELSE 1000000000 div (60 + lex_rank) END) " +
+            "+ (CASE WHEN vec_rank IS NULL THEN CAST(0 AS BIGINT) " +
+            "ELSE 1000000000 div (60 + vec_rank) END)"))
+        .withColumn("lex_rank", coalesce(col("lex_rank"), lit(0L)))
+        .withColumn("vec_rank", coalesce(col("vec_rank"), lit(0L)))
+        .withColumn("rank", row_number().over(wf).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("query_id", "doc_id", "lex_rank", "vec_rank", "rrf_score", "rank")
+        .orderBy("query_id", "rank")
+    },
+
+    // ---------------------------------------------------------------------
+    // Graph centrality over the corpus kNN graph — integer-arithmetic
+    // PageRank (Page et al. 1999) on the p_knn_graph edge set, the
+    // graph-density selection signal of graph-based curation (pick
+    // central/prototypical docs, or DOWN-weight them for diversity).
+    // All arithmetic is BIGINT at a 10⁹ scale with truncating division
+    // (score//outdeg contributions, (85·inflow)//100 damping, +0.15·10⁹
+    // teleport), so three engines' floats never meet and the oracle
+    // compare is exact. Plan: the edge list is built once (the p_knn_graph
+    // bucket self-join + WindowGroupLimit top-3) and persisted; each of
+    // the 3 unrolled iterations is the canonical distributed-PageRank
+    // shape — inner-join scores⋈outdeg (contribution), equi-join onto
+    // edges by src, ONE groupBy(dst) sum with map-side combine, left join
+    // back to the node set. At 100 TB the edges are hash-partitioned by
+    // src and every iteration reuses that partitioning; dangling nodes
+    // (singleton buckets) simply leak their mass, identically in both
+    // engines. Output: the 30 most central vectors (TakeOrdered, never a
+    // global sort) with their in-degree.
+    QuerySpec.sql("p_graph_pagerank", pagerankOracle) { (s, dir) =>
+      val bucketed = bucketedEmbs(s, dir)
+      val ea = bucketed.select(col("vec_id").as("a_id"),
+        col("embedding").as("ea"), col("norm").as("na"), col("bucket"))
+      val eb = bucketed.select(col("vec_id").as("b_id"),
+        col("embedding").as("eb"), col("norm").as("nb"), col("bucket"))
+      val cosc = dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+      val wk = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
+      val edges = ea.join(eb, Seq("bucket"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"), cosc.as("cos"))
+        .withColumn("rank", row_number().over(wk))
+        .filter(col("rank") <= 3)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+        .persist()
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val nodes = bucketed.select(col("vec_id"))
+      var scores = nodes.select(col("vec_id"), lit(1000000000L).as("score"))
+      for (_ <- 1 to 3) {
+        val inflow = scores
+          .join(outdeg, col("vec_id") === col("src"))
+          .select(col("vec_id").as("psrc"), expr("score div outdeg").as("c"))
+          .join(edges.withColumnRenamed("src", "esrc"),
+            col("psrc") === col("esrc"))
+          .groupBy("dst").agg(sum(col("c")).as("inflow"))
+        scores = nodes
+          .join(inflow, col("vec_id") === col("dst"), "left")
+          .select(col("vec_id"),
+            expr("CAST(150000000 + (85 * coalesce(inflow, CAST(0 AS BIGINT)))" +
+              " div 100 AS BIGINT)").as("score"))
+      }
+      val indeg = edges.groupBy("dst").agg(count(lit(1)).as("in_deg"))
+      scores
+        .join(indeg.withColumnRenamed("dst", "idst"),
+          col("vec_id") === col("idst"), "left")
+        .select(col("vec_id"), col("score").as("pr_score"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+        .orderBy(col("pr_score").desc, col("vec_id"))
+        .limit(30)
     })
 
   // ------------------------------------------------- product quantization

@@ -1960,4 +1960,125 @@ class PipelineQueriesSpec extends SparkTestBase {
       assert(t._4 <= t._3 && t._3 < t._2, s"degenerate: $t")
     }
   }
+
+  test("length bucketing equals the Scala power-of-two batching model, " +
+    "with no join in the plan") {
+    val ntoks = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect()
+      .map(r => r.getString(0).split(" ", -1).length.toLong)
+    def bucketOf(n: Long): Long =
+      Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L)
+        .find(n <= _).getOrElse(4096L)
+    val expected = ntoks.groupBy(bucketOf).toSeq.map { case (b, ns) =>
+      val nDocs = ns.length.toLong
+      val sumTok = ns.sum
+      val padded = nDocs * b
+      val rpb = 8192L / b
+      (b, nDocs, sumTok, padded, (padded - sumTok) * 1000000L / padded,
+        (nDocs + rpb - 1) / rpb)
+    }.sortBy(_._1)
+    val got = run("p_len_bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+    // Scan-local bucketing + one aggregation: no join anywhere.
+    assert(!run("p_len_bucket").queryExecution.executedPlan.toString
+      .contains("Join"))
+  }
+
+  test("hybrid retrieval equals the Scala RRF model over the lexical and " +
+    "vector top-20 lists") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).split(" ", -1).sliding(3).map(_.mkString(" ")).toSet))
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dotF(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val norms = vecs.map { case (id, x) => id -> math.sqrt(dotF(x, x)) }.toMap
+    val byId = vecs.toMap
+    val queryIds = corpus.map(_._1).filter(_ < 10).sorted
+    val expected = queryIds.flatMap { q =>
+      val qsh = corpus.find(_._1 == q).get._2
+      val lex = corpus.filter(d => d._1 != q)
+        .map { case (id, sh) => (id, (sh & qsh).size.toLong) }
+        .filter(_._2 > 0)
+        .sortBy { case (id, ov) => (-ov, id) }.take(20).zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      val vq = byId(q)
+      val vec = vecs.filter(_._1 != q)
+        .map { case (id, x) => (id, dotF(vq, x) / (norms(q) * norms(id))) }
+        .sortBy { case (id, c) => (-c, id) }.take(20).zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      (lex.keySet ++ vec.keySet).toSeq.map { id =>
+        val score = lex.get(id).map(r => 1000000000L / (60L + r)).getOrElse(0L) +
+          vec.get(id).map(r => 1000000000L / (60L + r)).getOrElse(0L)
+        (id, lex.getOrElse(id, 0L), vec.getOrElse(id, 0L), score)
+      }.sortBy { case (id, _, _, s) => (-s, id) }.take(5).zipWithIndex
+        .map { case ((id, lr, vr, s), i) => (q, id, lr, vr, s, i + 1L) }
+    }.toSeq
+    val got = run("p_retrieve_hybrid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+    // A doc retrieved by both arms outranks a same-rank single-arm doc:
+    // every rank-1 fused result here was retrieved by at least one arm.
+    assert(got.forall { case (_, _, lr, vr, s, _) =>
+      (lr > 0 || vr > 0) && s > 0 })
+  }
+
+  test("kNN-graph PageRank equals the Scala integer-arithmetic model") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def plane(p: Int): Array[Double] =
+      Array.tabulate(64)(i => md5h(s"${p}_$i", 8).toDouble / 2147483648.0 - 1.0)
+    val planes = Array.tabulate(4)(plane)
+    def dotF(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def dotP(a: Array[Float], c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * c(i); i += 1 }
+      acc
+    }
+    val withB = vecs.map { case (id, x) =>
+      (id, x, (0 until 4).map(p => if (dotP(x, planes(p)) >= 0) 1L << p else 0L).sum,
+        math.sqrt(dotF(x, x)))
+    }
+    val edges = withB.flatMap { case (aid, ax, ab, an) =>
+      withB.filter(v => v._3 == ab && v._1 != aid)
+        .map { case (bid, bx, _, bn) => (bid, dotF(ax, bx) / (an * bn)) }
+        .sortBy { case (bid, c) => (-c, bid) }.take(3)
+        .map { case (bid, _) => (aid, bid) }
+    }
+    val outdeg = edges.groupBy(_._1).map { case (s2, es) => s2 -> es.length.toLong }
+    val indeg = edges.groupBy(_._2).map { case (d, es) => d -> es.length.toLong }
+    var scores = vecs.map(_._1 -> 1000000000L).toMap
+    for (_ <- 1 to 3) {
+      val inflow = scores.keys.map(_ -> 0L).toMap ++
+        edges.groupBy(_._2).map { case (d, es) =>
+          d -> es.map { case (s2, _) => scores(s2) / outdeg(s2) }.sum
+        }
+      scores = scores.keys
+        .map(n => n -> (150000000L + 85L * inflow(n) / 100L)).toMap
+    }
+    val expected = scores.toSeq
+      .map { case (id, s2) => (id, s2, indeg.getOrElse(id, 0L)) }
+      .sortBy { case (id, s2, _) => (-s2, id) }.take(30)
+    val got = run("p_graph_pagerank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // Every node keeps at least the teleport mass, and the top node is
+    // genuinely in-linked (centrality came from the graph, not the base).
+    assert(got.forall(_._2 >= 150000000L))
+    assert(got.head._3 > 0)
+  }
 }
