@@ -244,10 +244,10 @@ object Analytics {
     },
 
     // Event-time tumbling window over the stream table (hourly).
-    // events.ts is TIMESTAMP(NANOS) in the parquet footer, which Spark's
-    // vectorized reader rejects — read it as raw LONG nanoseconds and do
-    // exact integer bucket math; the oracle buckets via epoch_ns so both
-    // engines compute the identical integer arithmetic.
+    // eventsWithTs normalizes the footer-declared unit (ns or µs across
+    // driver regenerations) to LONG nanoseconds, so the exact integer
+    // bucket math here matches the oracle's epoch_ns arithmetic whatever
+    // the physical unit of the corpus.
     QuerySpec.sql(
       "q_events_window",
       """SELECT strftime(make_timestamp((epoch_ns(ts) // 3600000000000) * 3600000000),

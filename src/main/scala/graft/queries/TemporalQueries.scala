@@ -30,18 +30,61 @@ object TemporalQueries {
       |  FROM events
       |)""".stripMargin
 
-  /** events.parquet carries a TIMESTAMP(NANOS) column Spark won't infer; an
-    * explicit schema prunes (or long-reads) it at the footer level. */
+  /** events.parquet has carried `ts` as TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader won't even infer) and, after a driver regeneration,
+    * TIMESTAMP(MICROS). An explicit schema either prunes the column away or
+    * long-reads the raw physical int64 — the UNIT of that int64 is whatever
+    * the footer's logical type says, so it must be detected, never assumed. */
   val EventsSchemaNoTs = "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
-  val EventsSchemaTsNanos =
+  val EventsSchemaTsRaw =
     "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
 
   def events(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(EventsSchemaNoTs).parquet(s"$dir/events.parquet")
 
-  /** Events with the timestamp as epoch NANOSECONDS (long). */
-  def eventsWithTs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(EventsSchemaTsNanos).parquet(s"$dir/events.parquet")
+  private val tsTickCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Nanoseconds per tick of the raw int64 `ts` column, read from the parquet
+    * footer's logical-type annotation (one footer open per path, memoized).
+    * TIMESTAMP(NANOS)→1, MICROS→1e3, MILLIS→1e6; a plain un-annotated INT64
+    * is taken as already-nanoseconds. */
+  def tsNanosPerTick(spark: SparkSession, eventsPath: String): Long =
+    tsTickCache.computeIfAbsent(eventsPath, (p: String) => {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val conf = spark.sessionState.newHadoopConf()
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(conf)
+      val dataFile =
+        if (fs.getFileStatus(path).isFile) path
+        else fs.listStatus(path).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(dataFile, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        if (!schema.containsField("ts")) 1L
+        else schema.getType(schema.getFieldIndex("ts")).getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000000L
+              case LogicalTypeAnnotation.TimeUnit.MICROS => 1000L
+              case LogicalTypeAnnotation.TimeUnit.NANOS  => 1L
+            }
+          case _ => 1L
+        }
+      } finally reader.close()
+    }: Long)
+
+  /** Events with the timestamp normalized to epoch NANOSECONDS (long),
+    * whatever unit the footer declares. The scale-up is a codegen'd
+    * projection inside the scan stage; when the data is already ns it is
+    * elided entirely. */
+  def eventsWithTs(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.schema(EventsSchemaTsRaw).parquet(s"$dir/events.parquet")
+    val tick = tsNanosPerTick(spark, s"$dir/events.parquet")
+    if (tick == 1L) raw else raw.withColumn("ts", col("ts") * lit(tick))
+  }
 
   def mutations(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir).select(

@@ -68,7 +68,10 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     implicit val s = spark
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
-    val schema = graft.queries.TemporalQueries.EventsSchemaTsNanos
+    val schema = graft.queries.TemporalQueries.EventsSchemaTsRaw
+    // The streaming reader long-reads the physical int64; normalize to ns
+    // with the same footer-detected tick the batch entry point uses.
+    val tick = graft.queries.TemporalQueries.tsNanosPerTick(s, s"$dir/events.parquet")
     def prep(df: org.apache.spark.sql.DataFrame) = df
       .select(col("user_id"), col("event_type"),
         timestamp_micros(expr("ts div 1000")).as("ts"), col("value"))
@@ -76,7 +79,8 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     // glob selecting just the events table.
     val stream = prep(
       spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", col("ts") * lit(tick)))
     val q = StreamingAnalytics.hourlyWindowCounts(stream, watermark = "1 hour")
       .writeStream.format("memory").queryName("parity")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
