@@ -68,14 +68,25 @@ final class ManifestTable(val tablePath: String, schema: StructType,
 
   /** Swap the generation pointer. One SMALL single file: on an object
     * store this is one atomic PUT; locally/HDFS a tmp + single-FILE
-    * rename (file renames need no directory atomicity). */
+    * rename (file renames need no directory atomicity).
+    *
+    * The swap must NOT delete the live pointer first: a crash between
+    * that delete and the rename would leave readers with no pointer at
+    * all — an empty table, worse than stale (found by
+    * ObjectStoreProtocolSpec's fail-before-copy injection). POSIX rename
+    * overwrites atomically and an object-store "rename" is a PUT-copy
+    * that overwrites too, so the overwrite path is the normal one; the
+    * delete+retry fallback only serves filesystems whose rename refuses
+    * existing destinations. */
   private def publish(gen: Long): Unit = {
     val (fs, p) = fsOf(genPointerPath)
     val tmp = new Path(s"$genPointerPath.tmp")
     val out = fs.create(tmp, true)
     try out.write(gen.toString.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p), s"pointer swap failed for $tablePath")
+    if (!fs.rename(tmp, p)) {
+      if (fs.exists(p)) fs.delete(p, false)
+      require(fs.rename(tmp, p), s"pointer swap failed for $tablePath")
+    }
   }
 
   // ------------------------------------------------------------- manifest

@@ -1,0 +1,92 @@
+package graft
+
+import java.net.URI
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.hadoop.fs.{FileUtil, Path, RawLocalFileSystem}
+
+/** A local FileSystem masquerading as an S3-class object store: `rename`
+  * is NOT atomic — it is copy-then-delete (each object copy atomic, the
+  * aggregate not), with one-shot fault injection between the halves — and
+  * every rename is recorded so a spec can assert what the commit
+  * protocol's visibility path actually relies on.
+  *
+  * The reference delegates commit atomicity to its KV backend
+  * (store/kv/store.go:332–467); [[graft.store.ManifestTable]] claims the
+  * equivalent safety on stores where rename is a copy — this shim is what
+  * turns that design claim into a tested property.
+  */
+class RenamelessFileSystem extends RawLocalFileSystem {
+  override def getScheme: String = RenamelessFileSystem.Scheme
+  override def getUri: URI = URI.create(s"${RenamelessFileSystem.Scheme}:///")
+
+  // RawLocalFileSystem's FileStatus loads permissions LAZILY via
+  // `new java.io.File(path.toUri)`, which rejects any scheme but "file".
+  // Materialize plain statuses (perms are irrelevant to these specs).
+  private def eager(st: org.apache.hadoop.fs.FileStatus): org.apache.hadoop.fs.FileStatus =
+    new org.apache.hadoop.fs.FileStatus(st.getLen, st.isDirectory,
+      st.getReplication, st.getBlockSize, st.getModificationTime, 0L,
+      org.apache.hadoop.fs.permission.FsPermission.getDirDefault, null, null,
+      st.getPath)
+
+  override def getFileStatus(f: Path): org.apache.hadoop.fs.FileStatus =
+    eager(super.getFileStatus(f))
+
+  override def listStatus(f: Path): Array[org.apache.hadoop.fs.FileStatus] =
+    super.listStatus(f).map(eager)
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    import RenamelessFileSystem._
+    val srcIsDir =
+      try getFileStatus(src).isDirectory
+      catch { case _: java.io.IOException => false }
+    renames.add(Rename(src.toUri.getPath, dst.toUri.getPath, srcIsDir))
+    maybeFire(FailBeforeCopy, dst, s"before copy $src -> $dst")
+    val ok = FileUtil.copy(this, src, this, dst, false, true, getConf)
+    maybeFire(FailBetweenCopyAndDelete, dst,
+      s"after copy, before delete of $src -> $dst")
+    if (ok) delete(src, true)
+    ok
+  }
+}
+
+object RenamelessFileSystem {
+  val Scheme = "renameless"
+
+  final case class Rename(src: String, dst: String, srcIsDir: Boolean)
+
+  sealed trait FailMode
+  case object NoFail extends FailMode
+  /** Rename fails outright — nothing reached the destination. */
+  case object FailBeforeCopy extends FailMode
+  /** The copy landed whole (object PUTs are atomic) but the source was
+    * never deleted and the caller saw a failure — the classic non-atomic
+    * rename window. */
+  case object FailBetweenCopyAndDelete extends FailMode
+
+  @volatile private var armed: FailMode = NoFail
+  @volatile private var armedDstSuffix: String = ""
+  val renames = new ConcurrentLinkedQueue[Rename]()
+
+  /** Arm a ONE-SHOT fault for the next rename whose destination path ends
+    * with `dstSuffix` (empty = any). */
+  def arm(mode: FailMode, dstSuffix: String = ""): Unit = {
+    armedDstSuffix = dstSuffix
+    armed = mode
+  }
+
+  def reset(): Unit = { armed = NoFail; armedDstSuffix = ""; renames.clear() }
+
+  def recorded: Seq[Rename] = {
+    val b = Seq.newBuilder[Rename]
+    renames.forEach(r => b += r)
+    b.result()
+  }
+
+  private def maybeFire(at: FailMode, dst: Path, what: String): Unit =
+    if (armed == at &&
+      (armedDstSuffix.isEmpty || dst.toUri.getPath.endsWith(armedDstSuffix))) {
+      armed = NoFail // one-shot
+      throw new java.io.IOException(s"injected object-store fault $what")
+    }
+}
