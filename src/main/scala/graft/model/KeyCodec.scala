@@ -129,4 +129,42 @@ object KeyCodec {
   }
 
   def toHex(key: Array[Byte]): String = key.map("%02x".format(_)).mkString
+
+  // ------------------------------------------- registry-driven key parses
+
+  /** The key's collection prefix — what the reference's registry dispatches
+    * factories on (tablet.go:37–58). */
+  def collectionOf(key: Array[Byte]): Int = {
+    require(key.length >= CollectionBytes, s"key too short: ${key.length} bytes")
+    getU16(key)
+  }
+
+  /** Parse a tablet-row key given the collection's fixed identifier width
+    * (the registry's knowledge — the reference's factories parse the same
+    * way, e.g. the 3-char test tablet, tablet_test.go:230–236). Returns
+    * (collection, identifier, height, primaryKey). */
+  def parseTabletRowKey(
+      key: Array[Byte], identifierLen: Int): (Int, Array[Byte], Long, Array[Byte]) = {
+    val heightOffset = CollectionBytes + identifierLen
+    val pkOffset = heightOffset + HeightBytes
+    require(key.length > pkOffset,
+      s"invalid tablet-row key length, expected at least ${pkOffset + 1} bytes, got ${key.length}")
+    (getU16(key),
+      java.util.Arrays.copyOfRange(key, CollectionBytes, heightOffset),
+      getU64(key, heightOffset),
+      java.util.Arrays.copyOfRange(key, pkOffset, key.length))
+  }
+
+  /** Parse a singlet-entry key (stored height is INVERTED) given the
+    * collection's fixed identifier width. Returns (collection, identifier,
+    * real height). */
+  def parseSingletEntryKey(
+      key: Array[Byte], identifierLen: Int): (Int, Array[Byte], Long) = {
+    val heightOffset = CollectionBytes + identifierLen
+    require(key.length == heightOffset + HeightBytes,
+      s"invalid singlet-entry key length, expected ${heightOffset + HeightBytes} bytes, got ${key.length}")
+    (getU16(key),
+      java.util.Arrays.copyOfRange(key, CollectionBytes, heightOffset),
+      invertHeight(getU64(key, heightOffset)))
+  }
 }

@@ -261,7 +261,12 @@ object PayloadCodec {
     * [[WriteEntryPayload]]s for the caller's [[KeyCodec]] parse —
     * `PayloadCodecSpec` demonstrates the full round trip. */
   def writeRequestToWire(r: WriteRequest): Array[Byte] =
-    encodeWriteRequest(WriteRequestPayload(
+    encodeWriteRequest(writeRequestPayloadOf(r))
+
+  /** The wire-shaped payload of a model [[WriteRequest]] (see
+    * [[writeRequestToWire]]). */
+  def writeRequestPayloadOf(r: WriteRequest): WriteRequestPayload =
+    WriteRequestPayload(
       r.singletEntries.map { e =>
         WriteEntryPayload(
           KeyCodec.keyForSingletEntry(
@@ -275,7 +280,50 @@ object PayloadCodec {
             row.height, row.primaryKey.getBytes("UTF-8")),
           if (row.isDeletion) Array.emptyByteArray else row.value)
       },
-      r.height, r.block.num, r.block.id))
+      r.height, r.block.num, r.block.id)
+
+  // ------------------------------------------------------- streamed block
+
+  /** One live-wire block frame: the reference's gRPC stream delivers
+    * blocks with fork-step annotations that the handler turns into
+    * `WriteRequest`s (pipeline.go:93–137). This message is that unit on
+    * the wire — block linkage + step + the write payload in the same
+    * `WriteRequest` wire form the sharder's segment files use:
+    *
+    *   string id = 1; string parent_id = 2; uint64 num = 3;
+    *   string step = 4; WriteRequest write = 5;
+    */
+  final case class StreamedBlockPayload(
+      id: String, parentId: String, num: Long, step: String,
+      write: WriteRequestPayload)
+
+  def encodeStreamedBlock(p: StreamedBlockPayload): Array[Byte] = {
+    val w = new Writer
+    if (p.id.nonEmpty) { w.tag(1, 2); w.bytes(p.id.getBytes("UTF-8")) }
+    if (p.parentId.nonEmpty) { w.tag(2, 2); w.bytes(p.parentId.getBytes("UTF-8")) }
+    if (p.num != 0) { w.tag(3, 0); w.varint(p.num) }
+    if (p.step.nonEmpty) { w.tag(4, 2); w.bytes(p.step.getBytes("UTF-8")) }
+    w.tag(5, 2); w.bytes(encodeWriteRequest(p.write))
+    w.toBytes
+  }
+
+  def decodeStreamedBlock(data: Array[Byte]): StreamedBlockPayload = {
+    var id = ""; var parentId = ""; var num = 0L; var step = ""
+    var write = WriteRequestPayload(Nil, Nil, 0L, 0L, "")
+    val r = new Reader(data)
+    while (r.hasRemaining) {
+      val key = r.varint()
+      (key >>> 3, (key & 7).toInt) match {
+        case (1, 2) => id = new String(r.bytes(), "UTF-8")
+        case (2, 2) => parentId = new String(r.bytes(), "UTF-8")
+        case (3, 0) => num = r.varint()
+        case (4, 2) => step = new String(r.bytes(), "UTF-8")
+        case (5, 2) => write = decodeWriteRequest(r.bytes())
+        case (_, w) => r.skip(w)
+      }
+    }
+    StreamedBlockPayload(id, parentId, num, step, write)
+  }
 
   // ------------------------------------------------- distributed decoding
 

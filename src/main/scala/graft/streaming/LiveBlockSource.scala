@@ -70,6 +70,112 @@ object LiveBlockSource {
     blocks.map(b => Seq(b).toDS().toJSON.head())
   }
 
+  // --------------------------------------------------- proto wire framing
+
+  /** gRPC-style message framing (the reference's live wire is a gRPC
+    * protobuf block stream, pipeline.go:93–100): each frame is
+    *
+    *   1 byte  compressed-flag (0 — the only mode supported)
+    *   4 bytes big-endian payload length
+    *   N bytes proto3 `StreamedBlock` message ([[graft.model.PayloadCodec]]
+    *           wire form, entry keys packed by [[graft.model.KeyCodec]])
+    *
+    * — the exact shape of a gRPC HTTP/2 data-frame message, so a relay
+    * shim in front of the reference's stream forwards payload bytes
+    * untouched. [[toProtoFrames]] concatenates frames; [[decodeProtoFrames]]
+    * walks a chunk of WHOLE frames and FAILS on a torn frame (a silent
+    * drop would surface later as a contiguity-guard failure far from the
+    * root cause — same policy as the JSON FAILFAST parse). */
+  def toProtoFrames(blocks: Seq[StreamedBlock]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    blocks.foreach { b =>
+      val msg = graft.model.PayloadCodec.encodeStreamedBlock(toProtoPayload(b))
+      out.write(0)
+      out.write((msg.length >>> 24) & 0xFF); out.write((msg.length >>> 16) & 0xFF)
+      out.write((msg.length >>> 8) & 0xFF); out.write(msg.length & 0xFF)
+      out.write(msg, 0, msg.length)
+    }
+    out.toByteArray
+  }
+
+  private def toProtoPayload(b: StreamedBlock): graft.model.PayloadCodec.StreamedBlockPayload =
+    graft.model.PayloadCodec.StreamedBlockPayload(
+      b.id, b.parentId, b.num, b.step,
+      graft.model.PayloadCodec.writeRequestPayloadOf(
+        graft.model.WriteRequest(b.num, graft.model.BlockRef(b.id, b.num),
+          b.tabletRows, b.singletEntries)))
+
+  /** Decode one chunk of concatenated whole frames. `identifierLen` is the
+    * embedder's registry knowledge — collection id → fixed identifier byte
+    * width — exactly what the reference's key-parsing factories carry
+    * (tablet.go:37–58). Deletion ⇔ empty value, the reference's own
+    * convention (tablet.go:325–327). */
+  def decodeProtoFrames(
+      chunk: Array[Byte], identifierLen: Map[Int, Int]): Seq[StreamedBlock] = {
+    import graft.model.{KeyCodec, PayloadCodec, SingletEntryM, TabletRowM}
+    val out = Seq.newBuilder[StreamedBlock]
+    var pos = 0
+    while (pos < chunk.length) {
+      require(pos + 5 <= chunk.length,
+        s"torn frame header at byte $pos of ${chunk.length}")
+      require(chunk(pos) == 0,
+        s"unsupported compressed frame (flag ${chunk(pos)}) at byte $pos")
+      val len = ((chunk(pos + 1) & 0xFF) << 24) | ((chunk(pos + 2) & 0xFF) << 16) |
+        ((chunk(pos + 3) & 0xFF) << 8) | (chunk(pos + 4) & 0xFF)
+      require(len >= 0 && pos + 5 + len <= chunk.length,
+        s"torn frame at byte $pos: declared $len payload bytes, " +
+          s"only ${chunk.length - pos - 5} available")
+      val p = PayloadCodec.decodeStreamedBlock(
+        java.util.Arrays.copyOfRange(chunk, pos + 5, pos + 5 + len))
+      def idLen(collection: Int): Int =
+        identifierLen.getOrElse(collection,
+          throw new IllegalArgumentException(
+            f"no registered identifier width for collection 0x$collection%04X"))
+      val rows = p.write.tabletRows.map { e =>
+        val (coll, id, h, pk) =
+          KeyCodec.parseTabletRowKey(e.key, idLen(KeyCodec.collectionOf(e.key)))
+        TabletRowM(coll, new String(id, "UTF-8"), h, new String(pk, "UTF-8"),
+          e.value, e.value.isEmpty)
+      }
+      val entries = p.write.singletEntries.map { e =>
+        val (coll, id, h) =
+          KeyCodec.parseSingletEntryKey(e.key, idLen(KeyCodec.collectionOf(e.key)))
+        SingletEntryM(coll, new String(id, "UTF-8"), h, e.value, e.value.isEmpty)
+      }
+      out += StreamedBlock(p.id, p.parentId, p.num, p.step, rows, entries)
+      pos += 5 + len
+    }
+    out.result()
+  }
+
+  /** Decode proto-framed chunks from any streaming DataFrame with a binary
+    * column — each row must carry whole frames (gRPC delivers messages
+    * whole; a torn frame fails the query). */
+  def parseProtoFrames(
+      chunks: Dataset[Array[Byte]],
+      identifierLen: Map[Int, Int]): Dataset[StreamedBlock] = {
+    implicit val enc = Encoders.product[StreamedBlock]
+    chunks.flatMap(decodeProtoFrames(_, identifierLen))
+  }
+
+  /** Live blocks from a drop directory of binary frame files (the
+    * file-transport twin of [[fromSocket]] for the proto wire; the same
+    * [[parseProtoFrames]] applies unchanged to e.g. a Kafka `value`
+    * column). */
+  def fromBinaryFiles(
+      spark: SparkSession, dir: String,
+      identifierLen: Map[Int, Int]): Dataset[StreamedBlock] = {
+    implicit val binEnc = Encoders.BINARY
+    parseProtoFrames(
+      spark.readStream.format("binaryFile")
+        // Streaming sources require the schema up front; binaryFile's is
+        // fixed by the format.
+        .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+        .load(dir)
+        .select(col("content")).as[Array[Byte]],
+      identifierLen)
+  }
+
   /** Deterministic synthetic live source: `blocksPerSecond` single-row
     * blocks from the `rate` source, chained by number (parent = num-1) so
     * the pipeline's contiguity guard accepts them. `startNum` aligns the

@@ -145,6 +145,105 @@ class LiveBlockSourceSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  // Registry for the proto wire: collection 1 tablets use 2-char ids
+  // ("t1"), collection 7 singlets use 2-char ids ("s1").
+  private val idWidths = Map(1 -> 2, 7 -> 2)
+
+  test("proto wire framing round-trips blocks exactly (binary payloads, " +
+    "deletions, singlets); frames carry the gRPC flag+length header") {
+    val blocks = Seq(block(0, "irreversible"), block(1, "new"),
+      StreamedBlock("b2", "a1", 2, "new",
+        Seq(TabletRowM(1, "t1", 2, "pk0", Array.emptyByteArray, true)),
+        Seq(graft.model.SingletEntryM(7, "s1", 2, Array[Byte](0, 1, -1), false))))
+    val wire = LiveBlockSource.toProtoFrames(blocks)
+    // gRPC message header: flag byte 0, then 4-byte BE length.
+    assert(wire(0) === 0.toByte)
+    val len0 = ((wire(1) & 0xFF) << 24) | ((wire(2) & 0xFF) << 16) |
+      ((wire(3) & 0xFF) << 8) | (wire(4) & 0xFF)
+    assert(len0 > 0 && 5 + len0 < wire.length)
+    val parsed = LiveBlockSource.decodeProtoFrames(wire, idWidths)
+    assert(parsed.map(b => (b.id, b.parentId, b.num, b.step)) ===
+      blocks.map(b => (b.id, b.parentId, b.num, b.step)))
+    // Row/entry content round-trips; byte arrays compared via deep copy.
+    parsed.zip(blocks).foreach { case (got, want) =>
+      assert(got.tabletRows.map(r =>
+        (r.collection, r.tabletId, r.height, r.primaryKey, r.value.toSeq, r.isDeletion)) ===
+        want.tabletRows.map(r =>
+          (r.collection, r.tabletId, r.height, r.primaryKey, r.value.toSeq, r.isDeletion)))
+      assert(got.singletEntries.map(e =>
+        (e.collection, e.singletId, e.height, e.value.toSeq, e.isDeletion)) ===
+        want.singletEntries.map(e =>
+          (e.collection, e.singletId, e.height, e.value.toSeq, e.isDeletion)))
+    }
+    // Re-encoding the parse reproduces the wire bytes — no drift possible.
+    assert(LiveBlockSource.toProtoFrames(parsed).toSeq === wire.toSeq)
+  }
+
+  test("a torn proto frame FAILS the decode (FAILFAST) instead of dropping " +
+    "the tail; compressed frames are rejected") {
+    val wire = LiveBlockSource.toProtoFrames(Seq(block(0, "irreversible")))
+    val torn = wire.dropRight(3)
+    val ex = intercept[IllegalArgumentException] {
+      LiveBlockSource.decodeProtoFrames(torn, idWidths)
+    }
+    assert(ex.getMessage.contains("torn frame"))
+    // Truncated mid-header.
+    intercept[IllegalArgumentException] {
+      LiveBlockSource.decodeProtoFrames(wire ++ Array[Byte](0, 0), idWidths)
+    }
+    // Compressed flag: unsupported, loud.
+    val compressed = wire.clone(); compressed(0) = 1
+    assert(intercept[IllegalArgumentException] {
+      LiveBlockSource.decodeProtoFrames(compressed, idWidths)
+    }.getMessage.contains("compressed"))
+    // Unregistered collection: loud, not a silent skip.
+    assert(intercept[IllegalArgumentException] {
+      LiveBlockSource.decodeProtoFrames(wire, Map(9 -> 2))
+    }.getMessage.contains("identifier width"))
+  }
+
+  test("proto-framed live source end-to-end: binary frame files drive the " +
+    "pipeline, commits and speculative overlay match the JSON transport; a " +
+    "torn frame kills the query instead of skipping a block") {
+    implicit val s = spark
+    val store = new StateStore(tmpDir("store"))
+    val pipeline = new IngestionPipeline(store)
+    val inDir = new java.io.File(tmpDir("proto-frames"))
+    def dropFile(name: String, blocks: Seq[StreamedBlock]): Unit = {
+      val f = new java.io.File(inDir, name)
+      val out = new java.io.FileOutputStream(f)
+      try out.write(LiveBlockSource.toProtoFrames(blocks)) finally out.close()
+    }
+    dropFile("seg0.bin", (0L to 2L).map(block(_, "irreversible")))
+    dropFile("seg1.bin", Seq(block(3, "irreversible"), block(4, "new"), block(5, "new")))
+    val q = pipeline.start(
+      LiveBlockSource.fromBinaryFiles(s, inDir.getAbsolutePath, idWidths),
+      tmpDir("ckpt"), triggerMillis = 50)
+    try {
+      q.processAllAvailable()
+      assert(store.checkpoint(StateStore.GlobalCheckpointKey).get.height === 3L)
+      assert(store.tabletRows.select("height").collect().map(_.getLong(0)).sorted
+        === Array(0L, 1L, 2L, 3L))
+      val spec = pipeline.speculativeTabletRows("a5").get
+      assert(spec.map(_.count()).sum === 2L)
+
+      // A torn trailing frame in a later file is a query-killing error.
+      val whole = LiveBlockSource.toProtoFrames(Seq(block(6, "irreversible")))
+      val f = new java.io.File(inDir, "seg2-torn.bin")
+      val out = new java.io.FileOutputStream(f)
+      try out.write(whole, 0, whole.length - 2) finally out.close()
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000)
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+      assert(messages(ex).exists(_.contains("torn frame")), messages(ex).mkString(" | "))
+      // Nothing from the torn file committed.
+      assert(store.checkpoint(StateStore.GlobalCheckpointKey).get.height === 3L)
+    } finally q.stop()
+  }
+
   test("synthetic rate source soaks the commit path: contiguous chain from " +
     "startNum, checkpoint advances, payloads round-trip") {
     implicit val s = spark
