@@ -1848,10 +1848,56 @@ object PipelineQueries {
     // bins (see [[BinPack]]): docs md5-routed to packing partitions,
     // each independently running deterministic textbook BFD; at most
     // one ≤-half-full bin can exist per partition (the BFD guarantee
-    // the spec pins). Sequential placement dependence makes this
-    // non-ANSI-SQL (rows-only); the spec pins exact per-doc
-    // assignments against an independent Scala BFD model.
-    QuerySpec.rowsOnly("p_pack_bfd") { (s, dir) =>
+    // the spec pins). Sequential placement is beyond ANSI SQL but NOT
+    // beyond DuckDB: a recursive CTE replays the exact same BFD
+    // (largest-first, fullest-fitting-bin, ties to the lowest bin id)
+    // one placement per recursion step with the fill levels carried as
+    // a list — so every per-doc assignment is oracle-verified, not just
+    // the invariants.
+    QuerySpec.sql(
+      "p_pack_bfd",
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+         |         ${oH32("CAST(doc_id AS VARCHAR)")} % 32 AS part
+         |  FROM documents
+         |), o AS (
+         |  SELECT doc_id, ntok, part,
+         |         row_number() OVER (PARTITION BY part ORDER BY ntok DESC, doc_id) AS j,
+         |         count(*) OVER (PARTITION BY part) AS nd
+         |  FROM d
+         |), pack AS (
+         |  SELECT part, CAST(0 AS BIGINT) AS j, nd,
+         |         CAST([] AS BIGINT[]) AS fills,
+         |         CAST([] AS BIGINT[]) AS bins,
+         |         CAST([] AS BIGINT[]) AS ids
+         |  FROM (SELECT DISTINCT part, nd FROM o)
+         |  UNION ALL
+         |  SELECT part, j, nd,
+         |         CASE WHEN best = 0 THEN list_append(fills, ntok)
+         |              ELSE list_transform(range(1, len(fills) + 1),
+         |                     i -> CASE WHEN i = best THEN fills[i] + ntok
+         |                               ELSE fills[i] END) END AS fills,
+         |         list_append(bins, CASE WHEN best = 0 THEN len(fills)
+         |                                ELSE best - 1 END) AS bins,
+         |         list_append(ids, doc_id) AS ids
+         |  FROM (
+         |    SELECT p.part, p.j + 1 AS j, p.nd, p.fills, p.bins, p.ids,
+         |           o.doc_id, o.ntok,
+         |           list_filter(range(1, len(p.fills) + 1),
+         |                       i -> p.fills[i] + o.ntok <= 512) AS cand,
+         |           coalesce(list_min(list_filter(cand,
+         |             i -> p.fills[i] = list_max(
+         |                    list_transform(cand, k -> p.fills[k])))), 0) AS best
+         |    FROM pack p JOIN o ON o.part = p.part AND o.j = p.j + 1
+         |  )
+         |), placed AS (
+         |  SELECT part, unnest(ids) AS doc_id, unnest(bins) AS bin
+         |  FROM pack WHERE j = nd
+         |)
+         |SELECT s.doc_id, d.ntok, CAST(s.part AS BIGINT) AS part,
+         |       CAST(s.bin AS BIGINT) AS bin
+         |FROM placed s JOIN d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       BinPack.packBestFit(docs(s, dir), capacity = 512L)
     },
 
@@ -2693,7 +2739,34 @@ object PipelineQueries {
         .orderBy("label", "dim")
     },
 
-    QuerySpec.rowsOnly("p_multimodal_frames") { (s, dir) =>
+    // Frame sampling with a REAL oracle: the sampler's stride/count
+    // arithmetic AND the decoded frame dimensions are deterministic
+    // functions of the payload hash (Media.textToPng embeds them;
+    // decodePng reads them back from actual PNG bytes), so DuckDB can
+    // replicate the rolling hash (ASCII corpus: code points = UTF-8
+    // bytes) and predict what the REAL javax.imageio decode must return —
+    // a decode that lies about dimensions fails the hash gate. Mean-luma
+    // content checking stays with p_multimodal_decode (spec-pinned; the
+    // xorshift pixel stream is not reasonably SQL-expressible).
+    QuerySpec.sql(
+      "p_multimodal_frames",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         list_reduce(
+        |           list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(range(1, length(text) + 1),
+        |                            i -> CAST(unicode(text[i]) AS BIGINT))),
+        |           (a, b) -> (a * 31 + b) & 2147483647) AS checksum
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, checksum, 8 + (checksum % 16) AS n_frames FROM m
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |       CAST(n_frames AS BIGINT) AS n_frames,
+        |       CAST(16 + ((checksum + i * 2654435761) % 16) AS BIGINT) AS width,
+        |       CAST(16 + (((checksum + i * 2654435761) // 16) % 16) AS BIGINT) AS height
+        |FROM f, unnest(range(0, n_frames, 4)) AS t(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
       import s.implicits._
       // Same GUARDED cores-not-files repartition as p_multimodal_decode:
       // ~21k PNG round-trips at sf0.1 are pure CPU and must fan out, but
@@ -2711,12 +2784,12 @@ object PipelineQueries {
           (0 until nFrames by 4).map { f =>
             // Each sampled keyframe is a REAL PNG encode+decode round-trip
             // (frame index perturbs the rendered image).
-            val (w, h, lum) = graft.functions.Media
+            val (w, h, _) = graft.functions.Media
               .decodePng(graft.functions.Media.textToPng(text, f))
-            (id, f, nFrames, w.toLong, h.toLong, lum)
+            (id, f.toLong, nFrames.toLong, w.toLong, h.toLong)
           }
         }
-      }.toDF("doc_id", "frame_idx", "n_frames", "width", "height", "mean_luma_milli")
+      }.toDF("doc_id", "frame_idx", "n_frames", "width", "height")
         .orderBy("doc_id", "frame_idx")
     },
 
