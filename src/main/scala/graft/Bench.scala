@@ -64,11 +64,31 @@ object Bench {
     // one query — so a multi-second host-noise window can't own all three
     // samples of a single query (observed in round 9: simhash min-of-3
     // reported 4.07 s back-to-back while the isolated warm cost was 0.84 s).
+    // Fixed-work CALIBRATION probe: a constant 1e8-row range sum —
+    // corpus-independent, shuffle-free, pure codegen throughput. Timed at
+    // the start, middle, and end of the run so a noisy host window is
+    // self-evident in the artifact itself: calib.min approximates the
+    // host's clean throughput for this fixed work, and calib.max/min >> 1
+    // means a noise window landed inside the run (round 10's driver total
+    // was 1.7x the builder's same-code runs with no way to tell from the
+    // artifact). Round-over-round regression comparisons should scale by
+    // calib.min before judging a delta.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      // bit_xor fold: overflow-free under ANSI (a plain sum of id*const
+      // blows past Long), same fixed per-row work.
+      spark.range(100000000L).selectExpr("bit_xor(id * 2654435761)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calib0 = calibOnce()
     val firstPass = named.map { case (name, fn) => name -> once(name, fn) }
+    val calib1 = calibOnce()
     val firstByName = firstPass.toMap
     val slow = named.filter { case (name, _) => firstByName(name) >= 0.3 }
     val resamples: Seq[(String, Double)] =
       (1 to 2).flatMap(_ => slow.map { case (name, fn) => name -> once(name, fn) })
+    val calib2 = calibOnce()
+    val calibs = Seq(calib0, calib1, calib2)
     val samplesByName = (firstPass ++ resamples).groupBy(_._1)
     val results = named.map { case (name, _) =>
       val ss = samplesByName(name).map(_._2)
@@ -121,7 +141,9 @@ object Bench {
     // Full table to stderr for humans / PLANS.md (driver parses stdout only).
     System.err.println("[bench-full] " + results
       .map { case (k, v) => s"$k=${fmt(v, 2)}" }.mkString(" "))
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","failed":$failed,"queries":$qs,"fast":$fastStr,"sf":"$sfName"}""")
+    val calibStr =
+      s"""{"min":${fmtQ(calibs.min)},"max":${fmtQ(calibs.max)}}"""
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","failed":$failed,"calib":$calibStr,"queries":$qs,"fast":$fastStr,"sf":"$sfName"}""")
     spark.stop()
   }
 }
