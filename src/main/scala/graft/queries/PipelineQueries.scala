@@ -1740,14 +1740,15 @@ object PipelineQueries {
       val d = docs(s, dir)
       val isEval = col("source").isin("src0", "src1")
       val evalSh = shingleRows(d.filter(isEval)).select("sh").distinct()
-      val bf = evalSh.stat.bloomFilter("sh", math.max(evalSh.count(), 1L), 0.001)
-      val bfB = s.sparkContext.broadcast(bf)
-      val mightContain = udf((sh: String) => bfB.value.mightContain(sh))
+      // Sketch keyed on xxhash64 longs so the probe is the BUILT-IN
+      // might_contain expression (fully codegen'd; the previous closure
+      // UDF was the one non-codegen membership test on this path).
+      val bf = graft.functions.BloomSketch.build(evalSh, "sh", 0.001)
       shingleRows(d.filter(!isEval))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"),
-          sum(when(mightContain(col("sh")), 1L).otherwise(0L))
-            .as("n_contaminated_bloom"))
+          sum(when(graft.functions.BloomSketch.mightContain(bf, col("sh")), 1L)
+            .otherwise(0L)).as("n_contaminated_bloom"))
         .select(col("doc_id"), col("n_contaminated_bloom"), col("n_shingles"),
           (col("n_contaminated_bloom") * 10 >= col("n_shingles"))
             .cast("long").as("flagged"))

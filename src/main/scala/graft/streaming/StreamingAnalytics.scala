@@ -223,30 +223,32 @@ object StreamingAnalytics {
 
   /** Streaming decontamination probe: incoming documents scored online
     * against a batch-built Bloom sketch of the eval suite's distinct word
-    * 3-grams (the `p_decontaminate_bloom` sketch — build it once over the
-    * held-out slice, pass it here). Per doc: shingle count, sketch hits,
-    * and a `flagged` bit at `pctMax`% overlap. STATELESS like the quality
-    * gate — the sketch rides along as a broadcast/closure constant and
-    * every row is scored inside the scan stage (shingling via the same
-    * codegen'd [[graft.functions.WordShingles]] the batch query uses), so
-    * there is no watermark and no state store. One-sided error: false
-    * positives only, so an online quarantine can over-hold, never leak a
-    * contaminated doc the batch join would have caught. */
+    * 3-grams ([[graft.functions.BloomSketch.build]] over the held-out
+    * slice — pass the serialized bytes here). Per doc: shingle count,
+    * sketch hits, and a `flagged` bit at `pctMax`% overlap. STATELESS
+    * like the quality gate, and fully CODEGEN'D: the sketch rides as a
+    * binary literal probed by the built-in `might_contain` expression
+    * inside an array-aggregate lambda (no Scala UDF anywhere), shingling
+    * via the same codegen'd [[graft.functions.WordShingles]] the batch
+    * query uses — so there is no watermark, no state store, and no
+    * codegen boundary. One-sided error: false positives only, so an
+    * online quarantine can over-hold, never leak a contaminated doc the
+    * batch join would have caught. */
   def decontaminationProbe(
       docs: DataFrame, // columns: doc_id, text, ...
-      evalSketch: org.apache.spark.util.sketch.BloomFilter,
-      pctMax: Int = 10): DataFrame = {
-    val hits = udf((shs: Seq[String]) =>
-      shs.count(evalSketch.mightContain).toLong)
+      evalSketch: Array[Byte], // BloomSketch.build output
+      pctMax: Int = 10): DataFrame =
     docs
       .withColumn("__sh", graft.functions.WordShingles.shingles(col("text"), 3))
       .withColumn("n_shingles", size(col("__sh")).cast("long"))
-      .withColumn("n_hits", hits(col("__sh")))
+      .withColumn("n_hits", aggregate(col("__sh"), lit(0L),
+        (acc, s) => acc +
+          when(graft.functions.BloomSketch.mightContain(evalSketch, s), 1L)
+            .otherwise(0L)))
       .withColumn("flagged",
         (col("n_hits") * 100 >= lit(pctMax.toLong) *
           greatest(col("n_shingles"), lit(1L))).cast("long"))
       .drop("__sh")
-  }
 
   /** The ONLINE curation front door — [[qualityGate]], the near-dup
     * probe, and [[decontaminationProbe]] composed into ONE per-document
@@ -284,7 +286,7 @@ object StreamingAnalytics {
   def onlineCurationGate(
       docs: DataFrame, // streaming; columns: doc_id, text, ...
       bandIndex: DataFrame, // static corpus band index: doc_id, band, bkey
-      evalSketch: org.apache.spark.util.sketch.BloomFilter,
+      evalSketch: Array[Byte], // BloomSketch.build output
       contaminationPctMax: Int = 10): DataFrame = {
     val byKey = bandIndex.groupBy("band", "bkey")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))

@@ -298,7 +298,7 @@ class StreamingAnalyticsSpec extends SparkTestBase {
       .select(explode(
         graft.functions.WordShingles.shingles(col("text"), 3)).as("sh"))
       .distinct()
-    val sketch = evalSh.stat.bloomFilter("sh", math.max(evalSh.count(), 1L), 0.001)
+    val sketch = graft.functions.BloomSketch.build(evalSh, "sh", 0.001)
 
     // Stream the SAME train corpus through the gate (self-screening: the
     // batch pipeline's shape — every doc judged against the full corpus).
@@ -382,7 +382,7 @@ class StreamingAnalyticsSpec extends SparkTestBase {
         graft.functions.WordShingles.shingles(
           org.apache.spark.sql.functions.col("text"), 3)).as("sh"))
       .distinct()
-    val sketch = evalSh.stat.bloomFilter("sh", math.max(evalSh.count(), 1L), 0.001)
+    val sketch = graft.functions.BloomSketch.build(evalSh, "sh", 0.001)
     val evalSet = evalSh.collect().map(_.getString(0)).toSet
     val train = raw.filter(!isEval).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).take(100)
@@ -401,6 +401,12 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     val got = spark.table("decon").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(got.size === train.length)
+    // Fully codegen'd: the built-in might_contain probe leaves no UDF
+    // node anywhere in the physical plan.
+    val batchPlan = StreamingAnalytics.decontaminationProbe(
+        raw.filter(!isEval).select("doc_id", "text"), sketch)
+      .queryExecution.executedPlan.toString
+    assert(!batchPlan.contains("ScalaUDF"), "probe must not plan a Scala UDF")
     train.foreach { case (id, text) =>
       val sh = text.split(" ", -1).sliding(3).filter(_.length == 3)
         .map(_.mkString(" ")).toSet
