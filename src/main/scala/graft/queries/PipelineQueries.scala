@@ -314,10 +314,22 @@ object PipelineQueries {
        |  ) f ON f.dst = n.vec_id
        |)""".stripMargin
 
+  /** PageRank iteration count — a RUNTIME parameter (`GRAFT_PAGERANK_ITERS`,
+    * default 3, malformed/non-positive falls back) feeding BOTH the Spark
+    * loop ([[GraphRank.pageRank]]) and the generated oracle CTE chain, so
+    * the correctness gate stays green at any depth. */
+  private[graft] val PrIters: Int =
+    sys.env.get("GRAFT_PAGERANK_ITERS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ > 0).getOrElse(3)
+
   /** Oracle mirroring p_graph_pagerank: the bucketed-embeddings CTE, the
-    * p_knn_graph top-3 edge set, out/in-degrees, and three unrolled
-    * integer-PageRank iterations ([[oPrIter]]). */
-  private def pagerankOracle: String =
+    * p_knn_graph top-3 edge set, out/in-degrees, and [[PrIters]] chained
+    * integer-PageRank iterations ([[oPrIter]] — textually identical CTEs
+    * by construction). */
+  private def pagerankOracle: String = {
+    val iterChain = (1 to PrIters)
+      .map(i => oPrIter(s"it${i - 1}", s"it$i")).mkString(",\n")
     s"""$oBucketedCte, knn AS (
        |  SELECT a_id AS src, b_id AS dst FROM (
        |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -330,15 +342,14 @@ object PipelineQueries {
        |  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM knn GROUP BY src
        |), it0 AS (
        |  SELECT vec_id, CAST(1000000000 AS BIGINT) AS score FROM e
-       |), ${oPrIter("it0", "it1")},
-       |${oPrIter("it1", "it2")},
-       |${oPrIter("it2", "it3")},
+       |), $iterChain,
        |ind AS (
        |  SELECT dst, CAST(count(*) AS BIGINT) AS in_deg FROM knn GROUP BY dst
        |)
        |SELECT t.vec_id, t.score AS pr_score, COALESCE(i.in_deg, 0) AS in_deg
-       |FROM it3 t LEFT JOIN ind i ON i.dst = t.vec_id
+       |FROM it$PrIters t LEFT JOIN ind i ON i.dst = t.vec_id
        |ORDER BY pr_score DESC, vec_id LIMIT 30""".stripMargin
+  }
 
   /** Oracle mirroring p_bitext_mine: the labeled bucket CTE + the same
     * integer margin pipeline (floor-to-micro before any sum, so every
@@ -3479,15 +3490,16 @@ object PipelineQueries {
     // (score//outdeg contributions, (85·inflow)//100 damping, +0.15·10⁹
     // teleport), so three engines' floats never meet and the oracle
     // compare is exact. Plan: the edge list is built once (the p_knn_graph
-    // bucket self-join + WindowGroupLimit top-3) and persisted; each of
-    // the 3 unrolled iterations is the canonical distributed-PageRank
-    // shape — inner-join scores⋈outdeg (contribution), equi-join onto
-    // edges by src, ONE groupBy(dst) sum with map-side combine, left join
-    // back to the node set. At 100 TB the edges are hash-partitioned by
-    // src and every iteration reuses that partitioning; dangling nodes
-    // (singleton buckets) simply leak their mass, identically in both
-    // engines. Output: the 30 most central vectors (TakeOrdered, never a
-    // global sort) with their in-degree.
+    // bucket self-join + WindowGroupLimit top-3) and persisted; the
+    // iterative core is [[GraphRank.pageRank]] — PrIters iterations
+    // (GRAFT_PAGERANK_ITERS, oracle CTE chain generated to match) of the
+    // canonical distributed-PageRank shape with localCheckpoint lineage
+    // cuts every 5 rounds, so a 20-iteration centrality run plans a
+    // bounded DAG. At 100 TB the edges are hash-partitioned by src and
+    // every iteration reuses that partitioning; dangling nodes (singleton
+    // buckets) simply leak their mass, identically in both engines.
+    // Output: the 30 most central vectors (TakeOrdered, never a global
+    // sort) with their in-degree.
     QuerySpec.sql("p_graph_pagerank", pagerankOracle) { (s, dir) =>
       val bucketed = bucketedEmbs(s, dir)
       val ea = bucketed.select(col("vec_id").as("a_id"),
@@ -3503,22 +3515,8 @@ object PipelineQueries {
         .filter(col("rank") <= 3)
         .select(col("a_id").as("src"), col("b_id").as("dst"))
         .persist()
-      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
       val nodes = bucketed.select(col("vec_id"))
-      var scores = nodes.select(col("vec_id"), lit(1000000000L).as("score"))
-      for (_ <- 1 to 3) {
-        val inflow = scores
-          .join(outdeg, col("vec_id") === col("src"))
-          .select(col("vec_id").as("psrc"), expr("score div outdeg").as("c"))
-          .join(edges.withColumnRenamed("src", "esrc"),
-            col("psrc") === col("esrc"))
-          .groupBy("dst").agg(sum(col("c")).as("inflow"))
-        scores = nodes
-          .join(inflow, col("vec_id") === col("dst"), "left")
-          .select(col("vec_id"),
-            expr("CAST(150000000 + (85 * coalesce(inflow, CAST(0 AS BIGINT)))" +
-              " div 100 AS BIGINT)").as("score"))
-      }
+      val scores = GraphRank.pageRank(nodes, edges, PrIters)
       val indeg = edges.groupBy("dst").agg(count(lit(1)).as("in_deg"))
       scores
         .join(indeg.withColumnRenamed("dst", "idst"),
