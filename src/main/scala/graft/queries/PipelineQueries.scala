@@ -254,6 +254,91 @@ object PipelineQueries {
        |FROM cells, tot ORDER BY rule_keep, cls_keep""".stripMargin
   }
 
+  /** Oracle mirroring p_tokenizer_fertility: the langid scoring CTE plus
+    * the p_text_tokens subword counts, aggregated per predicted language. */
+  private def tokenizerFertilityOracle: String = {
+    def score(lang: String): String = {
+      val lst = LangMarkers(lang).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), w -> w IN ($lst))) AS s_$lang"
+    }
+    s"""WITH scored AS (
+       |  SELECT doc_id, n_chars, ${score("de")}, ${score("en")}, ${score("es")},
+       |         ${score("fr")}, ${score("zh")},
+       |         len(string_split(text, ' ')) AS n_words,
+       |         len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_subwords
+       |  FROM documents
+       |), tagged AS (
+       |  SELECT CASE WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+       |              WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
+       |              ELSE 'zh' END AS pred_lang,
+       |         n_words, n_subwords, n_chars
+       |  FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best
+       |        FROM scored)
+       |), agg AS (
+       |  SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_words) AS BIGINT) AS sum_words,
+       |         CAST(sum(n_subwords) AS BIGINT) AS sum_subwords,
+       |         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |  FROM tagged GROUP BY 1
+       |)
+       |SELECT pred_lang, n_docs, sum_words, sum_subwords,
+       |       CAST(CASE WHEN sum_words > 0
+       |            THEN (sum_subwords * 1000000) // sum_words
+       |            ELSE 0 END AS BIGINT) AS fertility_ppm,
+       |       CAST(CASE WHEN sum_subwords > 0
+       |            THEN (sum_chars * 1000000) // sum_subwords
+       |            ELSE 0 END AS BIGINT) AS chars_per_subword_ppm
+       |FROM agg ORDER BY pred_lang""".stripMargin
+  }
+
+  /** Oracle mirroring p_sample_weighted: the same integer priority key
+    * (`u div w`, u = md5-derived 60-bit uniform) and per-source top-k. */
+  private def sampleWeightedOracle: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS weight,
+       |         ${oH60("CAST(doc_id AS VARCHAR)")} + 1 AS u
+       |  FROM documents
+       |), keyed AS (
+       |  SELECT source, doc_id, weight,
+       |         CAST(u // weight AS BIGINT) AS sample_key
+       |  FROM d
+       |)
+       |SELECT source, doc_id, weight, sample_key, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY source ORDER BY sample_key, doc_id) AS BIGINT) AS rank
+       |  FROM keyed
+       |) WHERE rank <= 25 ORDER BY source, rank""".stripMargin
+
+  /** Oracle mirroring p_cls_calibration — built from the same shared
+    * fragments as [[filterAgreementOracle]]. The bucket expression floors
+    * negatives explicitly (CASE on sign) because Spark's `div` truncates
+    * toward zero while DuckDB's `//` floors: all divisions below run on
+    * non-negative operands only, where the two agree. */
+  private def clsCalibrationOracle: String =
+    s"""WITH wt(b, w_micro) AS (VALUES
+       |    $oQcWeightRows
+       |), $OGopherStatsCtes, cls AS (
+       |  SELECT doc_id, CAST(sum(ww.w_micro) AS BIGINT) AS score
+       |  FROM w t JOIN wt ww ON ww.b = ${oH32("t.word")} % 64
+       |  GROUP BY doc_id
+       |), rules AS (
+       |  SELECT doc_id, CAST($OGopherKeepCond AS BIGINT) AS rule_keep
+       |  FROM base JOIN top USING (doc_id)
+       |), joined AS (
+       |  SELECT c.score, r.rule_keep,
+       |         greatest(-4, least(3,
+       |           CASE WHEN c.score >= 0 THEN c.score // 2000000
+       |                ELSE -(((-c.score) + 1999999) // 2000000) END)) AS bucket
+       |  FROM cls c JOIN rules r USING (doc_id)
+       |)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(score) AS BIGINT) AS sum_score_micro,
+       |       CAST(sum(rule_keep) AS BIGINT) AS n_rule_keep,
+       |       CAST((sum(rule_keep) * 1000000) // count(*) AS BIGINT) AS rule_keep_ppm
+       |FROM joined GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** Random-hyperplane coefficients for LSH plane `p`: md5-derived uniform
     * doubles in [-1, 1). Each value is `h32 / 2^31 - 1` with h32 < 2^32 —
     * ≤33 significant bits, exactly representable, so the decimal literal
@@ -3525,6 +3610,108 @@ object PipelineQueries {
           coalesce(col("in_deg"), lit(0L)).as("in_deg"))
         .orderBy(col("pr_score").desc, col("vec_id"))
         .limit(30)
+    },
+
+    // ---------------------------------------------------------------------
+    // Tokenizer fertility by (predicted) language — the report a
+    // multilingual pipeline reads to detect tokenizer bias: per language,
+    // subword tokens per whitespace word (fertility) and chars per
+    // subword, in exact ppm. Composes two oracle-proven expression sets
+    // (the langid marker scoring and the p_text_tokens subword regex) on
+    // ONE scan-local pass, then a map-side-combined groupBy to ≤5 rows —
+    // at 100 TB nothing shuffles but the per-language partials. (BIGINT
+    // sums hold to ~9·10¹² corpus words; a genuinely 100 TB corpus widens
+    // the two sums to DECIMAL, nothing else changes.)
+    QuerySpec.sql("p_tokenizer_fertility", tokenizerFertilityOracle) { (s, dir) =>
+      val ws = split(col("text"), " ")
+      def score(words: Seq[String]): Column =
+        size(filter(ws, w => w.isin(words: _*))).cast("long")
+      docs(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          score(LangMarkers("de")).as("s_de"),
+          score(LangMarkers("en")).as("s_en"),
+          score(LangMarkers("es")).as("s_es"),
+          score(LangMarkers("fr")).as("s_fr"),
+          score(LangMarkers("zh")).as("s_zh"),
+          size(ws).cast("long").as("n_words"),
+          size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0)))
+            .cast("long").as("n_subwords"))
+        .withColumn("best",
+          greatest(col("s_de"), col("s_en"), col("s_es"), col("s_fr"), col("s_zh")))
+        .withColumn("pred_lang",
+          when(col("s_de") === col("best"), "de")
+            .when(col("s_en") === col("best"), "en")
+            .when(col("s_es") === col("best"), "es")
+            .when(col("s_fr") === col("best"), "fr")
+            .otherwise("zh"))
+        .groupBy("pred_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("sum_words"),
+          sum(col("n_subwords")).as("sum_subwords"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(col("pred_lang"), col("n_docs"), col("sum_words"),
+          col("sum_subwords"),
+          expr("CASE WHEN sum_words > 0 " +
+            "THEN (sum_subwords * 1000000) div sum_words ELSE CAST(0 AS BIGINT) END")
+            .as("fertility_ppm"),
+          expr("CASE WHEN sum_subwords > 0 " +
+            "THEN (sum_chars * 1000000) div sum_subwords ELSE CAST(0 AS BIGINT) END")
+            .as("chars_per_subword_ppm"))
+        .orderBy("pred_lang")
+    },
+
+    // ---------------------------------------------------------------------
+    // Weighted priority sampling (Duffield et al. 2007) — the
+    // weighted-without-replacement sampler mixture construction uses when
+    // longer/higher-quality docs should be proportionally likelier: each
+    // doc draws a deterministic 60-bit uniform u (md5 of its id) and is
+    // ranked by the priority key u div w ASCENDING (small key ⟺ large
+    // w/u priority), w = word count; top-25 per source survive. ALL
+    // INTEGER — no float pow/log to diverge at ULP level, so the sample
+    // is hash-exact across engines; u ≤ 2⁶⁰ never overflows. Shape at
+    // 100 TB: key is scan-local, the per-source top-k plans as
+    // WindowGroupLimit — every map task caps its local 25 BEFORE the
+    // exchange (the p_source_quota shape), so the shuffle carries
+    // O(sources × k × tasks), not the corpus.
+    QuerySpec.sql("p_sample_weighted", sampleWeightedOracle) { (s, dir) =>
+      val wnd = Window.partitionBy("source")
+        .orderBy(col("sample_key"), col("doc_id"))
+      docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("weight"),
+          (h60(col("doc_id").cast("string")) + 1L).as("u"))
+        .withColumn("sample_key", expr("u div weight"))
+        .withColumn("rank", row_number().over(wnd).cast("long"))
+        .filter(col("rank") <= 25)
+        .select("source", "doc_id", "weight", "sample_key", "rank")
+        .orderBy("source", "rank")
+    },
+
+    // ---------------------------------------------------------------------
+    // Classifier calibration (reliability diagram): does the learned
+    // quality score predict the rule-based keep rate? Classifier scores
+    // bucket into 8 fixed 2.0-unit bins (floored division — negatives
+    // handled by an explicit sign CASE so Spark's truncate-toward-zero
+    // `div` and DuckDB's flooring `//` never see a negative operand);
+    // per bin: doc count, exact score sum, and the Gopher-rule keep rate
+    // in ppm. Both verdicts come from the SAME shared expressions the
+    // single-filter oracles verify (GopherRules / QualityClassifier), on
+    // one scan-local pass → ONE map-side-combined aggregate to ≤8 rows.
+    QuerySpec.sql("p_cls_calibration", clsCalibrationOracle) { (s, dir) =>
+      QualityClassifier.withScore(GopherRules.withFlags(docs(s, dir)))
+        .select(col("doc_id"), col("keep").as("rule_keep"),
+          col("cls_score_micro").as("score"))
+        .withColumn("bucket", expr(
+          "greatest(-4L, least(3L, CASE WHEN score >= 0 THEN score div 2000000 " +
+            "ELSE -(((-score) + 1999999) div 2000000) END))"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("score")).as("sum_score_micro"),
+          sum(col("rule_keep")).as("n_rule_keep"))
+        .select(col("bucket"), col("n_docs"), col("sum_score_micro"),
+          col("n_rule_keep"),
+          expr("(n_rule_keep * 1000000) div n_docs").as("rule_keep_ppm"))
+        .orderBy("bucket")
     })
 
   // ------------------------------------------------- product quantization
