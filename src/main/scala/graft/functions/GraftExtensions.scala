@@ -27,6 +27,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Custom logical plan: `stateAsOf` marker → readTabletAt plan
+    // (SURVEY.md §7.3's optional Catalyst rewrite; see graft.plans.StateAsOf).
+    ext.injectResolutionRule(session => new graft.plans.StateAsOfRule(session))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),

@@ -12,6 +12,20 @@ object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a logical plan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]`) — what lets graft expose custom logical nodes
+    * through the ordinary Dataset API. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed logical plan behind a Dataset. */
+  def logicalPlan(df: Dataset[_])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
   /** Drop the materialized blocks behind a `localCheckpoint(eager = true)`
     * Dataset. `spark.catalog.clearCache()` only covers `persist`ed plans, so
     * iterative algorithms that checkpoint per round would otherwise leak one

@@ -2081,4 +2081,20 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(got.forall(_._2 >= 150000000L))
     assert(got.head._3 > 0)
   }
+
+  test("round-11 curation reports keep their claimed plan shapes: weighted " +
+    "sampling caps per-source output map-side; fertility and calibration " +
+    "plan no joins") {
+    // Priority sampling: the rank<=25 filter over the per-source window
+    // must plan as WindowGroupLimit (local top-k BEFORE the exchange).
+    val sw = run("p_sample_weighted").queryExecution.executedPlan.toString
+    assert(sw.contains("WindowGroupLimit"), "weighted sampling lost its map-side cap")
+    // Fertility: one scan-local pass + one aggregate — no join anywhere.
+    val tf = run("p_tokenizer_fertility").queryExecution.executedPlan.toString
+    assert(!tf.contains("Join"), "fertility must not join")
+    // Calibration: the two verdicts compute side by side on one pass —
+    // no join between the filters.
+    val cc = run("p_cls_calibration").queryExecution.executedPlan.toString
+    assert(!cc.contains("Join"), "calibration must not join the two filters")
+  }
 }

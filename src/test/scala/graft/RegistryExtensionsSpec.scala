@@ -57,4 +57,52 @@ class RegistryExtensionsSpec extends SparkTestBase {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("stateAsOf custom logical plan: the injected rule rewrites the marker " +
+    "into the readTabletAt plan, results match exactly, and operators " +
+    "stacked over the marker keep resolving") {
+    import org.apache.spark.sql.functions.col
+    val base = spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val dir = "/root/testdata/sf0.001"
+      val m = graft.queries.TemporalQueries.mutations(s2, dir)
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, String)] =
+        df.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+      val viaNode = graft.plans.StateAsOf.stateAsOf(m, "click", 8000L)
+      val direct = graft.read.TemporalReads.readTabletAt(m, "click", 8000L)
+      assert(rows(viaNode) === rows(direct))
+      assert(rows(viaNode).nonEmpty)
+      // The marker is planned away entirely.
+      assert(!viaNode.queryExecution.optimizedPlan.toString.contains("StateAsOf"))
+      // Composability: a caller predicate stacked OVER the marker resolves
+      // and agrees with the function-call form.
+      val overMarker = graft.plans.StateAsOf.stateAsOf(m, "click", 8000L)
+        .filter(col("primary_key") < "0500").count()
+      val overDirect = direct.filter(col("primary_key") < "0500").count()
+      assert(overMarker === overDirect && overMarker > 0L)
+      // A child missing the read's columns fails loudly (the analyzer
+      // wraps the node's IllegalArgumentException).
+      val ex = intercept[Exception] {
+        graft.plans.StateAsOf.stateAsOf(
+          m.drop("value"), "click", 8000L).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(m2 =>
+        m2.contains("must carry column") || m2.contains("cannot be resolved")),
+        messages(ex).mkString(" | "))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }
