@@ -2198,7 +2198,61 @@ object PipelineQueries {
     // and the decode cost are those of a genuine image pipeline; swapping
     // in a real binary parquet column changes one `select`. See
     // [[graft.functions.Media]].
-    QuerySpec.rowsOnly("p_multimodal_decode") { (s, dir) =>
+    // Full-content oracle: every output column — including the MEAN LUMA
+    // of the decoded raster — is predicted in SQL. The oracle replays the
+    // rolling payload hash, then the 64-bit xorshift pixel stream itself
+    // (UBIGINT xor/shift with HUGEINT-mod multiplication emulating Java's
+    // wrapping <<) one pixel per recursion step, and folds BT.601 luma;
+    // PNG being lossless, the REAL javax.imageio decode must reproduce
+    // those exact pixels or the hash gate fails. (The PNG byte size is
+    // deliberately not emitted: it is zlib-encoder-dependent, the one
+    // thing SQL cannot predict.)
+    QuerySpec.sql(
+      "p_multimodal_decode",
+      """WITH RECURSIVE m AS (
+        |  SELECT doc_id,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(1, length(text) + 1),
+        |                          i -> CAST(unicode(text[i]) AS BIGINT))),
+        |           (a, b) -> (a * 31 + b) & 2147483647) AS h0
+        |  FROM documents
+        |), geom AS (
+        |  SELECT doc_id, h0,
+        |         16 + (h0 % 16) AS width,
+        |         16 + ((h0 // 16) % 16) AS height,
+        |         (16 + (h0 % 16)) * (16 + ((h0 // 16) % 16)) AS npx
+        |  FROM m
+        |), pix AS (
+        |  SELECT doc_id, npx, 0 AS i, CAST(h0 | 1 AS UBIGINT) AS s,
+        |         CAST(0 AS BIGINT) AS lum
+        |  FROM geom
+        |  UNION ALL
+        |  SELECT doc_id, npx, i + 1, s3,
+        |         lum + 299 * ((CAST(s3 & 16777215 AS BIGINT) >> 16) & 255)
+        |             + 587 * ((CAST(s3 & 16777215 AS BIGINT) >> 8) & 255)
+        |             + 114 * (CAST(s3 & 16777215 AS BIGINT) & 255)
+        |  FROM (
+        |    SELECT doc_id, npx, i, lum,
+        |      xor(s2b, CAST((CAST(s2b AS HUGEINT) * 131072)
+        |                    % 18446744073709551616 AS UBIGINT)) AS s3
+        |    FROM (
+        |      SELECT doc_id, npx, i, lum, xor(s1, s1 >> 7) AS s2b FROM (
+        |        SELECT doc_id, npx, i, lum,
+        |          xor(s, CAST((CAST(s AS HUGEINT) * 8192)
+        |                      % 18446744073709551616 AS UBIGINT)) AS s1
+        |        FROM pix WHERE i < npx
+        |      ) a
+        |    ) b
+        |  ) c
+        |), fin AS (
+        |  SELECT doc_id AS fdoc, lum AS flum, i AS fi FROM pix
+        |)
+        |SELECT g.doc_id, CAST(g.width AS BIGINT) AS width,
+        |       CAST(g.height AS BIGINT) AS height,
+        |       CAST(g.npx AS BIGINT) AS n_pixels,
+        |       CAST(f.flum // g.npx AS BIGINT) AS mean_luma_milli
+        |FROM geom g JOIN fin f ON f.fdoc = g.doc_id AND f.fi = g.npx
+        |ORDER BY g.doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       // Decode parallelism must track CORES, not input-file count: the
       // corpus parquet is one small file → one scan partition, which would
@@ -2217,9 +2271,9 @@ object PipelineQueries {
         it.map { case (id, text) =>
           val png = graft.functions.Media.textToPng(text)
           val (w, h, lum) = graft.functions.Media.decodePng(png)
-          (id, w.toLong, h.toLong, w.toLong * h, png.length.toLong, lum)
+          (id, w.toLong, h.toLong, w.toLong * h, lum)
         }
-      }.toDF("doc_id", "width", "height", "n_pixels", "png_bytes", "mean_luma_milli")
+      }.toDF("doc_id", "width", "height", "n_pixels", "mean_luma_milli")
         .orderBy("doc_id")
     },
 

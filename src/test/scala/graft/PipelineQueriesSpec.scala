@@ -1033,8 +1033,7 @@ class PipelineQueriesSpec extends SparkTestBase {
     a.foreach { r =>
       assert(r.getLong(1) >= 16 && r.getLong(1) < 32) // width
       assert(r.getLong(3) === r.getLong(1) * r.getLong(2)) // n_pixels
-      assert(r.getLong(4) > 0) // a real PNG has bytes
-      val lum = r.getLong(5)
+      val lum = r.getLong(4)
       assert(lum >= 0 && lum <= 255000) // BT.601 luma * 1000
     }
   }
