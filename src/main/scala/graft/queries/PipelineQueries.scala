@@ -44,8 +44,10 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- hashing
 
-  /** 60-bit md5-derived hash, identical in Spark and DuckDB. */
-  private def h60(c: Column): Column =
+  /** 60-bit md5-derived hash, identical in Spark and DuckDB. (Shared with
+    * the streaming weighted reservoir, which must key identically to
+    * `p_sample_weighted` for the stream≡batch equality to hold.) */
+  private[graft] def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** 32-bit md5-derived hash (fits a positive INT range). */

@@ -210,6 +210,53 @@ object StreamingAnalytics {
       }
   }
 
+  final case class ReservoirRow(
+      source: String, docId: Long, weight: Long, sampleKey: Long, rank: Long)
+
+  /** Streaming weighted reservoir — the online form of
+    * `p_sample_weighted` (priority sampling, Duffield et al. 2007). The
+    * batch sampler's survivors depend only on the SET of deterministic
+    * priority keys, never on arrival order or batching — exactly the
+    * property that makes priority sampling the streamable weighted
+    * sampler: per-source state is just the current k best
+    * (key = u div w ASC) entries, merged monotonically per micro-batch.
+    * Emits the source's full reservoir on every update (Update mode:
+    * downstream keeps the last row per (source, rank)); after any split
+    * of the corpus into micro-batches — and under at-least-once
+    * redelivery, which dedups on the identical triple — the final
+    * reservoir EQUALS the batch query's, spec-pinned. State is
+    * O(sources × k), hash-partitioned by source like every keyed state
+    * here. */
+  def streamingWeightedSample(
+      docs: DataFrame, // columns: source, doc_id, text
+      k: Int = 25): Dataset[ReservoirRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("weight"),
+        (graft.queries.PipelineQueries.h60(col("doc_id").cast("string")) + 1L)
+          .as("u"))
+      .withColumn("sample_key", expr("u div weight"))
+      .select(col("source"), col("doc_id"), col("weight"), col("sample_key"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Long, Long)], ReservoirRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (source: String, rows: Iterator[(String, Long, Long, Long)],
+         state: GroupState[Seq[(Long, Long, Long)]]) =>
+          val merged = (state.getOption.getOrElse(Seq.empty) ++
+            rows.map(r => (r._4, r._2, r._3)))
+            .distinct // idempotent under redelivery of identical docs
+            .sortBy { case (key, id, _) => (key, id) }
+            .take(k)
+          state.update(merged)
+          merged.iterator.zipWithIndex.map { case ((key, id, w), i) =>
+            ReservoirRow(source, id, w, key, (i + 1).toLong)
+          }
+      }
+  }
+
   /** Streaming quality gate: the Gopher rules applied online, routing
     * every document to `keep` or `quarantine`. STATELESS — the rules are
     * scan-local column expressions ([[graft.queries.GopherRules]], the

@@ -366,6 +366,43 @@ class StreamingAnalyticsSpec extends SparkTestBase {
       "corpus should exercise several routes")
   }
 
+  test("streaming weighted reservoir equals the batch priority sample " +
+    "after arbitrary micro-batch splits and at-least-once redelivery " +
+    "(order independence of priority sampling)") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val source = MemoryStream[(String, Long, String)]
+    val q = StreamingAnalytics.streamingWeightedSample(
+      source.toDF().toDF("source", "doc_id", "text"))
+      .writeStream.format("memory").queryName("reservoir")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    try {
+      // Three arbitrary micro-batches + a full redelivery of batch 1
+      // (at-least-once): the reservoir must not double-count.
+      val batches = corpus.groupBy(c => (c._2 % 3).toInt)
+      source.addData(batches(0).toSeq: _*); q.processAllAvailable()
+      source.addData(batches(1).toSeq: _*); q.processAllAvailable()
+      source.addData(batches(0).toSeq: _*); q.processAllAvailable() // redelivery
+      source.addData(batches(2).toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    // Update-mode sink: later rows overwrite earlier versions per key.
+    val got = spark.table("reservoir").collect()
+      .map(r => (r.getString(0), r.getLong(4)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val expected = SparkEntry.queries("p_sample_weighted")(s, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(4)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("streaming decontamination probe: online flags dominate the exact " +
     "batch overlap (one-sided sketch error) and agree on the clean docs") {
     implicit val s = spark
