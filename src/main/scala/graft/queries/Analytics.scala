@@ -298,6 +298,46 @@ object Analytics {
         .orderBy("user_id", "session_no")
     },
 
+    // NATIVE session windows: the same 30-minute sessionization through
+    // Spark's built-in session_window aggregate (dynamic-gap session
+    // merging inside one aggregation — the operator Structured Streaming
+    // shares) instead of the lag+running-sum window pair. Semantics
+    // differ at the exact boundary: session_window merges iff the gap is
+    // STRICTLY below 30 min (next < prev_end), so the oracle splits on
+    // `>= gap` — and both engines compare in integer MICROseconds, the
+    // precision session_window actually aggregates at (ts div 1000 is
+    // lossless on today's µs corpus and truncates identically on a
+    // future ns one). Session numbers are recovered by ranking window
+    // starts per user. At 100 TB this is ONE shuffle on user_id + the
+    // in-partition session merge — no second window pass over raw events.
+    QuerySpec.sql(
+      "q_events_session_native",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN (epoch_ns(ts) // 1000) - (epoch_ns(lag(ts) OVER w) // 1000)
+        |              >= 1800000000
+        |           OR lag(ts) OVER w IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_no
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_no, count(*) AS n_events
+        |FROM sessions GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("sw.start"))
+      TemporalQueries.eventsWithTs(s, dir)
+        .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+        .groupBy(col("user_id"),
+          session_window(col("tstamp"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("session_no", row_number().over(w).cast("long"))
+        .select("user_id", "session_no", "n_events")
+        .orderBy("user_id", "session_no")
+    },
+
     // Relational set operations: INTERSECT / EXCEPT over two sources'
     // vocabularies (src0 ∩ src1, src0 ∖ src1). Spark plans both as the
     // distinct-aggregate forms (left-semi / left-anti over hash-
