@@ -122,6 +122,36 @@ class ObjectStoreProtocolSpec extends SparkTestBase {
     assert(store.tabletRows.count() === 3L)
   }
 
+  test("checkpoint-log publish fails after the copy: checkpoint became " +
+    "visible, the cache self-heals on replay, no double-write") {
+    implicit val s = spark
+    RenamelessFileSystem.reset()
+    val store = new StateStore(objDir("obj-cp"), StateStore.ManifestCommit)
+    store.writeBatch(Seq(req(0, ("t1", "a", "a0"))))
+    // Arm the fault for the NEXT checkpoint file publish (cp-…-1.json):
+    // the copy lands (checkpoint durable) but the writer sees a failure
+    // AFTER the data table already advanced.
+    RenamelessFileSystem.arm(
+      RenamelessFileSystem.FailBetweenCopyAndDelete, "-1.json")
+    intercept[java.io.IOException] {
+      store.writeBatch(Seq(req(1, ("t1", "b", "b1"))))
+    }
+    // Data committed (checkpoint is ordered last, so the batch is whole);
+    // the durable log holds height 1 even though the writer crashed.
+    assert(store.tabletRows.count() === 2L)
+    // A RESTARTED store (fresh cache) reads the durable log: height 1.
+    val reopened = new StateStore(store.root, StateStore.ManifestCommit)
+    assert(reopened.checkpoint(StateStore.GlobalCheckpointKey).get.height === 1L)
+    // The crashed writer's own replay attempt is rejected by the guard
+    // read from the durable log — no double-write window.
+    intercept[IllegalArgumentException] {
+      reopened.writeBatch(Seq(req(1, ("t1", "b", "b1"))))
+    }
+    reopened.writeBatch(Seq(req(2, ("t1", "c", "c2"))))
+    assert(reopened.tabletRows.count() === 3L)
+    assert(reopened.checkpoint(StateStore.GlobalCheckpointKey).get.height === 2L)
+  }
+
   test("time travel and retention sweep through the shim match the POSIX " +
     "behavior exactly") {
     implicit val s = spark

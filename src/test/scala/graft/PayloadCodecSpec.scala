@@ -178,6 +178,22 @@ class PayloadCodecSpec extends SparkTestBase {
         s"write request singlets iteration $i")
       assert(norm(wrBack.tabletRows) === norm(wr.tabletRows),
         s"write request tablets iteration $i")
+
+      // The live-wire frame message wrapping the same write payload.
+      val sb = PayloadCodec.StreamedBlockPayload(
+        new String(randBytes(16).map(b => ('a' + ((b & 0x7F) % 26)).toByte)),
+        new String(randBytes(16).map(b => ('a' + ((b & 0x7F) % 26)).toByte)),
+        randLong(),
+        if (rnd.nextBoolean()) "new" else "irreversible",
+        wr)
+      val sbBack = PayloadCodec.decodeStreamedBlock(PayloadCodec.encodeStreamedBlock(sb))
+      assert(sbBack.id === sb.id && sbBack.parentId === sb.parentId &&
+        sbBack.num === sb.num && sbBack.step === sb.step,
+        s"streamed block iteration $i")
+      assert(norm(sbBack.write.singletEntries) === norm(wr.singletEntries) &&
+        norm(sbBack.write.tabletRows) === norm(wr.tabletRows) &&
+        sbBack.write.height === wr.height,
+        s"streamed block write iteration $i")
     }
   }
 

@@ -77,6 +77,32 @@ class TsUnitSpec extends SparkTestBase {
     assert(TemporalQueries.tsNanosPerTick(spark, s"$nsDir/events.parquet") === 1L)
   }
 
+  test("a TIMESTAMP(MILLIS) regeneration also normalizes (tick 1e6)") {
+    val d = tmpDir("ts-ms")
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try {
+      import spark.implicits._
+      rows.toDF("event_id", "ns", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), timestamp_millis(expr("ns div 1000000")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None    => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    assert(TemporalQueries.tsNanosPerTick(spark, s"$d/events.parquet") === 1000000L)
+    val got = TemporalQueries.eventsWithTs(spark, d)
+      .select("event_id", "ts").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ns values round down to the ms grid — compare against the
+    // ms-truncated logical corpus.
+    val expected = rows.map { case (id, n, _, _, _, _) =>
+      id -> (n / 1000000L) * 1000000L }.toMap
+    assert(got === expected)
+  }
+
   test("eventsWithTs yields identical nanosecond values through both encodings") {
     def tsById(dir: String): Map[Long, Long] =
       TemporalQueries.eventsWithTs(spark, dir)
