@@ -310,6 +310,7 @@ object PayloadCodec {
   def decodeStreamedBlock(data: Array[Byte]): StreamedBlockPayload = {
     var id = ""; var parentId = ""; var num = 0L; var step = ""
     var write = WriteRequestPayload(Nil, Nil, 0L, 0L, "")
+    var sawWrite = false
     val r = new Reader(data)
     while (r.hasRemaining) {
       val key = r.varint()
@@ -318,10 +319,17 @@ object PayloadCodec {
         case (2, 2) => parentId = new String(r.bytes(), "UTF-8")
         case (3, 0) => num = r.varint()
         case (4, 2) => step = new String(r.bytes(), "UTF-8")
-        case (5, 2) => write = decodeWriteRequest(r.bytes())
+        case (5, 2) => write = decodeWriteRequest(r.bytes()); sawWrite = true
         case (_, w) => r.skip(w)
       }
     }
+    // The encoder always emits field 5 (even empty), so its absence means
+    // the bytes are NOT this message — e.g. a different block schema whose
+    // fields all land in the unknown-field skip above and would otherwise
+    // decode silently into a default block (num=0, empty write) that only
+    // fails much later at the contiguity guard.
+    require(sawWrite,
+      "StreamedBlock payload has no write field (5) — not this wire schema")
     StreamedBlockPayload(id, parentId, num, step, write)
   }
 

@@ -45,22 +45,37 @@ object TemporalQueries {
   private val tsTickCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Nanoseconds per tick of the raw int64 `ts` column, read from the parquet
-    * footer's logical-type annotation (one footer open per path, memoized).
-    * TIMESTAMP(NANOS)→1, MICROS→1e3, MILLIS→1e6; a plain un-annotated INT64
-    * is taken as already-nanoseconds. */
-  def tsNanosPerTick(spark: SparkSession, eventsPath: String): Long =
-    tsTickCache.computeIfAbsent(eventsPath, (p: String) => {
+    * footer's logical-type annotation. TIMESTAMP(NANOS)→1, MICROS→1e3,
+    * MILLIS→1e6; a plain un-annotated INT64 is taken as already-nanoseconds.
+    *
+    * Memoized per (data file, mtime, length) — NOT per path alone: the
+    * driver regenerates this corpus in place with changing units, and a
+    * long-lived JVM that cached by path would silently mis-scale every
+    * read after a regeneration (the exact failure class footer detection
+    * exists to close). The listing re-runs per call; it is driver-side
+    * metadata, and only the footer OPEN is cached. */
+  def tsNanosPerTick(spark: SparkSession, eventsPath: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val path = new org.apache.hadoop.fs.Path(eventsPath)
+    val fs = path.getFileSystem(conf)
+    val rootStatus = fs.getFileStatus(path)
+    val dataStatus =
+      if (rootStatus.isFile) rootStatus
+      else {
+        val parts = fs.listStatus(path)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        require(parts.nonEmpty,
+          s"no .parquet data files under $eventsPath — cannot detect the ts unit")
+        parts.minBy(_.getPath.getName)
+      }
+    val cacheKey =
+      s"${dataStatus.getPath}@${dataStatus.getModificationTime}:${dataStatus.getLen}"
+    tsTickCache.computeIfAbsent(cacheKey, (_: String) => {
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.hadoop.util.HadoopInputFile
       import org.apache.parquet.schema.LogicalTypeAnnotation
-      val conf = spark.sessionState.newHadoopConf()
-      val path = new org.apache.hadoop.fs.Path(p)
-      val fs = path.getFileSystem(conf)
-      val dataFile =
-        if (fs.getFileStatus(path).isFile) path
-        else fs.listStatus(path).map(_.getPath)
-          .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(dataFile, conf))
+      val reader =
+        ParquetFileReader.open(HadoopInputFile.fromPath(dataStatus.getPath, conf))
       try {
         val schema = reader.getFooter.getFileMetaData.getSchema
         if (!schema.containsField("ts")) 1L
@@ -75,6 +90,7 @@ object TemporalQueries {
         }
       } finally reader.close()
     }: Long)
+  }
 
   /** Events with the timestamp normalized to epoch NANOSECONDS (long),
     * whatever unit the footer declares. The scale-up is a codegen'd
@@ -84,6 +100,24 @@ object TemporalQueries {
     val raw = spark.read.schema(EventsSchemaTsRaw).parquet(s"$dir/events.parquet")
     val tick = tsNanosPerTick(spark, s"$dir/events.parquet")
     if (tick == 1L) raw else raw.withColumn("ts", col("ts") * lit(tick))
+  }
+
+  /** Run `f` in a session with [[graft.functions.GraftExtensions]] injected,
+    * sharing the caller's SparkContext; the caller's default/active session
+    * is restored afterwards. The returned DataFrame stays bound to the
+    * extension session, which keeps working after the restore (sessions are
+    * lightweight views over the shared context) — this is how a query body
+    * exercises the injected StateAsOfRule under the driver's plain session. */
+  def withGraftSession[T](base: SparkSession)(f: SparkSession => T): T = {
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try f(SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate())
+    finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
   }
 
   def mutations(spark: SparkSession, dir: String): DataFrame =
@@ -203,6 +237,20 @@ object TemporalQueries {
       val m = mutations(s, dir)
       val snap = Snapshots.buildTabletIndex(m, "view", 5000)
       Snapshots.readTabletAtWithSnapshot(m, snap, 5000, "view", 8000)
+    },
+
+    // The SAME snapshot ∪ tail shape through the DECLARATIVE tier (§7.3):
+    // a StateAsOfSnapshot marker planned by the injected StateAsOfRule —
+    // end-to-end proof that the ergonomic API plans the snapshot-pruned
+    // production read, verified against the full-scan oracle (the
+    // with-snapshot ≡ without-snapshot invariant again, now through
+    // SparkSessionExtensions instead of the function-call surface).
+    QuerySpec.sql("t_stateasof_snapshot", lwwOracle("view", 8000)) { (s, dir) =>
+      withGraftSession(s) { s2 =>
+        val m = mutations(s2, dir)
+        val snap = Snapshots.buildTabletIndex(m, "view", 5000)
+        graft.plans.StateAsOf.stateAsOf(m, snap, 5000, "view", 8000)
+      }
     },
 
     // Existence probe (S8).

@@ -77,7 +77,13 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * overwrites atomically and an object-store "rename" is a PUT-copy
     * that overwrites too, so the overwrite path is the normal one; the
     * delete+retry fallback only serves filesystems whose rename refuses
-    * existing destinations. */
+    * existing destinations — and on THOSE (e.g. strict HDFS rename
+    * semantics, where every swap after generation 1 takes the fallback)
+    * the delete→rename pair reopens a residual no-pointer window. That
+    * is accepted for the S3-class/POSIX targets this protocol is
+    * documented for; an HDFS deployment wanting atomic overwrite should
+    * swap via `FileContext.rename(..., Options.Rename.OVERWRITE)`
+    * instead. */
   private def publish(gen: Long): Unit = {
     val (fs, p) = fsOf(genPointerPath)
     val tmp = new Path(s"$genPointerPath.tmp")

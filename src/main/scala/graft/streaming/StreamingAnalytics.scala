@@ -247,7 +247,16 @@ object StreamingAnalytics {
          state: GroupState[Seq[(Long, Long, Long)]]) =>
           val merged = (state.getOption.getOrElse(Seq.empty) ++
             rows.map(r => (r._4, r._2, r._3)))
-            .distinct // idempotent under redelivery of identical docs
+            // Dedup by doc_id, NOT the full (key, id, weight) triple: a
+            // redelivered doc whose text (hence weight) changed between
+            // deliveries must not occupy two reservoir slots forever. Keep
+            // the smallest (key, weight) per doc — deterministic in the SET
+            // of versions seen (order/batching-invariant), and identical to
+            // a distinct-triple dedup when redelivery is byte-identical,
+            // which is what the stream≡batch spec exercises.
+            .groupBy(_._2).valuesIterator
+            .map(_.minBy { case (key, _, w) => (key, w) })
+            .toSeq
             .sortBy { case (key, id, _) => (key, id) }
             .take(k)
           state.update(merged)

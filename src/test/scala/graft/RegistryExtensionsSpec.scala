@@ -105,4 +105,77 @@ class RegistryExtensionsSpec extends SparkTestBase {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("store-backed stateAsOf: the rule resolves the latest TabletIndex at " +
+    "planning time and plans snapshot ∪ tail — heights at or below the " +
+    "snapshot are pruned from the tail scan; ignore-range and no-snapshot " +
+    "fall back to the full-history plan; results match the function path") {
+    import graft.model.{BlockRef, TabletRowM, WriteRequest}
+    import graft.store.StateStore
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThan, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val base = spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      implicit val is: SparkSession = s2
+      val store = new StateStore(tmpDir("sao-store"))
+      def req(h: Long): WriteRequest =
+        WriteRequest(h, BlockRef(s"blk-$h", h),
+          Seq(TabletRowM(1, "t1", h, s"k${h % 4}",
+            s"v$h".getBytes("UTF-8"), isDeletion = h == 7L)),
+          Nil)
+      (0L to 9L).foreach(h => store.writeBatch(Seq(req(h))))
+      val idx = graft.snapshot.Snapshots.buildTabletIndex(store.tabletRows, "t1", 5L)
+      store.writeTabletSnapshot(idx, "t1", 5L, 6L)
+
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, String)] =
+        df.collect().map(r =>
+          (r.getString(0), r.getLong(1), new String(r.getAs[Array[Byte]](2), "UTF-8"))).toSeq
+      def tailBoundBelow(df: org.apache.spark.sql.DataFrame, snapH: Long): Boolean =
+        df.queryExecution.optimizedPlan.collect { case f: Filter => f.condition }
+          .exists(_.find {
+            case GreaterThan(a: AttributeReference, Literal(v, _)) =>
+              a.name == "height" && v == snapH
+            case _ => false
+          }.isDefined)
+
+      val viaRule = graft.plans.StateAsOf.stateAsOf(store, "t1", 9L)
+      val viaFn = store.readTabletAt("t1", 9L)
+      val plain = graft.read.TemporalReads.readTabletAt(store.tabletRows, "t1", 9L)
+      assert(rows(viaRule) === rows(viaFn))
+      assert(rows(viaRule) === rows(plain))
+      assert(rows(viaRule).nonEmpty)
+      // PLAN SHAPE: the rule planned the snapshot read — the snapshot keys
+      // hydrate through a semi-join and the mutation tail is bounded
+      // strictly ABOVE the snapshot height (history ≤ 5 pruned from it).
+      val optimized = viaRule.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("StateAsOf"))
+      assert(optimized.contains("LeftSemi"), optimized)
+      assert(tailBoundBelow(viaRule, 5L), optimized)
+
+      // An ignore-range swallowing the only snapshot: the rule falls back
+      // to the full-history plan (no semi-join), same result.
+      val ignored = graft.plans.StateAsOf.stateAsOf(store, "t1", 9L, Some((4L, 6L)))
+      assert(rows(ignored) === rows(plain))
+      assert(!ignored.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+
+      // A tablet with no snapshot at all: full-history plan, loudly absent
+      // semi-join, and still composable (marker planned away).
+      store.writeBatch(Seq(WriteRequest(10L, BlockRef("blk-10", 10L),
+        Seq(TabletRowM(1, "t2", 10L, "z", "z10".getBytes("UTF-8"), isDeletion = false)), Nil)))
+      val noSnap = graft.plans.StateAsOf.stateAsOf(store, "t2", 11L)
+      assert(rows(noSnap) === Seq(("z", 10L, "z10")))
+      assert(!noSnap.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }
