@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the flagship temporal reads (not part of the driver
+  * contract): replicates the events-derived mutation stream `factor`× in
+  * HEIGHT — copy i shifts every height by i·span, so each key's history
+  * really is `factor`× deeper, the exact axis a long-lived deployment
+  * grows along — materializes it once to /dev/shm parquet (height-sorted
+  * within tablet ranges, the compacted-store layout), builds a TabletIndex
+  * snapshot at 95% of max height (untimed: ingestion maintains snapshots
+  * incrementally), then times min-of-3 with full materialization:
+  *
+  *   read_full     readTabletAt at max height, no snapshot (O(history)
+  *                 scan + argmax)
+  *   read_snap     readTabletAtWithSnapshot — hydration semi-join +
+  *                 tail-bounded argmax (what StateAsOfRule now plans)
+  *   asof_join     batch as-of join, probe count growing with history
+  *   singlet_hist  full singlet history, most recent first
+  *
+  * Usage: runMain graft.TemporalProbe <factor> [baseDir]
+  */
+object TemporalProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.nonEmpty) args(0).toInt else 10
+    val baseDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/spark-graft")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    val root = s"/dev/shm/graft-tprobe/${new java.io.File(baseDir).getName}-${factor}x"
+    val mutPath = s"$root/mutations.parquet"
+    val snapPath = s"$root/snapshot.parquet"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    val span = graft.queries.TemporalQueries.mutations(spark, baseDir)
+      .agg(max(col("height"))).head().getLong(0) + 1
+    val maxH = span * factor - 1
+    val snapH = maxH * 95L / 100L
+
+    if (!fs.exists(new org.apache.hadoop.fs.Path(mutPath))) {
+      val m0 = graft.queries.TemporalQueries.mutations(spark, baseDir)
+      val rep = m0
+        .crossJoin(broadcast(spark.range(factor.toLong).toDF("copy")))
+        .select(col("tablet_id"),
+          (col("height") + col("copy") * lit(span)).as("height"),
+          col("primary_key"),
+          concat(col("value"), lit("#"), col("copy")).as("value"),
+          col("is_deletion"))
+      rep.repartitionByRange(cpus.toInt, col("tablet_id"), col("height"))
+        .sortWithinPartitions("tablet_id", "height")
+        .write.mode("overwrite").parquet(mutPath)
+      val m = spark.read.parquet(mutPath)
+      graft.snapshot.Snapshots.buildTabletIndex(m, "click", snapH)
+        .write.mode("overwrite").parquet(snapPath)
+    }
+    val m = spark.read.parquet(mutPath)
+    val snap = spark.read.parquet(snapPath)
+    println(s"corpus: ${m.count()} mutations, span $span × $factor, " +
+      s"maxH $maxH, snapshot at $snapH (${snap.count()} keys)")
+
+    // The store read path: hydration scan bounded at min(snapshot height)
+    // (computed untimed here, as the store computes it from the tiny
+    // parquet-backed snapshot before building the plan).
+    val lo = graft.snapshot.Snapshots.hydrationBoundOf(snap)
+    println(s"hydration lower bound: ${lo.get} (band ${snapH - lo.get} of $maxH heights)")
+
+    val queries: Seq[(String, () => DataFrame)] = Seq(
+      "read_full" -> (() =>
+        graft.read.TemporalReads.readTabletAt(m, "click", maxH)),
+      "read_snap_unbounded" -> (() =>
+        graft.snapshot.Snapshots.readTabletAtWithSnapshot(m, snap, snapH, "click", maxH)),
+      "read_snap" -> (() =>
+        graft.snapshot.Snapshots.readTabletAtWithSnapshot(
+          m, snap, snapH, "click", maxH, Nil, lo)),
+      "asof_join" -> (() => {
+        val probes = m.filter(col("height") % 9973 === 0)
+          .select(col("height").as("probe_id"), col("tablet_id"),
+            col("primary_key"), (col("height") + 500).as("at_height"))
+        graft.read.TemporalReads.asOfJoin(m, probes)
+      }),
+      "singlet_hist" -> (() =>
+        graft.read.TemporalReads.readSingletEntries(
+          m.withColumnRenamed("tablet_id", "singlet_id"), "signup")
+          .drop(graft.read.TemporalReads.SourceRankCol)))
+
+    // INTERLEAVED sampling (the Bench lesson): N sweeps over the whole set
+    // rather than back-to-back runs of one query, so a multi-second host
+    // noise window can't own every sample of a single query.
+    val n = sys.env.getOrElse("PROBE_N", "5").toInt
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    (1 to n).foreach { _ =>
+      queries.foreach { case (name, mk) =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        mk().selectExpr("count(*)", "bit_xor(xxhash64(struct(*)))").collect()
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      }
+    }
+    queries.foreach { case (name, _) =>
+      val runs = samples(name)
+      println(f"TPROBE factor=$factor query=$name min=${runs.min}%.2f " +
+        runs.map(r => f"$r%.2f").mkString("runs=[", ",", "]"))
+    }
+    spark.stop()
+  }
+}

@@ -180,8 +180,11 @@ final class StateAsOfRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val rows = GraftBridge.ofRows(spark, child)
       val rewritten = store.latestTabletSnapshot(tablet, h, ign) match {
         case Some((snapH, snap)) =>
+          // Parquet-backed snapshot → bound the hydration scan (same as
+          // StateStore.readTabletAt; see readTabletAtWithSnapshot).
           graft.snapshot.Snapshots
-            .readTabletAtWithSnapshot(rows, snap, snapH, tablet, h)
+            .readTabletAtWithSnapshot(rows, snap, snapH, tablet, h, Nil,
+              graft.snapshot.Snapshots.hydrationBoundOf(snap))
         case None =>
           graft.read.TemporalReads.readTabletAt(rows, tablet, h)
       }

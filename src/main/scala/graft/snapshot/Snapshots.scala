@@ -71,18 +71,40 @@ object Snapshots {
     * `(primary_key, height)` — a broadcast join when the snapshot is small.
     *
     * Invariant (verified in tests): result ≡ readTabletAt without a snapshot.
-    */
+    *
+    * `hydrationLowerBound` — pass `min(height)` over the snapshot rows
+    * (see [[hydrationBoundOf]]) to bound the hydration SCAN below. Exact
+    * by construction: every snapshot pair's height is at least that
+    * minimum, so the bound can only drop rows the semi-join would reject
+    * anyway. This is what makes the snapshot pay at scale: without it the
+    * hydration side re-scans all of history ≤ snapshotHeight just to
+    * semi-join it away (measured at 100× history depth: snapshot read ≈
+    * full read), while the bound turns it into the
+    * `[oldest-live-key-height, snapshotHeight]` band — thin for any
+    * tablet whose keys keep mutating, and never worse than the unbounded
+    * scan for one that doesn't. The store read path computes it from the
+    * parquet-backed snapshot (tiny); the default `None` keeps
+    * plan-construction job-free for callers holding an unmaterialized
+    * snapshot. */
   def readTabletAtWithSnapshot(
       rows: DataFrame,
       snapshot: DataFrame, // (primary_key, height) as of snapshotHeight
       snapshotHeight: Long,
       tabletId: String,
       atHeight: Long,
-      speculative: Seq[DataFrame] = Nil): DataFrame = {
+      speculative: Seq[DataFrame] = Nil,
+      hydrationLowerBound: Option[Long] = None): DataFrame = {
     require(snapshotHeight <= atHeight, s"snapshot $snapshotHeight is past read height $atHeight")
     val scopedRows = rows.filter(col("tablet_id") === lit(tabletId))
-    // Hydration: exact-key join, equivalent of the chunked BatchGet.
-    val hydrated = scopedRows
+    // Hydration: exact-key join, equivalent of the chunked BatchGet. The
+    // lower bound is a plain pushable predicate — with height-sorted
+    // store files it prunes the hydration scan to the band of row groups
+    // actually holding snapshot versions.
+    val hydrationScope = hydrationLowerBound match {
+      case Some(lo) => scopedRows.filter(col("height") >= lit(lo))
+      case None => scopedRows
+    }
+    val hydrated = hydrationScope
       .join(snapshot.select("primary_key", "height"), Seq("primary_key", "height"), "left_semi")
       .filter(col("height") <= lit(snapshotHeight))
     val tail = scopedRows
@@ -100,6 +122,16 @@ object Snapshots {
       .select("primary_key", "height", "value")
       .orderBy("primary_key")
   }
+
+  /** `min(height)` over a snapshot's rows — the hydration scan's exact
+    * lower bound (see [[readTabletAtWithSnapshot]]). One tiny aggregate;
+    * meant for parquet-backed snapshots (the store read path), where it
+    * costs a footer-pruned scan of the snapshot files. None for an empty
+    * snapshot (hydration is empty anyway; Long.MaxValue prunes it all). */
+  def hydrationBoundOf(snapshot: DataFrame): Option[Long] =
+    Option(snapshot.agg(min(col("height"))).head().get(0))
+      .map(_.asInstanceOf[Long])
+      .orElse(Some(Long.MaxValue))
 
   /** The reference's index-build throttling heuristic, exactly
     * (indexing.go:546–575):

@@ -510,8 +510,13 @@ final class StateStore(
       ignoreRange: Option[(Long, Long)] = None): DataFrame =
     latestTabletSnapshot(tabletId, atHeight, ignoreRange) match {
       case Some((snapH, snap)) =>
+        // The snapshot here is parquet-backed, so its min height is a tiny
+        // metadata-scale aggregate — worth running to bound the hydration
+        // scan (the difference between O(history) and O(live band) reads
+        // on a deep tablet; see readTabletAtWithSnapshot).
         graft.snapshot.Snapshots.readTabletAtWithSnapshot(
-          tabletRows, snap, snapH, tabletId, atHeight, speculative)
+          tabletRows, snap, snapH, tabletId, atHeight, speculative,
+          graft.snapshot.Snapshots.hydrationBoundOf(snap))
       case None =>
         graft.read.TemporalReads.readTabletAt(tabletRows, tabletId, atHeight, speculative)
     }

@@ -44,7 +44,8 @@ class SnapshotsSpec extends SparkTestBase {
     }
   }
 
-  test("snapshot ∪ tail read ≡ direct full-scan read (the J1 invariant)") {
+  test("snapshot ∪ tail read ≡ direct full-scan read (the J1 invariant), " +
+    "with and without the hydration lower bound") {
     for (snapH <- Seq(0L, 4L, 5L, 8L, 12L); atH <- Seq(5L, 8L, 12L) if snapH <= atH) {
       val snap = Snapshots.buildTabletIndex(mutations, "t1", snapH)
       val viaSnapshot = Snapshots
@@ -54,6 +55,17 @@ class SnapshotsSpec extends SparkTestBase {
         .collect().map(_.toSeq).toSeq
       assert(viaSnapshot.map(_.take(2)) === direct.map(_.take(2)),
         s"snapshot=$snapH at=$atH")
+      // The store path's hydration-scan bound is exact: identical result.
+      // (Empty snapshot → bound Long.MaxValue prunes the whole hydration
+      // side, which the semi-join would have emptied anyway.)
+      def decoded(rows: Seq[Seq[Any]]): Seq[(Any, Any, String)] = rows.map(r =>
+        (r(0), r(1), new String(r(2).asInstanceOf[Array[Byte]], "UTF-8")))
+      val bounded = Snapshots
+        .readTabletAtWithSnapshot(mutations, snap, snapH, "t1", atH, Nil,
+          Snapshots.hydrationBoundOf(snap))
+        .collect().map(_.toSeq).toSeq
+      assert(decoded(bounded) === decoded(viaSnapshot),
+        s"bounded snapshot=$snapH at=$atH")
     }
   }
 
