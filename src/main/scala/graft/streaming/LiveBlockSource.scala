@@ -75,27 +75,75 @@ object LiveBlockSource {
   /** gRPC-style message framing (the reference's live wire is a gRPC
     * protobuf block stream, pipeline.go:93–100): each frame is
     *
-    *   1 byte  compressed-flag (0 — the only mode supported)
-    *   4 bytes big-endian payload length
+    *   1 byte  compressed-flag (0 = plain, 1 = compressed payload)
+    *   4 bytes big-endian payload length (of the payload AS FRAMED,
+    *           i.e. post-compression)
     *   N bytes proto3 `StreamedBlock` message ([[graft.model.PayloadCodec]]
-    *           wire form, entry keys packed by [[graft.model.KeyCodec]])
+    *           wire form, entry keys packed by [[graft.model.KeyCodec]]),
+    *           zstd- or gzip-wrapped when flag = 1 (the codec is sniffed
+    *           from the payload's magic bytes — this wire carries no
+    *           per-stream headers to name it, unlike gRPC's
+    *           `grpc-encoding`)
     *
-    * — the exact shape of a gRPC HTTP/2 data-frame message, so a relay
-    * shim in front of the reference's stream forwards payload bytes
-    * untouched. [[toProtoFrames]] concatenates frames; [[decodeProtoFrames]]
-    * walks a chunk of WHOLE frames and FAILS on a torn frame (a silent
-    * drop would surface later as a contiguity-guard failure far from the
-    * root cause — same policy as the JSON FAILFAST parse). */
-  def toProtoFrames(blocks: Seq[StreamedBlock]): Array[Byte] = {
+    * — the shape of a gRPC HTTP/2 data-frame message. NOTE on relay
+    * posture: a shim in front of the reference's stream must TRANSCODE,
+    * not byte-forward — the reference's block message
+    * (`sf.bstream.v1.Block`) lays its fields out differently from
+    * [[graft.model.PayloadCodec.StreamedBlockPayload]], and a verbatim
+    * payload would not decode (it now fails loudly: the decoder rejects
+    * payloads that never carry our write field 5, rather than skipping
+    * every unknown field into a default-valued block). Compression
+    * matches the reference's zstd-everywhere transport posture
+    * (sharder.go:194–238). [[toProtoFrames]] concatenates frames;
+    * [[decodeProtoFrames]] walks a chunk of WHOLE frames and FAILS on a
+    * torn or corrupt frame (a silent drop would surface later as a
+    * contiguity-guard failure far from the root cause — same policy as
+    * the JSON FAILFAST parse). */
+  def toProtoFrames(
+      blocks: Seq[StreamedBlock], codec: Option[String] = None): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     blocks.foreach { b =>
       val msg = graft.model.PayloadCodec.encodeStreamedBlock(toProtoPayload(b))
-      out.write(0)
-      out.write((msg.length >>> 24) & 0xFF); out.write((msg.length >>> 16) & 0xFF)
-      out.write((msg.length >>> 8) & 0xFF); out.write(msg.length & 0xFF)
-      out.write(msg, 0, msg.length)
+      val (flag, payload) = codec match {
+        case None => (0, msg)
+        case Some("zstd") => (1, com.github.luben.zstd.Zstd.compress(msg, 3))
+        case Some("gzip") =>
+          val bo = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bo)
+          gz.write(msg); gz.close()
+          (1, bo.toByteArray)
+        case Some(other) => throw new IllegalArgumentException(
+          s"unsupported frame codec '$other' (supported: zstd, gzip)")
+      }
+      out.write(flag)
+      out.write((payload.length >>> 24) & 0xFF); out.write((payload.length >>> 16) & 0xFF)
+      out.write((payload.length >>> 8) & 0xFF); out.write(payload.length & 0xFF)
+      out.write(payload, 0, payload.length)
     }
     out.toByteArray
+  }
+
+  /** Inflate a flag=1 payload. Codec sniffed from magic bytes; anything
+    * else — including truncated or bit-flipped compressed data, which the
+    * codecs' own integrity checks catch — fails the frame loudly. */
+  private def decompressPayload(payload: Array[Byte], framePos: Int): Array[Byte] = {
+    require(payload.length >= 4,
+      s"compressed frame at byte $framePos too short (${payload.length} bytes) for a codec magic")
+    val in: java.io.InputStream =
+      if ((payload(0) & 0xFF) == 0x28 && (payload(1) & 0xFF) == 0xB5 &&
+          (payload(2) & 0xFF) == 0x2F && (payload(3) & 0xFF) == 0xFD)
+        new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(payload))
+      else if ((payload(0) & 0xFF) == 0x1F && (payload(1) & 0xFF) == 0x8B)
+        new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(payload))
+      else throw new IllegalArgumentException(
+        f"compressed frame at byte $framePos carries neither zstd nor gzip magic " +
+          f"(leading bytes 0x${payload(0) & 0xFF}%02X 0x${payload(1) & 0xFF}%02X)")
+    try org.apache.commons.io.IOUtils.toByteArray(in)
+    catch {
+      case e: java.io.IOException => throw new IllegalArgumentException(
+        s"corrupt compressed frame at byte $framePos: ${e.getMessage}", e)
+    } finally in.close()
   }
 
   private def toProtoPayload(b: StreamedBlock): graft.model.PayloadCodec.StreamedBlockPayload =
@@ -118,15 +166,17 @@ object LiveBlockSource {
     while (pos < chunk.length) {
       require(pos + 5 <= chunk.length,
         s"torn frame header at byte $pos of ${chunk.length}")
-      require(chunk(pos) == 0,
-        s"unsupported compressed frame (flag ${chunk(pos)}) at byte $pos")
+      val flag = chunk(pos) & 0xFF
+      require(flag == 0 || flag == 1,
+        s"unknown frame flag $flag at byte $pos (0 = plain, 1 = compressed)")
       val len = ((chunk(pos + 1) & 0xFF) << 24) | ((chunk(pos + 2) & 0xFF) << 16) |
         ((chunk(pos + 3) & 0xFF) << 8) | (chunk(pos + 4) & 0xFF)
       require(len >= 0 && pos + 5 + len <= chunk.length,
         s"torn frame at byte $pos: declared $len payload bytes, " +
           s"only ${chunk.length - pos - 5} available")
+      val framed = java.util.Arrays.copyOfRange(chunk, pos + 5, pos + 5 + len)
       val p = PayloadCodec.decodeStreamedBlock(
-        java.util.Arrays.copyOfRange(chunk, pos + 5, pos + 5 + len))
+        if (flag == 1) decompressPayload(framed, pos) else framed)
       def idLen(collection: Int): Int =
         identifierLen.getOrElse(collection,
           throw new IllegalArgumentException(

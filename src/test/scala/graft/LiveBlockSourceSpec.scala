@@ -191,15 +191,67 @@ class LiveBlockSourceSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       LiveBlockSource.decodeProtoFrames(wire ++ Array[Byte](0, 0), idWidths)
     }
-    // Compressed flag: unsupported, loud.
+    // Compressed flag over a payload that is NOT compressed (no codec
+    // magic): loud, not a garbage decode.
     val compressed = wire.clone(); compressed(0) = 1
     assert(intercept[IllegalArgumentException] {
       LiveBlockSource.decodeProtoFrames(compressed, idWidths)
     }.getMessage.contains("compressed"))
+    // Unknown flag value: loud.
+    val badFlag = wire.clone(); badFlag(0) = 2
+    assert(intercept[IllegalArgumentException] {
+      LiveBlockSource.decodeProtoFrames(badFlag, idWidths)
+    }.getMessage.contains("unknown frame flag"))
     // Unregistered collection: loud, not a silent skip.
     assert(intercept[IllegalArgumentException] {
       LiveBlockSource.decodeProtoFrames(wire, Map(9 -> 2))
     }.getMessage.contains("identifier width"))
+  }
+
+  test("compressed proto frames (flag=1, zstd and gzip): exact round-trip, " +
+    "mixed plain/compressed chunks decode, torn and bit-flipped compressed " +
+    "frames FAIL the decode instead of dropping or garbling a block") {
+    val blocks = Seq(block(0, "irreversible"), block(1, "new"),
+      StreamedBlock("b2", "a1", 2, "new",
+        Seq(TabletRowM(1, "t1", 2, "pk0", Array.emptyByteArray, true)),
+        Seq(graft.model.SingletEntryM(7, "s1", 2, Array[Byte](0, 1, -1), false))))
+    val plain = LiveBlockSource.toProtoFrames(blocks)
+    for (codec <- Seq("zstd", "gzip")) {
+      val wire = LiveBlockSource.toProtoFrames(blocks, Some(codec))
+      assert(wire(0) === 1.toByte, codec)
+      val parsed = LiveBlockSource.decodeProtoFrames(wire, idWidths)
+      // Decode is codec-transparent: re-encoding the parse plain
+      // reproduces the plain wire byte-for-byte.
+      assert(LiveBlockSource.toProtoFrames(parsed).toSeq === plain.toSeq, codec)
+      // Torn inside the compressed payload → torn-frame error (the length
+      // header spans bytes that never arrived).
+      assert(intercept[IllegalArgumentException] {
+        LiveBlockSource.decodeProtoFrames(wire.dropRight(3), idWidths)
+      }.getMessage.contains("torn frame"), codec)
+      // A producer/relay may interleave plain and compressed frames.
+      val mixed = plain ++ wire
+      assert(LiveBlockSource.decodeProtoFrames(mixed, idWidths).size
+        === blocks.size * 2, codec)
+      // Bit-flip fuzz over the compressed payload: every corruption must
+      // surface loudly — either the codec's own integrity check, the
+      // proto decode's write-field requirement, or the key parse — never
+      // a silently different block set.
+      val rnd = new scala.util.Random(42)
+      (1 to 25).foreach { i =>
+        val at = 5 + rnd.nextInt(wire.length - 5)
+        val fuzzed = wire.clone()
+        fuzzed(at) = (fuzzed(at) ^ (1 << rnd.nextInt(8))).toByte
+        try {
+          val out = LiveBlockSource.decodeProtoFrames(fuzzed, idWidths)
+          assert(LiveBlockSource.toProtoFrames(out).toSeq === plain.toSeq,
+            s"$codec flip #$i at byte $at decoded to DIFFERENT content silently")
+        } catch { case _: Exception => () /* loud is the contract */ }
+      }
+    }
+    // Unsupported codec name on the producer side: loud.
+    assert(intercept[IllegalArgumentException] {
+      LiveBlockSource.toProtoFrames(blocks, Some("lz4"))
+    }.getMessage.contains("unsupported frame codec"))
   }
 
   test("proto-framed live source end-to-end: binary frame files drive the " +
