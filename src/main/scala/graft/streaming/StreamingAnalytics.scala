@@ -210,6 +210,34 @@ object StreamingAnalytics {
       }
   }
 
+  /** NATIVE streaming session windows — the SAME built-in `session_window`
+    * aggregate the batch `q_events_session_native` query runs, as a
+    * watermarked stream. This is the operator's home turf: Structured
+    * Streaming keeps per-user session state inside the aggregation
+    * (merging sessions as gaps fill in, state hash-partitioned by
+    * user_id — one shuffle, like the batch plan) and, in Append mode,
+    * emits each session EXACTLY once: when the watermark passes its
+    * close, so no event still admissible can extend or merge it.
+    *
+    * Stream ≡ batch contract (spec-pinned over the real events corpus,
+    * shuffled within micro-batches): the streamed sessions equal the
+    * batch aggregate's as long as no event arrives later than
+    * `watermarkDelay` behind the max event time already seen. An event
+    * later than that is DROPPED — its session under-counts (or goes
+    * missing) relative to a batch over the complete data; that is the
+    * standard bounded-state trade, and the drop case is pinned in the
+    * spec right next to the equality. */
+  def streamingSessionCounts(
+      events: DataFrame, // columns: user_id, tstamp (timestamp)
+      gap: String = "30 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("tstamp", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("tstamp"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
   final case class ReservoirRow(
       source: String, docId: Long, weight: Long, sampleKey: Long, rank: Long)
 

@@ -105,6 +105,97 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     assert(batch.nonEmpty)
   }
 
+  test("streaming-native session windows over the real corpus, delivered " +
+    "as shuffled micro-batches, equal the batch session_window aggregate") {
+    implicit val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = s.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val base = graft.queries.TemporalQueries.eventsWithTs(s, dir)
+      .select(col("user_id"), expr("timestamp_micros(ts div 1000)").as("tstamp"))
+    // Batch truth: the IDENTICAL aggregate, no watermark — what
+    // q_events_session_native's oracle pins on the same corpus.
+    val batch = base
+      .groupBy(col("user_id"), session_window(col("tstamp"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getStruct(1).getTimestamp(0).getTime, r.getLong(2)))
+      .toSet
+    // Deliver the corpus as time-ordered chunks, fully SHUFFLED within
+    // each micro-batch (the watermark only advances between batches, so
+    // in-batch disorder is unbounded-tolerant; cross-batch order keeps
+    // every event inside the watermark, the contract the equality needs).
+    val rows = base.collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
+      .sortBy(_._2.getTime)
+    val rnd = new scala.util.Random(7)
+    val chunks = rows.grouped((rows.size + 6) / 7).map(c => rnd.shuffle(c)).toSeq
+    val source = MemoryStream[(Long, Timestamp)]
+    val q = StreamingAnalytics
+      .streamingSessionCounts(source.toDF().toDF("user_id", "tstamp"))
+      .writeStream.format("memory").queryName("sess_native")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      chunks.foreach { c => source.addData(c: _*); q.processAllAvailable() }
+      // Sentinel flushes: advance the watermark far past the corpus so
+      // every real session closes and emits (two batches — the watermark
+      // computed in one batch takes effect in the next).
+      val flushT = rows.last._2.getTime + 365L * 86400000L
+      source.addData((-1L, new Timestamp(flushT)))
+      q.processAllAvailable()
+      source.addData((-1L, new Timestamp(flushT + 3600000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sess_native")
+      .filter(col("user_id") >= 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(3)))
+      .toSet
+    assert(streamed === batch)
+    assert(batch.size > 10, s"degenerate corpus: ${batch.size} sessions")
+  }
+
+  test("a session event arriving beyond the watermark is DROPPED: the " +
+    "streamed session under-counts vs batch — the documented bounded-state " +
+    "trade of the native session window") {
+    implicit val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = s.sqlContext
+    def t(min: Long) = new Timestamp(min * 60000L)
+    val source = MemoryStream[(Long, Timestamp)]
+    val q = StreamingAnalytics
+      .streamingSessionCounts(source.toDF().toDF("user_id", "tstamp"),
+        gap = "30 minutes", watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      source.addData((1L, t(0)), (1L, t(5))); q.processAllAvailable()
+      // Jump event time far ahead: next batch's watermark = 990 min.
+      source.addData((2L, t(1000))); q.processAllAvailable()
+      // LATE: minute 6 is far below watermark 990 — dropped, while user
+      // 1's closed session [0, 35) emits this same trigger.
+      source.addData((1L, t(6))); q.processAllAvailable()
+      source.addData((3L, t(3000))); q.processAllAvailable()
+      source.addData((3L, t(4000))); q.processAllAvailable()
+    } finally q.stop()
+    val user1 = spark.table("sess_late").filter(col("user_id") === 1L)
+      .collect().map(r => (r.getTimestamp(1).getTime, r.getLong(3))).toSeq
+    // Streamed: 2 events — the late minute-6 event never reached state.
+    assert(user1 === Seq((0L, 2L)))
+    // Batch over the COMPLETE data counts all 3 — the documented gap.
+    val batchN = Seq((1L, t(0)), (1L, t(5)), (1L, t(6)), (2L, t(1000)),
+      (3L, t(3000)), (3L, t(4000)))
+      .toDF("user_id", "tstamp")
+      .groupBy(col("user_id"), session_window(col("tstamp"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("user_id") === 1L)
+      .collect().map(_.getLong(2))
+    assert(batchN.toSeq === Seq(3L))
+  }
+
   test("streaming exact dedup: first doc per content hash passes, " +
     "duplicates across micro-batches are dropped") {
     implicit val s = spark
