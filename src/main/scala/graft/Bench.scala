@@ -141,9 +141,21 @@ object Bench {
     // Full table to stderr for humans / PLANS.md (driver parses stdout only).
     System.err.println("[bench-full] " + results
       .map { case (k, v) => s"$k=${fmt(v, 2)}" }.mkString(" "))
+    // Mechanical cross-round normalization (round-11 verdict item 6): the
+    // host's clean-window calib for the fixed 1e8-row probe was pinned ONCE
+    // at 0.25 s (round-11 same-code runs measured calib.min 0.22–0.31; the
+    // value is a unit choice, not a tuning knob — changing it rescales every
+    // round identically). calib_scaled_total = total · (CALIB_REF /
+    // calib.min) expresses this run's total in reference-host seconds, so a
+    // round-over-round regression check is one subtraction instead of a
+    // prose argument about host noise. calib.min (not mean) because the
+    // probe's clean minimum tracks unloaded throughput; a noisy window
+    // inflates max, never deflates min.
+    val CalibRef = 0.25
+    val calibScaledTotal = total * (CalibRef / calibs.min)
     val calibStr =
-      s"""{"min":${fmtQ(calibs.min)},"max":${fmtQ(calibs.max)}}"""
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","failed":$failed,"calib":$calibStr,"queries":$qs,"fast":$fastStr,"sf":"$sfName"}""")
+      s"""{"min":${fmtQ(calibs.min)},"max":${fmtQ(calibs.max)},"ref":$CalibRef}"""
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","failed":$failed,"calib":$calibStr,"calib_scaled_total":${fmt(calibScaledTotal, 3)},"queries":$qs,"fast":$fastStr,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -135,4 +135,73 @@ object BpeTrain {
       merges.result().toDF("rank", "left", "right", "merged", "pair_count")
     } finally base.unpersist()
   }
+
+  /** DuckDB oracle replaying [[train]]+[[encode]] END TO END — merges
+    * included. BPE training is iterative and data-dependent, but the round
+    * COUNT is a fixed parameter, so the loop unrolls into `rounds` chained
+    * CTE triples (pair counts → argmax merge → apply), no recursion needed:
+    *
+    *   - pair counts: the same unnest-adjacent-pairs sum the Spark side
+    *     computes, weighted by word frequency;
+    *   - argmax: `ORDER BY cnt DESC, l, r LIMIT 1` — both engines compare
+    *     strings as raw bytes (DuckDB binary collation ≡ Spark
+    *     UTF8String.binaryCompare), so the tie-break is engine-exact;
+    *   - apply: the greedy left-to-right fold, replayed by `list_reduce`
+    *     over a CHR(31)-delimited string accumulator (the unit separator
+    *     cannot appear in corpus text). Prepending a sentinel '' makes the
+    *     accumulator uniformly `sep‖s₁‖sep‖s₂…`, so "last symbol" and
+    *     "drop last symbol" are plain string ops and the merge branch
+    *     rewrites the tail exactly like [[applyMerge]]'s `aggregate` fold.
+    *
+    * Encode then reads per-word token counts straight off the final vocab
+    * state (training's per-round apply IS encode's rank-order fold — the
+    * identical applyMerge sequence), joins them onto the corpus words, and
+    * reproduces [[encode]]'s per-doc report. Validated cell-exact against
+    * an independent Python BPE model before wiring (500/500 docs, sf0.01). */
+  def encodeOracleSql(rounds: Int): String = {
+    // concat(), not the `||` operator: this fragment is interpolated into
+    // stripMargin templates below, where a continuation line starting with
+    // `||` would lose one pipe to the margin strip and corrupt the SQL.
+    def apply(k: Int): String =
+      s"string_split(list_reduce(list_prepend('', syms), (acc, x) -> " +
+        s"CASE WHEN string_split(acc, chr(31))[-1] = m$k.l AND x = m$k.r " +
+        s"THEN concat(acc[1:length(acc)-length(string_split(acc, chr(31))[-1])-1], " +
+        s"chr(31), m$k.l, m$k.r) " +
+        s"ELSE concat(acc, chr(31), x) END), chr(31))[2:]"
+    val base =
+      """v0 AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS n, string_split(word, '') AS syms
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) > 0 GROUP BY word
+        |)""".stripMargin
+    val roundCtes = (1 to rounds).map { k =>
+      s"""p$k AS (
+         |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM v${k - 1}, unnest(range(1, len(syms))) t(i)
+         |  GROUP BY 1, 2
+         |),
+         |m$k AS (SELECT l, r FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |v$k AS (
+         |  SELECT word, n, ${apply(k)} AS syms FROM v${k - 1}, m$k
+         |)""".stripMargin
+    }
+    val tail =
+      s"""wt AS (SELECT word, CAST(len(syms) AS BIGINT) AS w_tokens FROM v$rounds),
+         |dw AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+         |),
+         |per AS (
+         |  SELECT doc_id, CAST(sum(w_tokens) AS BIGINT) AS n_bpe_tokens
+         |  FROM dw JOIN wt USING (word) GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+         |       d.n_chars,
+         |       coalesce(per.n_bpe_tokens, 0) AS n_bpe_tokens,
+         |       CAST(CASE WHEN coalesce(per.n_bpe_tokens, 0) > 0
+         |            THEN (d.n_chars * 1000000) // per.n_bpe_tokens
+         |            ELSE 0 END AS BIGINT) AS chars_per_token_ppm
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    (Seq("WITH " + base) ++ roundCtes).mkString(",\n") + ",\n" + tail
+  }
 }

@@ -285,10 +285,10 @@ object PipelineQueries {
        |)
        |SELECT pred_lang, n_docs, sum_words, sum_subwords,
        |       CAST(CASE WHEN sum_words > 0
-       |            THEN (sum_subwords * 1000000) // sum_words
+       |            THEN (CAST(sum_subwords AS HUGEINT) * 1000000) // sum_words
        |            ELSE 0 END AS BIGINT) AS fertility_ppm,
        |       CAST(CASE WHEN sum_subwords > 0
-       |            THEN (sum_chars * 1000000) // sum_subwords
+       |            THEN (CAST(sum_chars AS HUGEINT) * 1000000) // sum_subwords
        |            ELSE 0 END AS BIGINT) AS chars_per_subword_ppm
        |FROM agg ORDER BY pred_lang""".stripMargin
   }
@@ -1931,10 +1931,11 @@ object PipelineQueries {
     // merges in rank order, the same greedy fold). The merge table is
     // tiny by construction (ranks, not corpus) and rides in the plan;
     // encoding is pure scan work — the 100 TB plan is one pass, no
-    // shuffle beyond the oracle-compare sort. Rows-only (merges are
-    // data-dependent); the spec re-derives merges with the independent
-    // Scala trainer and pins per-doc token counts exactly.
-    QuerySpec.rowsOnly("p_bpe_encode") { (s, dir) =>
+    // shuffle beyond the oracle-compare sort. Oracle-paired END TO END:
+    // the fixed round count unrolls training into chained DuckDB CTEs
+    // (see [[BpeTrain.encodeOracleSql]]), so the learned merges AND the
+    // per-doc encode are hash-verified, not just spec-pinned.
+    QuerySpec.sql("p_bpe_encode", BpeTrain.encodeOracleSql(10)) { (s, dir) =>
       val merges = BpeTrain.train(s, docs(s, dir), rounds = 10)
         .select("left", "right").collect()
         .map(r => (r.getString(0), r.getString(1))).toSeq
@@ -2332,9 +2333,9 @@ object PipelineQueries {
     // (weight = target_share / actual_share, in exact ppm integer math).
     // One map-side-combined aggregation to a handful of rows, then a
     // broadcast of the 1-row total — the post-agg cross join touches
-    // #sources rows regardless of corpus size. BIGINT headroom: exact up
-    // to ~9e12 total tokens; a 100 TB corpus near that edge drops the ppm
-    // factor to per-mille.
+    // #sources rows regardless of corpus size. Both engines widen before
+    // the ×1e6 scaling (DECIMAL(38,0) / HUGEINT), so the ppm math is
+    // exact past ~9e12 total tokens — the 100 TB regime — not just here.
     QuerySpec.sql(
       "p_mix_weights",
       """WITH per AS (
@@ -2347,8 +2348,11 @@ object PipelineQueries {
         |  FROM per
         |)
         |SELECT source, n_docs, n_tokens,
-        |       (n_tokens * 1000000) // total_tokens AS token_share_ppm,
-        |       (total_tokens * 1000000) // (n_sources * n_tokens) AS weight_ppm
+        |       CAST((CAST(n_tokens AS HUGEINT) * 1000000) // total_tokens
+        |            AS BIGINT) AS token_share_ppm,
+        |       CAST((CAST(total_tokens AS HUGEINT) * 1000000)
+        |            // (CAST(n_sources AS HUGEINT) * n_tokens)
+        |            AS BIGINT) AS weight_ppm
         |FROM per, tot ORDER BY source""".stripMargin) { (s, dir) =>
       val per = docs(s, dir)
         .groupBy("source")
@@ -3675,9 +3679,10 @@ object PipelineQueries {
     // subword, in exact ppm. Composes two oracle-proven expression sets
     // (the langid marker scoring and the p_text_tokens subword regex) on
     // ONE scan-local pass, then a map-side-combined groupBy to ≤5 rows —
-    // at 100 TB nothing shuffles but the per-language partials. (BIGINT
-    // sums hold to ~9·10¹² corpus words; a genuinely 100 TB corpus widens
-    // the two sums to DECIMAL, nothing else changes.)
+    // at 100 TB nothing shuffles but the per-language partials. The ppm
+    // ratios widen the summed counts to DECIMAL(38,0) before the ×1e6
+    // scaling (DuckDB computes the same products in HUGEINT), so the
+    // math is exact at ~1e13+ corpus words, not just at test scale.
     QuerySpec.sql("p_tokenizer_fertility", tokenizerFertilityOracle) { (s, dir) =>
       val ws = split(col("text"), " ")
       def score(words: Seq[String]): Column =
@@ -3708,10 +3713,12 @@ object PipelineQueries {
         .select(col("pred_lang"), col("n_docs"), col("sum_words"),
           col("sum_subwords"),
           expr("CASE WHEN sum_words > 0 " +
-            "THEN (sum_subwords * 1000000) div sum_words ELSE CAST(0 AS BIGINT) END")
+            "THEN CAST((CAST(sum_subwords AS DECIMAL(38,0)) * 1000000) " +
+            "div sum_words AS BIGINT) ELSE CAST(0 AS BIGINT) END")
             .as("fertility_ppm"),
           expr("CASE WHEN sum_subwords > 0 " +
-            "THEN (sum_chars * 1000000) div sum_subwords ELSE CAST(0 AS BIGINT) END")
+            "THEN CAST((CAST(sum_chars AS DECIMAL(38,0)) * 1000000) " +
+            "div sum_subwords AS BIGINT) ELSE CAST(0 AS BIGINT) END")
             .as("chars_per_subword_ppm"))
         .orderBy("pred_lang")
     },
