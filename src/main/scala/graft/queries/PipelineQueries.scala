@@ -2610,7 +2610,10 @@ object PipelineQueries {
     // — ~1.5 MB, constant in corpus size). Fixed seed keeps runs
     // deterministic. No DuckDB oracle (no CMS there);
     // PipelineQueriesSpec pins the dominance + overshoot-budget
-    // invariants against the exact counts.
+    // invariants against the exact counts. The probe is a codegen'd
+    // Catalyst expression ([[graft.functions.CmsSketch]]) — the sketch
+    // rides the generated class's references array like Spark's own
+    // Bloom join-filter probes; no closure UDF anywhere on the path.
     QuerySpec.rowsOnly("p_ngram_topk_cms") { (s, dir) =>
       // Persisted: the sketch build (eager treeAggregate) and the exact
       // count both consume the exploded bigrams — the corpus's most
@@ -2621,15 +2624,14 @@ object PipelineQueries {
           "transform(slice(ws, 1, size(ws) - 1), (w, i) -> concat(w, ' ', ws[i + 1]))"))
           .as("bigram"))
         .persist()
-      val cms = bigrams.stat.countMinSketch(
-        "bigram", 1e-4, 0.999, 42)
-      val cmsB = s.sparkContext.broadcast(cms)
-      val estimate = udf((b: String) => cmsB.value.estimateCount(b))
+      val cms = graft.functions.CmsSketch.serialize(
+        bigrams.stat.countMinSketch("bigram", 1e-4, 0.999, 42))
       bigrams
         .groupBy("bigram").agg(count(lit(1)).as("exact_n"))
         .orderBy(col("exact_n").desc, col("bigram"))
         .limit(20)
-        .withColumn("cms_n", estimate(col("bigram")))
+        .withColumn("cms_n",
+          graft.functions.CmsSketch.estimateCount(cms, col("bigram")))
         .select(col("bigram"), col("exact_n"), col("cms_n"))
     },
 

@@ -959,6 +959,37 @@ class PipelineQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("CMS probe is a codegen'd expression (no ScalaUDF in the plan) and " +
+    "agrees exactly with the sketch API's own estimateCount") {
+    import spark.implicits._
+    // Optimized LOGICAL plan: the physical TakeOrderedAndProject prints
+    // only output attributes, hiding the projection's expressions.
+    val plan = SparkEntry.queries("p_ngram_topk_cms")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("ScalaUDF"),
+      "CMS probe must not plan a closure UDF")
+    assert(plan.contains("graft_cms_estimate_count"),
+      "CMS probe expression missing from the plan")
+    // Build a sketch over known keys and probe it through the expression:
+    // every estimate must equal the sketch object's own answer — the
+    // byte-probe convention (UTF8String bytes) can never drift from the
+    // builder's String-insert convention (both hash UTF-8 bytes).
+    val keys = Seq("alpha beta", "beta gamma", "delta", "unseen key")
+    val df = (keys.dropRight(1) ++ keys.dropRight(1) ++ keys.take(1))
+      .toDF("k")
+    val cmsObj = df.stat.countMinSketch("k", 1e-4, 0.999, 7)
+    val bytes = graft.functions.CmsSketch.serialize(cmsObj)
+    val probed = keys.toDF("k")
+      .withColumn("est",
+        graft.functions.CmsSketch.estimateCount(bytes,
+          org.apache.spark.sql.functions.col("k")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    keys.foreach { k =>
+      assert(probed(k) === cmsObj.estimateCount(k),
+        s"expression estimate for '$k' diverges from the sketch API")
+    }
+  }
+
   test("gopher top-word HOF equals a naive Scala frequency model on seeded " +
     "random word arrays (runs, ties, singletons, repeats-only)") {
     import spark.implicits._
