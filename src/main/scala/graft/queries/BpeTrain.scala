@@ -158,7 +158,7 @@ object BpeTrain {
     * identical applyMerge sequence), joins them onto the corpus words, and
     * reproduces [[encode]]'s per-doc report. Validated cell-exact against
     * an independent Python BPE model before wiring (500/500 docs, sf0.01). */
-  def encodeOracleSql(rounds: Int): String = {
+  private def trainingCtes(rounds: Int): String = {
     // concat(), not the `||` operator: this fragment is interpolated into
     // stripMargin templates below, where a continuation line starting with
     // `||` would lose one pipe to the margin strip and corrupt the SQL.
@@ -180,11 +180,27 @@ object BpeTrain {
          |  FROM v${k - 1}, unnest(range(1, len(syms))) t(i)
          |  GROUP BY 1, 2
          |),
-         |m$k AS (SELECT l, r FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
          |v$k AS (
          |  SELECT word, n, ${apply(k)} AS syms FROM v${k - 1}, m$k
          |)""".stripMargin
     }
+    (Seq("WITH " + base) ++ roundCtes).mkString(",\n")
+  }
+
+  /** Oracle for [[train]]'s merge table itself: the unrolled training CTEs
+    * expose each round's argmax as `m_k`; stitching them back with their
+    * rank reproduces (rank, left, right, merged, pair_count) exactly.
+    * `left`/`right` are SQL keywords — quoted to stay verbatim column
+    * names for the driver's name-sorted hash compare. */
+  def trainOracleSql(rounds: Int): String =
+    trainingCtes(rounds) + "\n" +
+      (1 to rounds).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS rank, l AS "left", r AS "right",
+           |       concat(l, r) AS merged, cnt AS pair_count FROM m$k""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY rank")
+
+  def encodeOracleSql(rounds: Int): String = {
     val tail =
       s"""wt AS (SELECT word, CAST(len(syms) AS BIGINT) AS w_tokens FROM v$rounds),
          |dw AS (
@@ -202,6 +218,6 @@ object BpeTrain {
          |            ELSE 0 END AS BIGINT) AS chars_per_token_ppm
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          |ORDER BY d.doc_id""".stripMargin
-    (Seq("WITH " + base) ++ roundCtes).mkString(",\n") + ",\n" + tail
+    trainingCtes(rounds) + ",\n" + tail
   }
 }

@@ -1917,11 +1917,12 @@ object PipelineQueries {
     // See [[BpeTrain]] for the plan: the corpus is aggregated ONCE into
     // the word-frequency table; all merge rounds run on that vocab-
     // bounded table (pair counts map-side combined, argmax is a 1-row
-    // collect, merges applied by a scan-local fold). Iterative + data-
-    // dependent merges make this inherently non-ANSI-SQL (rows-only);
-    // the spec pins exact equality against an independent Scala BPE
-    // model plus the non-increasing-merge-count guarantee.
-    QuerySpec.rowsOnly("p_bpe_train") { (s, dir) =>
+    // collect, merges applied by a scan-local fold). Iterative, but the
+    // round COUNT is fixed, so training unrolls into chained DuckDB CTEs
+    // ([[BpeTrain.trainOracleSql]]) and the learned merge table itself
+    // hash-matches; the spec additionally pins equality against an
+    // independent Scala BPE model + the non-increasing-count guarantee.
+    QuerySpec.sql("p_bpe_train", BpeTrain.trainOracleSql(10)) { (s, dir) =>
       BpeTrain.train(s, docs(s, dir), rounds = 10)
     },
 
