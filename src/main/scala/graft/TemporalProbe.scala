@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   *   read_snap     readTabletAtWithSnapshot — hydration semi-join +
   *                 tail-bounded argmax (what StateAsOfRule now plans)
   *   asof_join     batch as-of join, probe count growing with history
+  *   asof_join_recent_{full,snap}
+  *                 the production point-lookup shape — a fixed-rate probe
+  *                 set above the snapshot height — through the full-history
+  *                 route vs the snapshot-pruned route (identical results;
+  *                 growth comparison is the point)
   *   singlet_hist  full singlet history, most recent first
   *
   * Usage: runMain graft.TemporalProbe <factor> [baseDir]
@@ -88,6 +93,26 @@ object TemporalProbe {
           .select(col("height").as("probe_id"), col("tablet_id"),
             col("primary_key"), (col("height") + 500).as("at_height"))
         graft.read.TemporalReads.asOfJoin(m, probes)
+      }),
+      // The same join through the snapshot-pruned route, but with probes
+      // restricted to the snapshot's tablet ABOVE the snapshot height —
+      // the production shape (point lookups against recent state). Its
+      // full-history twin runs the identical probe set for a like-for-like
+      // growth comparison.
+      "asof_join_recent_full" -> (() => {
+        val probes = m.filter(col("height") % 997 === 0 &&
+            col("height") > lit(snapH) && col("tablet_id") === "click")
+          .select(col("height").as("probe_id"), col("tablet_id"),
+            col("primary_key"), (col("height") + 500).as("at_height"))
+        graft.read.TemporalReads.asOfJoin(m, probes)
+      }),
+      "asof_join_recent_snap" -> (() => {
+        val probes = m.filter(col("height") % 997 === 0 &&
+            col("height") > lit(snapH) && col("tablet_id") === "click")
+          .select(col("height").as("probe_id"), col("tablet_id"),
+            col("primary_key"), (col("height") + 500).as("at_height"))
+        graft.snapshot.Snapshots.asOfJoinWithSnapshot(
+          m, probes, snap, snapH, "click", lo)
       }),
       "singlet_hist" -> (() =>
         graft.read.TemporalReads.readSingletEntries(

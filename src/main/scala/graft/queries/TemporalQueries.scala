@@ -376,5 +376,46 @@ object TemporalQueries {
           lpad(col("user_id").cast("string"), 4, "0").as("primary_key"),
           (col("event_id") + 500).as("at_height"))
       TemporalReads.asOfJoin(mutations(s, dir), probes)
+    },
+
+    // The SAME as-of join computed THROUGH the snapshot-pruned path
+    // (Snapshots.asOfJoinWithSnapshot): a TabletIndex for 'click' at 5000
+    // routes click probes at heights >= 5000 through hydration ∪ tail,
+    // everything else through the full-history fallback — verified against
+    // the identical full-scan oracle (the with-snapshot ≡ without-snapshot
+    // invariant, here for batch point lookups instead of the tablet read).
+    QuerySpec.sql(
+      "t_asof_join_snapshot",
+      s"""$MutationsCte, probes AS (
+         |  SELECT event_id AS probe_id, event_type AS tablet_id,
+         |         lpad(CAST(user_id AS VARCHAR), 4, '0') AS primary_key,
+         |         event_id + 500 AS at_height
+         |  FROM events WHERE event_id % 199 = 0
+         |), ranked AS (
+         |  SELECT p.probe_id, p.tablet_id, p.primary_key, p.at_height,
+         |         m.height, m.value, m.is_deletion,
+         |         row_number() OVER (PARTITION BY p.probe_id
+         |                            ORDER BY m.height DESC, m.is_deletion DESC,
+         |                                     m.value DESC) AS rn
+         |  FROM probes p LEFT JOIN mutations m
+         |    ON m.tablet_id = p.tablet_id AND m.primary_key = p.primary_key
+         |   AND m.height <= p.at_height
+         |)
+         |SELECT probe_id, tablet_id, primary_key, at_height,
+         |       CASE WHEN height IS NOT NULL AND NOT is_deletion
+         |            THEN height END AS height,
+         |       CASE WHEN height IS NOT NULL AND NOT is_deletion
+         |            THEN value END AS value
+         |FROM ranked WHERE rn = 1 ORDER BY probe_id""".stripMargin) { (s, dir) =>
+      val m = mutations(s, dir)
+      val probes = events(s, dir)
+        .filter(col("event_id") % 199 === 0)
+        .select(col("event_id").as("probe_id"),
+          col("event_type").as("tablet_id"),
+          lpad(col("user_id").cast("string"), 4, "0").as("primary_key"),
+          (col("event_id") + 500).as("at_height"))
+      val snap = Snapshots.buildTabletIndex(m, "click", 5000)
+      Snapshots.asOfJoinWithSnapshot(m, probes, snap, 5000, "click",
+        Snapshots.hydrationBoundOf(snap))
     })
 }

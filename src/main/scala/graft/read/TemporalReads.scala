@@ -128,7 +128,15 @@ object TemporalReads {
     *
     * Probes must carry a unique `probe_id` so identical `(key, height)`
     * probes stay distinct in the output. */
-  def asOfJoin(rows: DataFrame, probes: DataFrame): DataFrame = {
+  def asOfJoin(rows: DataFrame, probes: DataFrame): DataFrame =
+    asOfResolve(rows, probes).orderBy("probe_id")
+
+  /** The join + argmax core of [[asOfJoin]], without the presentation
+    * sort — shared with the snapshot-pruned variant
+    * ([[graft.snapshot.Snapshots.asOfJoinWithSnapshot]]), which resolves
+    * two disjoint probe partitions against different candidate sets and
+    * unions them before its own final sort. */
+  private[graft] def asOfResolve(rows: DataFrame, probes: DataFrame): DataFrame = {
     val m = rows.select(col("tablet_id").as("m_tablet_id"),
       col("primary_key").as("m_pk"), col("height").as("mut_height"),
       col("value"), col("is_deletion"))
@@ -152,7 +160,6 @@ object TemporalReads {
           .as("height"),
         when(col("w.mut_height").isNotNull && !col("w.is_deletion"), col("w.value"))
           .as("value"))
-      .orderBy("probe_id")
   }
 
   /** `HasSeenAnyRowForTablet` (read.go:410–415): existence probe. Planned as a

@@ -133,6 +133,60 @@ object Snapshots {
       .map(_.asInstanceOf[Long])
       .orElse(Some(Long.MaxValue))
 
+  /** Snapshot-pruned AS-OF JOIN — [[TemporalReads.asOfJoin]] with the same
+    * TabletIndex pruning the flagship read gets (read.go:47–63 applied to
+    * a BATCH of point lookups): probes for `tabletId` at
+    * `at_height >= snapshotHeight` resolve against
+    * `snapshot-hydration ∪ tail (snapshotHeight, ∞)` instead of the full
+    * history, so per-probe join fan-in is `1 + mutations-since-snapshot`
+    * rather than the key's whole history — the difference between O(1)
+    * and O(depth) per probe on a long-history tablet, and the tail scan's
+    * `height > snapshotHeight` bound is a pushed predicate that row-group-
+    * prunes under the height-sorted store layout.
+    *
+    * Total over ANY probe set: probes for other tablets, or at heights
+    * below the snapshot (where the snapshot over-approximates history),
+    * route through the unpruned resolve — so the result is always exactly
+    * [[TemporalReads.asOfJoin]]'s (spec-pinned equivalence), only the scan
+    * bounds differ. Correctness of the split:
+    *   - a key LIVE at the snapshot height contributes exactly its latest
+    *     mutation ≤ snapshotHeight via hydration; any tail mutation
+    *     (including a tombstone) out-ranks it in the argmax by height;
+    *   - a key TOMBSTONED at the snapshot height is absent from the index
+    *     (tombstones are dropped at build), absent from hydration, and
+    *     yields null unless the tail revives it — identical to the
+    *     full-history argmax, where the tombstone would have won;
+    *   - a key never written yields the left join's null row either way.
+    *
+    * Assumes at most one mutation per (key, height) on the snapshot path —
+    * the store write path's dedup invariant (T4); the generic
+    * same-height-conflict tie-break of [[TemporalReads.asOfJoin]] needs
+    * the full candidate set and keeps working on the fallback route. */
+  def asOfJoinWithSnapshot(
+      rows: DataFrame,
+      probes: DataFrame, // (probe_id, tablet_id, primary_key, at_height)
+      snapshot: DataFrame, // (primary_key, height) as of snapshotHeight
+      snapshotHeight: Long,
+      tabletId: String,
+      hydrationLowerBound: Option[Long] = None): DataFrame = {
+    val eligible =
+      col("tablet_id") === lit(tabletId) && col("at_height") >= lit(snapshotHeight)
+    val scoped = rows.filter(col("tablet_id") === lit(tabletId))
+    val hydrationScope = hydrationLowerBound match {
+      case Some(lo) => scoped.filter(col("height") >= lit(lo))
+      case None => scoped
+    }
+    val hydrated = hydrationScope
+      .join(snapshot.select("primary_key", "height"),
+        Seq("primary_key", "height"), "left_semi")
+      .filter(col("height") <= lit(snapshotHeight))
+    val tail = scoped.filter(col("height") > lit(snapshotHeight))
+    val pruned = TemporalReads.asOfResolve(
+      hydrated.unionByName(tail), probes.filter(eligible))
+    val fallback = TemporalReads.asOfResolve(rows, probes.filter(!eligible))
+    pruned.unionByName(fallback).orderBy("probe_id")
+  }
+
   /** The reference's index-build throttling heuristic, exactly
     * (indexing.go:546–575):
     *   - < 25K mutations since the last index → never index.

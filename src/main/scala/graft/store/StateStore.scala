@@ -521,6 +521,31 @@ final class StateStore(
         graft.read.TemporalReads.readTabletAt(tabletRows, tabletId, atHeight, speculative)
     }
 
+  /** Snapshot-aware batch AS-OF JOIN against this store's mutation table:
+    * the batch generalization of [[readTabletAt]]'s pruning. Resolves the
+    * newest usable snapshot at or below the probes' max `at_height` (one
+    * tiny aggregate; `ignoreRange` honored exactly like every read) and
+    * routes eligible probes through
+    * [[graft.snapshot.Snapshots.asOfJoinWithSnapshot]] — per-probe cost
+    * bounded by mutations-since-snapshot instead of history depth. Falls
+    * back to the full-history join when no snapshot exists or the probe
+    * set is empty; the result is identical either way (spec-pinned). */
+  def asOfJoin(
+      tabletId: String,
+      probes: DataFrame,
+      ignoreRange: Option[(Long, Long)] = None): DataFrame = {
+    val maxAt = Option(probes.agg(max(col("at_height"))).head().get(0))
+      .map(_.asInstanceOf[Long])
+    maxAt.flatMap(latestTabletSnapshot(tabletId, _, ignoreRange)) match {
+      case Some((snapH, snap)) =>
+        graft.snapshot.Snapshots.asOfJoinWithSnapshot(
+          tabletRows, probes, snap, snapH, tabletId,
+          graft.snapshot.Snapshots.hydrationBoundOf(snap))
+      case None =>
+        graft.read.TemporalReads.asOfJoin(tabletRows, probes)
+    }
+  }
+
   /** Small-files maintenance for the mutation tables: a 1 s micro-batch
     * cadence appends one committed directory per batch (~86k/day), and at
     * scale the file LISTING and footer reads come to dominate scan cost

@@ -69,6 +69,70 @@ class SnapshotsSpec extends SparkTestBase {
     }
   }
 
+  test("snapshot-pruned as-of join ≡ full-history as-of join for every " +
+    "snapshot height: probes above/below the snapshot, tombstones, misses, " +
+    "future-only keys, and other-tablet probes (fallback route)") {
+    // A second tablet so fallback routing is exercised alongside pruning.
+    val other = Seq(("t2", 2L, "x", "x2", false), ("t2", 9L, "x", "x9", false))
+      .toDF("tablet_id", "height", "primary_key", "v", "is_deletion")
+      .withColumn("value", encode(col("v"), "utf-8")).drop("v")
+    val all = mutations.unionByName(other)
+    val probes = Seq(
+      (1L, "t1", "a", 2L),   // below any mid snapshot → fallback, resolves a1
+      (2L, "t1", "a", 10L),  // resolves a6
+      (3L, "t1", "a", 12L),  // tombstoned at 11, rewritten at 12 → a12
+      (4L, "t1", "a", 11L),  // tombstone wins → null
+      (5L, "t1", "b", 5L),   // tombstoned at 5 → null
+      (6L, "t1", "b", 8L),   // revived at 7 → b7
+      (7L, "t1", "zz", 12L), // never written → null
+      (8L, "t1", "c", 1L),   // first write at 4 → null at 1
+      (9L, "t2", "x", 10L),  // other tablet → fallback, resolves x9
+      (10L, "t2", "x", 1L))  // other tablet, before first write → null
+      .toDF("probe_id", "tablet_id", "primary_key", "at_height")
+    def render(df: DataFrame): Seq[(Long, Option[(Long, String)])] =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None
+         else Some((r.getLong(4),
+           new String(r.getAs[Array[Byte]](5), "UTF-8"))))).toSeq
+    val direct = render(TemporalReads.asOfJoin(all, probes))
+    assert(direct.map(_._2) === Seq(Some((1L, "a1")), Some((6L, "a6")),
+      Some((12L, "a12")), None, None, Some((7L, "b7")), None, None,
+      Some((9L, "x9")), None))
+    for (snapH <- Seq(0L, 4L, 5L, 8L, 12L)) {
+      val snap = Snapshots.buildTabletIndex(all, "t1", snapH)
+      val pruned = render(Snapshots.asOfJoinWithSnapshot(
+        all, probes, snap, snapH, "t1"))
+      assert(pruned === direct, s"snapshot=$snapH")
+      val bounded = render(Snapshots.asOfJoinWithSnapshot(
+        all, probes, snap, snapH, "t1", Snapshots.hydrationBoundOf(snap)))
+      assert(bounded === direct, s"bounded snapshot=$snapH")
+    }
+  }
+
+  test("snapshot-pruned as-of join plans the bounded scans: the eligible " +
+    "route reads hydration ∪ tail (LeftSemi + height > snapshot bound), " +
+    "never the unbounded history") {
+    // Parquet-backed fixture: over a LocalRelation Catalyst folds the
+    // height filters into the relation itself and the bounds vanish from
+    // the plan string; over a file scan they surface as PushedFilters —
+    // the same evidence the store layout relies on for row-group pruning.
+    val dir = tmpDir("asof_plan")
+    mutations.write.mode("overwrite").parquet(s"$dir/muts.parquet")
+    val m = spark.read.parquet(s"$dir/muts.parquet")
+    val snap = Snapshots.buildTabletIndex(m, "t1", 8)
+    val probes = Seq((1L, "t1", "a", 12L))
+      .toDF("probe_id", "tablet_id", "primary_key", "at_height")
+    val plan = Snapshots.asOfJoinWithSnapshot(
+      m, probes, snap, 8, "t1", Some(3L))
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("LeftSemi"),
+      "hydration semi-join missing from the pruned as-of plan")
+    assert(plan.contains("GreaterThan(height,8)"),
+      "tail scan must push the strict height > snapshotHeight bound:\n" + plan)
+    assert(plan.contains("GreaterThanOrEqual(height,3)"),
+      "hydration scan must push the lower bound predicate:\n" + plan)
+  }
+
   test("snapshot read honors a speculative overlay above the tail") {
     val snap = Snapshots.buildTabletIndex(mutations, "t1", 5)
     val spec = Seq(("t1", 13L, "c", "c13-spec", false))

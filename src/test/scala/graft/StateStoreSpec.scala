@@ -26,6 +26,42 @@ class StateStoreSpec extends SparkTestBase {
     assert(!store.hasSeenAnyRowForTablet("t-unknown"))
   }
 
+  test("store asOfJoin: identical result with and without a snapshot, " +
+    "and a snapshot inside the ignore-range is not consulted") {
+    implicit val s = spark
+    import s.implicits._
+    val store = new StateStore(tmpDir("store"))
+    store.writeBatch(Seq(
+      req(0, ("t1", "a", "a0")), req(1, ("t1", "b", "b1")),
+      req(2, ("t1", "a", "a2")), req(3, ("t1", "b", "")), // b tombstoned
+      req(4, ("t1", "c", "c4")), req(5, ("t1", "a", "a5"))))
+    val probes = Seq(
+      (1L, "t1", "a", 1L),  // below any snapshot → fallback route, a0
+      (2L, "t1", "a", 5L),  // a5
+      (3L, "t1", "b", 5L),  // tombstoned at 3 → null
+      (4L, "t1", "c", 3L),  // first write at 4 → null
+      (5L, "t1", "zz", 5L)) // never written → null
+      .toDF("probe_id", "tablet_id", "primary_key", "at_height")
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None
+         else Some((r.getLong(4),
+           new String(r.getAs[Array[Byte]](5), "UTF-8"))))).toSeq
+    val noSnapshot = render(store.asOfJoin("t1", probes))
+    assert(noSnapshot.map(_._2) === Seq(Some((0L, "a0")), Some((5L, "a5")),
+      None, None, None))
+    // Snapshot at 3: probes 2–5 take the pruned route, probe 1 falls back.
+    store.writeTabletSnapshot(
+      graft.snapshot.Snapshots.buildTabletIndex(store.tabletRows, "t1", 3L),
+      "t1", 3L, 4L)
+    assert(render(store.asOfJoin("t1", probes)) === noSnapshot)
+    // A snapshot inside the corrupted window must not be consulted — and
+    // with no usable snapshot below it, the join degrades to the full
+    // history route, still exact (fetchIndex parity, indexing.go:303–326).
+    assert(render(store.asOfJoin("t1", probes,
+      ignoreRange = Some((2L, 4L)))) === noSnapshot)
+  }
+
   test("isNextBlock linearity guard rejects gaps and replays") {
     implicit val s = spark
     val store = new StateStore(tmpDir("store"))
