@@ -141,4 +141,36 @@ class TemporalPropertiesSpec extends SparkTestBase {
       }
     }
   }
+
+  test("snapshot-pruned as-of joins equal full-history as-of joins for " +
+    "random streams, random snapshot heights, and random probe sets") {
+    for (seed <- 30 to 33) {
+      val rnd = new Random(seed)
+      val ms = randomStream(rnd, 50)
+      val df = toDF(ms)
+      // Probes mix: known and unknown keys, all three tablets, heights on
+      // both sides of any snapshot (incl. 0 and past-the-end).
+      val probes = Vector.tabulate(24) { i =>
+        (i.toLong, s"t${rnd.nextInt(3)}",
+          if (rnd.nextInt(6) == 0) "pk-none" else s"pk${rnd.nextInt(6)}",
+          rnd.nextInt(60).toLong)
+      }.toDF("probe_id", "tablet_id", "primary_key", "at_height")
+      def render(dfr: DataFrame): Seq[(Long, Option[(Long, String)])] =
+        dfr.collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(4)) None
+           else Some((r.getLong(4),
+             new String(r.getAs[Array[Byte]](5), "UTF-8"))))).toSeq
+      val direct = render(TemporalReads.asOfJoin(df, probes))
+      for (_ <- 1 to 3) {
+        val snapH = rnd.nextInt(55).toLong
+        val snap = Snapshots.buildTabletIndex(df, "t1", snapH)
+        val pruned = render(
+          Snapshots.asOfJoinWithSnapshot(df, probes, snap, snapH, "t1"))
+        assert(pruned === direct, s"seed=$seed snapH=$snapH")
+        val bounded = render(Snapshots.asOfJoinWithSnapshot(
+          df, probes, snap, snapH, "t1", Snapshots.hydrationBoundOf(snap)))
+        assert(bounded === direct, s"seed=$seed snapH=$snapH bounded")
+      }
+    }
+  }
 }
