@@ -70,7 +70,17 @@ final class IngestionPipeline(
     // source, so a nondeterministic blockFilter or source re-read could
     // commit rows that disagree with the checkpoint/metadata — and even
     // the good case scans the source 4x per batch.
-    val filtered = batch.filter(bf).persist()
+    //
+    // FULL-ROW dedup before anything else: an at-least-once source — the
+    // catch-up ∪ live seam of [[JoiningSource.joined]], a redelivering
+    // Kafka topic — may hand the SAME block to one micro-batch more than
+    // once. Byte-identical redeliveries collapse here (per-batch only, no
+    // streaming state; cross-batch duplicates are already dropped by the
+    // checkpoint linearity guard below). Deliberately full-row, not
+    // by-id: two frames with one id but DIFFERING payloads are corruption,
+    // not redelivery — both survive the dedup and the contiguity guard
+    // fails the batch loudly, exactly as before.
+    val filtered = batch.filter(bf).dropDuplicates().persist()
     try commitPinned(filtered) finally filtered.unpersist()
   }
 

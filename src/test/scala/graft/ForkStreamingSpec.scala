@@ -319,4 +319,65 @@ class ForkStreamingSpec extends SparkTestBase {
     assert(store.tabletRows.count() === 2L)
     assert(store.checkpoint(StateStore.GlobalCheckpointKey).get.height === 1L)
   }
+
+  test("joining source: archive catch-up ∪ live stream commits every height " +
+    "exactly once across a byte-identical overlap seam, within and across " +
+    "micro-batches (bstream joining-source parity)") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.streaming.{BlockArchiveSource, JoiningSource}
+    val store = new StateStore(tmpDir("store"))
+    val pipeline = new IngestionPipeline(store)
+    val archive = tmpDir("archive")
+    def block(n: Long) = StreamedBlock(
+      s"a$n", s"a${n - 1}", n, "irreversible",
+      Seq(TabletRowM(1, "t1", n, s"pk${n % 3}", s"v$n".getBytes, false)), Nil)
+    // Catch-up side on disk before the query starts; live side already
+    // holds an OVERLAPPING window (3..5) — both land in the first batch,
+    // so the seam dedup is exercised within one micro-batch.
+    BlockArchiveSource.writeArchiveFile(Seq(block(0), block(1), block(2)), archive)
+    BlockArchiveSource.writeArchiveFile(Seq(block(3), block(4)), archive)
+    implicit val sqlCtx = s.sqlContext
+    val live = MemoryStream[StreamedBlock]
+    live.addData(block(3), block(4), block(5))
+    val q = pipeline.start(
+      JoiningSource.fromArchiveWithLive(s, archive, live.toDS()),
+      tmpDir("ckpt"), triggerMillis = 50)
+    try {
+      q.processAllAvailable()
+      assert(store.checkpoint(StateStore.GlobalCheckpointKey).get.height === 5L)
+      assert(store.tabletRows.count() === 6L) // 0..5 exactly once
+      // CROSS-batch seam: the archive's tail re-serves heights live already
+      // committed (plus one new one) — the linearity guard drops the
+      // already-checkpointed heights, the new one commits.
+      live.addData(block(6), block(7))
+      q.processAllAvailable()
+      BlockArchiveSource.writeArchiveFile(Seq(block(6), block(7), block(8)), archive)
+      q.processAllAvailable()
+      assert(store.checkpoint(StateStore.GlobalCheckpointKey).get.height === 8L)
+      assert(store.tabletRows.count() === 9L) // 0..8, still exactly once
+      // Live handover complete: the live side alone advances the head.
+      live.addData(block(9))
+      q.processAllAvailable()
+      assert(store.checkpoint(StateStore.GlobalCheckpointKey).get.height === 9L)
+      assert(store.tabletRows.count() === 10L)
+    } finally q.stop()
+  }
+
+  test("joining source: DISAGREEING payloads for one height are corruption, " +
+    "not overlap — the batch fails loudly instead of picking a side") {
+    implicit val s = spark
+    val store = new StateStore(tmpDir("store"))
+    val pipeline = new IngestionPipeline(store)
+    import s.implicits._
+    def block(n: Long, v: String) = StreamedBlock(
+      s"a$n", s"a${n - 1}", n, "irreversible",
+      Seq(TabletRowM(1, "t1", n, "pk", v.getBytes, false)), Nil)
+    val ex = intercept[IllegalArgumentException] {
+      pipeline.commitBatch(
+        Seq(block(0, "v0"), block(1, "v1"), block(1, "OTHER")).toDS(), 0)
+    }
+    assert(ex.getMessage.contains("non-contiguous"))
+    assert(store.checkpoint(StateStore.GlobalCheckpointKey).isEmpty)
+  }
 }
