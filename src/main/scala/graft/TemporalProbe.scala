@@ -53,6 +53,7 @@ object TemporalProbe {
     val maxH = span * factor - 1
     val snapH = maxH * 95L / 100L
 
+    val mutZPath = s"$root/mutations_z.parquet"
     if (!fs.exists(new org.apache.hadoop.fs.Path(mutPath))) {
       val m0 = graft.queries.TemporalQueries.mutations(spark, baseDir)
       val rep = m0
@@ -62,13 +63,33 @@ object TemporalProbe {
           col("primary_key"),
           concat(col("value"), lit("#"), col("copy")).as("value"),
           col("is_deletion"))
+      // 1 MB row groups: the default 128 MB block gives these probe-scale
+      // files ONE row group each, collapsing row-group pruning to file
+      // pruning; a production tablet spans thousands of row groups, and
+      // the smaller block reproduces that granularity at probe scale
+      // (identical setting for both layouts — granularity is not the
+      // variable under test).
       rep.repartitionByRange(cpus.toInt, col("tablet_id"), col("height"))
         .sortWithinPartitions("tablet_id", "height")
-        .write.mode("overwrite").parquet(mutPath)
+        .write.mode("overwrite")
+        .option("parquet.block.size", (1024 * 1024).toString)
+        .parquet(mutPath)
       val m = spark.read.parquet(mutPath)
+      // The SAME corpus in the Z-ORDER layout (compactTabletRowsInterleaved's
+      // clustering), for the point-read layout comparison.
+      val dims = graft.store.ZOrder.dimsOf(m, "primary_key", "height")
+      m.withColumn("__z",
+          graft.store.ZOrder.zValue(col("primary_key"), col("height"), dims))
+        .repartitionByRange(cpus.toInt, col("tablet_id"), col("__z"))
+        .sortWithinPartitions(col("tablet_id"), col("__z"))
+        .drop("__z")
+        .write.mode("overwrite")
+        .option("parquet.block.size", (1024 * 1024).toString)
+        .parquet(mutZPath)
       graft.snapshot.Snapshots.buildTabletIndex(m, "click", snapH)
         .write.mode("overwrite").parquet(snapPath)
     }
+    val mz = spark.read.parquet(mutZPath)
     val m = spark.read.parquet(mutPath)
     val snap = spark.read.parquet(snapPath)
     println(s"corpus: ${m.count()} mutations, span $span × $factor, " +
@@ -117,7 +138,21 @@ object TemporalProbe {
       "singlet_hist" -> (() =>
         graft.read.TemporalReads.readSingletEntries(
           m.withColumnRenamed("tablet_id", "singlet_id"), "signup")
-          .drop(graft.read.TemporalReads.SourceRankCol)))
+          .drop(graft.read.TemporalReads.SourceRankCol)),
+      // Point-read layout comparison: one key's as-of lookup against the
+      // height-sorted layout (every row group of the tablet holds every
+      // key) vs the Z-ORDER layout (row groups carry tight key ranges, so
+      // the pushed primary_key predicate row-group-prunes). Identical
+      // semantics, identical results — layout is the only variable.
+      "point_read_heightsorted" -> (() =>
+        graft.read.TemporalReads.readTabletRowAt(m, "click", "0042", maxH)),
+      "point_read_zorder" -> (() =>
+        graft.read.TemporalReads.readTabletRowAt(mz, "click", "0042", maxH)),
+      // What the z layout costs the OTHER read: the snapshot-bounded tail
+      // scan that the height-sorted layout serves optimally.
+      "read_snap_zorder" -> (() =>
+        graft.snapshot.Snapshots.readTabletAtWithSnapshot(
+          mz, snap, snapH, "click", maxH, Nil, lo)))
 
     // INTERLEAVED sampling (the Bench lesson): N sweeps over the whole set
     // rather than back-to-back runs of one query, so a multi-second host
@@ -137,6 +172,33 @@ object TemporalProbe {
       val runs = samples(name)
       println(f"TPROBE factor=$factor query=$name min=${runs.min}%.2f " +
         runs.map(r => f"$r%.2f").mkString("runs=[", ",", "]"))
+    }
+
+    // SCAN-ROWS instrument: tmpfs makes wall-clock layout-blind (I/O is
+    // page-cached), so the layout comparison's honest metric is what the
+    // scans actually DECODE — each FileSourceScan's numOutputRows counts
+    // the rows of the row groups that survived min/max pruning (Spark
+    // evaluates parquet pushdown at row-group granularity), i.e. the I/O
+    // that becomes wall-clock on a cluster reading object storage.
+    queries.foreach { case (name, mk) =>
+      spark.catalog.clearCache()
+      val q = mk().selectExpr("count(*)", "bit_xor(xxhash64(struct(*)))")
+      q.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          Seq(s.metrics("numOutputRows").value)
+        case other =>
+          other.children.flatMap(scans) ++
+            other.subqueries.flatMap(scans) ++ (other match {
+              case q_ : org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+                scans(q_.plan)
+              case _ => Nil
+            })
+      }
+      val rows = scans(q.queryExecution.executedPlan).sum
+      println(f"TPROBE factor=$factor query=$name scan_rows=$rows")
     }
     spark.stop()
   }

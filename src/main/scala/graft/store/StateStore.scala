@@ -566,16 +566,49 @@ final class StateStore(
     compactMutationTable(tabletRowsPath, Schemas.tabletRows,
       Seq("tablet_id", "height"), numFiles)
 
-  /** [[compactTabletRows]] for the singlet-entry table. */
+  /** [[compactTabletRows]] with the Z-ORDER (interleaved) layout —
+    * SURVEY §7.4.7's second clustering dimension. The height-sorted
+    * default serves tail scans; this layout clusters each tablet by the
+    * Morton interleave of (primary_key prefix, height) so row groups get
+    * tight min/max boxes in BOTH dimensions — `height`-band scans AND
+    * `primary_key` point reads ([[readTabletRowAt]], the as-of join's
+    * equi-probe side) prune, each from its own column's parquet stats.
+    * Same exact contents, same crash-safe swap; pick per table by its
+    * read mix. */
+  def compactTabletRowsInterleaved(numFiles: Int = 0): Long =
+    compactMutationTable(tabletRowsPath, Schemas.tabletRows,
+      Seq("tablet_id", "height"), numFiles, zorderKey = Some("primary_key"))
+
+  /** [[compactTabletRows]] for the singlet-entry table. (No interleaved
+    * variant: a singlet's key IS `singlet_id`, already the leading sort
+    * dimension — there is no second key axis to interleave.) */
   def compactSingletEntries(numFiles: Int = 0): Long =
     compactMutationTable(singletEntriesPath, Schemas.singletEntries,
       Seq("singlet_id", "height"), numFiles)
 
   private def compactMutationTable(
-      path: String, schema: StructType, keys: Seq[String], numFiles: Int): Long = {
+      path: String, schema: StructType, keys: Seq[String], numFiles: Int,
+      zorderKey: Option[String] = None): Long = {
     val n =
       if (numFiles > 0) numFiles
       else spark.sessionState.conf.numShufflePartitions
+    // Layout: default = range-partition + sort on (tablet, height); with
+    // `zorderKey` the in-tablet order key becomes the z-value, computed
+    // per compaction from the table's max height (order-preserving scale
+    // of the height dimension into 32 bits) and DROPPED before write —
+    // the layout changes, the schema does not.
+    def clustered(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      zorderKey match {
+        case Some(pk) =>
+          val dims = ZOrder.dimsOf(df, pk, "height")
+          df.withColumn("__z", ZOrder.zValue(col(pk), col("height"), dims))
+            .repartitionByRange(n, col(keys.head), col("__z"))
+            .sortWithinPartitions(col("collection"), col(keys.head), col("__z"))
+            .drop("__z")
+        case None =>
+          df.repartitionByRange(n, keys.map(col): _*)
+            .sortWithinPartitions(col("collection") +: keys.map(col): _*)
+      }
     commitProtocol match {
       case ManifestCommit =>
         val t = manifestTableFor(path)
@@ -585,11 +618,7 @@ final class StateStore(
         // replaceAll publishes a manifest referencing only the compacted
         // files; prior generations become invisible at the pointer swap
         // and their directories are swept after.
-        t.replaceAll(
-          t.read()
-            .repartitionByRange(n, keys.map(col): _*)
-            .sortWithinPartitions(col("collection") +: keys.map(col): _*),
-          "compact")
+        t.replaceAll(clustered(t.read()), "compact")
         t.sweepOrphans()
         before
       case RenameCommit =>
@@ -602,10 +631,7 @@ final class StateStore(
             fs.listStatus(c.getPath).count(_.isDirectory).toLong
           else 1L
         }.sum
-        rewriteTable(path,
-          readPartitionedTable(path, schema)
-            .repartitionByRange(n, keys.map(col): _*)
-            .sortWithinPartitions(col("collection") +: keys.map(col): _*),
+        rewriteTable(path, clustered(readPartitionedTable(path, schema)),
           partitionCols = Seq("collection"))
         before
     }

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.store.{StateStore, ZOrder}
+import graft.model.{BlockRef, TabletRowM, WriteRequest}
+import scala.util.Random
+
+class ZOrderSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Scala reference model of the interleaved sort key, bit for bit. */
+  private def modelKeyPrefix32(s: String): Long = {
+    val b = s.getBytes("UTF-8").padTo(4, 0.toByte).take(4)
+    ((b(0) & 0xFFL) << 24) | ((b(1) & 0xFFL) << 16) |
+      ((b(2) & 0xFFL) << 8) | (b(3) & 0xFFL)
+  }
+  private def modelBucket(s: String, bounds: Seq[Long]): Long =
+    bounds.count(modelKeyPrefix32(s) >= _).toLong
+  private def modelZ(key: String, height: Long, d: ZOrder.ZDims): Long = {
+    val h0 = height - d.heightMin
+    val h = (if (d.heightShift >= 0) h0 << d.heightShift
+             else h0 >> -d.heightShift) & 0xFFFFFFFFL
+    val b = modelBucket(key, d.keyBounds) * 255L / math.max(1, d.keyBounds.size)
+    val hHigh = (h >> 24) & 0xFFL
+    val hLow = h & 0xFFFFFFL
+    (0 until 8).foldLeft(hLow) { (z, j) =>
+      z | (((b >> j) & 1L) << (25 + 2 * j)) | (((hHigh >> j) & 1L) << (24 + 2 * j))
+    }
+  }
+
+  test("zValue matches the Scala bit model exactly on random keys/heights " +
+    "across bucket boundaries and both height-shift signs") {
+    val rnd = new Random(42)
+    val cases = Seq(("", 0L), ("a", 1L), ("é", 7L), ("pk0001", Long.MaxValue / 3)) ++
+      Seq.fill(60)((rnd.alphanumeric.take(rnd.nextInt(8)).mkString,
+        rnd.nextLong().abs))
+    val boundPool = cases.map(c => modelKeyPrefix32(c._1)).distinct.sorted
+    val dimss = Seq(
+      ZOrder.ZDims(Nil, 0L, 0),
+      ZOrder.ZDims(boundPool, 0L, -31),
+      ZOrder.ZDims(boundPool.take(7), 100L, 12))
+    for (d <- dimss) {
+      val got = cases.toDF("k", "h")
+        .select(ZOrder.zValue(col("k"), col("h"), d))
+        .collect().map(_.getLong(0)).toSeq
+      val want = cases.map { case (k, h) => modelZ(k, h, d) }
+      assert(got === want, s"dims=$d")
+    }
+    // fillShiftFor: spread small ranges up, compress wide ranges down.
+    assert(ZOrder.fillShiftFor(0L) === 0)
+    assert(ZOrder.fillShiftFor(1L) === 31)
+    assert(ZOrder.fillShiftFor(0xFFFFFFFFL) === 0)
+    assert(ZOrder.fillShiftFor(0x100000000L) === -1)
+  }
+
+  test("zValue is monotone in each dimension with the other fixed " +
+    "(order-preserving embedding — the property row-group pruning needs)") {
+    val rnd = new Random(7)
+    val keys = Seq.fill(40)(rnd.alphanumeric.take(6).mkString).sorted
+    val heights = Seq.fill(40)((rnd.nextLong().abs) & 0xFFFFFFFFL).sorted
+    val d = ZOrder.ZDims(
+      keys.map(modelKeyPrefix32).distinct.sorted,
+      heights.min, ZOrder.fillShiftFor(heights.max - heights.min))
+    for (h <- Seq(heights.head, heights.last)) {
+      val zs = keys.map(k => modelZ(k, h, d))
+      assert(zs === zs.sorted, s"not monotone in key at h=$h")
+    }
+    for (k <- Seq(keys.head, keys.last)) {
+      val zs = heights.map(h => modelZ(k, h, d))
+      assert(zs === zs.sorted, s"not monotone in height at k=$k")
+    }
+  }
+
+  private def req(h: Long, rows: (String, String, String)*): WriteRequest =
+    WriteRequest(h, BlockRef(s"blk-$h", h),
+      rows.map { case (t, pk, v) =>
+        TabletRowM(1, t, h, pk, v.getBytes("UTF-8"), v.isEmpty) },
+      Nil)
+
+  test("interleaved compaction preserves contents exactly and gives every " +
+    "file a tight (key, height) bounding box — the height-sorted layout's " +
+    "files span ALL keys, the z-ordered layout's span a fraction, even " +
+    "though the ASCII keys cluster in a corner of 32-bit prefix space") {
+    implicit val s = spark
+    // 16 keys × 128 heights on one tablet: enough rows that 8 output files
+    // must split SOMETHING; the layouts differ in what.
+    def ingest(store: StateStore): Unit = (0L until 128L).foreach { h =>
+      store.writeBatch(Seq(req(h,
+        (0 until 16).map(k => ("t1", f"pk$k%02d", s"v$h-$k")): _*)))
+    }
+    // Box metric: DISTINCT keys per file (the prefix span would lie across
+    // the ASCII '09'→'10' digit gap) × the height span.
+    def boxes(store: StateStore): Seq[(Long, Long)] = store.tabletRows
+      .select(col("primary_key"), col("height"),
+        input_file_name().as("f"))
+      .groupBy("f")
+      .agg(countDistinct(col("primary_key")).as("n_keys"),
+        (max(col("height")) - min(col("height"))).as("h_span"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+
+    val plain = new StateStore(tmpDir("store_plain"))
+    ingest(plain)
+    val rowsBefore = plain.tabletRows.collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getString(3))).sorted.toSeq
+    assert(plain.compactTabletRows(numFiles = 8) === 128L)
+    val plainBoxes = boxes(plain)
+
+    val zed = new StateStore(tmpDir("store_z"))
+    ingest(zed)
+    assert(zed.compactTabletRowsInterleaved(numFiles = 8) === 128L)
+    // Contents identical to the height-sorted layout's (and the original).
+    val zRows = zed.tabletRows.collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getString(3))).sorted.toSeq
+    assert(zRows === rowsBefore)
+    val zBoxes = boxes(zed)
+
+    // Height-sorted: every file holds ALL 16 keys. Z-ordered: files cover
+    // key sub-ranges — the WORST file's key count bounds what a point read
+    // must scan.
+    assert(plainBoxes.forall(_._1 == 16L),
+      s"height-sorted files should span all keys: $plainBoxes")
+    assert(zBoxes.map(_._1).max <= 8L,
+      s"z-ordered files should cluster keys: $zBoxes")
+    // And the height dimension stays clustered too (no file spans the
+    // whole height range): both point reads AND tail scans prune.
+    assert(zBoxes.map(_._2).max < 127L, s"z-ordered height spans: $zBoxes")
+    // The store keeps serving exact reads off the new layout.
+    val at60 = zed.readTabletRowAt("t1", "pk07", 60L).collect()
+    assert(at60.length === 1 &&
+      new String(at60.head.getAs[Array[Byte]](2), "UTF-8") === "v60-7")
+  }
+}
