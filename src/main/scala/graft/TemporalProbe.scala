@@ -54,7 +54,10 @@ object TemporalProbe {
     val snapH = maxH * 95L / 100L
 
     val mutZPath = s"$root/mutations_z.parquet"
-    if (!fs.exists(new org.apache.hadoop.fs.Path(mutPath))) {
+    // Existence keyed on the LAST artifact written: a corpus root left by
+    // an older probe build (mutations.parquet present, the z layout not)
+    // must regenerate everything, not crash on the missing half.
+    if (!fs.exists(new org.apache.hadoop.fs.Path(mutZPath))) {
       val m0 = graft.queries.TemporalQueries.mutations(spark, baseDir)
       val rep = m0
         .crossJoin(broadcast(spark.range(factor.toLong).toDF("copy")))

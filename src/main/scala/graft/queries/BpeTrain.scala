@@ -162,6 +162,14 @@ object BpeTrain {
     // concat(), not the `||` operator: this fragment is interpolated into
     // stripMargin templates below, where a continuation line starting with
     // `||` would lose one pipe to the margin strip and corrupt the SQL.
+    //
+    // The vK CTEs join mK with LEFT JOIN ON true, not a cross join: a
+    // corpus whose merges run dry before `rounds` (every word down to one
+    // symbol) yields an EMPTY argmax row — a cross join would erase the
+    // whole vocabulary from that round on, while the left join leaves
+    // m.l/m.r null, the CASE's null comparison picks the no-merge branch
+    // for every symbol, and the vocab passes through unchanged — exactly
+    // the Spark trainer's `if (top.nonEmpty)` skip.
     def apply(k: Int): String =
       s"string_split(list_reduce(list_prepend('', syms), (acc, x) -> " +
         s"CASE WHEN string_split(acc, chr(31))[-1] = m$k.l AND x = m$k.r " +
@@ -182,7 +190,7 @@ object BpeTrain {
          |),
          |m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
          |v$k AS (
-         |  SELECT word, n, ${apply(k)} AS syms FROM v${k - 1}, m$k
+         |  SELECT word, n, ${apply(k)} AS syms FROM v${k - 1} LEFT JOIN m$k ON true
          |)""".stripMargin
     }
     (Seq("WITH " + base) ++ roundCtes).mkString(",\n")

@@ -169,8 +169,13 @@ object Snapshots {
       snapshotHeight: Long,
       tabletId: String,
       hydrationLowerBound: Option[Long] = None): DataFrame = {
+    // Null-safe split: a probe with a null tablet_id or at_height makes the
+    // predicate NULL, and `filter(p)`/`filter(!p)` would BOTH drop it —
+    // losing the probe entirely instead of resolving it to the null row
+    // asOfJoin emits. `<=> true` folds NULL into the fallback route.
     val eligible =
-      col("tablet_id") === lit(tabletId) && col("at_height") >= lit(snapshotHeight)
+      (col("tablet_id") === lit(tabletId) &&
+        col("at_height") >= lit(snapshotHeight)) <=> lit(true)
     val scoped = rows.filter(col("tablet_id") === lit(tabletId))
     val hydrationScope = hydrationLowerBound match {
       case Some(lo) => scoped.filter(col("height") >= lit(lo))

@@ -529,12 +529,20 @@ final class StateStore(
     * [[graft.snapshot.Snapshots.asOfJoinWithSnapshot]] — per-probe cost
     * bounded by mutations-since-snapshot instead of history depth. Falls
     * back to the full-history join when no snapshot exists or the probe
-    * set is empty; the result is identical either way (spec-pinned). */
+    * set is empty; the result is identical either way (spec-pinned).
+    *
+    * The probes plan is referenced TWICE — once by the max-height
+    * aggregate resolving the snapshot, once by the join itself — so an
+    * expensive probe pipeline should be persisted by the caller, and a
+    * nondeterministic one is a caller bug (its two evaluations could
+    * disagree; every read facade here assumes deterministic inputs). */
   def asOfJoin(
       tabletId: String,
       probes: DataFrame,
       ignoreRange: Option[(Long, Long)] = None): DataFrame = {
-    val maxAt = Option(probes.agg(max(col("at_height"))).head().get(0))
+    // cast("long"): an IntegerType at_height (Int-literal probes) would
+    // otherwise surface as java.lang.Integer and fail the Long cast.
+    val maxAt = Option(probes.agg(max(col("at_height").cast("long"))).head().get(0))
       .map(_.asInstanceOf[Long])
     maxAt.flatMap(latestTabletSnapshot(tabletId, _, ignoreRange)) match {
       case Some((snapH, snap)) =>
@@ -601,10 +609,19 @@ final class StateStore(
       zorderKey match {
         case Some(pk) =>
           val dims = ZOrder.dimsOf(df, pk, "height")
-          df.withColumn("__z", ZOrder.zValue(col(pk), col("height"), dims))
+          // Prefix and bucket as PROJECTED columns: the bucket fold
+          // references its input per histogram boundary and the interleave
+          // references the bucket 16 times — inlined (the one-expression
+          // zValue form) that re-evaluates the encode/hex/conv chain
+          // hundreds of times per row across the whole table.
+          df.withColumn("__pfx", ZOrder.keyPrefix32(col(pk)))
+            .withColumn("__bkt",
+              ZOrder.keyBucketOfPrefix(col("__pfx"), dims.keyBounds))
+            .withColumn("__z",
+              ZOrder.zValueOfBucket(col("__bkt"), col("height"), dims))
             .repartitionByRange(n, col(keys.head), col("__z"))
             .sortWithinPartitions(col("collection"), col(keys.head), col("__z"))
-            .drop("__z")
+            .drop("__z", "__bkt", "__pfx")
         case None =>
           df.repartitionByRange(n, keys.map(col): _*)
             .sortWithinPartitions(col("collection") +: keys.map(col): _*)

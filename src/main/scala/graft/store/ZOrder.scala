@@ -80,20 +80,26 @@ object ZOrder {
     conv(rpad(hex(substring(encode(key, "UTF-8"), 1, 4)), 8, "0"), 16, 10)
       .cast("long")
 
-  /** Equal-frequency bucket (0..#bounds) of the key prefix: the number of
-    * boundaries at or below it — a monotone step function of the prefix,
-    * scan-local (one fold over a ≤255-element literal array). */
-  def keyBucket(key: Column, bounds: Seq[Long]): Column =
+  /** Equal-frequency bucket (0..#bounds) of a PRE-COMPUTED key prefix:
+    * the number of boundaries at or below it — a monotone step function,
+    * scan-local (one fold over a ≤255-element literal array). Takes the
+    * prefix, not the key: the fold references its input once per array
+    * element, so the caller must hand it a cheap expression (a projected
+    * column), not the encode/hex/conv chain, which would otherwise be
+    * re-evaluated up to 255× per row. */
+  def keyBucketOfPrefix(prefix: Column, bounds: Seq[Long]): Column =
     if (bounds.isEmpty) lit(0L)
     else aggregate(lit(bounds.toArray), lit(0L),
-      (acc, b) => acc + when(keyPrefix32(key) >= b, 1L).otherwise(0L))
+      (acc, b) => acc + when(prefix >= b, 1L).otherwise(0L))
 
-  /** The interleaved sort key: the 8 key-bucket bits and the top 8
-    * normalized-height bits alternate in the top 16 positions (key in the
-    * more significant slot of each pair), the 24 low height bits run
-    * contiguous below. Max 40 bits, always non-negative: plain signed
-    * ordering is correct. */
-  def zValue(key: Column, height: Column, dims: ZDims): Column = {
+  /** The interleaved sort key from a PRE-COMPUTED raw bucket: the 8
+    * key-bucket bits and the top 8 normalized-height bits alternate in
+    * the top 16 positions (key in the more significant slot of each
+    * pair), the 24 low height bits run contiguous below. Max 40 bits,
+    * always non-negative: plain signed ordering is correct. Like
+    * [[keyBucketOfPrefix]], `bucket` should be a projected column — the
+    * fold references it 16 times. */
+  def zValueOfBucket(bucket: Column, height: Column, dims: ZDims): Column = {
     val h0 = height - lit(dims.heightMin)
     val h =
       (if (dims.heightShift >= 0) shiftleft(h0, dims.heightShift)
@@ -106,8 +112,7 @@ object ZOrder {
     // monotone and spreads every bit's 0/1 populations evenly for any
     // bucket count. (floor over doubles is exact: bucket·255 ≤ 65k ≪ 2⁵³.)
     val nb = math.max(1, dims.keyBounds.size)
-    val b = floor(keyBucket(key, dims.keyBounds) * lit(255.0) / lit(nb.toDouble))
-      .cast("long")
+    val b = floor(bucket * lit(255.0) / lit(nb.toDouble)).cast("long")
     val hHigh = shiftright(h, 24).bitwiseAND(lit(0xFFL))
     val hLow = h.bitwiseAND(lit(0xFFFFFFL))
     (0 until 8).foldLeft(hLow) { (z, j) =>
@@ -115,4 +120,11 @@ object ZOrder {
         .bitwiseOR(shiftleft(shiftright(hHigh, j).bitwiseAND(lit(1L)), 24 + 2 * j))
     }
   }
+
+  /** One-expression convenience form (probes, specs): computes prefix and
+    * bucket inline. Compaction uses the projected-column form instead —
+    * see [[keyBucketOfPrefix]]'s cost note. */
+  def zValue(key: Column, height: Column, dims: ZDims): Column =
+    zValueOfBucket(
+      keyBucketOfPrefix(keyPrefix32(key), dims.keyBounds), height, dims)
 }

@@ -21,7 +21,13 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *     the store checkpoint — the archive's tail re-serving what live
   *     already committed — are dropped by the linearity guard. Disagreeing
   *     payloads for one height are corruption, not overlap, and still fail
-  *     the contiguity guard loudly.
+  *     the contiguity guard loudly. "Byte-identical" includes the ORDER of
+  *     a block's `tabletRows`/`singletEntries` sequences: the two sides
+  *     must serialize a block identically (true of any relay forwarding
+  *     one upstream), because a semantically-equal reordering is
+  *     indistinguishable from a payload conflict and is treated as one —
+  *     deliberately, since canonicalizing inside the dedup would also
+  *     mask real divergence.
   *
   * The union itself imposes no ordering; ordering and gap detection remain
   * where they always were — `commitBatch` sorts the batch and requires

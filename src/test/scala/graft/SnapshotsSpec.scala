@@ -89,6 +89,14 @@ class SnapshotsSpec extends SparkTestBase {
       (9L, "t2", "x", 10L),  // other tablet → fallback, resolves x9
       (10L, "t2", "x", 1L))  // other tablet, before first write → null
       .toDF("probe_id", "tablet_id", "primary_key", "at_height")
+      // Null-field probes: the eligibility predicate evaluates to NULL for
+      // them, and a naive filter/!filter split would drop them from BOTH
+      // routes; they must resolve through the fallback to asOfJoin's null
+      // row, like any unknown key.
+      .unionByName(Seq(
+        (11L, Option.empty[String], Option("a"), Option(5L)),
+        (12L, Option("t1"), Option("a"), Option.empty[Long]))
+        .toDF("probe_id", "tablet_id", "primary_key", "at_height"))
     def render(df: DataFrame): Seq[(Long, Option[(Long, String)])] =
       df.collect().map(r => r.getLong(0) ->
         (if (r.isNullAt(4)) None
@@ -97,7 +105,7 @@ class SnapshotsSpec extends SparkTestBase {
     val direct = render(TemporalReads.asOfJoin(all, probes))
     assert(direct.map(_._2) === Seq(Some((1L, "a1")), Some((6L, "a6")),
       Some((12L, "a12")), None, None, Some((7L, "b7")), None, None,
-      Some((9L, "x9")), None))
+      Some((9L, "x9")), None, None, None))
     for (snapH <- Seq(0L, 4L, 5L, 8L, 12L)) {
       val snap = Snapshots.buildTabletIndex(all, "t1", snapH)
       val pruned = render(Snapshots.asOfJoinWithSnapshot(
