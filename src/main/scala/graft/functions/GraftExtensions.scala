@@ -1,8 +1,12 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL surface for graft's custom Catalyst expressions, via the public
   * `SparkSessionExtensions` API:
@@ -23,6 +27,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   - `graft_sorted_intersect_count(a, b) -> bigint` — distinct
   *     intersection count of two sorted long arrays
   *     ([[SortedIntersectCount]]).
+  *   - `graft_state_as_of(root, tablet, at_height)` — TABLE function: the
+  *     flagship store-backed as-of read in pure SQL, planned
+  *     snapshot-aware by the injected [[graft.plans.StateAsOfRule]]
+  *     (`SELECT * FROM graft_state_as_of('/store', 'accounts', 800)`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -58,5 +66,56 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_sorted_intersect_count(a, b) takes exactly 2 arguments")
         SortedIntersectCount(children.head, children(1))
       }))
+    // TABLE function: the flagship read in pure SQL —
+    //   SELECT * FROM graft_state_as_of('<store root>', 'tablet', 800)
+    // builds the StateAsOfStore marker, which the resolution rule above
+    // plans snapshot-aware (latest usable TabletIndex → snapshot ∪ tail,
+    // full history otherwise) exactly like the DataFrame surface. SQL-only
+    // consumers get the production read with zero Scala.
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_state_as_of"),
+      new ExpressionInfo(classOf[graft.plans.StateAsOfStore].getName, "graft_state_as_of"),
+      (children: Seq[Expression]) => GraftExtensions.stateAsOfTable(children)))
+  }
+}
+
+object GraftExtensions {
+
+  /** One [[graft.store.StateStore]] handle per root, process-wide: the
+    * constructor runs crash recovery (orphan sweep, swap repair), which a
+    * per-QUERY construction would repeat on every SQL call — and the
+    * store's checkpoint cache is only coherent under the documented
+    * single-writer discipline anyway. */
+  private val stores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.StateStore]()
+
+  private[graft] def storeFor(root: String): graft.store.StateStore =
+    stores.computeIfAbsent(root,
+      r => new graft.store.StateStore(r)(SparkSession.active))
+
+  private def stringArg(e: Expression, what: String): String = e match {
+    case Literal(v: UTF8String, StringType) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"graft_state_as_of: $what must be a string literal, got $other")
+  }
+
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, LongType) => v
+    case Literal(v: Int, IntegerType) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"graft_state_as_of: $what must be an integer literal, got $other")
+  }
+
+  /** Builder for the `graft_state_as_of` TVF: literal args → the
+    * [[graft.plans.StateAsOfStore]] marker over the store's mutation
+    * table. Resolution (and the one tiny snapshot-log aggregate it runs)
+    * happens in [[graft.plans.StateAsOfRule]], as for the DataFrame form. */
+  private[functions] def stateAsOfTable(children: Seq[Expression]): LogicalPlan = {
+    require(children.length == 3,
+      "graft_state_as_of(root, tablet, at_height) takes exactly 3 arguments")
+    val store = storeFor(stringArg(children(0), "root"))
+    graft.plans.StateAsOfStore(
+      GraftBridge.logicalPlan(store.tabletRows), store,
+      stringArg(children(1), "tablet"), longArg(children(2), "at_height"), None)
   }
 }

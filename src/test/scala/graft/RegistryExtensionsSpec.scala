@@ -173,6 +173,30 @@ class RegistryExtensionsSpec extends SparkTestBase {
       val noSnap = graft.plans.StateAsOf.stateAsOf(store, "t2", 11L)
       assert(rows(noSnap) === Seq(("z", 10L, "z10")))
       assert(!noSnap.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+
+      // PURE-SQL surface: the graft_state_as_of TABLE function builds the
+      // same store marker, so a SQL-only consumer gets the identical
+      // snapshot-aware plan — results equal the function path, the
+      // snapshot read keeps its semi-join hydration, and predicates stack
+      // over the TVF like over any relation.
+      val root = store.root
+      val viaSql = s2.sql(
+        s"SELECT * FROM graft_state_as_of('$root', 't1', 9)")
+      assert(rows(viaSql) === rows(viaFn))
+      val sqlPlan = viaSql.queryExecution.optimizedPlan.toString
+      assert(!sqlPlan.contains("StateAsOf"))
+      assert(sqlPlan.contains("LeftSemi"), sqlPlan)
+      val filtered = s2.sql(
+        s"""SELECT value FROM graft_state_as_of('$root', 't1', 9)
+           |WHERE primary_key = 'k1'""".stripMargin)
+        .collect().map(r => new String(r.getAs[Array[Byte]](0), "UTF-8")).toSeq
+      assert(filtered === rows(viaFn).filter(_._1 == "k1").map(_._3))
+      // Non-literal arguments fail loudly at analysis, not silently.
+      val err = intercept[Exception] {
+        s2.sql(s"SELECT * FROM graft_state_as_of('$root', 't1', 4 + 5)")
+          .collect()
+      }
+      assert(err.getMessage.contains("integer literal"), err.getMessage)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
