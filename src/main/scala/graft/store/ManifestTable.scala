@@ -36,8 +36,23 @@ import org.apache.spark.sql.types.StructType
   * which are this exact shape plus manifest checkpointing.
   */
 final class ManifestTable(val tablePath: String, schema: StructType,
-    partitionCol: Option[String] = None)(
+    partitionCol: Option[String] = None,
+    statsCols: Seq[String] = Nil)(
     implicit spark: SparkSession) {
+  import ManifestTable._
+
+  statsCols.foreach { c =>
+    require(partitionCol.forall(_ != c),
+      s"stats column $c is the partition column — its value lives in the " +
+        "directory name, not the file; partition pruning already serves it")
+    val f = schema.fields.find(_.name == c).getOrElse(
+      sys.error(s"stats column $c not in schema"))
+    require(
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType ||
+        f.dataType == org.apache.spark.sql.types.StringType,
+      s"stats column $c: only long/int/string bounds are collected")
+  }
 
   private val genPointerPath = s"$tablePath/_gen"
   private val manifestDir = s"$tablePath/_manifests"
@@ -106,7 +121,13 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     } + "\""
 
   /** Committed (commitId, relative file paths), in commit order. */
-  private[graft] def manifestEntries(gen: Long): Seq[(String, Seq[String])] = {
+  private[graft] def manifestEntries(gen: Long): Seq[(String, Seq[String])] =
+    manifestEntriesFull(gen).map(e => (e.commitId, e.files))
+
+  /** [[manifestEntries]] plus each file's column bounds (empty map when the
+    * committing writer collected no stats — older manifests, or a
+    * statsCols-less instance; such files are never pruned). */
+  private[graft] def manifestEntriesFull(gen: Long): Seq[ManifestEntry] = {
     val (fs, p) = fsOf(manifestPath(gen))
     if (!fs.exists(p)) Seq.empty
     else {
@@ -116,22 +137,53 @@ final class ManifestTable(val tablePath: String, schema: StructType,
         finally in.close()
       text.linesIterator.filter(_.nonEmpty).map { line =>
         // Minimal parser for the writer's own fixed shape:
-        // {"commit_id":"...","files":["a","b"]}
+        // {"commit_id":"...","files":["a","b"],"stats":[{...},{...}]}
+        // (`stats` optional, one object per file, in file order).
         val commitId = line.split("\"commit_id\":\"", 2)(1).split("\"", 2)(0)
         val filesPart = line.split("\"files\":\\[", 2)(1).split("\\]", 2)(0)
         val files =
           if (filesPart.isEmpty) Seq.empty[String]
           else filesPart.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        (commitId, files)
+        val stats: Seq[Map[String, (StatVal, StatVal)]] =
+          line.split("\"stats\":\\[", 2) match {
+            case Array(_, rest) =>
+              // Objects hold only `"col":["tag","tag"]` pairs whose tagged
+              // values (base64 / decimal digits) contain no `{`/`}` — the
+              // `},{` split cannot fire inside a value.
+              val body = rest.reverse.dropWhile(_ != ']').drop(1).reverse
+              if (body.isEmpty) files.map(_ => Map.empty[String, (StatVal, StatVal)])
+              else body.stripPrefix("{").stripSuffix("}").split("\\},\\{", -1)
+                .toSeq.map(parseStatsObj)
+            case _ => files.map(_ => Map.empty[String, (StatVal, StatVal)])
+          }
+        ManifestEntry(commitId, files,
+          if (stats.size == files.size) stats
+          else files.map(_ => Map.empty[String, (StatVal, StatVal)]))
       }.toSeq
     }
   }
 
-  private def writeManifest(gen: Long, entries: Seq[(String, Seq[String])]): Unit = {
+  private def parseStatsObj(body: String): Map[String, (StatVal, StatVal)] =
+    if (body.isEmpty) Map.empty
+    else StatsPairRe.findAllMatchIn(body).map { m =>
+      m.group(1) -> (decodeStatVal(m.group(2)), decodeStatVal(m.group(3)))
+    }.toMap
+
+  private def writeManifest(gen: Long, entries: Seq[ManifestEntry]): Unit = {
     val (fs, p) = fsOf(manifestPath(gen))
     fs.mkdirs(p.getParent)
-    val json = entries.map { case (id, files) =>
-      s"""{"commit_id":${quote(id)},"files":[${files.map(quote).mkString(",")}]}"""
+    val json = entries.map { e =>
+      val statsPart =
+        if (e.stats.forall(_.isEmpty)) ""
+        else {
+          val objs = e.stats.map { m =>
+            m.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+              s"${quote(c)}:[${quote(encodeStatVal(lo))},${quote(encodeStatVal(hi))}]"
+            }.mkString("{", ",", "}")
+          }
+          s""","stats":[${objs.mkString(",")}]"""
+        }
+      s"""{"commit_id":${quote(e.commitId)},"files":[${e.files.map(quote).mkString(",")}]$statsPart}"""
     }.mkString("", "\n", "\n")
     val out = fs.create(p, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
@@ -165,15 +217,15 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * directory in overwrite mode. */
   def commit(df: DataFrame, commitId: String): Boolean = {
     val gen = currentGeneration().getOrElse(0L)
-    val entries = manifestEntries(gen)
-    if (entries.exists(_._1 == commitId)) return false
+    val entries = manifestEntriesFull(gen)
+    if (entries.exists(_.commitId == commitId)) return false
     val next = gen + 1
     val dataDir = s"$tablePath/d-$commitId-g$next"
     writeData(df, dataDir)
     val files = listDataFiles(dataDir)
     if (failBeforePublish)
       throw new IllegalStateException(s"injected crash before publish of $commitId")
-    writeManifest(next, entries :+ (commitId -> files))
+    writeManifest(next, entries :+ ManifestEntry(commitId, files, collectStats(dataDir, files)))
     publish(next)
     true
   }
@@ -188,8 +240,48 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     val files = listDataFiles(dataDir)
     if (failBeforePublish)
       throw new IllegalStateException(s"injected crash before publish of $commitId")
-    writeManifest(next, Seq(commitId -> files))
+    writeManifest(next, Seq(ManifestEntry(commitId, files, collectStats(dataDir, files))))
     publish(next)
+  }
+
+  /** Per-file min/max of `statsCols` for a just-written commit directory —
+    * the manifest-side data-skipping index (the Delta/Iceberg per-file
+    * stats pattern). One extra column-pruned scan of the files this commit
+    * wrote (footer + statsCols pages only); a production writer folds this
+    * into the write task itself, which is exactly what Delta's commit
+    * protocol does — the stats' CONTENT and placement (inside the manifest,
+    * atomically published with the pointer swap) are the same either way.
+    * Empty when the instance declares no statsCols. */
+  private def collectStats(
+      dataDir: String,
+      files: Seq[String]): Seq[Map[String, (StatVal, StatVal)]] = {
+    if (statsCols.isEmpty || files.isEmpty)
+      return files.map(_ => Map.empty[String, (StatVal, StatVal)])
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val base = partitionCol match {
+      case Some(_) =>
+        spark.read.option("basePath", dataDir).schema(schema).parquet(dataDir)
+      case None => spark.read.schema(schema).parquet(dataDir)
+    }
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val rows = base
+      .groupBy(input_file_name().as("_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val rootPrefix = fsOf(tablePath)._2.toUri.getPath
+    val byRel: Map[String, Map[String, (StatVal, StatVal)]] = rows.map { r =>
+      val rel = new Path(new java.net.URI(r.getAs[String]("_file")))
+        .toUri.getPath.stripPrefix(rootPrefix).stripPrefix("/")
+      val bounds = statsCols.flatMap { c =>
+        (Option(r.getAs[Any](s"min_$c")), Option(r.getAs[Any](s"max_$c"))) match {
+          case (Some(lo), Some(hi)) => Some(c -> (toStatVal(lo), toStatVal(hi)))
+          case _ => None // all-null column in this file: no bounds, never pruned on it
+        }
+      }.toMap
+      rel -> bounds
+    }.toMap
+    files.map(f => byRel.getOrElse(f, Map.empty))
   }
 
   // ----------------------------------------------------------------- read
@@ -230,7 +322,13 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       require(fs.exists(p), s"generation $gen does not exist " +
         s"(current: ${currentGeneration().getOrElse(0L)})")
     }
-    val rel = manifestEntries(gen).flatMap(_._2)
+    scanOf(manifestEntries(gen).flatMap(_._2))
+  }
+
+  /** Build the union scan over an explicit relative-file list (the commit
+    * structure readAt documents: per-commit basePath so partition parsing
+    * sees `col=value` directly under each base). */
+  private def scanOf(rel: Seq[String]): DataFrame =
     if (rel.isEmpty) emptyDf
     else partitionCol match {
       case None =>
@@ -247,7 +345,40 @@ final class ManifestTable(val tablePath: String, schema: StructType,
           }
           .reduce(_ unionByName _)
     }
-  }
+
+  /** DATA-SKIPPING read: the current generation restricted to files whose
+    * manifest bounds can satisfy `filters` — the file list is pruned on the
+    * DRIVER from manifest metadata alone, before Spark ever lists, opens,
+    * or footer-reads a file. This is the Iceberg/Delta manifest-stats scan:
+    * at a micro-batch cadence the table accretes ~86k files/day, and at
+    * 100 TB the per-file open+footer round trips dominate point-read cost
+    * long before row-group stats (which need the footer in hand) get their
+    * turn. Bounds are conservative: a file with no recorded bounds for a
+    * filtered column always survives, so the result ALWAYS equals
+    * `read().filter(<the same predicates>)` — callers must still apply the
+    * Catalyst predicates; pruning only shrinks the scan. */
+  def readPruned(filters: Seq[StatsFilter]): DataFrame =
+    currentGeneration() match {
+      case None => emptyDf
+      case Some(gen) => scanOf(survivingFiles(gen, filters))
+    }
+
+  /** (surviving, total) file counts for `filters` — the pruning
+    * instrument probes and specs read. */
+  def pruneCounts(filters: Seq[StatsFilter]): (Int, Int) =
+    currentGeneration() match {
+      case None => (0, 0)
+      case Some(gen) =>
+        val total = manifestEntriesFull(gen).map(_.files.size).sum
+        (survivingFiles(gen, filters).size, total)
+    }
+
+  private def survivingFiles(gen: Long, filters: Seq[StatsFilter]): Seq[String] =
+    manifestEntriesFull(gen).flatMap { e =>
+      e.files.zip(e.stats).collect {
+        case (f, st) if filters.forall(survives(st, _)) => f
+      }
+    }
 
   private def emptyDf: DataFrame =
     spark.createDataFrame(
@@ -279,4 +410,93 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     victims.foreach(p => fs.delete(p, true))
     victims.map(_.getName).toSeq
   }
+}
+
+object ManifestTable {
+
+  /** One manifest line: a commit, its files, and per-file column bounds
+    * (`stats(i)` describes `files(i)`; empty map = no bounds recorded). */
+  private[graft] final case class ManifestEntry(
+      commitId: String,
+      files: Seq[String],
+      stats: Seq[Map[String, (StatVal, StatVal)]])
+
+  /** A min/max bound value. Longs compare numerically; strings compare as
+    * unsigned UTF-8 bytes — the SAME order Spark's `min`/`max` over
+    * `StringType` use (`UTF8String.binaryCompare`), so bounds computed by
+    * Spark prune predicates evaluated by Spark without ordering drift
+    * (Java `String.compareTo` is UTF-16 code-unit order and DISAGREES on
+    * supplementary characters). */
+  private[graft] sealed trait StatVal
+  private[graft] final case class LongVal(v: Long) extends StatVal
+  private[graft] final case class BytesVal(v: Array[Byte]) extends StatVal
+
+  /** File-pruning predicates over manifest bounds. Semantics per file:
+    *   - [[StatsEq]]  `col = v`  → survive iff min ≤ v ≤ max
+    *   - [[StatsLte]] `col ≤ v`  → survive iff min ≤ v
+    *   - [[StatsGte]] `col ≥ v`  → survive iff max ≥ v
+    * `value` is a Long (for long/int columns) or String. SQL's
+    * `NULL cmp x = NULL` makes these sound on nullable columns too: bounds
+    * ignore nulls, and null-valued rows can never satisfy the Catalyst
+    * predicate the caller still applies. */
+  sealed trait StatsFilter { def col: String; def value: Any }
+  final case class StatsEq(col: String, value: Any) extends StatsFilter
+  final case class StatsLte(col: String, value: Any) extends StatsFilter
+  final case class StatsGte(col: String, value: Any) extends StatsFilter
+
+  // Tagged scalar codec for manifest JSON: `l:<decimal>` / `s:<base64 of
+  // UTF-8 bytes>`. Both alphabets avoid `{ } [ ] " ,` entirely, which is
+  // what licenses the manifest parser's split-based object scan.
+  private val StatsPairRe =
+    """"([^"]+)":\["([^"]*)","([^"]*)"\]""".r
+
+  private def encodeStatVal(v: StatVal): String = v match {
+    case LongVal(l) => s"l:$l"
+    case BytesVal(b) =>
+      "s:" + java.util.Base64.getEncoder.encodeToString(b)
+  }
+
+  private def decodeStatVal(s: String): StatVal =
+    if (s.startsWith("l:")) LongVal(s.drop(2).toLong)
+    else if (s.startsWith("s:")) BytesVal(java.util.Base64.getDecoder.decode(s.drop(2)))
+    else sys.error(s"unrecognized stat value tag: $s")
+
+  private def toStatVal(v: Any): StatVal = v match {
+    case l: Long => LongVal(l)
+    case i: Int => LongVal(i.toLong)
+    case s: String => BytesVal(s.getBytes("UTF-8"))
+    case other => sys.error(s"unsupported stats value ${other.getClass}")
+  }
+
+  /** Unsigned-lexicographic byte compare = UTF8String.binaryCompare. */
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private def cmp(bound: StatVal, v: StatVal): Int = (bound, v) match {
+    case (LongVal(a), LongVal(b)) => java.lang.Long.compare(a, b)
+    case (BytesVal(a), BytesVal(b)) => cmpBytes(a, b)
+    case _ => sys.error(s"stats bound/filter type mismatch: $bound vs $v")
+  }
+
+  private def survives(
+      bounds: Map[String, (StatVal, StatVal)],
+      f: StatsFilter): Boolean =
+    bounds.get(f.col) match {
+      case None => true // unknown bounds: never prune
+      case Some((lo, hi)) =>
+        val v = toStatVal(f.value)
+        f match {
+          case _: StatsEq => cmp(lo, v) <= 0 && cmp(hi, v) >= 0
+          case _: StatsLte => cmp(lo, v) <= 0
+          case _: StatsGte => cmp(hi, v) >= 0
+        }
+    }
 }

@@ -318,10 +318,18 @@ final class StateStore(
   // Manifest-protocol table handles (unused under RenameCommit). Same
   // collection=N hive layout as the rename protocol, nested per commit dir,
   // so collection predicates prune directories under BOTH protocols.
+  // statsCols: the manifest records per-file (tablet/singlet id, height,
+  // key) bounds at commit, and the point/as-of read paths prune the FILE
+  // LIST driver-side before Spark lists or footer-reads anything
+  // ([[ManifestTable.readPruned]]) — at a micro-batch cadence the live
+  // commit count is what a read pays for first, and manifest stats cut it
+  // without waiting for compaction.
   private lazy val manifestTabletRows =
-    new ManifestTable(tabletRowsPath, Schemas.tabletRows, Some("collection"))
+    new ManifestTable(tabletRowsPath, Schemas.tabletRows, Some("collection"),
+      statsCols = Seq("tablet_id", "height", "primary_key"))
   private lazy val manifestSingletEntries =
-    new ManifestTable(singletEntriesPath, Schemas.singletEntries, Some("collection"))
+    new ManifestTable(singletEntriesPath, Schemas.singletEntries, Some("collection"),
+      statsCols = Seq("singlet_id", "height"))
 
   private[graft] def manifestTableFor(path: String): ManifestTable =
     if (path == tabletRowsPath) manifestTabletRows else manifestSingletEntries
@@ -359,6 +367,23 @@ final class StateStore(
     case ManifestCommit => manifestSingletEntries.read()
     case RenameCommit => readPartitionedTable(singletEntriesPath, Schemas.singletEntries)
   }
+
+  /** [[tabletRows]] with manifest-stats file pruning under
+    * [[ManifestCommit]] (plain table under [[RenameCommit]], where parquet
+    * row-group stats already serve the same predicates once footers are
+    * open). `filters` MUST be implied by the Catalyst predicates the read
+    * applies on top — pruning shrinks the scan, never the result. */
+  private[graft] def tabletRowsPruned(filters: Seq[ManifestTable.StatsFilter]): DataFrame =
+    commitProtocol match {
+      case ManifestCommit => manifestTabletRows.readPruned(filters)
+      case RenameCommit => tabletRows
+    }
+
+  private[graft] def singletEntriesPruned(filters: Seq[ManifestTable.StatsFilter]): DataFrame =
+    commitProtocol match {
+      case ManifestCommit => manifestSingletEntries.readPruned(filters)
+      case RenameCommit => singletEntries
+    }
   def tabletSnapshots: DataFrame = readTable(snapshotsPath, Schemas.tabletSnapshots)
 
   def checkpointsDF: DataFrame = {
@@ -514,11 +539,24 @@ final class StateStore(
         // metadata-scale aggregate — worth running to bound the hydration
         // scan (the difference between O(history) and O(live band) reads
         // on a deep tablet; see readTabletAtWithSnapshot).
+        val hb = graft.snapshot.Snapshots.hydrationBoundOf(snap)
+        // Everything this read touches sits in heights
+        // [min(hydration bound, snapH+1), atHeight] of this tablet —
+        // manifest stats drop whole files outside that band before the
+        // scan is even planned.
+        val src = tabletRowsPruned(Seq(
+          ManifestTable.StatsEq("tablet_id", tabletId),
+          ManifestTable.StatsLte("height", atHeight),
+          ManifestTable.StatsGte("height",
+            math.min(hb.getOrElse(Long.MaxValue), snapH + 1))))
         graft.snapshot.Snapshots.readTabletAtWithSnapshot(
-          tabletRows, snap, snapH, tabletId, atHeight, speculative,
-          graft.snapshot.Snapshots.hydrationBoundOf(snap))
+          src, snap, snapH, tabletId, atHeight, speculative, hb)
       case None =>
-        graft.read.TemporalReads.readTabletAt(tabletRows, tabletId, atHeight, speculative)
+        graft.read.TemporalReads.readTabletAt(
+          tabletRowsPruned(Seq(
+            ManifestTable.StatsEq("tablet_id", tabletId),
+            ManifestTable.StatsLte("height", atHeight))),
+          tabletId, atHeight, speculative)
     }
 
   /** Snapshot-aware batch AS-OF JOIN against this store's mutation table:
@@ -544,13 +582,18 @@ final class StateStore(
     // otherwise surface as java.lang.Integer and fail the Long cast.
     val maxAt = Option(probes.agg(max(col("at_height").cast("long"))).head().get(0))
       .map(_.asInstanceOf[Long])
+    // Probes may target any tablet (the fallback route), so only the
+    // height ceiling prunes files here: nothing above the probes' max
+    // at_height can influence any resolution.
+    val src = maxAt.fold(tabletRows)(m =>
+      tabletRowsPruned(Seq(ManifestTable.StatsLte("height", m))))
     maxAt.flatMap(latestTabletSnapshot(tabletId, _, ignoreRange)) match {
       case Some((snapH, snap)) =>
         graft.snapshot.Snapshots.asOfJoinWithSnapshot(
-          tabletRows, probes, snap, snapH, tabletId,
+          src, probes, snap, snapH, tabletId,
           graft.snapshot.Snapshots.hydrationBoundOf(snap))
       case None =>
-        graft.read.TemporalReads.asOfJoin(tabletRows, probes)
+        graft.read.TemporalReads.asOfJoin(src, probes)
     }
   }
 
@@ -699,8 +742,11 @@ final class StateStore(
         val collection = entry.getInt(0)
         val dir = f"s-$collection-${tabletHashOf(tabletId)}-$h%017d"
         if (pathExists(s"$snapshotsPath/$dir")) {
-          val scoped = tabletRows.filter(
-            col("tablet_id") === lit(tabletId) && col("height") <= lit(h)).persist()
+          val scoped = tabletRowsPruned(Seq(
+              ManifestTable.StatsEq("tablet_id", tabletId),
+              ManifestTable.StatsLte("height", h)))
+            .filter(
+              col("tablet_id") === lit(tabletId) && col("height") <= lit(h)).persist()
           try {
             val squelch = scoped.count()
             val idx = graft.snapshot.Snapshots
@@ -828,11 +874,17 @@ final class StateStore(
       atHeight: Long,
       speculative: Seq[DataFrame] = Nil): DataFrame =
     graft.read.TemporalReads.readTabletRowAt(
-      tabletRows, tabletId, primaryKey, atHeight, speculative)
+      tabletRowsPruned(Seq(
+        ManifestTable.StatsEq("tablet_id", tabletId),
+        ManifestTable.StatsEq("primary_key", primaryKey),
+        ManifestTable.StatsLte("height", atHeight))),
+      tabletId, primaryKey, atHeight, speculative)
 
   /** HasSeenAnyRowForTablet (read.go:410–415): limit-1 existence probe. */
   def hasSeenAnyRowForTablet(tabletId: String): Boolean =
-    graft.read.TemporalReads.hasSeenAnyRowForTablet(tabletRows, tabletId)
+    graft.read.TemporalReads.hasSeenAnyRowForTablet(
+      tabletRowsPruned(Seq(ManifestTable.StatsEq("tablet_id", tabletId))),
+      tabletId)
 
   /** Latest entry of one singlet as of `atHeight` (read.go:300–349). */
   def readSingletEntryAt(
@@ -840,13 +892,18 @@ final class StateStore(
       atHeight: Long,
       speculative: Seq[DataFrame] = Nil): DataFrame =
     graft.read.TemporalReads.readSingletEntryAt(
-      singletEntries, singletId, atHeight, speculative)
+      singletEntriesPruned(Seq(
+        ManifestTable.StatsEq("singlet_id", singletId),
+        ManifestTable.StatsLte("height", atHeight))),
+      singletId, atHeight, speculative)
 
   /** Full history of one singlet, most recent first (read.go:356–408). */
   def readSingletEntries(
       singletId: String,
       speculative: Seq[DataFrame] = Nil): DataFrame =
-    graft.read.TemporalReads.readSingletEntries(singletEntries, singletId, speculative)
+    graft.read.TemporalReads.readSingletEntries(
+      singletEntriesPruned(Seq(ManifestTable.StatsEq("singlet_id", singletId))),
+      singletId, speculative)
 
   // ------------------------------------------------------------------
   // Sharding (parallel backfill) coordination

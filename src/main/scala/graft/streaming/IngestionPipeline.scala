@@ -172,9 +172,13 @@ final class IngestionPipeline(
           // bounded by mutations since the last index, never by history.
           // The tail is pinned so its one scan feeds both the squelch
           // count and the argmax; squelch carries forward as prev + tail.
-          val tail = store.tabletRows.filter(
-            col("tablet_id") === lit(tablet) &&
-              col("height") > lit(prevH) && col("height") <= lit(hi)).persist()
+          val tail = store.tabletRowsPruned(Seq(
+              graft.store.ManifestTable.StatsEq("tablet_id", tablet),
+              graft.store.ManifestTable.StatsGte("height", prevH + 1),
+              graft.store.ManifestTable.StatsLte("height", hi)))
+            .filter(
+              col("tablet_id") === lit(tablet) &&
+                col("height") > lit(prevH) && col("height") <= lit(hi)).persist()
           try {
             val tailCount = tail.count()
             val idx = graft.snapshot.Snapshots
@@ -192,8 +196,11 @@ final class IngestionPipeline(
         case None =>
           // First index of this tablet: one full-history build, with the
           // scanned slice pinned so the squelch count is not a second scan.
-          val scoped = store.tabletRows.filter(
-            col("tablet_id") === lit(tablet) && col("height") <= lit(hi)).persist()
+          val scoped = store.tabletRowsPruned(Seq(
+              graft.store.ManifestTable.StatsEq("tablet_id", tablet),
+              graft.store.ManifestTable.StatsLte("height", hi)))
+            .filter(
+              col("tablet_id") === lit(tablet) && col("height") <= lit(hi)).persist()
           try {
             val squelch = scoped.count()
             val idx = graft.snapshot.Snapshots

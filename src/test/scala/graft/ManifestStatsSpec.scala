@@ -1,0 +1,169 @@
+package graft
+
+import graft.model._
+import graft.store.{ManifestTable, StateStore}
+import graft.store.ManifestTable.{StatsEq, StatsGte, StatsLte}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Manifest-level data skipping ([[ManifestTable.readPruned]]) — per-file
+  * column bounds recorded at commit, file list pruned on the driver before
+  * Spark lists or footer-reads anything (the Iceberg/Delta stats pattern;
+  * the reference gets the same effect from its ordered KV iterator seeking
+  * straight to `(tablet, height)` bands, read.go:47–63 — a parquet store
+  * must put the seek in METADATA instead).
+  *
+  * The contract under test: `readPruned(filters)` over ANY manifest equals
+  * `read()` filtered by the same predicates — stats only shrink the scan —
+  * including manifests with no stats (older writers), string bounds with
+  * hostile characters, and the UTF-8-vs-UTF-16 ordering trap.
+  */
+class ManifestStatsSpec extends SparkTestBase {
+
+  private val schema = StructType(Seq(
+    StructField("tablet_id", StringType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("primary_key", StringType, nullable = false)))
+
+  private def df(rows: (String, Long, String)*): DataFrame = {
+    implicit val s = spark
+    import s.implicits._
+    rows.toDF("tablet_id", "height", "primary_key")
+  }
+
+  private def rowSet(d: DataFrame): Set[(String, Long, String)] =
+    d.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+
+  test("pruned read equals filtered full read; disjoint bands actually prune") {
+    implicit val s = spark
+    val t = new ManifestTable(tmpDir("mstats"), schema,
+      statsCols = Seq("tablet_id", "height", "primary_key"))
+    // Three commits with disjoint height bands and tablet sets.
+    t.commit(df(("t1", 0L, "a"), ("t1", 5L, "b")), "c0")
+    t.commit(df(("t1", 10L, "a"), ("t2", 12L, "x")), "c1")
+    t.commit(df(("t2", 20L, "y"), ("t3", 25L, "z")), "c2")
+
+    val cases: Seq[(Seq[ManifestTable.StatsFilter], DataFrame => DataFrame)] = Seq(
+      (Seq(StatsEq("tablet_id", "t1")), _.filter(col("tablet_id") === "t1")),
+      (Seq(StatsLte("height", 9L)), _.filter(col("height") <= 9)),
+      (Seq(StatsGte("height", 11L)), _.filter(col("height") >= 11)),
+      (Seq(StatsEq("tablet_id", "t2"), StatsLte("height", 15L)),
+        _.filter(col("tablet_id") === "t2" && col("height") <= 15)),
+      (Seq(StatsEq("primary_key", "z")), _.filter(col("primary_key") === "z")),
+      (Seq(StatsEq("tablet_id", "nope")), _.filter(col("tablet_id") === "nope")))
+    for ((filters, pred) <- cases)
+      assert(rowSet(pred(t.readPruned(filters))) === rowSet(pred(t.read())),
+        s"mismatch for $filters")
+
+    // The bands are disjoint, so each single-band filter must drop files.
+    val (k1, n) = t.pruneCounts(Seq(StatsLte("height", 5L)))
+    assert(n >= 3 && k1 < n, s"height<=5 kept $k1 of $n")
+    val (k2, _) = t.pruneCounts(Seq(StatsEq("tablet_id", "t3")))
+    assert(k2 < n, s"tablet_id=t3 kept $k2 of $n")
+    val (k3, _) = t.pruneCounts(Seq(StatsEq("tablet_id", "absent")))
+    assert(k3 === 0, "a key outside every file's bounds must prune everything")
+  }
+
+  test("string bounds survive hostile characters and JSON round-trip") {
+    implicit val s = spark
+    val t = new ManifestTable(tmpDir("mstats-str"), schema,
+      statsCols = Seq("tablet_id", "primary_key"))
+    val nasty = Seq("a,b", "x]y", "q{z}", "quo\"te", "back\\slash", "é-accent")
+    t.commit(df(nasty.map(k => ("t1", 1L, k)): _*), "c0")
+    t.commit(df(("t2", 2L, "plain")), "c1")
+    for (k <- nasty) {
+      val got = rowSet(t.readPruned(Seq(StatsEq("primary_key", k)))
+        .filter(col("primary_key") === k))
+      assert(got === Set(("t1", 1L, k)), s"lost key $k through the manifest")
+    }
+    // And the commit-1 file is actually prunable by those probes.
+    val (kept, total) = t.pruneCounts(Seq(StatsEq("primary_key", "é-accent")))
+    assert(kept < total)
+  }
+
+  test("bounds compare as UTF-8 bytes, not UTF-16 code units") {
+    implicit val s = spark
+    val t = new ManifestTable(tmpDir("mstats-utf"), schema,
+      statsCols = Seq("primary_key"))
+    // U+FFFF vs U+10000 (surrogate pair): UTF-16 order says
+    // "￿" > "𐀀", UTF-8 byte order (= Spark min/max order)
+    // says the opposite. A String.compareTo-based pruner would drop the
+    // file for the U+FFFF probe because it sits "above" the byte-order max.
+    val hi = "𐀀" // U+10000
+    val mid = "￿"
+    t.commit(df(("t1", 1L, "a"), ("t1", 2L, mid), ("t1", 3L, hi)), "c0")
+    val got = rowSet(t.readPruned(Seq(StatsEq("primary_key", mid)))
+      .filter(col("primary_key") === mid))
+    assert(got === Set(("t1", 2L, mid)))
+  }
+
+  test("stats-less manifests read fine and never prune; stats resume on later commits") {
+    implicit val s = spark
+    val path = tmpDir("mstats-legacy")
+    val legacy = new ManifestTable(path, schema) // no statsCols: v1 format
+    legacy.commit(df(("t1", 1L, "a")), "c0")
+
+    val t = new ManifestTable(path, schema,
+      statsCols = Seq("tablet_id", "height", "primary_key"))
+    // The legacy file has no bounds → survives every filter.
+    val (kept0, total0) = t.pruneCounts(Seq(StatsEq("tablet_id", "zzz")))
+    assert(total0 >= 1 && kept0 === total0)
+
+    t.commit(df(("t2", 10L, "b")), "c1")
+    // New commit has bounds and prunes; legacy file still always kept.
+    val (kept1, total1) = t.pruneCounts(Seq(StatsEq("tablet_id", "zzz")))
+    assert(total1 > total0 && kept1 === total0)
+    assert(rowSet(t.readPruned(Seq(StatsEq("tablet_id", "t2")))
+      .filter(col("tablet_id") === "t2")) === Set(("t2", 10L, "b")))
+    // Full read is unaffected by the mixed manifest.
+    assert(rowSet(t.read()) === Set(("t1", 1L, "a"), ("t2", 10L, "b")))
+  }
+
+  // ------------------------------------------------------------ StateStore
+
+  private def req(h: Long, rows: (String, String, String)*): WriteRequest =
+    WriteRequest(h, BlockRef(s"blk-$h", h),
+      rows.map { case (t, pk, v) =>
+        TabletRowM(1, t, h, pk, v.getBytes("UTF-8"), v.isEmpty) },
+      Nil)
+
+  test("store reads prune the manifest file list and stay exact; compaction keeps stats") {
+    implicit val s = spark
+    val store = new StateStore(tmpDir("mstats-store"), StateStore.ManifestCommit)
+    // 6 single-height commits over two tablets — 1 commit dir each.
+    for (h <- 0L to 5L)
+      store.writeBatch(Seq(req(h,
+        (if (h % 2 == 0) "t1" else "t2", s"k$h", s"v$h"))))
+
+    def manifest = store.manifestTableFor(store.tabletRowsPath)
+
+    // The flagship read at h=2 needs only t1's files at heights <= 2.
+    val expected2 = rowSet2(store.readTabletAt("t1", 2L))
+    assert(expected2 === Set(("k0", "v0"), ("k2", "v2")))
+    val (kept, total) = manifest.pruneCounts(Seq(
+      StatsEq("tablet_id", "t1"), StatsLte("height", 2L)))
+    assert(total === 6 && kept === 2, s"expected 2 of 6 files, got $kept of $total")
+
+    // Point read prunes on primary_key too.
+    assert(rowSet2(store.readTabletRowAt("t1", "k4", 5L)) === Set(("k4", "v4")))
+    val (keptPk, _) = manifest.pruneCounts(Seq(
+      StatsEq("tablet_id", "t1"), StatsEq("primary_key", "k4"),
+      StatsLte("height", 5L)))
+    assert(keptPk === 1)
+
+    // Compaction republishes via replaceAll → fresh stats on the new files.
+    store.compactTabletRows(numFiles = 2)
+    assert(rowSet2(store.readTabletAt("t1", 2L)) === expected2)
+    val (_, totalC) = manifest.pruneCounts(Nil)
+    assert(totalC === 2, "compaction should leave exactly numFiles stat-carrying files")
+    val (keptC, _) = manifest.pruneCounts(Seq(StatsEq("tablet_id", "t0-absent")))
+    assert(keptC === 0, "compacted files must carry fresh bounds")
+  }
+
+  private def rowSet2(d: DataFrame): Set[(String, String)] =
+    d.collect().map(r =>
+      (r.getAs[String]("primary_key"),
+        new String(r.getAs[Array[Byte]]("value"), "UTF-8"))).toSet
+}
