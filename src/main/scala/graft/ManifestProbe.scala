@@ -1,0 +1,146 @@
+package graft
+
+import graft.store.{ManifestTable, StateStore}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe for MANIFEST-LEVEL data skipping (not part of the driver
+  * contract): builds a [[StateStore.ManifestCommit]] store with `commits`
+  * micro-batch commits (the accretion shape a 1 s trigger produces — one
+  * committed directory per batch, disjoint height bands), then times the
+  * flagship point reads through the store's manifest-pruned route vs the
+  * same reads over the unpruned full-table scan.
+  *
+  * What the two routes pay before a single row is read:
+  *   - unpruned: the scan is a union of one FileSourceScan per live commit
+  *     directory (the partition-parsing basePath constraint), so planning
+  *     lists and footer-reads EVERY live file — the cost that grows
+  *     per-commit until compaction;
+  *   - pruned: the file list comes from manifest metadata (one small JSON
+  *     read), and only surviving directories enter the union.
+  *
+  * On tmpfs the I/O is page-cached, so alongside min-of-N wall time the
+  * probe prints the file counts the manifest arithmetic kept — the number
+  * that becomes object-store round trips at 100 TB.
+  *
+  * Usage: runMain graft.ManifestProbe [commits] [tablets]
+  */
+object ManifestProbe {
+  def main(args: Array[String]): Unit = {
+    val commits = if (args.nonEmpty) args(0).toInt else 256
+    val tablets = if (args.length > 1) args(1).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/spark-graft")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val s: SparkSession = spark
+    import s.implicits._
+
+    val root = s"/dev/shm/graft-mprobe/c$commits-t$tablets"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val store = new StateStore(root, StateStore.ManifestCommit)
+
+    val rowsPerCommit = 200
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/tablet_rows/_gen"))) {
+      // One commit per height band: commit c covers heights
+      // [c*rows, (c+1)*rows) spread over `tablets` tablets — the layout a
+      // steady micro-batch ingest leaves between compactions.
+      (0 until commits).foreach { c =>
+        val base = c.toLong * rowsPerCommit
+        val df = spark.range(rowsPerCommit)
+          .select(
+            lit(1).as("collection"),
+            concat(lit("tab"), (col("id") % tablets).cast("string")).as("tablet_id"),
+            (col("id") + base).as("height"),
+            format_string("k%04d", col("id") % 500).as("primary_key"),
+            encode(concat(lit("v"), (col("id") + base).cast("string")), "UTF-8")
+              .as("value"),
+            lit(false).as("is_deletion"))
+        store.writeTabletRows(df.coalesce(1), f"probe-$c%05d")
+      }
+    }
+    val manifest = store.manifestTableFor(store.tabletRowsPath)
+    val maxH = commits.toLong * rowsPerCommit - 1
+    val midH = maxH / 2
+    // TabletIndex snapshot at 95% of max height (ingestion maintains these
+    // incrementally; built untimed here). With it, the store's flagship
+    // read needs only [hydration bound, maxH] — and because every key
+    // churns continuously, that band is shallow, so the manifest height
+    // floor drops almost every pre-snapshot FILE. This is the production
+    // head-read shape: snapshot pruning and manifest pruning COMPOSE.
+    val snapH = maxH * 95L / 100L
+    if (store.latestTabletSnapshot("tab3", maxH).isEmpty) {
+      val scoped = store.tabletRows.filter(
+        col("tablet_id") === "tab3" && col("height") <= snapH)
+      val idx = graft.snapshot.Snapshots.buildTabletIndex(scoped, "tab3", snapH)
+      store.writeTabletSnapshot(idx, "tab3", snapH, scoped.count(), 1)
+    }
+    val (totalFiles) = manifest.pruneCounts(Nil)._2
+    println(s"corpus: $commits commits, $totalFiles files, maxH $maxH")
+
+    def reportCounts(name: String, filters: Seq[ManifestTable.StatsFilter]): Unit = {
+      val (kept, total) = manifest.pruneCounts(filters)
+      println(s"MPROBE commits=$commits query=$name files_kept=$kept files_total=$total")
+    }
+    reportCounts("read_mid", Seq(
+      ManifestTable.StatsEq("tablet_id", "tab3"),
+      ManifestTable.StatsLte("height", midH)))
+    val hb = store.latestTabletSnapshot("tab3", maxH)
+      .flatMap { case (sh, snap) =>
+        graft.snapshot.Snapshots.hydrationBoundOf(snap).map(b => math.min(b, sh + 1))
+      }.getOrElse(0L)
+    reportCounts("read_head_snap", Seq(
+      ManifestTable.StatsEq("tablet_id", "tab3"),
+      ManifestTable.StatsGte("height", hb),
+      ManifestTable.StatsLte("height", maxH)))
+
+    val queries: Seq[(String, () => DataFrame)] = Seq(
+      // The flagship read at mid height: pruned route (the store's own
+      // path) vs the same computation over the unpruned union.
+      "read_mid_pruned" -> (() => store.readTabletAt("tab3", midH)),
+      "read_mid_unpruned" -> (() =>
+        graft.read.TemporalReads.readTabletAt(store.tabletRows, "tab3", midH)),
+      // The production HEAD read: snapshot route, whose hydration floor
+      // turns into a manifest file floor — almost the whole history's
+      // files never enter the plan.
+      "read_head_snap_pruned" -> (() => store.readTabletAt("tab3", maxH)),
+      "read_head_unpruned" -> (() =>
+        graft.read.TemporalReads.readTabletAt(store.tabletRows, "tab3", maxH)),
+      // Point read of one key at max height. Every commit file carries
+      // every key (continuous churn), so ONLY the store's snapshot floor
+      // prunes here — key bounds start paying after Z-ordered compaction
+      // narrows per-file key ranges.
+      "point_read_pruned" -> (() => store.readTabletRowAt("tab3", "k0042", maxH)),
+      "point_read_unpruned" -> (() =>
+        graft.read.TemporalReads.readTabletRowAt(
+          store.tabletRows, "tab3", "k0042", maxH)))
+
+    val n = sys.env.getOrElse("PROBE_N", "5").toInt
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    (1 to n).foreach { _ =>
+      queries.foreach { case (name, mk) =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        // Timing includes DataFrame CONSTRUCTION: resolving the manifest
+        // and building the union is part of read latency, and planning
+        // width is precisely what pruning attacks.
+        mk().selectExpr("count(*)", "bit_xor(xxhash64(struct(*)))").collect()
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      }
+    }
+    queries.foreach { case (name, _) =>
+      val runs = samples(name)
+      println(f"MPROBE commits=$commits query=$name min=${runs.min}%.2f " +
+        runs.map(r => f"$r%.2f").mkString("runs=[", ",", "]"))
+    }
+    spark.stop()
+  }
+}

@@ -865,20 +865,49 @@ final class StateStore(
 
   /** One row of one tablet as of `atHeight` (ReadTabletRowAt,
     * read.go:186–293) — the store-level facade over the pushed-predicate
-    * point read; snapshots don't help a single-key lookup (the key
-    * predicate already prunes the scan), so this goes straight to the
-    * mutation table. */
+    * point read. With a TabletIndex at or below `atHeight` the read takes
+    * the snapshot route (the reference's point read consults the index
+    * the same way, read.go:240–260): the key predicate prunes WITHIN
+    * files, but only the snapshot's height floor lets the scan skip the
+    * key's pre-snapshot history — whole FILES under the manifest
+    * protocol, row groups under the height-sorted layout. Result is
+    * identical to the full-history argmax either way (spec-pinned,
+    * including tombstone/reinsert and speculative overlays). */
   def readTabletRowAt(
       tabletId: String,
       primaryKey: String,
       atHeight: Long,
       speculative: Seq[DataFrame] = Nil): DataFrame =
-    graft.read.TemporalReads.readTabletRowAt(
-      tabletRowsPruned(Seq(
-        ManifestTable.StatsEq("tablet_id", tabletId),
-        ManifestTable.StatsEq("primary_key", primaryKey),
-        ManifestTable.StatsLte("height", atHeight))),
-      tabletId, primaryKey, atHeight, speculative)
+    latestTabletSnapshot(tabletId, atHeight) match {
+      case Some((snapH, snap)) =>
+        // Snapshot route for the POINT read (read.go:240–260 consults the
+        // index the same way): the key's snapshot entry pins its single
+        // hydration height, so the scan is one row + the key's tail
+        // (snapH, atHeight] — and that floor prunes manifest FILES, not
+        // just row groups. An absent key (never written, or tombstoned at
+        // snapH) hydrates nothing and resolves from the tail alone,
+        // exactly like the full route.
+        val keySnap = snap.filter(col("primary_key") === lit(primaryKey))
+        val keyH = graft.snapshot.Snapshots.hydrationBoundOf(keySnap)
+        val src = tabletRowsPruned(Seq(
+          ManifestTable.StatsEq("tablet_id", tabletId),
+          ManifestTable.StatsEq("primary_key", primaryKey),
+          ManifestTable.StatsGte("height",
+            math.min(keyH.getOrElse(Long.MaxValue), snapH + 1)),
+          ManifestTable.StatsLte("height", atHeight)))
+        graft.snapshot.Snapshots.readTabletAtWithSnapshot(
+          src.filter(col("primary_key") === lit(primaryKey)),
+          keySnap, snapH, tabletId, atHeight,
+          speculative.map(_.filter(col("primary_key") === lit(primaryKey))),
+          keyH)
+      case None =>
+        graft.read.TemporalReads.readTabletRowAt(
+          tabletRowsPruned(Seq(
+            ManifestTable.StatsEq("tablet_id", tabletId),
+            ManifestTable.StatsEq("primary_key", primaryKey),
+            ManifestTable.StatsLte("height", atHeight))),
+          tabletId, primaryKey, atHeight, speculative)
+    }
 
   /** HasSeenAnyRowForTablet (read.go:410–415): limit-1 existence probe. */
   def hasSeenAnyRowForTablet(tabletId: String): Boolean =

@@ -69,6 +69,53 @@ class SnapshotsSpec extends SparkTestBase {
     }
   }
 
+  test("store point read via the snapshot route ≡ full-history point read: " +
+    "tombstone/reinsert, absent keys, speculative overlays, manifest file floor") {
+    implicit val s = spark
+    val store = new graft.store.StateStore(
+      tmpDir("store-pt"), graft.store.StateStore.ManifestCommit)
+    val m = mutations.withColumn("collection", org.apache.spark.sql.functions.lit(1))
+      .select("collection", "tablet_id", "height", "primary_key", "value", "is_deletion")
+    // One commit per height — the micro-batch accretion shape, so the
+    // snapshot floor can actually drop FILES, not just rows.
+    (1L to 12L).foreach { h =>
+      val slice = m.filter(col("height") === h)
+      if (slice.count() > 0) store.writeTabletRows(slice, f"c$h%03d")
+    }
+    Seq(4L, 8L).foreach { h =>
+      store.writeTabletSnapshot(Snapshots.buildTabletIndex(mutations, "t1", h),
+        "t1", h, Snapshots.squelchCount(mutations, "t1", h), collection = 1)
+    }
+    // Speculative overlays carry the store schema (the pipeline's
+    // reversible-segment facades do), collection included.
+    val spec = Seq((1, "t1", 12L, "a", "", true), (1, "t1", 13L, "a", "aS", false))
+      .toDF("collection", "tablet_id", "height", "primary_key", "v", "is_deletion")
+      .withColumn("value", encode(col("v"), "utf-8")).drop("v")
+      .select("collection", "tablet_id", "height", "primary_key", "value", "is_deletion")
+    def decoded(d: DataFrame): Seq[(String, Long, String)] =
+      d.collect().toSeq.map(r => (r.getAs[String]("primary_key"),
+        r.getAs[Long]("height"),
+        new String(r.getAs[Array[Byte]]("value"), "UTF-8")))
+    for (k <- Seq("a", "b", "c", "zz"); atH <- Seq(1L, 4L, 5L, 8L, 11L, 12L, 13L);
+         sp <- Seq(Nil, Seq(spec))) {
+      val got = decoded(store.readTabletRowAt("t1", k, atH, sp))
+      val want = decoded(graft.read.TemporalReads.readTabletRowAt(
+        store.tabletRows, "t1", k, atH, sp))
+      assert(got === want, s"key=$k at=$atH spec=${sp.nonEmpty}")
+    }
+    // The floor is real: reading key "c" at height 12 over the height-8
+    // snapshot hydrates at c's snapshot entry (height 9 is in the tail;
+    // entry height 4)… the kept files are bounded by [4, 12], dropping
+    // the height-1..3 commits from the plan entirely.
+    val manifest = store.manifestTableFor(store.tabletRowsPath)
+    val (kept, total) = manifest.pruneCounts(Seq(
+      graft.store.ManifestTable.StatsEq("tablet_id", "t1"),
+      graft.store.ManifestTable.StatsGte("height", 4L),
+      graft.store.ManifestTable.StatsLte("height", 12L)))
+    // Commits exist at heights {1..7, 9, 11, 12}; the [4, 12] band keeps 7.
+    assert(total === 10 && kept === 7, s"expected 7 of 10 files, got $kept of $total")
+  }
+
   test("snapshot-pruned as-of join ≡ full-history as-of join for every " +
     "snapshot height: probes above/below the snapshot, tombstones, misses, " +
     "future-only keys, and other-tablet probes (fallback route)") {
