@@ -191,6 +191,44 @@ object TemporalQueries {
         .drop(TemporalReads.SourceRankCol)
     },
 
+    // State diff between two heights — the changefeed/CDF read. One scan +
+    // one shuffle in Spark (dual conditional argmax); the oracle states the
+    // same thing as two ranked as-of reads joined.
+    QuerySpec.sql(
+      "t_tablet_diff",
+      s"""$MutationsCte, pre AS (
+         |  SELECT primary_key, height, value, is_deletion,
+         |         row_number() OVER (PARTITION BY primary_key ORDER BY height DESC) AS rn
+         |  FROM mutations WHERE tablet_id = 'click' AND height <= 6000
+         |), post AS (
+         |  SELECT primary_key, height, value, is_deletion,
+         |         row_number() OVER (PARTITION BY primary_key ORDER BY height DESC) AS rn
+         |  FROM mutations WHERE tablet_id = 'click' AND height <= 9000
+         |), p1 AS (SELECT * FROM pre WHERE rn = 1),
+         |p2 AS (SELECT * FROM post WHERE rn = 1),
+         |classified AS (
+         |  SELECT p2.primary_key,
+         |         CASE
+         |           WHEN (p1.primary_key IS NULL OR p1.is_deletion) AND NOT p2.is_deletion
+         |             THEN 'added'
+         |           WHEN p1.primary_key IS NOT NULL AND NOT p1.is_deletion AND p2.is_deletion
+         |             THEN 'deleted'
+         |           WHEN p1.primary_key IS NOT NULL AND NOT p1.is_deletion
+         |                AND NOT p2.is_deletion AND p2.height > 6000
+         |             THEN 'updated'
+         |         END AS change_type,
+         |         p2.height AS change_height,
+         |         CASE WHEN p1.primary_key IS NOT NULL AND NOT p1.is_deletion
+         |              THEN p1.value END AS old_value,
+         |         CASE WHEN NOT p2.is_deletion THEN p2.value END AS new_value
+         |  FROM p2 LEFT JOIN p1 ON p1.primary_key = p2.primary_key
+         |)
+         |SELECT primary_key, change_type, change_height, old_value, new_value
+         |FROM classified WHERE change_type IS NOT NULL
+         |ORDER BY primary_key""".stripMargin) { (s, dir) =>
+      TemporalReads.readTabletDiff(mutations(s, dir), "click", 6000, 9000)
+    },
+
     // Speculative overlay (J2): durable ≤ 7000 overlaid by a speculative set
     // on (6500, 7500] whose values are tagged; at equal height the
     // speculative write wins (source_rank tie-break, §7.4 risk 1).

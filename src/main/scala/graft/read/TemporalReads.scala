@@ -162,6 +162,62 @@ object TemporalReads {
           .as("value"))
   }
 
+  /** STATE DIFF between two heights — the changefeed/CDF read (beyond the
+    * reference's API, but the question every indexer asks of it: "what
+    * changed between block H1 and block H2?"; Delta's CDF and Iceberg's
+    * incremental scan are this same surface). For each primary key, the
+    * as-of state at `fromHeight` vs at `toHeight`:
+    *
+    *   - `added`   — not live at from (absent or tombstoned), live at to
+    *   - `deleted` — live at from, tombstoned at to (`change_height` = the
+    *                 tombstone's height)
+    *   - `updated` — live at both with a winning mutation inside
+    *                 `(fromHeight, toHeight]` (a rewrite counts, like CDF)
+    *
+    * Keys with no winning mutation in the window emit nothing. A
+    * delete-then-reinsert inside the window nets to `updated`; a
+    * tombstone-before-from then insert nets to `added`.
+    *
+    * Plan shape: ONE scan (`height <= toHeight`, pushed) and ONE shuffle —
+    * both ends' argmax compute in a single groupBy via conditional
+    * ordering keys (`max_by` ignores null keys, so the from-side argmax
+    * simply blinds itself to the window). No self-join of two as-of
+    * reads, no window sort — at 100 TB the naive two-read-and-join
+    * formulation scans the history twice and shuffles three times. */
+  def readTabletDiff(
+      rows: DataFrame,
+      tabletId: String,
+      fromHeight: Long,
+      toHeight: Long): DataFrame = {
+    require(fromHeight <= toHeight,
+      s"diff window inverted: $fromHeight > $toHeight")
+    val scoped = durable(rows).filter(
+      col("tablet_id") === lit(tabletId) && col("height") <= lit(toHeight))
+    val payload = struct(col("height"), col("is_deletion"), col("value"))
+    val ord = struct(col("height"), col(SourceRankCol))
+    val agged = scoped
+      .groupBy("primary_key")
+      .agg(
+        max_by(payload, when(col("height") <= lit(fromHeight), ord)).as("pre"),
+        max_by(payload, ord).as("post"))
+    val oldLive = col("pre").isNotNull && !col("pre.is_deletion")
+    val newLive = !col("post.is_deletion") // post never null: scope is non-empty per key
+    agged
+      .withColumn("change_type",
+        when(!oldLive && newLive, lit("added"))
+          .when(oldLive && !newLive, lit("deleted"))
+          .when(oldLive && newLive && col("post.height") > lit(fromHeight),
+            lit("updated")))
+      .filter(col("change_type").isNotNull)
+      .select(
+        col("primary_key"),
+        col("change_type"),
+        col("post.height").as("change_height"),
+        when(oldLive, col("pre.value")).as("old_value"),
+        when(newLive, col("post.value")).as("new_value"))
+      .orderBy("primary_key")
+  }
+
   /** `HasSeenAnyRowForTablet` (read.go:410–415): existence probe. Planned as a
     * limit-1 scan — Catalyst stops at the first matching row-group. */
   def hasSeenAnyRowForTablet(rows: DataFrame, tabletId: String): Boolean =

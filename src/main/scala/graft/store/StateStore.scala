@@ -597,6 +597,18 @@ final class StateStore(
     }
   }
 
+  /** State diff between two heights ([[graft.read.TemporalReads.readTabletDiff]])
+    * over this store's mutation table — the changefeed surface. Manifest
+    * bounds cap the scan at `toHeight`; the pre-window history must stay in
+    * scope (the from-side state of a changed key can live arbitrarily far
+    * back), so no lower file bound applies without a snapshot. */
+  def readTabletDiff(tabletId: String, fromHeight: Long, toHeight: Long): DataFrame =
+    graft.read.TemporalReads.readTabletDiff(
+      tabletRowsPruned(Seq(
+        ManifestTable.StatsEq("tablet_id", tabletId),
+        ManifestTable.StatsLte("height", toHeight))),
+      tabletId, fromHeight, toHeight)
+
   /** Small-files maintenance for the mutation tables: a 1 s micro-batch
     * cadence appends one committed directory per batch (~86k/day), and at
     * scale the file LISTING and footer reads come to dominate scan cost

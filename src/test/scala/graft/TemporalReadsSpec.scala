@@ -146,4 +146,42 @@ class TemporalReadsSpec extends SparkTestBase {
     assert(TemporalReads.hasSeenAnyRowForTablet(d, "t1"))
     assert(!TemporalReads.hasSeenAnyRowForTablet(d, "nope"))
   }
+
+  test("readTabletDiff: added/updated/deleted classification across the window") {
+    val d = rows(
+      ("t1", 1, "stable", "s1", false),   // live both ends, untouched → no row
+      ("t1", 2, "upd", "u2", false),      // updated at 7
+      ("t1", 7, "upd", "u7", false),
+      ("t1", 3, "del", "d3", false),      // tombstoned at 8 → deleted
+      ("t1", 8, "del", "", true),
+      ("t1", 6, "new", "n6", false),      // first write inside window → added
+      ("t1", 2, "revive", "", true),      // tombstoned BEFORE from, insert at 9 → added
+      ("t1", 9, "revive", "r9", false),
+      ("t1", 4, "flap", "f4", false),     // delete+reinsert inside window → updated
+      ("t1", 6, "flap", "", true),
+      ("t1", 7, "flap", "f7", false),
+      ("t1", 6, "ghost", "", true),       // only a tombstone, never live → no row
+      ("t1", 11, "late", "l11", false),   // beyond to-height → out of scope
+      ("t2", 6, "upd", "other", false))   // other tablet → out of scope
+    def diff(from: Long, to: Long): Seq[(String, String, Long, String, String)] =
+      TemporalReads.readTabletDiff(d, "t1", from, to).collect().toSeq.map { r =>
+        def str(i: Int): String =
+          Option(r.getAs[Array[Byte]](i)).map(new String(_, "UTF-8")).orNull
+        (r.getString(0), r.getString(1), r.getLong(2), str(3), str(4))
+      }
+    assert(diff(5, 10) === Seq(
+      ("del", "deleted", 8L, "d3", null),
+      ("flap", "updated", 7L, "f4", "f7"),
+      ("new", "added", 6L, null, "n6"),
+      ("revive", "added", 9L, null, "r9"),
+      ("upd", "updated", 7L, "u2", "u7")))
+    // Degenerate window: from == to → empty diff.
+    assert(diff(10, 10) === Seq.empty)
+    // Window from genesis: everything live at `to` is an add.
+    assert(diff(-1, 4).map(t => (t._1, t._2)) === Seq(
+      ("del", "added"), ("flap", "added"), ("stable", "added"), ("upd", "added")))
+    intercept[IllegalArgumentException] {
+      TemporalReads.readTabletDiff(d, "t1", 10, 5)
+    }
+  }
 }
