@@ -32,13 +32,8 @@ object Tools {
     * `_gen` generation pointer under tablet_rows marks a manifest-protocol
     * store; anything else is the rename protocol. Lets every verb work on
     * either store without a flag. */
-  private def storeFor(root: String)(implicit spark: SparkSession): StateStore = {
-    val p = new org.apache.hadoop.fs.Path(s"$root/tablet_rows/_gen")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val protocol =
-      if (fs.exists(p)) StateStore.ManifestCommit else StateStore.RenameCommit
-    new StateStore(root, protocol)
-  }
+  private def storeFor(root: String)(implicit spark: SparkSession): StateStore =
+    new StateStore(root, StateStore.detectProtocol(root))
 
   def run(args: Seq[String])(implicit spark: SparkSession): String = args.toList match {
     case "inject" :: root :: archive :: ckpt :: Nil =>

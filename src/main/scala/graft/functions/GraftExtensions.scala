@@ -90,8 +90,14 @@ object GraftExtensions {
     new java.util.concurrent.ConcurrentHashMap[String, graft.store.StateStore]()
 
   private[graft] def storeFor(root: String): graft.store.StateStore =
-    stores.computeIfAbsent(root,
-      r => new graft.store.StateStore(r)(SparkSession.active))
+    stores.computeIfAbsent(root, { r =>
+      implicit val s: SparkSession = SparkSession.active
+      // Protocol AUTO-DETECTION: the TVF takes a bare root, and opening a
+      // manifest-protocol store under the rename default would scan raw
+      // d-* attempt dirs (crashed uncommitted attempts, unswept
+      // generations) — silently wrong results, not an error.
+      new graft.store.StateStore(r, graft.store.StateStore.detectProtocol(r))
+    })
 
   private def stringArg(e: Expression, what: String): String = e match {
     case Literal(v: UTF8String, StringType) => v.toString

@@ -1028,6 +1028,22 @@ object StateStore {
   case object RenameCommit extends CommitProtocol
   case object ManifestCommit extends CommitProtocol
 
+  /** Detect which commit protocol wrote the store at `root`: a manifest
+    * table is unmistakable by its generation pointer. A reader that opens
+    * a manifest store under [[RenameCommit]] would scan the raw `d-*`
+    * attempt directories — including crashed uncommitted attempts and
+    * pre-compaction generations not yet swept — so any read-only surface
+    * taking a bare root (the SQL table function, tools) must go through
+    * this instead of assuming a default. Empty/new roots detect as
+    * [[RenameCommit]] (both protocols read an absent table as empty). */
+  def detectProtocol(root: String)(implicit spark: SparkSession): CommitProtocol = {
+    val p = new Path(s"$root/tablet_rows/_gen")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p) || fs.exists(new Path(s"$root/singlet_entries/_gen")))
+      ManifestCommit
+    else RenameCommit
+  }
+
   val GlobalCheckpointKey = "checkpoint" // const.go:17
   val ShardCheckpointPrefix = "shard-"   // read.go:454–464
   /** Row-count analogue of the reference's 25 MB heavy-index warning

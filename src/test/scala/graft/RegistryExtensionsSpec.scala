@@ -202,4 +202,47 @@ class RegistryExtensionsSpec extends SparkTestBase {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("graft_state_as_of auto-detects the commit protocol: a manifest store " +
+    "root reads only committed generations, never crashed attempt dirs") {
+    val base = spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    import graft.store.StateStore
+    import graft.model.{BlockRef, TabletRowM, WriteRequest}
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      implicit val is: SparkSession = s2
+      val store = new StateStore(tmpDir("sao-manifest"), StateStore.ManifestCommit)
+      def req(h: Long): WriteRequest =
+        WriteRequest(h, BlockRef(s"blk-$h", h),
+          Seq(TabletRowM(1, "t1", h, s"k${h % 3}",
+            s"v$h".getBytes("UTF-8"), isDeletion = false)),
+          Nil)
+      (0L to 5L).foreach(h => store.writeBatch(Seq(req(h))))
+      // Simulate a crashed commit: data staged under an attempt dir that no
+      // manifest references. A RenameCommit-opened reader would scan it.
+      val m = store.manifestTableFor(store.tabletRowsPath)
+      m.failBeforePublish = true
+      intercept[IllegalStateException] {
+        store.writeBatch(Seq(req(6L)))
+      }
+      m.failBeforePublish = false
+      val viaSql = s2.sql(
+        s"SELECT * FROM graft_state_as_of('${store.root}', 't1', 99)")
+        .collect().map(r =>
+          (r.getString(0), new String(r.getAs[Array[Byte]](2), "UTF-8"))).toSeq
+      // Heights 0..5 committed → keys k0..k2 at their latest; the crashed
+      // height-6 attempt (k0@v6) must be invisible.
+      assert(viaSql === Seq(("k0", "v3"), ("k1", "v4"), ("k2", "v5")))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }
