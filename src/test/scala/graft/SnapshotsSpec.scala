@@ -116,6 +116,37 @@ class SnapshotsSpec extends SparkTestBase {
     assert(total === 10 && kept === 7, s"expected 7 of 10 files, got $kept of $total")
   }
 
+  test("store incremental diff ≡ generic one-pass diff for every window, " +
+    "with and without a snapshot backing the pre-side resolve") {
+    implicit val s = spark
+    val store = new graft.store.StateStore(
+      tmpDir("store-diff"), graft.store.StateStore.ManifestCommit)
+    val m = mutations.withColumn("collection", org.apache.spark.sql.functions.lit(1))
+      .select("collection", "tablet_id", "height", "primary_key", "value", "is_deletion")
+    (1L to 12L).foreach { h =>
+      val slice = m.filter(col("height") === h)
+      if (slice.count() > 0) store.writeTabletRows(slice, f"c$h%03d")
+    }
+    def norm(d: DataFrame): Seq[(String, String, Long, String, String)] =
+      d.collect().toSeq.map { r =>
+        def str(i: Int): String =
+          Option(r.getAs[Array[Byte]](i)).map(new String(_, "UTF-8")).orNull
+        (r.getString(0), r.getString(1), r.getLong(2), str(3), str(4))
+      }
+    def check(): Unit =
+      for (from <- Seq(0L, 2L, 4L, 5L, 7L, 11L, 12L); to <- Seq(5L, 8L, 11L, 12L)
+           if from <= to) {
+        val inc = norm(store.readTabletDiff("t1", from, to))
+        val gen = norm(graft.read.TemporalReads.readTabletDiff(
+          store.tabletRows, "t1", from, to))
+        assert(inc === gen, s"window ($from, $to]")
+      }
+    check() // no snapshot: pre-side resolves through the full-history join
+    store.writeTabletSnapshot(Snapshots.buildTabletIndex(mutations, "t1", 6L),
+      "t1", 6L, Snapshots.squelchCount(mutations, "t1", 6L), collection = 1)
+    check() // snapshot at 6: pre-side takes the TabletIndex-pruned route
+  }
+
   test("snapshot-pruned as-of join ≡ full-history as-of join for every " +
     "snapshot height: probes above/below the snapshot, tombstones, misses, " +
     "future-only keys, and other-tablet probes (fallback route)") {
