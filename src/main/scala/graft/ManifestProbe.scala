@@ -120,7 +120,15 @@ object ManifestProbe {
       "point_read_pruned" -> (() => store.readTabletRowAt("tab3", "k0042", maxH)),
       "point_read_unpruned" -> (() =>
         graft.read.TemporalReads.readTabletRowAt(
-          store.tabletRows, "tab3", "k0042", maxH)))
+          store.tabletRows, "tab3", "k0042", maxH)),
+      // Changefeed poll over the last 5 commits: the store's INCREMENTAL
+      // plan (window scan + snapshot-pruned pre-resolve) vs the generic
+      // one-pass dual argmax over the full history.
+      "diff_tail_incremental" -> (() =>
+        store.readTabletDiff("tab3", maxH - 5L * rowsPerCommit, maxH)),
+      "diff_tail_generic" -> (() =>
+        graft.read.TemporalReads.readTabletDiff(
+          store.tabletRows, "tab3", maxH - 5L * rowsPerCommit, maxH)))
 
     val n = sys.env.getOrElse("PROBE_N", "5").toInt
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]

@@ -168,7 +168,16 @@ object Snapshots {
       snapshot: DataFrame, // (primary_key, height) as of snapshotHeight
       snapshotHeight: Long,
       tabletId: String,
-      hydrationLowerBound: Option[Long] = None): DataFrame = {
+      hydrationLowerBound: Option[Long] = None,
+      // Source for the FALLBACK route (other tablets / pre-snapshot /
+      // null probes); defaults to `rows`. The store passes a separately
+      // bounded scan here — and an empty relation when it has PROVED the
+      // fallback probe set is empty, so the plan never lists the deep
+      // history's files at all (the asymmetry that matters under the
+      // manifest protocol, where the eligible route's file list is floored
+      // at the hydration bound but a shared source would drag every
+      // pre-snapshot file into the union anyway).
+      fallbackRows: Option[DataFrame] = None): DataFrame = {
     // Null-safe split: a probe with a null tablet_id or at_height makes the
     // predicate NULL, and `filter(p)`/`filter(!p)` would BOTH drop it —
     // losing the probe entirely instead of resolving it to the null row
@@ -188,7 +197,8 @@ object Snapshots {
     val tail = scoped.filter(col("height") > lit(snapshotHeight))
     val pruned = TemporalReads.asOfResolve(
       hydrated.unionByName(tail), probes.filter(eligible))
-    val fallback = TemporalReads.asOfResolve(rows, probes.filter(!eligible))
+    val fallback = TemporalReads.asOfResolve(
+      fallbackRows.getOrElse(rows), probes.filter(!eligible))
     pruned.unionByName(fallback).orderBy("probe_id")
   }
 

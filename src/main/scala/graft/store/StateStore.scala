@@ -578,22 +578,50 @@ final class StateStore(
       tabletId: String,
       probes: DataFrame,
       ignoreRange: Option[(Long, Long)] = None): DataFrame = {
+    // One pass over the probe set decides every driver-side bound:
+    // the height ceiling (nothing above max at_height can influence any
+    // resolution), the floor eligibility (min at_height vs the snapshot),
+    // and whether the fallback route can be skipped outright (no probe
+    // targets another tablet or carries a null).
     // cast("long"): an IntegerType at_height (Int-literal probes) would
     // otherwise surface as java.lang.Integer and fail the Long cast.
-    val maxAt = Option(probes.agg(max(col("at_height").cast("long"))).head().get(0))
-      .map(_.asInstanceOf[Long])
-    // Probes may target any tablet (the fallback route), so only the
-    // height ceiling prunes files here: nothing above the probes' max
-    // at_height can influence any resolution.
-    val src = maxAt.fold(tabletRows)(m =>
-      tabletRowsPruned(Seq(ManifestTable.StatsLte("height", m))))
+    val aggRow = probes.agg(
+      max(col("at_height").cast("long")),
+      min(col("at_height").cast("long")),
+      sum(when((col("tablet_id") <=> lit(tabletId)) &&
+        col("at_height").isNotNull, 0L).otherwise(1L))).head()
+    val maxAt = Option(aggRow.get(0)).map(_.asInstanceOf[Long])
+    val minAt = Option(aggRow.get(1)).map(_.asInstanceOf[Long])
+    val nFallbackish = Option(aggRow.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L)
     maxAt.flatMap(latestTabletSnapshot(tabletId, _, ignoreRange)) match {
       case Some((snapH, snap)) =>
+        val hb = graft.snapshot.Snapshots.hydrationBoundOf(snap)
+        // ELIGIBLE route sources: everything it touches lies in
+        // [min(hydration bound, snapH+1), maxAt] of this tablet — the
+        // floor drops the deep history's FILES from the plan, the same
+        // asymmetry readTabletAt gets.
+        val eligibleSrc = tabletRowsPruned(Seq(
+          ManifestTable.StatsEq("tablet_id", tabletId),
+          ManifestTable.StatsGte("height",
+            math.min(hb.getOrElse(Long.MaxValue), snapH + 1)),
+          ManifestTable.StatsLte("height", maxAt.get)))
+        // FALLBACK source: only the ceiling bounds it — but when the probe
+        // set provably routes nowhere near it (all probes on this tablet,
+        // non-null, at or above the snapshot), an empty relation replaces
+        // it and the plan never lists a pre-snapshot file at all.
+        val fallbackSrc =
+          if (nFallbackish == 0L && minAt.exists(_ >= snapH))
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              Schemas.tabletRows)
+          else tabletRowsPruned(Seq(ManifestTable.StatsLte("height", maxAt.get)))
         graft.snapshot.Snapshots.asOfJoinWithSnapshot(
-          src, probes, snap, snapH, tabletId,
-          graft.snapshot.Snapshots.hydrationBoundOf(snap))
+          eligibleSrc, probes, snap, snapH, tabletId, hb, Some(fallbackSrc))
       case None =>
-        graft.read.TemporalReads.asOfJoin(src, probes)
+        graft.read.TemporalReads.asOfJoin(
+          maxAt.fold(tabletRows)(m =>
+            tabletRowsPruned(Seq(ManifestTable.StatsLte("height", m)))),
+          probes)
     }
   }
 
