@@ -128,6 +128,15 @@ object TemporalQueries {
       col("props").as("value"),
       (col("event_id") % 23 === 7).as("is_deletion"))
 
+  /** Commit-window boundaries for the streaming CDC gate query: four
+    * generation-aligned windows over the 'error' tablet's first 6000
+    * heights (fixed, SF-independent — heights are the gap-free event_id).
+    * The leading bound is -1, NOT 0: height 0 is a valid mutation height
+    * (read_test.go:168–182 — the same edge t_read_tablet_at_h0 pins), and
+    * a (0, 1500] first window would silently drop it from the stream
+    * while the oracle's pre-state at 0 still sees it. */
+  private val CdcBounds: Seq[Long] = Seq(-1L, 1500L, 3000L, 4500L, 6000L)
+
   private def lwwOracle(tablet: String, h: Long): String =
     s"""$MutationsCte, ranked AS (
        |  SELECT primary_key, height, value, is_deletion,
@@ -227,6 +236,87 @@ object TemporalQueries {
          |FROM classified WHERE change_type IS NOT NULL
          |ORDER BY primary_key""".stripMargin) { (s, dir) =>
       TemporalReads.readTabletDiff(mutations(s, dir), "click", 6000, 9000)
+    },
+
+    // STREAMING changefeed CDC, end to end through the real store: the
+    // 'error' tablet's first 6000 heights are committed into a
+    // manifest-protocol store in four generation-aligned windows; a live
+    // changefeed subscription (generation-as-offset source ->
+    // flatMapGroupsWithState CDC view) drains after each commit; the
+    // collected events must equal the UNION of the four batch diffs —
+    // the stream ≡ batch contract, verified here against DuckDB replaying
+    // every window as a ranked as-of pair (the same classification the
+    // t_tablet_diff oracle uses, once per window).
+    QuerySpec.sql(
+      "t_changefeed_cdc", {
+        def windowDiff(lo: Long, hi: Long): String =
+          s"""SELECT primary_key, change_type, change_height, old_value, new_value FROM (
+             |  SELECT p2.primary_key,
+             |    CASE
+             |      WHEN (p1.primary_key IS NULL OR p1.is_deletion) AND NOT p2.is_deletion
+             |        THEN 'added'
+             |      WHEN p1.primary_key IS NOT NULL AND NOT p1.is_deletion AND p2.is_deletion
+             |        THEN 'deleted'
+             |      WHEN p1.primary_key IS NOT NULL AND NOT p1.is_deletion AND NOT p2.is_deletion
+             |        THEN 'updated'
+             |    END AS change_type,
+             |    p2.height AS change_height,
+             |    CASE WHEN p1.primary_key IS NOT NULL AND NOT p1.is_deletion
+             |         THEN p1.value END AS old_value,
+             |    CASE WHEN NOT p2.is_deletion THEN p2.value END AS new_value
+             |  FROM (SELECT * FROM (
+             |          SELECT primary_key, height, value, is_deletion,
+             |                 row_number() OVER (PARTITION BY primary_key ORDER BY height DESC) AS rn
+             |          FROM mutations WHERE tablet_id = 'error'
+             |            AND height > $lo AND height <= $hi) WHERE rn = 1) p2
+             |  LEFT JOIN (SELECT * FROM (
+             |          SELECT primary_key, height, value, is_deletion,
+             |                 row_number() OVER (PARTITION BY primary_key ORDER BY height DESC) AS rn
+             |          FROM mutations WHERE tablet_id = 'error'
+             |            AND height <= $lo) WHERE rn = 1) p1
+             |    ON p1.primary_key = p2.primary_key
+             |) WHERE change_type IS NOT NULL""".stripMargin
+        val windows = CdcBounds.sliding(2).map { case Seq(lo, hi) =>
+          s"(${windowDiff(lo, hi)})" }.mkString("\nUNION ALL\n")
+        s"""$MutationsCte
+           |SELECT * FROM (
+           |$windows
+           |) ORDER BY change_height, primary_key""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val root = java.nio.file.Files.createTempDirectory("graft-cf-gate").toString
+      val store = new graft.store.StateStore(root, graft.store.StateStore.ManifestCommit)(s)
+      val m = mutations(s, dir).filter(col("tablet_id") === "error")
+      val sink = "cf_gate_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = store.changefeedDiffStream().writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-cf-gate-ck").toString)
+        .outputMode("append").start()
+      try {
+        CdcBounds.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+          store.writeTabletRows(
+            m.filter(col("height") > lo && col("height") <= hi)
+              .select(lit(1).as("collection"), col("tablet_id"), col("height"),
+                col("primary_key"), col("value").cast("binary").as("value"),
+                col("is_deletion")),
+            commitId = s"w$i")
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // The memory sink's rows, frozen into a plain local relation (the
+      // sink's temp view dies with the query name's scope).
+      val rows = s.table(sink)
+        .select(col("primary_key"), col("change_type"), col("change_height"),
+          col("old_value").cast("string").as("old_value"),
+          col("new_value").cast("string").as("new_value"))
+        .collect()
+      val schema = StructType(Seq(
+        StructField("primary_key", StringType), StructField("change_type", StringType),
+        StructField("change_height", LongType), StructField("old_value", StringType),
+        StructField("new_value", StringType)))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy("change_height", "primary_key")
     },
 
     // Speculative overlay (J2): durable ≤ 7000 overlaid by a speculative set

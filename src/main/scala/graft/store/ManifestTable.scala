@@ -327,8 +327,9 @@ final class ManifestTable(val tablePath: String, schema: StructType,
 
   /** Build the union scan over an explicit relative-file list (the commit
     * structure readAt documents: per-commit basePath so partition parsing
-    * sees `col=value` directly under each base). */
-  private def scanOf(rel: Seq[String]): DataFrame =
+    * sees `col=value` directly under each base). `private[graft]` so the
+    * changefeed source can scan exactly one commit's files. */
+  private[graft] def scanOf(rel: Seq[String]): DataFrame =
     if (rel.isEmpty) emptyDf
     else partitionCol match {
       case None =>

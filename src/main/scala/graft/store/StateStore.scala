@@ -682,6 +682,77 @@ final class StateStore(
       .orderBy("primary_key")
   }
 
+  /** [[readTabletDiff]]'s STREAMING twin, step 1: subscribe to the
+    * mutation table — a continuous append stream of committed rows, one
+    * micro-batch per published commit once caught up.
+    *
+    *   - [[ManifestCommit]]: the [[graft.streaming.ManifestChangefeed]]
+    *     source — generation pointer as offset (O(1) poll, no listing),
+    *     manifest diff as batch plan, exactly-once from checkpointed
+    *     generations, compaction generations skipped as
+    *     `dataChange = false`. Rows carry `_generation`/`_commit_id`
+    *     provenance.
+    *   - [[RenameCommit]]: Spark's file source IS the changefeed —
+    *     commit directories appear atomically by rename, so the
+    *     checkpointed file listing is the offset (the same reuse as
+    *     [[graft.streaming.BlockArchiveSource]]). Provenance:
+    *     `_commit_id` from the committed directory name, `_generation`
+    *     null (no generation counter under this protocol). CAVEAT: the
+    *     file source tracks files by path, so a COMPACTION mid-stream
+    *     re-emits the rewritten table — do not compact under a live
+    *     rename-protocol subscriber (the manifest protocol rides through
+    *     compaction; that asymmetry is inherent to the two protocols'
+    *     metadata, not fixable here).
+    *
+    * `startingGeneration` ("0" = full history replay, "latest" = only
+    * new commits, a number = after that generation) applies to the
+    * manifest protocol; the rename file source always replays. */
+  def changefeedStream(startingGeneration: String = "0"): DataFrame =
+    commitProtocol match {
+      case ManifestCommit =>
+        graft.streaming.ManifestChangefeed.stream(
+          spark, tabletRowsPath, "tablet_rows", startingGeneration)
+      case RenameCommit =>
+        val (fs, p) = fsPath(tabletRowsPath)
+        fs.mkdirs(p)
+        // Recursive lookup + path-derived columns, NOT partition
+        // discovery: the file source binds partitioning from the listing
+        // at stream DEFINITION, so a subscriber started on an empty (or
+        // not-yet-written) table would bake in "no partition columns" and
+        // mis-read every later file. The `collection=N` value is in the
+        // path either way; a changefeed reads every new file, so losing
+        // partition pruning costs nothing here.
+        val filePath = col("_metadata").getField("file_path")
+        val dataSchema = org.apache.spark.sql.types.StructType(
+          Schemas.tabletRows.fields.filterNot(_.name == "collection"))
+        spark.readStream
+          .option("recursiveFileLookup", "true")
+          .schema(dataSchema)
+          .parquet(tabletRowsPath)
+          .select(
+            regexp_extract(filePath, "/collection=([^/]+)/", 1)
+              .cast("int").as("collection") +:
+              dataSchema.fieldNames.map(col).toSeq :+
+              lit(null).cast("long").as(
+                graft.streaming.ManifestChangefeed.GenerationCol) :+
+              regexp_extract(filePath,
+                "/collection=[^/]+/([^/]+)/[^/]+$", 1).as(
+                graft.streaming.ManifestChangefeed.CommitIdCol): _*)
+    }
+
+  /** [[readTabletDiff]]'s STREAMING twin, step 2: the committed-mutation
+    * stream folded into per-key change events
+    * ([[graft.streaming.ManifestChangefeed.diffStream]]) — added/updated/
+    * deleted with old/new values, state = one row per live key. When
+    * micro-batches align with commits (steady state: one generation per
+    * trigger), each batch's events are exactly
+    * `readTabletDiff(prevCommitHeight, commitHeight)` per tablet —
+    * spec-pinned, including the delete→revive and flap-in-one-batch
+    * edges. */
+  def changefeedDiffStream(startingGeneration: String = "0"): DataFrame =
+    graft.streaming.ManifestChangefeed.diffStream(
+      changefeedStream(startingGeneration))
+
   /** Small-files maintenance for the mutation tables: a 1 s micro-batch
     * cadence appends one committed directory per batch (~86k/day), and at
     * scale the file LISTING and footer reads come to dominate scan cost

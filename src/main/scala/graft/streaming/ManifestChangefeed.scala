@@ -1,0 +1,287 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.model.Schemas
+import graft.store.ManifestTable
+
+/** "Subscribe to the store": a Structured Streaming SOURCE over a
+  * [[ManifestTable]]-protocol table, where the manifest GENERATION is the
+  * streaming offset — the lakehouse changefeed pattern (Delta CDF /
+  * Iceberg incremental scan) built directly on graft's own commit
+  * protocol.
+  *
+  * Why the generation is the right offset: every committed micro-batch
+  * publishes exactly one new generation whose manifest lists the full
+  * live file set, manifests are never deleted, and the pointer swap is
+  * the atomic visibility barrier ([[ManifestTable]] class doc). So:
+  *
+  *   - `getOffset`  = read the generation pointer — one small-object GET,
+  *     no file listing at all (on an object store the poll cost is
+  *     O(1) per trigger, not O(live files));
+  *   - `getBatch(a, b)` = for each generation g in (a, b], the manifest
+  *     DIFF m(g) \ m(g-1) — the exact files that commit appended. The
+  *     plan is frozen from manifest metadata alone; Spark never lists a
+  *     directory.
+  *
+  * Exactly-once: offsets are checkpointed by the engine, `getBatch` over
+  * a replayed range reads the same manifests (immutable) and therefore
+  * the same files — byte-identical replay, no dedup state needed.
+  *
+  * Data rewrites (a [[ManifestTable.replaceAll]] generation — some prior
+  * commit's entry disappears from the manifest): graft's only rewrite
+  * writers are the compaction paths, which preserve contents EXACTLY
+  * (spec-pinned), so the default `onRewrite = skip` treats them as
+  * `dataChange = false` and emits nothing — the stream rides through
+  * compaction without re-emitting the table. For a table where a rewrite
+  * might not be contents-preserving, `onRewrite = fail` stops the stream
+  * loudly instead (Delta's default posture for non-append changes).
+  *
+  * Retention contract: a lagging stream reads old generations' files, so
+  * `sweepOrphans(retainGenerations = n)` bounds how far behind a
+  * subscriber may fall — the same VACUUM-vs-streaming-lag trade Delta
+  * documents.
+  *
+  * At 100 TB scale this source is what makes the store a PIPE, not just
+  * a table: downstream materializations (the CDC view below, feature
+  * tables, search indexes) follow commits incrementally instead of
+  * re-scanning an ~86k-commits/day table.
+  */
+object ManifestChangefeed {
+
+  val GenerationCol = "_generation"
+  val CommitIdCol = "_commit_id"
+
+  /** Data schema + provenance columns (which generation/commit each row
+    * arrived in). */
+  def withProvenance(data: StructType): StructType =
+    StructType(data.fields.toSeq :+
+      StructField(GenerationCol, LongType, nullable = false) :+
+      StructField(CommitIdCol, StringType, nullable = false))
+
+  /** The two store mutation tables this source understands out of the box
+    * (`table` option); any other manifest table streams by passing an
+    * explicit schema + `partitionCol` option instead. */
+  private[streaming] def tableDefaults(table: String): (StructType, Option[String]) =
+    table match {
+      case "tablet_rows"     => (Schemas.tabletRows, Some("collection"))
+      case "singlet_entries" => (Schemas.singletEntries, Some("collection"))
+      case other => sys.error(
+        s"unknown table '$other': pass an explicit readStream schema " +
+          "(plus partitionCol option) for non-store manifest tables")
+    }
+
+  /** Stream a manifest table's committed rows. `startingGeneration`:
+    * `"0"`/a number = replay from after that generation (0 = the full
+    * table history, Delta's initial-snapshot behavior); `"latest"` = only
+    * commits published after the stream starts. */
+  def stream(
+      spark: SparkSession,
+      tablePath: String,
+      table: String = "tablet_rows",
+      startingGeneration: String = "0",
+      onRewrite: String = "skip"): DataFrame =
+    spark.readStream
+      .format(classOf[ManifestChangefeedProvider].getName)
+      .option("path", tablePath)
+      .option("table", table)
+      .option("startingGeneration", startingGeneration)
+      .option("onRewrite", onRewrite)
+      .load()
+
+  // ------------------------------------------------------------------
+  // CDC view: mutations -> per-key state transitions
+  // ------------------------------------------------------------------
+
+  /** One mutation row as the CDC state machine consumes it (public: the
+    * generated deserializer code must reach the constructor). */
+  final case class CdcMutation(
+      tablet_id: String, primary_key: String, height: Long,
+      value: Array[Byte], is_deletion: Boolean)
+
+  /** Per-key state: the last winning mutation (kept across tombstones so
+    * the monotone-height guard survives delete→revive). */
+  final case class CdcState(height: Long, live: Boolean, value: Array[Byte])
+
+  /** One emitted change event — the same columns
+    * [[graft.store.StateStore.readTabletDiff]] produces, plus tablet_id
+    * (the stream is not scoped to one tablet). */
+  final case class CdcEvent(
+      tablet_id: String, primary_key: String, change_type: String,
+      change_height: Long, old_value: Array[Byte], new_value: Array[Byte])
+
+  /** Streaming CDC over a mutation stream: per (tablet, key) state via
+    * `flatMapGroupsWithState` — state is ONE row per live key (hash-
+    * partitioned, O(live keys) total, the streaming twin of the tablet
+    * read's argmax), events are the per-micro-batch NET transition:
+    *
+    *   absent/tombstoned -> live   = added
+    *   live -> tombstoned          = deleted
+    *   live -> live                = updated
+    *   absent -> tombstoned        = (nothing — same as the batch diff)
+    *
+    * Within a batch only the highest mutation per key counts (a flap
+    * add+delete inside one batch nets to nothing new), so each batch's
+    * events equal `readTabletDiff(prevBatchMaxHeight, batchMaxHeight)`
+    * when batches align with commits — spec-pinned. A mutation at or
+    * below the state's height is ignored (idempotent under redelivery;
+    * commits are height-monotone under the checkpoint linearity guard).
+    *
+    * Input contract: (primary_key, height) unique per tablet — what the
+    * store's batch dedup + contiguity guards maintain. */
+  def diffStream(mutations: DataFrame): DataFrame = {
+    val spark = mutations.sparkSession
+    import spark.implicits._
+    val ds = mutations
+      .select(col("tablet_id"), col("primary_key"), col("height"),
+        col("value").cast("binary").as("value"), col("is_deletion"))
+      .as[CdcMutation]
+    ds.groupByKey(m => (m.tablet_id, m.primary_key))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, String), rows: Iterator[CdcMutation],
+         state: GroupState[CdcState]) =>
+          val winner = rows.maxBy(_.height)
+          val old = state.getOption
+          if (old.exists(_.height >= winner.height)) Iterator.empty
+          else {
+            val oldLive = old.exists(_.live)
+            val newLive = !winner.is_deletion
+            state.update(CdcState(winner.height, newLive,
+              if (newLive) winner.value else null))
+            val changeType =
+              if (!oldLive && newLive) Some("added")
+              else if (oldLive && !newLive) Some("deleted")
+              else if (oldLive && newLive) Some("updated")
+              else None
+            changeType.iterator.map(ct => CdcEvent(
+              key._1, key._2, ct, winner.height,
+              if (oldLive) old.get.value else null,
+              if (newLive) winner.value else null))
+          }
+      }
+      .toDF()
+  }
+}
+
+/** The V1 streaming source. V1 (not DSv2) deliberately: `getBatch` returns
+  * a DataFrame, so the per-commit scan reuses the whole parquet read stack
+  * (vectorized reader, pushdown, partition pruning) instead of reimplementing
+  * a PartitionReader — the same choice Delta's streaming source makes. */
+final class ManifestChangefeedSource(
+    sqlContext: SQLContext,
+    tablePath: String,
+    dataSchema: StructType,
+    partitionCol: Option[String],
+    baseGen: Long,
+    onRewrite: String)
+  extends Source {
+
+  require(onRewrite == "skip" || onRewrite == "fail",
+    s"onRewrite must be 'skip' or 'fail', got '$onRewrite'")
+
+  private implicit val spark: SparkSession = sqlContext.sparkSession
+  private val table = new ManifestTable(tablePath, dataSchema, partitionCol)
+
+  override val schema: StructType = ManifestChangefeed.withProvenance(dataSchema)
+
+  /** A self-contained LongOffset (the runtime class is internal; the JSON
+    * form — just the decimal generation — is the checkpoint contract). */
+  private final case class GenOffset(gen: Long) extends OffsetV1 {
+    override def json: String = gen.toString
+  }
+  private def genOf(o: OffsetV1): Long = o.json.trim.toLong
+
+  /** One small-object read of the generation pointer; no listing. */
+  override def getOffset: Option[OffsetV1] =
+    table.currentGeneration().filter(_ > baseGen).map(GenOffset)
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val startGen = start.map(genOf).getOrElse(baseGen)
+    val endGen = genOf(end)
+    val appended: Seq[(Long, String, Seq[String])] =
+      ((startGen + 1) to endGen).flatMap { g =>
+        val prevIds = table.manifestEntries(g - 1).map(_._1).toSet
+        val cur = table.manifestEntries(g)
+        val dropped = prevIds -- cur.map(_._1).toSet
+        if (dropped.nonEmpty) {
+          // A rewrite generation (replaceAll/compaction): no appended data.
+          if (onRewrite == "fail") throw new IllegalStateException(
+            s"generation $g of $tablePath rewrote commits ${dropped.mkString(", ")} " +
+              "— not an append; restart from a fresh checkpoint or use onRewrite=skip " +
+              "if the rewrite is contents-preserving (graft compaction is)")
+          Nil
+        } else cur.collect {
+          case (cid, files) if !prevIds.contains(cid) => (g, cid, files)
+        }
+      }
+    val batch =
+      if (appended.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else appended.map { case (g, cid, files) =>
+        table.scanOf(files)
+          .withColumn(ManifestChangefeed.GenerationCol, lit(g))
+          .withColumn(ManifestChangefeed.CommitIdCol, lit(cid))
+      }.reduce(_ unionByName _)
+    GraftBridge.asStreamingDataFrame(batch)
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** `spark.readStream.format("graft-changefeed")` registration. Options:
+  * `path` (required, the manifest table path), `table`
+  * (tablet_rows | singlet_entries — picks schema + partition column; or
+  * pass an explicit schema and `partitionCol`), `startingGeneration`
+  * (number | "latest"), `onRewrite` (skip | fail). */
+final class ManifestChangefeedProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-changefeed"
+
+  private def resolve(
+      schemaOpt: Option[StructType],
+      parameters: Map[String, String]): (StructType, Option[String]) =
+    schemaOpt match {
+      case Some(s) => (s, parameters.get("partitionCol"))
+      case None =>
+        ManifestChangefeed.tableDefaults(
+          parameters.getOrElse("table", "tablet_rows"))
+    }
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), ManifestChangefeed.withProvenance(resolve(schema, parameters)._1))
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source = {
+    val path = parameters.getOrElse("path",
+      sys.error("graft-changefeed requires a 'path' option (the manifest table path)"))
+    val (dataSchema, partitionCol) = resolve(schema, parameters)
+    implicit val spark: SparkSession = sqlContext.sparkSession
+    val baseGen = parameters.getOrElse("startingGeneration", "0") match {
+      // "latest" binds at source creation; once the checkpoint has offsets
+      // they win (getBatch receives the checkpointed start), so a restart
+      // never re-resolves this.
+      case "latest" =>
+        new ManifestTable(path, dataSchema, partitionCol)
+          .currentGeneration().getOrElse(0L)
+      case n => n.toLong
+    }
+    new ManifestChangefeedSource(sqlContext, path, dataSchema, partitionCol,
+      baseGen, parameters.getOrElse("onRewrite", "skip"))
+  }
+}

@@ -26,6 +26,20 @@ object GraftBridge {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Re-wrap a BATCH DataFrame as a STREAMING one (`isStreaming = true`),
+    * the contract a V1 streaming `Source.getBatch` must meet: the engine
+    * splices the returned plan in place of the source relation and
+    * requires it to be flagged streaming. The batch plan (and its file
+    * list) is frozen at call time — exactly what an exactly-once source
+    * wants, since a checkpoint replay of the same offset range must read
+    * the same files. This is the same internal hook Spark's own file
+    * source uses (`internalCreateDataFrame(..., isStreaming = true)`). */
+  def asStreamingDataFrame(df: Dataset[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   /** Drop the materialized blocks behind a `localCheckpoint(eager = true)`
     * Dataset. `spark.catalog.clearCache()` only covers `persist`ed plans, so
     * iterative algorithms that checkpoint per round would otherwise leak one

@@ -1,0 +1,246 @@
+package graft
+
+import graft.model._
+import graft.store.StateStore
+import graft.streaming.ManifestChangefeed
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The store-subscription surface: [[ManifestChangefeed]] (generation-as-
+  * offset streaming source over the manifest commit protocol) and the CDC
+  * view ([[ManifestChangefeed.diffStream]]) — exactly-once replay,
+  * compaction ride-through, and stream ≡ batch against
+  * [[StateStore.readTabletDiff]] / readTabletAt. */
+class ManifestChangefeedSpec extends SparkTestBase {
+
+  private def req(h: Long, rows: (String, String, String)*): WriteRequest =
+    WriteRequest(h, BlockRef(s"blk-$h", h),
+      rows.map { case (t, pk, v) =>
+        TabletRowM(1, t, h, pk, v.getBytes("UTF-8"), v.isEmpty) },
+      Nil)
+
+  /** Run one streaming query over `df` into a memory sink; `step` commits
+    * between drains and receives the sink contents after each drain. */
+  private def drainAfter[T](df: DataFrame, name: String, checkpoint: String)(
+      steps: Seq[() => Unit])(collect: () => T): (Seq[T], StreamingQuery) = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", checkpoint).outputMode("append").start()
+    val out = steps.map { step =>
+      step()
+      q.processAllAvailable()
+      collect()
+    }
+    (out, q)
+  }
+
+  test("manifest changefeed: one generation per micro-batch, provenance " +
+    "columns, exactly-once content") {
+    implicit val s = spark
+    val root = tmpDir("cf-raw")
+    val store = new StateStore(root, StateStore.ManifestCommit)
+
+    val stream = store.changefeedStream()
+    val sink = "cf_raw_sink"
+    val (snapshots, q) = drainAfter(stream, sink, tmpDir("cf-raw-ck"))(Seq(
+      () => store.writeBatch(Seq(req(1, ("t1", "a", "a1")), req(2, ("t1", "b", "b2")))),
+      () => store.writeBatch(Seq(req(3, ("t1", "a", "a3"), ("t2", "x", "x3")))),
+      () => () // no commit: drain must add nothing
+    ))(() => spark.table(sink).collect().map(r =>
+      (r.getAs[Long]("_generation"), r.getAs[String]("tablet_id"),
+        r.getAs[Long]("height"), r.getAs[String]("primary_key"))).toSet)
+    try {
+      // Batch 1 = generation 1 (commit of heights 1-2), batch 2 = generation 2.
+      assert(snapshots(0) === Set((1L, "t1", 1L, "a"), (1L, "t1", 2L, "b")))
+      assert(snapshots(1) === snapshots(0) ++
+        Set((2L, "t1", 3L, "a"), (2L, "t2", 3L, "x")))
+      // An empty drain emits nothing (getOffset unchanged).
+      assert(snapshots(2) === snapshots(1))
+      // Commit-id provenance matches the manifest's commit ids.
+      val cids = spark.table(sink).select("_commit_id").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(cids.size === 2)
+      // Total streamed content equals the batch table read.
+      assert(spark.table(sink).count() === store.tabletRows.count())
+    } finally q.stop()
+  }
+
+  test("checkpoint restart resumes at the committed generation — no " +
+    "re-emission, no gap") {
+    implicit val s = spark
+    val root = tmpDir("cf-restart")
+    val ck = tmpDir("cf-restart-ck")
+    val store = new StateStore(root, StateStore.ManifestCommit)
+    store.writeBatch(Seq(req(1, ("t1", "a", "a1"))))
+    store.writeBatch(Seq(req(2, ("t1", "b", "b2"))))
+
+    // A RECOVERABLE sink (memory does not support checkpoint recovery):
+    // the streamed rows land in a parquet directory across both runs.
+    val out = tmpDir("cf-restart-out")
+    val q1 = store.changefeedStream().writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode("append").start()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(out).count() === 2L)
+
+    // Two more commits while the subscriber is down.
+    store.writeBatch(Seq(req(3, ("t1", "c", "c3"))))
+    store.writeBatch(Seq(req(4, ("t1", "d", "d4"))))
+
+    // Restart from the SAME checkpoint: exactly the two missed
+    // generations arrive — no re-emission (4 rows total, distinct gens).
+    val q2 = store.changefeedStream().writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode("append").start()
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(out)
+      .select("_generation", "primary_key").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length === 4)
+    assert(rows.toSet === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
+  test("compaction mid-stream is dataChange=false: skipped by default, " +
+    "loud under onRewrite=fail") {
+    implicit val s = spark
+    val root = tmpDir("cf-compact")
+    val store = new StateStore(root, StateStore.ManifestCommit)
+
+    val sink = "cf_compact_sink"
+    val (snapshots, q) = drainAfter(
+      store.changefeedStream(), sink, tmpDir("cf-compact-ck"))(Seq(
+      () => store.writeBatch(Seq(req(1, ("t1", "a", "a1")), req(2, ("t1", "b", "b2")))),
+      () => { store.compactTabletRows(2); () }, // rewrite generation
+      () => store.writeBatch(Seq(req(3, ("t1", "c", "c3"))))
+    ))(() => spark.table(sink).count())
+    try {
+      assert(snapshots(0) === 2L)
+      assert(snapshots(1) === 2L) // compaction emitted NOTHING
+      assert(snapshots(2) === 3L) // post-compaction commits still flow
+      // ... and the post-compaction batch carries only the new commit.
+      val gens = spark.table(sink).select("_generation").collect()
+        .map(_.getLong(0)).toSet
+      assert(gens === Set(1L, 3L))
+    } finally q.stop()
+
+    // Same table, onRewrite=fail: the rewrite generation kills the query.
+    val q2 = ManifestChangefeed.stream(spark, store.tabletRowsPath,
+      onRewrite = "fail").writeStream.format("memory")
+      .queryName("cf_compact_fail").option("checkpointLocation", tmpDir("cf-cf-ck"))
+      .outputMode("append").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    assert(e.getMessage.contains("rewrote commits") ||
+      Option(e.getCause).exists(_.getMessage.contains("rewrote commits")))
+    q2.stop()
+  }
+
+  test("startingGeneration=latest subscribes to new commits only") {
+    implicit val s = spark
+    val root = tmpDir("cf-latest")
+    val store = new StateStore(root, StateStore.ManifestCommit)
+    store.writeBatch(Seq(req(1, ("t1", "a", "a1"))))
+    store.writeBatch(Seq(req(2, ("t1", "b", "b2"))))
+
+    val stream = store.changefeedStream(startingGeneration = "latest")
+    val sink = "cf_latest_sink"
+    val (snapshots, q) = drainAfter(stream, sink, tmpDir("cf-latest-ck"))(Seq(
+      () => (), // pre-existing history must NOT replay
+      () => store.writeBatch(Seq(req(3, ("t1", "c", "c3"))))
+    ))(() => spark.table(sink).select("primary_key").collect()
+      .map(_.getString(0)).toSet)
+    try {
+      assert(snapshots(0) === Set.empty[String])
+      assert(snapshots(1) === Set("c"))
+    } finally q.stop()
+  }
+
+  test("CDC diff stream ≡ readTabletDiff per commit and readTabletAt in " +
+    "composition (add/update/delete/revive/flap)") {
+    implicit val s = spark
+    val root = tmpDir("cf-cdc")
+    val store = new StateStore(root, StateStore.ManifestCommit)
+
+    // Scripted history on t1 (heights 1..11; "" value = tombstone):
+    //  commit1: a@1=a1, b@2=b2, a@3=a3      -> added a(a3), added b(b2)
+    //  commit2: b@4=del, c@5=c5             -> deleted b, added c
+    //  commit3: b@6=b6, a@7=del, d@8=d8, d@9=del
+    //                                       -> added b(b6), deleted a, (d flaps: nothing)
+    //  commit4: a@10=a10, c@11=c11          -> added a (old=null after tombstone), updated c
+    val commits = Seq(
+      Seq(req(1, ("t1", "a", "a1")), req(2, ("t1", "b", "b2")), req(3, ("t1", "a", "a3"))),
+      Seq(req(4, ("t1", "b", "")), req(5, ("t1", "c", "c5"))),
+      Seq(req(6, ("t1", "b", "b6")), req(7, ("t1", "a", "")),
+        req(8, ("t1", "d", "d8")), req(9, ("t1", "d", ""))),
+      Seq(req(10, ("t1", "a", "a10")), req(11, ("t1", "c", "c11"))))
+    val bounds = Seq(0L, 3L, 5L, 9L, 11L) // commit boundary heights
+
+    val cdc = store.changefeedDiffStream()
+    val sink = "cf_cdc_sink"
+    val (snapshots, q) = drainAfter(cdc, sink, tmpDir("cf-cdc-ck"))(
+      commits.map(c => () => store.writeBatch(c))
+    )(() => spark.table(sink).collect().map(r =>
+      (r.getAs[String]("primary_key"), r.getAs[String]("change_type"),
+        r.getAs[Long]("change_height"),
+        Option(r.getAs[Array[Byte]]("old_value")).map(new String(_, "UTF-8")).orNull,
+        Option(r.getAs[Array[Byte]]("new_value")).map(new String(_, "UTF-8")).orNull))
+      .toSet)
+    try {
+      // Per-batch events == the batch diff over the same height window.
+      (1 until bounds.size).foreach { i =>
+        val batchEvents = snapshots(i - 1) -- (if (i == 1) Set.empty else snapshots(i - 2))
+        val batchDiff = store.readTabletDiff("t1", bounds(i - 1), bounds(i))
+          .collect().map(r =>
+            (r.getAs[String]("primary_key"), r.getAs[String]("change_type"),
+              r.getAs[Long]("change_height"),
+              Option(r.getAs[Array[Byte]]("old_value")).map(new String(_, "UTF-8")).orNull,
+              Option(r.getAs[Array[Byte]]("new_value")).map(new String(_, "UTF-8")).orNull))
+          .toSet
+        assert(batchEvents === batchDiff, s"commit $i window " +
+          s"(${bounds(i - 1)}, ${bounds(i)}]")
+      }
+      // Spot-check the scripted semantics directly.
+      assert(snapshots(3).contains(("a", "added", 10L, null, "a10")),
+        "revive after tombstone is 'added' with null old_value")
+      assert(snapshots(3).contains(("c", "updated", 11L, "c5", "c11")))
+      assert(!snapshots(3).exists(_._1 == "d"),
+        "a within-batch flap (add then delete) emits nothing")
+      // Composition: applying all events reproduces the as-of read.
+      val applied = snapshots(3).groupBy(_._1).map { case (k, evs) =>
+        evs.maxBy(_._3)
+      }.filter(_._2 != "deleted").map(e => (e._1, e._5)).toSet
+      val asOf = store.readTabletAt("t1", 11L).collect()
+        .map(r => (r.getAs[String]("primary_key"),
+          new String(r.getAs[Array[Byte]]("value"), "UTF-8"))).toSet
+      assert(applied === asOf)
+    } finally q.stop()
+  }
+
+  test("rename-protocol dispatch: the file source is the changefeed, " +
+    "commit-id provenance from the committed directory name") {
+    implicit val s = spark
+    val root = tmpDir("cf-rename")
+    val store = new StateStore(root) // RenameCommit default
+
+    val stream = store.changefeedStream()
+    val sink = "cf_rename_sink"
+    val (snapshots, q) = drainAfter(stream, sink, tmpDir("cf-rename-ck"))(Seq(
+      () => store.writeBatch(Seq(req(1, ("t1", "a", "a1")), req(2, ("t1", "b", "b2")))),
+      () => store.writeBatch(Seq(req(3, ("t1", "c", "c3"))))
+    ))(() => spark.table(sink).collect().map(r =>
+      (r.getAs[String]("primary_key"), r.getAs[Long]("height"),
+        r.getAs[String]("_commit_id"))).toSet)
+    try {
+      assert(snapshots(1).map(t => (t._1, t._2)) ===
+        Set(("a", 1L), ("b", 2L), ("c", 3L)))
+      // _commit_id = the batch directory name (b<lo>-<hi>), never empty.
+      assert(snapshots(1).forall(_._3.startsWith("b")))
+      assert(snapshots(1).map(_._3).size === 2 ||
+        snapshots(1).map(_._3).toSeq.distinct.size === 2)
+    } finally q.stop()
+  }
+}
