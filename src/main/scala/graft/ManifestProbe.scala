@@ -149,6 +149,69 @@ object ManifestProbe {
       println(f"MPROBE commits=$commits query=$name min=${runs.min}%.2f " +
         runs.map(r => f"$r%.2f").mkString("runs=[", ",", "]"))
     }
+
+    // ------------------------------------------------------------------
+    // MERGE probe: the copy-on-write serving-table write path. A compacted
+    // serving table (32 range-partitioned files, tight (tablet_id,
+    // primary_key) bounds per file) takes a point-update micro-batch; the
+    // stats-driven merge should rewrite only the files whose key range is
+    // touched, while the SAME merge against a stats-less target (no bounds
+    // recorded → every file conservatively matches) measures what
+    // skipping the metadata costs: a full-table rewrite per commit.
+    // ------------------------------------------------------------------
+    // Serving table sized so the contrast is honest: 2M live keys across
+    // the 8 tablets (the probe store's own state is only tablets×500 keys
+    // — far too small to separate a 1-file rewrite from a full one).
+    val servingFiles = 32
+    val servingKeys = 2000000L
+    def buildServing(path: String, withStats: Boolean): ManifestTable = {
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val t =
+        if (withStats)
+          new ManifestTable(path, graft.model.Schemas.tabletRows,
+            statsCols = Seq("tablet_id", "primary_key"))
+        else new ManifestTable(path, graft.model.Schemas.tabletRows)
+      val state = spark.range(servingKeys).select(
+          lit(1).as("collection"),
+          concat(lit("tab"), (col("id") % tablets).cast("string")).as("tablet_id"),
+          lit(maxH).as("height"),
+          format_string("k%07d", (col("id") / tablets).cast("long")).as("primary_key"),
+          encode(concat(lit("v"), col("id").cast("string")), "UTF-8").as("value"),
+          lit(false).as("is_deletion"))
+        .repartitionByRange(servingFiles, col("tablet_id"), col("primary_key"))
+        .sortWithinPartitions(col("tablet_id"), col("primary_key"))
+      t.commit(state, "base")
+      t
+    }
+    val statsTarget = buildServing(s"$root/serving_stats", withStats = true)
+    val plainTarget = buildServing(s"$root/serving_plain", withStats = false)
+    def pointBatch(run: Int): DataFrame =
+      spark.range(10).select(
+        lit(1).as("collection"), lit("tab3").as("tablet_id"),
+        lit(maxH + run).as("height"),
+        format_string("k%07d", col("id")).as("primary_key"),
+        encode(concat(lit("upd"), col("id").cast("string")), "UTF-8").as("value"),
+        lit(false).as("is_deletion"))
+    val mergeSamples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    var lastReports = Map.empty[String, ManifestTable.MergeReport]
+    (1 to n).foreach { run =>
+      Seq("merge_stats" -> statsTarget, "merge_plain" -> plainTarget).foreach {
+        case (name, t) =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val rep = t.merge(pointBatch(run), Seq("tablet_id", "primary_key"),
+            "height", "is_deletion", f"$name-$run%03d")
+          mergeSamples(name) = mergeSamples(name) :+ (System.nanoTime() - t0) / 1e9
+          lastReports += name -> rep
+      }
+    }
+    mergeSamples.toSeq.sortBy(_._1).foreach { case (name, runs) =>
+      val rep = lastReports(name)
+      println(f"MPROBE commits=$commits query=$name min=${runs.min}%.2f " +
+        s"rewritten=${rep.rewritten} kept=${rep.kept} " +
+        runs.map(r => f"$r%.2f").mkString("runs=[", ",", "]"))
+    }
     spark.stop()
   }
 }

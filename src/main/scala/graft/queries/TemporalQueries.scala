@@ -319,6 +319,37 @@ object TemporalQueries {
         .orderBy("change_height", "primary_key")
     },
 
+    // MATERIALIZED SERVING TABLE: the changefeed folded into a current-
+    // state table by copy-on-write MERGE (StateMaterializer) — the 'view'
+    // tablet's first 6000 heights land in three store commits, the
+    // materializer catches up from the changefeed, and the SERVING read
+    // (no argmax — state already collapsed by merge) must equal the plain
+    // last-write-wins as-of oracle. Stream → merge → serve ≡ readTabletAt.
+    QuerySpec.sql("t_materialized_state", lwwOracle("view", 6000)) { (s, dir) =>
+      implicit val is = s
+      val root = java.nio.file.Files.createTempDirectory("graft-mat-gate").toString
+      val target = java.nio.file.Files.createTempDirectory("graft-mat-target").toString
+      val store = new graft.store.StateStore(root, graft.store.StateStore.ManifestCommit)(s)
+      val m = mutations(s, dir).filter(col("tablet_id") === "view")
+      Seq((-1L, 2000L), (2000L, 4000L), (4000L, 6000L)).zipWithIndex.foreach {
+        case ((lo, hi), i) =>
+          store.writeTabletRows(
+            m.filter(col("height") > lo && col("height") <= hi)
+              .select(lit(1).as("collection"), col("tablet_id"), col("height"),
+                col("primary_key"), col("value").cast("binary").as("value"),
+                col("is_deletion")),
+            commitId = s"w$i")
+      }
+      val q = graft.streaming.StateMaterializer.start(store, target,
+        java.nio.file.Files.createTempDirectory("graft-mat-ck").toString)
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StateMaterializer.read(target)
+        .filter(col("tablet_id") === "view")
+        .select(col("primary_key"), col("height"),
+          col("value").cast("string").as("value"))
+        .orderBy("primary_key")
+    },
+
     // Speculative overlay (J2): durable ≤ 7000 overlaid by a speculative set
     // on (6500, 7500] whose values are tagged; at equal height the
     // speculative write wins (source_rank tie-break, §7.4 risk 1).

@@ -385,6 +385,120 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+  // ---------------------------------------------------------------- merge
+
+  /** COPY-ON-WRITE MERGE (the Delta/Iceberg MERGE INTO shape, driven by
+    * manifest stats): apply `updates` — one row per key, last-write-wins
+    * by `orderCol`, rows flagged `deleteCol` remove the key — rewriting
+    * ONLY the files whose manifest bounds can contain a touched key.
+    *
+    * Per-key semantics (exactly the temporal read's argmax, so a
+    * materialized state table maintained by repeated merges IS
+    * `readTabletAt` at each step):
+    *
+    *   winner(key) = argmax over (existing ∪ updates) by
+    *                 (orderCol, updates-side wins ties);
+    *   winner flagged `deleteCol` → key absent from the result.
+    *
+    * That argmax form (rather than blind replace) makes the merge
+    * IDEMPOTENT and monotone: re-merging the same batch after a crash
+    * replay, or re-delivering an already-applied mutation, changes
+    * nothing — the property a `foreachBatch` consumer needs, since the
+    * engine re-runs the last uncommitted batch on restart. A repeated
+    * `commitId` skips outright (same crash-replay contract as
+    * [[commit]]).
+    *
+    * Scale shape: the touched-key set is COLLECTED to the driver — this
+    * is a micro-batch-sized set by contract (document per caller), the
+    * same driver-side budget the engine's other bounded collects keep.
+    * File matching is then pure manifest metadata: a file is rewritten
+    * iff some touched key lies inside its per-column bounds box
+    * (conservative: a file with no recorded bounds always matches).
+    * Untouched files carry into the new generation VERBATIM — same
+    * relative path, same stats, original commitId — so merge cost is
+    * O(files containing touched keys + batch), never O(table). Under a
+    * z-ordered or compacted layout point updates touch few files; the
+    * spec pins both exactness and rewrite minimality.
+    *
+    * CHANGEFEED interaction: a merge generation drops/changes prior
+    * commit entries, so a [[graft.streaming.ManifestChangefeed]] reader
+    * of THIS table sees it as a rewrite (skipped under the default
+    * `onRewrite = skip`, fatal under `fail`). Merge targets are serving
+    * tables; subscribe to the upstream mutation log, not the
+    * materialization. */
+  def merge(
+      updates: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      deleteCol: String,
+      commitId: String): MergeReport = {
+    require(keyCols.nonEmpty, "merge requires at least one key column")
+    import org.apache.spark.sql.functions._
+    val gen = currentGeneration().getOrElse(0L)
+    val entries = manifestEntriesFull(gen)
+    if (entries.exists(_.commitId == commitId))
+      return MergeReport(rewritten = 0, kept = entries.map(_.files.size).sum,
+        applied = false)
+
+    // Touched keys, driver-side (micro-batch-bounded by contract).
+    val keyRows = updates.select(keyCols.map(col): _*).distinct().collect()
+    if (keyRows.isEmpty)
+      return MergeReport(0, entries.map(_.files.size).sum, applied = false)
+    val keyTuples: Array[Array[StatVal]] =
+      keyRows.map(r => keyCols.indices.map(i => toStatVal(r.get(i))).toArray)
+
+    def fileMatches(bounds: Map[String, (StatVal, StatVal)]): Boolean =
+      keyTuples.exists { tup =>
+        keyCols.indices.forall { i =>
+          bounds.get(keyCols(i)) match {
+            case None => true // no bounds recorded: conservatively match
+            case Some((lo, hi)) =>
+              cmp(lo, tup(i)) <= 0 && cmp(hi, tup(i)) >= 0
+          }
+        }
+      }
+
+    val (matched, kept) = entries.map { e =>
+      val (m, k) = e.files.zip(e.stats).partition { case (_, st) => fileMatches(st) }
+      (m.map(_._1), ManifestEntry(e.commitId, k.map(_._1), k.map(_._2)))
+    }.unzip
+    val matchedFiles = matched.flatten
+    val keptEntries = kept.filter(_.files.nonEmpty)
+
+    // Rewrite = LWW argmax over (matched files' rows ∪ updates); ties on
+    // orderCol go to the updates side; winning tombstones drop the key.
+    val cols = schema.fieldNames.toSeq
+    val existing = scanOf(matchedFiles).withColumn("__src", lit(0))
+    val upd = updates.select(cols.map(col): _*).withColumn("__src", lit(1))
+    // RANGE-partitioned on the keys, one output file per rewritten file:
+    // a hash-partitioned (or AQE-coalesced) rewrite would give every
+    // output file the FULL key range as its manifest bounds, so the next
+    // merge would match all of them — the pruning would decay to nothing
+    // after one pass. Range + sort keeps per-file bounds as tight as the
+    // files being replaced (probe-verified: stable rewritten-file count
+    // across repeated point merges).
+    val merged = existing.unionByName(upd)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(cols.map(col): _*),
+        struct(col(orderCol), col("__src"))).as("w"))
+      .select(cols.map(n => col(s"w.$n").as(n)): _*)
+      .where(!col(deleteCol))
+      .repartitionByRange(math.max(1, matchedFiles.size), keyCols.map(col): _*)
+      .sortWithinPartitions(keyCols.map(col): _*)
+
+    val next = gen + 1
+    val dataDir = s"$tablePath/d-$commitId-g$next"
+    writeData(merged, dataDir)
+    val files = listDataFiles(dataDir)
+    if (failBeforePublish)
+      throw new IllegalStateException(s"injected crash before publish of $commitId")
+    writeManifest(next, keptEntries :+
+      ManifestEntry(commitId, files, collectStats(dataDir, files)))
+    publish(next)
+    MergeReport(rewritten = matchedFiles.size,
+      kept = keptEntries.map(_.files.size).sum, applied = true)
+  }
+
   /** Delete data directories referenced by no retained manifest
     * generation (crashed attempts, pre-compaction generations older than
     * the retention window). `retainGenerations` = how many trailing
@@ -411,9 +525,53 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     victims.foreach(p => fs.delete(p, true))
     victims.map(_.getName).toSeq
   }
+
+  /** FILE-granularity companion to [[sweepOrphans]], needed once
+    * [[merge]] is in play: a merge drops individual FILES from a commit
+    * whose other files stay live, so the directory-level sweep never
+    * reclaims them — at a micro-batch merge cadence that is a permanent
+    * space leak inside partially-kept directories. This pass deletes
+    * data files under live `d-*` directories that no retained
+    * manifest references (same retention contract, same single-writer
+    * safety: a file absent from every retained manifest can never be
+    * referenced again). Returns deleted relative paths. */
+  def sweepOrphanFiles(retainGenerations: Int = 1): Seq[String] = {
+    require(retainGenerations >= 1, "must retain at least the current generation")
+    val (fs, root) = fsOf(tablePath)
+    if (!fs.exists(root)) return Seq.empty
+    val liveFiles: Set[String] = currentGeneration() match {
+      case None => Set.empty
+      case Some(gen) =>
+        val lo = math.max(0L, gen - (retainGenerations - 1).toLong)
+        (lo to gen).flatMap(g => manifestEntries(g).flatMap(_._2)).toSet
+    }
+    val liveDirs = liveFiles.map(_.split("/", 2)(0))
+    val victims = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.startsWith("d-") && liveDirs.contains(p.getName))
+      .flatMap { dir =>
+        val it = fs.listFiles(dir, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+        while (it.hasNext) {
+          val f = it.next().getPath
+          if (f.getName.endsWith(".parquet")) buf += f
+        }
+        val prefix = root.toUri.getPath
+        buf.filterNot(f =>
+          liveFiles.contains(
+            f.toUri.getPath.stripPrefix(prefix).stripPrefix("/")))
+      }
+    victims.foreach(p => fs.delete(p, false))
+    val prefix = root.toUri.getPath
+    victims.map(_.toUri.getPath.stripPrefix(prefix).stripPrefix("/")).toSeq
+  }
 }
 
 object ManifestTable {
+
+  /** What a [[ManifestTable.merge]] did: `rewritten` files re-written
+    * because a touched key could live there, `kept` carried verbatim,
+    * `applied` false for an idempotent skip / empty update set. */
+  final case class MergeReport(rewritten: Int, kept: Int, applied: Boolean)
 
   /** One manifest line: a commit, its files, and per-file column bounds
     * (`stats(i)` describes `files(i)`; empty map = no bounds recorded). */

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.model.Schemas
+import graft.store.{ManifestTable, StateStore}
+
+/** Incrementally-maintained SERVING TABLE: the changefeed folded into a
+  * queryable current-state table — the end of the pipe the changefeed
+  * source opens (mutation log → subscription → materialized view).
+  *
+  * Shape: one streaming query per (store, tablet table). Each micro-batch
+  * (one commit once caught up) reduces to its per-key winners — the same
+  * argmax the read path uses — and COPY-ON-WRITE merges them into a
+  * [[ManifestTable]] target ([[ManifestTable.merge]]): only files whose
+  * manifest bounds can contain a touched key are rewritten, everything
+  * else carries into the new generation verbatim. The target then serves
+  * `readTabletAt(head)`-shaped queries with NO argmax at all — the state
+  * is already collapsed — and point reads prune files driver-side from
+  * the target's own (tablet_id, primary_key) manifest stats.
+  *
+  * Exactly-once: the engine checkpoints the changefeed's generation
+  * offsets; `foreachBatch` re-runs the last batch after a crash, and both
+  * guards absorb that — the merge commitId is the stable batchId (a
+  * replayed id skips outright), and the merge's argmax semantics make a
+  * re-applied batch a no-op even against a target that already contains
+  * it. The touched-key collect inside merge is micro-batch-bounded here
+  * by construction (one commit's keys).
+  *
+  * At 100 TB: the serving table's write amplification per commit is
+  * O(files containing that commit's keys), not O(table) — with the
+  * target compacted/z-ordered that is a handful of files per micro-batch
+  * — and the read side never replays history. This is the materialized
+  * twin of what the reference serves from its KV store head state.
+  */
+object StateMaterializer {
+
+  val KeyCols: Seq[String] = Seq("tablet_id", "primary_key")
+
+  /** The target's manifest table handle: same schema/partitioning as the
+    * mutation table, stats on the MERGE KEYS so both merge file-matching
+    * and point-read pruning work from the manifest alone. */
+  def targetTable(targetPath: String)(implicit spark: SparkSession): ManifestTable =
+    new ManifestTable(targetPath, Schemas.tabletRows, Some("collection"),
+      statsCols = Seq("tablet_id", "primary_key"))
+
+  /** Start maintaining `targetPath` from `store`'s changefeed. The
+    * returned query runs until stopped; restart with the same
+    * `checkpointDir` resumes exactly where it left off. */
+  def start(
+      store: StateStore,
+      targetPath: String,
+      checkpointDir: String,
+      startingGeneration: String = "0"): StreamingQuery = {
+    implicit val spark: SparkSession = store.tabletRows.sparkSession
+    val target = targetTable(targetPath)
+    store.changefeedStream(startingGeneration)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val winners = graft.read.TemporalReads
+          .latestPerKey(
+            batch.select(Schemas.tabletRows.fieldNames.map(col).toSeq: _*),
+            KeyCols, Seq("value", "collection"))
+          .select(Schemas.tabletRows.fieldNames.map(col).toSeq: _*)
+        target.merge(winners, KeyCols, orderCol = "height",
+          deleteCol = "is_deletion", commitId = f"cf-b$batchId%09d")
+        ()
+      }
+      .start()
+  }
+
+  /** The serving read: current live state, no argmax (already collapsed
+    * by merge). Scope with ordinary predicates; point lookups go through
+    * [[readRow]] for manifest-stats file pruning. */
+  def read(targetPath: String)(implicit spark: SparkSession): DataFrame =
+    targetTable(targetPath).read()
+
+  /** Point lookup on the serving table: the file list is pruned
+    * driver-side from the target's manifest bounds before any footer is
+    * read — the serving-side analog of the store's snapshot-routed point
+    * read. */
+  def readRow(targetPath: String, tabletId: String, primaryKey: String)(
+      implicit spark: SparkSession): DataFrame =
+    targetTable(targetPath)
+      .readPruned(Seq(
+        ManifestTable.StatsEq("tablet_id", tabletId),
+        ManifestTable.StatsEq("primary_key", primaryKey)))
+      .filter(col("tablet_id") === lit(tabletId) &&
+        col("primary_key") === lit(primaryKey))
+}

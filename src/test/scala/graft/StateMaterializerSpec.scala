@@ -1,0 +1,171 @@
+package graft
+
+import graft.model._
+import graft.store.{ManifestTable, StateStore}
+import graft.streaming.StateMaterializer
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** [[ManifestTable.merge]] (copy-on-write, manifest-stats file pruning)
+  * and [[StateMaterializer]] (changefeed → incrementally maintained
+  * serving table ≡ readTabletAt). */
+class StateMaterializerSpec extends SparkTestBase {
+
+  private val mergeSchema = StructType(Seq(
+    StructField("k", StringType, nullable = false),
+    StructField("h", LongType, nullable = false),
+    StructField("v", StringType, nullable = true),
+    StructField("del", BooleanType, nullable = false)))
+
+  private def mkTable(dir: String): ManifestTable = {
+    implicit val s = spark
+    new ManifestTable(dir, mergeSchema, statsCols = Seq("k"))
+  }
+
+  private def df(rows: (String, Long, String, Boolean)*) = {
+    import spark.implicits._
+    rows.toDF("k", "h", "v", "del").coalesce(1)
+  }
+
+  private def contents(t: ManifestTable): Set[(String, Long, String)] =
+    t.read().collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(2))).toSet
+
+  test("merge rewrites ONLY files whose manifest bounds contain a touched " +
+    "key; untouched files carry verbatim") {
+    val t = mkTable(tmpDir("merge-min"))
+    // Three single-file commits with disjoint key ranges.
+    t.commit(df(("a1", 1, "a1v", false), ("a2", 1, "a2v", false)), "c-a")
+    t.commit(df(("b1", 1, "b1v", false), ("b2", 1, "b2v", false)), "c-b")
+    t.commit(df(("c1", 1, "c1v", false), ("c2", 1, "c2v", false)), "c-c")
+
+    val r = t.merge(df(("b1", 2, "b1v2", false)), Seq("k"), "h", "del", "m1")
+    assert(r.applied)
+    assert(r.rewritten === 1, "only the b-range file may be rewritten")
+    assert(r.kept === 2)
+    assert(contents(t) === Set(
+      ("a1", 1L, "a1v"), ("a2", 1L, "a2v"),
+      ("b1", 2L, "b1v2"), ("b2", 1L, "b2v"),
+      ("c1", 1L, "c1v"), ("c2", 1L, "c2v")))
+    // The untouched files' ORIGINAL commit entries survive in the manifest.
+    val cids = t.manifestEntries(t.currentGeneration().get).map(_._1)
+    assert(cids.contains("c-a") && cids.contains("c-c") && cids.contains("m1"))
+    assert(!cids.contains("c-b"), "the rewritten file's entry is replaced")
+  }
+
+  test("merge is LWW by orderCol with updates winning ties; tombstones " +
+    "remove keys; stale updates lose") {
+    val t = mkTable(tmpDir("merge-lww"))
+    t.commit(df(("k1", 5, "old", false), ("k2", 5, "keep", false),
+      ("k3", 5, "gone", false)), "c0")
+    t.merge(df(
+      ("k1", 5, "tie-update-wins", false), // equal height: update side wins
+      ("k3", 6, null, true),               // tombstone removes the key
+      ("k2", 3, "stale", false),           // below existing height: loses
+      ("k9", 1, null, true)                // delete of an absent key: no-op
+    ), Seq("k"), "h", "del", "m1")
+    assert(contents(t) === Set(
+      ("k1", 5L, "tie-update-wins"), ("k2", 5L, "keep")))
+  }
+
+  test("merge is idempotent: repeated commitId skips, re-applying the " +
+    "same batch under a new id changes nothing") {
+    val t = mkTable(tmpDir("merge-idem"))
+    t.commit(df(("k1", 1, "v1", false)), "c0")
+    val batch = df(("k1", 2, "v2", false), ("k2", 2, "w2", false))
+    assert(t.merge(batch, Seq("k"), "h", "del", "m1").applied)
+    val after = contents(t)
+    // Crash-replay of the same foreachBatch id: same commitId → skip.
+    assert(!t.merge(batch, Seq("k"), "h", "del", "m1").applied)
+    assert(contents(t) === after)
+    // Redelivery under a NEW id: argmax semantics absorb it.
+    assert(t.merge(batch, Seq("k"), "h", "del", "m2").applied)
+    assert(contents(t) === after)
+    // Empty update set: no-op, no generation burned.
+    val genBefore = t.currentGeneration().get
+    assert(!t.merge(df(), Seq("k"), "h", "del", "m3").applied)
+    assert(t.currentGeneration().get === genBefore)
+  }
+
+  test("sweepOrphanFiles reclaims merge-dropped files inside partially " +
+    "kept commit dirs; live files and reads untouched") {
+    val t = mkTable(tmpDir("merge-sweep"))
+    // One commit, TWO files (two disjoint single-file sub-commits would be
+    // dir-level sweepable — force the partial-keep case with one commit
+    // whose data spans two files).
+    import spark.implicits._
+    val two = Seq(("a1", 1L, "a1v", false), ("z1", 1L, "z1v", false))
+      .toDF("k", "h", "v", "del").repartitionByRange(2, col("k"))
+    t.commit(two, "c0")
+    assert(t.manifestEntries(t.currentGeneration().get).head._2.size === 2)
+
+    t.merge(df(("a1", 2, "a1v2", false)), Seq("k"), "h", "del", "m1")
+    // Directory-level sweep keeps the c0 dir (one file still live) —
+    // the rewritten-away file lingers until the file-level sweep runs.
+    assert(t.sweepOrphans(retainGenerations = 1).isEmpty ||
+      !t.sweepOrphans(retainGenerations = 1).exists(_.contains("c0")))
+    val swept = t.sweepOrphanFiles(retainGenerations = 1)
+    assert(swept.exists(_.startsWith("d-c0-")), s"expected a c0 file swept, got $swept")
+    assert(contents(t) === Set(("a1", 2L, "a1v2"), ("z1", 1L, "z1v")))
+  }
+
+  private def req(h: Long, rows: (String, String, String)*): WriteRequest =
+    WriteRequest(h, BlockRef(s"blk-$h", h),
+      rows.map { case (t, pk, v) =>
+        TabletRowM(1, t, h, pk, v.getBytes("UTF-8"), v.isEmpty) },
+      Nil)
+
+  test("materializer: serving table ≡ readTabletAt after every commit, " +
+    "across a restart, point read pruned from manifest stats") {
+    implicit val s = spark
+    val root = tmpDir("mat-store")
+    val target = tmpDir("mat-target")
+    val ck = tmpDir("mat-ck")
+    val store = new StateStore(root, StateStore.ManifestCommit)
+
+    val commits = Seq(
+      Seq(req(1, ("t1", "a", "a1")), req(2, ("t1", "b", "b2")), req(3, ("t1", "a", "a3"))),
+      Seq(req(4, ("t1", "b", "")), req(5, ("t2", "x", "x5"))),
+      Seq(req(6, ("t1", "b", "b6")), req(7, ("t1", "a", ""))),
+      Seq(req(8, ("t1", "a", "a8"), ("t2", "x", "x8"))))
+
+    def assertServing(atHeight: Long): Unit =
+      Seq("t1", "t2").foreach { tab =>
+        val serving = StateMaterializer.read(target)
+          .filter(col("tablet_id") === tab)
+          .select(col("primary_key"), col("height"),
+            col("value").cast("string").as("value"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+        val asOf = store.readTabletAt(tab, atHeight)
+          .select(col("primary_key"), col("height"),
+            col("value").cast("string").as("value"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+        assert(serving === asOf, s"tablet $tab at height $atHeight")
+      }
+
+    val q1 = StateMaterializer.start(store, target, ck)
+    try {
+      store.writeBatch(commits(0)); q1.processAllAvailable(); assertServing(3)
+      store.writeBatch(commits(1)); q1.processAllAvailable(); assertServing(5)
+    } finally q1.stop()
+
+    // Commits land while the materializer is down; restart catches up.
+    store.writeBatch(commits(2))
+    val q2 = StateMaterializer.start(store, target, ck)
+    try {
+      q2.processAllAvailable(); assertServing(7)
+      store.writeBatch(commits(3)); q2.processAllAvailable(); assertServing(8)
+    } finally q2.stop()
+
+    // Point read: correct row, and the manifest bounds actually prune
+    // (the target has accreted several merge generations' files).
+    val row = StateMaterializer.readRow(target, "t2", "x").collect()
+    assert(row.length === 1 && row(0).getAs[Long]("height") === 8L)
+    val (surviving, total) = StateMaterializer.targetTable(target).pruneCounts(
+      Seq(ManifestTable.StatsEq("tablet_id", "t2"),
+        ManifestTable.StatsEq("primary_key", "x")))
+    assert(surviving <= total)
+    assert(total >= 1)
+  }
+}
