@@ -401,12 +401,22 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     *   winner flagged `deleteCol` → key absent from the result.
     *
     * That argmax form (rather than blind replace) makes the merge
-    * IDEMPOTENT and monotone: re-merging the same batch after a crash
-    * replay, or re-delivering an already-applied mutation, changes
-    * nothing — the property a `foreachBatch` consumer needs, since the
-    * engine re-runs the last uncommitted batch on restart. A repeated
-    * `commitId` skips outright (same crash-replay contract as
-    * [[commit]]).
+    * IDEMPOTENT: re-merging the same batch after a crash replay — even
+    * under a different commitId — changes nothing, the property a
+    * `foreachBatch` consumer needs, since the engine re-runs the last
+    * uncommitted batch on restart. A repeated `commitId` also skips
+    * outright (same crash-replay contract as [[commit]]).
+    *
+    * TOMBSTONE RETENTION (`keepTombstones`): with the default `false`, a
+    * winning delete physically removes the key — after which the argmax
+    * has nothing to compare against, so a LATER merge redelivering a
+    * mutation BELOW the applied delete's height would revive the key.
+    * That is safe when merges arrive in order (the changefeed delivers
+    * each commit once, heights monotone — the materializer's shape) and
+    * matches Delta-MERGE semantics; a caller merging from an
+    * out-of-order or at-least-once source must pass `true`, which keeps
+    * winning tombstones as physical rows (filter `deleteCol` on read)
+    * so the height guard survives delete→redeliver.
     *
     * Scale shape: the touched-key set is COLLECTED to the driver — this
     * is a micro-batch-sized set by contract (document per caller), the
@@ -431,7 +441,8 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       keyCols: Seq[String],
       orderCol: String,
       deleteCol: String,
-      commitId: String): MergeReport = {
+      commitId: String,
+      keepTombstones: Boolean = false): MergeReport = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
     import org.apache.spark.sql.functions._
     val gen = currentGeneration().getOrElse(0L)
@@ -477,12 +488,12 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     // after one pass. Range + sort keeps per-file bounds as tight as the
     // files being replaced (probe-verified: stable rewritten-file count
     // across repeated point merges).
-    val merged = existing.unionByName(upd)
+    val winners = existing.unionByName(upd)
       .groupBy(keyCols.map(col): _*)
       .agg(max_by(struct(cols.map(col): _*),
         struct(col(orderCol), col("__src"))).as("w"))
       .select(cols.map(n => col(s"w.$n").as(n)): _*)
-      .where(!col(deleteCol))
+    val merged = (if (keepTombstones) winners else winners.where(!col(deleteCol)))
       .repartitionByRange(math.max(1, matchedFiles.size), keyCols.map(col): _*)
       .sortWithinPartitions(keyCols.map(col): _*)
 
@@ -546,23 +557,14 @@ final class ManifestTable(val tablePath: String, schema: StructType,
         (lo to gen).flatMap(g => manifestEntries(g).flatMap(_._2)).toSet
     }
     val liveDirs = liveFiles.map(_.split("/", 2)(0))
+    // Same recursive walk + root-relativization the commit path uses
+    // (listDataFiles), so the two can never drift on layout or encoding.
     val victims = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
       .filter(p => p.getName.startsWith("d-") && liveDirs.contains(p.getName))
-      .flatMap { dir =>
-        val it = fs.listFiles(dir, true)
-        val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
-        while (it.hasNext) {
-          val f = it.next().getPath
-          if (f.getName.endsWith(".parquet")) buf += f
-        }
-        val prefix = root.toUri.getPath
-        buf.filterNot(f =>
-          liveFiles.contains(
-            f.toUri.getPath.stripPrefix(prefix).stripPrefix("/")))
-      }
-    victims.foreach(p => fs.delete(p, false))
-    val prefix = root.toUri.getPath
-    victims.map(_.toUri.getPath.stripPrefix(prefix).stripPrefix("/")).toSeq
+      .flatMap(dir => listDataFiles(dir.toString))
+      .filterNot(liveFiles.contains)
+    victims.foreach(rel => fs.delete(new Path(s"$tablePath/$rel"), false))
+    victims.toSeq
   }
 }
 

@@ -35,14 +35,17 @@ import graft.store.ManifestTable
   * a replayed range reads the same manifests (immutable) and therefore
   * the same files — byte-identical replay, no dedup state needed.
   *
-  * Data rewrites (a [[ManifestTable.replaceAll]] generation — some prior
-  * commit's entry disappears from the manifest): graft's only rewrite
-  * writers are the compaction paths, which preserve contents EXACTLY
-  * (spec-pinned), so the default `onRewrite = skip` treats them as
-  * `dataChange = false` and emits nothing — the stream rides through
-  * compaction without re-emitting the table. For a table where a rewrite
-  * might not be contents-preserving, `onRewrite = fail` stops the stream
-  * loudly instead (Delta's default posture for non-append changes).
+  * Data rewrites — a generation where some previously-live FILE leaves
+  * the manifest (a [[ManifestTable.replaceAll]]/compaction, or a
+  * [[ManifestTable.merge]], which can shrink a commit's file list while
+  * keeping its id — detection is file-level for exactly that reason):
+  * compaction preserves contents EXACTLY (spec-pinned), so the default
+  * `onRewrite = skip` treats the generation as `dataChange = false` and
+  * emits nothing — the stream rides through compaction without
+  * re-emitting the table. A MERGE is not contents-preserving: subscribe
+  * to the upstream mutation log, not a merge target, or use
+  * `onRewrite = fail` to stop loudly (Delta's default posture for
+  * non-append changes).
   *
   * Retention contract: a lagging stream reads old generations' files, so
   * `sweepOrphans(retainGenerations = n)` bounds how far behind a
@@ -95,6 +98,29 @@ object ManifestChangefeed {
       .option("startingGeneration", startingGeneration)
       .option("onRewrite", onRewrite)
       .load()
+
+  /** The source's offset: a generation number whose checkpoint form is
+    * the bare decimal. NOT a case class — the streaming Offset base
+    * defines equality by the `json` string so a checkpoint-restored
+    * `SerializedOffset("5")` compares equal to a freshly polled offset
+    * for generation 5; a generated case-class `equals` would break that
+    * and schedule one spurious empty batch per restart. */
+  private[graft] final class GenOffset(val gen: Long)
+      extends org.apache.spark.sql.execution.streaming.Offset {
+    override def json: String = gen.toString
+  }
+
+  /** Balanced (tree) union: a left-deep `reduce(unionByName)` over a
+    * catch-up batch spanning thousands of commits builds a plan
+    * thousands of nodes deep and analysis recurses over it — balanced,
+    * the depth is log₂(width). Catalyst's CombineUnions then flattens it
+    * to one n-ary Union for execution either way. */
+  private[graft] def balancedUnion(dfs: Seq[DataFrame]): DataFrame =
+    if (dfs.size == 1) dfs.head
+    else {
+      val (a, b) = dfs.splitAt(dfs.size / 2)
+      balancedUnion(a).unionByName(balancedUnion(b))
+    }
 
   // ------------------------------------------------------------------
   // CDC view: mutations -> per-key state transitions
@@ -191,45 +217,52 @@ final class ManifestChangefeedSource(
 
   override val schema: StructType = ManifestChangefeed.withProvenance(dataSchema)
 
-  /** A self-contained LongOffset (the runtime class is internal; the JSON
-    * form — just the decimal generation — is the checkpoint contract). */
-  private final case class GenOffset(gen: Long) extends OffsetV1 {
-    override def json: String = gen.toString
-  }
   private def genOf(o: OffsetV1): Long = o.json.trim.toLong
 
   /** One small-object read of the generation pointer; no listing. */
   override def getOffset: Option[OffsetV1] =
-    table.currentGeneration().filter(_ > baseGen).map(GenOffset)
+    table.currentGeneration().filter(_ > baseGen)
+      .map(new ManifestChangefeed.GenOffset(_))
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val startGen = start.map(genOf).getOrElse(baseGen)
     val endGen = genOf(end)
-    val appended: Seq[(Long, String, Seq[String])] =
-      ((startGen + 1) to endGen).flatMap { g =>
-        val prevIds = table.manifestEntries(g - 1).map(_._1).toSet
-        val cur = table.manifestEntries(g)
-        val dropped = prevIds -- cur.map(_._1).toSet
-        if (dropped.nonEmpty) {
-          // A rewrite generation (replaceAll/compaction): no appended data.
-          if (onRewrite == "fail") throw new IllegalStateException(
-            s"generation $g of $tablePath rewrote commits ${dropped.mkString(", ")} " +
-              "— not an append; restart from a fresh checkpoint or use onRewrite=skip " +
-              "if the rewrite is contents-preserving (graft compaction is)")
-          Nil
-        } else cur.collect {
-          case (cid, files) if !prevIds.contains(cid) => (g, cid, files)
-        }
+    // One fold over the generation range, each manifest parsed ONCE (the
+    // previous iteration's `cur` is the next one's `prev`). Rewrite
+    // detection is FILE-level, not commit-id-level: a partial merge keeps
+    // a commit's id while dropping some of its files, and an id-level
+    // diff would misread the merge generation as a plain append and
+    // re-emit the rewritten file's old rows as fresh changes.
+    var prev = table.manifestEntries(startGen)
+    val appended = Seq.newBuilder[(Long, String, Seq[String])]
+    ((startGen + 1) to endGen).foreach { g =>
+      val prevFiles = prev.iterator.flatMap(_._2).toSet
+      val cur = table.manifestEntries(g)
+      val removed = prevFiles -- cur.iterator.flatMap(_._2).toSet
+      if (removed.nonEmpty) {
+        // A rewrite generation (replaceAll / compaction / merge): prior
+        // data was rewritten, so nothing in it is a pure append.
+        if (onRewrite == "fail") throw new IllegalStateException(
+          s"generation $g of $tablePath rewrote ${removed.size} file(s) " +
+            "— not an append; restart from a fresh checkpoint or use onRewrite=skip " +
+            "if the rewrite is contents-preserving (graft compaction is; " +
+            "a merge is NOT — subscribe to the upstream mutation log instead)")
+      } else cur.foreach { case (cid, files) =>
+        val fresh = files.filterNot(prevFiles.contains)
+        if (fresh.nonEmpty) appended += ((g, cid, fresh))
       }
+      prev = cur
+    }
+    val parts = appended.result()
     val batch =
-      if (appended.isEmpty)
+      if (parts.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else appended.map { case (g, cid, files) =>
+      else ManifestChangefeed.balancedUnion(parts.map { case (g, cid, files) =>
         table.scanOf(files)
           .withColumn(ManifestChangefeed.GenerationCol, lit(g))
           .withColumn(ManifestChangefeed.CommitIdCol, lit(cid))
-      }.reduce(_ unionByName _)
+      })
     GraftBridge.asStreamingDataFrame(batch)
   }
 
@@ -273,15 +306,46 @@ final class ManifestChangefeedProvider extends StreamSourceProvider with DataSou
     val (dataSchema, partitionCol) = resolve(schema, parameters)
     implicit val spark: SparkSession = sqlContext.sparkSession
     val baseGen = parameters.getOrElse("startingGeneration", "0") match {
-      // "latest" binds at source creation; once the checkpoint has offsets
-      // they win (getBatch receives the checkpointed start), so a restart
-      // never re-resolves this.
+      // "latest" binds ONCE per checkpoint, persisted under the source's
+      // metadata path. Re-resolving at every restart would be wrong for
+      // the FIRST batch: its getBatch start is None (not a checkpointed
+      // offset), so a crash between the offset log and the commit log
+      // would replay batch 0 against a newer pointer and silently drop
+      // the generations published in between.
       case "latest" =>
-        new ManifestTable(path, dataSchema, partitionCol)
-          .currentGeneration().getOrElse(0L)
+        ManifestChangefeedProvider.persistedBaseGen(spark, metadataPath, () =>
+          new ManifestTable(path, dataSchema, partitionCol)
+            .currentGeneration().getOrElse(0L))
       case n => n.toLong
     }
     new ManifestChangefeedSource(sqlContext, path, dataSchema, partitionCol,
       baseGen, parameters.getOrElse("onRewrite", "skip"))
+  }
+}
+
+object ManifestChangefeedProvider {
+  /** Read the pinned base generation for this checkpoint, resolving and
+    * persisting it on first use (tmp + rename, the checkpoint dir's own
+    * atomicity class; a crash before the rename re-resolves — safe, no
+    * offsets can have been logged for a source that failed creation). */
+  private[graft] def persistedBaseGen(
+      spark: SparkSession, metadataPath: String, resolve: () => Long): Long = {
+    val p = new Path(metadataPath, "graft-base-gen")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong
+      finally in.close()
+    } else {
+      val gen = resolve()
+      fs.mkdirs(p.getParent)
+      val tmp = new Path(metadataPath, s"graft-base-gen.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(gen.toString.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, p) && !fs.exists(p))
+        throw new IllegalStateException(s"could not persist base generation at $p")
+      gen
+    }
   }
 }

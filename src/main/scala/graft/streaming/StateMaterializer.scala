@@ -22,12 +22,14 @@ import graft.store.{ManifestTable, StateStore}
   * the target's own (tablet_id, primary_key) manifest stats.
   *
   * Exactly-once: the engine checkpoints the changefeed's generation
-  * offsets; `foreachBatch` re-runs the last batch after a crash, and both
-  * guards absorb that — the merge commitId is the stable batchId (a
-  * replayed id skips outright), and the merge's argmax semantics make a
-  * re-applied batch a no-op even against a target that already contains
-  * it. The touched-key collect inside merge is micro-batch-bounded here
-  * by construction (one commit's keys).
+  * offsets; `foreachBatch` re-runs the last batch after a crash, and two
+  * guards absorb that — the merge commitId is (run token, batchId), so a
+  * same-run replay skips outright and a cross-run replay re-merges under
+  * a new id, which the merge's argmax makes a no-op (tombstones are
+  * RETAINED in the target — filtered at read — so even a redelivered
+  * mutation below an applied delete cannot revive the key). The
+  * touched-key collect inside merge is micro-batch-bounded here by
+  * construction (one commit's keys).
   *
   * At 100 TB: the serving table's write amplification per commit is
   * O(files containing that commit's keys), not O(table) — with the
@@ -56,6 +58,15 @@ object StateMaterializer {
       startingGeneration: String = "0"): StreamingQuery = {
     implicit val spark: SparkSession = store.tabletRows.sparkSession
     val target = targetTable(targetPath)
+    // Fresh token per start(): the merge commitId must be unique per
+    // (stream run, batch) — a bare batchId would collide with a previous
+    // checkpoint's batches against the same target (cleared/new
+    // checkpoint dir restarts numbering at 0) and silently no-op merges
+    // whose contents differ. Within one run a crash-replayed batch keeps
+    // its id → skipped; across runs a replayed batch gets a new id →
+    // re-merged, which the merge's argmax absorbs (keepTombstones keeps
+    // the delete→redeliver guard intact too).
+    val runToken = java.util.UUID.randomUUID().toString.take(8)
     store.changefeedStream(startingGeneration)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -66,17 +77,19 @@ object StateMaterializer {
             KeyCols, Seq("value", "collection"))
           .select(Schemas.tabletRows.fieldNames.map(col).toSeq: _*)
         target.merge(winners, KeyCols, orderCol = "height",
-          deleteCol = "is_deletion", commitId = f"cf-b$batchId%09d")
+          deleteCol = "is_deletion", commitId = f"cf-$runToken-b$batchId%09d",
+          keepTombstones = true)
         ()
       }
       .start()
   }
 
   /** The serving read: current live state, no argmax (already collapsed
-    * by merge). Scope with ordinary predicates; point lookups go through
-    * [[readRow]] for manifest-stats file pruning. */
+    * by merge; retained tombstones filtered here). Scope with ordinary
+    * predicates; point lookups go through [[readRow]] for manifest-stats
+    * file pruning. */
   def read(targetPath: String)(implicit spark: SparkSession): DataFrame =
-    targetTable(targetPath).read()
+    targetTable(targetPath).read().where(!col("is_deletion"))
 
   /** Point lookup on the serving table: the file list is pruned
     * driver-side from the target's manifest bounds before any footer is
@@ -89,5 +102,5 @@ object StateMaterializer {
         ManifestTable.StatsEq("tablet_id", tabletId),
         ManifestTable.StatsEq("primary_key", primaryKey)))
       .filter(col("tablet_id") === lit(tabletId) &&
-        col("primary_key") === lit(primaryKey))
+        col("primary_key") === lit(primaryKey) && !col("is_deletion"))
 }

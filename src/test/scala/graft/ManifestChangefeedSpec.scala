@@ -134,8 +134,8 @@ class ManifestChangefeedSpec extends SparkTestBase {
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       q2.processAllAvailable()
     }
-    assert(e.getMessage.contains("rewrote commits") ||
-      Option(e.getCause).exists(_.getMessage.contains("rewrote commits")))
+    assert(e.getMessage.contains("rewrote") ||
+      Option(e.getCause).exists(_.getMessage.contains("rewrote")))
     q2.stop()
   }
 
@@ -218,6 +218,89 @@ class ManifestChangefeedSpec extends SparkTestBase {
           new String(r.getAs[Array[Byte]]("value"), "UTF-8"))).toSet
       assert(applied === asOf)
     } finally q.stop()
+  }
+
+  test("offset equality follows the json contract: a checkpoint-restored " +
+    "offset compares equal to a freshly polled one (no spurious restart batch)") {
+    val polled = new ManifestChangefeed.GenOffset(5)
+    // What the engine hands back after a restart: an Offset whose only
+    // identity is the json it logged. The streaming Offset base defines
+    // equality on json — which a case-class equals would have shadowed.
+    val restored = new org.apache.spark.sql.execution.streaming.Offset {
+      override def json: String = "5"
+    }
+    assert(polled.equals(restored) && restored.equals(polled))
+    assert(!polled.equals(new ManifestChangefeed.GenOffset(6)))
+  }
+
+  test("startingGeneration=latest is pinned per checkpoint: a restart " +
+    "re-reads the persisted base instead of re-resolving the pointer") {
+    implicit val s = spark
+    val meta = tmpDir("cf-meta") + "/sources/0"
+    var resolves = 0
+    val g1 = graft.streaming.ManifestChangefeedProvider
+      .persistedBaseGen(spark, meta, () => { resolves += 1; 7L })
+    // Second creation (a restart): the resolver must NOT run again — a
+    // re-resolve against a newer pointer would silently swallow the
+    // generations published between crash and restart when the engine
+    // replays batch 0 (whose getBatch start is None, not an offset).
+    val g2 = graft.streaming.ManifestChangefeedProvider
+      .persistedBaseGen(spark, meta, () => { resolves += 1; 99L })
+    assert(g1 === 7L && g2 === 7L && resolves === 1)
+  }
+
+  test("a merge generation is a rewrite to the changefeed even though the " +
+    "commit id survives: file-level detection, skip emits nothing, fail is loud") {
+    implicit val s = spark
+    val dir = tmpDir("cf-merge-detect")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("del",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    val t = new graft.store.ManifestTable(dir, schema, statsCols = Seq("k"))
+    import spark.implicits._
+    // One commit, TWO files with disjoint key ranges — a merge touching
+    // only one range keeps the commit id but shrinks its file list, the
+    // exact shape a commit-id-level rewrite check would misread as an
+    // append (and re-emit the rewritten file's old rows as fresh data).
+    t.commit(Seq(("a1", 1L, "a1v", false), ("z1", 1L, "z1v", false))
+      .toDF("k", "h", "v", "del").repartitionByRange(2, col("k")), "c0")
+
+    val stream = spark.readStream
+      .format(classOf[graft.streaming.ManifestChangefeedProvider].getName)
+      .schema(schema).option("path", dir).load()
+    val sink = "cf_merge_detect"
+    val q = stream.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", tmpDir("cf-md-ck"))
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(sink).count() === 2L)
+      t.merge(Seq(("a1", 2L, "a1v2", false)).toDF("k", "h", "v", "del"),
+        Seq("k"), "h", "del", "m1")
+      q.processAllAvailable()
+      // Under skip the merge generation must emit NOTHING — neither the
+      // rewritten file's old rows nor the merged update.
+      assert(spark.table(sink).count() === 2L)
+    } finally q.stop()
+
+    val qf = spark.readStream
+      .format(classOf[graft.streaming.ManifestChangefeedProvider].getName)
+      .schema(schema).option("path", dir).option("onRewrite", "fail").load()
+      .writeStream.format("memory").queryName("cf_merge_detect_fail")
+      .option("checkpointLocation", tmpDir("cf-md-ck2"))
+      .outputMode("append").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      qf.processAllAvailable()
+    }
+    assert(e.getMessage.contains("rewrote") ||
+      Option(e.getCause).exists(_.getMessage.contains("rewrote")))
+    qf.stop()
   }
 
   test("rename-protocol dispatch: the file source is the changefeed, " +

@@ -110,6 +110,28 @@ class StateMaterializerSpec extends SparkTestBase {
     assert(contents(t) === Set(("a1", 2L, "a1v2"), ("z1", 1L, "z1v")))
   }
 
+  test("keepTombstones: a mutation redelivered below an applied delete " +
+    "cannot revive the key (and the default mode documents that it can)") {
+    // Retained-tombstone mode (the materializer's): delete survives as a
+    // physical row, so the argmax sees its height and the stale add loses.
+    val t = mkTable(tmpDir("merge-ts"))
+    t.merge(df(("k1", 5, "v5", false)), Seq("k"), "h", "del", "m1",
+      keepTombstones = true)
+    t.merge(df(("k1", 6, null, true)), Seq("k"), "h", "del", "m2",
+      keepTombstones = true)
+    t.merge(df(("k1", 5, "v5", false)), Seq("k"), "h", "del", "m3",
+      keepTombstones = true) // out-of-order redelivery
+    assert(t.read().where(!col("del")).count() === 0L,
+      "k1 must stay deleted under retained tombstones")
+    // Default mode drops the tombstone row — the documented trade: a
+    // BELOW-tombstone redelivery revives (callers must merge in order).
+    val t2 = mkTable(tmpDir("merge-ts2"))
+    t2.merge(df(("k1", 5, "v5", false)), Seq("k"), "h", "del", "m1")
+    t2.merge(df(("k1", 6, null, true)), Seq("k"), "h", "del", "m2")
+    t2.merge(df(("k1", 5, "v5", false)), Seq("k"), "h", "del", "m3")
+    assert(contents(t2) === Set(("k1", 5L, "v5")))
+  }
+
   private def req(h: Long, rows: (String, String, String)*): WriteRequest =
     WriteRequest(h, BlockRef(s"blk-$h", h),
       rows.map { case (t, pk, v) =>
