@@ -151,6 +151,33 @@ object ManifestProbe {
     }
 
     // ------------------------------------------------------------------
+    // CHANGEFEED catch-up probe: subscribe from generation 0 on the
+    // 256-commit table and drain everything in ONE micro-batch — the
+    // worst-case plan the source ever builds (one scan per commit,
+    // balanced union; left-deep would overflow the driver at real commit
+    // counts). Contrast = the equivalent batch read of the same table.
+    // ------------------------------------------------------------------
+    {
+      val ckRoot = s"/dev/shm/graft-mprobe-ck"
+      fs.delete(new org.apache.hadoop.fs.Path(ckRoot), true)
+      val t0 = System.nanoTime()
+      var caught = 0L
+      val q = store.changefeedStream().writeStream
+        .option("checkpointLocation", s"$ckRoot/catchup")
+        .foreachBatch { (b: DataFrame, _: Long) => caught += b.count() }
+        .start()
+      q.processAllAvailable(); q.stop()
+      val tCatchup = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      val t1 = System.nanoTime()
+      val batchRows = store.tabletRows.count()
+      val tBatch = (System.nanoTime() - t1) / 1e9
+      require(caught == batchRows, s"catch-up rows $caught != batch $batchRows")
+      println(f"MPROBE commits=$commits query=changefeed_catchup min=$tCatchup%.2f " +
+        f"rows=$caught batch_read=$tBatch%.2f")
+    }
+
+    // ------------------------------------------------------------------
     // MERGE probe: the copy-on-write serving-table write path. A compacted
     // serving table (32 range-partitioned files, tight (tablet_id,
     // primary_key) bounds per file) takes a point-update micro-batch; the

@@ -708,12 +708,24 @@ final class StateStore(
     * new commits, a number = after that generation) applies to the
     * manifest protocol; the rename file source always replays. */
   def changefeedStream(startingGeneration: String = "0"): DataFrame =
+    mutationChangefeed(tabletRowsPath, "tablet_rows",
+      Schemas.tabletRows, startingGeneration)
+
+  /** [[changefeedStream]] for the SINGLET entry table — same offsets,
+    * provenance, and protocol dispatch over `singlet_entries`. */
+  def singletChangefeedStream(startingGeneration: String = "0"): DataFrame =
+    mutationChangefeed(singletEntriesPath, "singlet_entries",
+      Schemas.singletEntries, startingGeneration)
+
+  private def mutationChangefeed(
+      path: String, table: String, schema: StructType,
+      startingGeneration: String): DataFrame =
     commitProtocol match {
       case ManifestCommit =>
         graft.streaming.ManifestChangefeed.stream(
-          spark, tabletRowsPath, "tablet_rows", startingGeneration)
+          spark, path, table, startingGeneration)
       case RenameCommit =>
-        val (fs, p) = fsPath(tabletRowsPath)
+        val (fs, p) = fsPath(path)
         fs.mkdirs(p)
         // Recursive lookup + path-derived columns, NOT partition
         // discovery: the file source binds partitioning from the listing
@@ -724,11 +736,11 @@ final class StateStore(
         // partition pruning costs nothing here.
         val filePath = col("_metadata").getField("file_path")
         val dataSchema = org.apache.spark.sql.types.StructType(
-          Schemas.tabletRows.fields.filterNot(_.name == "collection"))
+          schema.fields.filterNot(_.name == "collection"))
         spark.readStream
           .option("recursiveFileLookup", "true")
           .schema(dataSchema)
-          .parquet(tabletRowsPath)
+          .parquet(path)
           .select(
             regexp_extract(filePath, "/collection=([^/]+)/", 1)
               .cast("int").as("collection") +:
@@ -752,6 +764,17 @@ final class StateStore(
   def changefeedDiffStream(startingGeneration: String = "0"): DataFrame =
     graft.streaming.ManifestChangefeed.diffStream(
       changefeedStream(startingGeneration))
+
+  /** [[changefeedDiffStream]] for singlets: a singlet's key IS its id
+    * (one live value per singlet), so the CDC state machine runs keyed on
+    * (singlet_id, "") and the events come back singlet-named. */
+  def singletChangefeedDiffStream(startingGeneration: String = "0"): DataFrame =
+    graft.streaming.ManifestChangefeed.diffStream(
+      singletChangefeedStream(startingGeneration)
+        .select(col("singlet_id").as("tablet_id"), lit("").as("primary_key"),
+          col("height"), col("value"), col("is_deletion")))
+      .select(col("tablet_id").as("singlet_id"), col("change_type"),
+        col("change_height"), col("old_value"), col("new_value"))
 
   /** Small-files maintenance for the mutation tables: a 1 s micro-batch
     * cadence appends one committed directory per batch (~86k/day), and at

@@ -303,6 +303,37 @@ class ManifestChangefeedSpec extends SparkTestBase {
     qf.stop()
   }
 
+  test("singlet changefeed: same offsets and CDC over singlet_entries " +
+    "(key = singlet id; update/delete events singlet-named)") {
+    implicit val s = spark
+    val root = tmpDir("cf-singlet")
+    val store = new StateStore(root, StateStore.ManifestCommit)
+    def sreq(h: Long, entries: (String, String)*): WriteRequest =
+      WriteRequest(h, BlockRef(s"blk-$h", h), Nil,
+        entries.map { case (id, v) =>
+          SingletEntryM(1, id, h, v.getBytes("UTF-8"), v.isEmpty) })
+
+    val cdc = store.singletChangefeedDiffStream()
+    val sink = "cf_singlet_sink"
+    val (snapshots, q) = drainAfter(cdc, sink, tmpDir("cf-singlet-ck"))(Seq(
+      () => store.writeBatch(Seq(sreq(1, ("head", "h1"), ("lib", "l1")))),
+      () => store.writeBatch(Seq(sreq(2, ("head", "h2")), sreq(3, ("lib", "")))),
+      () => store.writeBatch(Seq(sreq(4, ("lib", "l4"))))
+    ))(() => spark.table(sink).collect().map(r =>
+      (r.getAs[String]("singlet_id"), r.getAs[String]("change_type"),
+        r.getAs[Long]("change_height"),
+        Option(r.getAs[Array[Byte]]("new_value")).map(new String(_, "UTF-8")).orNull))
+      .toSet)
+    try {
+      assert(snapshots(0) === Set(
+        ("head", "added", 1L, "h1"), ("lib", "added", 1L, "l1")))
+      assert(snapshots(1) === snapshots(0) ++ Set(
+        ("head", "updated", 2L, "h2"), ("lib", "deleted", 3L, null)))
+      assert(snapshots(2) === snapshots(1) +
+        (("lib", "added", 4L, "l4"))) // revive after tombstone
+    } finally q.stop()
+  }
+
   test("rename-protocol dispatch: the file source is the changefeed, " +
     "commit-id provenance from the committed directory name") {
     implicit val s = spark
