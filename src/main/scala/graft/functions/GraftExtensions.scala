@@ -76,6 +76,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_state_as_of"),
       new ExpressionInfo(classOf[graft.plans.StateAsOfStore].getName, "graft_state_as_of"),
       (children: Seq[Expression]) => GraftExtensions.stateAsOfTable(children)))
+    // TABLE function: the state-diff changefeed read in pure SQL —
+    //   SELECT * FROM graft_tablet_diff('<store root>', 'tablet', 6000, 9000)
+    // plans the store's INCREMENTAL diff (manifest-bounded window scan +
+    // snapshot-pruned pre-state resolve), per-key added/updated/deleted.
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_tablet_diff"),
+      new ExpressionInfo(classOf[graft.store.StateStore].getName, "graft_tablet_diff"),
+      (children: Seq[Expression]) => GraftExtensions.tabletDiffTable(children)))
   }
 }
 
@@ -123,5 +131,18 @@ object GraftExtensions {
     graft.plans.StateAsOfStore(
       GraftBridge.logicalPlan(store.tabletRows), store,
       stringArg(children(1), "tablet"), longArg(children(2), "at_height"), None)
+  }
+
+  /** Builder for the `graft_tablet_diff` TVF: the store-level incremental
+    * diff plan, built directly (no marker needed — unlike the as-of read
+    * there is no later-resolved snapshot choice to defer; the diff's own
+    * pre-state resolve already consults the TabletIndex internally). */
+  private[functions] def tabletDiffTable(children: Seq[Expression]): LogicalPlan = {
+    require(children.length == 4,
+      "graft_tablet_diff(root, tablet, from_height, to_height) takes exactly 4 arguments")
+    val store = storeFor(stringArg(children(0), "root"))
+    GraftBridge.logicalPlan(store.readTabletDiff(
+      stringArg(children(1), "tablet"),
+      longArg(children(2), "from_height"), longArg(children(3), "to_height")))
   }
 }

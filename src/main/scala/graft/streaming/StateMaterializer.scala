@@ -91,6 +91,32 @@ object StateMaterializer {
   def read(targetPath: String)(implicit spark: SparkSession): DataFrame =
     targetTable(targetPath).read().where(!col("is_deletion"))
 
+  /** Collapse the target's accreted merge generations into ONE compacted,
+    * range-partitioned generation. Each merge appends a generation and
+    * rewrites the manifest whole, so the live file count and manifest
+    * size grow per micro-batch — periodic compaction restores the steady
+    * state, exactly like the store's own mutation-table compaction.
+    * Contents INCLUDING retained tombstones are preserved (a compaction
+    * that dropped tombstones would reopen the delete→redeliver revive
+    * hole); fresh per-file stats are collected, so merge pruning and
+    * point reads keep working — and work better, since range
+    * partitioning re-tightens every file's key bounds. Single-writer:
+    * run between merges (pause the materializer or call from its own
+    * maintenance window); reclaim old generations with
+    * `sweepOrphans`/`sweepOrphanFiles` afterwards. */
+  def compact(targetPath: String, numFiles: Int = 0)(
+      implicit spark: SparkSession): Unit = {
+    val t = targetTable(targetPath)
+    val n =
+      if (numFiles > 0) numFiles
+      else spark.sessionState.conf.numShufflePartitions
+    t.replaceAll(
+      t.read()
+        .repartitionByRange(n, KeyCols.map(col): _*)
+        .sortWithinPartitions(KeyCols.map(col): _*),
+      commitId = "compact-" + java.util.UUID.randomUUID().toString)
+  }
+
   /** Point lookup on the serving table: the file list is pruned
     * driver-side from the target's manifest bounds before any footer is
     * read — the serving-side analog of the store's snapshot-routed point

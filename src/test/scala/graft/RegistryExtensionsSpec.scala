@@ -245,4 +245,54 @@ class RegistryExtensionsSpec extends SparkTestBase {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("graft_tablet_diff TVF: the state-diff changefeed read in pure SQL " +
+    "equals the store function path, predicates stack") {
+    val base = spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    import graft.store.StateStore
+    import graft.model.{BlockRef, TabletRowM, WriteRequest}
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      implicit val is: SparkSession = s2
+      val store = new StateStore(tmpDir("diff-tvf"), StateStore.ManifestCommit)
+      def req(h: Long): WriteRequest =
+        WriteRequest(h, BlockRef(s"blk-$h", h),
+          Seq(TabletRowM(1, "t1", h, s"k${h % 3}",
+            s"v$h".getBytes("UTF-8"), isDeletion = h == 5L)),
+          Nil)
+      (0L to 7L).foreach(h => store.writeBatch(Seq(req(h))))
+
+      def evs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getAs[String]("primary_key"),
+          r.getAs[String]("change_type"), r.getAs[Long]("change_height"))).toSeq
+      val viaFn = evs(store.readTabletDiff("t1", 3L, 7L))
+      val viaSql = evs(s2.sql(
+        s"SELECT * FROM graft_tablet_diff('${store.root}', 't1', 3, 7)"))
+      assert(viaSql === viaFn && viaFn.nonEmpty)
+      // k2@5 is a deletion of a key live at h2 -> 'deleted' must be present.
+      assert(viaFn.exists(_._2 == "deleted"))
+      // Predicates stack over the TVF like over any relation.
+      val only = s2.sql(
+        s"""SELECT primary_key FROM graft_tablet_diff('${store.root}', 't1', 3, 7)
+           |WHERE change_type = 'deleted'""".stripMargin)
+        .collect().map(_.getString(0)).toSeq
+      assert(only === viaFn.filter(_._2 == "deleted").map(_._1))
+      // Non-literal arguments fail loudly.
+      val err = intercept[Exception] {
+        s2.sql(s"SELECT * FROM graft_tablet_diff('${store.root}', 't1', 1 + 2, 7)")
+          .collect()
+      }
+      assert(err.getMessage.contains("integer literal"), err.getMessage)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }

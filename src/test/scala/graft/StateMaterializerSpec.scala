@@ -178,6 +178,10 @@ class StateMaterializerSpec extends SparkTestBase {
     try {
       q2.processAllAvailable(); assertServing(7)
       store.writeBatch(commits(3)); q2.processAllAvailable(); assertServing(8)
+      // End on a deletion so a RETAINED tombstone reaches the compaction
+      // check below.
+      store.writeBatch(Seq(req(9, ("t1", "b", ""))))
+      q2.processAllAvailable(); assertServing(9)
     } finally q2.stop()
 
     // Point read: correct row, and the manifest bounds actually prune
@@ -189,5 +193,32 @@ class StateMaterializerSpec extends SparkTestBase {
         ManifestTable.StatsEq("primary_key", "x")))
     assert(surviving <= total)
     assert(total >= 1)
+
+    // Compaction collapses the accreted merge generations to ONE commit,
+    // preserves contents INCLUDING retained tombstones (a tombstone drop
+    // would reopen the revive hole), and leaves point reads pruned.
+    val before = StateMaterializer.targetTable(target).read().collect()
+      .map(r => (r.getString(1), r.getString(3), r.getLong(2),
+        r.getAs[Boolean]("is_deletion"))).toSet
+    StateMaterializer.compact(target, numFiles = 2)
+    val tt = StateMaterializer.targetTable(target)
+    assert(tt.manifestEntries(tt.currentGeneration().get).size === 1)
+    val after = tt.read().collect()
+      .map(r => (r.getString(1), r.getString(3), r.getLong(2),
+        r.getAs[Boolean]("is_deletion"))).toSet
+    assert(after === before)
+    assert(before.exists(_._4), "the scripted history must retain a tombstone")
+    assertServing(9) // serving read unchanged through compaction
+    // A post-compaction merge still prunes: only files whose re-tightened
+    // bounds contain the touched key are rewritten.
+    val rep = tt.merge(
+      spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(1, "t2", 10L, "x",
+            "x10".getBytes("UTF-8"), false)),
+        graft.model.Schemas.tabletRows),
+      StateMaterializer.KeyCols, "height", "is_deletion", "post-compact",
+      keepTombstones = true)
+    assert(rep.applied && rep.rewritten <= 1)
   }
 }
