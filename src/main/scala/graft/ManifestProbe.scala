@@ -239,6 +239,53 @@ object ManifestProbe {
         s"rewritten=${rep.rewritten} kept=${rep.kept} " +
         runs.map(r => f"$r%.2f").mkString("runs=[", ",", "]"))
     }
+
+    // ------------------------------------------------------------------
+    // COMMIT→SERVE latency probe: the full materializer pipeline in
+    // steady state — one store commit, the changefeed drains it, the
+    // copy-on-write merge lands it in the PRE-POPULATED 2M-key serving
+    // table. This is the end-to-end freshness a serving consumer sees
+    // per micro-batch. A fresh small source store isolates the number
+    // from the 256-commit corpus above (merge cost depends on the
+    // TARGET, not the source).
+    // ------------------------------------------------------------------
+    {
+      import graft.streaming.StateMaterializer
+      val liveRoot = s"/dev/shm/graft-mprobe-live"
+      fs.delete(new org.apache.hadoop.fs.Path(liveRoot), true)
+      val liveStore = new StateStore(liveRoot, StateStore.ManifestCommit)
+      val matTarget = s"$liveRoot/serving"
+      val t = StateMaterializer.targetTable(matTarget)
+      // Pre-populate: the same 2M-key state, range-partitioned, stats on.
+      t.commit(spark.range(servingKeys).select(
+          lit(1).as("collection"),
+          concat(lit("tab"), (col("id") % tablets).cast("string")).as("tablet_id"),
+          lit(0L).as("height"),
+          format_string("k%07d", (col("id") / tablets).cast("long")).as("primary_key"),
+          encode(concat(lit("v"), col("id").cast("string")), "UTF-8").as("value"),
+          lit(false).as("is_deletion"))
+        .repartitionByRange(servingFiles, col("tablet_id"), col("primary_key"))
+        .sortWithinPartitions(col("tablet_id"), col("primary_key")), "base")
+      val q = StateMaterializer.start(liveStore, matTarget,
+        s"$liveRoot/_ck", startingGeneration = "latest")
+      q.processAllAvailable()
+      val lats = (1 to n).map { i =>
+        val commitDf = spark.range(rowsPerCommit).select(
+          lit(1).as("collection"),
+          concat(lit("tab"), (col("id") % tablets).cast("string")).as("tablet_id"),
+          (lit(i.toLong * rowsPerCommit) + col("id")).as("height"),
+          format_string("k%07d", (col("id") / tablets).cast("long")).as("primary_key"),
+          encode(concat(lit("u"), col("id").cast("string")), "UTF-8").as("value"),
+          lit(false).as("is_deletion"))
+        val t0 = System.nanoTime()
+        liveStore.writeTabletRows(commitDf.coalesce(1), f"live-$i%05d")
+        q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }
+      q.stop()
+      println(f"MPROBE commits=$commits query=commit_to_serve min=${lats.min}%.2f " +
+        lats.map(r => f"$r%.2f").mkString("runs=[", ",", "]"))
+    }
     spark.stop()
   }
 }

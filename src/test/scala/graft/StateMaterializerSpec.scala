@@ -132,6 +132,60 @@ class StateMaterializerSpec extends SparkTestBase {
     assert(contents(t2) === Set(("k1", 5L, "v5")))
   }
 
+  test("property: random merge sequences with random redelivery match an " +
+    "in-memory LWW model; compaction and sweep preserve state") {
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 3).foreach { trial =>
+      val t = mkTable(tmpDir(s"merge-prop-$trial"))
+      // Model: key -> (height, value, deleted). Applied in height order.
+      val model = scala.collection.mutable.Map.empty[String, (Long, String, Boolean)]
+      var h = 0L
+      val history = scala.collection.mutable.ArrayBuffer
+        .empty[Seq[(String, Long, String, Boolean)]]
+      def liveModel: Set[(String, Long, String)] =
+        model.collect { case (k, (mh, v, false)) => (k, mh, v) }.toSet
+      def liveTable: Set[(String, Long, String)] =
+        t.read().where(!col("del")).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+
+      (1 to 8).foreach { batch =>
+        val keys = rnd.shuffle((0 until 20).map(i => f"key$i%02d").toList)
+          .take(1 + rnd.nextInt(6))
+        val rows = keys.map { k =>
+          h += 1
+          val del = rnd.nextDouble() < 0.25
+          (k, h, if (del) null else s"v$h", del)
+        }
+        history += rows
+        t.merge(df(rows: _*), Seq("k"), "h", "del", s"b$trial-$batch",
+          keepTombstones = true)
+        rows.foreach { case (k, rh, v, del) => model(k) = (rh, v, del) }
+        assert(liveTable === liveModel, s"trial $trial batch $batch")
+
+        // Random redelivery of a PAST batch under a new commit id: the
+        // argmax + retained tombstones must make it a strict no-op.
+        if (rnd.nextDouble() < 0.4) {
+          val past = history(rnd.nextInt(history.size))
+          t.merge(df(past: _*), Seq("k"), "h", "del",
+            s"re$trial-$batch", keepTombstones = true)
+          assert(liveTable === liveModel,
+            s"trial $trial batch $batch after redelivering $past")
+        }
+      }
+      // Compaction (contents incl. tombstones) and file-level sweep leave
+      // the state machine exactly where it was; a further merge works.
+      t.replaceAll(t.read().repartitionByRange(2, col("k"))
+        .sortWithinPartitions(col("k")), s"compact-$trial")
+      t.sweepOrphans(); t.sweepOrphanFiles()
+      assert(liveTable === liveModel, s"trial $trial after compaction+sweep")
+      h += 1
+      t.merge(df(("key00", h, s"v$h", false)), Seq("k"), "h", "del",
+        s"post-$trial", keepTombstones = true)
+      model("key00") = (h, s"v$h", false)
+      assert(liveTable === liveModel, s"trial $trial post-compaction merge")
+    }
+  }
+
   private def req(h: Long, rows: (String, String, String)*): WriteRequest =
     WriteRequest(h, BlockRef(s"blk-$h", h),
       rows.map { case (t, pk, v) =>
