@@ -67,18 +67,35 @@ final class ManifestTable(val tablePath: String, schema: StructType,
 
   // -------------------------------------------------------------- pointer
 
-  /** Current generation, or None for an empty table. */
+  /** Current generation, or None for an empty table.
+    *
+    * Bounded retry on an unparseable read: the pointer swap is an atomic
+    * object PUT on the documented S3-class/POSIX targets, but a store
+    * whose "rename" STREAMS bytes into place (NFS-class mounts, naive
+    * shims) can expose a partially-written pointer for a moment — found
+    * by the object-store spec's async changefeed poll racing a pointer
+    * swap. A transient torn read retries briefly; persistent garbage
+    * still fails loudly instead of reading as an empty table. */
   def currentGeneration(): Option[Long] = {
     val (fs, p) = fsOf(genPointerPath)
-    if (!fs.exists(p)) None
-    else {
+    var attempt = 0
+    while (true) {
+      if (!fs.exists(p)) return None
       val in = fs.open(p)
-      try {
-        val s = new String(
+      val text =
+        try new String(
           org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
-        Some(s.toLong)
-      } finally in.close()
+        finally in.close()
+      try return Some(text.toLong)
+      catch {
+        case _: NumberFormatException if attempt < 3 =>
+          attempt += 1
+          Thread.sleep(10L << attempt)
+        case _: NumberFormatException =>
+          sys.error(s"generation pointer $genPointerPath is corrupt: '$text'")
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Swap the generation pointer. One SMALL single file: on an object

@@ -175,4 +175,104 @@ class ObjectStoreProtocolSpec extends SparkTestBase {
     assert(setAt(3) === Set(9L -> "z"))
     intercept[Exception] { setAt(2) }
   }
+
+  test("merge through the shim: a publish that lands its pointer copy but " +
+    "reports failure replays as an idempotent skip; fail-before-copy " +
+    "leaves the old generation whole and a retry completes") {
+    implicit val s = spark
+    import s.implicits._
+    RenamelessFileSystem.reset()
+    val schema = StructType(Seq(
+      StructField("k", org.apache.spark.sql.types.StringType),
+      StructField("h", LongType),
+      StructField("v", org.apache.spark.sql.types.StringType),
+      StructField("del", org.apache.spark.sql.types.BooleanType)))
+    val mt = new graft.store.ManifestTable(objDir("obj-merge"), schema,
+      statsCols = Seq("k"))
+    def df(rows: (String, Long, String, Boolean)*) =
+      rows.toDF("k", "h", "v", "del").coalesce(1)
+    def live = mt.read().where(!org.apache.spark.sql.functions.col("del"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    mt.commit(df(("a", 1, "a1", false), ("b", 1, "b1", false)), "c0")
+
+    // Fail OUTRIGHT before the pointer copy: old generation intact, the
+    // same-commitId retry completes (crash replay rewrites the same dir).
+    RenamelessFileSystem.arm(RenamelessFileSystem.FailBeforeCopy, "/_gen")
+    intercept[java.io.IOException] {
+      mt.merge(df(("a", 2, "a2", false)), Seq("k"), "h", "del", "m1")
+    }
+    assert(mt.currentGeneration() === Some(1L))
+    assert(live === Set(("a", 1L, "a1"), ("b", 1L, "b1")))
+    assert(mt.merge(df(("a", 2, "a2", false)), Seq("k"), "h", "del", "m1").applied)
+    assert(live === Set(("a", 2L, "a2"), ("b", 1L, "b1")))
+
+    // Pointer COPY lands, caller sees failure (the classic non-atomic
+    // rename window): the generation is already visible, and the replayed
+    // merge under the SAME commitId skips instead of double-applying.
+    RenamelessFileSystem.arm(RenamelessFileSystem.FailBetweenCopyAndDelete, "/_gen")
+    intercept[java.io.IOException] {
+      mt.merge(df(("b", 3, "b3", false)), Seq("k"), "h", "del", "m2")
+    }
+    assert(mt.currentGeneration() === Some(3L), "the copy half landed")
+    assert(live === Set(("a", 2L, "a2"), ("b", 3L, "b3")))
+    assert(!mt.merge(df(("b", 3, "b3", false)), Seq("k"), "h", "del", "m2").applied)
+    assert(live === Set(("a", 2L, "a2"), ("b", 3L, "b3")))
+  }
+
+  test("changefeed + materializer over the shim: a merge-publish fault " +
+    "mid-stream kills the query; a restarted materializer converges to " +
+    "readTabletAt with no duplication") {
+    implicit val s = spark
+    RenamelessFileSystem.reset()
+    val root = objDir("obj-mat")
+    val target = objDir("obj-mat-target")
+    val ck = tmpDir("obj-mat-ck") // checkpoint on reliable local storage
+    val store = new StateStore(root, StateStore.ManifestCommit)
+
+    def serving = graft.streaming.StateMaterializer.read(target)
+      .collect().map(r => (r.getString(1), r.getString(3), r.getLong(2),
+        new String(r.getAs[Array[Byte]]("value"), "UTF-8"))).toSet
+    def asOf(h: Long) = store.readTabletAt("t1", h)
+      .collect().map(r => ("t1", r.getString(0), r.getLong(1),
+        new String(r.getAs[Array[Byte]]("value"), "UTF-8"))).toSet
+
+    val q1 = graft.streaming.StateMaterializer.start(store, target, ck)
+    val died =
+      try {
+        store.writeBatch(Seq(req(1, ("t1", "a", "a1")), req(2, ("t1", "b", "b2"))))
+        q1.processAllAvailable()
+        assert(serving === asOf(2))
+        // Arm a fault on the TARGET's pointer swap BEFORE committing (the
+        // stream polls asynchronously, so arming after the commit races
+        // the trigger loop), scoped to the target's own pointer path so
+        // the source store's generation swap cannot consume it: the merge
+        // of the next batch publishes its generation (copy landed) but
+        // reports failure, killing the streaming query mid-batch.
+        RenamelessFileSystem.arm(
+          RenamelessFileSystem.FailBetweenCopyAndDelete,
+          target.stripPrefix(s"${RenamelessFileSystem.Scheme}:") + "/_gen")
+        store.writeBatch(Seq(req(3, ("t1", "a", "a3"))))
+        q1.processAllAvailable()
+        None
+      } catch { case e: Throwable => Some(e) }
+      finally {
+        try q1.stop()
+        catch { case _: Throwable => () } // a failed query may rethrow on stop
+      }
+    assert(died.exists(e => Option(e.getMessage).exists(_.contains("injected")) ||
+      Option(e.getCause).exists(c => Option(c.getMessage).exists(_.contains("injected")))),
+      s"expected the injected fault to kill the query, got $died")
+
+    // Restart: the engine replays the uncommitted batch (new run token →
+    // new merge commitId); the half-published generation is visible and
+    // the argmax absorbs the re-merge — no duplication, state converges.
+    val q2 = graft.streaming.StateMaterializer.start(store, target, ck)
+    try {
+      q2.processAllAvailable()
+      assert(serving === asOf(3))
+      store.writeBatch(Seq(req(4, ("t1", "c", "c4"))))
+      q2.processAllAvailable()
+      assert(serving === asOf(4))
+    } finally q2.stop()
+  }
 }

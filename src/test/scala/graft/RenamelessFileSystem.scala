@@ -42,7 +42,30 @@ class RenamelessFileSystem extends RawLocalFileSystem {
       catch { case _: java.io.IOException => false }
     renames.add(Rename(src.toUri.getPath, dst.toUri.getPath, srcIsDir))
     maybeFire(FailBeforeCopy, dst, s"before copy $src -> $dst")
-    val ok = FileUtil.copy(this, src, this, dst, false, true, getConf)
+    val ok =
+      if (srcIsDir)
+        FileUtil.copy(this, src, this, dst, false, true, getConf)
+      else {
+        // SINGLE-object copy is ATOMIC on an S3-class store: a concurrent
+        // reader sees the old object or the new one, never partial bytes.
+        // A raw streamed copy into `dst` broke exactly that (an async
+        // changefeed poll read a half-written `_gen` pointer — a torn
+        // read impossible on real object storage), so model the per-object
+        // contract: stream to a hidden sibling, promote by POSIX rename.
+        // The AGGREGATE copy-then-delete stays non-atomic — that is the
+        // hazard this shim exists to inject faults into.
+        val tmp = new Path(dst.getParent,
+          s".inflight-${java.util.UUID.randomUUID().toString}")
+        val copied = FileUtil.copy(this, src, this, tmp, false, true, getConf)
+        copied && {
+          val promoted = super.rename(tmp, dst) || {
+            if (exists(dst)) super.delete(dst, false)
+            super.rename(tmp, dst)
+          }
+          if (!promoted) super.delete(tmp, false)
+          promoted
+        }
+      }
     maybeFire(FailBetweenCopyAndDelete, dst,
       s"after copy, before delete of $src -> $dst")
     if (ok) delete(src, true)
