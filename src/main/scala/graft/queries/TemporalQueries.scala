@@ -288,11 +288,21 @@ object TemporalQueries {
       val store = new graft.store.StateStore(root, graft.store.StateStore.ManifestCommit)(s)
       val m = mutations(s, dir).filter(col("tablet_id") === "error")
       val sink = "cf_gate_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = store.changefeedDiffStream().writeStream.format("memory")
-        .queryName(sink)
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-cf-gate-ck").toString)
-        .outputMode("append").start()
+      // State-store width for THIS streaming query only: the session's 32
+      // shuffle partitions mean 32 state-store instances per micro-batch
+      // for a few hundred keys — pure per-partition overhead ×4 batches.
+      // The conf is read at query START and baked into the checkpoint, so
+      // a scoped set/restore around start() is safe (gate queries run
+      // sequentially); production sizing guidance stays with the caller.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try store.changefeedDiffStream().writeStream.format("memory")
+          .queryName(sink)
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft-cf-gate-ck").toString)
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       try {
         CdcBounds.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
           store.writeTabletRows(
@@ -340,9 +350,18 @@ object TemporalQueries {
                 col("is_deletion")),
             commitId = s"w$i")
       }
-      val q = graft.streaming.StateMaterializer.start(store, target,
-        java.nio.file.Files.createTempDirectory("graft-mat-ck").toString)
-      try q.processAllAvailable() finally q.stop()
+      // Narrow the shuffle width for the whole stream lifetime: unlike
+      // the stateful CDC query (width baked into the checkpoint at
+      // start), the materializer's merge runs inside foreachBatch and
+      // reads the session conf at BATCH time, so the restore must wait
+      // for the final drain. Gate queries run sequentially.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.StateMaterializer.start(store, target,
+          java.nio.file.Files.createTempDirectory("graft-mat-ck").toString)
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       graft.streaming.StateMaterializer.read(target)
         .filter(col("tablet_id") === "view")
         .select(col("primary_key"), col("height"),

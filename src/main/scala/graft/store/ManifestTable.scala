@@ -81,18 +81,34 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     var attempt = 0
     while (true) {
       if (!fs.exists(p)) return None
-      val in = fs.open(p)
-      val text =
-        try new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
-        finally in.close()
-      try return Some(text.toLong)
-      catch {
-        case _: NumberFormatException if attempt < 3 =>
+      // The exists→open gap can race a concurrent pointer swap on
+      // filesystems whose rename path transiently removes the target
+      // (the delete+retry fallback; checksum-file shuffling on local
+      // mounts) — an async changefeed poll hits this window in practice.
+      // Treat a vanished-then-absent pointer as the empty table it is;
+      // retry the transient cases.
+      val openable =
+        try Some(fs.open(p))
+        catch { case _: java.io.FileNotFoundException => None }
+      openable match {
+        case None =>
+          if (attempt >= 3) return if (fs.exists(p)) sys.error(
+            s"generation pointer $genPointerPath unreadable but present") else None
           attempt += 1
           Thread.sleep(10L << attempt)
-        case _: NumberFormatException =>
-          sys.error(s"generation pointer $genPointerPath is corrupt: '$text'")
+        case Some(in) =>
+          val text =
+            try new String(
+              org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+            finally in.close()
+          try return Some(text.toLong)
+          catch {
+            case _: NumberFormatException if attempt < 3 =>
+              attempt += 1
+              Thread.sleep(10L << attempt)
+            case _: NumberFormatException =>
+              sys.error(s"generation pointer $genPointerPath is corrupt: '$text'")
+          }
       }
     }
     throw new IllegalStateException("unreachable")
