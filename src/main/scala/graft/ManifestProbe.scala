@@ -198,18 +198,22 @@ object ManifestProbe {
           new ManifestTable(path, graft.model.Schemas.tabletRows,
             statsCols = Seq("tablet_id", "primary_key"))
         else new ManifestTable(path, graft.model.Schemas.tabletRows)
-      val state = spark.range(servingKeys).select(
+      t.commit(servingState(maxH), "base")
+      t
+    }
+    // ONE definition of the synthetic serving state (both the merge probe
+    // and the latency probe commit it — drift between the two would skew
+    // their comparison).
+    def servingState(height: Long): DataFrame =
+      spark.range(servingKeys).select(
           lit(1).as("collection"),
           concat(lit("tab"), (col("id") % tablets).cast("string")).as("tablet_id"),
-          lit(maxH).as("height"),
+          lit(height).as("height"),
           format_string("k%07d", (col("id") / tablets).cast("long")).as("primary_key"),
           encode(concat(lit("v"), col("id").cast("string")), "UTF-8").as("value"),
           lit(false).as("is_deletion"))
         .repartitionByRange(servingFiles, col("tablet_id"), col("primary_key"))
         .sortWithinPartitions(col("tablet_id"), col("primary_key"))
-      t.commit(state, "base")
-      t
-    }
     val statsTarget = buildServing(s"$root/serving_stats", withStats = true)
     val plainTarget = buildServing(s"$root/serving_plain", withStats = false)
     def pointBatch(run: Int): DataFrame =
@@ -257,15 +261,7 @@ object ManifestProbe {
       val matTarget = s"$liveRoot/serving"
       val t = StateMaterializer.targetTable(matTarget)
       // Pre-populate: the same 2M-key state, range-partitioned, stats on.
-      t.commit(spark.range(servingKeys).select(
-          lit(1).as("collection"),
-          concat(lit("tab"), (col("id") % tablets).cast("string")).as("tablet_id"),
-          lit(0L).as("height"),
-          format_string("k%07d", (col("id") / tablets).cast("long")).as("primary_key"),
-          encode(concat(lit("v"), col("id").cast("string")), "UTF-8").as("value"),
-          lit(false).as("is_deletion"))
-        .repartitionByRange(servingFiles, col("tablet_id"), col("primary_key"))
-        .sortWithinPartitions(col("tablet_id"), col("primary_key")), "base")
+      t.commit(servingState(0L), "base")
       val q = StateMaterializer.start(liveStore, matTarget,
         s"$liveRoot/_ck", startingGeneration = "latest")
       q.processAllAvailable()

@@ -107,17 +107,17 @@ object GraftExtensions {
       new graft.store.StateStore(r, graft.store.StateStore.detectProtocol(r))
     })
 
-  private def stringArg(e: Expression, what: String): String = e match {
+  private def stringArg(fn: String, e: Expression, what: String): String = e match {
     case Literal(v: UTF8String, StringType) => v.toString
     case other => throw new IllegalArgumentException(
-      s"graft_state_as_of: $what must be a string literal, got $other")
+      s"$fn: $what must be a string literal, got $other")
   }
 
-  private def longArg(e: Expression, what: String): Long = e match {
+  private def longArg(fn: String, e: Expression, what: String): Long = e match {
     case Literal(v: Long, LongType) => v
     case Literal(v: Int, IntegerType) => v.toLong
     case other => throw new IllegalArgumentException(
-      s"graft_state_as_of: $what must be an integer literal, got $other")
+      s"$fn: $what must be an integer literal, got $other")
   }
 
   /** Builder for the `graft_state_as_of` TVF: literal args → the
@@ -127,22 +127,32 @@ object GraftExtensions {
   private[functions] def stateAsOfTable(children: Seq[Expression]): LogicalPlan = {
     require(children.length == 3,
       "graft_state_as_of(root, tablet, at_height) takes exactly 3 arguments")
-    val store = storeFor(stringArg(children(0), "root"))
+    val store = storeFor(stringArg("graft_state_as_of", children(0), "root"))
     graft.plans.StateAsOfStore(
       GraftBridge.logicalPlan(store.tabletRows), store,
-      stringArg(children(1), "tablet"), longArg(children(2), "at_height"), None)
+      stringArg("graft_state_as_of", children(1), "tablet"),
+      longArg("graft_state_as_of", children(2), "at_height"), None)
   }
 
   /** Builder for the `graft_tablet_diff` TVF: the store-level incremental
-    * diff plan, built directly (no marker needed — unlike the as-of read
-    * there is no later-resolved snapshot choice to defer; the diff's own
-    * pre-state resolve already consults the TabletIndex internally). */
+    * diff plan, built directly (no marker — unlike the as-of read there
+    * is no later-resolved snapshot choice to defer; the diff's own
+    * pre-state resolve already consults the TabletIndex internally).
+    *
+    * EAGER by design: resolving this function runs the diff's driver-side
+    * probe aggregate (a window-bounded scan) at ANALYSIS time — the same
+    * class of work the StateAsOfRule runs for the as-of TVF, with a
+    * larger constant. An `EXPLAIN` over this TVF therefore does real
+    * (window-sized) work; the window is a changefeed poll's sliver by
+    * contract, and the post-winner frame it computes is persisted inside
+    * `readTabletDiff`, so execution does not repeat the scan. */
   private[functions] def tabletDiffTable(children: Seq[Expression]): LogicalPlan = {
     require(children.length == 4,
       "graft_tablet_diff(root, tablet, from_height, to_height) takes exactly 4 arguments")
-    val store = storeFor(stringArg(children(0), "root"))
+    val store = storeFor(stringArg("graft_tablet_diff", children(0), "root"))
     GraftBridge.logicalPlan(store.readTabletDiff(
-      stringArg(children(1), "tablet"),
-      longArg(children(2), "from_height"), longArg(children(3), "to_height")))
+      stringArg("graft_tablet_diff", children(1), "tablet"),
+      longArg("graft_tablet_diff", children(2), "from_height"),
+      longArg("graft_tablet_diff", children(3), "to_height")))
   }
 }

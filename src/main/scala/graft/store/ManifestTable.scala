@@ -101,12 +101,23 @@ final class ManifestTable(val tablePath: String, schema: StructType,
             try new String(
               org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
             finally in.close()
-          try return Some(text.toLong)
-          catch {
-            case _: NumberFormatException if attempt < 3 =>
+          // SELF-VALIDATING frame: `g2:<n>:<n>;` — the terminator proves
+          // the read saw the whole object and the doubled value proves it
+          // saw it consistently. A torn read of a framed pointer can
+          // never parse (missing terminator / mismatched halves), where a
+          // torn BARE number could yield a valid numeric PREFIX — a
+          // silently REGRESSED generation, which would make the
+          // changefeed re-emit already-delivered commits. Bare numbers
+          // are still accepted for pointers written before the frame
+          // (legacy stores; atomic-PUT targets never tear either way).
+          text match {
+            case FramedGenRe(a, b) if a == b => return Some(a.toLong)
+            case _ if text.nonEmpty && text.forall(_.isDigit) =>
+              return Some(text.toLong)
+            case _ if attempt < 3 =>
               attempt += 1
               Thread.sleep(10L << attempt)
-            case _: NumberFormatException =>
+            case _ =>
               sys.error(s"generation pointer $genPointerPath is corrupt: '$text'")
           }
       }
@@ -136,7 +147,9 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     val (fs, p) = fsOf(genPointerPath)
     val tmp = new Path(s"$genPointerPath.tmp")
     val out = fs.create(tmp, true)
-    try out.write(gen.toString.getBytes("UTF-8")) finally out.close()
+    // Framed form (see currentGeneration): torn-read-proof on stores
+    // whose rename streams bytes into place.
+    try out.write(s"g2:$gen:$gen;".getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, p)) {
       if (fs.exists(p)) fs.delete(p, false)
       require(fs.rename(tmp, p), s"pointer swap failed for $tablePath")
@@ -637,6 +650,10 @@ object ManifestTable {
   final case class StatsEq(col: String, value: Any) extends StatsFilter
   final case class StatsLte(col: String, value: Any) extends StatsFilter
   final case class StatsGte(col: String, value: Any) extends StatsFilter
+
+  /** The self-validating generation-pointer frame (see
+    * [[ManifestTable.currentGeneration]]). */
+  private[store] val FramedGenRe = """^g2:(\d+):(\d+);$""".r
 
   // Tagged scalar codec for manifest JSON: `l:<decimal>` / `s:<base64 of
   // UTF-8 bytes>`. Both alphabets avoid `{ } [ ] " ,` entirely, which is

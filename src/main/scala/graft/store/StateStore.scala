@@ -653,8 +653,16 @@ final class StateStore(
         ManifestTable.StatsLte("height", toHeight)))
       .filter(col("tablet_id") === lit(tabletId) &&
         col("height") > lit(fromHeight) && col("height") <= lit(toHeight))
+    // Persisted: the post-winner frame is consumed TWICE — the as-of
+    // join's driver-side probe aggregate (runs eagerly below) and the
+    // final classification join — and without the persist each consumer
+    // re-runs the window scan + argmax shuffle. Window-bounded by
+    // construction (a changefeed poll's sliver), so the cached footprint
+    // is small; reclaimed by the session's cache hygiene (the bench/gate
+    // clearCache between queries; long-lived callers manage their own).
     val post = graft.read.TemporalReads
       .latestPerKey(window, Seq("primary_key"), Seq("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = post.select(
       col("primary_key").as("probe_id"),
       lit(tabletId).as("tablet_id"),
@@ -767,13 +775,18 @@ final class StateStore(
 
   /** [[changefeedDiffStream]] for singlets: a singlet's key IS its id
     * (one live value per singlet), so the CDC state machine runs keyed on
-    * (singlet_id, "") and the events come back singlet-named. */
+    * (singlet_id, collection) — the collection rides in the key slot so
+    * same-named singlets in different collections get independent state
+    * machines (the singlet schema scopes ids per collection) — and the
+    * events come back singlet-named with their collection. */
   def singletChangefeedDiffStream(startingGeneration: String = "0"): DataFrame =
     graft.streaming.ManifestChangefeed.diffStream(
       singletChangefeedStream(startingGeneration)
-        .select(col("singlet_id").as("tablet_id"), lit("").as("primary_key"),
+        .select(col("singlet_id").as("tablet_id"),
+          col("collection").cast("string").as("primary_key"),
           col("height"), col("value"), col("is_deletion")))
-      .select(col("tablet_id").as("singlet_id"), col("change_type"),
+      .select(col("tablet_id").as("singlet_id"),
+        col("primary_key").cast("int").as("collection"), col("change_type"),
         col("change_height"), col("old_value"), col("new_value"))
 
   /** Small-files maintenance for the mutation tables: a 1 s micro-batch

@@ -320,17 +320,17 @@ class ManifestChangefeedSpec extends SparkTestBase {
       () => store.writeBatch(Seq(sreq(2, ("head", "h2")), sreq(3, ("lib", "")))),
       () => store.writeBatch(Seq(sreq(4, ("lib", "l4"))))
     ))(() => spark.table(sink).collect().map(r =>
-      (r.getAs[String]("singlet_id"), r.getAs[String]("change_type"),
-        r.getAs[Long]("change_height"),
+      (r.getAs[String]("singlet_id"), r.getAs[Int]("collection"),
+        r.getAs[String]("change_type"), r.getAs[Long]("change_height"),
         Option(r.getAs[Array[Byte]]("new_value")).map(new String(_, "UTF-8")).orNull))
       .toSet)
     try {
       assert(snapshots(0) === Set(
-        ("head", "added", 1L, "h1"), ("lib", "added", 1L, "l1")))
+        ("head", 1, "added", 1L, "h1"), ("lib", 1, "added", 1L, "l1")))
       assert(snapshots(1) === snapshots(0) ++ Set(
-        ("head", "updated", 2L, "h2"), ("lib", "deleted", 3L, null)))
+        ("head", 1, "updated", 2L, "h2"), ("lib", 1, "deleted", 3L, null)))
       assert(snapshots(2) === snapshots(1) +
-        (("lib", "added", 4L, "l4"))) // revive after tombstone
+        (("lib", 1, "added", 4L, "l4"))) // revive after tombstone
     } finally q.stop()
   }
 

@@ -186,6 +186,40 @@ class StateMaterializerSpec extends SparkTestBase {
     }
   }
 
+
+  test("generation pointer: framed form is torn-read-proof — numeric " +
+    "prefixes of a framed pointer never parse as a regressed generation") {
+    implicit val s = spark
+    val dir = tmpDir("gen-frame")
+    val t = mkTable(dir)
+    t.commit(df(("k1", 1, "v1", false)), "c0")
+    t.commit(df(("k2", 2, "v2", false)), "c1")
+    assert(t.currentGeneration() === Some(2L))
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_gen")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def write(content: String): Unit = {
+      val out = fs.create(p, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    // On-disk form IS the frame.
+    val in = fs.open(p)
+    val onDisk = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+    assert(onDisk === "g2:2:2;")
+    // Every PREFIX of the frame (a torn read on a streaming-rename mount)
+    // must fail loudly after retries — never parse as a smaller
+    // generation, which would make a changefeed re-emit old commits.
+    (1 until onDisk.length).foreach { cut =>
+      write(onDisk.take(cut))
+      intercept[RuntimeException] { t.currentGeneration() }
+    }
+    // Legacy bare-number pointers (pre-frame stores) still read.
+    write("2")
+    assert(t.currentGeneration() === Some(2L))
+    write(onDisk) // restore
+    assert(t.currentGeneration() === Some(2L))
+  }
+
   private def req(h: Long, rows: (String, String, String)*): WriteRequest =
     WriteRequest(h, BlockRef(s"blk-$h", h),
       rows.map { case (t, pk, v) =>
