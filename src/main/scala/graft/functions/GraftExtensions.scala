@@ -84,6 +84,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_tablet_diff"),
       new ExpressionInfo(classOf[graft.store.StateStore].getName, "graft_tablet_diff"),
       (children: Seq[Expression]) => GraftExtensions.tabletDiffTable(children)))
+    // TABLE function: the singlet as-of read in pure SQL —
+    //   SELECT * FROM graft_singlet_as_of('<store root>', 'head', 800)
+    // — the store's manifest-pruned point read of one singlet's latest
+    // entry at a height (read.go:300–349 parity for SQL-only consumers).
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_singlet_as_of"),
+      new ExpressionInfo(classOf[graft.store.StateStore].getName, "graft_singlet_as_of"),
+      (children: Seq[Expression]) => GraftExtensions.singletAsOfTable(children)))
   }
 }
 
@@ -154,5 +162,17 @@ object GraftExtensions {
       stringArg("graft_tablet_diff", children(1), "tablet"),
       longArg("graft_tablet_diff", children(2), "from_height"),
       longArg("graft_tablet_diff", children(3), "to_height")))
+  }
+
+  /** Builder for the `graft_singlet_as_of` TVF: the store's
+    * manifest-pruned singlet point read, built directly (a pure
+    * declarative plan — no driver-side aggregate at analysis). */
+  private[functions] def singletAsOfTable(children: Seq[Expression]): LogicalPlan = {
+    require(children.length == 3,
+      "graft_singlet_as_of(root, singlet, at_height) takes exactly 3 arguments")
+    val store = storeFor(stringArg("graft_singlet_as_of", children(0), "root"))
+    GraftBridge.logicalPlan(store.readSingletEntryAt(
+      stringArg("graft_singlet_as_of", children(1), "singlet"),
+      longArg("graft_singlet_as_of", children(2), "at_height")))
   }
 }

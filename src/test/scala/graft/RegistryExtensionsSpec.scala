@@ -295,4 +295,49 @@ class RegistryExtensionsSpec extends SparkTestBase {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("graft_singlet_as_of TVF: the singlet point read in pure SQL " +
+    "equals the store function path") {
+    val base = spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    import graft.store.StateStore
+    import graft.model.{BlockRef, SingletEntryM, WriteRequest}
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      implicit val is: SparkSession = s2
+      val store = new StateStore(tmpDir("singlet-tvf"), StateStore.ManifestCommit)
+      def sreq(h: Long, v: String): WriteRequest =
+        WriteRequest(h, BlockRef(s"blk-$h", h), Nil,
+          Seq(SingletEntryM(1, "head", h, v.getBytes("UTF-8"), v.isEmpty)))
+      store.writeBatch(Seq(sreq(0L, "h0"), sreq(1L, "h1")))
+      store.writeBatch(Seq(sreq(2L, "h2")))
+
+      def row(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getAs[String]("singlet_id"), r.getAs[Long]("height"),
+          new String(r.getAs[Array[Byte]]("value"), "UTF-8"))).toSeq
+      val viaFn = row(store.readSingletEntryAt("head", 1L))
+      val viaSql = row(s2.sql(
+        s"SELECT * FROM graft_singlet_as_of('${store.root}', 'head', 1)"))
+      assert(viaSql === viaFn && viaFn === Seq(("head", 1L, "h1")))
+      // Head read through SQL too.
+      assert(row(s2.sql(
+        s"SELECT * FROM graft_singlet_as_of('${store.root}', 'head', 99)"))
+        === Seq(("head", 2L, "h2")))
+      // Errors name THIS function.
+      val err = intercept[Exception] {
+        s2.sql(s"SELECT * FROM graft_singlet_as_of('${store.root}', 'head', 1 + 1)")
+          .collect()
+      }
+      assert(err.getMessage.contains("graft_singlet_as_of"), err.getMessage)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }
