@@ -24,6 +24,8 @@ import graft.streaming.{BlockArchiveSource, IngestionPipeline}
   *   read-tablet <root> <tablet> <height>     snapshot-aware as-of read
   *   table-generations <root>                 manifest-protocol commit history
   *   read-tablet-at-gen <root> <gen> <tablet> <height>   time-travel as-of read
+  *   diff <root> <tablet> <from> <to>         changefeed diff (added/updated/deleted)
+  *   materialize <root> <target> <ckptDir>    catch the serving table up to the store
   *   curate <sfDir> <out>                     materialize the curated corpus + funnel
   */
 object Tools {
@@ -108,6 +110,27 @@ object Tools {
         .map(r => s"${r.getString(0)} h=${r.getLong(1)} " +
           new String(r.getAs[Array[Byte]](2), "UTF-8"))
         .mkString("\n")
+    case "diff" :: root :: tablet :: from :: to :: Nil =>
+      // The changefeed diff read: per-key added/updated/deleted between
+      // two heights (the store's incremental plan).
+      storeFor(root).readTabletDiff(tablet, from.toLong, to.toLong).collect()
+        .map { r =>
+          def v(i: Int) = Option(r.getAs[Array[Byte]](i))
+            .map(new String(_, "UTF-8")).getOrElse("-")
+          s"${r.getString(0)} ${r.getString(1)} h=${r.getLong(2)} ${v(3)} -> ${v(4)}"
+        }
+        .mkString("\n")
+    case "materialize" :: root :: target :: ckpt :: Nil =>
+      // One catch-up pass of the serving-table materializer (changefeed →
+      // copy-on-write merge); rerun to follow later commits — the same
+      // checkpoint resumes exactly where it left off. A daemon deployment
+      // calls StateMaterializer.start and keeps the query running.
+      val q = graft.streaming.StateMaterializer.start(
+        storeFor(root), target, ckpt)
+      q.processAllAvailable()
+      q.stop()
+      val n = graft.streaming.StateMaterializer.read(target)(spark).count()
+      s"serving table at $target: $n live rows"
     case "curate" :: sfDir :: out :: Nil =>
       // Materialize the composed curation pass (quality → dedup → collapse
       // → decontaminate → resample; queries.CurationPipeline) for a corpus

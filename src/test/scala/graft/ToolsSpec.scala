@@ -86,4 +86,31 @@ class ToolsSpec extends SparkTestBase {
     assert(curated.columns.sorted ===
       Array("doc_id", "n_repeats", "n_tokens", "source", "weight_ppm"))
   }
+
+  test("subscription verbs: diff prints the per-key changefeed; " +
+    "materialize catches the serving table up and resumes incrementally") {
+    implicit val s = spark
+    val root = tmpDir("tools-sub")
+    val target = tmpDir("tools-sub-target")
+    val ck = tmpDir("tools-sub-ck")
+    val store = new StateStore(root, StateStore.ManifestCommit)
+    def req(h: Long, pk: String, v: String) = WriteRequest(
+      h, BlockRef(s"blk-$h", h),
+      Seq(TabletRowM(1, "t1", h, pk, v.getBytes("UTF-8"), v.isEmpty)), Nil)
+    store.writeBatch(Seq(req(0, "a", "a0")))
+    store.writeBatch(Seq(req(1, "b", "b1")))
+    store.writeBatch(Seq(req(2, "a", "a2"), req(3, "b", "")))
+
+    val diff = Tools.run(Seq("diff", root, "t1", "1", "3"))
+    assert(diff.linesIterator.toSet === Set(
+      "a updated h=2 a0 -> a2", "b deleted h=3 b1 -> -"), diff)
+
+    assert(Tools.run(Seq("materialize", root, target, ck))
+      .contains("1 live rows")) // a live, b tombstoned
+    // New commits after the catch-up: rerunning with the SAME checkpoint
+    // resumes from the recorded generation and folds only the delta.
+    store.writeBatch(Seq(req(4, "b", "b4")))
+    assert(Tools.run(Seq("materialize", root, target, ck))
+      .contains("2 live rows"))
+  }
 }
