@@ -714,24 +714,35 @@ final class StateStore(
     *
     * `startingGeneration` ("0" = full history replay, "latest" = only
     * new commits, a number = after that generation) applies to the
-    * manifest protocol; the rename file source always replays. */
-  def changefeedStream(startingGeneration: String = "0"): DataFrame =
+    * manifest protocol; the rename file source always replays.
+    * `maxGenerationsPerTrigger` (manifest protocol) caps how many pending
+    * generations one micro-batch may span — catch-up over a deep backlog
+    * splits into bounded, individually-committed slices; the rename
+    * protocol's file source has the engine's own `maxFilesPerTrigger`
+    * for the same job. */
+  def changefeedStream(
+      startingGeneration: String = "0",
+      maxGenerationsPerTrigger: Option[Long] = None): DataFrame =
     mutationChangefeed(tabletRowsPath, "tablet_rows",
-      Schemas.tabletRows, startingGeneration)
+      Schemas.tabletRows, startingGeneration, maxGenerationsPerTrigger)
 
   /** [[changefeedStream]] for the SINGLET entry table — same offsets,
     * provenance, and protocol dispatch over `singlet_entries`. */
-  def singletChangefeedStream(startingGeneration: String = "0"): DataFrame =
+  def singletChangefeedStream(
+      startingGeneration: String = "0",
+      maxGenerationsPerTrigger: Option[Long] = None): DataFrame =
     mutationChangefeed(singletEntriesPath, "singlet_entries",
-      Schemas.singletEntries, startingGeneration)
+      Schemas.singletEntries, startingGeneration, maxGenerationsPerTrigger)
 
   private def mutationChangefeed(
       path: String, table: String, schema: StructType,
-      startingGeneration: String): DataFrame =
+      startingGeneration: String,
+      maxGenerationsPerTrigger: Option[Long] = None): DataFrame =
     commitProtocol match {
       case ManifestCommit =>
         graft.streaming.ManifestChangefeed.stream(
-          spark, path, table, startingGeneration)
+          spark, path, table, startingGeneration,
+          maxGenerationsPerTrigger = maxGenerationsPerTrigger)
       case RenameCommit =>
         val (fs, p) = fsPath(path)
         fs.mkdirs(p)

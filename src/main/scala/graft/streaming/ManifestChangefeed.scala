@@ -84,20 +84,31 @@ object ManifestChangefeed {
   /** Stream a manifest table's committed rows. `startingGeneration`:
     * `"0"`/a number = replay from after that generation (0 = the full
     * table history, Delta's initial-snapshot behavior); `"latest"` = only
-    * commits published after the stream starts. */
+    * commits published after the stream starts. `maxGenerationsPerTrigger`
+    * caps how many pending generations one micro-batch may span — the
+    * admission-control twin of [[BlockArchiveSource]]'s
+    * `maxFilesPerTrigger`: at the store's ~86k-commits/day cadence a
+    * from-0 (or lagging) subscriber must NOT get one all-or-nothing plan
+    * with tens of thousands of manifest parses and union legs before its
+    * first commit lands; with the cap, catch-up is a sequence of bounded,
+    * individually-checkpointed batches, each a durable step forward. */
   def stream(
       spark: SparkSession,
       tablePath: String,
       table: String = "tablet_rows",
       startingGeneration: String = "0",
-      onRewrite: String = "skip"): DataFrame =
-    spark.readStream
+      onRewrite: String = "skip",
+      maxGenerationsPerTrigger: Option[Long] = None): DataFrame = {
+    val r = spark.readStream
       .format(classOf[ManifestChangefeedProvider].getName)
       .option("path", tablePath)
       .option("table", table)
       .option("startingGeneration", startingGeneration)
       .option("onRewrite", onRewrite)
-      .load()
+    maxGenerationsPerTrigger.foreach(m =>
+      r.option("maxGenerationsPerTrigger", m.toString))
+    r.load()
+  }
 
   /** The source's offset: a generation number whose checkpoint form is
     * the bare decimal. NOT a case class — the streaming Offset base
@@ -144,9 +155,13 @@ object ManifestChangefeed {
       change_height: Long, old_value: Array[Byte], new_value: Array[Byte])
 
   /** Streaming CDC over a mutation stream: per (tablet, key) state via
-    * `flatMapGroupsWithState` — state is ONE row per live key (hash-
-    * partitioned, O(live keys) total, the streaming twin of the tablet
-    * read's argmax), events are the per-micro-batch NET transition:
+    * `flatMapGroupsWithState` — one small state row per key EVER SEEN
+    * (hash-partitioned; tombstoned keys deliberately keep their row so the
+    * monotone-height guard survives a delete→revive under redelivery, so
+    * state is O(ever-seen keys), not O(live keys) — the price of the
+    * redelivery guard; a caller that can tolerate relaxing it under key
+    * churn should window the stream upstream instead), events are the
+    * per-micro-batch NET transition:
     *
     *   absent/tombstoned -> live   = added
     *   live -> tombstoned          = deleted
@@ -206,12 +221,16 @@ final class ManifestChangefeedSource(
     dataSchema: StructType,
     partitionCol: Option[String],
     baseGen: Long,
-    onRewrite: String)
+    onRewrite: String,
+    maxGenerationsPerTrigger: Option[Long] = None)
   extends Source {
 
   require(onRewrite == "skip" || onRewrite == "fail",
     s"onRewrite must be 'skip' or 'fail', got '$onRewrite'")
+  require(maxGenerationsPerTrigger.forall(_ > 0),
+    s"maxGenerationsPerTrigger must be positive, got $maxGenerationsPerTrigger")
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   private implicit val spark: SparkSession = sqlContext.sparkSession
   private val table = new ManifestTable(tablePath, dataSchema, partitionCol)
 
@@ -219,14 +238,36 @@ final class ManifestChangefeedSource(
 
   private def genOf(o: OffsetV1): Long = o.json.trim.toLong
 
-  /** One small-object read of the generation pointer; no listing. */
+  /** The highest generation this source has PLANNED (returned from
+    * `getOffset` into a batch, or seen as a `getBatch` bound). The
+    * per-trigger cap advances from here, not from the pointer. Restart
+    * safety: the engine replays the last logged batch through `getBatch`
+    * before polling `getOffset` again (the documented V1 contract
+    * KafkaSource relies on — MicroBatchExecution's populateStartOffsets),
+    * so by the first post-restart poll this is synced to the
+    * checkpointed offset and the capped offset can never regress below
+    * what the log already committed. */
+  @volatile private var plannedGen: Long = baseGen
+
+  /** One small-object read of the generation pointer; no listing. A
+    * pending backlog larger than `maxGenerationsPerTrigger` is admitted
+    * in slices: the returned offset is capped at `planned + max`, so a
+    * from-0 catch-up over an ~86k-generation history becomes ~86k/max
+    * bounded, individually-committed micro-batches instead of one
+    * all-or-nothing plan (and a crash mid-catch-up resumes at the last
+    * committed slice). */
   override def getOffset: Option[OffsetV1] =
-    table.currentGeneration().filter(_ > baseGen)
-      .map(new ManifestChangefeed.GenOffset(_))
+    table.currentGeneration()
+      .map(ptr => maxGenerationsPerTrigger
+        .fold(ptr)(m => math.min(ptr, plannedGen + m)))
+      .filter(_ > baseGen)
+      .map { g => plannedGen = math.max(plannedGen, g)
+        new ManifestChangefeed.GenOffset(g) }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val startGen = start.map(genOf).getOrElse(baseGen)
     val endGen = genOf(end)
+    plannedGen = math.max(plannedGen, endGen)
     // One fold over the generation range, each manifest parsed ONCE (the
     // previous iteration's `cur` is the next one's `prev`). Rewrite
     // detection is FILE-level, not commit-id-level: a partial merge keeps
@@ -247,6 +288,17 @@ final class ManifestChangefeedSource(
             "— not an append; restart from a fresh checkpoint or use onRewrite=skip " +
             "if the rewrite is contents-preserving (graft compaction is; " +
             "a merge is NOT — subscribe to the upstream mutation log instead)")
+        // skip drops the WHOLE generation — including any genuinely fresh
+        // files it also added (a merge both rewrites and inserts). That is
+        // the documented contract (subscribe upstream of a merge target),
+        // but a mis-pointed subscription should be observable, not silent.
+        val freshDropped =
+          cur.iterator.flatMap(_._2).count(f => !prevFiles.contains(f))
+        if (freshDropped > 0) log.warn(
+          s"graft-changefeed: generation $g of $tablePath is a rewrite " +
+            s"(skipped, onRewrite=skip) but ALSO added $freshDropped fresh " +
+            "data file(s) that will NOT be emitted — if this table is a " +
+            "merge target, subscribe to the upstream mutation log instead")
       } else cur.foreach { case (cid, files) =>
         val fresh = files.filterNot(prevFiles.contains)
         if (fresh.nonEmpty) appended += ((g, cid, fresh))
@@ -273,7 +325,10 @@ final class ManifestChangefeedSource(
   * `path` (required, the manifest table path), `table`
   * (tablet_rows | singlet_entries — picks schema + partition column; or
   * pass an explicit schema and `partitionCol`), `startingGeneration`
-  * (number | "latest"), `onRewrite` (skip | fail). */
+  * (number | "latest"), `onRewrite` (skip | fail),
+  * `maxGenerationsPerTrigger` (positive long — caps how many pending
+  * generations one micro-batch may span; catch-up splits into bounded,
+  * individually-committed slices). */
 final class ManifestChangefeedProvider extends StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-changefeed"
@@ -319,7 +374,8 @@ final class ManifestChangefeedProvider extends StreamSourceProvider with DataSou
       case n => n.toLong
     }
     new ManifestChangefeedSource(sqlContext, path, dataSchema, partitionCol,
-      baseGen, parameters.getOrElse("onRewrite", "skip"))
+      baseGen, parameters.getOrElse("onRewrite", "skip"),
+      parameters.get("maxGenerationsPerTrigger").map(_.trim.toLong))
   }
 }
 

@@ -40,6 +40,26 @@ object GraftBridge {
     cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** The inverse of [[asStreamingDataFrame]]: re-flag a streaming-tagged
+    * plan as batch so a spec can execute a `Source.getBatch` result
+    * directly (outside a running StreamingQuery, where the analyzer
+    * rejects `isStreaming = true` plans). */
+  def asBatchDataFrame(df: Dataset[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // Can't run `queryExecution.toRdd` here — the batch checker rejects a
+    // streaming-flagged plan — so unwrap the LogicalRDD's row RDD directly.
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        cs.internalCreateDataFrame(
+          lr.rdd.asInstanceOf[org.apache.spark.rdd.RDD[
+            org.apache.spark.sql.catalyst.InternalRow]],
+          df.schema, isStreaming = false)
+      case other => sys.error(
+        s"asBatchDataFrame expects a LogicalRDD streaming wrapper, got: $other")
+    }
+  }
+
   /** Drop the materialized blocks behind a `localCheckpoint(eager = true)`
     * Dataset. `spark.catalog.clearCache()` only covers `persist`ed plans, so
     * iterative algorithms that checkpoint per round would otherwise leak one

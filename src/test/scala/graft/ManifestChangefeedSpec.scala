@@ -220,6 +220,74 @@ class ManifestChangefeedSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("maxGenerationsPerTrigger: a deep catch-up splits into bounded, " +
+    "individually-committed micro-batches — complete, no duplicates") {
+    implicit val s = spark
+    val root = tmpDir("cf-cap")
+    val store = new StateStore(root, StateStore.ManifestCommit)
+    // Five pending generations before the subscriber ever starts.
+    (1 to 5).foreach(h => store.writeBatch(Seq(req(h, ("t1", s"k$h", s"v$h")))))
+
+    val out = tmpDir("cf-cap-out")
+    val q = store.changefeedStream(maxGenerationsPerTrigger = Some(2L))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", tmpDir("cf-cap-ck"))
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // All five generations arrived, each exactly once...
+      val gens = spark.read.parquet(out).select("_generation")
+        .collect().map(_.getLong(0))
+      assert(gens.sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+      // ...across at least ceil(5/2)=3 data batches, not one monolith.
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 3,
+        s"catch-up ran in $dataBatches data batch(es); cap=2 over 5 " +
+          "pending generations must split into >=3")
+    } finally q.stop()
+  }
+
+  test("maxGenerationsPerTrigger: a restart mid-catch-up resumes at the " +
+    "committed slice — no gap, no re-emission (source-contract simulation)") {
+    implicit val s = spark
+    val root = tmpDir("cf-cap-restart")
+    val store = new StateStore(root, StateStore.ManifestCommit)
+    (1 to 5).foreach(h => store.writeBatch(Seq(req(h, ("t1", s"k$h", s"v$h")))))
+
+    def mkSource() = new graft.streaming.ManifestChangefeedSource(
+      spark.sqlContext, store.tabletRowsPath, graft.model.Schemas.tabletRows,
+      Some("collection"), baseGen = 0L, onRewrite = "skip",
+      maxGenerationsPerTrigger = Some(2L))
+    def gensOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      // getBatch results are streaming-tagged (the V1 contract) — re-flag
+      // as batch to execute outside a running query.
+      org.apache.spark.sql.graftbridge.GraftBridge.asBatchDataFrame(df)
+        .select("_generation").collect().map(_.getLong(0)).sorted.toSeq
+
+    // Run 1: the first capped slice plans generations (0, 2]...
+    val s1 = mkSource()
+    val o1 = s1.getOffset.get
+    assert(o1.json === "2")
+    assert(gensOf(s1.getBatch(None, o1)) === Seq(1L, 2L))
+    // ...the engine logs + commits offset 2, then the process dies.
+
+    // Run 2 (fresh source instance): the engine's documented restart
+    // sequence replays the last logged batch through getBatch BEFORE
+    // polling getOffset again, which syncs the cap's floor to the
+    // checkpointed offset.
+    val s2 = mkSource()
+    assert(gensOf(s2.getBatch(None, o1)) === Seq(1L, 2L)) // replay: byte-identical
+    val o2 = s2.getOffset.get
+    assert(o2.json === "4", "cap advances from the COMMITTED offset, not from 0")
+    assert(gensOf(s2.getBatch(Some(o1), o2)) === Seq(3L, 4L))
+    val o3 = s2.getOffset.get
+    assert(o3.json === "5")
+    assert(gensOf(s2.getBatch(Some(o2), o3)) === Seq(5L))
+    // Caught up: the pointer (5) is within the cap window — poll returns
+    // the same offset, so the engine schedules no further batch.
+    assert(s2.getOffset.get.json === "5")
+  }
+
   test("offset equality follows the json contract: a checkpoint-restored " +
     "offset compares equal to a freshly polled one (no spurious restart batch)") {
     val polled = new ManifestChangefeed.GenOffset(5)
