@@ -291,29 +291,30 @@ object TemporalQueries {
       // State-store width for THIS streaming query only: the session's 32
       // shuffle partitions mean 32 state-store instances per micro-batch
       // for a few hundred keys — pure per-partition overhead ×4 batches.
-      // The conf is read at query START and baked into the checkpoint, so
-      // a scoped set/restore around start() is safe (gate queries run
-      // sequentially); production sizing guidance stays with the caller.
+      // The stream's execution thread reads the conf when it PLANS the
+      // first micro-batch (after start() returns), so the narrowing must
+      // stay in force until the final drain — restore only after q.stop()
+      // (gate queries run sequentially, so the scoped set is safe).
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q =
-        try store.changefeedDiffStream().writeStream.format("memory")
+      try {
+        val q = store.changefeedDiffStream().writeStream.format("memory")
           .queryName(sink)
           .option("checkpointLocation",
             java.nio.file.Files.createTempDirectory("graft-cf-gate-ck").toString)
           .outputMode("append").start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try {
-        CdcBounds.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
-          store.writeTabletRows(
-            m.filter(col("height") > lo && col("height") <= hi)
-              .select(lit(1).as("collection"), col("tablet_id"), col("height"),
-                col("primary_key"), col("value").cast("binary").as("value"),
-                col("is_deletion")),
-            commitId = s"w$i")
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+        try {
+          CdcBounds.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+            store.writeTabletRows(
+              m.filter(col("height") > lo && col("height") <= hi)
+                .select(lit(1).as("collection"), col("tablet_id"), col("height"),
+                  col("primary_key"), col("value").cast("binary").as("value"),
+                  col("is_deletion")),
+              commitId = s"w$i")
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       // The memory sink's rows, frozen into a plain local relation (the
       // sink's temp view dies with the query name's scope).
       val rows = s.table(sink)

@@ -488,7 +488,8 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       orderCol: String,
       deleteCol: String,
       commitId: String,
-      keepTombstones: Boolean = false): MergeReport = {
+      keepTombstones: Boolean = false,
+      maxTouchedKeys: Long = ManifestTable.mergeMaxTouchedKeys): MergeReport = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
     import org.apache.spark.sql.functions._
     val gen = currentGeneration().getOrElse(0L)
@@ -497,8 +498,19 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       return MergeReport(rewritten = 0, kept = entries.map(_.files.size).sum,
         applied = false)
 
-    // Touched keys, driver-side (micro-batch-bounded by contract).
-    val keyRows = updates.select(keyCols.map(col): _*).distinct().collect()
+    // Touched keys, driver-side. Micro-batch-bounded by contract — and
+    // the contract is ENFORCED, not just documented: the collect itself
+    // is limited to budget+1 rows, so an accidental table-sized update
+    // batch fails loudly (pointing at replaceAll) instead of OOMing the
+    // driver. Same posture as the GRAFT_EMBED_EXACT_MAX_ROWS guard.
+    val maxKeys = maxTouchedKeys
+    val keyRows = updates.select(keyCols.map(col): _*).distinct()
+      .limit(math.min(maxKeys + 1, Int.MaxValue.toLong).toInt).collect()
+    if (keyRows.length > maxKeys) throw new IllegalArgumentException(
+      s"merge '$commitId' touches more than $maxKeys distinct keys — the " +
+        "touched-key set is collected to the driver and must stay " +
+        "micro-batch-sized. Use replaceAll for table-sized updates, or " +
+        "raise GRAFT_MERGE_MAX_TOUCHED_KEYS deliberately.")
     if (keyRows.isEmpty)
       return MergeReport(0, entries.map(_.files.size).sum, applied = false)
     val keyTuples: Array[Array[StatVal]] =
@@ -620,6 +632,16 @@ object ManifestTable {
     * because a touched key could live there, `kept` carried verbatim,
     * `applied` false for an idempotent skip / empty update set. */
   final case class MergeReport(rewritten: Int, kept: Int, applied: Boolean)
+
+  /** Driver budget for [[ManifestTable.merge]]'s touched-key collect —
+    * past it the merge REFUSES (a table-sized update batch belongs in
+    * `replaceAll`, not a per-key merge). Env-overridable; malformed
+    * values fall back to the 1M default (a few tens of MB of driver heap
+    * at typical key widths, far above any micro-batch). */
+  def mergeMaxTouchedKeys: Long =
+    sys.env.get("GRAFT_MERGE_MAX_TOUCHED_KEYS")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .filter(_ > 0).getOrElse(1000000L)
 
   /** One manifest line: a commit, its files, and per-file column bounds
     * (`stats(i)` describes `files(i)`; empty map = no bounds recorded). */

@@ -658,8 +658,11 @@ final class StateStore(
     // final classification join — and without the persist each consumer
     // re-runs the window scan + argmax shuffle. Window-bounded by
     // construction (a changefeed poll's sliver), so the cached footprint
-    // is small; reclaimed by the session's cache hygiene (the bench/gate
-    // clearCache between queries; long-lived callers manage their own).
+    // is small. The cache's lifetime is tied to THIS call: the result is
+    // materialized before returning and the persist released (below) —
+    // a long-lived or SQL-only session (the graft_tablet_diff TVF plans
+    // this eagerly per analysis) must not accumulate one cached plan per
+    // diff until somebody calls clearCache.
     val post = graft.read.TemporalReads
       .latestPerKey(window, Seq("primary_key"), Seq("value"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -675,7 +678,7 @@ final class StateStore(
         col("height").as("pre_height"), col("value").as("pre_value"))
     val oldLive = col("pre_height").isNotNull
     val newLive = !col("is_deletion")
-    post.join(pre, Seq("primary_key"))
+    val classified = post.join(pre, Seq("primary_key"))
       .withColumn("change_type",
         when(!oldLive && newLive, lit("added"))
           .when(oldLive && !newLive, lit("deleted"))
@@ -688,6 +691,15 @@ final class StateStore(
         col("pre_value").as("old_value"),
         when(newLive, col("value")).as("new_value"))
       .orderBy("primary_key")
+    // Materialize now (touched-key-bounded, the size a changefeed
+    // consumer is about to pull anyway), then drop the persist — after
+    // this nothing can re-read `post`, so the call leaves NO entry in the
+    // cache manager. The localCheckpoint blocks behind the result are
+    // context-cleaned when the caller drops it (or explicitly via
+    // GraftBridge.freeLocalCheckpoint), unlike a persist, which the cache
+    // manager pins forever.
+    try classified.localCheckpoint(eager = true)
+    finally post.unpersist(blocking = false)
   }
 
   /** [[readTabletDiff]]'s STREAMING twin, step 1: subscribe to the

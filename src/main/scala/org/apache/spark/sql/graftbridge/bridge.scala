@@ -60,6 +60,13 @@ object GraftBridge {
     }
   }
 
+  /** Whether the session's cache manager holds NO cached plan — the
+    * specs' probe for "this call released every persist it took"
+    * (`sharedState` is `private[sql]`, hence bridged). */
+  def cacheManagerIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
+
   /** Drop the materialized blocks behind a `localCheckpoint(eager = true)`
     * Dataset. `spark.catalog.clearCache()` only covers `persist`ed plans, so
     * iterative algorithms that checkpoint per round would otherwise leak one

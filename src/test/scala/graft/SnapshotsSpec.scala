@@ -147,6 +147,35 @@ class SnapshotsSpec extends SparkTestBase {
     check() // snapshot at 6: pre-side takes the TabletIndex-pruned route
   }
 
+  test("readTabletDiff's internal persist is call-scoped: no cached plan " +
+    "survives the call, the result is re-readable, blocks freeable") {
+    implicit val s = spark
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    val store = new graft.store.StateStore(
+      tmpDir("store-diff-cache"), graft.store.StateStore.ManifestCommit)
+    val m = mutations.withColumn("collection", org.apache.spark.sql.functions.lit(1))
+      .select("collection", "tablet_id", "height", "primary_key", "value", "is_deletion")
+    store.writeTabletRows(m, "c1")
+
+    spark.catalog.clearCache()
+    assert(GraftBridge.cacheManagerIsEmpty(spark))
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val diff = store.readTabletDiff("t1", 2L, 11L)
+    // The window-argmax persist must be gone BEFORE the read returns — a
+    // long-lived or SQL-only session (graft_tablet_diff TVF) must not
+    // accumulate one cached plan per diff call.
+    assert(GraftBridge.cacheManagerIsEmpty(spark),
+      "readTabletDiff leaked a cache-manager entry")
+    // The materialized result stays re-readable (two reads, same rows).
+    assert(diff.count() === diff.count() && diff.count() > 0)
+    // And the caller can free the checkpoint blocks deterministically:
+    // nothing this call pinned remains pinned afterwards.
+    GraftBridge.freeLocalCheckpoint(diff)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore
+    assert(leaked.isEmpty,
+      s"diff call left pinned RDD(s) $leaked after freeLocalCheckpoint")
+  }
+
   test("snapshot-pruned as-of join ≡ full-history as-of join for every " +
     "snapshot height: probes above/below the snapshot, tombstones, misses, " +
     "future-only keys, and other-tablet probes (fallback route)") {

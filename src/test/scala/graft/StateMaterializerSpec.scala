@@ -88,6 +88,29 @@ class StateMaterializerSpec extends SparkTestBase {
     assert(t.currentGeneration().get === genBefore)
   }
 
+  test("merge ENFORCES its driver budget: an over-budget touched-key set " +
+    "fails loudly (pointing at replaceAll), table untouched; at-budget passes") {
+    val t = mkTable(tmpDir("merge-budget"))
+    t.commit(df(("k1", 1, "v1", false)), "c0")
+    val batch = df(("k1", 2, "v2", false), ("k2", 2, "w2", false),
+      ("k3", 2, "x2", false))
+    val genBefore = t.currentGeneration().get
+    val e = intercept[IllegalArgumentException] {
+      t.merge(batch, Seq("k"), "h", "del", "m1", maxTouchedKeys = 2L)
+    }
+    assert(e.getMessage.contains("replaceAll") &&
+      e.getMessage.contains("GRAFT_MERGE_MAX_TOUCHED_KEYS"))
+    // Refused BEFORE any write: no generation burned, contents intact.
+    assert(t.currentGeneration().get === genBefore)
+    assert(contents(t) === Set(("k1", 1L, "v1")))
+    // Exactly at budget: applies normally.
+    assert(t.merge(batch, Seq("k"), "h", "del", "m1", maxTouchedKeys = 3L).applied)
+    assert(contents(t) === Set(
+      ("k1", 2L, "v2"), ("k2", 2L, "w2"), ("k3", 2L, "x2")))
+    // The default budget comes from the env-overridable companion knob.
+    assert(graft.store.ManifestTable.mergeMaxTouchedKeys === 1000000L)
+  }
+
   test("sweepOrphanFiles reclaims merge-dropped files inside partially " +
     "kept commit dirs; live files and reads untouched") {
     val t = mkTable(tmpDir("merge-sweep"))
