@@ -72,6 +72,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plans snapshot-aware (latest usable TabletIndex → snapshot ∪ tail,
     // full history otherwise) exactly like the DataFrame surface. SQL-only
     // consumers get the production read with zero Scala.
+    //
+    // FORK-BRANCH form (4th argument, a block ref):
+    //   SELECT * FROM graft_state_as_of('/store', 'accounts', 805, 'b805')
+    // resolves the speculative overlay of that block's branch through the
+    // pipeline registered for the root (GraftExtensions.registerPipeline)
+    // and overlays it on the durable read — the reference's flagship
+    // server read, which resolves state at a BLOCK REF through the fork
+    // tree, not just at a height (fluxdb.go:110–140, pipeline.go:228–265).
+    // A bare-number ref string addresses the current chain at that num.
     ext.injectTableFunction((
       FunctionIdentifier("graft_state_as_of"),
       new ExpressionInfo(classOf[graft.plans.StateAsOfStore].getName, "graft_state_as_of"),
@@ -115,6 +124,36 @@ object GraftExtensions {
       new graft.store.StateStore(r, graft.store.StateStore.detectProtocol(r))
     })
 
+  /** Live ingestion pipelines by store root: the handle through which the
+    * SQL surface reaches DRIVER-SIDE fork state (the ForkDB's speculative
+    * overlay — in-memory by design, reference pipeline.go:110; there is
+    * nothing durable a bare path could resolve it from). The embedding
+    * application registers its pipeline once at startup; the fork-branch
+    * `graft_state_as_of(root, tablet, h, block_ref)` form then works for
+    * SQL-only consumers. Keyed by the exact root string the TVFs use. */
+  private val pipelines = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.streaming.IngestionPipeline]()
+
+  /** Register the pipeline serving `root`'s head state (latest wins). */
+  def registerPipeline(
+      root: String, pipeline: graft.streaming.IngestionPipeline): Unit =
+    pipelines.put(root, pipeline)
+
+  /** Drop `root`'s pipeline registration (e.g. on pipeline shutdown);
+    * subsequent fork-branch SQL reads fail loudly again. */
+  def unregisterPipeline(root: String): Unit = pipelines.remove(root)
+
+  private def pipelineFor(root: String): graft.streaming.IngestionPipeline = {
+    val p = pipelines.get(root)
+    if (p == null) throw new IllegalStateException(
+      s"no ingestion pipeline registered for root '$root': fork-branch " +
+        "reads resolve the speculative overlay through live driver-side " +
+        "fork state — call GraftExtensions.registerPipeline(root, pipeline) " +
+        "at application startup (durable-only reads need no registration: " +
+        "use the 3-argument graft_state_as_of)")
+    p
+  }
+
   private def stringArg(fn: String, e: Expression, what: String): String = e match {
     case Literal(v: UTF8String, StringType) => v.toString
     case other => throw new IllegalArgumentException(
@@ -131,15 +170,34 @@ object GraftExtensions {
   /** Builder for the `graft_state_as_of` TVF: literal args → the
     * [[graft.plans.StateAsOfStore]] marker over the store's mutation
     * table. Resolution (and the one tiny snapshot-log aggregate it runs)
-    * happens in [[graft.plans.StateAsOfRule]], as for the DataFrame form. */
+    * happens in [[graft.plans.StateAsOfRule]], as for the DataFrame form.
+    *
+    * With a 4th argument (a block ref string: an id, or a bare number for
+    * the current chain) the read is a FORK-BRANCH read: the registered
+    * pipeline resolves that block's speculative overlay (reference
+    * NotReady / RequestedBlockNotFound semantics surface as loud errors)
+    * and the store plans `readTabletAt` with the overlay — still
+    * snapshot-routed on the durable side; the overlay frames are tiny
+    * (≤ the ~300-block reversible segment) and ride above the argmax. */
   private[functions] def stateAsOfTable(children: Seq[Expression]): LogicalPlan = {
-    require(children.length == 3,
-      "graft_state_as_of(root, tablet, at_height) takes exactly 3 arguments")
-    val store = storeFor(stringArg("graft_state_as_of", children(0), "root"))
-    graft.plans.StateAsOfStore(
-      GraftBridge.logicalPlan(store.tabletRows), store,
-      stringArg("graft_state_as_of", children(1), "tablet"),
-      longArg("graft_state_as_of", children(2), "at_height"), None)
+    require(children.length == 3 || children.length == 4,
+      "graft_state_as_of(root, tablet, at_height[, block_ref]) takes 3 or 4 arguments")
+    val root = stringArg("graft_state_as_of", children(0), "root")
+    val store = storeFor(root)
+    val tablet = stringArg("graft_state_as_of", children(1), "tablet")
+    val atHeight = longArg("graft_state_as_of", children(2), "at_height")
+    if (children.length == 3)
+      graft.plans.StateAsOfStore(
+        GraftBridge.logicalPlan(store.tabletRows), store, tablet, atHeight, None)
+    else {
+      val refStr = stringArg("graft_state_as_of", children(3), "block_ref")
+      val ref =
+        if (refStr.nonEmpty && refStr.forall(_.isDigit))
+          graft.model.BlockRef("", refStr.toLong) // bare num: current chain
+        else graft.model.BlockRef(refStr, 0L)
+      val spec = pipelineFor(root).speculativeTabletRowsFor(Some(ref))
+      GraftBridge.logicalPlan(store.readTabletAt(tablet, atHeight, spec))
+    }
   }
 
   /** Builder for the `graft_tablet_diff` TVF: the store-level incremental
@@ -152,8 +210,10 @@ object GraftExtensions {
     * class of work the StateAsOfRule runs for the as-of TVF, with a
     * larger constant. An `EXPLAIN` over this TVF therefore does real
     * (window-sized) work; the window is a changefeed poll's sliver by
-    * contract, and the post-winner frame it computes is persisted inside
-    * `readTabletDiff`, so execution does not repeat the scan. */
+    * contract, and `readTabletDiff` materializes its result before
+    * returning (releasing its internal persist), so execution just reads
+    * the checkpointed blocks — and repeated TVF analyses cannot
+    * accumulate cache-manager entries. */
   private[functions] def tabletDiffTable(children: Seq[Expression]): LogicalPlan = {
     require(children.length == 4,
       "graft_tablet_diff(root, tablet, from_height, to_height) takes exactly 4 arguments")

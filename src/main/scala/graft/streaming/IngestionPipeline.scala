@@ -253,6 +253,27 @@ final class IngestionPipeline(
   def fetchSpeculativeWrites(request: Option[BlockRef] = None): SpeculativeFetch =
     forkDB.fetchSpeculativeWrites(request)
 
+  /** [[fetchSpeculativeWrites]] resolved straight to tablet-row overlay
+    * frames (block order), with the reference's error outcomes raised as
+    * exceptions — the shape the SQL branch-read TVF needs
+    * (fluxdb.go:110–140: the server read resolves its block ref through
+    * the fork tree before the KV read runs). */
+  def speculativeTabletRowsFor(request: Option[BlockRef]): Seq[DataFrame] = {
+    import spark.implicits._
+    fetchSpeculativeWrites(request) match {
+      case SpeculativeFetch.Writes(ws, _) =>
+        ws.map(_.tabletRows.toDF(StateStore.tabletRowCols: _*))
+      case SpeculativeFetch.NotReady => throw new IllegalStateException(
+        "speculative read not ready: no block processed yet (ErrNotReady)")
+      case SpeculativeFetch.RequestedBlockNotFound =>
+        throw new IllegalArgumentException(
+          s"requested block ${request.fold("<head>")(r =>
+            if (r.id.nonEmpty) r.id else s"#${r.num}")} not found in the " +
+            "fork tree: above head, or connects to no tracked branch " +
+            "(ErrRequestedBlockNotFound)")
+    }
+  }
+
   /** Create head/LIB/lag gauges for this pipeline and register them on the
     * session's streaming listener bus (T7 — see [[PipelineMetrics]]). */
   def registerMetrics(

@@ -340,4 +340,88 @@ class RegistryExtensionsSpec extends SparkTestBase {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("fork-branch graft_state_as_of: SQL resolves a block ref through the " +
+    "registered pipeline's fork tree ≡ the function path — including the " +
+    "delete-then-speculative-reinsert matrix, fork branches, bare nums, " +
+    "and the reference's not-found/unregistered errors") {
+    val base = spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    import graft.model.{BlockRef, TabletRowM, WriteRequest}
+    import graft.store.StateStore
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      implicit val is: SparkSession = s2
+      val store = new StateStore(tmpDir("branch-tvf"), StateStore.ManifestCommit)
+      def trow(h: Long, pk: String, v: String): TabletRowM =
+        TabletRowM(1, "t1", h, pk, v.getBytes("UTF-8"), v.isEmpty)
+      def req(h: Long, rows: TabletRowM*): WriteRequest =
+        WriteRequest(h, BlockRef(s"a$h", h), rows, Nil)
+      // DURABLE history (read_test.go:115–144 shape): insert a, insert b,
+      // then a durable TOMBSTONE of a at height 3.
+      store.writeBatch(Seq(
+        req(1, trow(1, "a", "a1")), req(2, trow(2, "b", "b2")),
+        req(3, trow(3, "a", ""))))
+
+      // Fork tree: LIB at a3; speculative chain a4 (REINSERTS the deleted
+      // key) → a5 (new key c); competing fork b4 off a3 (updates b).
+      val pipeline = new graft.streaming.IngestionPipeline(store)
+      pipeline.forkDB.moveLIB(BlockRef("a3", 3))
+      pipeline.forkDB.addLink(BlockRef("a4", 4), "a3", req(4, trow(4, "a", "a4-spec")))
+      pipeline.forkDB.addLink(BlockRef("a5", 5), "a4", req(5, trow(5, "c", "c5")))
+      pipeline.forkDB.addLink(BlockRef("b4", 4), "a3",
+        WriteRequest(4, BlockRef("b4", 4), Seq(trow(4, "b", "b4-v")), Nil))
+
+      // Unregistered root: loud, points at registerPipeline.
+      val unreg = intercept[Exception] {
+        s2.sql(s"SELECT * FROM graft_state_as_of('${store.root}', 't1', 5, 'a5')")
+      }
+      assert(unreg.getMessage.contains("registerPipeline"), unreg.getMessage)
+      graft.functions.GraftExtensions.registerPipeline(store.root, pipeline)
+
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, String)] =
+        df.collect().map(r => (r.getAs[String]("primary_key"),
+          r.getAs[Long]("height"),
+          new String(r.getAs[Array[Byte]]("value"), "UTF-8"))).toSeq
+      def sql(at: Long, ref: String) = rows(s2.sql(
+        s"SELECT * FROM graft_state_as_of('${store.root}', 't1', $at, '$ref')"))
+      def fn(at: Long, ref: BlockRef) = rows(store.readTabletAt("t1", at,
+        pipeline.speculativeTabletRowsFor(Some(ref))))
+
+      // Head branch at a5: the tombstoned key comes BACK from the
+      // speculative reinsert, c exists, b untouched. SQL ≡ function.
+      val headRead = sql(5, "a5")
+      assert(headRead === fn(5, BlockRef("a5", 0)))
+      assert(headRead === Seq(("a", 4L, "a4-spec"), ("b", 2L, "b2"), ("c", 5L, "c5")))
+      // Without the overlay the durable tombstone holds: a is absent.
+      assert(rows(s2.sql(
+        s"SELECT * FROM graft_state_as_of('${store.root}', 't1', 5)"))
+        === Seq(("b", 2L, "b2")))
+      // The COMPETING fork b4: b updated, a stays deleted, no c.
+      val forkRead = sql(4, "b4")
+      assert(forkRead === fn(4, BlockRef("b4", 0)))
+      assert(forkRead === Seq(("b", 4L, "b4-v")))
+      // Bare num addresses the CURRENT chain truncated at that num.
+      assert(sql(4, "4") === Seq(("a", 4L, "a4-spec"), ("b", 2L, "b2")))
+      // Reference error semantics: unknown block / above head.
+      val nf = intercept[Exception] { s2.sql(
+        s"SELECT * FROM graft_state_as_of('${store.root}', 't1', 9, 'zz9')") }
+      assert(nf.getMessage.contains("not found"), nf.getMessage)
+      // Unregister restores the loud-failure state.
+      graft.functions.GraftExtensions.unregisterPipeline(store.root)
+      intercept[Exception] {
+        s2.sql(s"SELECT * FROM graft_state_as_of('${store.root}', 't1', 5, 'a5')")
+      }
+    } finally {
+      graft.functions.GraftExtensions.unregisterPipeline("") // no-op safety
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }
