@@ -14,6 +14,10 @@ import graft.streaming.{BlockArchiveSource, IngestionPipeline}
   *   inject <root> <archiveDir> <ckptDir>     stream a block archive into the store
   *   shard <mutationsParquet> <out> <n>       reproc-shard: mutations → n shard files
   *   inject-shard <shardPath> <i> <root>      reproc-inject: replay shard i
+  *   inject-dbin <segment> <i> <root> <widths> [startAfter]
+  *                                            replay a reference-format
+  *                                            .dbin[.zst] shard segment
+  *                                            (widths: coll=len,coll=len)
   *   shard-status <root> <n>                  per-shard progress report
   *   finalize-sharding <root> <n>             global checkpoint + drop shard markers
   *   reindex <root> [maxHeight] [lowerBound] [dryRun]
@@ -50,6 +54,16 @@ object Tools {
     case "inject-shard" :: shardPath :: i :: root :: Nil =>
       Backfill.injectShard(spark, shardPath, i.toInt, storeFor(root))
       s"injected shard $i"
+    case "inject-dbin" :: segment :: i :: root :: widths :: rest if rest.size <= 1 =>
+      // widths: the embedder's collection→identifier-width registry,
+      // e.g. "1=2,0xFFF1=2" (hex or decimal collection ids).
+      val idLen = widths.split(',').map(_.trim).filter(_.nonEmpty).map { kv =>
+        val Array(c, l) = kv.split('=')
+        (java.lang.Integer.decode(c.trim).intValue, l.trim.toInt)
+      }.toMap
+      val n = Backfill.injectDbinSegment(spark, segment, i.toInt, storeFor(root),
+        idLen, rest.headOption.map(_.toLong).getOrElse(-1L))
+      s"injected $n write requests from $segment as shard $i"
     case "shard-status" :: root :: n :: Nil =>
       storeFor(root).verifyAllShardsWritten(n.toInt).collect()
         .map(r => s"${r.getString(0)} height=${r.get(1)} ${r.getString(2)}")

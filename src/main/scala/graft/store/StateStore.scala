@@ -1351,4 +1351,54 @@ object Backfill {
         f"${StateStore.ShardCheckpointPrefix}$shard%03d", stop, blockId, blockNum))
     }
   }
+
+  /** Replay a REFERENCE-FORMAT shard segment file (`.dbin` /
+    * `.dbin.zst`, content `fwr` v1 — what sharder.go:80–103 ships and
+    * shardinject.go:133–160 reads) into a live store: the interop path
+    * for a deployment migrating off the reference with its segment
+    * archive intact. Same contract as [[injectShard]]: refuses a store
+    * the live injector already checkpointed, skips heights at or below
+    * `startAfter`, commit id deterministic per (shard, startAfter) so a
+    * crash replays as a skip, shard checkpoint at the segment's LAST
+    * request (whose block ref rides in the record — no `_blockrefs`
+    * sidecar needed, the reference put it in every record). Segments are
+    * block-range-sized by the reference's own batching; the decode is
+    * driver-side and bounded by that contract. `identifierLen` is the
+    * embedder's collection→identifier-width registry, exactly the
+    * knowledge the reference's key-parsing factories carry. */
+  def injectDbinSegment(
+      spark: SparkSession,
+      segmentFile: String,
+      shard: Int,
+      store: StateStore,
+      identifierLen: Map[Int, Int],
+      startAfter: Long = -1L): Int = {
+    store.checkCleanForSharding()
+    val p = new org.apache.hadoop.fs.Path(segmentFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val payloads =
+      try graft.model.DbinCodec.readShardSegment(
+        in, if (startAfter >= 0) Some(startAfter) else None)
+      finally in.close()
+    if (payloads.isEmpty) return 0
+    val requests = payloads.map(graft.model.DbinCodec.toModel(_, identifierLen))
+    import spark.implicits._
+    val dir = f"dbin-shard$shard%03d-after$startAfter"
+    val rows = requests.flatMap(_.tabletRows)
+    val entries = requests.flatMap(_.singletEntries)
+    if (rows.nonEmpty)
+      store.writeTabletRows(rows.toDF(StateStore.tabletRowCols: _*), dir)
+    if (entries.nonEmpty)
+      store.writeSingletEntries(
+        entries.toDF(StateStore.singletEntryCols: _*), dir)
+    // Checkpoint LAST (the durability barrier), at the final record's
+    // real block ref — shardinject.go checkpoints the last processed
+    // block for fork resolution at handoff.
+    val last = requests.last
+    store.writeCheckpoint(Checkpoint(
+      f"${StateStore.ShardCheckpointPrefix}$shard%03d",
+      last.height, last.block.id, last.block.num))
+    requests.size
+  }
 }

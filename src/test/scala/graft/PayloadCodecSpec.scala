@@ -224,4 +224,78 @@ class PayloadCodecSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("in that order"))
   }
+
+  test("dbin shard segment container: golden v1 header framing, zstd and " +
+    "plain round-trip, legacy v0 header, torn/corrupt input fails loudly " +
+    "(sharder.go:80-103 / shardinject.go:133-160 interop)") {
+    import graft.model.{BlockRef, DbinCodec, SingletEntryM, TabletRowM, WriteRequest}
+    def req(h: Long): WriteRequest = WriteRequest(
+      h, BlockRef(f"blk$h%03d", h),
+      Seq(TabletRowM(1, "t1", h, s"pk${h % 2}", s"v$h".getBytes("UTF-8"), false),
+        TabletRowM(1, "t1", h, "gone", Array.emptyByteArray, isDeletion = true)),
+      Seq(SingletEntryM(7, "s1", h, Array[Byte](h.toByte), false)))
+    val requests = (5L to 9L).map(req)
+    val payloads = requests.map(PayloadCodec.writeRequestPayloadOf)
+
+    // GOLDEN v1 header framing: 'dbin', version 1, 1 length byte, 'fwr',
+    // then each message 4-byte big-endian length-prefixed.
+    val plain = {
+      val bo = new java.io.ByteArrayOutputStream()
+      DbinCodec.writeShardSegment(bo, payloads, compress = false)
+      bo.toByteArray
+    }
+    assert(toHex(plain.take(9)) === "6462696e" + "01" + "03" + "667772")
+    val firstLen = ((plain(9) & 0xFF) << 24) | ((plain(10) & 0xFF) << 16) |
+      ((plain(11) & 0xFF) << 8) | (plain(12) & 0xFF)
+    assert(firstLen === PayloadCodec.encodeWriteRequest(payloads.head).length)
+
+    // Round-trips: plain and zstd (the .dbin.zst wire actually shipped) —
+    // identical record bytes either way, sniffed from the stream itself.
+    val zst = {
+      val bo = new java.io.ByteArrayOutputStream()
+      DbinCodec.writeShardSegment(bo, payloads, compress = true)
+      bo.toByteArray
+    }
+    assert(toHex(zst.take(4)) === "28b52ffd", "zstd magic")
+    def read(bytes: Array[Byte], after: Option[Long] = None) =
+      DbinCodec.readShardSegment(new java.io.ByteArrayInputStream(bytes), after)
+    for (bytes <- Seq(plain, zst)) {
+      val back = read(bytes)
+      assert(back.map(_.height) === (5L to 9L))
+      assert(back.map(PayloadCodec.encodeWriteRequest).map(toHex) ===
+        payloads.map(PayloadCodec.encodeWriteRequest).map(toHex))
+      // startAfter skips at-or-below heights (ReadShard parity).
+      assert(read(bytes, Some(7L)).map(_.height) === Seq(8L, 9L))
+    }
+
+    // The decoded records convert to model rows through the registry.
+    val models = read(zst).map(DbinCodec.toModel(_, Map(1 -> 2, 7 -> 2)))
+    assert(models.map(_.height) === (5L to 9L))
+    assert(models.head.block === BlockRef("blk005", 5L))
+    assert(models.head.tabletRows.map(r => (r.tabletId, r.primaryKey, r.isDeletion))
+      === Seq(("t1", "pk1", false), ("t1", "gone", true)))
+    assert(models.head.singletEntries.map(e => (e.singletId, e.collection))
+      === Seq(("s1", 7)))
+
+    // LEGACY v0 header (3-byte type + 2-digit content version) still
+    // parses at the container layer...
+    val v0 = hex("6462696e" + "00" + "667772" + "3031")
+    assert(DbinCodec.readHeader(new java.io.ByteArrayInputStream(v0))
+      === DbinCodec.Header("fwr", 0))
+    // ...but the SHARD reader requires v1, the reference's own gate.
+    val v0seg = intercept[IllegalArgumentException] { read(v0) }
+    assert(v0seg.getMessage.contains("unsupported"))
+
+    // Loud failures: bad magic, unknown version, torn message tail.
+    assert(intercept[IllegalArgumentException] {
+      read(hex("64626900" + "01"))
+    }.getMessage.contains("bad magic"))
+    assert(intercept[IllegalArgumentException] {
+      DbinCodec.readHeader(new java.io.ByteArrayInputStream(
+        hex("6462696e" + "07")))
+    }.getMessage.contains("version 7"))
+    val torn = plain.dropRight(3)
+    assert(intercept[java.io.EOFException] { read(torn) }
+      .getMessage.contains("torn"))
+  }
 }
