@@ -58,6 +58,13 @@ final class StateStore(
   val snapshotsPath = s"$root/tablet_snapshots"
   private val stagingRoot = s"$root/_staging"
 
+  /** Per-tablet read-mix counters feeding [[compactTabletRowsAuto]]'s
+    * layout choice — the same observed-counters-drive-maintenance posture
+    * the reference's index heuristic takes (indexing.go:527–575), applied
+    * to the clustering decision. Driver-side and process-local, like
+    * [[graft.snapshot.Snapshots.IndexCache]]. */
+  val readMix = new StateStore.ReadMixStats
+
   // A crash between a staged write and its promoting rename orphans the
   // staging directory; nothing else ever references it, so the store would
   // leak one directory per crash forever. Single-writer (the same
@@ -532,7 +539,8 @@ final class StateStore(
       tabletId: String,
       atHeight: Long,
       speculative: Seq[DataFrame] = Nil,
-      ignoreRange: Option[(Long, Long)] = None): DataFrame =
+      ignoreRange: Option[(Long, Long)] = None): DataFrame = {
+    readMix.recordTailScan(tabletId)
     latestTabletSnapshot(tabletId, atHeight, ignoreRange) match {
       case Some((snapH, snap)) =>
         // The snapshot here is parquet-backed, so its min height is a tiny
@@ -558,6 +566,7 @@ final class StateStore(
             ManifestTable.StatsLte("height", atHeight))),
           tabletId, atHeight, speculative)
     }
+  }
 
   /** Snapshot-aware batch AS-OF JOIN against this store's mutation table:
     * the batch generalization of [[readTabletAt]]'s pruning. Resolves the
@@ -845,6 +854,34 @@ final class StateStore(
     compactMutationTable(tabletRowsPath, Schemas.tabletRows,
       Seq("tablet_id", "height"), numFiles, zorderKey = Some("primary_key"))
 
+  /** Compaction with the layout chosen PER TABLET from the observed read
+    * mix ([[readMix]]): point-read-heavy tablets compact interleaved,
+    * scan-heavy (or unobserved) tablets stay height-sorted — the
+    * reference automates its analogous maintenance decision from observed
+    * counters the same way (indexing.go:527–575), instead of making the
+    * operator pick per table. One rewrite either way; contents identical
+    * under both layouts (spec-pinned). `overrides` pins specific tablets
+    * (`"interleaved"` / `"sorted"`) regardless of counters — the
+    * operator's escape hatch. Returns (directories folded, the tablet set
+    * that compacted interleaved). */
+  def compactTabletRowsAuto(
+      numFiles: Int = 0,
+      overrides: Map[String, String] = Map.empty): (Long, Set[String]) = {
+    overrides.values.foreach(v => require(
+      v == "interleaved" || v == "sorted",
+      s"layout override must be 'interleaved' or 'sorted', got '$v'"))
+    val auto = readMix.observedTablets.filter(readMix.prefersInterleaved).toSet
+    val interleaved =
+      (auto ++ overrides.collect { case (t, "interleaved") => t }) --
+        overrides.collect { case (t, "sorted") => t }
+    val folded =
+      if (interleaved.isEmpty) compactTabletRows(numFiles)
+      else compactMutationTable(tabletRowsPath, Schemas.tabletRows,
+        Seq("tablet_id", "height"), numFiles,
+        zorderKey = Some("primary_key"), zorderOnly = Some(interleaved))
+    (folded, interleaved)
+  }
+
   /** [[compactTabletRows]] for the singlet-entry table. (No interleaved
     * variant: a singlet's key IS `singlet_id`, already the leading sort
     * dimension — there is no second key axis to interleave.) */
@@ -854,7 +891,8 @@ final class StateStore(
 
   private def compactMutationTable(
       path: String, schema: StructType, keys: Seq[String], numFiles: Int,
-      zorderKey: Option[String] = None): Long = {
+      zorderKey: Option[String] = None,
+      zorderOnly: Option[Set[String]] = None): Long = {
     val n =
       if (numFiles > 0) numFiles
       else spark.sessionState.conf.numShufflePartitions
@@ -862,7 +900,12 @@ final class StateStore(
     // `zorderKey` the in-tablet order key becomes the z-value, computed
     // per compaction from the table's max height (order-preserving scale
     // of the height dimension into 32 bits) and DROPPED before write —
-    // the layout changes, the schema does not.
+    // the layout changes, the schema does not. `zorderOnly` restricts the
+    // interleave to a tablet subset (the per-tablet auto choice): other
+    // tablets order by plain height inside the same rewrite — the order
+    // column is compared only WITHIN a tablet (it follows keys.head in
+    // both the range partitioning and the sort), so mixing conventions
+    // across tablets is sound.
     def clustered(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       zorderKey match {
         case Some(pk) =>
@@ -872,11 +915,18 @@ final class StateStore(
           // references the bucket 16 times — inlined (the one-expression
           // zValue form) that re-evaluates the encode/hex/conv chain
           // hundreds of times per row across the whole table.
-          df.withColumn("__pfx", ZOrder.keyPrefix32(col(pk)))
+          val zed = df.withColumn("__pfx", ZOrder.keyPrefix32(col(pk)))
             .withColumn("__bkt",
               ZOrder.keyBucketOfPrefix(col("__pfx"), dims.keyBounds))
             .withColumn("__z",
               ZOrder.zValueOfBucket(col("__bkt"), col("height"), dims))
+          val ordered = zorderOnly match {
+            case None => zed
+            case Some(tablets) => zed.withColumn("__z",
+              when(col(keys.head).isin(tablets.toSeq: _*), col("__z"))
+                .otherwise(col("height")))
+          }
+          ordered
             .repartitionByRange(n, col(keys.head), col("__z"))
             .sortWithinPartitions(col("collection"), col(keys.head), col("__z"))
             .drop("__z", "__bkt", "__pfx")
@@ -1092,7 +1142,8 @@ final class StateStore(
       tabletId: String,
       primaryKey: String,
       atHeight: Long,
-      speculative: Seq[DataFrame] = Nil): DataFrame =
+      speculative: Seq[DataFrame] = Nil): DataFrame = {
+    readMix.recordPointRead(tabletId)
     latestTabletSnapshot(tabletId, atHeight) match {
       case Some((snapH, snap)) =>
         // Snapshot route for the POINT read (read.go:240–260 consults the
@@ -1123,6 +1174,7 @@ final class StateStore(
             ManifestTable.StatsLte("height", atHeight))),
           tabletId, primaryKey, atHeight, speculative)
     }
+  }
 
   /** HasSeenAnyRowForTablet (read.go:410–415): limit-1 existence probe. */
   def hasSeenAnyRowForTablet(tabletId: String): Boolean =
@@ -1245,6 +1297,36 @@ object StateStore {
     if (fs.exists(p) || fs.exists(new Path(s"$root/singlet_entries/_gen")))
       ManifestCommit
     else RenameCommit
+  }
+
+  /** Per-tablet point-read vs tail-scan counters. A tablet PREFERS the
+    * interleaved (z-ordered) compaction layout once its point reads
+    * outnumber its tail scans — point reads are what the second
+    * clustering dimension buys (measured 10× decode cut in the layout
+    * probe), while a scan-dominated tablet keeps the height-sorted
+    * layout's tighter height runs. Thread-safe; counts survive
+    * compaction (the mix, not the layout, is the signal). */
+  final class ReadMixStats {
+    private val points = scala.collection.mutable.Map.empty[String, Long]
+    private val scans = scala.collection.mutable.Map.empty[String, Long]
+    def recordPointRead(tabletId: String): Unit = synchronized {
+      points.update(tabletId, points.getOrElse(tabletId, 0L) + 1L) }
+    def recordTailScan(tabletId: String): Unit = synchronized {
+      scans.update(tabletId, scans.getOrElse(tabletId, 0L) + 1L) }
+    def pointReads(tabletId: String): Long =
+      synchronized(points.getOrElse(tabletId, 0L))
+    def tailScans(tabletId: String): Long =
+      synchronized(scans.getOrElse(tabletId, 0L))
+    /** Interleave when point reads strictly outnumber tail scans (an
+      * unobserved or balanced tablet keeps the height-sorted default —
+      * the cheaper layout to be wrong about, since tail scans are the
+      * store's own maintenance access path too). */
+    def prefersInterleaved(tabletId: String): Boolean = synchronized {
+      val p = points.getOrElse(tabletId, 0L)
+      p > 0L && p > scans.getOrElse(tabletId, 0L)
+    }
+    def observedTablets: Seq[String] =
+      synchronized((points.keySet ++ scans.keySet).toSeq.sorted)
   }
 
   val GlobalCheckpointKey = "checkpoint" // const.go:17

@@ -129,4 +129,62 @@ class ZOrderSpec extends SparkTestBase {
     assert(at60.length === 1 &&
       new String(at60.head.getAs[Array[Byte]](2), "UTF-8") === "v60-7")
   }
+
+  test("auto layout: the observed read mix drives the per-tablet choice — " +
+    "a point-heavy tablet compacts interleaved, a scan-heavy one stays " +
+    "height-sorted, contents identical, overrides win") {
+    implicit val s = spark
+    val store = new StateStore(tmpDir("store_auto"))
+    // Two tablets, same shape: 64 heights × 8 keys each.
+    (0L until 64L).foreach { h =>
+      store.writeBatch(Seq(req(h,
+        (0 until 8).flatMap(k =>
+          Seq(("pt", f"pk$k%02d", s"p$h-$k"), ("sc", f"pk$k%02d", s"s$h-$k"))): _*)))
+    }
+    // Observed mix: 'pt' serves point reads, 'sc' serves tail scans.
+    (0 until 3).foreach(_ => store.readTabletRowAt("pt", "pk03", 50L))
+    store.readTabletAt("sc", 50L)
+    assert(store.readMix.prefersInterleaved("pt"))
+    assert(!store.readMix.prefersInterleaved("sc"))
+    assert(!store.readMix.prefersInterleaved("never-read"))
+
+    val before = store.tabletRows.collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getString(3))).sorted.toSeq
+    val (folded, interleaved) = store.compactTabletRowsAuto(numFiles = 16)
+    assert(folded === 64L && interleaved === Set("pt"))
+    // Contents exactly preserved across the mixed-layout rewrite.
+    val after = store.tabletRows.collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getString(3))).sorted.toSeq
+    assert(after === before)
+
+    // Physical layout per tablet: the interleaved tablet's files cluster
+    // keys (a point read scans a fraction), the sorted tablet's files
+    // each span ALL keys but tight height runs.
+    def boxesOf(tablet: String): Seq[(Long, Long)] = store.tabletRows
+      .filter(col("tablet_id") === tablet)
+      .select(col("primary_key"), col("height"), input_file_name().as("f"))
+      .groupBy("f")
+      .agg(countDistinct(col("primary_key")).as("n_keys"),
+        (max(col("height")) - min(col("height"))).as("h_span"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val ptBoxes = boxesOf("pt")
+    val scBoxes = boxesOf("sc")
+    assert(ptBoxes.map(_._1).max < 8L,
+      s"point-heavy tablet should cluster keys: $ptBoxes")
+    assert(scBoxes.forall(_._1 == 8L) && scBoxes.map(_._2).max < 63L,
+      s"scan-heavy tablet should stay height-sorted: $scBoxes")
+    // Reads keep serving exactly off the mixed layout.
+    val pt50 = store.readTabletRowAt("pt", "pk03", 50L).collect()
+    assert(pt50.length === 1 &&
+      new String(pt50.head.getAs[Array[Byte]](2), "UTF-8") === "p50-3")
+    assert(store.readTabletAt("sc", 63L).count() === 8L)
+
+    // Operator overrides beat the counters, both directions.
+    val (_, flipped) = store.compactTabletRowsAuto(numFiles = 16,
+      overrides = Map("pt" -> "sorted", "sc" -> "interleaved"))
+    assert(flipped === Set("sc"))
+    intercept[IllegalArgumentException] {
+      store.compactTabletRowsAuto(overrides = Map("pt" -> "wat"))
+    }
+  }
 }
