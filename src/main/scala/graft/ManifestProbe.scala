@@ -85,6 +85,39 @@ object ManifestProbe {
     val (totalFiles) = manifest.pruneCounts(Nil)._2
     println(s"corpus: $commits commits, $totalFiles files, maxH $maxH")
 
+    // ------------------------------------------------------------------
+    // MANIFEST DEPTH: the manifest is a FULL live-file listing per
+    // generation, so at depth G the file holds G entries (no compaction
+    // in this corpus) — this probe prices one parse and the full
+    // catch-up fold's G-parses-of-growing-manifests, the cost that
+    // decides whether a checkpointed manifest is needed at ~86k/day.
+    // ------------------------------------------------------------------
+    {
+      val mPath = new org.apache.hadoop.fs.Path(
+        f"${store.tabletRowsPath}/_manifests/m-$commits%09d.json")
+      val mBytes = fs.getFileStatus(mPath).getLen
+      val tParse = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        manifest.manifestEntriesFull(commits.toLong)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val t0 = System.nanoTime()
+      var entries = 0L
+      (1L to commits.toLong).foreach(g => entries += manifest.manifestEntries(g).size)
+      val tFold = (System.nanoTime() - t0) / 1e9
+      // The delta-sidecar fold (what the changefeed's fast path actually
+      // runs): O(commit size) per generation instead of O(live files).
+      val t1 = System.nanoTime()
+      var deltaFiles = 0L
+      var deltasSeen = 0L
+      (1L to commits.toLong).foreach(g => manifest.deltaEntry(g).foreach { d =>
+        deltasSeen += 1; deltaFiles += d._2.size })
+      val tDelta = (System.nanoTime() - t1) / 1e9
+      println(f"MPROBE commits=$commits query=manifest_depth bytes=$mBytes " +
+        f"parse_deepest=$tParse%.3f fold_all=$tFold%.2f fold_entries=$entries " +
+        f"delta_fold=$tDelta%.2f deltas=$deltasSeen delta_files=$deltaFiles")
+    }
+
     def reportCounts(name: String, filters: Seq[ManifestTable.StatsFilter]): Unit = {
       val (kept, total) = manifest.pruneCounts(filters)
       println(s"MPROBE commits=$commits query=$name files_kept=$kept files_total=$total")
@@ -159,22 +192,41 @@ object ManifestProbe {
     // ------------------------------------------------------------------
     {
       val ckRoot = s"/dev/shm/graft-mprobe-ck"
-      fs.delete(new org.apache.hadoop.fs.Path(ckRoot), true)
-      val t0 = System.nanoTime()
-      var caught = 0L
-      val q = store.changefeedStream().writeStream
-        .option("checkpointLocation", s"$ckRoot/catchup")
-        .foreachBatch { (b: DataFrame, _: Long) => caught += b.count() }
-        .start()
-      q.processAllAvailable(); q.stop()
-      val tCatchup = (System.nanoTime() - t0) / 1e9
+      def catchup(name: String, maxGens: Option[Long]): Long = {
+        fs.delete(new org.apache.hadoop.fs.Path(ckRoot), true)
+        val rt = Runtime.getRuntime
+        System.gc()
+        val heap0 = rt.totalMemory() - rt.freeMemory()
+        var heapMax = heap0
+        val t0 = System.nanoTime()
+        var caught = 0L
+        var batches = 0L
+        val q = store.changefeedStream(maxGenerationsPerTrigger = maxGens)
+          .writeStream
+          .option("checkpointLocation", s"$ckRoot/catchup")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            caught += b.count(); batches += 1
+            heapMax = math.max(heapMax, rt.totalMemory() - rt.freeMemory())
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+        val tCatchup = (System.nanoTime() - t0) / 1e9
+        println(f"MPROBE commits=$commits query=$name min=$tCatchup%.2f " +
+          f"rows=$caught batches=$batches heap_delta_mb=${(heapMax - heap0) / 1e6}%.0f")
+        caught
+      }
+      // Uncapped: ONE all-or-nothing micro-batch (the pre-cap behavior);
+      // capped at 256: the admission-controlled catch-up, resumable per
+      // slice. Both must deliver exactly the batch-read row count.
+      val caught = catchup("changefeed_catchup", None)
+      val caughtCapped = catchup("changefeed_catchup_cap256", Some(256L))
       spark.catalog.clearCache()
       val t1 = System.nanoTime()
       val batchRows = store.tabletRows.count()
       val tBatch = (System.nanoTime() - t1) / 1e9
-      require(caught == batchRows, s"catch-up rows $caught != batch $batchRows")
-      println(f"MPROBE commits=$commits query=changefeed_catchup min=$tCatchup%.2f " +
-        f"rows=$caught batch_read=$tBatch%.2f")
+      require(caught == batchRows && caughtCapped == batchRows,
+        s"catch-up rows $caught/$caughtCapped != batch $batchRows")
+      println(f"MPROBE commits=$commits query=changefeed_batch_read min=$tBatch%.2f")
     }
 
     // ------------------------------------------------------------------
@@ -223,15 +275,30 @@ object ManifestProbe {
         format_string("k%07d", col("id")).as("primary_key"),
         encode(concat(lit("upd"), col("id").cast("string")), "UTF-8").as("value"),
         lit(false).as("is_deletion"))
+    // Write-amplification contrast: the same 10-key batch with keys SPREAD
+    // evenly across the key space — every touched file rewrites, the
+    // worst case the stats can't help (the skewed/clustered batch above
+    // is the best case: all keys in one file's bounds box).
+    def spreadBatch(run: Int): DataFrame =
+      spark.range(10).select(
+        lit(1).as("collection"), lit("tab3").as("tablet_id"),
+        lit(maxH + 100 + run).as("height"),
+        format_string("k%07d",
+          (col("id") * (servingKeys / tablets / 10L)).cast("long")).as("primary_key"),
+        encode(concat(lit("spr"), col("id").cast("string")), "UTF-8").as("value"),
+        lit(false).as("is_deletion"))
     val mergeSamples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     var lastReports = Map.empty[String, ManifestTable.MergeReport]
     (1 to n).foreach { run =>
-      Seq("merge_stats" -> statsTarget, "merge_plain" -> plainTarget).foreach {
-        case (name, t) =>
+      Seq(
+        ("merge_stats", statsTarget, pointBatch(run)),
+        ("merge_stats_spread", statsTarget, spreadBatch(run)),
+        ("merge_plain", plainTarget, pointBatch(run))).foreach {
+        case (name, t, batch) =>
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
-          val rep = t.merge(pointBatch(run), Seq("tablet_id", "primary_key"),
+          val rep = t.merge(batch, Seq("tablet_id", "primary_key"),
             "height", "is_deletion", f"$name-$run%03d")
           mergeSamples(name) = mergeSamples(name) :+ (System.nanoTime() - t0) / 1e9
           lastReports += name -> rep

@@ -101,6 +101,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_singlet_as_of"),
       new ExpressionInfo(classOf[graft.store.StateStore].getName, "graft_singlet_as_of"),
       (children: Seq[Expression]) => GraftExtensions.singletAsOfTable(children)))
+    // TABLE function: one singlet's FULL history in pure SQL —
+    //   SELECT * FROM graft_singlet_history('<store root>', 'head')
+    // — most recent first, O3 semantics (read.go:356–408), completing the
+    // SQL surface over the four point-in-time read operators.
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_singlet_history"),
+      new ExpressionInfo(classOf[graft.store.StateStore].getName, "graft_singlet_history"),
+      (children: Seq[Expression]) => GraftExtensions.singletHistoryTable(children)))
   }
 }
 
@@ -234,5 +242,16 @@ object GraftExtensions {
     GraftBridge.logicalPlan(store.readSingletEntryAt(
       stringArg("graft_singlet_as_of", children(1), "singlet"),
       longArg("graft_singlet_as_of", children(2), "at_height")))
+  }
+
+  /** Builder for the `graft_singlet_history` TVF: the store's
+    * manifest-pruned full-history singlet read (most recent first — O3),
+    * built directly like the other point-read TVFs. */
+  private[functions] def singletHistoryTable(children: Seq[Expression]): LogicalPlan = {
+    require(children.length == 2,
+      "graft_singlet_history(root, singlet) takes exactly 2 arguments")
+    val store = storeFor(stringArg("graft_singlet_history", children(0), "root"))
+    GraftBridge.logicalPlan(store.readSingletEntries(
+      stringArg("graft_singlet_history", children(1), "singlet")))
   }
 }

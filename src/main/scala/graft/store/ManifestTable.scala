@@ -215,6 +215,53 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       m.group(1) -> (decodeStatVal(m.group(2)), decodeStatVal(m.group(3)))
     }.toMap
 
+  // ------------------------------------------------- delta sidecar
+  // The manifest is a FULL live-file listing, so a parse costs O(live
+  // files) — fine for a read (one parse), quadratic for a changefeed
+  // catch-up that folds over every generation. Each publishing write
+  // therefore also records WHAT CHANGED as a tiny per-generation sidecar
+  // (the Delta-Lake commit-log shape, with the full manifest playing the
+  // role of an every-generation checkpoint): the new entry's files plus a
+  // rewrite flag (true when any previously-live file left the manifest —
+  // replaceAll/merge). The changefeed's getBatch reads ONLY sidecars,
+  // O(commit size) per generation instead of O(table); a missing sidecar
+  // (pre-sidecar table) falls back to the full-manifest diff fold.
+  // Crash-safety rides the existing protocol: the sidecar is written
+  // before the pointer swap (invisible until published, overwritten
+  // verbatim by a crash replay), and sidecars are never deleted, like
+  // manifests.
+
+  private def deltaPath(gen: Long): String = f"$manifestDir/d-$gen%09d.json"
+
+  private def writeDelta(gen: Long, e: ManifestEntry, rewrite: Boolean): Unit = {
+    val (fs, p) = fsOf(deltaPath(gen))
+    fs.mkdirs(p.getParent)
+    val json = s"""{"commit_id":${quote(e.commitId)},"rewrite":$rewrite,""" +
+      s""""files":[${e.files.map(quote).mkString(",")}]}""" + "\n"
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Generation `gen`'s change record: (commitId, files this generation
+    * added, whether it rewrote prior files). None on pre-sidecar tables. */
+  private[graft] def deltaEntry(gen: Long): Option[(String, Seq[String], Boolean)] = {
+    val (fs, p) = fsOf(deltaPath(gen))
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val line =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        finally in.close()
+      val commitId = line.split("\"commit_id\":\"", 2)(1).split("\"", 2)(0)
+      val rewrite = line.split("\"rewrite\":", 2)(1).split(",", 2)(0).trim == "true"
+      val filesPart = line.split("\"files\":\\[", 2)(1).split("\\]", 2)(0)
+      val files =
+        if (filesPart.isEmpty) Seq.empty[String]
+        else filesPart.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      Some((commitId, files, rewrite))
+    }
+  }
+
   private def writeManifest(gen: Long, entries: Seq[ManifestEntry]): Unit = {
     val (fs, p) = fsOf(manifestPath(gen))
     fs.mkdirs(p.getParent)
@@ -271,7 +318,9 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     val files = listDataFiles(dataDir)
     if (failBeforePublish)
       throw new IllegalStateException(s"injected crash before publish of $commitId")
-    writeManifest(next, entries :+ ManifestEntry(commitId, files, collectStats(dataDir, files)))
+    val entry = ManifestEntry(commitId, files, collectStats(dataDir, files))
+    writeManifest(next, entries :+ entry)
+    writeDelta(next, entry, rewrite = false)
     publish(next)
     true
   }
@@ -280,13 +329,20 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * manifest references only the replacement; prior generations' files
     * become invisible immediately and sweepable later. */
   def replaceAll(df: DataFrame, commitId: String): Unit = {
-    val next = currentGeneration().getOrElse(0L) + 1
+    val gen = currentGeneration().getOrElse(0L)
+    // Rewrite iff prior files actually leave the manifest — a replaceAll
+    // into an EMPTY table is a plain first append to the changefeed (the
+    // same file-level criterion the fallback diff applies).
+    val hadFiles = gen > 0 && manifestEntries(gen).exists(_._2.nonEmpty)
+    val next = gen + 1
     val dataDir = s"$tablePath/d-$commitId-g$next"
     writeData(df, dataDir)
     val files = listDataFiles(dataDir)
     if (failBeforePublish)
       throw new IllegalStateException(s"injected crash before publish of $commitId")
-    writeManifest(next, Seq(ManifestEntry(commitId, files, collectStats(dataDir, files))))
+    val entry = ManifestEntry(commitId, files, collectStats(dataDir, files))
+    writeManifest(next, Seq(entry))
+    writeDelta(next, entry, rewrite = hadFiles)
     publish(next)
   }
 
@@ -561,8 +617,13 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     val files = listDataFiles(dataDir)
     if (failBeforePublish)
       throw new IllegalStateException(s"injected crash before publish of $commitId")
-    writeManifest(next, keptEntries :+
-      ManifestEntry(commitId, files, collectStats(dataDir, files)))
+    val mergedEntry = ManifestEntry(commitId, files, collectStats(dataDir, files))
+    writeManifest(next, keptEntries :+ mergedEntry)
+    // Rewrite iff some previously-live file actually left the manifest —
+    // the same file-level criterion the changefeed's fallback diff
+    // applies (a merge whose touched keys matched NO existing file is a
+    // plain append of the update batch).
+    writeDelta(next, mergedEntry, rewrite = matchedFiles.nonEmpty)
     publish(next)
     MergeReport(rewritten = matchedFiles.size,
       kept = keptEntries.map(_.files.size).sum, applied = true)

@@ -268,42 +268,61 @@ final class ManifestChangefeedSource(
     val startGen = start.map(genOf).getOrElse(baseGen)
     val endGen = genOf(end)
     plannedGen = math.max(plannedGen, endGen)
-    // One fold over the generation range, each manifest parsed ONCE (the
-    // previous iteration's `cur` is the next one's `prev`). Rewrite
-    // detection is FILE-level, not commit-id-level: a partial merge keeps
-    // a commit's id while dropping some of its files, and an id-level
-    // diff would misread the merge generation as a plain append and
-    // re-emit the rewritten file's old rows as fresh changes.
-    var prev = table.manifestEntries(startGen)
+    def rewriteAt(g: Long, removed: String, freshDropped: Int): Unit = {
+      // A rewrite generation (replaceAll / compaction / merge): prior
+      // data was rewritten, so nothing in it is a pure append.
+      if (onRewrite == "fail") throw new IllegalStateException(
+        s"generation $g of $tablePath rewrote $removed file(s) " +
+          "— not an append; restart from a fresh checkpoint or use onRewrite=skip " +
+          "if the rewrite is contents-preserving (graft compaction is; " +
+          "a merge is NOT — subscribe to the upstream mutation log instead)")
+      // skip drops the WHOLE generation — including any genuinely fresh
+      // files it also added (a merge both rewrites and inserts). That is
+      // the documented contract (subscribe upstream of a merge target),
+      // but a mis-pointed subscription should be observable, not silent.
+      if (freshDropped > 0) log.warn(
+        s"graft-changefeed: generation $g of $tablePath is a rewrite " +
+          s"(skipped, onRewrite=skip) but ALSO added $freshDropped fresh " +
+          "data file(s) that will NOT be emitted — if this table is a " +
+          "merge target, subscribe to the upstream mutation log instead")
+    }
     val appended = Seq.newBuilder[(Long, String, Seq[String])]
-    ((startGen + 1) to endGen).foreach { g =>
-      val prevFiles = prev.iterator.flatMap(_._2).toSet
-      val cur = table.manifestEntries(g)
-      val removed = prevFiles -- cur.iterator.flatMap(_._2).toSet
-      if (removed.nonEmpty) {
-        // A rewrite generation (replaceAll / compaction / merge): prior
-        // data was rewritten, so nothing in it is a pure append.
-        if (onRewrite == "fail") throw new IllegalStateException(
-          s"generation $g of $tablePath rewrote ${removed.size} file(s) " +
-            "— not an append; restart from a fresh checkpoint or use onRewrite=skip " +
-            "if the rewrite is contents-preserving (graft compaction is; " +
-            "a merge is NOT — subscribe to the upstream mutation log instead)")
-        // skip drops the WHOLE generation — including any genuinely fresh
-        // files it also added (a merge both rewrites and inserts). That is
-        // the documented contract (subscribe upstream of a merge target),
-        // but a mis-pointed subscription should be observable, not silent.
-        val freshDropped =
-          cur.iterator.flatMap(_._2).count(f => !prevFiles.contains(f))
-        if (freshDropped > 0) log.warn(
-          s"graft-changefeed: generation $g of $tablePath is a rewrite " +
-            s"(skipped, onRewrite=skip) but ALSO added $freshDropped fresh " +
-            "data file(s) that will NOT be emitted — if this table is a " +
-            "merge target, subscribe to the upstream mutation log instead")
-      } else cur.foreach { case (cid, files) =>
-        val fresh = files.filterNot(prevFiles.contains)
-        if (fresh.nonEmpty) appended += ((g, cid, fresh))
+    // FAST PATH: per-generation delta sidecars, O(commit size) per
+    // generation — what keeps a deep catch-up linear (the full-manifest
+    // fold below parses O(live files) PER generation, quadratic over the
+    // range; measured in ManifestProbe). The sidecar records the same
+    // file-level rewrite fact the fold derives, so semantics are
+    // identical; any generation missing its sidecar (pre-sidecar table)
+    // drops the whole range to the fold.
+    val deltas = ((startGen + 1) to endGen).map(g => (g, table.deltaEntry(g)))
+    if (deltas.forall(_._2.isDefined)) {
+      deltas.foreach {
+        case (g, Some((cid, files, rewrite))) =>
+          if (rewrite) rewriteAt(g, removed = "prior", freshDropped = files.size)
+          else if (files.nonEmpty) appended += ((g, cid, files))
+        case _ => ()
       }
-      prev = cur
+    } else {
+      // One fold over the generation range, each manifest parsed ONCE (the
+      // previous iteration's `cur` is the next one's `prev`). Rewrite
+      // detection is FILE-level, not commit-id-level: a partial merge keeps
+      // a commit's id while dropping some of its files, and an id-level
+      // diff would misread the merge generation as a plain append and
+      // re-emit the rewritten file's old rows as fresh changes.
+      var prev = table.manifestEntries(startGen)
+      ((startGen + 1) to endGen).foreach { g =>
+        val prevFiles = prev.iterator.flatMap(_._2).toSet
+        val cur = table.manifestEntries(g)
+        val removed = prevFiles -- cur.iterator.flatMap(_._2).toSet
+        if (removed.nonEmpty)
+          rewriteAt(g, removed.size.toString,
+            cur.iterator.flatMap(_._2).count(f => !prevFiles.contains(f)))
+        else cur.foreach { case (cid, files) =>
+          val fresh = files.filterNot(prevFiles.contains)
+          if (fresh.nonEmpty) appended += ((g, cid, fresh))
+        }
+        prev = cur
+      }
     }
     val parts = appended.result()
     val batch =

@@ -288,6 +288,54 @@ class ManifestChangefeedSpec extends SparkTestBase {
     assert(s2.getOffset.get.json === "5")
   }
 
+  test("delta sidecars: the fast path and the full-manifest fold agree — " +
+    "a pre-sidecar (legacy) table streams identically through the fallback, " +
+    "including rewrite skip semantics") {
+    implicit val s = spark
+    // Same commit script twice; `legacy` deletes every sidecar as soon as
+    // it is written, so that run exercises the full-manifest fold.
+    def run(prefix: String, legacy: Boolean): Set[(Long, String)] = {
+      val root = tmpDir(prefix)
+      val store = new StateStore(root, StateStore.ManifestCommit)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def dropSidecars(): Unit = if (legacy) {
+        val mdir = new org.apache.hadoop.fs.Path(s"$root/tablet_rows/_manifests")
+        fs.listStatus(mdir).map(_.getPath)
+          .filter(_.getName.startsWith("d-")).foreach(fs.delete(_, false))
+      }
+      val sink = s"cf_delta_${if (legacy) "fold" else "fast"}"
+      val (snaps, q) = drainAfter(
+        store.changefeedStream(), sink, tmpDir(s"$prefix-ck"))(Seq(
+        () => { store.writeBatch(Seq(
+          req(1, ("t1", "a", "a1")), req(2, ("t1", "b", "b2")))); dropSidecars() },
+        () => { store.compactTabletRows(2); dropSidecars() }, // rewrite gen
+        () => { store.writeBatch(Seq(req(3, ("t1", "c", "c3")))); dropSidecars() }
+      ))(() => spark.table(sink).collect()
+        .map(r => (r.getAs[Long]("height"), r.getAs[String]("primary_key"))).toSet)
+      try {
+        val mt = store.manifestTableFor(store.tabletRowsPath)
+        val gen = mt.currentGeneration().get
+        if (legacy)
+          assert((1L to gen).forall(g => mt.deltaEntry(g).isEmpty))
+        else {
+          assert((1L to gen).forall(g => mt.deltaEntry(g).isDefined))
+          // The compaction generation's sidecar carries the rewrite flag
+          // the fold would have derived file-level.
+          assert(mt.deltaEntry(2L).exists(_._3), "compaction delta flags rewrite")
+          assert(mt.deltaEntry(1L).exists(!_._3) && mt.deltaEntry(3L).exists(!_._3))
+        }
+        snaps.last
+      } finally q.stop()
+    }
+    val viaFast = run("cf-delta-fast", legacy = false)
+    val viaFold = run("cf-delta-legacy", legacy = true)
+    // Identical emission — incl. the compaction generation skipped and
+    // the post-compaction commit flowing — through BOTH paths.
+    assert(viaFast === viaFold)
+    assert(viaFast === Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("offset equality follows the json contract: a checkpoint-restored " +
     "offset compares equal to a freshly polled one (no spurious restart batch)") {
     val polled = new ManifestChangefeed.GenOffset(5)

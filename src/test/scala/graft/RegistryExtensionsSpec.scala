@@ -335,6 +335,12 @@ class RegistryExtensionsSpec extends SparkTestBase {
           .collect()
       }
       assert(err.getMessage.contains("graft_singlet_as_of"), err.getMessage)
+      // FULL history through SQL (O3: most recent first) ≡ function path.
+      val histSql = row(s2.sql(
+        s"SELECT * FROM graft_singlet_history('${store.root}', 'head')"))
+      val histFn = row(store.readSingletEntries("head"))
+      assert(histSql === histFn &&
+        histSql === Seq(("head", 2L, "h2"), ("head", 1L, "h1"), ("head", 0L, "h0")))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
