@@ -30,17 +30,29 @@ import org.apache.spark.sql.types.StructType
   * by the next successful commit of the same commitId (overwrite) or by
   * [[sweepOrphans]].
   *
-  * The manifest is rewritten whole per commit — fine for a micro-batch
-  * cadence where [[replaceAll]] (compaction) periodically collapses the
-  * log; a production object-store deployment would adopt Delta/Iceberg,
-  * which are this exact shape plus manifest checkpointing.
+  * MANIFEST CHECKPOINTING (`checkpointInterval`): with the default 1 the
+  * full manifest is rewritten every commit (the simplest protocol; cost
+  * O(live files) per commit, collapsed periodically by [[replaceAll]]).
+  * At N > 1 the full listing is written only every Nth generation (and
+  * at every rewrite generation); the generations between carry ONLY
+  * their delta sidecar — the Delta-Lake commit-log/_last_checkpoint
+  * shape. A read of a delta-only generation reconstructs it from the
+  * nearest full manifest at or below it plus the sidecars between
+  * (≤ N−1 tiny reads), so per-commit metadata write cost is amortized
+  * O(commit size) instead of O(live files) — the difference between
+  * ~constant and linearly-growing commit latency at an ~86k-commits/day
+  * appender between compactions. All three writers publish the delta
+  * BEFORE the pointer swap, so crash-replay semantics are unchanged.
   */
 final class ManifestTable(val tablePath: String, schema: StructType,
     partitionCol: Option[String] = None,
-    statsCols: Seq[String] = Nil)(
+    statsCols: Seq[String] = Nil,
+    val checkpointInterval: Int = 1)(
     implicit spark: SparkSession) {
   import ManifestTable._
 
+  require(checkpointInterval >= 1,
+    s"checkpointInterval must be >= 1, got $checkpointInterval")
   statsCols.foreach { c =>
     require(partitionCol.forall(_ != c),
       s"stats column $c is the partition column — its value lives in the " +
@@ -174,39 +186,69 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * committing writer collected no stats — older manifests, or a
     * statsCols-less instance; such files are never pruned). */
   private[graft] def manifestEntriesFull(gen: Long): Seq[ManifestEntry] = {
+    if (gen <= 0) return Seq.empty
     val (fs, p) = fsOf(manifestPath(gen))
-    if (!fs.exists(p)) Seq.empty
-    else {
+    if (fs.exists(p)) {
       val in = fs.open(p)
       val text =
         try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
         finally in.close()
-      text.linesIterator.filter(_.nonEmpty).map { line =>
-        // Minimal parser for the writer's own fixed shape:
-        // {"commit_id":"...","files":["a","b"],"stats":[{...},{...}]}
-        // (`stats` optional, one object per file, in file order).
-        val commitId = line.split("\"commit_id\":\"", 2)(1).split("\"", 2)(0)
-        val filesPart = line.split("\"files\":\\[", 2)(1).split("\\]", 2)(0)
-        val files =
-          if (filesPart.isEmpty) Seq.empty[String]
-          else filesPart.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        val stats: Seq[Map[String, (StatVal, StatVal)]] =
-          line.split("\"stats\":\\[", 2) match {
-            case Array(_, rest) =>
-              // Objects hold only `"col":["tag","tag"]` pairs whose tagged
-              // values (base64 / decimal digits) contain no `{`/`}` — the
-              // `},{` split cannot fire inside a value.
-              val body = rest.reverse.dropWhile(_ != ']').drop(1).reverse
-              if (body.isEmpty) files.map(_ => Map.empty[String, (StatVal, StatVal)])
-              else body.stripPrefix("{").stripSuffix("}").split("\\},\\{", -1)
-                .toSeq.map(parseStatsObj)
-            case _ => files.map(_ => Map.empty[String, (StatVal, StatVal)])
+      text.linesIterator.filter(_.nonEmpty).map(parseManifestLine).toSeq
+    } else {
+      // Delta-only generation (checkpointInterval > 1): reconstruct from
+      // the nearest FULL manifest at or below it plus the delta sidecars
+      // between — appends only, by construction: every rewrite generation
+      // (replaceAll/merge) writes a full manifest, so the walk can never
+      // cross one. Bounded by the interval; a missing sidecar mid-replay
+      // is loud corruption, not silence.
+      if (deltaEntryFull(gen).isEmpty) Seq.empty // generation doesn't exist
+      else {
+        var base = gen - 1
+        while (base > 0 && !fs.exists(fsOf(manifestPath(base))._2)) base -= 1
+        val start: Seq[ManifestEntry] =
+          if (base == 0) Seq.empty else manifestEntriesFull(base)
+        (base + 1 to gen).foldLeft(start) { (acc, h) =>
+          deltaEntryFull(h) match {
+            case Some((entry, rewrite)) =>
+              require(!rewrite,
+                s"delta-only generation $h of $tablePath claims a rewrite — " +
+                  "rewrite generations must carry a full manifest (corrupt table)")
+              acc :+ entry
+            case None => throw new IllegalStateException(
+              s"cannot reconstruct generation $gen of $tablePath: no full " +
+                s"manifest and no delta sidecar for generation $h")
           }
-        ManifestEntry(commitId, files,
-          if (stats.size == files.size) stats
-          else files.map(_ => Map.empty[String, (StatVal, StatVal)]))
-      }.toSeq
+        }
+      }
     }
+  }
+
+  /** One manifest JSON line → entry. Minimal parser for the writer's own
+    * fixed shape: `{"commit_id":"...","files":["a","b"],
+    * "stats":[{...},{...}]}` (`stats` optional, one object per file, in
+    * file order; delta sidecars append a `"rewrite":bool` field this
+    * parser ignores). */
+  private def parseManifestLine(line: String): ManifestEntry = {
+    val commitId = line.split("\"commit_id\":\"", 2)(1).split("\"", 2)(0)
+    val filesPart = line.split("\"files\":\\[", 2)(1).split("\\]", 2)(0)
+    val files =
+      if (filesPart.isEmpty) Seq.empty[String]
+      else filesPart.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    val stats: Seq[Map[String, (StatVal, StatVal)]] =
+      line.split("\"stats\":\\[", 2) match {
+        case Array(_, rest) =>
+          // Objects hold only `"col":["tag","tag"]` pairs whose tagged
+          // values (base64 / decimal digits) contain no `{`/`}` — the
+          // `},{` split cannot fire inside a value.
+          val body = rest.reverse.dropWhile(_ != ']').drop(1).reverse
+          if (body.isEmpty) files.map(_ => Map.empty[String, (StatVal, StatVal)])
+          else body.stripPrefix("{").stripSuffix("}").split("\\},\\{", -1)
+            .toSeq.map(parseStatsObj)
+        case _ => files.map(_ => Map.empty[String, (StatVal, StatVal)])
+      }
+    ManifestEntry(commitId, files,
+      if (stats.size == files.size) stats
+      else files.map(_ => Map.empty[String, (StatVal, StatVal)]))
   }
 
   private def parseStatsObj(body: String): Map[String, (StatVal, StatVal)] =
@@ -233,18 +275,31 @@ final class ManifestTable(val tablePath: String, schema: StructType,
 
   private def deltaPath(gen: Long): String = f"$manifestDir/d-$gen%09d.json"
 
+  /** The sidecar line is a manifest line (commit_id, files, stats — so a
+    * delta-only generation reconstructs with its pruning bounds intact)
+    * plus a leading `rewrite` flag. */
   private def writeDelta(gen: Long, e: ManifestEntry, rewrite: Boolean): Unit = {
     val (fs, p) = fsOf(deltaPath(gen))
     fs.mkdirs(p.getParent)
+    val statsPart =
+      if (e.stats.forall(_.isEmpty)) ""
+      else {
+        val objs = e.stats.map { m =>
+          m.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+            s"${quote(c)}:[${quote(encodeStatVal(lo))},${quote(encodeStatVal(hi))}]"
+          }.mkString("{", ",", "}")
+        }
+        s""","stats":[${objs.mkString(",")}]"""
+      }
     val json = s"""{"commit_id":${quote(e.commitId)},"rewrite":$rewrite,""" +
-      s""""files":[${e.files.map(quote).mkString(",")}]}""" + "\n"
+      s""""files":[${e.files.map(quote).mkString(",")}]$statsPart}""" + "\n"
     val out = fs.create(p, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Generation `gen`'s change record: (commitId, files this generation
-    * added, whether it rewrote prior files). None on pre-sidecar tables. */
-  private[graft] def deltaEntry(gen: Long): Option[(String, Seq[String], Boolean)] = {
+  /** Generation `gen`'s full change record (entry incl. stats + rewrite
+    * flag). None on pre-sidecar tables. */
+  private[graft] def deltaEntryFull(gen: Long): Option[(ManifestEntry, Boolean)] = {
     val (fs, p) = fsOf(deltaPath(gen))
     if (!fs.exists(p)) None
     else {
@@ -252,15 +307,15 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       val line =
         try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
         finally in.close()
-      val commitId = line.split("\"commit_id\":\"", 2)(1).split("\"", 2)(0)
-      val rewrite = line.split("\"rewrite\":", 2)(1).split(",", 2)(0).trim == "true"
-      val filesPart = line.split("\"files\":\\[", 2)(1).split("\\]", 2)(0)
-      val files =
-        if (filesPart.isEmpty) Seq.empty[String]
-        else filesPart.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      Some((commitId, files, rewrite))
+      val rewrite = line.split("\"rewrite\":", 2)(1).trim.startsWith("true")
+      Some((parseManifestLine(line), rewrite))
     }
   }
+
+  /** Generation `gen`'s change record: (commitId, files this generation
+    * added, whether it rewrote prior files). None on pre-sidecar tables. */
+  private[graft] def deltaEntry(gen: Long): Option[(String, Seq[String], Boolean)] =
+    deltaEntryFull(gen).map { case (e, rw) => (e.commitId, e.files, rw) }
 
   private def writeManifest(gen: Long, entries: Seq[ManifestEntry]): Unit = {
     val (fs, p) = fsOf(manifestPath(gen))
@@ -319,7 +374,12 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     if (failBeforePublish)
       throw new IllegalStateException(s"injected crash before publish of $commitId")
     val entry = ManifestEntry(commitId, files, collectStats(dataDir, files))
-    writeManifest(next, entries :+ entry)
+    // Full listing only at checkpoint generations (and always at
+    // interval 1); the delta sidecar carries everything a between-
+    // checkpoints read needs to reconstruct — O(commit) metadata write
+    // instead of O(live files).
+    if (checkpointInterval == 1 || next % checkpointInterval == 0)
+      writeManifest(next, entries :+ entry)
     writeDelta(next, entry, rewrite = false)
     publish(next)
     true
@@ -420,9 +480,12 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     // m-<gen> for any other requested generation means the caller's gen is
     // a typo / beyond the pointer — or the metadata dir is damaged.
     if (gen > 0) {
+      // A generation exists as a full manifest OR (between checkpoints)
+      // as its delta sidecar.
       val (fs, p) = fsOf(manifestPath(gen))
-      require(fs.exists(p), s"generation $gen does not exist " +
-        s"(current: ${currentGeneration().getOrElse(0L)})")
+      require(fs.exists(p) || fs.exists(fsOf(deltaPath(gen))._2),
+        s"generation $gen does not exist " +
+          s"(current: ${currentGeneration().getOrElse(0L)})")
     }
     scanOf(manifestEntries(gen).flatMap(_._2))
   }

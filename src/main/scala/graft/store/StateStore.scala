@@ -48,7 +48,15 @@ import graft.model._
   */
 final class StateStore(
     val root: String,
-    val commitProtocol: StateStore.CommitProtocol = StateStore.RenameCommit)(
+    val commitProtocol: StateStore.CommitProtocol = StateStore.RenameCommit,
+    // Manifest-protocol metadata amortization: full manifest every Nth
+    // generation, delta sidecars between (ManifestTable.checkpointInterval
+    // — the Delta _last_checkpoint shape). 8 keeps the worst-case read
+    // reconstruction at 7 tiny sidecar reads while cutting the appender's
+    // per-commit metadata write from O(live files) to O(commit) for 7 of
+    // every 8 commits. 1 restores the write-full-every-generation layout
+    // (what pre-sidecar stores produced).
+    val manifestCheckpointInterval: Int = 8)(
     implicit spark: SparkSession) {
   import StateStore._
 
@@ -333,10 +341,12 @@ final class StateStore(
   // without waiting for compaction.
   private lazy val manifestTabletRows =
     new ManifestTable(tabletRowsPath, Schemas.tabletRows, Some("collection"),
-      statsCols = Seq("tablet_id", "height", "primary_key"))
+      statsCols = Seq("tablet_id", "height", "primary_key"),
+      checkpointInterval = manifestCheckpointInterval)
   private lazy val manifestSingletEntries =
     new ManifestTable(singletEntriesPath, Schemas.singletEntries, Some("collection"),
-      statsCols = Seq("singlet_id", "height"))
+      statsCols = Seq("singlet_id", "height"),
+      checkpointInterval = manifestCheckpointInterval)
 
   private[graft] def manifestTableFor(path: String): ManifestTable =
     if (path == tabletRowsPath) manifestTabletRows else manifestSingletEntries

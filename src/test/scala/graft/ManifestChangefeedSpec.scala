@@ -293,10 +293,13 @@ class ManifestChangefeedSpec extends SparkTestBase {
     "including rewrite skip semantics") {
     implicit val s = spark
     // Same commit script twice; `legacy` deletes every sidecar as soon as
-    // it is written, so that run exercises the full-manifest fold.
+    // it is written, so that run exercises the full-manifest fold. The
+    // legacy store writes a full manifest EVERY generation (interval 1) —
+    // exactly what pre-sidecar stores produced, and what the fold needs.
     def run(prefix: String, legacy: Boolean): Set[(Long, String)] = {
       val root = tmpDir(prefix)
-      val store = new StateStore(root, StateStore.ManifestCommit)
+      val store = new StateStore(root, StateStore.ManifestCommit,
+        manifestCheckpointInterval = if (legacy) 1 else 8)
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(spark.sessionState.newHadoopConf())
       def dropSidecars(): Unit = if (legacy) {

@@ -166,4 +166,68 @@ class ManifestStatsSpec extends SparkTestBase {
     d.collect().map(r =>
       (r.getAs[String]("primary_key"),
         new String(r.getAs[Array[Byte]]("value"), "UTF-8"))).toSet
+
+  test("manifest checkpointing: interval-N tables write the full listing " +
+    "only at checkpoint/rewrite generations; delta-only generations " +
+    "reconstruct exactly — contents, stats pruning, time travel, " +
+    "idempotent replay, loud corruption") {
+    implicit val s = spark
+    val dirA = tmpDir("mckpt-a"); val dirB = tmpDir("mckpt-b")
+    def mk(dir: String, interval: Int) =
+      new ManifestTable(dir, schema, statsCols = Seq("tablet_id", "height"),
+        checkpointInterval = interval)
+    val a = mk(dirA, 1) // every generation a full manifest (legacy layout)
+    val b = mk(dirB, 4)
+    val commits = (0 until 6).map(i =>
+      (f"c$i", df((s"t${i % 2}", i.toLong * 10, s"pk$i"))))
+    commits.foreach { case (cid, d) => a.commit(d, cid); b.commit(d, cid) }
+
+    val fs = new org.apache.hadoop.fs.Path(dirB)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def fullManifestExists(dir: String, g: Long): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(f"$dir/_manifests/m-$g%09d.json"))
+    // Interval 4: full listings at generation 4 ONLY; 1,2,3,5,6 delta-only.
+    assert((1L to 6L).filter(fullManifestExists(dirB, _)) === Seq(4L))
+    assert((1L to 6L).forall(fullManifestExists(dirA, _)))
+
+    // Every generation reads identically on both layouts: head, pruned,
+    // and time travel through the delta-only generations.
+    assert(rowSet(b.read()) === rowSet(a.read()))
+    (1L to 6L).foreach { g =>
+      assert(rowSet(b.readAt(g)) === rowSet(a.readAt(g)), s"gen $g")
+    }
+    val f = Seq(StatsEq("tablet_id", "t1"), StatsLte("height", 30L))
+    assert(rowSet(b.readPruned(f).filter(col("tablet_id") === "t1" &&
+      col("height") <= 30)) === rowSet(a.readPruned(f)
+      .filter(col("tablet_id") === "t1" && col("height") <= 30)))
+    assert(b.pruneCounts(f) === a.pruneCounts(f),
+      "delta-reconstructed stats must prune identically")
+
+    // Idempotent replay at a delta-only generation: same commitId skips.
+    assert(!b.commit(commits.head._2, "c0"))
+    assert(b.currentGeneration().get === 6L)
+
+    // A rewrite generation always checkpoints (7 % 4 != 0): compaction
+    // writes the full listing and reads stay exact.
+    b.replaceAll(b.read(), "compact-1")
+    assert(fullManifestExists(dirB, 7L))
+    assert(rowSet(b.readAt(7L)) === rowSet(a.read()))
+    // ...and appends after it go back to delta-only until the next
+    // checkpoint generation (8 % 4 == 0 → full again).
+    b.commit(df(("t9", 99L, "pk9")), "c9")
+    assert(fullManifestExists(dirB, 8L)) // 8 is a checkpoint generation
+    b.commit(df(("t9", 100L, "pk10")), "c10")
+    assert(!fullManifestExists(dirB, 9L))
+    assert(rowSet(b.read()) === rowSet(a.read()) +
+      (("t9", 99L, "pk9")) + (("t9", 100L, "pk10")))
+
+    // A nonexistent generation still fails loudly under the new layout.
+    intercept[IllegalArgumentException] { b.readAt(42L) }
+    // Corruption (a deleted sidecar needed for reconstruction) is loud,
+    // not silently partial.
+    fs.delete(new org.apache.hadoop.fs.Path(f"$dirB/_manifests/d-${9L}%09d.json"), false)
+    val e = intercept[Exception] { b.readAt(9L) }
+    assert(e.getMessage.contains("does not exist") ||
+      e.getMessage.contains("cannot reconstruct"))
+  }
 }
