@@ -93,18 +93,30 @@ object ManifestProbe {
     // decides whether a checkpointed manifest is needed at ~86k/day.
     // ------------------------------------------------------------------
     {
+      // Deepest generation with a FULL manifest (under the store's
+      // checkpoint interval that is the last multiple of the interval,
+      // not necessarily `commits` itself).
+      val deepFull = (commits.toLong to 1L by -1L).find { g =>
+        fs.exists(new org.apache.hadoop.fs.Path(
+          f"${store.tabletRowsPath}/_manifests/m-$g%09d.json"))
+      }.getOrElse(sys.error("no full manifest found"))
       val mPath = new org.apache.hadoop.fs.Path(
-        f"${store.tabletRowsPath}/_manifests/m-$commits%09d.json")
+        f"${store.tabletRowsPath}/_manifests/m-$deepFull%09d.json")
       val mBytes = fs.getFileStatus(mPath).getLen
       val tParse = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
-        manifest.manifestEntriesFull(commits.toLong)
+        manifest.manifestEntriesFull(deepFull)
         (System.nanoTime() - t0) / 1e9
       }.min
       val t0 = System.nanoTime()
       var entries = 0L
       (1L to commits.toLong).foreach(g => entries += manifest.manifestEntries(g).size)
       val tFold = (System.nanoTime() - t0) / 1e9
+      // Total metadata the ingest WROTE (what an object store bills as
+      // PUT bytes): full manifests + delta sidecars. Interval 1 writes
+      // O(g) per commit → quadratic total; interval N amortizes.
+      val mdBytes = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"${store.tabletRowsPath}/_manifests")).map(_.getLen).sum
       // The delta-sidecar fold (what the changefeed's fast path actually
       // runs): O(commit size) per generation instead of O(live files).
       val t1 = System.nanoTime()
@@ -115,7 +127,8 @@ object ManifestProbe {
       val tDelta = (System.nanoTime() - t1) / 1e9
       println(f"MPROBE commits=$commits query=manifest_depth bytes=$mBytes " +
         f"parse_deepest=$tParse%.3f fold_all=$tFold%.2f fold_entries=$entries " +
-        f"delta_fold=$tDelta%.2f deltas=$deltasSeen delta_files=$deltaFiles")
+        f"delta_fold=$tDelta%.2f deltas=$deltasSeen delta_files=$deltaFiles " +
+        f"metadata_written_mb=${mdBytes / 1e6}%.1f")
     }
 
     def reportCounts(name: String, filters: Seq[ManifestTable.StatsFilter]): Unit = {

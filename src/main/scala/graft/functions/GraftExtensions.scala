@@ -80,7 +80,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // and overlays it on the durable read — the reference's flagship
     // server read, which resolves state at a BLOCK REF through the fork
     // tree, not just at a height (fluxdb.go:110–140, pipeline.go:228–265).
-    // A bare-number ref string addresses the current chain at that num.
+    // A '#<num>' ref addresses the current chain at that block number.
     ext.injectTableFunction((
       FunctionIdentifier("graft_state_as_of"),
       new ExpressionInfo(classOf[graft.plans.StateAsOfStore].getName, "graft_state_as_of"),
@@ -180,8 +180,8 @@ object GraftExtensions {
     * table. Resolution (and the one tiny snapshot-log aggregate it runs)
     * happens in [[graft.plans.StateAsOfRule]], as for the DataFrame form.
     *
-    * With a 4th argument (a block ref string: an id, or a bare number for
-    * the current chain) the read is a FORK-BRANCH read: the registered
+    * With a 4th argument (a block ref string: an id, or `#<num>` for a
+    * bare block number on the current chain) the read is a FORK-BRANCH read: the registered
     * pipeline resolves that block's speculative overlay (reference
     * NotReady / RequestedBlockNotFound semantics surface as loud errors)
     * and the store plans `readTabletAt` with the overlay — still
@@ -198,11 +198,22 @@ object GraftExtensions {
       graft.plans.StateAsOfStore(
         GraftBridge.logicalPlan(store.tabletRows), store, tablet, atHeight, None)
     else {
+      // Unambiguous ref syntax: `#<num>` = a bare block NUMBER on the
+      // current chain; anything else = a block ID. A digits-only
+      // heuristic would misroute hex block ids that happen to be all
+      // decimal digits (silently, for short ones).
       val refStr = stringArg("graft_state_as_of", children(3), "block_ref")
+      require(refStr.nonEmpty,
+        "graft_state_as_of: block_ref must be a block id, or '#<num>' for " +
+          "a bare block number on the current chain (got an empty string)")
       val ref =
-        if (refStr.nonEmpty && refStr.forall(_.isDigit))
-          graft.model.BlockRef("", refStr.toLong) // bare num: current chain
-        else graft.model.BlockRef(refStr, 0L)
+        if (refStr.startsWith("#")) {
+          val numPart = refStr.drop(1)
+          require(numPart.nonEmpty && numPart.forall(_.isDigit) &&
+            numPart.length <= 18,
+            s"graft_state_as_of: malformed bare block number '$refStr'")
+          graft.model.BlockRef("", numPart.toLong)
+        } else graft.model.BlockRef(refStr, 0L)
       val spec = pipelineFor(root).speculativeTabletRowsFor(Some(ref))
       GraftBridge.logicalPlan(store.readTabletAt(tablet, atHeight, spec))
     }

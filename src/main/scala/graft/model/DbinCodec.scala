@@ -117,12 +117,22 @@ object DbinCodec {
       out: OutputStream,
       requests: Seq[PayloadCodec.WriteRequestPayload],
       compress: Boolean = true): Unit = {
+    // Close-shield: finalizing the zstd frame requires closing the
+    // ZstdOutputStream, but the CALLER owns `out` in both modes —
+    // without the shield the compressed path would close the caller's
+    // stream while the plain path leaves it open (opposite ownership
+    // from one API).
+    val shield = new java.io.FilterOutputStream(out) {
+      override def close(): Unit = flush()
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        out.write(b, off, len)
+    }
     val sink: OutputStream =
-      if (compress) new com.github.luben.zstd.ZstdOutputStream(out, 3) else out
+      if (compress) new com.github.luben.zstd.ZstdOutputStream(shield, 3) else out
     try {
       writeHeader(sink, ShardContentType)
       requests.foreach(r => writeMessage(sink, PayloadCodec.encodeWriteRequest(r)))
-    } finally if (compress) sink.close() // flush the zstd frame; plain: caller's stream
+    } finally if (compress) sink.close() else out.flush()
   }
 
   /** Read a shard segment (`ReadShard` parity, shardinject.go:133–160):
@@ -154,8 +164,16 @@ object DbinCodec {
   private def maybeZstd(raw: InputStream): InputStream = {
     val in = if (raw.markSupported()) raw else new java.io.BufferedInputStream(raw)
     in.mark(4)
+    // Loop the sniff read: a single read() may legally return 1–3 bytes
+    // (network/chunked streams), which would misclassify a valid
+    // compressed segment as plain and fail it on "bad magic".
     val m = new Array[Byte](4)
-    val n = in.read(m)
+    var n = 0
+    var r = 0
+    while (n < 4 && r >= 0) {
+      r = in.read(m, n, 4 - n)
+      if (r > 0) n += r
+    }
     in.reset()
     if (n == 4 && (m(0) & 0xFF) == 0x28 && (m(1) & 0xFF) == 0xB5 &&
         (m(2) & 0xFF) == 0x2F && (m(3) & 0xFF) == 0xFD)

@@ -77,6 +77,21 @@ final class ManifestTable(val tablePath: String, schema: StructType,
   /** Test hook: simulate a crash after the data write, before publish. */
   private[graft] var failBeforePublish: Boolean = false
 
+  /** Single-writer entry cache: the last published (generation, entries)
+    * this INSTANCE wrote. With checkpointInterval > 1 every commit would
+    * otherwise re-read O(live files) of metadata (nearest checkpoint +
+    * sidecars) just for its idempotency check; the documented
+    * single-writer discipline makes the writer's own last publish
+    * authoritative. Validated against the pointer before use (a fresh
+    * instance, or a reader-only instance, just reads). */
+  @volatile private var entriesCache: Option[(Long, Seq[ManifestEntry])] = None
+
+  private def cachedEntriesAt(gen: Long): Seq[ManifestEntry] =
+    entriesCache match {
+      case Some((g, e)) if g == gen => e
+      case _ => manifestEntriesFull(gen)
+    }
+
   // -------------------------------------------------------------- pointer
 
   /** Current generation, or None for an empty table.
@@ -365,7 +380,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * directory in overwrite mode. */
   def commit(df: DataFrame, commitId: String): Boolean = {
     val gen = currentGeneration().getOrElse(0L)
-    val entries = manifestEntriesFull(gen)
+    val entries = cachedEntriesAt(gen)
     if (entries.exists(_.commitId == commitId)) return false
     val next = gen + 1
     val dataDir = s"$tablePath/d-$commitId-g$next"
@@ -380,8 +395,20 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     // instead of O(live files).
     if (checkpointInterval == 1 || next % checkpointInterval == 0)
       writeManifest(next, entries :+ entry)
+    else {
+      // A CRASHED rewrite (replaceAll/merge) at this same generation may
+      // have left an orphan full manifest; under interval 1 every
+      // publisher overwrote m-<next>, which is the invariant readers'
+      // full-manifest-wins resolution relies on. A delta-only commit
+      // must restore it by deletion, or the aborted rewrite's listing
+      // would shadow this commit's sidecar — wrong reads AND a sweep
+      // computing liveness from the aborted file set (data loss).
+      val (mfs, mp) = fsOf(manifestPath(next))
+      if (mfs.exists(mp)) mfs.delete(mp, false)
+    }
     writeDelta(next, entry, rewrite = false)
     publish(next)
+    entriesCache = Some((next, entries :+ entry))
     true
   }
 
@@ -404,6 +431,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     writeManifest(next, Seq(entry))
     writeDelta(next, entry, rewrite = hadFiles)
     publish(next)
+    entriesCache = Some((next, Seq(entry)))
   }
 
   /** Per-file min/max of `statsCols` for a just-written commit directory —
@@ -480,12 +508,17 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     // m-<gen> for any other requested generation means the caller's gen is
     // a typo / beyond the pointer — or the metadata dir is damaged.
     if (gen > 0) {
-      // A generation exists as a full manifest OR (between checkpoints)
-      // as its delta sidecar.
+      // A generation EXISTS iff it is at or below the published pointer —
+      // a bare file-existence test would also accept an orphan sidecar
+      // or manifest from a crashed, never-published attempt one past the
+      // head (returning uncommitted rows). The artifact check on top
+      // catches a damaged metadata dir inside the pointer range.
+      val cur = currentGeneration().getOrElse(0L)
+      require(gen <= cur, s"generation $gen does not exist (current: $cur)")
       val (fs, p) = fsOf(manifestPath(gen))
       require(fs.exists(p) || fs.exists(fsOf(deltaPath(gen))._2),
-        s"generation $gen does not exist " +
-          s"(current: ${currentGeneration().getOrElse(0L)})")
+        s"generation $gen has neither manifest nor delta sidecar " +
+          s"(current: $cur) — metadata directory damaged")
     }
     scanOf(manifestEntries(gen).flatMap(_._2))
   }
@@ -612,7 +645,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     require(keyCols.nonEmpty, "merge requires at least one key column")
     import org.apache.spark.sql.functions._
     val gen = currentGeneration().getOrElse(0L)
-    val entries = manifestEntriesFull(gen)
+    val entries = cachedEntriesAt(gen)
     if (entries.exists(_.commitId == commitId))
       return MergeReport(rewritten = 0, kept = entries.map(_.files.size).sum,
         applied = false)
@@ -622,9 +655,11 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     // is limited to budget+1 rows, so an accidental table-sized update
     // batch fails loudly (pointing at replaceAll) instead of OOMing the
     // driver. Same posture as the GRAFT_EMBED_EXACT_MAX_ROWS guard.
-    val maxKeys = maxTouchedKeys
+    // Clamp BEFORE the +1: a Long.MaxValue "disable the cap" override
+    // must not overflow into limit(0) and silently drop the batch.
+    val maxKeys = math.min(maxTouchedKeys, Int.MaxValue.toLong - 1)
     val keyRows = updates.select(keyCols.map(col): _*).distinct()
-      .limit(math.min(maxKeys + 1, Int.MaxValue.toLong).toInt).collect()
+      .limit((maxKeys + 1).toInt).collect()
     if (keyRows.length > maxKeys) throw new IllegalArgumentException(
       s"merge '$commitId' touches more than $maxKeys distinct keys — the " +
         "touched-key set is collected to the driver and must stay " +
@@ -688,6 +723,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     // plain append of the update batch).
     writeDelta(next, mergedEntry, rewrite = matchedFiles.nonEmpty)
     publish(next)
+    entriesCache = Some((next, keptEntries :+ mergedEntry))
     MergeReport(rewritten = matchedFiles.size,
       kept = keptEntries.map(_.files.size).sum, applied = true)
   }

@@ -1484,13 +1484,29 @@ object Backfill {
     if (entries.nonEmpty)
       store.writeSingletEntries(
         entries.toDF(StateStore.singletEntryCols: _*), dir)
-    // Checkpoint LAST (the durability barrier), at the final record's
-    // real block ref — shardinject.go checkpoints the last processed
-    // block for fork resolution at handoff.
+    // Checkpoint LAST (the durability barrier). For a conforming
+    // reference segment the final record IS the range stop: the sharder
+    // writes one WriteRequest per block to EVERY shard, height/block ref
+    // set even when the shard got no entries (sharder.go:152–176), so
+    // shards whose entities stop mutating early still end at the common
+    // stop and verifyAllShardsWritten classifies them complete. Guard
+    // the non-conforming case anyway: the segment file name carries the
+    // range (`<start>-<stop>.dbin.zst`, parseFileName parity) — if it
+    // claims a LATER stop than the last record, checkpoint the global
+    // stop (empty block id, same fallback injectShard documents).
     val last = requests.last
-    store.writeCheckpoint(Checkpoint(
-      f"${StateStore.ShardCheckpointPrefix}$shard%03d",
-      last.height, last.block.id, last.block.num))
+    def digits(s: String) = s.nonEmpty && s.length <= 18 && s.forall(_.isDigit)
+    val nameStop = p.getName.split("\\.", 2)(0).split("-") match {
+      case Array(a, b) if digits(a) && digits(b) => Some(b.toLong)
+      case _ => None
+    }
+    val cp = nameStop.filter(_ > last.height)
+      .map(stop => Checkpoint(
+        f"${StateStore.ShardCheckpointPrefix}$shard%03d", stop, "", stop))
+      .getOrElse(Checkpoint(
+        f"${StateStore.ShardCheckpointPrefix}$shard%03d",
+        last.height, last.block.id, last.block.num))
+    store.writeCheckpoint(cp)
     requests.size
   }
 }

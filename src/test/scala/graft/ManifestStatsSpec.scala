@@ -227,7 +227,41 @@ class ManifestStatsSpec extends SparkTestBase {
     // not silently partial.
     fs.delete(new org.apache.hadoop.fs.Path(f"$dirB/_manifests/d-${9L}%09d.json"), false)
     val e = intercept[Exception] { b.readAt(9L) }
-    assert(e.getMessage.contains("does not exist") ||
+    assert(e.getMessage.contains("neither manifest nor delta") ||
       e.getMessage.contains("cannot reconstruct"))
+  }
+
+  test("a crashed rewrite's orphan full manifest cannot shadow a later " +
+    "delta-only commit at the same generation (reads AND the sweep's " +
+    "live set follow the committed sidecar, not the aborted listing)") {
+    implicit val s = spark
+    val dir = tmpDir("mckpt-orphan")
+    val t = new ManifestTable(dir, schema, statsCols = Seq("tablet_id"),
+      checkpointInterval = 4)
+    t.commit(df(("t1", 1L, "a")), "c0") // generation 1, delta-only
+    // A rewrite (replaceAll/merge) attempt at generation 2 that crashed
+    // BETWEEN its full-manifest write and the pointer swap: the orphan
+    // m-2 lists a file set the table never published.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val orphan = new org.apache.hadoop.fs.Path(
+      f"$dir/_manifests/m-${2L}%09d.json")
+    val out = fs.create(orphan, true)
+    out.write(
+      """{"commit_id":"aborted-rewrite","files":["d-aborted-g2/x.parquet"]}"""
+        .getBytes("UTF-8"))
+    out.close()
+
+    // The next delta-only commit at the SAME generation must not let the
+    // aborted listing shadow its sidecar: under interval 1 every publisher
+    // overwrote m-<gen>; the delta-only path restores that by deletion.
+    assert(t.commit(df(("t1", 2L, "b")), "c1"))
+    assert(!fs.exists(orphan), "orphan manifest must be removed at publish")
+    assert(rowSet(t.read()) === Set(("t1", 1L, "a"), ("t1", 2L, "b")))
+    assert(rowSet(t.readAt(2L)) === Set(("t1", 1L, "a"), ("t1", 2L, "b")))
+    // The sweep computes liveness from the committed state — both
+    // commits' directories survive it.
+    t.sweepOrphans(retainGenerations = 1)
+    assert(rowSet(t.read()) === Set(("t1", 1L, "a"), ("t1", 2L, "b")))
   }
 }

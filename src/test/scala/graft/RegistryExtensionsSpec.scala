@@ -413,8 +413,12 @@ class RegistryExtensionsSpec extends SparkTestBase {
       val forkRead = sql(4, "b4")
       assert(forkRead === fn(4, BlockRef("b4", 0)))
       assert(forkRead === Seq(("b", 4L, "b4-v")))
-      // Bare num addresses the CURRENT chain truncated at that num.
-      assert(sql(4, "4") === Seq(("a", 4L, "a4-spec"), ("b", 2L, "b2")))
+      // Bare num ('#<num>') addresses the CURRENT chain truncated there —
+      // explicit syntax, so an all-digit block ID can never misroute.
+      assert(sql(4, "#4") === Seq(("a", 4L, "a4-spec"), ("b", 2L, "b2")))
+      val badRef = intercept[Exception] { s2.sql(
+        s"SELECT * FROM graft_state_as_of('${store.root}', 't1', 5, '')") }
+      assert(badRef.getMessage.contains("block_ref"), badRef.getMessage)
       // Reference error semantics: unknown block / above head.
       val nf = intercept[Exception] { s2.sql(
         s"SELECT * FROM graft_state_as_of('${store.root}', 't1', 9, 'zz9')") }
