@@ -184,6 +184,17 @@ object ManifestChangefeed {
       .select(col("tablet_id"), col("primary_key"), col("height"),
         col("value").cast("binary").as("value"), col("is_deletion"))
       .as[CdcMutation]
+    // No state TTL, DELIBERATELY. A wall-clock timeout
+    // (ProcessingTimeTimeout) would bound state under key churn, but it
+    // breaks the stream's replay determinism: a crash-replayed batch
+    // executes at a LATER wall time than the original, so expiries fall
+    // differently and the replay can emit different events (a re-add as
+    // `added` vs a guarded no-op) — exactly-once stops holding. It also
+    // makes the engine schedule timer-driven empty batches continuously.
+    // A deployment that must bound state under unbounded key churn
+    // should window the stream UPSTREAM (subscribe from a later
+    // generation / compact the key space), keeping every emitted event a
+    // pure function of the checkpointed offsets. */
     ds.groupByKey(m => (m.tablet_id, m.primary_key))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: (String, String), rows: Iterator[CdcMutation],
