@@ -177,9 +177,14 @@ object ManifestProbe {
           store.tabletRows, "tab3", maxH - 5L * rowsPerCommit, maxH)))
 
     val n = sys.env.getOrElse("PROBE_N", "5").toInt
+    // PROBE_SKIP_QUERIES=1 skips the timed read queries (the unpruned
+    // contrasts grow linearly in file count — at deep corpora they
+    // dominate the run without adding depth information; the depth
+    // sections above and the catch-up/merge sections below are the point).
+    val skipQueries = sys.env.contains("PROBE_SKIP_QUERIES")
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    (1 to n).foreach { _ =>
+    (1 to (if (skipQueries) 0 else n)).foreach { _ =>
       queries.foreach { case (name, mk) =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -190,7 +195,7 @@ object ManifestProbe {
         samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
       }
     }
-    queries.foreach { case (name, _) =>
+    if (!skipQueries) queries.foreach { case (name, _) =>
       val runs = samples(name)
       println(f"MPROBE commits=$commits query=$name min=${runs.min}%.2f " +
         runs.map(r => f"$r%.2f").mkString("runs=[", ",", "]"))
