@@ -177,14 +177,15 @@ object ManifestProbe {
           store.tabletRows, "tab3", maxH - 5L * rowsPerCommit, maxH)))
 
     val n = sys.env.getOrElse("PROBE_N", "5").toInt
-    // PROBE_SKIP_QUERIES=1 skips the timed read queries (the unpruned
+    // Setting PROBE_SKIP_QUERIES (any value — presence triggers, the
+    // PROBE_FULL convention) skips the timed read queries: the unpruned
     // contrasts grow linearly in file count — at deep corpora they
     // dominate the run without adding depth information; the depth
-    // sections above and the catch-up/merge sections below are the point).
+    // sections above and the catch-up/merge sections below are the point.
     val skipQueries = sys.env.contains("PROBE_SKIP_QUERIES")
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    (1 to (if (skipQueries) 0 else n)).foreach { _ =>
+    if (!skipQueries) (1 to n).foreach { _ =>
       queries.foreach { case (name, mk) =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()

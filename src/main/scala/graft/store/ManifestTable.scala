@@ -214,9 +214,19 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       // the nearest FULL manifest at or below it plus the delta sidecars
       // between — appends only, by construction: every rewrite generation
       // (replaceAll/merge) writes a full manifest, so the walk can never
-      // cross one. Bounded by the interval; a missing sidecar mid-replay
-      // is loud corruption, not silence.
-      if (deltaEntryFull(gen).isEmpty) Seq.empty // generation doesn't exist
+      // cross one. Bounded by the interval; a missing sidecar ANYWHERE a
+      // published generation needs one is loud corruption, not silence —
+      // a silent empty here would hand sweepOrphans an empty live set
+      // (it would then delete every data directory) and make the
+      // changefeed's fallback fold re-emit a whole checkpoint generation
+      // as fresh rows.
+      if (deltaEntryFull(gen).isEmpty) {
+        if (gen <= currentGeneration().getOrElse(0L))
+          throw new IllegalStateException(
+            s"generation $gen of $tablePath is published but has neither a " +
+              "full manifest nor a delta sidecar — metadata directory damaged")
+        Seq.empty // beyond the pointer: the generation simply doesn't exist
+      }
       else {
         var base = gen - 1
         while (base > 0 && !fs.exists(fsOf(manifestPath(base))._2)) base -= 1
@@ -296,21 +306,27 @@ final class ManifestTable(val tablePath: String, schema: StructType,
   private def writeDelta(gen: Long, e: ManifestEntry, rewrite: Boolean): Unit = {
     val (fs, p) = fsOf(deltaPath(gen))
     fs.mkdirs(p.getParent)
-    val statsPart =
-      if (e.stats.forall(_.isEmpty)) ""
-      else {
-        val objs = e.stats.map { m =>
-          m.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
-            s"${quote(c)}:[${quote(encodeStatVal(lo))},${quote(encodeStatVal(hi))}]"
-          }.mkString("{", ",", "}")
-        }
-        s""","stats":[${objs.mkString(",")}]"""
-      }
     val json = s"""{"commit_id":${quote(e.commitId)},"rewrite":$rewrite,""" +
-      s""""files":[${e.files.map(quote).mkString(",")}]$statsPart}""" + "\n"
+      s""""files":[${e.files.map(quote).mkString(",")}]${statsJsonPart(e)}}""" + "\n"
     val out = fs.create(p, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
+
+  /** The `,"stats":[...]` fragment of one entry line — ONE encoder for
+    * both the full manifest and the delta sidecar, because
+    * [[parseManifestLine]] parses both: a drifted copy would make
+    * delta-reconstructed generations prune differently than
+    * checkpointed ones. */
+  private def statsJsonPart(e: ManifestEntry): String =
+    if (e.stats.forall(_.isEmpty)) ""
+    else {
+      val objs = e.stats.map { m =>
+        m.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+          s"${quote(c)}:[${quote(encodeStatVal(lo))},${quote(encodeStatVal(hi))}]"
+        }.mkString("{", ",", "}")
+      }
+      s""","stats":[${objs.mkString(",")}]"""
+    }
 
   /** Generation `gen`'s full change record (entry incl. stats + rewrite
     * flag). None on pre-sidecar tables. */
@@ -336,17 +352,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     val (fs, p) = fsOf(manifestPath(gen))
     fs.mkdirs(p.getParent)
     val json = entries.map { e =>
-      val statsPart =
-        if (e.stats.forall(_.isEmpty)) ""
-        else {
-          val objs = e.stats.map { m =>
-            m.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
-              s"${quote(c)}:[${quote(encodeStatVal(lo))},${quote(encodeStatVal(hi))}]"
-            }.mkString("{", ",", "}")
-          }
-          s""","stats":[${objs.mkString(",")}]"""
-        }
-      s"""{"commit_id":${quote(e.commitId)},"files":[${e.files.map(quote).mkString(",")}]$statsPart}"""
+      s"""{"commit_id":${quote(e.commitId)},"files":[${e.files.map(quote).mkString(",")}]${statsJsonPart(e)}}"""
     }.mkString("", "\n", "\n")
     val out = fs.create(p, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
@@ -400,11 +406,15 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       // have left an orphan full manifest; under interval 1 every
       // publisher overwrote m-<next>, which is the invariant readers'
       // full-manifest-wins resolution relies on. A delta-only commit
-      // must restore it by deletion, or the aborted rewrite's listing
-      // would shadow this commit's sidecar — wrong reads AND a sweep
-      // computing liveness from the aborted file set (data loss).
+      // must restore it by deletion, and the deletion must be VERIFIED:
+      // proceeding past a failed delete would let the aborted rewrite's
+      // listing shadow this commit's sidecar — wrong reads AND a sweep
+      // computing liveness from the aborted file set (data loss). Fail
+      // the commit instead; the crash-replay contract retries it.
       val (mfs, mp) = fsOf(manifestPath(next))
-      if (mfs.exists(mp)) mfs.delete(mp, false)
+      if (mfs.exists(mp)) require(mfs.delete(mp, false) || !mfs.exists(mp),
+        s"could not remove orphan manifest $mp left by a crashed rewrite " +
+          "— refusing to publish a sidecar it would shadow")
     }
     writeDelta(next, entry, rewrite = false)
     publish(next)
@@ -420,7 +430,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     // Rewrite iff prior files actually leave the manifest — a replaceAll
     // into an EMPTY table is a plain first append to the changefeed (the
     // same file-level criterion the fallback diff applies).
-    val hadFiles = gen > 0 && manifestEntries(gen).exists(_._2.nonEmpty)
+    val hadFiles = gen > 0 && cachedEntriesAt(gen).exists(_.files.nonEmpty)
     val next = gen + 1
     val dataDir = s"$tablePath/d-$commitId-g$next"
     writeData(df, dataDir)
@@ -511,14 +521,13 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       // A generation EXISTS iff it is at or below the published pointer —
       // a bare file-existence test would also accept an orphan sidecar
       // or manifest from a crashed, never-published attempt one past the
-      // head (returning uncommitted rows). The artifact check on top
-      // catches a damaged metadata dir inside the pointer range.
+      // head (returning uncommitted rows). Artifact damage INSIDE the
+      // pointer range is caught loudly by manifestEntriesFull itself
+      // (published-but-artifactless throws there), so no extra existence
+      // probes here — they would just double the metadata round trips on
+      // the hot read path.
       val cur = currentGeneration().getOrElse(0L)
       require(gen <= cur, s"generation $gen does not exist (current: $cur)")
-      val (fs, p) = fsOf(manifestPath(gen))
-      require(fs.exists(p) || fs.exists(fsOf(deltaPath(gen))._2),
-        s"generation $gen has neither manifest nor delta sidecar " +
-          s"(current: $cur) — metadata directory damaged")
     }
     scanOf(manifestEntries(gen).flatMap(_._2))
   }

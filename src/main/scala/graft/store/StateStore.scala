@@ -1500,7 +1500,13 @@ object Backfill {
       case Array(a, b) if digits(a) && digits(b) => Some(b.toLong)
       case _ => None
     }
-    val cp = nameStop.filter(_ > last.height)
+    // The range is in BLOCK numbers, so the conformance comparison is
+    // against the last record's block num — not its height (the model
+    // carries them separately; a fork-heavy chain can have heights lag
+    // block nums, and a height comparison would misclassify a conforming
+    // segment and fabricate a checkpoint that makes the next segment's
+    // startAfter skip real records).
+    val cp = nameStop.filter(_ > last.block.num)
       .map(stop => Checkpoint(
         f"${StateStore.ShardCheckpointPrefix}$shard%03d", stop, "", stop))
       .getOrElse(Checkpoint(

@@ -194,7 +194,7 @@ object ManifestChangefeed {
     // A deployment that must bound state under unbounded key churn
     // should window the stream UPSTREAM (subscribe from a later
     // generation / compact the key space), keeping every emitted event a
-    // pure function of the checkpointed offsets. */
+    // pure function of the checkpointed offsets.
     ds.groupByKey(m => (m.tablet_id, m.primary_key))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: (String, String), rows: Iterator[CdcMutation],

@@ -223,12 +223,17 @@ class ManifestStatsSpec extends SparkTestBase {
 
     // A nonexistent generation still fails loudly under the new layout.
     intercept[IllegalArgumentException] { b.readAt(42L) }
-    // Corruption (a deleted sidecar needed for reconstruction) is loud,
-    // not silently partial.
+    // Corruption (a deleted sidecar needed for reconstruction) is loud
+    // EVERYWHERE — not silently partial, and critically not a silently
+    // EMPTY live set (which would let sweepOrphans delete all data).
     fs.delete(new org.apache.hadoop.fs.Path(f"$dirB/_manifests/d-${9L}%09d.json"), false)
     val e = intercept[Exception] { b.readAt(9L) }
-    assert(e.getMessage.contains("neither manifest nor delta") ||
-      e.getMessage.contains("cannot reconstruct"))
+    assert(e.getMessage.contains("neither a full manifest nor a delta") ||
+      e.getMessage.contains("cannot reconstruct"), e.getMessage)
+    val e2 = intercept[Exception] { b.read() }
+    assert(e2.getMessage.contains("neither a full manifest nor a delta"),
+      e2.getMessage)
+    intercept[Exception] { b.sweepOrphans() } // sweep must refuse, not reap
   }
 
   test("a crashed rewrite's orphan full manifest cannot shadow a later " +
