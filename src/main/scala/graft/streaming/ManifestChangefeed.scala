@@ -91,7 +91,14 @@ object ManifestChangefeed {
     * from-0 (or lagging) subscriber must NOT get one all-or-nothing plan
     * with tens of thousands of manifest parses and union legs before its
     * first commit lands; with the cap, catch-up is a sequence of bounded,
-    * individually-checkpointed batches, each a durable step forward. */
+    * individually-checkpointed batches, each a durable step forward.
+    *
+    * `Trigger.AvailableNow` caveat (spec-pinned): the engine's V1 wrapper
+    * latches the source's FIRST polled offset as "everything available",
+    * and that offset is capped — so one AvailableNow invocation drains
+    * exactly one slice and terminates. Re-invocations on the same
+    * checkpoint advance slice by slice, exactly-once, to convergence; a
+    * single-invocation full drain wants the default trigger (or no cap). */
   def stream(
       spark: SparkSession,
       tablePath: String,

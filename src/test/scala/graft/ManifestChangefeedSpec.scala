@@ -339,6 +339,37 @@ class ManifestChangefeedSpec extends SparkTestBase {
     assert(viaFast === Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("maxGenerationsPerTrigger under Trigger.AvailableNow: one capped " +
+    "slice per run (the V1 wrapper latches the first polled offset) — " +
+    "REPEATED runs on one checkpoint converge with no gap or duplicate") {
+    implicit val s = spark
+    val root = tmpDir("cf-cap-avnow")
+    val store = new StateStore(root, StateStore.ManifestCommit)
+    (1 to 5).foreach(h => store.writeBatch(Seq(req(h, ("t1", s"k$h", s"v$h")))))
+    val out = tmpDir("cf-cap-avnow-out")
+    val ck = tmpDir("cf-cap-avnow-ck")
+    def runOnce(): Seq[Long] = {
+      val q = store.changefeedStream(maxGenerationsPerTrigger = Some(2L))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000L), "AvailableNow job must self-terminate")
+      spark.read.parquet(out).select("_generation")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    }
+    // Run 1 drains exactly ONE capped slice: the engine's V1
+    // AvailableNow wrapper latches the source's first polled offset as
+    // "everything", and that offset is capped — the documented caveat
+    // (full drain in one invocation needs the default trigger, or no cap).
+    assert(runOnce() === Seq(1L, 2L))
+    // Re-invocations on the same checkpoint advance slice by slice,
+    // exactly-once, to convergence.
+    assert(runOnce() === Seq(1L, 2L, 3L, 4L))
+    assert(runOnce() === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(runOnce() === Seq(1L, 2L, 3L, 4L, 5L)) // caught up: no-op run
+  }
+
   test("offset equality follows the json contract: a checkpoint-restored " +
     "offset compares equal to a freshly polled one (no spurious restart batch)") {
     val polled = new ManifestChangefeed.GenOffset(5)
