@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset => OffsetV2, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.GraftBridge
@@ -93,12 +94,16 @@ object ManifestChangefeed {
     * first commit lands; with the cap, catch-up is a sequence of bounded,
     * individually-checkpointed batches, each a durable step forward.
     *
-    * `Trigger.AvailableNow` caveat (spec-pinned): the engine's V1 wrapper
-    * latches the source's FIRST polled offset as "everything available",
-    * and that offset is capped — so one AvailableNow invocation drains
-    * exactly one slice and terminates. Re-invocations on the same
-    * checkpoint advance slice by slice, exactly-once, to convergence; a
-    * single-invocation full drain wants the default trigger (or no cap). */
+    * `Trigger.AvailableNow` drains to CONVERGENCE in one invocation: the
+    * source implements the engine's admission-control contract
+    * ([[org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow]]),
+    * so the generation pointer is latched once at query start and the
+    * engine keeps scheduling capped, individually-committed slices until
+    * the latched target is reached — "drain the backlog now" means
+    * exactly that, in bounded steps (the reference's one-shot
+    * reprocessing posture, app/fluxdb/app.go:204–247). Commits published
+    * after the latch are left for the next invocation, per the trigger's
+    * semantics. */
   def stream(
       spark: SparkSession,
       tablePath: String,
@@ -229,10 +234,24 @@ object ManifestChangefeed {
   }
 }
 
-/** The V1 streaming source. V1 (not DSv2) deliberately: `getBatch` returns
-  * a DataFrame, so the per-commit scan reuses the whole parquet read stack
-  * (vectorized reader, pushdown, partition pruning) instead of reimplementing
-  * a PartitionReader — the same choice Delta's streaming source makes. */
+/** The streaming source: a V1 `Source` (so `getBatch` returns a DataFrame
+  * and the per-commit scan reuses the whole parquet read stack — vectorized
+  * reader, pushdown, partition pruning — instead of reimplementing a
+  * PartitionReader) that ALSO implements the DSv2 admission-control
+  * contract ([[SupportsTriggerAvailableNow]], which extends
+  * `SupportsAdmissionControl`). The engine matches admission control BEFORE
+  * the plain-Source fallback (MicroBatchExecution's constructNextBatch),
+  * so offset planning goes through [[latestOffset]] with a [[ReadLimit]]
+  * per micro-batch — the composition Delta's streaming source ships: V1
+  * data path, DSv2 offset negotiation.
+  *
+  * What admission control buys over the old `getOffset` path:
+  * `Trigger.AvailableNow` no longer latches one capped slice as
+  * "everything available". [[prepareForTriggerAvailableNow]] pins the
+  * generation pointer ONCE at query start, and the engine keeps
+  * scheduling capped, individually-committed micro-batches until
+  * [[latestOffset]] reports no progress toward that pin — a full drain to
+  * convergence in bounded steps, in one invocation. */
 final class ManifestChangefeedSource(
     sqlContext: SQLContext,
     tablePath: String,
@@ -241,7 +260,7 @@ final class ManifestChangefeedSource(
     baseGen: Long,
     onRewrite: String,
     maxGenerationsPerTrigger: Option[Long] = None)
-  extends Source {
+  extends Source with SupportsTriggerAvailableNow {
 
   require(onRewrite == "skip" || onRewrite == "fail",
     s"onRewrite must be 'skip' or 'fail', got '$onRewrite'")
@@ -281,6 +300,57 @@ final class ManifestChangefeedSource(
       .filter(_ > baseGen)
       .map { g => plannedGen = math.max(plannedGen, g)
         new ManifestChangefeed.GenOffset(g) }
+
+  // ------------------------------------------------ admission control
+  // (the path the engine actually drives: SupportsAdmissionControl is
+  // matched before the plain-Source getOffset fallback).
+
+  /** The AvailableNow pin: the pointer as of query start. `latestOffset`
+    * never plans past it while set, so the run terminates once the
+    * backlog AS OF START is drained — commits racing the drain wait for
+    * the next invocation (the trigger's documented semantics). */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(table.currentGeneration().getOrElse(0L))
+
+  /** Our ReadLimit vocabulary: `maxRows` carrying GENERATIONS (the
+    * source's admission unit — each "row" of the offset axis is one
+    * committed generation), or all-available when uncapped. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxGenerationsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  private def capOf(limit: ReadLimit): Option[Long] = limit match {
+    case r: ReadMaxRows => Some(r.maxRows)
+    case c: CompositeReadLimit =>
+      c.getReadLimits.toSeq.flatMap(capOf).reduceOption(_ min _)
+    case _ => None // ReadAllAvailable (or an unknown limit): uncapped
+  }
+
+  /** One pointer GET (zero when AvailableNow pinned), capped from the
+    * START offset the engine passes — which IS the committed/available
+    * floor, so a restart mid-catch-up resumes at the last committed slice
+    * with no extra bookkeeping. Returns null (no new batch) once the
+    * floor reaches the pointer / the AvailableNow pin. */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val floor = math.max(baseGen,
+      Option(start).map(_.json.trim.toLong).getOrElse(baseGen))
+    plannedGen = math.max(plannedGen, floor)
+    val head = availableNowTarget.orElse(table.currentGeneration())
+    head.map(ptr => capOf(limit).fold(ptr)(m => math.min(ptr, floor + m)))
+      .filter(_ > floor)
+      .map { g =>
+        plannedGen = math.max(plannedGen, g)
+        new ManifestChangefeed.GenOffset(g): OffsetV2
+      }.orNull
+  }
+
+  /** The TRUE head (uncapped pointer) for progress metrics — what lets an
+    * operator see catch-up lag (`latestOffset` vs batch end) instead of
+    * inferring it. */
+  override def reportLatestOffset(): OffsetV2 =
+    table.currentGeneration()
+      .map(g => new ManifestChangefeed.GenOffset(g): OffsetV2).orNull
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val startGen = start.map(genOf).getOrElse(baseGen)

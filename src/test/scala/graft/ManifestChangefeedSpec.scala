@@ -264,28 +264,45 @@ class ManifestChangefeedSpec extends SparkTestBase {
       org.apache.spark.sql.graftbridge.GraftBridge.asBatchDataFrame(df)
         .select("_generation").collect().map(_.getLong(0)).sorted.toSeq
 
-    // Run 1: the first capped slice plans generations (0, 2]...
+    // Run 1: the first capped slice plans generations (0, 2]. The engine
+    // negotiates offsets through the admission-control contract —
+    // latestOffset(start, limit) with start = the committed/available
+    // floor (null before the first batch).
     val s1 = mkSource()
-    val o1 = s1.getOffset.get
+    val limit = s1.getDefaultReadLimit
+    val o1 = s1.latestOffset(null, limit)
     assert(o1.json === "2")
-    assert(gensOf(s1.getBatch(None, o1)) === Seq(1L, 2L))
+    assert(gensOf(s1.getBatch(None, new ManifestChangefeed.GenOffset(2)))
+      === Seq(1L, 2L))
     // ...the engine logs + commits offset 2, then the process dies.
 
-    // Run 2 (fresh source instance): the engine's documented restart
-    // sequence replays the last logged batch through getBatch BEFORE
-    // polling getOffset again, which syncs the cap's floor to the
-    // checkpointed offset.
+    // Run 2 (fresh source instance): after the engine's documented
+    // restart sequence (replay the last logged batch through getBatch),
+    // the next latestOffset receives the CHECKPOINTED offset as its
+    // start — the floor comes from the engine, so the cap can never
+    // regress below what the log already committed.
     val s2 = mkSource()
-    assert(gensOf(s2.getBatch(None, o1)) === Seq(1L, 2L)) // replay: byte-identical
-    val o2 = s2.getOffset.get
+    // (The engine hands restored checkpoints back as deserialized JSON —
+    // modeled here with a fresh GenOffset carrying the logged value.)
+    def v1(o: org.apache.spark.sql.connector.read.streaming.Offset) =
+      o.asInstanceOf[org.apache.spark.sql.execution.streaming.Offset]
+    val restored = new ManifestChangefeed.GenOffset(2)
+    assert(gensOf(s2.getBatch(None, restored)) === Seq(1L, 2L)) // replay: byte-identical
+    val o2 = s2.latestOffset(restored, limit)
     assert(o2.json === "4", "cap advances from the COMMITTED offset, not from 0")
-    assert(gensOf(s2.getBatch(Some(o1), o2)) === Seq(3L, 4L))
-    val o3 = s2.getOffset.get
+    assert(gensOf(s2.getBatch(Some(restored), v1(o2))) === Seq(3L, 4L))
+    val o3 = s2.latestOffset(o2, limit)
     assert(o3.json === "5")
-    assert(gensOf(s2.getBatch(Some(o2), o3)) === Seq(5L))
-    // Caught up: the pointer (5) is within the cap window — poll returns
-    // the same offset, so the engine schedules no further batch.
-    assert(s2.getOffset.get.json === "5")
+    assert(gensOf(s2.getBatch(Some(v1(o2)), v1(o3))) === Seq(5L))
+    // Caught up: the pointer (5) equals the floor — latestOffset reports
+    // no progress, so the engine schedules no further batch.
+    assert(s2.latestOffset(o3, limit) === null)
+
+    // The legacy V1 getOffset path (kept for engines without admission
+    // control) still serves the same capped contract.
+    val s3 = mkSource()
+    assert(gensOf(s3.getBatch(None, restored)) === Seq(1L, 2L))
+    assert(s3.getOffset.get.json === "4")
   }
 
   test("delta sidecars: the fast path and the full-manifest fold agree — " +
@@ -339,35 +356,64 @@ class ManifestChangefeedSpec extends SparkTestBase {
     assert(viaFast === Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
-  test("maxGenerationsPerTrigger under Trigger.AvailableNow: one capped " +
-    "slice per run (the V1 wrapper latches the first polled offset) — " +
-    "REPEATED runs on one checkpoint converge with no gap or duplicate") {
+  test("maxGenerationsPerTrigger under Trigger.AvailableNow: ONE invocation " +
+    "drains the whole backlog to convergence in capped, individually-" +
+    "committed slices (SupportsTriggerAvailableNow admission control)") {
     implicit val s = spark
     val root = tmpDir("cf-cap-avnow")
     val store = new StateStore(root, StateStore.ManifestCommit)
     (1 to 5).foreach(h => store.writeBatch(Seq(req(h, ("t1", s"k$h", s"v$h")))))
     val out = tmpDir("cf-cap-avnow-out")
     val ck = tmpDir("cf-cap-avnow-ck")
-    def runOnce(): Seq[Long] = {
+    def runOnce(): (Seq[Long], Int) = {
       val q = store.changefeedStream(maxGenerationsPerTrigger = Some(2L))
         .writeStream.format("parquet").option("path", out)
         .option("checkpointLocation", ck).outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       assert(q.awaitTermination(120000L), "AvailableNow job must self-terminate")
-      spark.read.parquet(out).select("_generation")
+      val gens = spark.read.parquet(out).select("_generation")
         .collect().map(_.getLong(0)).sorted.toSeq
+      (gens, q.recentProgress.count(_.numInputRows > 0))
     }
-    // Run 1 drains exactly ONE capped slice: the engine's V1
-    // AvailableNow wrapper latches the source's first polled offset as
-    // "everything", and that offset is capped — the documented caveat
-    // (full drain in one invocation needs the default trigger, or no cap).
-    assert(runOnce() === Seq(1L, 2L))
-    // Re-invocations on the same checkpoint advance slice by slice,
-    // exactly-once, to convergence.
-    assert(runOnce() === Seq(1L, 2L, 3L, 4L))
-    assert(runOnce() === Seq(1L, 2L, 3L, 4L, 5L))
-    assert(runOnce() === Seq(1L, 2L, 3L, 4L, 5L)) // caught up: no-op run
+    // One invocation drains ALL five pending generations — no re-invocation
+    // loop — but still in capped slices: >= ceil(5/2)=3 data batches, each
+    // individually committed (a crash mid-drain resumes at its slice).
+    val (gens1, batches1) = runOnce()
+    assert(gens1 === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(batches1 >= 3,
+      s"drain ran in $batches1 data batch(es); cap=2 over 5 pending " +
+        "generations must slice into >=3")
+    // Caught up: a re-run is a no-op...
+    assert(runOnce()._1 === Seq(1L, 2L, 3L, 4L, 5L))
+    // ...and commits published between invocations arrive on the next one.
+    store.writeBatch(Seq(req(6, ("t1", "k6", "v6"))))
+    assert(runOnce()._1 === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("AvailableNow pins the pointer at query start: generations " +
+    "published mid-drain are left for the next invocation (latch probed " +
+    "directly through the admission-control contract)") {
+    implicit val s = spark
+    val root = tmpDir("cf-avnow-pin")
+    val store = new StateStore(root, StateStore.ManifestCommit)
+    (1 to 3).foreach(h => store.writeBatch(Seq(req(h, ("t1", s"k$h", s"v$h")))))
+    val src = new graft.streaming.ManifestChangefeedSource(
+      spark.sqlContext, store.tabletRowsPath, graft.model.Schemas.tabletRows,
+      Some("collection"), baseGen = 0L, onRewrite = "skip",
+      maxGenerationsPerTrigger = Some(2L))
+    val limit = src.getDefaultReadLimit
+    src.prepareForTriggerAvailableNow() // pin = generation 3
+    // A commit racing the drain: the pinned run must NOT extend to it.
+    store.writeBatch(Seq(req(4, ("t1", "k4", "v4"))))
+    val o1 = src.latestOffset(null, limit)
+    assert(o1.json === "2", "first capped slice under the pin")
+    val o2 = src.latestOffset(o1, limit)
+    assert(o2.json === "3", "second slice stops AT the pin, not the pointer")
+    assert(src.latestOffset(o2, limit) === null,
+      "pin reached -> no progress -> the engine terminates the run")
+    // The metrics view still reports the true head past the pin.
+    assert(src.reportLatestOffset().json === "4")
   }
 
   test("offset equality follows the json contract: a checkpoint-restored " +
