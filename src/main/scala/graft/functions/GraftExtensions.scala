@@ -93,6 +93,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_tablet_diff"),
       new ExpressionInfo(classOf[graft.store.StateStore].getName, "graft_tablet_diff"),
       (children: Seq[Expression]) => GraftExtensions.tabletDiffTable(children)))
+    // TABLE function: the diff TVF's LIFECYCLE verb —
+    //   SELECT * FROM graft_release_diffs()
+    // Each graft_tablet_diff analysis materializes its (poll-sliver-sized)
+    // result as an eager localCheckpoint; the blocks are reclaimed by the
+    // GC-driven ContextCleaner once the plan is unreachable, but a
+    // long-lived SQL-ONLY session issuing many diff analyses has no way
+    // to call GraftBridge.freeLocalCheckpoint and can accumulate blocks
+    // faster than the GC notices. This verb frees every still-reachable
+    // diff checkpoint planned in the session (returns the count) —
+    // call it once nothing will re-read earlier diff results.
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_release_diffs"),
+      new ExpressionInfo(classOf[graft.store.StateStore].getName, "graft_release_diffs"),
+      (children: Seq[Expression]) => GraftExtensions.releaseDiffsTable(children)))
     // TABLE function: the singlet as-of read in pure SQL —
     //   SELECT * FROM graft_singlet_as_of('<store root>', 'head', 800)
     // — the store's manifest-pruned point read of one singlet's latest
@@ -232,15 +246,71 @@ object GraftExtensions {
     * contract, and `readTabletDiff` materializes its result before
     * returning (releasing its internal persist), so execution just reads
     * the checkpointed blocks — and repeated TVF analyses cannot
-    * accumulate cache-manager entries. */
+    * accumulate cache-manager entries.
+    *
+    * CHECKPOINT LIFECYCLE: the blocks behind each analysis are reclaimed
+    * by the ContextCleaner once the plan is GC-unreachable; SQL callers
+    * who outpace the GC free them explicitly with
+    * `SELECT * FROM graft_release_diffs()` (every diff planned here is
+    * tracked, weakly, per session for exactly that verb — a weak ref, so
+    * tracking never pins what the cleaner would otherwise reclaim). */
   private[functions] def tabletDiffTable(children: Seq[Expression]): LogicalPlan = {
     require(children.length == 4,
       "graft_tablet_diff(root, tablet, from_height, to_height) takes exactly 4 arguments")
     val store = storeFor(stringArg("graft_tablet_diff", children(0), "root"))
-    GraftBridge.logicalPlan(store.readTabletDiff(
+    val diff = store.readTabletDiff(
       stringArg("graft_tablet_diff", children(1), "tablet"),
       longArg("graft_tablet_diff", children(2), "from_height"),
-      longArg("graft_tablet_diff", children(3), "to_height")))
+      longArg("graft_tablet_diff", children(3), "to_height"))
+    trackDiff(SparkSession.active, diff)
+    GraftBridge.logicalPlan(diff)
+  }
+
+  /** Checkpointed-diff registry behind `graft_release_diffs()`: the
+    * RDDs (not the DataFrames — the wrapper dies young while the plan
+    * the user executes keeps the RDD alive) of every TVF-planned diff,
+    * weakly referenced per session. A collected referent means the
+    * ContextCleaner already did (or will do) the freeing. */
+  private val plannedDiffs = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession,
+    java.util.concurrent.ConcurrentLinkedQueue[
+      java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]]()
+
+  private def trackDiff(
+      spark: SparkSession, df: org.apache.spark.sql.DataFrame): Unit = {
+    val q = plannedDiffs.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue)
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        q.add(new java.lang.ref.WeakReference(lr.rdd))
+      case _ => ()
+    }
+  }
+
+  /** Free every still-reachable diff checkpoint planned in `spark`;
+    * returns how many block sets were dropped. */
+  private[graft] def releaseDiffs(spark: SparkSession): Int = {
+    val q = plannedDiffs.remove(spark)
+    if (q == null) 0
+    else {
+      var n = 0
+      val it = q.iterator()
+      while (it.hasNext) Option(it.next().get()).foreach { rdd =>
+        rdd.unpersist(blocking = false); n += 1
+      }
+      n
+    }
+  }
+
+  /** Builder for `graft_release_diffs()` (see the injection-site note):
+    * frees the session's tracked diff checkpoints at analysis time and
+    * returns one row with the count. */
+  private[functions] def releaseDiffsTable(children: Seq[Expression]): LogicalPlan = {
+    require(children.isEmpty, "graft_release_diffs() takes no arguments")
+    val spark = SparkSession.active
+    val released = releaseDiffs(spark)
+    import spark.implicits._
+    GraftBridge.logicalPlan(Seq(released).toDF("released"))
   }
 
   /** Builder for the `graft_singlet_as_of` TVF: the store's

@@ -93,9 +93,20 @@ object DbinCodec {
     }
   }
 
+  /** Per-message ceiling. The length prefix is UNTRUSTED input: a torn
+    * or corrupt segment whose 4 bytes happen to decode huge (up to
+    * 0x7FFFFFFF) must fail as the corruption it is, not as a ~2 GB
+    * allocation attempt (driver OOM — the loud-failure policy above, but
+    * failing in the wrong subsystem). 256 MiB is ~50× the largest block
+    * payloads the reference's segments carry; genuinely larger messages
+    * are corruption by this codec's contract. */
+  val MaxMessageBytes: Int = 256 << 20
+
   /** Next length-prefixed message; `None` at a CLEAN end-of-stream (EOF
-    * exactly on a frame boundary); a partial header or short payload
-    * throws. */
+    * exactly on a frame boundary); a partial header, short payload, or
+    * implausible length throws. The payload is read in bounded chunks so
+    * a truncated file with a large (but in-cap) claimed length fails at
+    * the torn byte having allocated only what actually arrived. */
   def readMessage(in: InputStream): Option[Array[Byte]] = {
     val b0 = in.read()
     if (b0 < 0) return None
@@ -103,7 +114,24 @@ object DbinCodec {
     val len = (b0 << 24) | ((rest(0) & 0xFF) << 16) |
       ((rest(1) & 0xFF) << 8) | (rest(2) & 0xFF)
     require(len >= 0, s"negative dbin message length $len")
-    Some(readFully(in, len, s"message ($len bytes)"))
+    require(len <= MaxMessageBytes,
+      s"dbin message length $len exceeds the $MaxMessageBytes-byte cap — " +
+        "corrupt or truncated segment (length prefix is garbage)")
+    val ChunkBytes = 4 << 20
+    if (len <= ChunkBytes) Some(readFully(in, len, s"message ($len bytes)"))
+    else {
+      val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var remaining = len
+      while (remaining > 0) {
+        val n = math.min(remaining, ChunkBytes)
+        chunks += readFully(in, n, s"message ($len bytes)")
+        remaining -= n
+      }
+      val all = new Array[Byte](len)
+      var off = 0
+      chunks.foreach { c => System.arraycopy(c, 0, all, off, c.length); off += c.length }
+      Some(all)
+    }
   }
 
   // ------------------------------------------------------------------

@@ -43,6 +43,15 @@ import org.apache.spark.sql.types.StructType
   * ~constant and linearly-growing commit latency at an ~86k-commits/day
   * appender between compactions. All three writers publish the delta
   * BEFORE the pointer swap, so crash-replay semantics are unchanged.
+  *
+  * MIN-READER GATE: the first delta-only publish permanently bumps the
+  * pointer frame `g2:` → `g3:`. A pre-sidecar reader (whose parser knows
+  * only `g2`) then fails loudly on the pointer instead of resolving a
+  * missing full manifest as an empty table — the silent-empty failure
+  * would cascade (a rolled-back binary serving empty reads; its
+  * sweepOrphans computing an empty live set and deleting live data).
+  * Same shape as Delta's minReaderVersion bump for new metadata layouts,
+  * carried in the pointer so gate and generation publish atomically.
   */
 final class ManifestTable(val tablePath: String, schema: StructType,
     partitionCol: Option[String] = None,
@@ -85,6 +94,18 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * authoritative. Validated against the pointer before use (a fresh
     * instance, or a reader-only instance, just reads). */
   @volatile private var entriesCache: Option[(Long, Seq[ManifestEntry])] = None
+
+  /** Min-reader gate (sticky): true once this table has EVER published a
+    * delta-only generation — set when this instance publishes one, or
+    * when any pointer read observes a `g3` frame (every publish path
+    * reads the pointer first, so the flag is populated before the next
+    * swap even in a fresh process). While set, [[publish]] writes `g3`
+    * frames, which pre-sidecar readers reject loudly instead of reading
+    * missing full manifests as an empty table (and then, e.g., handing
+    * sweepOrphans an empty live set). Never downgraded: later checkpoint
+    * generations don't retire the delta-only ones in history that
+    * time-travel reads and the changefeed still resolve through. */
+  @volatile private var minReaderV3: Boolean = false
 
   private def cachedEntriesAt(gen: Long): Seq[ManifestEntry] =
     entriesCache match {
@@ -138,7 +159,15 @@ final class ManifestTable(val tablePath: String, schema: StructType,
           // are still accepted for pointers written before the frame
           // (legacy stores; atomic-PUT targets never tear either way).
           text match {
-            case FramedGenRe(a, b) if a == b => return Some(a.toLong)
+            case FramedGenRe(v, a, b) if a == b =>
+              if (v == "3") minReaderV3 = true
+              return Some(a.toLong)
+            case NewerFrameRe(v, a, b) if a == b && v.toLong > 3 =>
+              // Structurally valid, higher version: this binary predates
+              // the table's layout. Refuse with the real reason — never
+              // read a newer table as empty/partial.
+              sys.error(s"table $tablePath uses pointer-frame version g$v, " +
+                "newer than this reader supports (g3) — upgrade the reader")
             case _ if text.nonEmpty && text.forall(_.isDigit) =>
               return Some(text.toLong)
             case _ if attempt < 3 =>
@@ -175,8 +204,10 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     val tmp = new Path(s"$genPointerPath.tmp")
     val out = fs.create(tmp, true)
     // Framed form (see currentGeneration): torn-read-proof on stores
-    // whose rename streams bytes into place.
-    try out.write(s"g2:$gen:$gen;".getBytes("UTF-8")) finally out.close()
+    // whose rename streams bytes into place. Version = the table's
+    // min-reader requirement (g3 once any delta-only generation exists).
+    val v = if (minReaderV3) 3 else 2
+    try out.write(s"g$v:$gen:$gen;".getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, p)) {
       if (fs.exists(p)) fs.delete(p, false)
       require(fs.rename(tmp, p), s"pointer swap failed for $tablePath")
@@ -415,6 +446,9 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       if (mfs.exists(mp)) require(mfs.delete(mp, false) || !mfs.exists(mp),
         s"could not remove orphan manifest $mp left by a crashed rewrite " +
           "— refusing to publish a sidecar it would shadow")
+      // Publishing a delta-only generation commits the table to the
+      // sidecar-aware layout: gate out pre-sidecar readers from here on.
+      minReaderV3 = true
     }
     writeDelta(next, entry, rewrite = false)
     publish(next)
@@ -843,8 +877,19 @@ object ManifestTable {
   final case class StatsGte(col: String, value: Any) extends StatsFilter
 
   /** The self-validating generation-pointer frame (see
-    * [[ManifestTable.currentGeneration]]). */
-  private[store] val FramedGenRe = """^g2:(\d+):(\d+);$""".r
+    * [[ManifestTable.currentGeneration]]). Frame VERSION doubles as the
+    * table's min-reader gate: `g2` is the base layout (every generation
+    * has a full manifest); `g3` marks a table with at least one
+    * delta-only generation (checkpointInterval > 1), which a pre-sidecar
+    * reader would silently misread as empty — its `g2`-only parser now
+    * fails loudly on the unknown frame instead (the Delta
+    * minReaderVersion posture, carried in the pointer itself so the gate
+    * and the generation publish in one atomic swap). */
+  private[store] val FramedGenRe = """^g([23]):(\d+):(\d+);$""".r
+
+  /** Any higher-versioned frame: structurally intact, written by a newer
+    * writer — distinguish "needs a newer reader" from corruption. */
+  private[store] val NewerFrameRe = """^g(\d+):(\d+):(\d+);$""".r
 
   // Tagged scalar codec for manifest JSON: `l:<decimal>` / `s:<base64 of
   // UTF-8 bytes>`. Both alphabets avoid `{ } [ ] " ,` entirely, which is

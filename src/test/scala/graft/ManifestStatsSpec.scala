@@ -269,4 +269,67 @@ class ManifestStatsSpec extends SparkTestBase {
     t.sweepOrphans(retainGenerations = 1)
     assert(rowSet(t.read()) === Set(("t1", 1L, "a"), ("t1", 2L, "b")))
   }
+
+  test("min-reader gate: the first delta-only publish bumps the pointer " +
+    "frame g2→g3, stickily — a pre-sidecar (g2-only) reader fails loudly " +
+    "instead of reading missing full manifests as an empty table") {
+    implicit val s = spark
+    val fsc = spark.sessionState.newHadoopConf()
+    def pointerOf(dir: String): String = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_gen")
+      val in = p.getFileSystem(fsc).open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+      finally in.close()
+    }
+    // Interval 1 (base layout): every publish stays g2 — no gate, old
+    // readers unaffected.
+    val dirA = tmpDir("mgate-a")
+    val a = new ManifestTable(dirA, schema)
+    a.commit(df(("t1", 1L, "a")), "c0")
+    assert(pointerOf(dirA) === "g2:1:1;")
+
+    // Interval 4: generation 1 is delta-only → g3 from the first commit.
+    val dirB = tmpDir("mgate-b")
+    val b = new ManifestTable(dirB, schema, checkpointInterval = 4)
+    b.commit(df(("t1", 1L, "a")), "c0")
+    assert(pointerOf(dirB) === "g3:1:1;")
+    // Sticky across later CHECKPOINT generations: gen 4 has a full
+    // manifest, but gens 1–3 in history are still delta-only — a g2
+    // reader time-traveling or folding the changefeed would misread them.
+    (2 to 4).foreach(i => b.commit(df(("t1", i.toLong, s"k$i")), s"c$i"))
+    assert(pointerOf(dirB).startsWith("g3:"), "gate survives a checkpoint gen")
+    // ...and across a rewrite (full listing) and a fresh process: a new
+    // instance learns the requirement from its first pointer READ, before
+    // it ever publishes.
+    b.replaceAll(b.read(), "compact")
+    assert(pointerOf(dirB) === "g3:5:5;")
+    val b2 = new ManifestTable(dirB, schema, checkpointInterval = 4)
+    b2.commit(df(("t2", 9L, "z")), "c9")
+    assert(pointerOf(dirB) === "g3:6:6;")
+    // New readers accept both frames.
+    assert(a.currentGeneration() === Some(1L))
+    assert(b2.currentGeneration() === Some(6L))
+    assert(rowSet(b2.read()).nonEmpty)
+
+    // The pre-sidecar reader's exact parse (g2-only frame or bare digits,
+    // else corrupt): a g3 pointer fails it loudly — the gate's whole point.
+    val legacyRe = """^g2:(\d+):(\d+);$""".r
+    val text = pointerOf(dirB)
+    val legacyParses = text match {
+      case legacyRe(x, y) if x == y => true
+      case _ if text.nonEmpty && text.forall(_.isDigit) => true
+      case _ => false
+    }
+    assert(!legacyParses, s"a pre-sidecar reader must NOT parse '$text'")
+
+    // Forward compatibility: a FUTURE frame (g4) is refused with an
+    // upgrade message, not mistaken for corruption or an empty table.
+    val gp = new org.apache.hadoop.fs.Path(s"$dirB/_gen")
+    val out2 = gp.getFileSystem(fsc).create(gp, true)
+    out2.write("g4:6:6;".getBytes("UTF-8")); out2.close()
+    val e = intercept[Exception] {
+      new ManifestTable(dirB, schema).currentGeneration()
+    }
+    assert(e.getMessage.contains("newer than this reader"), e.getMessage)
+  }
 }

@@ -297,5 +297,17 @@ class PayloadCodecSpec extends SparkTestBase {
     val torn = plain.dropRight(3)
     assert(intercept[java.io.EOFException] { read(torn) }
       .getMessage.contains("torn"))
+
+    // The length prefix is untrusted: a corrupt frame claiming ~2 GB must
+    // fail as corruption BEFORE the allocation (not as a driver OOM)...
+    val hugeLen = hex("6462696e" + "01" + "03" + "667772" + "7FFFFFFF")
+    assert(intercept[IllegalArgumentException] { read(hugeLen) }
+      .getMessage.contains("exceeds"))
+    // ...and an IN-cap claimed length on a truncated stream fails at the
+    // torn byte (chunked read), allocating only what actually arrived.
+    val inCapTorn = hex("6462696e" + "01" + "03" + "667772" + "00A00000") ++
+      Array.fill[Byte](64)(0x7) // claims 10 MiB, carries 64 bytes
+    assert(intercept[java.io.EOFException] { read(inCapTorn) }
+      .getMessage.contains("torn"))
   }
 }

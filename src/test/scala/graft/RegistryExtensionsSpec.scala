@@ -290,6 +290,28 @@ class RegistryExtensionsSpec extends SparkTestBase {
           .collect()
       }
       assert(err.getMessage.contains("integer literal"), err.getMessage)
+
+      // Lifecycle verb: each diff analysis materializes an eager
+      // localCheckpoint; SQL callers (who can't reach
+      // GraftBridge.freeLocalCheckpoint) release them with
+      // graft_release_diffs(). The diff below is held strongly by this
+      // test, so its tracked weak ref MUST still resolve.
+      val d2 = s2.sql(
+        s"SELECT * FROM graft_tablet_diff('${store.root}', 't1', 0, 7)")
+      d2.collect()
+      val ids = d2.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id }
+      assert(ids.nonEmpty, "diff TVF plan must carry its checkpoint RDD")
+      assert(ids.forall(s2.sparkContext.getPersistentRDDs.contains),
+        "checkpoint blocks live until released")
+      val released = s2.sql("SELECT * FROM graft_release_diffs()")
+        .collect().head.getInt(0)
+      assert(released >= 1, s"held diff must be releasable, got $released")
+      assert(ids.forall(id => !s2.sparkContext.getPersistentRDDs.contains(id)),
+        "release must drop the held diff's blocks")
+      // Idempotent: the session's registry is drained.
+      assert(s2.sql("SELECT * FROM graft_release_diffs()")
+        .collect().head.getInt(0) === 0)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
