@@ -18,6 +18,9 @@ import graft.streaming.{BlockArchiveSource, IngestionPipeline}
   *                                            replay a reference-format
   *                                            .dbin[.zst] shard segment
   *                                            (widths: coll=len,coll=len)
+  *   backfill-sidecars <root>                 synthesize missing delta sidecars
+  *                                            (one manifest fold) so legacy
+  *                                            tables' changefeeds go linear
   *   shard-status <root> <n>                  per-shard progress report
   *   finalize-sharding <root> <n>             global checkpoint + drop shard markers
   *   reindex <root> [maxHeight] [lowerBound] [dryRun]
@@ -64,6 +67,11 @@ object Tools {
       val n = Backfill.injectDbinSegment(spark, segment, i.toInt, storeFor(root),
         idLen, rest.headOption.map(_.toLong).getOrElse(-1L))
       s"injected $n write requests from $segment as shard $i"
+    case "backfill-sidecars" :: root :: Nil =>
+      storeFor(root).backfillDeltaSidecars()
+        .map { case (t, (synth, present)) =>
+          s"$t: synthesized $synth sidecar(s), $present already present" }
+        .mkString("\n")
     case "shard-status" :: root :: n :: Nil =>
       storeFor(root).verifyAllShardsWritten(n.toInt).collect()
         .map(r => s"${r.getString(0)} height=${r.get(1)} ${r.getString(2)}")

@@ -379,6 +379,49 @@ final class ManifestTable(val tablePath: String, schema: StructType,
   private[graft] def deltaEntry(gen: Long): Option[(String, Seq[String], Boolean)] =
     deltaEntryFull(gen).map { case (e, rw) => (e.commitId, e.files, rw) }
 
+  /** Synthesize the delta sidecars a PRE-SIDECAR (legacy) table is
+    * missing, so its changefeed subscriptions take the linear fast path
+    * instead of re-paying the O(G²) full-manifest fold on EVERY catch-up
+    * (61.3 s vs 1.18 s at 4096 generations in the depth probe — and the
+    * fold cost recurs per subscription, where this pass pays it once).
+    *
+    * One fold total: each generation's manifest is parsed once,
+    * prev→cur, exactly the changefeed fallback's walk — so the
+    * synthesized record (new entry = the listing's last entry, the
+    * position all three writers append at; rewrite = any prev file
+    * absent from cur, the same FILE-level criterion) is by construction
+    * what the fold would have derived, and a post-backfill fast-path
+    * read emits byte-identically to a pre-backfill fold read. Stats ride
+    * along from the manifest, so delta reconstruction keeps its pruning
+    * bounds.
+    *
+    * Safe under the documented single-writer discipline (run it like a
+    * compaction); idempotent (existing sidecars are never rewritten);
+    * does NOT touch the pointer frame — every generation keeps its full
+    * manifest, so pre-sidecar READERS remain compatible (the g3
+    * min-reader gate is only for delta-ONLY generations, which this
+    * never creates). Returns (synthesized, alreadyPresent). */
+  def backfillDeltaSidecars(): (Int, Int) = {
+    val head = currentGeneration().getOrElse(0L)
+    var synthesized = 0
+    var present = 0
+    var prevFiles: Set[String] = Set.empty
+    (1L to head).foreach { g =>
+      val cur = manifestEntriesFull(g) // loud if BOTH m- and d- are missing
+      if (deltaEntryFull(g).isDefined) present += 1
+      else {
+        val curFiles = cur.iterator.flatMap(_.files).toSet
+        val rewrite = prevFiles.exists(f => !curFiles.contains(f))
+        val entry = cur.lastOption.getOrElse(
+          ManifestEntry("", Seq.empty, Seq.empty))
+        writeDelta(g, entry, rewrite)
+        synthesized += 1
+      }
+      prevFiles = cur.iterator.flatMap(_.files).toSet
+    }
+    (synthesized, present)
+  }
+
   private def writeManifest(gen: Long, entries: Seq[ManifestEntry]): Unit = {
     val (fs, p) = fsOf(manifestPath(gen))
     fs.mkdirs(p.getParent)

@@ -851,6 +851,22 @@ final class StateStore(
     compactMutationTable(tabletRowsPath, Schemas.tabletRows,
       Seq("tablet_id", "height"), numFiles)
 
+  /** Maintenance: synthesize the delta sidecars a legacy (pre-sidecar)
+    * store is missing, for BOTH mutation tables — one full-manifest fold
+    * each, after which every changefeed catch-up takes the linear
+    * sidecar path instead of re-paying the quadratic fold per
+    * subscription ([[ManifestTable.backfillDeltaSidecars]]). Manifest
+    * protocol only (the rename protocol has no manifests to fold);
+    * single-writer discipline, like compaction. Returns
+    * table → (synthesized, alreadyPresent). */
+  def backfillDeltaSidecars(): Map[String, (Int, Int)] = {
+    require(commitProtocol == ManifestCommit,
+      "backfillDeltaSidecars: sidecars exist only under the manifest protocol")
+    Map(
+      "tablet_rows" -> manifestTabletRows.backfillDeltaSidecars(),
+      "singlet_entries" -> manifestSingletEntries.backfillDeltaSidecars())
+  }
+
   /** [[compactTabletRows]] with the Z-ORDER (interleaved) layout —
     * SURVEY §7.4.7's second clustering dimension. The height-sorted
     * default serves tail scans; this layout clusters each tablet by the

@@ -133,6 +133,13 @@ object ManifestChangefeed {
     override def json: String = gen.toString
   }
 
+  /** Observability probe: how many `getBatch` plans fell back to the
+    * quadratic full-manifest fold (a generation in range missing its
+    * sidecar — a pre-backfill legacy table). Lets specs assert a
+    * backfilled table takes the linear path, and an operator confirm a
+    * [[graft.store.StateStore.backfillDeltaSidecars]] pass took. */
+  private[graft] val foldFallbacks = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Balanced (tree) union: a left-deep `reduce(unionByName)` over a
     * catch-up batch spanning thousands of commits builds a plan
     * thousands of nodes deep and analysis recurses over it — balanced,
@@ -383,6 +390,8 @@ final class ManifestChangefeedSource(
     // identical; any generation missing its sidecar (pre-sidecar table)
     // drops the whole range to the fold.
     val deltas = ((startGen + 1) to endGen).map(g => (g, table.deltaEntry(g)))
+    if (!deltas.forall(_._2.isDefined))
+      ManifestChangefeed.foldFallbacks.incrementAndGet()
     if (deltas.forall(_._2.isDefined)) {
       deltas.foreach {
         case (g, Some((cid, files, rewrite))) =>

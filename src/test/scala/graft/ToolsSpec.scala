@@ -153,4 +153,78 @@ class ToolsSpec extends SparkTestBase {
     assert(new StateStore(root2).tabletRows
       .select("height").collect().map(_.getLong(0)).sorted === Array(8L, 9L))
   }
+
+  test("backfill-sidecars: a legacy (pre-sidecar) store gets synthesized " +
+    "delta sidecars in one manifest fold — its changefeed then takes the " +
+    "linear fast path (probe counter flat) and emits byte-identically to " +
+    "what the quadratic fold emitted, rewrite semantics included") {
+    implicit val s = spark
+    val root = tmpDir("tools-backfill")
+    // Interval 1 = the layout pre-sidecar stores produced (a full manifest
+    // every generation); deleting the d-*.json files afterwards makes it a
+    // true legacy store.
+    val store = new StateStore(root, StateStore.ManifestCommit,
+      manifestCheckpointInterval = 1)
+    def req(h: Long, pk: String, v: String) = WriteRequest(
+      h, BlockRef(s"blk-$h", h),
+      Seq(TabletRowM(1, "t1", h, pk, v.getBytes("UTF-8"), false)),
+      Seq(SingletEntryM(7, "hd", h, s"s$v".getBytes("UTF-8"), false)))
+    store.writeBatch(Seq(req(1, "a", "a1")))
+    store.writeBatch(Seq(req(2, "b", "b2")))
+    // A rewrite generation mid-history, WITHOUT the orphan sweep the
+    // store-level compaction runs after it: a from-0 replay must still be
+    // able to scan the pre-rewrite files (sweeping rewritten history
+    // breaks from-0 replay on ANY CDC design — same as a vacuumed Delta
+    // table's CDF; that contract is pinned elsewhere, not under test here).
+    val tr = store.manifestTableFor(store.tabletRowsPath)
+    tr.replaceAll(tr.read(), "compact")
+    store.writeBatch(Seq(req(3, "c", "c3")))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("tablet_rows", "singlet_entries").foreach { t =>
+      val mdir = new org.apache.hadoop.fs.Path(s"$root/$t/_manifests")
+      fs.listStatus(mdir).map(_.getPath)
+        .filter(_.getName.startsWith("d-")).foreach(fs.delete(_, false))
+    }
+    val mt = store.manifestTableFor(store.tabletRowsPath)
+    val gen = mt.currentGeneration().get
+    assert((1L to gen).forall(g => mt.deltaEntry(g).isEmpty), "legacy setup")
+
+    // The legacy store's changefeed output (via the fold) — the yardstick
+    // the backfilled fast path must reproduce byte-identically.
+    def drain(ck: String, sink: String): Set[(Long, String, Long, String)] = {
+      val q = store.changefeedStream()
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000L)); q.stop()
+      spark.table(sink).collect().map(r => (
+        r.getAs[Long]("height"), r.getAs[String]("primary_key"),
+        r.getAs[Long]("_generation"), r.getAs[String]("_commit_id"))).toSet
+    }
+    val before = graft.streaming.ManifestChangefeed.foldFallbacks.get()
+    val viaFold = drain(tmpDir("tools-backfill-ck1"), "bf_fold")
+    assert(graft.streaming.ManifestChangefeed.foldFallbacks.get() > before,
+      "the legacy drain must have exercised the fold fallback")
+
+    // The verb: one fold total, both mutation tables, idempotent.
+    val out = Tools.run(Seq("backfill-sidecars", root))
+    assert(out.contains("tablet_rows: synthesized 4 sidecar(s), 0 already present"), out)
+    assert(out.contains("singlet_entries: synthesized 3 sidecar(s)"), out)
+    assert((1L to gen).forall(g => mt.deltaEntry(g).isDefined))
+    // The synthesized compaction-generation sidecar carries the rewrite
+    // flag the fold derived file-level (skip semantics preserved).
+    assert(mt.deltaEntry(3L).exists(_._3), "compaction sidecar flags rewrite")
+    assert(mt.deltaEntry(1L).exists(!_._3) && mt.deltaEntry(4L).exists(!_._3))
+    val again = Tools.run(Seq("backfill-sidecars", root))
+    assert(again.contains("tablet_rows: synthesized 0 sidecar(s), 4 already present"), again)
+
+    // Fresh subscription over the backfilled store: linear path (no new
+    // fold fallbacks), emission identical to the fold's.
+    val mid = graft.streaming.ManifestChangefeed.foldFallbacks.get()
+    val viaFast = drain(tmpDir("tools-backfill-ck2"), "bf_fast")
+    assert(graft.streaming.ManifestChangefeed.foldFallbacks.get() === mid,
+      "backfilled table must take the sidecar fast path")
+    assert(viaFast === viaFold)
+  }
 }
