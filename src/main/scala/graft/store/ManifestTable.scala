@@ -333,11 +333,23 @@ final class ManifestTable(val tablePath: String, schema: StructType,
 
   /** The sidecar line is a manifest line (commit_id, files, stats — so a
     * delta-only generation reconstructs with its pruning bounds intact)
-    * plus a leading `rewrite` flag. */
-  private def writeDelta(gen: Long, e: ManifestEntry, rewrite: Boolean): Unit = {
+    * plus a leading `rewrite` flag and, for rewrite generations whose
+    * writer could tell (merge segregates them physically; replaceAll is
+    * contents-preserving by contract), a `fresh` list: the subset of
+    * `files` carrying genuinely NEW rows — per-file dataChange, the
+    * Delta-CDF shape, which is what lets a changefeed subscriber under
+    * `onRewrite=emitFresh` receive a merge's inserts instead of choosing
+    * between dropping them (skip) and halting (fail). Absent `fresh` on
+    * a rewrite (pre-upgrade or backfilled sidecars) means UNKNOWN, never
+    * "none". */
+  private def writeDelta(gen: Long, e: ManifestEntry, rewrite: Boolean,
+      fresh: Option[Seq[String]] = None): Unit = {
     val (fs, p) = fsOf(deltaPath(gen))
     fs.mkdirs(p.getParent)
+    val freshPart = fresh.fold("")(fs0 =>
+      s""""fresh":[${fs0.map(quote).mkString(",")}],""")
     val json = s"""{"commit_id":${quote(e.commitId)},"rewrite":$rewrite,""" +
+      freshPart +
       s""""files":[${e.files.map(quote).mkString(",")}]${statsJsonPart(e)}}""" + "\n"
     val out = fs.create(p, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
@@ -360,8 +372,9 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     }
 
   /** Generation `gen`'s full change record (entry incl. stats + rewrite
-    * flag). None on pre-sidecar tables. */
-  private[graft] def deltaEntryFull(gen: Long): Option[(ManifestEntry, Boolean)] = {
+    * flag + the fresh/dataChange file list when the writer recorded
+    * one). None on pre-sidecar tables. */
+  private[graft] def deltaRecord(gen: Long): Option[ManifestTable.DeltaRecord] = {
     val (fs, p) = fsOf(deltaPath(gen))
     if (!fs.exists(p)) None
     else {
@@ -370,9 +383,22 @@ final class ManifestTable(val tablePath: String, schema: StructType,
         try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
         finally in.close()
       val rewrite = line.split("\"rewrite\":", 2)(1).trim.startsWith("true")
-      Some((parseManifestLine(line), rewrite))
+      val fresh = line.split("\"fresh\":\\[", 2) match {
+        case Array(_, rest) =>
+          val body = rest.split("\\]", 2)(0)
+          Some(if (body.isEmpty) Seq.empty[String]
+          else body.split(",").toSeq
+            .map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+        case _ => None
+      }
+      Some(ManifestTable.DeltaRecord(parseManifestLine(line), rewrite, fresh))
     }
   }
+
+  /** [[deltaRecord]] minus the fresh list (the reconstruction path's
+    * shape). */
+  private[graft] def deltaEntryFull(gen: Long): Option[(ManifestEntry, Boolean)] =
+    deltaRecord(gen).map(r => (r.entry, r.rewrite))
 
   /** Generation `gen`'s change record: (commitId, files this generation
     * added, whether it rewrote prior files). None on pre-sidecar tables. */
@@ -516,7 +542,12 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       throw new IllegalStateException(s"injected crash before publish of $commitId")
     val entry = ManifestEntry(commitId, files, collectStats(dataDir, files))
     writeManifest(next, Seq(entry))
-    writeDelta(next, entry, rewrite = hadFiles)
+    // A replaceAll is contents-preserving by contract (compaction), so
+    // its rewrite carries NOTHING fresh — recorded explicitly (Some(Nil),
+    // not None/unknown) so emitFresh subscribers ride through it silently
+    // exactly like skip does.
+    writeDelta(next, entry, rewrite = hadFiles,
+      fresh = if (hadFiles) Some(Seq.empty) else None)
     publish(next)
     entriesCache = Some((next, Seq(entry)))
   }
@@ -788,26 +819,51 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     // across repeated point merges).
     val winners = existing.unionByName(upd)
       .groupBy(keyCols.map(col): _*)
+      // `__had` = the key existed in a matched file: what separates a
+      // REWRITTEN row (old key, old-or-updated value) from a genuinely
+      // FRESH insert — computed in the same aggregate, no extra join.
       .agg(max_by(struct(cols.map(col): _*),
-        struct(col(orderCol), col("__src"))).as("w"))
-      .select(cols.map(n => col(s"w.$n").as(n)): _*)
+        struct(col(orderCol), col("__src"))).as("w"),
+        max(when(col("__src") === 0, 1).otherwise(0)).as("__had"))
+      .select(col("__had") +: cols.map(n => col(s"w.$n").as(n)): _*)
     val merged = (if (keepTombstones) winners else winners.where(!col(deleteCol)))
-      .repartitionByRange(math.max(1, matchedFiles.size), keyCols.map(col): _*)
-      .sortWithinPartitions(keyCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val next = gen + 1
     val dataDir = s"$tablePath/d-$commitId-g$next"
-    writeData(merged, dataDir)
-    val files = listDataFiles(dataDir)
+    val files =
+      try {
+        // TWO physical passes over the persisted winners: rewritten rows
+        // (range-partitioned like the files they replace, bounds stay
+        // tight) then fresh inserts APPENDED as their own file(s) — the
+        // physical separation that makes per-file dataChange possible
+        // (a single mixed write could never tell the changefeed which
+        // files are pure inserts). The fresh side is touched-key-bounded
+        // by the merge contract, hence the single sorted output file.
+        writeData(merged.where(col("__had") === 1).drop("__had")
+          .repartitionByRange(math.max(1, matchedFiles.size), keyCols.map(col): _*)
+          .sortWithinPartitions(keyCols.map(col): _*), dataDir)
+        val rwFiles = listDataFiles(dataDir)
+        val freshDf = merged.where(col("__had") === 0).drop("__had")
+          .repartitionByRange(1, keyCols.map(col): _*)
+          .sortWithinPartitions(keyCols.map(col): _*)
+        val w = freshDf.write.mode(SaveMode.Append)
+        partitionCol.fold(w)(c => w.partitionBy(c)).parquet(dataDir)
+        (rwFiles, listDataFiles(dataDir))
+      } finally merged.unpersist(blocking = false)
+    val (rwFiles, allFiles) = files
+    val freshFiles = allFiles.filterNot(rwFiles.toSet)
     if (failBeforePublish)
       throw new IllegalStateException(s"injected crash before publish of $commitId")
-    val mergedEntry = ManifestEntry(commitId, files, collectStats(dataDir, files))
+    val mergedEntry = ManifestEntry(commitId, allFiles, collectStats(dataDir, allFiles))
     writeManifest(next, keptEntries :+ mergedEntry)
     // Rewrite iff some previously-live file actually left the manifest —
     // the same file-level criterion the changefeed's fallback diff
     // applies (a merge whose touched keys matched NO existing file is a
-    // plain append of the update batch).
-    writeDelta(next, mergedEntry, rewrite = matchedFiles.nonEmpty)
+    // plain append of the update batch). The fresh list is per-file
+    // dataChange for emitFresh subscribers.
+    writeDelta(next, mergedEntry, rewrite = matchedFiles.nonEmpty,
+      fresh = if (matchedFiles.nonEmpty) Some(freshFiles) else None)
     publish(next)
     entriesCache = Some((next, keptEntries :+ mergedEntry))
     MergeReport(rewritten = matchedFiles.size,
@@ -914,6 +970,13 @@ object ManifestTable {
     * `NULL cmp x = NULL` makes these sound on nullable columns too: bounds
     * ignore nulls, and null-valued rows can never satisfy the Catalyst
     * predicate the caller still applies. */
+  /** One generation's sidecar: the new manifest entry, whether prior
+    * files left the manifest (rewrite), and — when the writer could
+    * tell — which of the entry's files carry genuinely new rows
+    * (per-file dataChange; None = unknown, pre-upgrade sidecar). */
+  final case class DeltaRecord(
+      entry: ManifestEntry, rewrite: Boolean, fresh: Option[Seq[String]])
+
   sealed trait StatsFilter { def col: String; def value: Any }
   final case class StatsEq(col: String, value: Any) extends StatsFilter
   final case class StatsLte(col: String, value: Any) extends StatsFilter

@@ -44,9 +44,15 @@ import graft.store.ManifestTable
   * `onRewrite = skip` treats the generation as `dataChange = false` and
   * emits nothing — the stream rides through compaction without
   * re-emitting the table. A MERGE is not contents-preserving: subscribe
-  * to the upstream mutation log, not a merge target, or use
+  * to the upstream mutation log, not a merge target, use
   * `onRewrite = fail` to stop loudly (Delta's default posture for
-  * non-append changes).
+  * non-append changes), or `onRewrite = emitFresh` to receive the
+  * merge's genuinely NEW rows — the merge writer physically segregates
+  * fresh inserts into their own files and records them per-file in the
+  * sidecar (`fresh`, the Delta-CDF dataChange shape), so emitFresh
+  * emits exactly those files and rides silently through
+  * contents-preserving rewrites (updates to existing keys are still
+  * not emitted — that needs the upstream log).
   *
   * Retention contract: a lagging stream reads old generations' files, so
   * `sweepOrphans(retainGenerations = n)` bounds how far behind a
@@ -269,8 +275,8 @@ final class ManifestChangefeedSource(
     maxGenerationsPerTrigger: Option[Long] = None)
   extends Source with SupportsTriggerAvailableNow {
 
-  require(onRewrite == "skip" || onRewrite == "fail",
-    s"onRewrite must be 'skip' or 'fail', got '$onRewrite'")
+  require(onRewrite == "skip" || onRewrite == "fail" || onRewrite == "emitFresh",
+    s"onRewrite must be 'skip', 'fail' or 'emitFresh', got '$onRewrite'")
   require(maxGenerationsPerTrigger.forall(_ > 0),
     s"maxGenerationsPerTrigger must be positive, got $maxGenerationsPerTrigger")
 
@@ -375,11 +381,18 @@ final class ManifestChangefeedSource(
       // files it also added (a merge both rewrites and inserts). That is
       // the documented contract (subscribe upstream of a merge target),
       // but a mis-pointed subscription should be observable, not silent.
-      if (freshDropped > 0) log.warn(
+      if (onRewrite == "emitFresh") log.warn(
+        s"graft-changefeed: generation $g of $tablePath is a rewrite with " +
+          "no per-file dataChange information on this path (full-manifest " +
+          "fold) — cannot identify fresh files, skipping the generation " +
+          "(onRewrite=emitFresh; run backfill-sidecars? only sidecars " +
+          "written by a merge carry the fresh list)")
+      else if (freshDropped > 0) log.warn(
         s"graft-changefeed: generation $g of $tablePath is a rewrite " +
           s"(skipped, onRewrite=skip) but ALSO added $freshDropped fresh " +
           "data file(s) that will NOT be emitted — if this table is a " +
-          "merge target, subscribe to the upstream mutation log instead")
+          "merge target, subscribe to the upstream mutation log or use " +
+          "onRewrite=emitFresh")
     }
     val appended = Seq.newBuilder[(Long, String, Seq[String])]
     // FAST PATH: per-generation delta sidecars, O(commit size) per
@@ -389,13 +402,34 @@ final class ManifestChangefeedSource(
     // file-level rewrite fact the fold derives, so semantics are
     // identical; any generation missing its sidecar (pre-sidecar table)
     // drops the whole range to the fold.
-    val deltas = ((startGen + 1) to endGen).map(g => (g, table.deltaEntry(g)))
+    val deltas = ((startGen + 1) to endGen).map(g => (g, table.deltaRecord(g)))
     if (!deltas.forall(_._2.isDefined))
       ManifestChangefeed.foldFallbacks.incrementAndGet()
     if (deltas.forall(_._2.isDefined)) {
       deltas.foreach {
-        case (g, Some((cid, files, rewrite))) =>
-          if (rewrite) rewriteAt(g, removed = "prior", freshDropped = files.size)
+        case (g, Some(rec)) =>
+          val (cid, files) = (rec.entry.commitId, rec.entry.files)
+          if (rec.rewrite && onRewrite == "emitFresh") rec.fresh match {
+            // Per-file dataChange recorded at write: emit ONLY the files
+            // carrying genuinely new rows (a merge's inserts), ride
+            // silently through contents-preserving rewrites (compaction
+            // records fresh=[]). Replay-stable: the list is in the
+            // committed sidecar, so a checkpoint replay of this range
+            // plans the same files.
+            case Some(fresh) =>
+              if (fresh.nonEmpty) appended += ((g, cid, fresh))
+            // Pre-dataChange sidecar (legacy/backfilled): fresh files are
+            // UNKNOWN — emitting the whole rewrite would replay old rows
+            // as changes, so fall back to skip, loudly.
+            case None => log.warn(
+              s"graft-changefeed: generation $g of $tablePath is a rewrite " +
+                "whose sidecar predates per-file dataChange — cannot " +
+                "identify fresh files, skipping the generation " +
+                "(onRewrite=emitFresh)")
+          }
+          else if (rec.rewrite)
+            rewriteAt(g, removed = "prior",
+              freshDropped = rec.fresh.map(_.size).getOrElse(files.size))
           else if (files.nonEmpty) appended += ((g, cid, files))
         case _ => ()
       }
@@ -441,7 +475,7 @@ final class ManifestChangefeedSource(
   * `path` (required, the manifest table path), `table`
   * (tablet_rows | singlet_entries — picks schema + partition column; or
   * pass an explicit schema and `partitionCol`), `startingGeneration`
-  * (number | "latest"), `onRewrite` (skip | fail),
+  * (number | "latest"), `onRewrite` (skip | fail | emitFresh),
   * `maxGenerationsPerTrigger` (positive long — caps how many pending
   * generations one micro-batch may span; catch-up splits into bounded,
   * individually-committed slices). */

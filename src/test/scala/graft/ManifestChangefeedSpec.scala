@@ -416,6 +416,86 @@ class ManifestChangefeedSpec extends SparkTestBase {
     assert(src.reportLatestOffset().json === "4")
   }
 
+  test("onRewrite=emitFresh: a merge generation emits ONLY its fresh-insert " +
+    "files (per-file dataChange from the sidecar), replay-stable; " +
+    "compaction rides through silently; skip/fail semantics unchanged; " +
+    "a pre-dataChange rewrite sidecar falls back to skip") {
+    implicit val s = spark
+    import org.apache.spark.sql.types._
+    val mergeSchema = StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("h", LongType, nullable = false),
+      StructField("v", StringType, nullable = true),
+      StructField("del", BooleanType, nullable = false)))
+    def df(rows: (String, Long, String, Boolean)*) = {
+      import spark.implicits._
+      rows.toDF("k", "h", "v", "del").coalesce(1)
+    }
+    val dir = tmpDir("cf-emitfresh")
+    val t = new graft.store.ManifestTable(dir, mergeSchema, statsCols = Seq("k"))
+    t.commit(df(("a", 1, "a1", false), ("b", 1, "b1", false)), "c0") // gen 1
+    // gen 2, a rewrite that BOTH updates an existing key and inserts a
+    // new one — the case skip loses and fail halts on.
+    t.merge(df(("a", 2, "a2", false), ("x", 2, "x2", false)),
+      Seq("k"), "h", "del", "m1")
+    t.replaceAll(t.read(), "compact")                                // gen 3
+    t.commit(df(("c", 3, "c3", false)), "c1")                        // gen 4
+
+    // The writer-side record: the merge's sidecar carries the fresh list,
+    // and those files PHYSICALLY contain only the new-key rows.
+    val rec2 = t.deltaRecord(2L).get
+    assert(rec2.rewrite && rec2.fresh.exists(_.nonEmpty))
+    assert(rec2.fresh.get.toSet.subsetOf(rec2.entry.files.toSet))
+    val freshRows = t.scanOf(rec2.fresh.get)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(freshRows === Set(("x", 2L)), "fresh files hold ONLY new keys")
+    // Compaction records an explicitly-empty fresh list (known-none,
+    // not unknown).
+    assert(t.deltaRecord(3L).get.fresh === Some(Seq.empty))
+
+    def mkSource(mode: String) = new graft.streaming.ManifestChangefeedSource(
+      spark.sqlContext, dir, mergeSchema, None,
+      baseGen = 0L, onRewrite = mode)
+    def drain(mode: String): Seq[(String, Long, Long)] = {
+      val df = mkSource(mode)
+        .getBatch(None, new ManifestChangefeed.GenOffset(4))
+      org.apache.spark.sql.graftbridge.GraftBridge.asBatchDataFrame(df)
+        .select("k", "h", "_generation").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(r => (r._3, r._1)).toSeq
+    }
+    // emitFresh: gen 1 append, gen 2 ONLY the insert, gen 3 nothing
+    // (contents-preserving), gen 4 append.
+    val viaEmitFresh = drain("emitFresh")
+    assert(viaEmitFresh === Seq(
+      ("a", 1L, 1L), ("b", 1L, 1L), ("x", 2L, 2L), ("c", 3L, 4L)))
+    // Replay-stable: the list is in the committed sidecar.
+    assert(drain("emitFresh") === viaEmitFresh)
+    // skip unchanged: the whole merge generation (incl. the insert) drops.
+    assert(drain("skip") === Seq(("a", 1L, 1L), ("b", 1L, 1L), ("c", 3L, 4L)))
+    // fail unchanged: loud at the merge generation.
+    val e = intercept[IllegalStateException] { drain("fail") }
+    assert(e.getMessage.contains("not an append"), e.getMessage)
+    // A rewrite sidecar WITHOUT per-file dataChange (pre-upgrade /
+    // backfilled): emitFresh cannot identify fresh files — skip, not
+    // guess (emitting the whole rewrite would replay old rows).
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val d2 = new org.apache.hadoop.fs.Path(f"$dir/_manifests/d-${2L}%09d.json")
+    val line = {
+      val in = fs.open(d2)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    val stripped = line.replaceFirst(""""fresh":\[[^\]]*\],""", "")
+    assert(stripped !== line, "setup: the fresh field must have been present")
+    val out = fs.create(d2, true)
+    try out.write(stripped.getBytes("UTF-8")) finally out.close()
+    assert(t.deltaRecord(2L).get.fresh === None)
+    assert(drain("emitFresh") ===
+      Seq(("a", 1L, 1L), ("b", 1L, 1L), ("c", 3L, 4L)))
+  }
+
   test("offset equality follows the json contract: a checkpoint-restored " +
     "offset compares equal to a freshly polled one (no spurious restart batch)") {
     val polled = new ManifestChangefeed.GenOffset(5)
