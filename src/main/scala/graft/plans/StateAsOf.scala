@@ -177,6 +177,10 @@ final class StateAsOfRule(spark: SparkSession) extends Rule[LogicalPlan] {
         .queryExecution.analyzed)
 
     case s @ StateAsOfStore(child, store, tablet, h, ign) if child.resolved =>
+      // The SQL surface is a read like any other: feed the layout
+      // counters (StateStore.readTabletAt records its own; this rule
+      // plans around it, so record here).
+      store.readMix.recordTailScan(tablet)
       val rows = GraftBridge.ofRows(spark, child)
       val rewritten = store.latestTabletSnapshot(tablet, h, ign) match {
         case Some((snapH, snap)) =>

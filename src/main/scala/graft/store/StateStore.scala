@@ -69,9 +69,12 @@ final class StateStore(
   /** Per-tablet read-mix counters feeding [[compactTabletRowsAuto]]'s
     * layout choice — the same observed-counters-drive-maintenance posture
     * the reference's index heuristic takes (indexing.go:527–575), applied
-    * to the clustering decision. Driver-side and process-local, like
-    * [[graft.snapshot.Snapshots.IndexCache]]. */
-  val readMix = new StateStore.ReadMixStats
+    * to the clustering decision. Driver-side, PERSISTED under the root
+    * (`_readmix.json` — seeds at construction, flushes periodically and
+    * at each auto-compaction decision) so the evidence survives process
+    * churn; see [[StateStore.ReadMixStats]]. */
+  val readMix = new StateStore.ReadMixStats(
+    Some((spark.sessionState.newHadoopConf(), s"$root/_readmix.json")))
 
   // A crash between a staged write and its promoting rename orphans the
   // staging directory; nothing else ever references it, so the store would
@@ -666,6 +669,7 @@ final class StateStore(
   def readTabletDiff(tabletId: String, fromHeight: Long, toHeight: Long): DataFrame = {
     require(fromHeight <= toHeight,
       s"diff window inverted: $fromHeight > $toHeight")
+    readMix.recordTailScan(tabletId) // a height-band scan, layout-wise
     val window = tabletRowsPruned(Seq(
         ManifestTable.StatsEq("tablet_id", tabletId),
         ManifestTable.StatsGte("height", fromHeight + 1),
@@ -896,6 +900,9 @@ final class StateStore(
     overrides.values.foreach(v => require(
       v == "interleaved" || v == "sorted",
       s"layout override must be 'interleaved' or 'sorted', got '$v'"))
+    // Persist the evidence the decision is about to run on: the NEXT
+    // process's auto-compaction then sees at least this decision's counts.
+    readMix.flush()
     val auto = readMix.observedTablets.filter(readMix.prefersInterleaved).toSet
     val interleaved =
       (auto ++ overrides.collect { case (t, "interleaved") => t }) --
@@ -1331,14 +1338,86 @@ object StateStore {
     * clustering dimension buys (measured 10× decode cut in the layout
     * probe), while a scan-dominated tablet keeps the height-sorted
     * layout's tighter height runs. Thread-safe; counts survive
-    * compaction (the mix, not the layout, is the signal). */
-  final class ReadMixStats {
+    * compaction (the mix, not the layout, is the signal).
+    *
+    * PERSISTED (when constructed with a path, as the store does): the
+    * counters seed from the file at construction and flush back every
+    * `flushEvery` recordings (plus explicitly at each
+    * [[StateStore.compactTabletRowsAuto]] decision), so the layout
+    * choice survives process churn — a fresh process no longer compacts
+    * height-sorted for lack of evidence its predecessor had. The file is
+    * one tiny object (a line per observed tablet), swapped via
+    * tmp+rename like the generation pointer; at most `flushEvery − 1`
+    * recordings are lost to a crash, which only ever delays a layout
+    * flip (the reference's analogous counters lose EVERYTHING on
+    * restart, indexing.go:486–583). Tablet ids travel base64 so no
+    * delimiter in an id can corrupt a line. Single-writer discipline,
+    * like every other store maintenance surface: concurrent processes
+    * last-writer-win the FILE but each still has its own in-memory
+    * superset. An unreadable file warns and starts empty (advisory
+    * data — a wrong layout is a perf miss, not wrong contents). */
+  final class ReadMixStats(
+      persistTo: Option[(org.apache.hadoop.conf.Configuration, String)] = None,
+      flushEvery: Int = 256) {
+    private val log = org.slf4j.LoggerFactory.getLogger(classOf[ReadMixStats])
     private val points = scala.collection.mutable.Map.empty[String, Long]
     private val scans = scala.collection.mutable.Map.empty[String, Long]
-    def recordPointRead(tabletId: String): Unit = synchronized {
-      points.update(tabletId, points.getOrElse(tabletId, 0L) + 1L) }
-    def recordTailScan(tabletId: String): Unit = synchronized {
-      scans.update(tabletId, scans.getOrElse(tabletId, 0L) + 1L) }
+    private var dirty = 0
+    private def fsPath: Option[(FileSystem, Path)] = persistTo.map {
+      case (conf, p) => val path = new Path(p); (path.getFileSystem(conf), path) }
+    locally {
+      fsPath.foreach { case (fs, p) =>
+        if (fs.exists(p)) try {
+          val in = fs.open(p)
+          val text =
+            try new String(
+              org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+            finally in.close()
+          text.linesIterator.filter(_.nonEmpty).foreach { line =>
+            val Array(b64, pc, sc) = line.split(" ", 3)
+            val t = new String(
+              java.util.Base64.getDecoder.decode(b64), "UTF-8")
+            if (pc.toLong > 0L) points.update(t, pc.toLong)
+            if (sc.toLong > 0L) scans.update(t, sc.toLong)
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            points.clear(); scans.clear()
+            log.warn(s"unreadable read-mix counters at $p — starting " +
+              "empty (layout choice falls back to height-sorted until " +
+              "re-observed)", e)
+        }
+      }
+    }
+    private def flushLocked(): Unit = {
+      fsPath.foreach { case (fs, p) =>
+        val tmp = new Path(p.toString + ".tmp")
+        val out = fs.create(tmp, true)
+        val body = (points.keySet ++ scans.keySet).toSeq.sorted.map { t =>
+          val b64 = java.util.Base64.getEncoder
+            .encodeToString(t.getBytes("UTF-8"))
+          s"$b64 ${points.getOrElse(t, 0L)} ${scans.getOrElse(t, 0L)}"
+        }.mkString("", "\n", "\n")
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        if (!fs.rename(tmp, p)) {
+          if (fs.exists(p)) fs.delete(p, false)
+          if (!fs.rename(tmp, p))
+            log.warn(s"could not persist read-mix counters to $p")
+        }
+      }
+      dirty = 0
+    }
+    def flush(): Unit = synchronized(flushLocked())
+    private def bump(m: scala.collection.mutable.Map[String, Long],
+        tabletId: String): Unit = {
+      m.update(tabletId, m.getOrElse(tabletId, 0L) + 1L)
+      dirty += 1
+      if (dirty >= flushEvery) flushLocked()
+    }
+    def recordPointRead(tabletId: String): Unit =
+      synchronized(bump(points, tabletId))
+    def recordTailScan(tabletId: String): Unit =
+      synchronized(bump(scans, tabletId))
     def pointReads(tabletId: String): Long =
       synchronized(points.getOrElse(tabletId, 0L))
     def tailScans(tabletId: String): Long =

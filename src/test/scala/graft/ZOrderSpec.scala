@@ -187,4 +187,54 @@ class ZOrderSpec extends SparkTestBase {
       store.compactTabletRowsAuto(overrides = Map("pt" -> "wat"))
     }
   }
+
+  test("read-mix counters persist: reads recorded in process A drive the " +
+    "interleave choice in a fresh process B; contents identical; a " +
+    "corrupt counters file warns and degrades to height-sorted") {
+    implicit val s = spark
+    val root = tmpDir("store_mix_persist")
+    val storeA = new StateStore(root)
+    (0L until 32L).foreach { h =>
+      storeA.writeBatch(Seq(req(h,
+        (0 until 8).flatMap(k =>
+          Seq(("pt", f"pk$k%02d", s"p$h-$k"), ("sc", f"pk$k%02d", s"s$h-$k"))): _*)))
+    }
+    (0 until 3).foreach(_ => storeA.readTabletRowAt("pt", "pk03", 20L))
+    storeA.readTabletAt("sc", 20L)
+    storeA.readMix.flush() // process exit / maintenance hook
+
+    // "Process B": a fresh store instance seeds its counters from the
+    // root and makes the same layout decision A's evidence dictates.
+    val storeB = new StateStore(root)
+    assert(storeB.readMix.pointReads("pt") === 3L)
+    assert(storeB.readMix.tailScans("sc") === 1L)
+    assert(storeB.readMix.prefersInterleaved("pt"))
+    assert(!storeB.readMix.prefersInterleaved("sc"))
+    val before = storeB.tabletRows.collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getString(3))).sorted.toSeq
+    val (_, interleaved) = storeB.compactTabletRowsAuto(numFiles = 8)
+    assert(interleaved === Set("pt"),
+      "B must compact interleaved on A's persisted evidence alone")
+    val after = storeB.tabletRows.collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getString(3))).sorted.toSeq
+    assert(after === before)
+
+    // B's OWN reads accumulate on top of the seeded counts and persist
+    // for process C (compactTabletRowsAuto flushed before deciding).
+    storeB.readTabletRowAt("pt", "pk05", 20L)
+    storeB.readMix.flush()
+    val storeC = new StateStore(root)
+    assert(storeC.readMix.pointReads("pt") === 4L)
+
+    // Corrupt counters: warn, start empty, serve height-sorted — never
+    // fail the store open over advisory data.
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val mixPath = new org.apache.hadoop.fs.Path(s"$root/_readmix.json")
+    val out = fs.create(mixPath, true)
+    try out.write("not base64 at all".getBytes("UTF-8")) finally out.close()
+    val storeD = new StateStore(root)
+    assert(storeD.readMix.pointReads("pt") === 0L)
+    assert(!storeD.readMix.prefersInterleaved("pt"))
+  }
 }
