@@ -216,21 +216,29 @@ object GraftExtensions {
       // current chain; anything else = a block ID. A digits-only
       // heuristic would misroute hex block ids that happen to be all
       // decimal digits (silently, for short ones).
-      val refStr = stringArg("graft_state_as_of", children(3), "block_ref")
-      require(refStr.nonEmpty,
-        "graft_state_as_of: block_ref must be a block id, or '#<num>' for " +
-          "a bare block number on the current chain (got an empty string)")
-      val ref =
-        if (refStr.startsWith("#")) {
-          val numPart = refStr.drop(1)
-          require(numPart.nonEmpty && numPart.forall(_.isDigit) &&
-            numPart.length <= 18,
-            s"graft_state_as_of: malformed bare block number '$refStr'")
-          graft.model.BlockRef("", numPart.toLong)
-        } else graft.model.BlockRef(refStr, 0L)
+      val ref = blockRefArg("graft_state_as_of", children(3))
       val spec = pipelineFor(root).speculativeTabletRowsFor(Some(ref))
       GraftBridge.logicalPlan(store.readTabletAt(tablet, atHeight, spec))
     }
+  }
+
+  /** Shared block-ref argument parse for the fork-branch TVF forms.
+    * Unambiguous syntax: `#<num>` = a bare block NUMBER on the current
+    * chain; anything else = a block ID. A digits-only heuristic would
+    * misroute hex block ids that happen to be all decimal digits
+    * (silently, for short ones). */
+  private def blockRefArg(fn: String, e: Expression): graft.model.BlockRef = {
+    val refStr = stringArg(fn, e, "block_ref")
+    require(refStr.nonEmpty,
+      s"$fn: block_ref must be a block id, or '#<num>' for a bare block " +
+        "number on the current chain (got an empty string)")
+    if (refStr.startsWith("#")) {
+      val numPart = refStr.drop(1)
+      require(numPart.nonEmpty && numPart.forall(_.isDigit) &&
+        numPart.length <= 18,
+        s"$fn: malformed bare block number '$refStr'")
+      graft.model.BlockRef("", numPart.toLong)
+    } else graft.model.BlockRef(refStr, 0L)
   }
 
   /** Builder for the `graft_tablet_diff` TVF: the store-level incremental
@@ -315,24 +323,45 @@ object GraftExtensions {
 
   /** Builder for the `graft_singlet_as_of` TVF: the store's
     * manifest-pruned singlet point read, built directly (a pure
-    * declarative plan — no driver-side aggregate at analysis). */
+    * declarative plan — no driver-side aggregate at analysis).
+    *
+    * With a 4th argument (a block ref — id, or `#<num>`) the read is a
+    * FORK-BRANCH read, like `graft_state_as_of`'s: the registered
+    * pipeline resolves that block's speculative overlay and it rides
+    * above the durable argmax — the reference's singlet reads apply the
+    * speculative entries the same way (read.go:300–349). */
   private[functions] def singletAsOfTable(children: Seq[Expression]): LogicalPlan = {
-    require(children.length == 3,
-      "graft_singlet_as_of(root, singlet, at_height) takes exactly 3 arguments")
-    val store = storeFor(stringArg("graft_singlet_as_of", children(0), "root"))
+    require(children.length == 3 || children.length == 4,
+      "graft_singlet_as_of(root, singlet, at_height[, block_ref]) takes 3 or 4 arguments")
+    val root = stringArg("graft_singlet_as_of", children(0), "root")
+    val store = storeFor(root)
+    val spec =
+      if (children.length == 3) Nil
+      else pipelineFor(root).speculativeSingletEntriesFor(
+        Some(blockRefArg("graft_singlet_as_of", children(3))))
     GraftBridge.logicalPlan(store.readSingletEntryAt(
       stringArg("graft_singlet_as_of", children(1), "singlet"),
-      longArg("graft_singlet_as_of", children(2), "at_height")))
+      longArg("graft_singlet_as_of", children(2), "at_height"), spec))
   }
 
   /** Builder for the `graft_singlet_history` TVF: the store's
     * manifest-pruned full-history singlet read (most recent first — O3),
-    * built directly like the other point-read TVFs. */
+    * built directly like the other point-read TVFs.
+    *
+    * With a 3rd argument (a block ref) the history is a FORK-BRANCH
+    * history: the branch's speculative entries are prepended ABOVE
+    * durable at equal height — the reference's speculative-first history
+    * (read.go:356–408). */
   private[functions] def singletHistoryTable(children: Seq[Expression]): LogicalPlan = {
-    require(children.length == 2,
-      "graft_singlet_history(root, singlet) takes exactly 2 arguments")
-    val store = storeFor(stringArg("graft_singlet_history", children(0), "root"))
+    require(children.length == 2 || children.length == 3,
+      "graft_singlet_history(root, singlet[, block_ref]) takes 2 or 3 arguments")
+    val root = stringArg("graft_singlet_history", children(0), "root")
+    val store = storeFor(root)
+    val spec =
+      if (children.length == 2) Nil
+      else pipelineFor(root).speculativeSingletEntriesFor(
+        Some(blockRefArg("graft_singlet_history", children(2))))
     GraftBridge.logicalPlan(store.readSingletEntries(
-      stringArg("graft_singlet_history", children(1), "singlet")))
+      stringArg("graft_singlet_history", children(1), "singlet"), spec))
   }
 }

@@ -260,9 +260,24 @@ final class IngestionPipeline(
     * the fork tree before the KV read runs). */
   def speculativeTabletRowsFor(request: Option[BlockRef]): Seq[DataFrame] = {
     import spark.implicits._
+    overlayWritesFor(request).map(_.tabletRows.toDF(StateStore.tabletRowCols: _*))
+  }
+
+  /** [[speculativeTabletRowsFor]]'s SINGLET twin — the overlay frames a
+    * fork-branch `readSingletEntryAt`/`readSingletEntries` wants
+    * (read.go:300–349 point read, 356–408 speculative-first history),
+    * with the same error outcomes. */
+  def speculativeSingletEntriesFor(request: Option[BlockRef]): Seq[DataFrame] = {
+    import spark.implicits._
+    overlayWritesFor(request).map(
+      _.singletEntries.toDF(StateStore.singletEntryCols: _*))
+  }
+
+  /** Shared branch resolve for the two overlay shapes: the reference's
+    * NotReady / RequestedBlockNotFound outcomes as loud errors. */
+  private def overlayWritesFor(request: Option[BlockRef]): Seq[WriteRequest] =
     fetchSpeculativeWrites(request) match {
-      case SpeculativeFetch.Writes(ws, _) =>
-        ws.map(_.tabletRows.toDF(StateStore.tabletRowCols: _*))
+      case SpeculativeFetch.Writes(ws, _) => ws
       case SpeculativeFetch.NotReady => throw new IllegalStateException(
         "speculative read not ready: no block processed yet (ErrNotReady)")
       case SpeculativeFetch.RequestedBlockNotFound =>
@@ -272,7 +287,6 @@ final class IngestionPipeline(
             "fork tree: above head, or connects to no tracked branch " +
             "(ErrRequestedBlockNotFound)")
     }
-  }
 
   /** Create head/LIB/lag gauges for this pipeline and register them on the
     * session's streaming listener bus (T7 — see [[PipelineMetrics]]). */

@@ -456,4 +456,99 @@ class RegistryExtensionsSpec extends SparkTestBase {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("fork-branch singlet TVFs: graft_singlet_as_of / graft_singlet_history " +
+    "with a block ref ≡ the function path — speculative replaces durable " +
+    "at the SAME height, history lists speculative entries first, " +
+    "fork isolation and bare-num refs hold") {
+    val base = spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    import graft.model.{BlockRef, SingletEntryM, WriteRequest}
+    import graft.store.StateStore
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      implicit val is: SparkSession = s2
+      val store = new StateStore(tmpDir("branch-singlet-tvf"), StateStore.ManifestCommit)
+      def sent(h: Long, v: String): SingletEntryM =
+        SingletEntryM(1, "head", h, v.getBytes("UTF-8"), v.isEmpty)
+      def req(h: Long, entries: SingletEntryM*): WriteRequest =
+        WriteRequest(h, BlockRef(s"a$h", h), Nil, entries)
+      // Durable: h1, h2, h3.
+      store.writeBatch(Seq(
+        req(1, sent(1, "d1")), req(2, sent(2, "d2")), req(3, sent(3, "d3"))))
+
+      // Fork tree: LIB at a3. Speculative a4 carries an entry AT HEIGHT 3
+      // — the same-height replacement case (read.go:300–349: speculative
+      // entries rank above durable at equal height) — plus a5 at height 5;
+      // competing fork b4 deletes the singlet at height 4.
+      val pipeline = new graft.streaming.IngestionPipeline(store)
+      pipeline.forkDB.moveLIB(BlockRef("a3", 3))
+      pipeline.forkDB.addLink(BlockRef("a4", 4), "a3", req(4, sent(3, "s3-spec")))
+      pipeline.forkDB.addLink(BlockRef("a5", 5), "a4", req(5, sent(5, "s5")))
+      pipeline.forkDB.addLink(BlockRef("b4", 4), "a3",
+        WriteRequest(4, BlockRef("b4", 4), Nil, Seq(sent(4, ""))))
+      graft.functions.GraftExtensions.registerPipeline(store.root, pipeline)
+
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getAs[String]("singlet_id"), r.getAs[Long]("height"),
+          new String(r.getAs[Array[Byte]]("value"), "UTF-8"))).toSeq
+      def asOfSql(at: Long, ref: String) = rows(s2.sql(
+        s"SELECT * FROM graft_singlet_as_of('${store.root}', 'head', $at, '$ref')"))
+      def histSql(ref: String) = rows(s2.sql(
+        s"""SELECT singlet_id, height, value
+           |FROM graft_singlet_history('${store.root}', 'head', '$ref')"""
+          .stripMargin))
+
+      // Same-height replacement: at height 3 on branch a5, the
+      // speculative entry WINS over the durable one. SQL ≡ function.
+      val at3 = asOfSql(3, "a5")
+      assert(at3 === rows(store.readSingletEntryAt("head", 3L,
+        pipeline.speculativeSingletEntriesFor(Some(BlockRef("a5", 0))))))
+      assert(at3 === Seq(("head", 3L, "s3-spec")))
+      // Durable-only read unchanged (3-arg form).
+      assert(rows(s2.sql(
+        s"SELECT * FROM graft_singlet_as_of('${store.root}', 'head', 3)"))
+        === Seq(("head", 3L, "d3")))
+      // Branch head: the speculative h5 entry serves.
+      assert(asOfSql(9, "a5") === Seq(("head", 5L, "s5")))
+      // Competing fork b4: its tombstone at h4 hides the singlet...
+      assert(asOfSql(9, "b4") === Seq.empty)
+      // ...while below the tombstone its own overlay has no h3 override.
+      assert(asOfSql(3, "b4") === Seq(("head", 3L, "d3")))
+
+      // History: speculative entries FIRST at equal height
+      // (read.go:356–408), then durable, descending.
+      val hist = histSql("a5")
+      assert(hist === rows(store.readSingletEntries("head",
+        pipeline.speculativeSingletEntriesFor(Some(BlockRef("a5", 0))))
+        .select("singlet_id", "height", "value")))
+      assert(hist === Seq(
+        ("head", 5L, "s5"),
+        ("head", 3L, "s3-spec"), // speculative BEFORE durable at h=3
+        ("head", 3L, "d3"),
+        ("head", 2L, "d2"), ("head", 1L, "d1")))
+      // Bare num: current chain truncated at #4 (includes the h3 override,
+      // not the h5 entry).
+      assert(asOfSql(9, "#4") === Seq(("head", 3L, "s3-spec")))
+      // 2-arg history unchanged: durable only.
+      assert(rows(s2.sql(
+        s"""SELECT singlet_id, height, value
+           |FROM graft_singlet_history('${store.root}', 'head')""".stripMargin))
+        === Seq(("head", 3L, "d3"), ("head", 2L, "d2"), ("head", 1L, "d1")))
+      // Reference error semantics ride through the singlet forms too.
+      val nf = intercept[Exception] { s2.sql(
+        s"SELECT * FROM graft_singlet_as_of('${store.root}', 'head', 9, 'zz')") }
+      assert(nf.getMessage.contains("not found"), nf.getMessage)
+    } finally {
+      graft.functions.GraftExtensions.unregisterPipeline("")
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }
