@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.store.StateStore
+import graft.streaming.{IngestionPipeline, JoiningSource, LiveBlockSource, StateMaterializer, StreamedBlock}
+
+/** Sustained-ingestion SOAK at the reference's cadence — not a throughput
+  * sprint ([[BenchIngest]] is that) but the full serving loop held at its
+  * design rate for tens of minutes, watching for drift that short gates
+  * cannot show: steady-state commit→serve lag, manifest metadata growth
+  * under `checkpointInterval = 8`, and driver heap.
+  *
+  * Topology = the production shape end to end:
+  *
+  *   archive (catch-up) ∪ live TCP (JSON frames)   — [[JoiningSource]],
+  *     seam overlap deduped by the commit path
+  *   → [[IngestionPipeline]] at a 1 s trigger      — the reference's flush
+  *     cadence (pipeline.go:374–382: ≥5k rows or 1 s)
+  *   → manifest-protocol [[StateStore]] (interval 8)
+  *   → changefeed → [[StateMaterializer]] merge    — the serving table,
+  *     compacted every ~5 min like an operator would
+  *
+  * The feeder emits `rowsPerBlock`-row blocks at `blocksPerSec`, default
+  * 10 × 500 = 5,000 rows/s — the reference envelope. Every `sampleSecs`
+  * the driver prints one JSON line: feeder head, store checkpoint height
+  * and its lag, serving table max height and ITS lag, generation pointer,
+  * manifest metadata bytes/files for both tables, and driver heap after a
+  * GC. The last line is a summary (max/steady lags, growth rates).
+  *
+  * Run: `sbt "runMain graft.SoakIngest [minutes] [blocksPerSec] [rowsPerBlock]"`
+  */
+object SoakIngest {
+  def main(args: Array[String]): Unit = {
+    val minutes = if (args.length > 0) args(0).toInt else 30
+    val blocksPerSec = if (args.length > 1) args(1).toInt else 10
+    val rowsPerBlock = if (args.length > 2) args(2).toInt else 500
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/spark-graft")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val base = java.nio.file.Files.createTempDirectory("graft-soak").toString
+    val root = s"$base/store"
+    val target = s"$base/serving"
+    val store = new StateStore(root, StateStore.ManifestCommit)
+    val pipeline = new IngestionPipeline(store)
+
+    def block(h: Long) = StreamedBlock(
+      s"b$h", s"b${h - 1}", h, "irreversible",
+      (0 until rowsPerBlock).map(i =>
+        TabletRowM(1, s"t${i % 16}", h, f"pk${(h * rowsPerBlock + i) % 9973}%06d",
+          s"value-$h-$i".getBytes("UTF-8"), false)),
+      if (h % 50 == 0) Seq(SingletEntryM(7, "head", h,
+        s"h$h".getBytes("UTF-8"), false)) else Nil)
+
+    // CATCH-UP history: ~60 s of blocks in the archive; the live feeder
+    // starts 30 blocks BEFORE the archive tail so the seam overlap is
+    // real (byte-identical redelivery deduped by the commit path).
+    val archiveDir = s"$base/archive"
+    val archiveHead = 60L * blocksPerSec
+    val liveStart = archiveHead - 30
+    (0L until archiveHead by 100L).foreach { lo =>
+      graft.streaming.BlockArchiveSource.writeArchiveFile(
+        (math.max(1L, lo) to math.min(archiveHead, lo + 99L)).map(block),
+        archiveDir)
+    }
+
+    // LIVE side: a TCP server the feeder thread drips JSON frames into at
+    // the target cadence, forever (until the soak ends).
+    val server = new java.net.ServerSocket(0)
+    @volatile var feederHead = liveStart - 1
+    @volatile var stopFeeder = false
+    val feeder = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      var h = liveStart
+      val perFrameNanos = 1000000000L / blocksPerSec
+      var nextAt = System.nanoTime()
+      while (!stopFeeder) {
+        LiveBlockSource.toJsonFrames(Seq(block(h))).foreach(out.println)
+        feederHead = h
+        h += 1
+        nextAt += perFrameNanos
+        val waitNs = nextAt - System.nanoTime()
+        if (waitNs > 0) Thread.sleep(waitNs / 1000000L, (waitNs % 1000000L).toInt)
+      }
+      out.flush()
+    }, "soak-feeder")
+    feeder.setDaemon(true)
+    feeder.start()
+
+    val joined = JoiningSource.fromArchiveWithLive(
+      spark, archiveDir,
+      LiveBlockSource.fromSocket(spark, "localhost", server.getLocalPort),
+      maxFilesPerTrigger = Some(20))
+    val ingest = pipeline.start(joined, s"$base/ck-ingest", triggerMillis = 1000)
+    val serve = StateMaterializer.start(store, target, s"$base/ck-serve")
+
+    def dirBytes(p: String): (Long, Long) = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(path)) (0L, 0L)
+      else {
+        var bytes = 0L; var files = 0L
+        val it = fs.listFiles(path, true)
+        while (it.hasNext) { val f = it.next(); bytes += f.getLen; files += 1 }
+        (bytes, files)
+      }
+    }
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+
+    val deadline = System.currentTimeMillis() + minutes.toLong * 60000L
+    val sampleSecs = 15
+    var lastCompact = System.currentTimeMillis()
+    val samples = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long)]
+    val t0 = System.currentTimeMillis()
+    while (System.currentTimeMillis() < deadline) {
+      Thread.sleep(sampleSecs * 1000L)
+      val head = feederHead
+      val ckpt = store.checkpoint(StateStore.GlobalCheckpointKey).map(_.height).getOrElse(0L)
+      val served = scala.util.Try(
+        StateMaterializer.read(target).agg(max("height")).collect()
+          .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+          .getOrElse(0L)).getOrElse(0L)
+      val gen = store.manifestTableFor(store.tabletRowsPath)
+        .currentGeneration().getOrElse(0L)
+      val (mBytes, mFiles) = dirBytes(s"$root/tablet_rows/_manifests")
+      val (tBytes, tFiles) = dirBytes(s"$target/_manifests")
+      System.gc()
+      val rt = Runtime.getRuntime
+      val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+      val el = (System.currentTimeMillis() - t0) / 1000
+      samples += ((el, head - ckpt, head - served, gen, mBytes, heapMb))
+      println(s"""{"soak_sample":{"elapsed_sec":$el,"feeder_head":$head,""" +
+        s""""ckpt_height":$ckpt,"commit_lag_blocks":${head - ckpt},""" +
+        s""""served_height":$served,"serve_lag_blocks":${head - served},""" +
+        s""""generation":$gen,"store_manifest_bytes":$mBytes,""" +
+        s""""store_manifest_files":$mFiles,"target_manifest_bytes":$tBytes,""" +
+        s""""target_manifest_files":$tFiles,"heap_mb":$heapMb}}""")
+      // Operator-cadence maintenance: compact the serving table's accreted
+      // merge generations every ~5 min (rides through the changefeed as a
+      // dataChange=false rewrite).
+      if (System.currentTimeMillis() - lastCompact > 300000L) {
+        val folded = StateMaterializer.compact(target)
+        println(s"""{"soak_compact":{"elapsed_sec":$el,"folded":$folded}}""")
+        lastCompact = System.currentTimeMillis()
+      }
+    }
+    stopFeeder = true
+    // Final drain: let the pipeline catch the feeder's last block, then
+    // summarize steady state (samples after the catch-up seam, i.e. the
+    // second half).
+    Thread.sleep(3000L)
+    ingest.stop(); serve.stop(); server.close()
+    val steady = samples.drop(samples.size / 2)
+    def rate(sel: ((Long, Long, Long, Long, Long, Long)) => Long): Double = {
+      if (samples.size < 2) 0.0
+      else (sel(samples.last) - sel(samples.head)).toDouble /
+        (samples.last._1 - samples.head._1)
+    }
+    println(s"""{"soak_summary":{"minutes":$minutes,"rows_per_sec_target":${blocksPerSec * rowsPerBlock},""" +
+      s""""samples":${samples.size},""" +
+      s""""commit_lag_max":${samples.map(_._2).max},"commit_lag_steady_max":${steady.map(_._2).max},""" +
+      s""""serve_lag_max":${samples.map(_._3).max},"serve_lag_steady_max":${steady.map(_._3).max},""" +
+      s""""serve_lag_steady_mean":${fmt(steady.map(_._3).sum.toDouble / math.max(1, steady.size))},""" +
+      s""""final_generation":${samples.last._4},""" +
+      s""""manifest_bytes_per_sec":${fmt(rate(_._5))},""" +
+      s""""heap_mb_first":${samples.head._6},"heap_mb_last":${samples.last._6},""" +
+      s""""heap_mb_max":${samples.map(_._6).max}}}""")
+    spark.stop()
+  }
+}
