@@ -18,6 +18,8 @@ import graft.streaming.{BlockArchiveSource, IngestionPipeline}
   *                                            replay a reference-format
   *                                            .dbin[.zst] shard segment
   *                                            (widths: coll=len,coll=len)
+  *   layout-report <root>                     dry-run: per-tablet read mix and
+  *                                            the layout auto-compaction would pick
   *   backfill-sidecars <root>                 synthesize missing delta sidecars
   *                                            (one manifest fold) so legacy
   *                                            tables' changefeeds go linear
@@ -67,6 +69,11 @@ object Tools {
       val n = Backfill.injectDbinSegment(spark, segment, i.toInt, storeFor(root),
         idLen, rest.headOption.map(_.toLong).getOrElse(-1L))
       s"injected $n write requests from $segment as shard $i"
+    case "layout-report" :: root :: Nil =>
+      val rows = storeFor(root).compactTabletRowsAutoReport()
+      if (rows.isEmpty) "no observed tablets (no reads recorded yet)"
+      else rows.map { case (t, p, s, d) =>
+        s"$t: points=$p scans=$s -> $d" }.mkString("\n")
     case "backfill-sidecars" :: root :: Nil =>
       storeFor(root).backfillDeltaSidecars()
         .map { case (t, (synth, present)) =>

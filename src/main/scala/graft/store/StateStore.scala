@@ -894,6 +894,25 @@ final class StateStore(
     * (`"interleaved"` / `"sorted"`) regardless of counters — the
     * operator's escape hatch. Returns (directories folded, the tablet set
     * that compacted interleaved). */
+  /** [[compactTabletRowsAuto]]'s DRY-RUN: the per-tablet evidence and the
+    * decision it would drive, without rewriting anything — the operator's
+    * what-would-happen view before a maintenance window (and the place to
+    * see that a fresh process is deciding on persisted counters). Rows:
+    * (tablet, pointReads, tailScans, layout it would compact to). */
+  def compactTabletRowsAutoReport(
+      overrides: Map[String, String] = Map.empty): Seq[(String, Long, Long, String)] = {
+    overrides.values.foreach(v => require(
+      v == "interleaved" || v == "sorted",
+      s"layout override must be 'interleaved' or 'sorted', got '$v'"))
+    val observed = readMix.observedTablets ++
+      overrides.keys.filterNot(readMix.observedTablets.contains)
+    observed.sorted.map { t =>
+      val decided = overrides.getOrElse(t,
+        if (readMix.prefersInterleaved(t)) "interleaved" else "sorted")
+      (t, readMix.pointReads(t), readMix.tailScans(t), decided)
+    }
+  }
+
   def compactTabletRowsAuto(
       numFiles: Int = 0,
       overrides: Map[String, String] = Map.empty): (Long, Set[String]) = {

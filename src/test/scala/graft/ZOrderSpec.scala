@@ -225,6 +225,13 @@ class ZOrderSpec extends SparkTestBase {
     storeB.readMix.flush()
     val storeC = new StateStore(root)
     assert(storeC.readMix.pointReads("pt") === 4L)
+    // The dry-run report shows the evidence + decision without rewriting;
+    // overrides surface in the report too.
+    val report = storeC.compactTabletRowsAutoReport()
+    assert(report.contains(("pt", 4L, 0L, "interleaved")), report.toString)
+    assert(report.contains(("sc", 0L, 1L, "sorted")), report.toString)
+    assert(storeC.compactTabletRowsAutoReport(Map("pt" -> "sorted"))
+      .find(_._1 == "pt").get._4 === "sorted")
 
     // Corrupt counters: warn, start empty, serve height-sorted — never
     // fail the store open over advisory data.
