@@ -826,13 +826,21 @@ final class ManifestTable(val tablePath: String, schema: StructType,
         struct(col(orderCol), col("__src"))).as("w"),
         max(when(col("__src") === 0, 1).otherwise(0)).as("__had"))
       .select(col("__had") +: cols.map(n => col(s"w.$n").as(n)): _*)
-    val merged = (if (keepTombstones) winners else winners.where(!col(deleteCol)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merged = if (keepTombstones) winners else winners.where(!col(deleteCol))
 
     val next = gen + 1
     val dataDir = s"$tablePath/d-$commitId-g$next"
-    val files =
-      try {
+    val (rwFiles, allFiles) =
+      if (matchedFiles.isEmpty) {
+        // Nothing rewritten (touched keys matched no existing file): the
+        // generation is a plain append of the update batch — one write,
+        // no persist, no per-file dataChange to record (rewrite=false
+        // means everything is fresh by definition).
+        writeData(merged.drop("__had")
+          .repartitionByRange(1, keyCols.map(col): _*)
+          .sortWithinPartitions(keyCols.map(col): _*), dataDir)
+        (Seq.empty[String], listDataFiles(dataDir))
+      } else {
         // TWO physical passes over the persisted winners: rewritten rows
         // (range-partitioned like the files they replace, bounds stay
         // tight) then fresh inserts APPENDED as their own file(s) — the
@@ -840,18 +848,20 @@ final class ManifestTable(val tablePath: String, schema: StructType,
         // (a single mixed write could never tell the changefeed which
         // files are pure inserts). The fresh side is touched-key-bounded
         // by the merge contract, hence the single sorted output file.
-        writeData(merged.where(col("__had") === 1).drop("__had")
-          .repartitionByRange(math.max(1, matchedFiles.size), keyCols.map(col): _*)
-          .sortWithinPartitions(keyCols.map(col): _*), dataDir)
-        val rwFiles = listDataFiles(dataDir)
-        val freshDf = merged.where(col("__had") === 0).drop("__had")
-          .repartitionByRange(1, keyCols.map(col): _*)
-          .sortWithinPartitions(keyCols.map(col): _*)
-        val w = freshDf.write.mode(SaveMode.Append)
-        partitionCol.fold(w)(c => w.partitionBy(c)).parquet(dataDir)
-        (rwFiles, listDataFiles(dataDir))
-      } finally merged.unpersist(blocking = false)
-    val (rwFiles, allFiles) = files
+        val m = merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          writeData(m.where(col("__had") === 1).drop("__had")
+            .repartitionByRange(matchedFiles.size, keyCols.map(col): _*)
+            .sortWithinPartitions(keyCols.map(col): _*), dataDir)
+          val rw = listDataFiles(dataDir)
+          val freshDf = m.where(col("__had") === 0).drop("__had")
+            .repartitionByRange(1, keyCols.map(col): _*)
+            .sortWithinPartitions(keyCols.map(col): _*)
+          val w = freshDf.write.mode(SaveMode.Append)
+          partitionCol.fold(w)(c => w.partitionBy(c)).parquet(dataDir)
+          (rw, listDataFiles(dataDir))
+        } finally m.unpersist(blocking = false)
+      }
     val freshFiles = allFiles.filterNot(rwFiles.toSet)
     if (failBeforePublish)
       throw new IllegalStateException(s"injected crash before publish of $commitId")
