@@ -41,6 +41,13 @@ object SoakIngest {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/spark-graft")
+      // FAIR + per-query pools (graft-ingest / graft-serve, set by the
+      // components themselves): under the FIFO default the serving
+      // merge's multi-second job queue BLOCKS the ingest trigger —
+      // soak-measured as 60–80 s ingest stalls that self-reinforce
+      // (bigger batch → longer merge → longer stall). FAIR keeps the
+      // 1 s ingest cadence flat while maintenance runs beside it.
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -72,23 +79,44 @@ object SoakIngest {
     }
 
     // LIVE side: a TCP server the feeder thread drips JSON frames into at
-    // the target cadence, forever (until the soak ends).
+    // the target cadence, forever (until the soak ends). Encoding is
+    // DECOUPLED from the cadence: a separate thread pre-encodes frames in
+    // 300-block chunks (one Spark job per chunk) into a bounded queue —
+    // the first soak run showed the generator itself stalling 60 s behind
+    // a serving merge because every frame's encode was its own Spark job
+    // queued on the shared scheduler, which made the measured ingest lag
+    // a harness artifact.
     val server = new java.net.ServerSocket(0)
     @volatile var feederHead = liveStart - 1
     @volatile var stopFeeder = false
+    val frameQueue = new java.util.concurrent.LinkedBlockingQueue[String](1500)
+    val encoder = new Thread(() => {
+      var h = liveStart
+      while (!stopFeeder) {
+        val frames = LiveBlockSource.toJsonFrames((h until h + 300L).map(block))
+        h += 300
+        frames.foreach { f =>
+          while (!stopFeeder && !frameQueue.offer(f,
+            1, java.util.concurrent.TimeUnit.SECONDS)) ()
+        }
+      }
+    }, "soak-encoder")
+    encoder.setDaemon(true)
+    encoder.start()
     val feeder = new Thread(() => {
       val sock = server.accept()
       val out = new java.io.PrintWriter(sock.getOutputStream, true)
-      var h = liveStart
       val perFrameNanos = 1000000000L / blocksPerSec
       var nextAt = System.nanoTime()
       while (!stopFeeder) {
-        LiveBlockSource.toJsonFrames(Seq(block(h))).foreach(out.println)
-        feederHead = h
-        h += 1
-        nextAt += perFrameNanos
-        val waitNs = nextAt - System.nanoTime()
-        if (waitNs > 0) Thread.sleep(waitNs / 1000000L, (waitNs % 1000000L).toInt)
+        val f = frameQueue.poll(1, java.util.concurrent.TimeUnit.SECONDS)
+        if (f != null) {
+          out.println(f)
+          feederHead += 1
+          nextAt += perFrameNanos
+          val waitNs = nextAt - System.nanoTime()
+          if (waitNs > 0) Thread.sleep(waitNs / 1000000L, (waitNs % 1000000L).toInt)
+        }
       }
       out.flush()
     }, "soak-feeder")

@@ -268,12 +268,16 @@ object Snapshots {
       counters.update(tabletId, 0L)
     }
 
+    /** Eligible tablets, MOST-OVERDUE FIRST (pending-mutation count
+      * descending, name as tiebreak): callers that cap builds per batch
+      * ([[graft.streaming.IngestionPipeline]]) then always serve the
+      * tablet whose reads are farthest from a useful snapshot. */
     def tabletsToIndex(): Seq[String] =
       counters.collect {
         case (tablet, muts)
             if shouldTriggerIndexing(lastIndexRows.get(tablet), muts, minMutations) =>
           tablet
-      }.toSeq.sorted
+      }.toSeq.sortBy(t => (-counters(t), t))
 
     def mutationCount(tabletId: String): Long = counters.getOrElse(tabletId, 0L)
   }

@@ -41,7 +41,11 @@ object StreamedBlock {
 final class IngestionPipeline(
     store: StateStore,
     blockFilter: StreamedBlock => Boolean = _ => true,
-    indexMinMutations: Long = 25000L)(implicit spark: SparkSession) {
+    indexMinMutations: Long = 25000L,
+    maxIndexBuildsPerBatch: Int = 2)(implicit spark: SparkSession) {
+
+  require(maxIndexBuildsPerBatch >= 1,
+    s"maxIndexBuildsPerBatch must be >= 1, got $maxIndexBuildsPerBatch")
 
   val forkDB = new ForkDB
 
@@ -163,7 +167,20 @@ final class IngestionPipeline(
     // the batch head height (so snapshot ∪ tail reads stay consistent).
     tabletCounts.foreach { case (tablet, _, n) => indexCache.increment(tablet, n) }
     val collectionByTablet = tabletCounts.map(t => t._1 -> t._2).toMap
-    indexCache.tabletsToIndex().foreach { tablet =>
+    // CAPPED index maintenance: under uniform traffic every tablet
+    // crosses the 25k-mutation heuristic in the SAME batch, and building
+    // all of them serially inside one commit stalls ingestion for the
+    // sum of the builds — soak-measured at 5k rows/s x 16 tablets as a
+    // 50-60 s ingest stall every ~80 s (commit lag sawtoothing to ~500
+    // blocks), each build being a handful of small Spark jobs. Building
+    // at most K per batch amortizes the same work across batches (the
+    // rest STAY eligible — counters only reset on build — and
+    // tabletsToIndex serves the most-overdue first), holding per-batch
+    // commit latency near the trigger cadence. The threshold is a
+    // heuristic, not a contract: a tablet indexes a few batches later at
+    // exactly the same consistency (reads fall back to the previous
+    // snapshot + a slightly longer tail until then).
+    indexCache.tabletsToIndex().take(maxIndexBuildsPerBatch).foreach { tablet =>
       val coll = collectionByTablet.getOrElse(tablet, 0)
       store.latestTabletSnapshotMeta(tablet, hi) match {
         case Some((prevH, prevSquelch, prevIdx)) if prevH < hi =>
@@ -219,11 +236,22 @@ final class IngestionPipeline(
       blocks: Dataset[StreamedBlock],
       checkpointLocation: String,
       triggerMillis: Long = 1000L): StreamingQuery =
-    blocks.writeStream
-      .option("checkpointLocation", checkpointLocation)
-      .trigger(Trigger.ProcessingTime(triggerMillis))
-      .foreachBatch { (b: Dataset[StreamedBlock], id: Long) => commitBatch(b, id) }
-      .start()
+    // Own scheduler pool (effective when the session runs
+    // spark.scheduler.mode=FAIR; a no-op under the FIFO default): a
+    // co-located downstream subscription (serving merge, backfill) can
+    // queue multi-second jobs, and under FIFO those BLOCK this pipeline's
+    // micro-batch jobs — measured in the sustained soak as the 1 s
+    // ingest trigger stalling 60–80 s behind one serving merge, with the
+    // stall self-reinforcing (bigger batch → longer merge → longer
+    // stall). FAIR + per-query pools keeps ingest latency flat no matter
+    // what maintenance runs beside it.
+    IngestionPipeline.inPool(spark, "graft-ingest") {
+      blocks.writeStream
+        .option("checkpointLocation", checkpointLocation)
+        .trigger(Trigger.ProcessingTime(triggerMillis))
+        .foreachBatch { (b: Dataset[StreamedBlock], id: Long) => commitBatch(b, id) }
+        .start()
+    }
 
   /** Speculative overlay for a read at block `refId`, as mutation DataFrames
     * in block order — feeds TemporalReads' `speculative` argument
@@ -301,4 +329,20 @@ final class IngestionPipeline(
     * wall clock. The block→time mapping is embedder-supplied. */
   def isReady(headTimestampMillis: Long, nowMillis: Long, thresholdSeconds: Int = 15): Boolean =
     nowMillis - headTimestampMillis <= thresholdSeconds * 1000L
+}
+
+object IngestionPipeline {
+  /** Run `body` (typically a `writeStream.start()`) with the calling
+    * thread's scheduler pool set to `pool`, restoring the previous value
+    * after. Structured Streaming captures the START thread's local
+    * properties for every micro-batch it schedules, so this pins ALL of
+    * the query's jobs to the pool — the standard way to isolate
+    * co-located streaming queries under `spark.scheduler.mode=FAIR`
+    * (under the FIFO default the property is ignored). */
+  private[graft] def inPool[T](spark: SparkSession, pool: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.scheduler.pool")
+    sc.setLocalProperty("spark.scheduler.pool", pool)
+    try body finally sc.setLocalProperty("spark.scheduler.pool", prev)
+  }
 }

@@ -62,12 +62,18 @@ object LiveBlockSource {
         .as[java.lang.String])
   }
 
-  /** Producer-side framing: one [[StreamedBlock]] as its JSON wire frame.
+  /** Producer-side framing: one [[StreamedBlock]] per JSON wire frame.
     * Uses Spark's own encoder→JSON path so producer and [[parseJsonFrames]]
-    * can never drift on field names or binary coding. */
+    * can never drift on field names or binary coding. ONE job for the
+    * whole sequence (single ordered partition), not one per block — a
+    * sustained producer emitting at the reference cadence would otherwise
+    * submit a scheduler round-trip per frame and stall behind any long
+    * job sharing the context (soak-measured: the generator itself queued
+    * 60 s behind a serving merge). */
   def toJsonFrames(blocks: Seq[StreamedBlock])(implicit spark: SparkSession): Seq[String] = {
     import spark.implicits._
-    blocks.map(b => Seq(b).toDS().toJSON.head())
+    if (blocks.isEmpty) Seq.empty
+    else blocks.toDS().coalesce(1).toJSON.collect().toSeq
   }
 
   // --------------------------------------------------- proto wire framing

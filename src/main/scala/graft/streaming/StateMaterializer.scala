@@ -67,21 +67,28 @@ object StateMaterializer {
     // re-merged, which the merge's argmax absorbs (keepTombstones keeps
     // the delete→redeliver guard intact too).
     val runToken = java.util.UUID.randomUUID().toString.take(8)
-    store.changefeedStream(startingGeneration)
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val winners = graft.read.TemporalReads
-          .latestPerKey(
-            batch.select(Schemas.tabletRows.fieldNames.map(col).toSeq: _*),
-            KeyCols, Seq("value", "collection"))
-          .select(Schemas.tabletRows.fieldNames.map(col).toSeq: _*)
-        target.merge(winners, KeyCols, orderCol = "height",
-          deleteCol = "is_deletion", commitId = f"cf-$runToken-b$batchId%09d",
-          keepTombstones = true)
-        ()
-      }
-      .start()
+    // Own scheduler pool, like the ingestion pipeline: a serving merge is
+    // a multi-second job queue, and under FIFO it starves a co-located
+    // ingest's 1 s trigger (soak-measured: 60–80 s ingest stalls behind
+    // one merge). Run the session with spark.scheduler.mode=FAIR when
+    // subscriptions share the ingest process; no-op under FIFO.
+    IngestionPipeline.inPool(spark, "graft-serve") {
+      store.changefeedStream(startingGeneration)
+        .writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val winners = graft.read.TemporalReads
+            .latestPerKey(
+              batch.select(Schemas.tabletRows.fieldNames.map(col).toSeq: _*),
+              KeyCols, Seq("value", "collection"))
+            .select(Schemas.tabletRows.fieldNames.map(col).toSeq: _*)
+          target.merge(winners, KeyCols, orderCol = "height",
+            deleteCol = "is_deletion", commitId = f"cf-$runToken-b$batchId%09d",
+            keepTombstones = true)
+          ()
+        }
+        .start()
+    }
   }
 
   /** The serving read: current live state, no argmax (already collapsed
