@@ -276,18 +276,28 @@ object GraftExtensions {
 
   /** Checkpointed-diff registry behind `graft_release_diffs()`: the
     * RDDs (not the DataFrames — the wrapper dies young while the plan
-    * the user executes keeps the RDD alive) of every TVF-planned diff,
-    * weakly referenced per session. A collected referent means the
-    * ContextCleaner already did (or will do) the freeing. */
-  private val plannedDiffs = new java.util.concurrent.ConcurrentHashMap[
+    * the user executes keeps the RDD alive) of every TVF-planned diff.
+    * WEAK on both axes: a WeakHashMap key never pins a session that
+    * stopped planning diffs (its entry vanishes with the session), and
+    * the queue holds weak refs to the RDDs (tracking never pins what the
+    * ContextCleaner would reclaim — a collected referent means the
+    * cleaner already did, or will do, the freeing). SparkSession uses
+    * reference equality, so the map cannot cross-talk between sessions. */
+  private val plannedDiffs = new java.util.WeakHashMap[
     SparkSession,
     java.util.concurrent.ConcurrentLinkedQueue[
       java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]]()
 
   private def trackDiff(
       spark: SparkSession, df: org.apache.spark.sql.DataFrame): Unit = {
-    val q = plannedDiffs.computeIfAbsent(spark,
-      _ => new java.util.concurrent.ConcurrentLinkedQueue)
+    val q = plannedDiffs.synchronized {
+      var queue = plannedDiffs.get(spark)
+      if (queue == null) {
+        queue = new java.util.concurrent.ConcurrentLinkedQueue
+        plannedDiffs.put(spark, queue)
+      }
+      queue
+    }
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         q.add(new java.lang.ref.WeakReference(lr.rdd))
@@ -298,7 +308,7 @@ object GraftExtensions {
   /** Free every still-reachable diff checkpoint planned in `spark`;
     * returns how many block sets were dropped. */
   private[graft] def releaseDiffs(spark: SparkSession): Int = {
-    val q = plannedDiffs.remove(spark)
+    val q = plannedDiffs.synchronized(plannedDiffs.remove(spark))
     if (q == null) 0
     else {
       var n = 0

@@ -1409,7 +1409,11 @@ object StateStore {
       }
     }
     private def flushLocked(): Unit = {
-      fsPath.foreach { case (fs, p) =>
+      // NEVER throw out of a flush: recording happens on READ paths, and
+      // a consumer process on a read-only mount (or a transient store
+      // fault) must not have its 256th read fail over advisory counters.
+      // Warn once per failure streak, keep counting in memory.
+      try fsPath.foreach { case (fs, p) =>
         val tmp = new Path(p.toString + ".tmp")
         val out = fs.create(tmp, true)
         val body = (points.keySet ++ scans.keySet).toSeq.sorted.map { t =>
@@ -1423,9 +1427,17 @@ object StateStore {
           if (!fs.rename(tmp, p))
             log.warn(s"could not persist read-mix counters to $p")
         }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          if (!warnedUnwritable) {
+            warnedUnwritable = true
+            log.warn(s"read-mix counters not persistable (read-only " +
+              "store? transient fault?) — continuing in-memory only", e)
+          }
       }
       dirty = 0
     }
+    private var warnedUnwritable = false
     def flush(): Unit = synchronized(flushLocked())
     private def bump(m: scala.collection.mutable.Map[String, Long],
         tabletId: String): Unit = {
