@@ -370,6 +370,91 @@ object TemporalQueries {
         .orderBy("primary_key")
     },
 
+    // emitFresh SUBSCRIPTION to a merge target, end to end: the 'view'
+    // tablet lands in three windowed store commits; the materializer
+    // merges each into the serving table (one merge per window — gen 1 a
+    // plain append, gens 2–3 rewrites that BOTH update existing keys and
+    // insert new ones); the target is then compacted (a contents-
+    // preserving rewrite). A from-0 changefeed subscription on the
+    // SERVING TABLE with onRewrite=emitFresh must receive, per key,
+    // exactly its FIRST window's LWW winner (merge physically segregates
+    // fresh inserts and records them per-file in the sidecar; updates to
+    // existing keys are rewritten, not emitted; the compaction rides
+    // through silently) — including keys whose first appearance is a
+    // tombstone (the materializer keeps them as physical rows). The
+    // DuckDB oracle replays the same classification: each key's winner in
+    // its first window.
+    QuerySpec.sql(
+      "t_changefeed_emit_fresh",
+      s"""$MutationsCte, scoped AS (
+         |  SELECT primary_key, height, value, is_deletion,
+         |         CASE WHEN height <= 2000 THEN 1
+         |              WHEN height <= 4000 THEN 2 ELSE 3 END AS w
+         |  FROM mutations WHERE tablet_id = 'view' AND height <= 6000
+         |), winners AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY primary_key, w ORDER BY height DESC) AS rn
+         |  FROM scoped
+         |), firstw AS (
+         |  SELECT primary_key, min(w) AS fw FROM scoped GROUP BY primary_key
+         |)
+         |SELECT s.primary_key, s.height, s.value, s.is_deletion
+         |FROM winners s JOIN firstw f
+         |  ON s.primary_key = f.primary_key AND s.w = f.fw
+         |WHERE s.rn = 1
+         |ORDER BY s.primary_key""".stripMargin) { (s, dir) =>
+      implicit val is = s
+      import org.apache.spark.sql.types._
+      val root = java.nio.file.Files.createTempDirectory("graft-ef-gate").toString
+      val target = java.nio.file.Files.createTempDirectory("graft-ef-target").toString
+      val store = new graft.store.StateStore(root, graft.store.StateStore.ManifestCommit)(s)
+      val m = mutations(s, dir).filter(col("tablet_id") === "view")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        // One merge per window: drain the materializer after each commit,
+        // so each window is its own serving-table generation (a single
+        // drain would fold all three into one append and there would be
+        // no rewrite generations to subscribe through).
+        val q = graft.streaming.StateMaterializer.start(store, target,
+          java.nio.file.Files.createTempDirectory("graft-ef-ck").toString)
+        try {
+          Seq((-1L, 2000L), (2000L, 4000L), (4000L, 6000L)).zipWithIndex.foreach {
+            case ((lo, hi), i) =>
+              store.writeTabletRows(
+                m.filter(col("height") > lo && col("height") <= hi)
+                  .select(lit(1).as("collection"), col("tablet_id"), col("height"),
+                    col("primary_key"), col("value").cast("binary").as("value"),
+                    col("is_deletion")),
+                commitId = s"w$i")
+              q.processAllAvailable()
+          }
+        } finally q.stop()
+        // Contents-preserving rewrite mid-history: emitFresh must ride
+        // through it with nothing emitted (fresh recorded as known-none).
+        graft.streaming.StateMaterializer.compact(target, numFiles = 4)
+        val sink = "ef_gate_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q2 = graft.streaming.ManifestChangefeed
+          .stream(s, target, onRewrite = "emitFresh")
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft-ef-ck2").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q2.awaitTermination(120000L), "emitFresh drain must terminate")
+        q2.stop()
+        val rows = s.table(sink)
+          .select(col("primary_key"), col("height"),
+            col("value").cast("string").as("value"), col("is_deletion"))
+          .collect()
+        val schema = StructType(Seq(
+          StructField("primary_key", StringType), StructField("height", LongType),
+          StructField("value", StringType), StructField("is_deletion", BooleanType)))
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+          .orderBy("primary_key")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
+
     // Speculative overlay (J2): durable ≤ 7000 overlaid by a speculative set
     // on (6500, 7500] whose values are tagged; at equal height the
     // speculative write wins (source_rank tie-break, §7.4 risk 1).
