@@ -211,7 +211,8 @@ object ManifestProbe {
     // ------------------------------------------------------------------
     {
       val ckRoot = s"/dev/shm/graft-mprobe-ck"
-      def catchup(name: String, maxGens: Option[Long]): Long = {
+      def catchup(name: String, maxGens: Option[Long],
+          availableNow: Boolean = false): Long = {
         fs.delete(new org.apache.hadoop.fs.Path(ckRoot), true)
         val rt = Runtime.getRuntime
         System.gc()
@@ -220,15 +221,20 @@ object ManifestProbe {
         val t0 = System.nanoTime()
         var caught = 0L
         var batches = 0L
-        val q = store.changefeedStream(maxGenerationsPerTrigger = maxGens)
+        val w = store.changefeedStream(maxGenerationsPerTrigger = maxGens)
           .writeStream
           .option("checkpointLocation", s"$ckRoot/catchup")
           .foreachBatch { (b: DataFrame, _: Long) =>
             caught += b.count(); batches += 1
             heapMax = math.max(heapMax, rt.totalMemory() - rt.freeMemory())
           }
-          .start()
-        q.processAllAvailable(); q.stop()
+        val q = (if (availableNow)
+          w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        else w).start()
+        if (availableNow) require(q.awaitTermination(600000L),
+          s"$name: AvailableNow drain must self-terminate")
+        else q.processAllAvailable()
+        q.stop()
         val tCatchup = (System.nanoTime() - t0) / 1e9
         println(f"MPROBE commits=$commits query=$name min=$tCatchup%.2f " +
           f"rows=$caught batches=$batches heap_delta_mb=${(heapMax - heap0) / 1e6}%.0f")
@@ -239,12 +245,19 @@ object ManifestProbe {
       // slice. Both must deliver exactly the batch-read row count.
       val caught = catchup("changefeed_catchup", None)
       val caughtCapped = catchup("changefeed_catchup_cap256", Some(256L))
+      // Round-14 admission control: Trigger.AvailableNow + the cap must
+      // drain the SAME backlog to convergence in ONE invocation, in
+      // capped individually-committed slices (previously: one slice per
+      // invocation), then self-terminate.
+      val caughtAvNow = catchup("changefeed_catchup_avnow_cap256",
+        Some(256L), availableNow = true)
       spark.catalog.clearCache()
       val t1 = System.nanoTime()
       val batchRows = store.tabletRows.count()
       val tBatch = (System.nanoTime() - t1) / 1e9
-      require(caught == batchRows && caughtCapped == batchRows,
-        s"catch-up rows $caught/$caughtCapped != batch $batchRows")
+      require(caught == batchRows && caughtCapped == batchRows &&
+        caughtAvNow == batchRows,
+        s"catch-up rows $caught/$caughtCapped/$caughtAvNow != batch $batchRows")
       println(f"MPROBE commits=$commits query=changefeed_batch_read min=$tBatch%.2f")
     }
 

@@ -441,7 +441,11 @@ object TemporalQueries {
             java.nio.file.Files.createTempDirectory("graft-ef-ck2").toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        require(q2.awaitTermination(120000L), "emitFresh drain must terminate")
+        // Generous bound: the drain is 4 tiny micro-batches, but the gate
+        // may share the host with unrelated load (a 120 s bound tripped
+        // once under a concurrent 32-core probe run).
+        require(q2.awaitTermination(300000L),
+          s"emitFresh drain must terminate; status=${q2.status}")
         q2.stop()
         val rows = s.table(sink)
           .select(col("primary_key"), col("height"),
