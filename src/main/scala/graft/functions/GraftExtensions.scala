@@ -27,10 +27,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `graft_sorted_intersect_count(a, b) -> bigint` — distinct
   *     intersection count of two sorted long arrays
   *     ([[SortedIntersectCount]]).
-  *   - `graft_state_as_of(root, tablet, at_height)` — TABLE function: the
-  *     flagship store-backed as-of read in pure SQL, planned
-  *     snapshot-aware by the injected [[graft.plans.StateAsOfRule]]
+  *   - `graft_state_as_of(root, tablet, at_height[, block_ref])` — TABLE
+  *     function: the flagship store-backed as-of read in pure SQL,
+  *     planned snapshot-aware by the injected
+  *     [[graft.plans.StateAsOfRule]]; with a block ref, the fork-branch
+  *     read through a registered pipeline's speculative overlay
   *     (`SELECT * FROM graft_state_as_of('/store', 'accounts', 800)`).
+  *   - `graft_tablet_diff(root, tablet, from, to)` — the incremental
+  *     state-diff read; `graft_release_diffs()` frees its session-cached
+  *     checkpoints.
+  *   - `graft_singlet_as_of(root, singlet, h[, block_ref])` /
+  *     `graft_singlet_history(root, singlet[, block_ref])` — the singlet
+  *     point read and O3 history, with the same fork-branch overload.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
