@@ -382,8 +382,22 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       val line =
         try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
         finally in.close()
-      val rewrite = line.split("\"rewrite\":", 2)(1).trim.startsWith("true")
-      val fresh = line.split("\"fresh\":\\[", 2) match {
+      // POSITIONAL anchor: `rewrite` and `fresh` are only ever written
+      // BEFORE the `files` array, while the stats section (after it) can
+      // contain a user column literally named `rewrite` or `fresh` —
+      // whose `"fresh":["l:...","l:..."]` bounds a whole-line split would
+      // capture as a fresh-FILE list, sending emitFresh subscribers to
+      // scan garbage paths. Quoting protects every other collision (a
+      // crafted commit_id or file name arrives with its quotes escaped,
+      // so the literal `"fresh":[` pattern cannot assemble), leaving the
+      // stats keys as the one unescaped surface — excluded here by
+      // parsing only the prefix.
+      val beforeFiles = line.split("\"files\":\\[", 2)(0)
+      val rewrite = beforeFiles.split("\"rewrite\":", 2) match {
+        case Array(_, rest) => rest.trim.startsWith("true")
+        case _ => false
+      }
+      val fresh = beforeFiles.split("\"fresh\":\\[", 2) match {
         case Array(_, rest) =>
           val body = rest.split("\\]", 2)(0)
           Some(if (body.isEmpty) Seq.empty[String]

@@ -1370,100 +1370,192 @@ object StateStore {
     * recordings are lost to a crash, which only ever delays a layout
     * flip (the reference's analogous counters lose EVERYTHING on
     * restart, indexing.go:486–583). Tablet ids travel base64 so no
-    * delimiter in an id can corrupt a line. Single-writer discipline,
-    * like every other store maintenance surface: concurrent processes
-    * last-writer-win the FILE but each still has its own in-memory
-    * superset. An unreadable file warns and starts empty (advisory
-    * data — a wrong layout is a perf miss, not wrong contents). */
+    * delimiter in an id can corrupt a line.
+    *
+    * MULTI-WRITER SAFE (merge-on-flush): each instance tracks only its
+    * OWN unflushed increments; a flush re-reads the file and writes
+    * file + delta, so a reader FLEET against one root accumulates every
+    * process's evidence instead of last-writer-winning the whole file.
+    * Two flushes racing the read-modify-write can still drop one delta
+    * (no object-store CAS to build on) — bounded at one in-flight delta,
+    * advisory data, self-corrects as counting continues.
+    *
+    * NEVER blocks or throws on a read path: threshold flushes are handed
+    * to a shared single-thread background executor (recording itself is
+    * a map bump under the lock), all flush I/O runs OUTSIDE the instance
+    * lock, and every fault — seed-time included — degrades to
+    * warn-and-continue-in-memory (a wrong layout is a perf miss, not
+    * wrong contents). A failed flush keeps its delta for retry. */
   final class ReadMixStats(
       persistTo: Option[(org.apache.hadoop.conf.Configuration, String)] = None,
       flushEvery: Int = 256) {
     private val log = org.slf4j.LoggerFactory.getLogger(classOf[ReadMixStats])
-    private val points = scala.collection.mutable.Map.empty[String, Long]
-    private val scans = scala.collection.mutable.Map.empty[String, Long]
+    // `base*` = last observed FILE content; `delta*` = this instance's
+    // increments not yet merged into the file. Visible counts are
+    // base + delta. Guarded by `this`; flush I/O never runs under it.
+    private val basePoints = scala.collection.mutable.Map.empty[String, Long]
+    private val baseScans = scala.collection.mutable.Map.empty[String, Long]
+    private val deltaPoints = scala.collection.mutable.Map.empty[String, Long]
+    private val deltaScans = scala.collection.mutable.Map.empty[String, Long]
     private var dirty = 0
+    private var warnedUnwritable = false
+    private val flushLock = new Object // serializes whole flushes
+    private val flushQueued = new java.util.concurrent.atomic.AtomicBoolean(false)
     private def fsPath: Option[(FileSystem, Path)] = persistTo.map {
       case (conf, p) => val path = new Path(p); (path.getFileSystem(conf), path) }
     locally {
-      fsPath.foreach { case (fs, p) =>
-        if (fs.exists(p)) try {
-          val in = fs.open(p)
-          val text =
-            try new String(
-              org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-            finally in.close()
-          text.linesIterator.filter(_.nonEmpty).foreach { line =>
-            val Array(b64, pc, sc) = line.split(" ", 3)
-            val t = new String(
-              java.util.Base64.getDecoder.decode(b64), "UTF-8")
-            if (pc.toLong > 0L) points.update(t, pc.toLong)
-            if (sc.toLong > 0L) scans.update(t, sc.toLong)
-          }
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            points.clear(); scans.clear()
-            log.warn(s"unreadable read-mix counters at $p — starting " +
-              "empty (layout choice falls back to height-sorted until " +
-              "re-observed)", e)
+      // Everything inside the try — including getFileSystem/exists: a
+      // transient filesystem fault at construction must degrade to the
+      // same warn-and-start-empty path the flush side follows, not
+      // propagate out of the StateStore constructor.
+      try fsPath.foreach { case (fs, p) =>
+        if (fs.exists(p)) {
+          val (fp, fsc) = readFile(fs, p)
+          basePoints ++= fp; baseScans ++= fsc
         }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          basePoints.clear(); baseScans.clear()
+          log.warn("unreadable read-mix counters — starting empty (layout " +
+            "choice falls back to height-sorted until re-observed)", e)
       }
     }
-    private def flushLocked(): Unit = {
-      // NEVER throw out of a flush: recording happens on READ paths, and
-      // a consumer process on a read-only mount (or a transient store
-      // fault) must not have its 256th read fail over advisory counters.
-      // Warn once per failure streak, keep counting in memory.
+    /** Parse the persisted file. I/O faults propagate (the caller decides
+      * whether that loses anything); PARSE faults — a torn or corrupt
+      * file — warn and read as empty, so a later flush self-heals by
+      * overwriting the garbage. */
+    private def readFile(fs: FileSystem, p: Path): (Map[String, Long], Map[String, Long]) = {
+      val in = fs.open(p)
+      val text =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      try {
+        val pts = scala.collection.mutable.Map.empty[String, Long]
+        val scs = scala.collection.mutable.Map.empty[String, Long]
+        text.linesIterator.filter(_.nonEmpty).foreach { line =>
+          val Array(b64, pc, sc) = line.split(" ", 3)
+          val t = new String(java.util.Base64.getDecoder.decode(b64), "UTF-8")
+          if (pc.toLong > 0L) pts.update(t, pc.toLong)
+          if (sc.toLong > 0L) scs.update(t, sc.toLong)
+        }
+        (pts.toMap, scs.toMap)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          log.warn(s"corrupt read-mix counters at $p — reading as empty " +
+            "(next flush overwrites)", e)
+          (Map.empty, Map.empty)
+      }
+    }
+    /** One full merge-on-flush: snapshot-and-clear this instance's delta,
+      * re-read the file, write file + delta, adopt the merged view as the
+      * new base. On ANY fault the delta is restored for a later retry —
+      * counts are never lost to a transient failure, and nothing
+      * propagates to the caller. */
+    private def flushNow(): Unit = flushLock.synchronized {
+      val (dp, ds) = this.synchronized {
+        val s = (deltaPoints.toMap, deltaScans.toMap)
+        deltaPoints.clear(); deltaScans.clear(); dirty = 0
+        s
+      }
+      if (persistTo.isEmpty) return
+      if (dp.isEmpty && ds.isEmpty) {
+        // Nothing to contribute: refresh the base view only, so a
+        // decision on a process that recorded nothing still adopts the
+        // fleet's persisted evidence (no write — don't churn the file).
+        try fsPath.foreach { case (fs, p) =>
+          if (fs.exists(p)) {
+            val (fp, fsc) = readFile(fs, p)
+            this.synchronized {
+              basePoints.clear(); basePoints ++= fp
+              baseScans.clear(); baseScans ++= fsc
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+        return
+      }
       try fsPath.foreach { case (fs, p) =>
+        val (fp, fsc) = if (fs.exists(p)) readFile(fs, p) else (Map.empty[String, Long], Map.empty[String, Long])
+        val mp = fp ++ dp.map { case (t, v) => t -> (fp.getOrElse(t, 0L) + v) }
+        val ms = fsc ++ ds.map { case (t, v) => t -> (fsc.getOrElse(t, 0L) + v) }
         val tmp = new Path(p.toString + ".tmp")
         val out = fs.create(tmp, true)
-        val body = (points.keySet ++ scans.keySet).toSeq.sorted.map { t =>
+        val body = (mp.keySet ++ ms.keySet).toSeq.sorted.map { t =>
           val b64 = java.util.Base64.getEncoder
             .encodeToString(t.getBytes("UTF-8"))
-          s"$b64 ${points.getOrElse(t, 0L)} ${scans.getOrElse(t, 0L)}"
+          s"$b64 ${mp.getOrElse(t, 0L)} ${ms.getOrElse(t, 0L)}"
         }.mkString("", "\n", "\n")
         try out.write(body.getBytes("UTF-8")) finally out.close()
         if (!fs.rename(tmp, p)) {
           if (fs.exists(p)) fs.delete(p, false)
           if (!fs.rename(tmp, p))
-            log.warn(s"could not persist read-mix counters to $p")
+            sys.error(s"could not persist read-mix counters to $p")
+        }
+        this.synchronized {
+          basePoints.clear(); basePoints ++= mp
+          baseScans.clear(); baseScans ++= ms
         }
       } catch {
         case scala.util.control.NonFatal(e) =>
+          this.synchronized {
+            dp.foreach { case (t, v) =>
+              deltaPoints.update(t, deltaPoints.getOrElse(t, 0L) + v) }
+            ds.foreach { case (t, v) =>
+              deltaScans.update(t, deltaScans.getOrElse(t, 0L) + v) }
+          }
           if (!warnedUnwritable) {
             warnedUnwritable = true
-            log.warn(s"read-mix counters not persistable (read-only " +
-              "store? transient fault?) — continuing in-memory only", e)
+            log.warn("read-mix counters not persistable (read-only store? " +
+              "transient fault?) — continuing in-memory, will retry", e)
           }
       }
-      dirty = 0
     }
-    private var warnedUnwritable = false
-    def flush(): Unit = synchronized(flushLocked())
+    def flush(): Unit = flushNow()
     private def bump(m: scala.collection.mutable.Map[String, Long],
         tabletId: String): Unit = {
       m.update(tabletId, m.getOrElse(tabletId, 0L) + 1L)
       dirty += 1
-      if (dirty >= flushEvery) flushLocked()
+      // Hand the threshold flush to the background executor: recording
+      // happens on read paths (point reads, Catalyst analysis via
+      // StateAsOfRule) and must never wait on storage I/O. At most one
+      // queued flush at a time; it drains whatever delta exists when it
+      // runs.
+      if (dirty >= flushEvery && flushQueued.compareAndSet(false, true))
+        StateStore.readMixFlushExec.execute(() =>
+          try flushNow() finally flushQueued.set(false))
     }
     def recordPointRead(tabletId: String): Unit =
-      synchronized(bump(points, tabletId))
+      synchronized(bump(deltaPoints, tabletId))
     def recordTailScan(tabletId: String): Unit =
-      synchronized(bump(scans, tabletId))
-    def pointReads(tabletId: String): Long =
-      synchronized(points.getOrElse(tabletId, 0L))
-    def tailScans(tabletId: String): Long =
-      synchronized(scans.getOrElse(tabletId, 0L))
+      synchronized(bump(deltaScans, tabletId))
+    def pointReads(tabletId: String): Long = synchronized(
+      basePoints.getOrElse(tabletId, 0L) + deltaPoints.getOrElse(tabletId, 0L))
+    def tailScans(tabletId: String): Long = synchronized(
+      baseScans.getOrElse(tabletId, 0L) + deltaScans.getOrElse(tabletId, 0L))
     /** Interleave when point reads strictly outnumber tail scans (an
       * unobserved or balanced tablet keeps the height-sorted default —
       * the cheaper layout to be wrong about, since tail scans are the
-      * store's own maintenance access path too). */
-    def prefersInterleaved(tabletId: String): Boolean = synchronized {
-      val p = points.getOrElse(tabletId, 0L)
-      p > 0L && p > scans.getOrElse(tabletId, 0L)
+      * store's own maintenance access path too). The counts are the
+      * UNION of the fleet's persisted evidence and this instance's own —
+      * [[StateStore.compactTabletRowsAuto]] flushes first, which both
+      * contributes this process's delta and adopts everyone else's. */
+    def prefersInterleaved(tabletId: String): Boolean = {
+      val p = pointReads(tabletId)
+      p > 0L && p > tailScans(tabletId)
     }
-    def observedTablets: Seq[String] =
-      synchronized((points.keySet ++ scans.keySet).toSeq.sorted)
+    def observedTablets: Seq[String] = synchronized(
+      (basePoints.keySet ++ baseScans.keySet ++
+        deltaPoints.keySet ++ deltaScans.keySet).toSeq.sorted)
   }
+
+  /** Shared daemon executor for [[ReadMixStats]] threshold flushes —
+    * single thread (flushes are tiny tmp+rename writes) so no store ever
+    * sees more than one counter write in flight from this process. */
+  private lazy val readMixFlushExec: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-readmix-flush")
+      t.setDaemon(true)
+      t
+    })
 
   val GlobalCheckpointKey = "checkpoint" // const.go:17
   val ShardCheckpointPrefix = "shard-"   // read.go:454–464

@@ -270,6 +270,50 @@ class ManifestStatsSpec extends SparkTestBase {
     assert(rowSet(t.read()) === Set(("t1", 1L, "a"), ("t1", 2L, "b")))
   }
 
+  test("sidecar parse is positionally anchored: a stats column literally " +
+    "named 'fresh' (or 'rewrite') cannot be mistaken for the per-file " +
+    "dataChange fields") {
+    implicit val s = spark
+    import s.implicits._
+    // Schema whose columns collide with the sidecar's own field names —
+    // their stats bounds serialize as `"fresh":["l:..","l:.."]` /
+    // `"rewrite":[...]` INSIDE the stats section, after `files`.
+    val hostile = StructType(Seq(
+      StructField("fresh", LongType, nullable = false),
+      StructField("rewrite", LongType, nullable = false),
+      StructField("primary_key", StringType, nullable = false)))
+    val dir = tmpDir("mstats-hostile")
+    val t = new ManifestTable(dir, hostile, statsCols = Seq("fresh", "rewrite"))
+    def d(rows: (Long, Long, String)*) = rows.toDF("fresh", "rewrite", "primary_key")
+    t.commit(d((1L, 5L, "a"), (2L, 6L, "b")), "c0")
+    t.replaceAll(d((3L, 7L, "c")), "compact") // rewrite generation 2
+
+    // A rewrite sidecar WITH a real fresh field (replaceAll records
+    // known-none) parses it, not the stats bounds.
+    val rec2 = t.deltaRecord(2L).get
+    assert(rec2.rewrite)
+    assert(rec2.fresh === Some(Seq.empty),
+      s"replaceAll records fresh known-none, got ${rec2.fresh}")
+    assert(rec2.entry.stats.head.keySet === Set("fresh", "rewrite"))
+
+    // A rewrite sidecar WITHOUT a fresh field (backfilled/legacy) must
+    // report fresh = None (unknown) — the pre-fix parser captured the
+    // stats column's tagged bounds as a fresh-FILE list here, and
+    // emitFresh would then scan garbage paths instead of skipping.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(
+      f"$dir/_manifests/d-${2L}%09d.json"), false)
+    val (synth, present) = t.backfillDeltaSidecars()
+    assert(synth === 1 && present === 1)
+    val rec2b = t.deltaRecord(2L).get
+    assert(rec2b.rewrite, "the synthesized sidecar still marks the rewrite")
+    assert(rec2b.fresh === None,
+      s"no fresh field must parse as UNKNOWN, got ${rec2b.fresh}")
+    rec2b.fresh.foreach(_.foreach(f =>
+      assert(!f.startsWith("l:"), s"stats bound leaked into fresh list: $f")))
+  }
+
   test("min-reader gate: the first delta-only publish bumps the pointer " +
     "frame g2→g3, stickily — a pre-sidecar (g2-only) reader fails loudly " +
     "instead of reading missing full manifests as an empty table") {

@@ -244,4 +244,82 @@ class ZOrderSpec extends SparkTestBase {
     assert(storeD.readMix.pointReads("pt") === 0L)
     assert(!storeD.readMix.prefersInterleaved("pt"))
   }
+
+  test("read-mix counters are multi-writer safe: two instances against one " +
+    "root, interleaved flushes, neither's counts lost; the decision uses " +
+    "the union") {
+    implicit val s = spark
+    val root = tmpDir("store_mix_fleet")
+    val conf = spark.sessionState.newHadoopConf()
+    val path = s"$root/_readmix.json"
+    val a = new StateStore.ReadMixStats(Some((conf, path)))
+    val b = new StateStore.ReadMixStats(Some((conf, path)))
+    (0 until 2).foreach(_ => a.recordPointRead("pt"))
+    (0 until 3).foreach(_ => b.recordPointRead("pt"))
+    b.recordTailScan("sc")
+    // Interleaved flushes: the pre-fix last-writer-wins file would end at
+    // whichever instance flushed last (3), clobbering the other's 2.
+    a.flush() // file: pt=2
+    b.flush() // merge-on-flush: file pt=2+3=5, sc=1
+    a.recordPointRead("pt")
+    a.flush() // file: pt=5+1=6
+    val c = new StateStore.ReadMixStats(Some((conf, path)))
+    assert(c.pointReads("pt") === 6L, "fleet evidence must SUM, not clobber")
+    assert(c.tailScans("sc") === 1L)
+    // After its merge-flush, B's view is the union — its decision would
+    // be driven by evidence it never recorded itself.
+    assert(b.pointReads("pt") === 5L)
+    assert(b.prefersInterleaved("pt") && !b.prefersInterleaved("sc"))
+    // A flush with nothing to contribute still ADOPTS the fleet's
+    // evidence (the decision path on a read-idle process).
+    val idle = new StateStore.ReadMixStats(Some((conf, path)))
+    a.recordPointRead("pt"); a.flush() // someone else advances the file to 7
+    idle.flush()
+    assert(idle.pointReads("pt") === 7L)
+    // An instance's own unflushed delta rides on top of the seeded base.
+    val d = new StateStore.ReadMixStats(Some((conf, path)))
+    d.recordPointRead("pt")
+    assert(d.pointReads("pt") === 8L)
+  }
+
+  test("read-mix counters degrade on every filesystem fault: a broken " +
+    "persist target at construction, recording, and flush never throws — " +
+    "counts continue in-memory") {
+    implicit val s = spark
+    val conf = spark.sessionState.newHadoopConf()
+    // A scheme no FileSystem serves: getFileSystem itself faults — the
+    // pre-fix seed called fs.exists outside its try and propagated this
+    // out of the StateStore constructor.
+    val broken = new StateStore.ReadMixStats(Some((conf, "nosuchscheme://x/y")))
+    (0 until 5).foreach(_ => broken.recordPointRead("pt"))
+    broken.recordTailScan("pt")
+    broken.flush() // warns, keeps the delta in memory
+    assert(broken.pointReads("pt") === 5L)
+    assert(broken.tailScans("pt") === 1L)
+    assert(broken.prefersInterleaved("pt"))
+    // A failed flush RETAINS the delta (retry semantics): counts after
+    // the failed flush still include everything.
+    broken.recordPointRead("pt")
+    assert(broken.pointReads("pt") === 6L)
+  }
+
+  test("threshold flushes run off the read path (background executor) and " +
+    "land the merged counts") {
+    implicit val s = spark
+    val root = tmpDir("store_mix_async")
+    val conf = spark.sessionState.newHadoopConf()
+    val path = s"$root/_readmix.json"
+    val m = new StateStore.ReadMixStats(Some((conf, path)), flushEvery = 4)
+    (0 until 4).foreach(_ => m.recordPointRead("pt")) // 4th queues a flush
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val deadline = System.nanoTime() + 5000000000L
+    var flushed = false
+    while (!flushed && System.nanoTime() < deadline) {
+      flushed = fs.exists(new org.apache.hadoop.fs.Path(path)) &&
+        new StateStore.ReadMixStats(Some((conf, path))).pointReads("pt") == 4L
+      if (!flushed) Thread.sleep(50L)
+    }
+    assert(flushed, "background flush must persist the counters within 5s")
+    assert(m.pointReads("pt") === 4L, "visible count unchanged by the flush")
+  }
 }
