@@ -262,6 +262,75 @@ object ManifestProbe {
     }
 
     // ------------------------------------------------------------------
+    // FAT-GENERATION admission probe (round 15): generation-counted caps
+    // bound how many COMMITS a micro-batch spans, not how much DATA — one
+    // fat generation (the backfill-commit shape) still lands in an
+    // all-or-nothing plan next to its neighbors. The byte budget
+    // (`maxBytesPerTrigger`, costed from sidecar metadata alone) stops
+    // the slice before the budget and admits the fat generation ALONE,
+    // so every batch's scan volume is bounded by max(budget, one
+    // commit) instead of by the backlog's worst neighborhood.
+    // ------------------------------------------------------------------
+    {
+      val fatRoot = s"/dev/shm/graft-mprobe-fat"
+      fs.delete(new org.apache.hadoop.fs.Path(fatRoot), true)
+      val fatStore = new StateStore(fatRoot, StateStore.ManifestCommit)
+      def smallCommit(c: Int): Unit = fatStore.writeTabletRows(
+        spark.range(rowsPerCommit).select(
+          lit(1).as("collection"), lit("tabf").as("tablet_id"),
+          (lit(c.toLong * rowsPerCommit) + col("id")).as("height"),
+          format_string("k%05d", col("id")).as("primary_key"),
+          encode(concat(lit("s"), col("id").cast("string")), "UTF-8").as("value"),
+          lit(false).as("is_deletion")).coalesce(1), f"fat-s$c%04d")
+      val fatRows = 2000000L
+      (0 until 24).foreach(smallCommit)
+      fatStore.writeTabletRows( // the backfill commit: ~3 orders fatter
+        spark.range(fatRows).select(
+          lit(1).as("collection"), lit("tabf").as("tablet_id"),
+          (lit(24L * rowsPerCommit) + col("id")).as("height"),
+          format_string("k%07d", col("id")).as("primary_key"),
+          encode(concat(lit("f"), col("id").cast("string")), "UTF-8").as("value"),
+          lit(false).as("is_deletion"))
+          .repartitionByRange(8, col("height"))
+          .sortWithinPartitions(col("height")), "fat-backfill")
+      (0 until 23).foreach(c => smallCommit(c + 24 + fatRows.toInt / rowsPerCommit))
+      val fatCk = s"/dev/shm/graft-mprobe-fat-ck"
+      def drain(name: String, gens: Option[Long], bytes: Option[Long]): Unit = {
+        fs.delete(new org.apache.hadoop.fs.Path(fatCk), true)
+        val rt = Runtime.getRuntime
+        System.gc()
+        val heap0 = rt.totalMemory() - rt.freeMemory()
+        var heapMax = heap0
+        var batches = 0L
+        var total = 0L
+        var maxBatchRows = 0L
+        val t0 = System.nanoTime()
+        val q = fatStore.changefeedStream(
+            maxGenerationsPerTrigger = gens, maxBytesPerTrigger = bytes)
+          .writeStream
+          .option("checkpointLocation", s"$fatCk/drain")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val rows = b.count()
+            batches += 1; total += rows
+            maxBatchRows = math.max(maxBatchRows, rows)
+            heapMax = math.max(heapMax, rt.totalMemory() - rt.freeMemory())
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(600000L), s"$name must self-terminate")
+        val secs = (System.nanoTime() - t0) / 1e9
+        require(total == 47L * rowsPerCommit + fatRows,
+          s"$name drained $total rows, corpus has ${47L * rowsPerCommit + fatRows}")
+        println(f"MPROBE commits=$commits query=$name min=$secs%.2f " +
+          f"batches=$batches max_batch_rows=$maxBatchRows " +
+          f"heap_delta_mb=${(heapMax - heap0) / 1e6}%.0f")
+      }
+      drain("fat_catchup_uncapped", None, None)
+      drain("fat_catchup_gencap8", Some(8L), None)
+      drain("fat_catchup_gencap8_budget4mb", Some(8L), Some(4L * 1024 * 1024))
+    }
+
+    // ------------------------------------------------------------------
     // MERGE probe: the copy-on-write serving-table write path. A compacted
     // serving table (32 range-partitioned files, tight (tablet_id,
     // primary_key) bounds per file) takes a point-update micro-batch; the

@@ -56,7 +56,10 @@ object SoakIngest {
     val root = s"$base/store"
     val target = s"$base/serving"
     val store = new StateStore(root, StateStore.ManifestCommit)
-    val pipeline = new IngestionPipeline(store)
+    // Async index maintenance (round 15): snapshot builds leave the
+    // commit path — the soak's residual ~10 s commit-lag sawtooth was the
+    // per-batch build slot itself (PLANS.md round-14 run-4 table).
+    val pipeline = new IngestionPipeline(store, asyncIndexMaintenance = true)
 
     def block(h: Long) = StreamedBlock(
       s"b$h", s"b${h - 1}", h, "irreversible",
@@ -130,6 +133,47 @@ object SoakIngest {
     val ingest = pipeline.start(joined, s"$base/ck-ingest", triggerMillis = 1000)
     val serve = StateMaterializer.start(store, target, s"$base/ck-serve")
 
+    // CONCURRENT READER (round 15): a second SparkSession against the
+    // same root — the TVF-reader-fleet shape — issuing as-of and diff
+    // reads every few seconds WHILE ingest, serving merges, compaction,
+    // index builds, and retention sweeps all run. What it proves: reads
+    // inside the retention window never crash mid-sweep (the sweeps below
+    // use the minAge guard), and read staleness stays bounded. Reader
+    // errors are counted and reported — the pass criterion is zero.
+    val readerSpark = spark.newSession()
+    val readerStore = new StateStore(root, StateStore.ManifestCommit)(readerSpark)
+    @volatile var stopReader = false
+    val readerErrors = new java.util.concurrent.atomic.AtomicLong(0)
+    val readerReads = new java.util.concurrent.atomic.AtomicLong(0)
+    @volatile var lastReadMillis = -1L
+    val reader = new Thread(() => IngestionPipeline.inPool(readerSpark, "graft-reader") {
+      while (!stopReader) {
+        try {
+          val ck = readerStore.checkpoint(StateStore.GlobalCheckpointKey)
+            .map(_.height).getOrElse(-1L)
+          if (ck > 1L) {
+            val t0 = System.nanoTime()
+            val n = readerStore.readTabletAt("t3", ck).count()
+            require(n > 0, s"empty as-of read at checkpoint $ck")
+            val d = readerStore.readTabletDiff("t3", math.max(0L, ck - 20L), ck)
+            d.count()
+            org.apache.spark.sql.graftbridge.GraftBridge.freeLocalCheckpoint(d)
+            readerReads.addAndGet(2L)
+            lastReadMillis = (System.nanoTime() - t0) / 1000000L
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            readerErrors.incrementAndGet()
+            println(s"""{"soak_reader_error":"${e.getClass.getSimpleName}: ${
+              Option(e.getMessage).getOrElse("").take(160).replace("\"", "'")
+                .replace("\n", " ")}"}""")
+        }
+        Thread.sleep(5000L)
+      }
+    }, "soak-reader")
+    reader.setDaemon(true)
+    reader.start()
+
     def dirBytes(p: String): (Long, Long) = {
       val path = new org.apache.hadoop.fs.Path(p)
       val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -174,19 +218,34 @@ object SoakIngest {
         s""""target_manifest_files":$tFiles,"heap_mb":$heapMb}}""")
       // Operator-cadence maintenance: compact the serving table's accreted
       // merge generations every ~5 min (rides through the changefeed as a
-      // dataChange=false rewrite).
+      // dataChange=false rewrite), then RETENTION-SWEEP both the store's
+      // mutation table and the serving target while everything — ingest,
+      // merges, the concurrent reader — keeps running: retain a ~3-minute
+      // generation window (readers read at the current pointer, far
+      // inside it) and skip anything younger than 2 minutes (the minAge
+      // guard that makes a sweep beside LIVE writers safe — an in-flight
+      // commit's directory is unreferenced until its pointer swap).
       if (System.currentTimeMillis() - lastCompact > 300000L) {
         val folded = StateMaterializer.compact(target)
-        println(s"""{"soak_compact":{"elapsed_sec":$el,"folded":$folded}}""")
+        val sweptStore = store.manifestTableFor(store.tabletRowsPath)
+          .sweepOrphans(retainGenerations = 180, minAgeMillis = 120000L).size
+        val targetMt = StateMaterializer.targetTable(target)
+        val sweptTarget =
+          targetMt.sweepOrphans(retainGenerations = 180, minAgeMillis = 120000L).size +
+          targetMt.sweepOrphanFiles(retainGenerations = 180, minAgeMillis = 120000L).size
+        println(s"""{"soak_compact":{"elapsed_sec":$el,"folded":$folded,""" +
+          s""""swept_store_dirs":$sweptStore,"swept_target":$sweptTarget}}""")
         lastCompact = System.currentTimeMillis()
       }
     }
     stopFeeder = true
+    stopReader = true
     // Final drain: let the pipeline catch the feeder's last block, then
     // summarize steady state (samples after the catch-up seam, i.e. the
     // second half).
     Thread.sleep(3000L)
     ingest.stop(); serve.stop(); server.close()
+    pipeline.stopIndexMaintenance()
     val steady = samples.drop(samples.size / 2)
     def rate(sel: ((Long, Long, Long, Long, Long, Long)) => Long): Double = {
       if (samples.size < 2) 0.0
@@ -201,7 +260,9 @@ object SoakIngest {
       s""""final_generation":${samples.last._4},""" +
       s""""manifest_bytes_per_sec":${fmt(rate(_._5))},""" +
       s""""heap_mb_first":${samples.head._6},"heap_mb_last":${samples.last._6},""" +
-      s""""heap_mb_max":${samples.map(_._6).max}}}""")
+      s""""heap_mb_max":${samples.map(_._6).max},""" +
+      s""""reader_reads":${readerReads.get()},"reader_errors":${readerErrors.get()},""" +
+      s""""reader_last_read_ms":$lastReadMillis}}""")
     spark.stop()
   }
 }

@@ -257,28 +257,44 @@ object Snapshots {
   /** `minMutations` defaults to the reference's 25,000-mutation floor
     * (indexing.go:549–552); embedders tune it for their mutation rate. */
   final class IndexCache(minMutations: Long = 25000L) {
+    // Synchronized: with asynchronous index maintenance the commit thread
+    // increments while the maintenance thread polls/records — tiny
+    // driver-side maps, the lock is never held across a Spark job.
     private val counters = scala.collection.mutable.Map.empty[String, Long]
     private val lastIndexRows = scala.collection.mutable.Map.empty[String, Long]
 
-    def increment(tabletId: String, mutations: Long): Unit =
+    def increment(tabletId: String, mutations: Long): Unit = synchronized {
       counters.update(tabletId, counters.getOrElse(tabletId, 0L) + mutations)
+    }
 
-    def recordIndexed(tabletId: String, indexRowCount: Long): Unit = {
+    /** Record a completed build. `coveredMutations` = how many mutations
+      * the build's scan actually covered (incremental tail count, or the
+      * full-history squelch) — the counter SUBTRACTS that instead of
+      * resetting, so mutations committed while an ASYNC build ran at an
+      * earlier pinned floor keep the tablet eligible (a blind reset would
+      * leave the head permanently one snapshot stale under continuous
+      * traffic). None (the crash-replay resync, where the split is
+      * unknowable) resets. */
+    def recordIndexed(tabletId: String, indexRowCount: Long,
+        coveredMutations: Option[Long] = None): Unit = synchronized {
       lastIndexRows.update(tabletId, indexRowCount)
-      counters.update(tabletId, 0L)
+      counters.update(tabletId, coveredMutations.fold(0L)(c =>
+        math.max(0L, counters.getOrElse(tabletId, 0L) - c)))
     }
 
     /** Eligible tablets, MOST-OVERDUE FIRST (pending-mutation count
       * descending, name as tiebreak): callers that cap builds per batch
       * ([[graft.streaming.IngestionPipeline]]) then always serve the
       * tablet whose reads are farthest from a useful snapshot. */
-    def tabletsToIndex(): Seq[String] =
+    def tabletsToIndex(): Seq[String] = synchronized {
       counters.collect {
         case (tablet, muts)
             if shouldTriggerIndexing(lastIndexRows.get(tablet), muts, minMutations) =>
           tablet
       }.toSeq.sortBy(t => (-counters(t), t))
+    }
 
-    def mutationCount(tabletId: String): Long = counters.getOrElse(tabletId, 0L)
+    def mutationCount(tabletId: String): Long =
+      synchronized(counters.getOrElse(tabletId, 0L))
   }
 }

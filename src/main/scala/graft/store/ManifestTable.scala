@@ -281,15 +281,33 @@ final class ManifestTable(val tablePath: String, schema: StructType,
 
   /** One manifest JSON line → entry. Minimal parser for the writer's own
     * fixed shape: `{"commit_id":"...","files":["a","b"],
-    * "stats":[{...},{...}]}` (`stats` optional, one object per file, in
-    * file order; delta sidecars append a `"rewrite":bool` field this
-    * parser ignores). */
+    * "bytes":[123,456],"stats":[{...},{...}]}` (`bytes` and `stats`
+    * optional, one element per file, in file order; delta sidecars
+    * prepend a `"rewrite":bool` field this parser ignores). Each
+    * optional section is parsed only from the region where the writer
+    * puts it — `bytes` strictly between the `files` array and `stats` —
+    * so a stats COLUMN named `bytes` can never be mistaken for it (the
+    * same positional-anchor discipline as [[deltaRecord]]'s fresh
+    * parse). */
   private def parseManifestLine(line: String): ManifestEntry = {
     val commitId = line.split("\"commit_id\":\"", 2)(1).split("\"", 2)(0)
-    val filesPart = line.split("\"files\":\\[", 2)(1).split("\\]", 2)(0)
+    val afterFilesKey = line.split("\"files\":\\[", 2)(1)
+    val filesPart = afterFilesKey.split("\\]", 2)(0)
     val files =
       if (filesPart.isEmpty) Seq.empty[String]
       else filesPart.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    val afterFiles = afterFilesKey.split("\\]", 2) match {
+      case Array(_, rest) => rest
+      case _ => ""
+    }
+    val bytes: Seq[Long] =
+      afterFiles.split("\"stats\":\\[", 2)(0).split("\"bytes\":\\[", 2) match {
+        case Array(_, rest) =>
+          val body = rest.split("\\]", 2)(0)
+          if (body.isEmpty) Seq.empty
+          else body.split(",").toSeq.map(_.trim.toLong)
+        case _ => Seq.empty // pre-bytes manifest: sizes unknown
+      }
     val stats: Seq[Map[String, (StatVal, StatVal)]] =
       line.split("\"stats\":\\[", 2) match {
         case Array(_, rest) =>
@@ -304,7 +322,8 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       }
     ManifestEntry(commitId, files,
       if (stats.size == files.size) stats
-      else files.map(_ => Map.empty[String, (StatVal, StatVal)]))
+      else files.map(_ => Map.empty[String, (StatVal, StatVal)]),
+      if (bytes.size == files.size) bytes else Nil)
   }
 
   private def parseStatsObj(body: String): Map[String, (StatVal, StatVal)] =
@@ -350,10 +369,23 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       s""""fresh":[${fs0.map(quote).mkString(",")}],""")
     val json = s"""{"commit_id":${quote(e.commitId)},"rewrite":$rewrite,""" +
       freshPart +
-      s""""files":[${e.files.map(quote).mkString(",")}]${statsJsonPart(e)}}""" + "\n"
+      s""""files":[${e.files.map(quote).mkString(",")}]""" +
+      s"""${bytesJsonPart(e)}${statsJsonPart(e)}}""" + "\n"
     val out = fs.create(p, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
+
+  /** The `,"bytes":[...]` fragment of one entry line — per-file sizes,
+    * recorded from the commit's own listing (the writer already has the
+    * `FileStatus` in hand, so this costs nothing extra). What they buy:
+    * the changefeed's volume-aware admission can budget a micro-batch in
+    * BYTES from sidecar metadata alone, without a single extra
+    * filesystem call at offset-planning time — the Delta-source
+    * maxBytesPerTrigger shape. Omitted when unknown (entries parsed from
+    * pre-bytes manifests carry through without inventing sizes). */
+  private def bytesJsonPart(e: ManifestEntry): String =
+    if (e.bytes.size != e.files.size || e.files.isEmpty) ""
+    else s""","bytes":[${e.bytes.mkString(",")}]"""
 
   /** The `,"stats":[...]` fragment of one entry line — ONE encoder for
     * both the full manifest and the delta sidecar, because
@@ -440,7 +472,23 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * does NOT touch the pointer frame — every generation keeps its full
     * manifest, so pre-sidecar READERS remain compatible (the g3
     * min-reader gate is only for delta-ONLY generations, which this
-    * never creates). Returns (synthesized, alreadyPresent). */
+    * never creates).
+    *
+    * RUN WHILE SUBSCRIPTIONS ARE STOPPED (like compaction). The
+    * changefeed's `getBatch` plan for an offset range depends on which
+    * path serves it: backfilling between a batch's first plan and a
+    * crash-replay of the same offsets can switch the range from the
+    * full-manifest fold to the sidecar fast path. For plain appends and
+    * `skip`/`fail` the two paths agree exactly (spec-pinned), but under
+    * `onRewrite=emitFresh` a pre-upgrade MERGE generation legitimately
+    * differs — the fold skips it loudly (fresh unknown), while a sidecar
+    * synthesized later also records fresh=unknown, so the skip is
+    * stable; what can differ is the warning path and, for sidecars
+    * written by post-upgrade merges mid-range, the emitted fresh files.
+    * Exactly-once replay is only byte-identical when the metadata under
+    * an offset range does not change between plan and replay — the same
+    * stopped-subscriber discipline every rewrite already requires.
+    * Returns (synthesized, alreadyPresent). */
   def backfillDeltaSidecars(): (Int, Int) = {
     val head = currentGeneration().getOrElse(0L)
     var synthesized = 0
@@ -466,23 +514,34 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     val (fs, p) = fsOf(manifestPath(gen))
     fs.mkdirs(p.getParent)
     val json = entries.map { e =>
-      s"""{"commit_id":${quote(e.commitId)},"files":[${e.files.map(quote).mkString(",")}]${statsJsonPart(e)}}"""
+      s"""{"commit_id":${quote(e.commitId)},"files":[${e.files.map(quote).mkString(",")}]""" +
+        s"""${bytesJsonPart(e)}${statsJsonPart(e)}}"""
     }.mkString("", "\n", "\n")
     val out = fs.create(p, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
-  private def listDataFiles(dir: String): Seq[String] = {
+  private def listDataFiles(dir: String): Seq[String] =
+    listDataFilesSized(dir).map(_._1)
+
+  /** Commit-dir listing with per-file byte sizes — the listing already
+    * returns `FileStatus`, so sizes are free; they flow into the
+    * manifest/sidecar `bytes` field for volume-aware changefeed
+    * admission. */
+  private def listDataFilesSized(dir: String): Seq[(String, Long)] = {
     val (fs, p) = fsOf(dir)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
-      val f = it.next().getPath
-      if (f.getName.endsWith(".parquet")) buf += f.toString
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet"))
+        buf += ((st.getPath.toString, st.getLen))
     }
     // Relative to tablePath, so the table survives a root move.
     val prefix = fsOf(tablePath)._2.toUri.getPath
-    buf.toSeq.map(f => new Path(f).toUri.getPath.stripPrefix(prefix).stripPrefix("/")).sorted
+    buf.toSeq.map { case (f, len) =>
+      (new Path(f).toUri.getPath.stripPrefix(prefix).stripPrefix("/"), len)
+    }.sortBy(_._1)
   }
 
   /** Write one commit's data files under `dir`, hive-partitioned by
@@ -505,10 +564,12 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     val next = gen + 1
     val dataDir = s"$tablePath/d-$commitId-g$next"
     writeData(df, dataDir)
-    val files = listDataFiles(dataDir)
+    val sized = listDataFilesSized(dataDir)
+    val files = sized.map(_._1)
     if (failBeforePublish)
       throw new IllegalStateException(s"injected crash before publish of $commitId")
-    val entry = ManifestEntry(commitId, files, collectStats(dataDir, files))
+    val entry = ManifestEntry(commitId, files, collectStats(dataDir, files),
+      sized.map(_._2))
     // Full listing only at checkpoint generations (and always at
     // interval 1); the delta sidecar carries everything a between-
     // checkpoints read needs to reconstruct — O(commit) metadata write
@@ -551,10 +612,12 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     val next = gen + 1
     val dataDir = s"$tablePath/d-$commitId-g$next"
     writeData(df, dataDir)
-    val files = listDataFiles(dataDir)
+    val sized = listDataFilesSized(dataDir)
+    val files = sized.map(_._1)
     if (failBeforePublish)
       throw new IllegalStateException(s"injected crash before publish of $commitId")
-    val entry = ManifestEntry(commitId, files, collectStats(dataDir, files))
+    val entry = ManifestEntry(commitId, files, collectStats(dataDir, files),
+      sized.map(_._2))
     writeManifest(next, Seq(entry))
     // A replaceAll is contents-preserving by contract (compaction), so
     // its rewrite carries NOTHING fresh — recorded explicitly (Some(Nil),
@@ -772,8 +835,11 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       deleteCol: String,
       commitId: String,
       keepTombstones: Boolean = false,
-      maxTouchedKeys: Long = ManifestTable.mergeMaxTouchedKeys): MergeReport = {
+      maxTouchedKeys: Long = ManifestTable.mergeMaxTouchedKeys,
+      freshRowsPerFile: Long = ManifestTable.mergeFreshRowsPerFile): MergeReport = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
+    require(freshRowsPerFile > 0,
+      s"freshRowsPerFile must be positive, got $freshRowsPerFile")
     import org.apache.spark.sql.functions._
     val gen = currentGeneration().getOrElse(0L)
     val entries = cachedEntriesAt(gen)
@@ -813,8 +879,12 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       }
 
     val (matched, kept) = entries.map { e =>
+      val sizeOf: Map[String, Long] =
+        if (e.bytes.size == e.files.size) e.files.zip(e.bytes).toMap
+        else Map.empty
       val (m, k) = e.files.zip(e.stats).partition { case (_, st) => fileMatches(st) }
-      (m.map(_._1), ManifestEntry(e.commitId, k.map(_._1), k.map(_._2)))
+      (m.map(_._1), ManifestEntry(e.commitId, k.map(_._1), k.map(_._2),
+        if (sizeOf.isEmpty) Nil else k.map(f => sizeOf(f._1))))
     }.unzip
     val matchedFiles = matched.flatten
     val keptEntries = kept.filter(_.files.nonEmpty)
@@ -844,7 +914,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
 
     val next = gen + 1
     val dataDir = s"$tablePath/d-$commitId-g$next"
-    val (rwFiles, allFiles) =
+    val (rwFiles, allSized) =
       if (matchedFiles.isEmpty) {
         // Nothing rewritten (touched keys matched no existing file): the
         // generation is a plain append of the update batch — one write,
@@ -853,33 +923,45 @@ final class ManifestTable(val tablePath: String, schema: StructType,
         writeData(merged.drop("__had")
           .repartitionByRange(1, keyCols.map(col): _*)
           .sortWithinPartitions(keyCols.map(col): _*), dataDir)
-        (Seq.empty[String], listDataFiles(dataDir))
+        (Seq.empty[String], listDataFilesSized(dataDir))
       } else {
         // TWO physical passes over the persisted winners: rewritten rows
         // (range-partitioned like the files they replace, bounds stay
-        // tight) then fresh inserts APPENDED as their own file(s) — the
+        // tight) then fresh inserts APPENDED as their own files — the
         // physical separation that makes per-file dataChange possible
         // (a single mixed write could never tell the changefeed which
-        // files are pure inserts). The fresh side is touched-key-bounded
-        // by the merge contract, hence the single sorted output file.
+        // files are pure inserts). The fresh side is SIZED like the
+        // rewrite side: partition count from the fresh row count (the
+        // persisted winners make the count one cheap aggregate), so an
+        // insert-heavy merge doesn't funnel its whole fresh side through
+        // one write task or produce one oversized file whose manifest
+        // bounds span the full key range.
         val m = merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           writeData(m.where(col("__had") === 1).drop("__had")
             .repartitionByRange(matchedFiles.size, keyCols.map(col): _*)
             .sortWithinPartitions(keyCols.map(col): _*), dataDir)
           val rw = listDataFiles(dataDir)
-          val freshDf = m.where(col("__had") === 0).drop("__had")
-            .repartitionByRange(1, keyCols.map(col): _*)
-            .sortWithinPartitions(keyCols.map(col): _*)
-          val w = freshDf.write.mode(SaveMode.Append)
-          partitionCol.fold(w)(c => w.partitionBy(c)).parquet(dataDir)
-          (rw, listDataFiles(dataDir))
+          val freshSide = m.where(col("__had") === 0).drop("__had")
+          val freshCount = freshSide.count()
+          if (freshCount > 0L) {
+            val parts = math.max(1L,
+              (freshCount + freshRowsPerFile - 1L) / freshRowsPerFile)
+            val freshDf = freshSide
+              .repartitionByRange(parts.toInt, keyCols.map(col): _*)
+              .sortWithinPartitions(keyCols.map(col): _*)
+            val w = freshDf.write.mode(SaveMode.Append)
+            partitionCol.fold(w)(c => w.partitionBy(c)).parquet(dataDir)
+          }
+          (rw, listDataFilesSized(dataDir))
         } finally m.unpersist(blocking = false)
       }
+    val allFiles = allSized.map(_._1)
     val freshFiles = allFiles.filterNot(rwFiles.toSet)
     if (failBeforePublish)
       throw new IllegalStateException(s"injected crash before publish of $commitId")
-    val mergedEntry = ManifestEntry(commitId, allFiles, collectStats(dataDir, allFiles))
+    val mergedEntry = ManifestEntry(commitId, allFiles,
+      collectStats(dataDir, allFiles), allSized.map(_._2))
     writeManifest(next, keptEntries :+ mergedEntry)
     // Rewrite iff some previously-live file actually left the manifest —
     // the same file-level criterion the changefeed's fallback diff
@@ -901,8 +983,17 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * the current one — the VACUUM/retention trade exactly as in
     * Delta/Iceberg. Safe any time in the single-writer model: a directory
     * outside every retained manifest can never become referenced again
-    * (generations only grow). Returns deleted dirs. */
-  def sweepOrphans(retainGenerations: Int = 1): Seq[String] = {
+    * (generations only grow).
+    *
+    * `minAgeMillis`: skip unreferenced directories younger than this.
+    * With 0 (default) the sweep may only run from the WRITER between its
+    * own commits — an IN-FLIGHT commit's directory is written before the
+    * pointer swap and is exactly "unreferenced" until publish, so a
+    * concurrent sweep would delete a commit mid-write. A maintenance
+    * process sweeping BESIDE a live writer must pass an age comfortably
+    * above the longest commit (Delta's VACUUM retention guard, for the
+    * same race). Returns deleted dirs. */
+  def sweepOrphans(retainGenerations: Int = 1, minAgeMillis: Long = 0L): Seq[String] = {
     require(retainGenerations >= 1, "must retain at least the current generation")
     val (fs, root) = fsOf(tablePath)
     if (!fs.exists(root)) return Seq.empty
@@ -913,10 +1004,14 @@ final class ManifestTable(val tablePath: String, schema: StructType,
         (lo to gen).flatMap(g =>
           manifestEntries(g).flatMap(_._2).map(_.split("/", 2)(0))).toSet
     }
+    val now = System.currentTimeMillis()
     val victims = fs.listStatus(root).filter(_.isDirectory)
-      .map(_.getPath).filter { p =>
-        p.getName.startsWith("d-") && !live.contains(p.getName)
+      .filter { st =>
+        st.getPath.getName.startsWith("d-") &&
+          !live.contains(st.getPath.getName) &&
+          (minAgeMillis <= 0L || now - st.getModificationTime >= minAgeMillis)
       }
+      .map(_.getPath)
     victims.foreach(p => fs.delete(p, true))
     victims.map(_.getName).toSeq
   }
@@ -929,8 +1024,11 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * data files under live `d-*` directories that no retained
     * manifest references (same retention contract, same single-writer
     * safety: a file absent from every retained manifest can never be
-    * referenced again). Returns deleted relative paths. */
-  def sweepOrphanFiles(retainGenerations: Int = 1): Seq[String] = {
+    * referenced again). `minAgeMillis` as in [[sweepOrphans]]: a merge
+    * appends files into the live directory BEFORE publishing, so a sweep
+    * running beside a live writer must skip young files. Returns deleted
+    * relative paths. */
+  def sweepOrphanFiles(retainGenerations: Int = 1, minAgeMillis: Long = 0L): Seq[String] = {
     require(retainGenerations >= 1, "must retain at least the current generation")
     val (fs, root) = fsOf(tablePath)
     if (!fs.exists(root)) return Seq.empty
@@ -941,11 +1039,23 @@ final class ManifestTable(val tablePath: String, schema: StructType,
         (lo to gen).flatMap(g => manifestEntries(g).flatMap(_._2)).toSet
     }
     val liveDirs = liveFiles.map(_.split("/", 2)(0))
+    val now = System.currentTimeMillis()
     // Same recursive walk + root-relativization the commit path uses
     // (listDataFiles), so the two can never drift on layout or encoding.
+    val prefix = fsOf(tablePath)._2.toUri.getPath
     val victims = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
       .filter(p => p.getName.startsWith("d-") && liveDirs.contains(p.getName))
-      .flatMap(dir => listDataFiles(dir.toString))
+      .flatMap { dir =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        val it = fs.listFiles(dir, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet") &&
+              (minAgeMillis <= 0L || now - st.getModificationTime >= minAgeMillis))
+            buf += st.getPath.toUri.getPath.stripPrefix(prefix).stripPrefix("/")
+        }
+        buf
+      }
       .filterNot(liveFiles.contains)
     victims.foreach(rel => fs.delete(new Path(s"$tablePath/$rel"), false))
     victims.toSeq
@@ -969,12 +1079,26 @@ object ManifestTable {
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
       .filter(_ > 0).getOrElse(1000000L)
 
-  /** One manifest line: a commit, its files, and per-file column bounds
-    * (`stats(i)` describes `files(i)`; empty map = no bounds recorded). */
+  /** Target row count per FRESH-insert file a [[ManifestTable.merge]]
+    * writes (the rewrite side is sized by the files it replaces; the
+    * fresh side has no such template). 256k rows keeps a typical
+    * micro-batch merge at one file while splitting an insert-heavy
+    * backfill merge into bounded files with tight per-file key bounds.
+    * Env-overridable; malformed values fall back to the default. */
+  def mergeFreshRowsPerFile: Long =
+    sys.env.get("GRAFT_MERGE_FRESH_ROWS_PER_FILE")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .filter(_ > 0).getOrElse(262144L)
+
+  /** One manifest line: a commit, its files, per-file column bounds
+    * (`stats(i)` describes `files(i)`; empty map = no bounds recorded),
+    * and per-file byte sizes (`bytes(i)` sizes `files(i)`; `Nil` =
+    * unknown, pre-bytes manifest). */
   private[graft] final case class ManifestEntry(
       commitId: String,
       files: Seq[String],
-      stats: Seq[Map[String, (StatVal, StatVal)]])
+      stats: Seq[Map[String, (StatVal, StatVal)]],
+      bytes: Seq[Long] = Nil)
 
   /** A min/max bound value. Longs compare numerically; strings compare as
     * unsigned UTF-8 bytes — the SAME order Spark's `min`/`max` over

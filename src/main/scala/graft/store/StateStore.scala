@@ -717,12 +717,27 @@ final class StateStore(
     // Materialize now (touched-key-bounded, the size a changefeed
     // consumer is about to pull anyway), then drop the persist — after
     // this nothing can re-read `post`, so the call leaves NO entry in the
-    // cache manager. The localCheckpoint blocks behind the result are
-    // context-cleaned when the caller drops it (or explicitly via
-    // GraftBridge.freeLocalCheckpoint), unlike a persist, which the cache
-    // manager pins forever.
-    try classified.localCheckpoint(eager = true)
-    finally post.unpersist(blocking = false)
+    // cache manager.
+    //
+    // DURABILITY of the materialized result: with a context checkpoint
+    // directory configured, the diff is RELIABLY checkpointed (files, not
+    // executor blocks) — it survives executor loss, the production
+    // posture for a long-lived SQL session planning diffs through the
+    // TVF. Without one, localCheckpoint blocks are the only copy: an
+    // executor loss makes any LATER read of the returned frame fail
+    // loudly ("checkpoint block not found" — never silent partial data),
+    // and the recovery is to re-plan the diff (this method is pure).
+    // Block/file lifecycle: localCheckpoint blocks are context-cleaned
+    // when the caller drops the frame (or via
+    // GraftBridge.freeLocalCheckpoint / graft_release_diffs); reliable
+    // checkpoint FILES are reclaimed by the ContextCleaner only with
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true, otherwise
+    // by checkpoint-dir hygiene.
+    try {
+      if (spark.sparkContext.getCheckpointDir.isDefined)
+        classified.checkpoint(eager = true)
+      else classified.localCheckpoint(eager = true)
+    } finally post.unpersist(blocking = false)
   }
 
   /** [[readTabletDiff]]'s STREAMING twin, step 1: subscribe to the
@@ -757,27 +772,37 @@ final class StateStore(
     * for the same job. */
   def changefeedStream(
       startingGeneration: String = "0",
-      maxGenerationsPerTrigger: Option[Long] = None): DataFrame =
+      maxGenerationsPerTrigger: Option[Long] = None,
+      maxFilesPerTrigger: Option[Long] = None,
+      maxBytesPerTrigger: Option[Long] = None): DataFrame =
     mutationChangefeed(tabletRowsPath, "tablet_rows",
-      Schemas.tabletRows, startingGeneration, maxGenerationsPerTrigger)
+      Schemas.tabletRows, startingGeneration, maxGenerationsPerTrigger,
+      maxFilesPerTrigger, maxBytesPerTrigger)
 
   /** [[changefeedStream]] for the SINGLET entry table — same offsets,
     * provenance, and protocol dispatch over `singlet_entries`. */
   def singletChangefeedStream(
       startingGeneration: String = "0",
-      maxGenerationsPerTrigger: Option[Long] = None): DataFrame =
+      maxGenerationsPerTrigger: Option[Long] = None,
+      maxFilesPerTrigger: Option[Long] = None,
+      maxBytesPerTrigger: Option[Long] = None): DataFrame =
     mutationChangefeed(singletEntriesPath, "singlet_entries",
-      Schemas.singletEntries, startingGeneration, maxGenerationsPerTrigger)
+      Schemas.singletEntries, startingGeneration, maxGenerationsPerTrigger,
+      maxFilesPerTrigger, maxBytesPerTrigger)
 
   private def mutationChangefeed(
       path: String, table: String, schema: StructType,
       startingGeneration: String,
-      maxGenerationsPerTrigger: Option[Long] = None): DataFrame =
+      maxGenerationsPerTrigger: Option[Long] = None,
+      maxFilesPerTrigger: Option[Long] = None,
+      maxBytesPerTrigger: Option[Long] = None): DataFrame =
     commitProtocol match {
       case ManifestCommit =>
         graft.streaming.ManifestChangefeed.stream(
           spark, path, table, startingGeneration,
-          maxGenerationsPerTrigger = maxGenerationsPerTrigger)
+          maxGenerationsPerTrigger = maxGenerationsPerTrigger,
+          maxFilesPerTrigger = maxFilesPerTrigger,
+          maxBytesPerTrigger = maxBytesPerTrigger)
       case RenameCommit =>
         val (fs, p) = fsPath(path)
         fs.mkdirs(p)

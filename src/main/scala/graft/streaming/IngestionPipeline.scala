@@ -42,10 +42,13 @@ final class IngestionPipeline(
     store: StateStore,
     blockFilter: StreamedBlock => Boolean = _ => true,
     indexMinMutations: Long = 25000L,
-    maxIndexBuildsPerBatch: Int = 2)(implicit spark: SparkSession) {
+    maxIndexBuildsPerBatch: Int = 2,
+    asyncIndexMaintenance: Boolean = false)(implicit spark: SparkSession) {
 
   require(maxIndexBuildsPerBatch >= 1,
     s"maxIndexBuildsPerBatch must be >= 1, got $maxIndexBuildsPerBatch")
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   val forkDB = new ForkDB
 
@@ -165,8 +168,10 @@ final class IngestionPipeline(
     // (4) Index maintenance: bump per-tablet counters from the metadata
     // counts and snapshot any tablet past the trigger heuristic, pinned at
     // the batch head height (so snapshot ∪ tail reads stay consistent).
-    tabletCounts.foreach { case (tablet, _, n) => indexCache.increment(tablet, n) }
-    val collectionByTablet = tabletCounts.map(t => t._1 -> t._2).toMap
+    tabletCounts.foreach { case (tablet, coll, n) =>
+      collectionOf.put(tablet, coll)
+      indexCache.increment(tablet, n)
+    }
     // CAPPED index maintenance: under uniform traffic every tablet
     // crosses the 25k-mutation heuristic in the SAME batch, and building
     // all of them serially inside one commit stalls ingestion for the
@@ -180,56 +185,154 @@ final class IngestionPipeline(
     // heuristic, not a contract: a tablet indexes a few batches later at
     // exactly the same consistency (reads fall back to the previous
     // snapshot + a slightly longer tail until then).
-    indexCache.tabletsToIndex().take(maxIndexBuildsPerBatch).foreach { tablet =>
-      val coll = collectionByTablet.getOrElse(tablet, 0)
-      store.latestTabletSnapshotMeta(tablet, hi) match {
-        case Some((prevH, prevSquelch, prevIdx)) if prevH < hi =>
-          // Steady state — INCREMENTAL (indexing.go:265–271): seed from the
-          // previous snapshot and scan only the tail (prevH, hi]. Cost is
-          // bounded by mutations since the last index, never by history.
-          // The tail is pinned so its one scan feeds both the squelch
-          // count and the argmax; squelch carries forward as prev + tail.
-          val tail = store.tabletRowsPruned(Seq(
-              graft.store.ManifestTable.StatsEq("tablet_id", tablet),
-              graft.store.ManifestTable.StatsGte("height", prevH + 1),
-              graft.store.ManifestTable.StatsLte("height", hi)))
-            .filter(
-              col("tablet_id") === lit(tablet) &&
-                col("height") > lit(prevH) && col("height") <= lit(hi)).persist()
+    //
+    // ASYNC (`asyncIndexMaintenance = true`): builds leave the commit
+    // path entirely — the commit only bumps counters and signals the
+    // maintenance thread, which builds at the same cap with the same
+    // pinned-floor discipline the compactor uses (pin the last COMMITTED
+    // checkpoint height, read only data at or below it — immutable by
+    // the linearity guard — and write the snapshot at that height;
+    // deterministic commit names make replays/races a skip). This
+    // removes the residual per-batch build slot from commit latency;
+    // consistency is unchanged because reads never require a snapshot,
+    // they only get faster once one lands.
+    if (asyncIndexMaintenance) signalMaintenance()
+    else indexCache.tabletsToIndex().take(maxIndexBuildsPerBatch)
+      .foreach(t => buildIndexFor(t, collectionAt(t), hi))
+  }
+
+  private val collectionOf =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]()
+  private def collectionAt(tablet: String): Int =
+    collectionOf.getOrDefault(tablet, 0)
+
+  /** Build (or incrementally extend) `tablet`'s snapshot pinned at `hi`
+    * — the reference's TabletIndex write (write.go:64–69), shared by the
+    * in-commit and async maintenance paths. */
+  private def buildIndexFor(tablet: String, coll: Int, hi: Long): Unit = {
+    store.latestTabletSnapshotMeta(tablet, hi) match {
+      case Some((prevH, prevSquelch, prevIdx)) if prevH < hi =>
+        // Steady state — INCREMENTAL (indexing.go:265–271): seed from the
+        // previous snapshot and scan only the tail (prevH, hi]. Cost is
+        // bounded by mutations since the last index, never by history.
+        // The tail is pinned so its one scan feeds both the squelch
+        // count and the argmax; squelch carries forward as prev + tail.
+        val tail = store.tabletRowsPruned(Seq(
+            graft.store.ManifestTable.StatsEq("tablet_id", tablet),
+            graft.store.ManifestTable.StatsGte("height", prevH + 1),
+            graft.store.ManifestTable.StatsLte("height", hi)))
+          .filter(
+            col("tablet_id") === lit(tablet) &&
+              col("height") > lit(prevH) && col("height") <= lit(hi)).persist()
+        try {
+          val tailCount = tail.count()
+          val idx = graft.snapshot.Snapshots
+            .buildTabletIndexIncremental(tail, prevIdx).persist()
           try {
-            val tailCount = tail.count()
-            val idx = graft.snapshot.Snapshots
-              .buildTabletIndexIncremental(tail, prevIdx).persist()
-            try {
-              store.writeTabletSnapshot(idx, tablet, hi, prevSquelch + tailCount, coll)
-              indexCache.recordIndexed(tablet, idx.count())
-            } finally idx.unpersist()
-          } finally tail.unpersist()
-        case Some((_, _, prevIdx)) =>
-          // Already indexed at exactly `hi` (crash-replayed batch): the
-          // snapshot write would be a deterministic skip — just resync the
-          // cache counters.
-          indexCache.recordIndexed(tablet, prevIdx.count())
-        case None =>
-          // First index of this tablet: one full-history build, with the
-          // scanned slice pinned so the squelch count is not a second scan.
-          val scoped = store.tabletRowsPruned(Seq(
-              graft.store.ManifestTable.StatsEq("tablet_id", tablet),
-              graft.store.ManifestTable.StatsLte("height", hi)))
-            .filter(
-              col("tablet_id") === lit(tablet) && col("height") <= lit(hi)).persist()
+            store.writeTabletSnapshot(idx, tablet, hi, prevSquelch + tailCount, coll)
+            indexCache.recordIndexed(tablet, idx.count(), Some(tailCount))
+          } finally idx.unpersist()
+        } finally tail.unpersist()
+      case Some((_, _, prevIdx)) =>
+        // Already indexed at exactly `hi` (crash-replayed batch): the
+        // snapshot write would be a deterministic skip — just resync the
+        // cache counters.
+        indexCache.recordIndexed(tablet, prevIdx.count())
+      case None =>
+        // First index of this tablet: one full-history build, with the
+        // scanned slice pinned so the squelch count is not a second scan.
+        val scoped = store.tabletRowsPruned(Seq(
+            graft.store.ManifestTable.StatsEq("tablet_id", tablet),
+            graft.store.ManifestTable.StatsLte("height", hi)))
+          .filter(
+            col("tablet_id") === lit(tablet) && col("height") <= lit(hi)).persist()
+        try {
+          val squelch = scoped.count()
+          val idx = graft.snapshot.Snapshots
+            .buildTabletIndex(scoped, tablet, hi).persist()
           try {
-            val squelch = scoped.count()
-            val idx = graft.snapshot.Snapshots
-              .buildTabletIndex(scoped, tablet, hi).persist()
-            try {
-              store.writeTabletSnapshot(idx, tablet, hi, squelch, coll)
-              indexCache.recordIndexed(tablet, idx.count())
-            } finally idx.unpersist()
-          } finally scoped.unpersist()
-      }
+            store.writeTabletSnapshot(idx, tablet, hi, squelch, coll)
+            indexCache.recordIndexed(tablet, idx.count(), Some(squelch))
+          } finally idx.unpersist()
+        } finally scoped.unpersist()
     }
   }
+
+  // ----------------------------------------------- async index maintenance
+  // One daemon thread per pipeline, started lazily on the first signal.
+  // Scheduler-pool isolated (effective under FAIR mode, like the ingest
+  // query itself) so its Spark jobs never queue ahead of commit jobs.
+  // Single-writer safety: with async enabled the commit path never builds,
+  // so this thread is the store's ONLY snapshot writer while the pipeline
+  // runs — the same one-writer-per-table discipline every maintenance
+  // surface keeps.
+
+  private val maintLock = new Object
+  @volatile private var maintRunning = false
+  private var maintThread: Option[Thread] = None
+
+  private def signalMaintenance(): Unit = maintLock.synchronized {
+    if (maintThread.isEmpty) {
+      maintRunning = true
+      val t = new Thread(() => maintenanceLoop(), "graft-index-maint")
+      t.setDaemon(true)
+      maintThread = Some(t)
+      t.start()
+    }
+    maintLock.notifyAll()
+  }
+
+  private def maintenanceLoop(): Unit =
+    IngestionPipeline.inPool(spark, "graft-index-maint") {
+      while (maintRunning) {
+        val pending = indexCache.tabletsToIndex().take(maxIndexBuildsPerBatch)
+        if (pending.isEmpty) {
+          maintLock.synchronized { if (maintRunning) maintLock.wait(1000L) }
+        } else pending.foreach { tablet =>
+          if (maintRunning) {
+            // Pin the floor per build: the last COMMITTED height. Data at
+            // or below it is immutable (checkpoint linearity), so the
+            // build races nothing; the snapshot's deterministic commit
+            // name makes a duplicate build a skip.
+            val hi = store.checkpoint(StateStore.GlobalCheckpointKey)
+              .map(_.height).getOrElse(-1L)
+            if (hi >= 0L)
+              try buildIndexFor(tablet, collectionAt(tablet), hi)
+              catch {
+                case _: InterruptedException => maintRunning = false
+                case scala.util.control.NonFatal(e) =>
+                  log.warn(s"async index build failed for tablet $tablet " +
+                    "at height " + hi + " — will retry (tablet stays " +
+                    "eligible; reads fall back to the previous snapshot " +
+                    "+ tail)", e)
+                  // Don't hot-loop on a persistent failure.
+                  maintLock.synchronized {
+                    if (maintRunning) maintLock.wait(1000L) }
+              }
+          }
+        }
+      }
+    }
+
+  /** Stop the async maintenance thread (no-op when never started or
+    * synchronous). In-flight build finishes; pending tablets stay
+    * eligible — counters persist in [[indexCache]], so a later pipeline
+    * (or a manual reindex) picks them up. */
+  def stopIndexMaintenance(joinMillis: Long = 30000L): Unit = {
+    val t = maintLock.synchronized {
+      maintRunning = false
+      maintLock.notifyAll()
+      val cur = maintThread
+      maintThread = None
+      cur
+    }
+    t.foreach(_.join(joinMillis))
+  }
+
+  /** Test/soak hook: true when no tablet is currently past the index
+    * heuristic — i.e. the maintenance backlog is drained. */
+  private[graft] def indexBacklogEmpty: Boolean =
+    indexCache.tabletsToIndex().isEmpty
 
   /** Wire a streaming Dataset of blocks into the store. */
   def start(

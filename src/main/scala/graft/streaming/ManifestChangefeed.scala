@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset => OffsetV2, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset => OffsetV2, ReadLimit, ReadMaxBytes, ReadMaxFiles, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.GraftBridge
@@ -116,7 +116,9 @@ object ManifestChangefeed {
       table: String = "tablet_rows",
       startingGeneration: String = "0",
       onRewrite: String = "skip",
-      maxGenerationsPerTrigger: Option[Long] = None): DataFrame = {
+      maxGenerationsPerTrigger: Option[Long] = None,
+      maxFilesPerTrigger: Option[Long] = None,
+      maxBytesPerTrigger: Option[Long] = None): DataFrame = {
     val r = spark.readStream
       .format(classOf[ManifestChangefeedProvider].getName)
       .option("path", tablePath)
@@ -125,6 +127,8 @@ object ManifestChangefeed {
       .option("onRewrite", onRewrite)
     maxGenerationsPerTrigger.foreach(m =>
       r.option("maxGenerationsPerTrigger", m.toString))
+    maxFilesPerTrigger.foreach(m => r.option("maxFilesPerTrigger", m.toString))
+    maxBytesPerTrigger.foreach(m => r.option("maxBytesPerTrigger", m.toString))
     r.load()
   }
 
@@ -272,13 +276,19 @@ final class ManifestChangefeedSource(
     partitionCol: Option[String],
     baseGen: Long,
     onRewrite: String,
-    maxGenerationsPerTrigger: Option[Long] = None)
+    maxGenerationsPerTrigger: Option[Long] = None,
+    maxFilesPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
   extends Source with SupportsTriggerAvailableNow {
 
   require(onRewrite == "skip" || onRewrite == "fail" || onRewrite == "emitFresh",
     s"onRewrite must be 'skip', 'fail' or 'emitFresh', got '$onRewrite'")
   require(maxGenerationsPerTrigger.forall(_ > 0),
     s"maxGenerationsPerTrigger must be positive, got $maxGenerationsPerTrigger")
+  require(maxFilesPerTrigger.forall(f => f > 0 && f <= Int.MaxValue),
+    s"maxFilesPerTrigger must be a positive int, got $maxFilesPerTrigger")
+  require(maxBytesPerTrigger.forall(_ > 0),
+    s"maxBytesPerTrigger must be positive, got $maxBytesPerTrigger")
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   private implicit val spark: SparkSession = sqlContext.sparkSession
@@ -327,30 +337,125 @@ final class ManifestChangefeedSource(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(table.currentGeneration().getOrElse(0L))
 
-  /** Our ReadLimit vocabulary: `maxRows` carrying GENERATIONS (the
-    * source's admission unit — each "row" of the offset axis is one
-    * committed generation), or all-available when uncapped. */
-  override def getDefaultReadLimit: ReadLimit =
-    maxGenerationsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+  /** Our ReadLimit vocabulary, composed Delta-source style: `maxRows`
+    * carries GENERATIONS (the source's admission unit — each "row" of
+    * the offset axis is one committed generation); `maxFiles`/`maxBytes`
+    * carry real data-file VOLUME, budgeted from sidecar metadata alone
+    * — what keeps one fat generation-COUNTED slice (a backfill commit of
+    * millions of rows) from becoming an all-or-nothing micro-batch. */
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      maxGenerationsPerTrigger.map(ReadLimit.maxRows),
+      maxFilesPerTrigger.map(f => ReadLimit.maxFiles(f.toInt)),
+      maxBytesPerTrigger.map(ReadLimit.maxBytes)).flatten
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
-  private def capOf(limit: ReadLimit): Option[Long] = limit match {
+  private def genCapOf(limit: ReadLimit): Option[Long] = limit match {
     case r: ReadMaxRows => Some(r.maxRows)
     case c: CompositeReadLimit =>
-      c.getReadLimits.toSeq.flatMap(capOf).reduceOption(_ min _)
+      c.getReadLimits.toSeq.flatMap(genCapOf).reduceOption(_ min _)
     case _ => None // ReadAllAvailable (or an unknown limit): uncapped
+  }
+  private def fileCapOf(limit: ReadLimit): Option[Long] = limit match {
+    case r: ReadMaxFiles => Some(r.maxFiles.toLong)
+    case c: CompositeReadLimit =>
+      c.getReadLimits.toSeq.flatMap(fileCapOf).reduceOption(_ min _)
+    case _ => None
+  }
+  private def byteCapOf(limit: ReadLimit): Option[Long] = limit match {
+    case r: ReadMaxBytes => Some(r.maxBytes)
+    case c: CompositeReadLimit =>
+      c.getReadLimits.toSeq.flatMap(byteCapOf).reduceOption(_ min _)
+    case _ => None
+  }
+
+  /** What admitting generation `rec` costs the micro-batch, in the files
+    * the batch will actually SCAN (and their bytes when the sidecar
+    * recorded sizes): a rewrite under `skip` emits nothing (cost 0 — the
+    * stream rides through compaction without the budget stalling on it);
+    * under `emitFresh` only the fresh subset is scanned; a plain append
+    * costs its whole file list. Bytes `None` = sizes unknown (pre-bytes
+    * sidecar) — a byte budget treats that as unbudgetable, not as
+    * free. */
+  private def admissionCost(
+      rec: graft.store.ManifestTable.DeltaRecord): (Long, Option[Long]) = {
+    val e = rec.entry
+    val sizeOf: Option[Map[String, Long]] =
+      if (e.bytes.size == e.files.size) Some(e.files.zip(e.bytes).toMap)
+      else None
+    if (rec.rewrite) {
+      if (onRewrite == "emitFresh") rec.fresh match {
+        case Some(fresh) => (fresh.size.toLong,
+          sizeOf.map(m => fresh.iterator.map(f => m.getOrElse(f, 0L)).sum))
+        case None => (0L, Some(0L)) // skipped (loudly) in getBatch
+      } else (0L, Some(0L)) // skip emits nothing; fail halts at plan time
+    } else (e.files.size.toLong, sizeOf.map(_.values.sum))
+  }
+
+  /** Walk `(floor, ceil]` accumulating admission volume from the tiny
+    * per-generation sidecars (the same ones getBatch reads; no file
+    * listing, no manifest fold) and stop BEFORE a budget is exceeded.
+    * A generation is one commit and can never be split, so the contract
+    * is: admit at least the first pending generation, stop before the
+    * one that would exceed the budget — one deliberately fat generation
+    * becomes its own micro-batch instead of poisoning a wider slice.
+    * A pre-sidecar generation (or a byte budget over a pre-bytes
+    * sidecar) is unbudgetable: it is admitted alone, keeping progress
+    * while `backfill-sidecars` remains the real fix. */
+  private def volumeCappedEnd(floor: Long, ceil: Long,
+      fileCap: Option[Long], byteCap: Option[Long]): Long = {
+    var end = floor
+    var files = 0L
+    var bytes = 0L
+    var stop = false
+    while (!stop && end < ceil) {
+      val g = end + 1
+      table.deltaRecord(g) match {
+        case None =>
+          if (end == floor) end = g
+          stop = true
+        case Some(rec) =>
+          val (f, bOpt) = admissionCost(rec)
+          val bytesUnknown = byteCap.isDefined && bOpt.isEmpty
+          if (end == floor) {
+            files += f; bytes += bOpt.getOrElse(0L); end = g
+            if (bytesUnknown) stop = true
+          } else if (bytesUnknown ||
+              fileCap.exists(c => files + f > c) ||
+              byteCap.exists(c => bytes + bOpt.getOrElse(0L) > c)) {
+            stop = true
+          } else {
+            files += f; bytes += bOpt.getOrElse(0L); end = g
+          }
+      }
+    }
+    end
   }
 
   /** One pointer GET (zero when AvailableNow pinned), capped from the
     * START offset the engine passes — which IS the committed/available
     * floor, so a restart mid-catch-up resumes at the last committed slice
-    * with no extra bookkeeping. Returns null (no new batch) once the
-    * floor reaches the pointer / the AvailableNow pin. */
+    * with no extra bookkeeping. Generation cap first (pure arithmetic),
+    * then the file/byte budget walk over at most that many sidecars.
+    * Returns null (no new batch) once the floor reaches the pointer /
+    * the AvailableNow pin. */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val floor = math.max(baseGen,
       Option(start).map(_.json.trim.toLong).getOrElse(baseGen))
     plannedGen = math.max(plannedGen, floor)
     val head = availableNowTarget.orElse(table.currentGeneration())
-    head.map(ptr => capOf(limit).fold(ptr)(m => math.min(ptr, floor + m)))
+    head.map { ptr =>
+      val genCeil = genCapOf(limit).fold(ptr)(m => math.min(ptr, floor + m))
+      (fileCapOf(limit), byteCapOf(limit)) match {
+        case (None, None) => genCeil
+        case (fc, bc) => volumeCappedEnd(floor, genCeil, fc, bc)
+      }
+    }
       .filter(_ > floor)
       .map { g =>
         plannedGen = math.max(plannedGen, g)
@@ -385,8 +490,9 @@ final class ManifestChangefeedSource(
         s"graft-changefeed: generation $g of $tablePath is a rewrite with " +
           "no per-file dataChange information on this path (full-manifest " +
           "fold) — cannot identify fresh files, skipping the generation " +
-          "(onRewrite=emitFresh; run backfill-sidecars? only sidecars " +
-          "written by a merge carry the fresh list)")
+          "(onRewrite=emitFresh). Pre-upgrade merge history cannot serve " +
+          "emitFresh: re-materialize the target, or subscribe to the " +
+          "upstream mutation log instead")
       else if (freshDropped > 0) log.warn(
         s"graft-changefeed: generation $g of $tablePath is a rewrite " +
           s"(skipped, onRewrite=skip) but ALSO added $freshDropped fresh " +
@@ -425,7 +531,9 @@ final class ManifestChangefeedSource(
               s"graft-changefeed: generation $g of $tablePath is a rewrite " +
                 "whose sidecar predates per-file dataChange — cannot " +
                 "identify fresh files, skipping the generation " +
-                "(onRewrite=emitFresh)")
+                "(onRewrite=emitFresh). Pre-upgrade merge history cannot " +
+                "serve emitFresh: re-materialize the target, or subscribe " +
+                "to the upstream mutation log instead")
           }
           else if (rec.rewrite)
             rewriteAt(g, removed = "prior",
@@ -478,7 +586,12 @@ final class ManifestChangefeedSource(
   * (number | "latest"), `onRewrite` (skip | fail | emitFresh),
   * `maxGenerationsPerTrigger` (positive long — caps how many pending
   * generations one micro-batch may span; catch-up splits into bounded,
-  * individually-committed slices). */
+  * individually-committed slices), `maxFilesPerTrigger` /
+  * `maxBytesPerTrigger` (positive — VOLUME budget per micro-batch,
+  * computed from sidecar metadata alone: the slice stops before the
+  * generation that would exceed it, but always admits at least one —
+  * one commit cannot be split — so a fat backfill generation becomes
+  * its own batch instead of widening an all-or-nothing plan). */
 final class ManifestChangefeedProvider extends StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-changefeed"
@@ -525,7 +638,9 @@ final class ManifestChangefeedProvider extends StreamSourceProvider with DataSou
     }
     new ManifestChangefeedSource(sqlContext, path, dataSchema, partitionCol,
       baseGen, parameters.getOrElse("onRewrite", "skip"),
-      parameters.get("maxGenerationsPerTrigger").map(_.trim.toLong))
+      parameters.get("maxGenerationsPerTrigger").map(_.trim.toLong),
+      parameters.get("maxFilesPerTrigger").map(_.trim.toLong),
+      parameters.get("maxBytesPerTrigger").map(_.trim.toLong))
   }
 }
 

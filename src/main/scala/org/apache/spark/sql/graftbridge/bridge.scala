@@ -81,4 +81,16 @@ object GraftBridge {
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Run `body` with the context's checkpoint directory set to `dir`,
+    * restoring the previous value after (`SparkContext.checkpointDir` is
+    * `private[spark]` — there is no public unset, and a shared test
+    * session must not leak the setting into unrelated suites). */
+  def withCheckpointDir[T](
+      spark: org.apache.spark.sql.SparkSession, dir: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.checkpointDir
+    sc.setCheckpointDir(dir)
+    try body finally sc.checkpointDir = prev
+  }
 }

@@ -265,6 +265,57 @@ class ForkStreamingSpec extends SparkTestBase {
     assert(store.readTabletAt("t2", 29).count() === 1L)
   }
 
+  test("asyncIndexMaintenance: builds leave the commit path — the " +
+    "maintenance thread lands the same snapshots at committed heights, " +
+    "snapshot-aware reads stay identical to direct reads, stop is clean") {
+    implicit val s = spark
+    import s.implicits._
+    val store = new StateStore(tmpDir("store-async-idx"))
+    val pipeline = new IngestionPipeline(store, indexMinMutations = 10,
+      asyncIndexMaintenance = true)
+    def block(n: Long) = StreamedBlock(
+      s"a$n", s"a${n - 1}", n, "irreversible",
+      TabletRowM(1, "t1", n, s"pk${n % 5}", s"v$n".getBytes, n % 7 == 3) +:
+        (if (n % 5 == 0) Seq(TabletRowM(1, "t2", n, "pk", s"w$n".getBytes, false))
+         else Nil),
+      Nil)
+    pipeline.commitBatch((0L until 15L).map(block).toDS(), 0)
+    pipeline.commitBatch((15L until 30L).map(block).toDS(), 1)
+    // The commits only signal; the builds land asynchronously — wait for
+    // the backlog to drain (CI-safe bound), then stop the thread.
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (!pipeline.indexBacklogEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100L)
+    assert(pipeline.indexBacklogEmpty,
+      "maintenance thread must drain the index backlog")
+    pipeline.stopIndexMaintenance()
+    // Snapshots landed, pinned at COMMITTED heights only (14 and/or 29 —
+    // how many depends on where the thread caught the commit sequence;
+    // both are valid pinned floors, never an uncommitted height).
+    val t1Heights = store.tabletSnapshots
+      .filter(org.apache.spark.sql.functions.col("tablet_id") === "t1")
+      .select("at_height").distinct().collect().map(_.getLong(0)).sorted
+    assert(t1Heights.nonEmpty, "async maintenance must build t1's snapshot")
+    assert(t1Heights.forall(h => h == 14L || h == 29L),
+      s"snapshots must pin committed batch heads, got ${t1Heights.toSeq}")
+    assert(store.latestTabletSnapshot("t1").get._1 === 29L,
+      "the drained backlog must include the head snapshot")
+    // The with-snapshot ≡ without-snapshot invariant holds under builds
+    // that ran concurrently with commits.
+    for (h <- Seq(14L, 20L, 29L)) {
+      val viaStore = store.readTabletAt("t1", h)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      val direct = graft.read.TemporalReads.readTabletAt(store.tabletRows, "t1", h)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(viaStore === direct, s"at height $h")
+    }
+    // Under-threshold tablet: untouched, reads fall back cleanly.
+    assert(store.latestTabletSnapshot("t2").isEmpty)
+    assert(store.readTabletAt("t2", 29).count() === 1L)
+    // Stop is idempotent.
+    pipeline.stopIndexMaintenance()
+  }
+
   test("PipelineMetrics gauges update from a streaming run: head, LIB, " +
     "reversible lag, time drift, batch/row counters") {
     implicit val s = spark

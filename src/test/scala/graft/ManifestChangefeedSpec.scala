@@ -244,6 +244,18 @@ class ManifestChangefeedSpec extends SparkTestBase {
       assert(dataBatches >= 3,
         s"catch-up ran in $dataBatches data batch(es); cap=2 over 5 " +
           "pending generations must split into >=3")
+      // Observability: reportLatestOffset surfaces the TRUE head in every
+      // progress row (`sources[0].latestOffset`), so an operator reads
+      // catch-up lag as latestOffset − endOffset instead of inferring it —
+      // mid-drain rows show endOffset BELOW the head (the capped slice).
+      val progress = q.recentProgress.filter(_.numInputRows > 0)
+        .flatMap(_.sources.headOption)
+        .map(s => (Option(s.endOffset), Option(s.latestOffset)))
+      assert(progress.forall(_._2.exists(_.trim == "5")),
+        s"every progress row must report the true head: ${progress.toSeq}")
+      assert(progress.init.exists { case (end, latest) =>
+        end.exists(_.trim.toLong < 5L) && latest.exists(_.trim == "5") },
+        s"mid-drain rows must show observable lag: ${progress.toSeq}")
     } finally q.stop()
   }
 
@@ -414,6 +426,110 @@ class ManifestChangefeedSpec extends SparkTestBase {
       "pin reached -> no progress -> the engine terminates the run")
     // The metrics view still reports the true head past the pin.
     assert(src.reportLatestOffset().json === "4")
+  }
+
+  test("volume-aware admission (maxFilesPerTrigger/maxBytesPerTrigger): a " +
+    "backlog splits on the byte/file budget from sidecar metadata alone, " +
+    "a fat generation is admitted ALONE, a skipped rewrite costs nothing, " +
+    "and an AvailableNow drain still converges completely") {
+    implicit val s = spark
+    val root = tmpDir("cf-vol")
+    val store = new StateStore(root, StateStore.ManifestCommit)
+    // gens 1,2 small; gen 3 deliberately FAT (the backfill-commit shape
+    // the generation-counted cap cannot bound); gens 4,5 small.
+    store.writeBatch(Seq(req(1, ("t1", "k1", "v1"))))
+    store.writeBatch(Seq(req(2, ("t1", "k2", "v2"))))
+    store.writeBatch(Seq(req(3,
+      (0 until 2000).map(i => ("t1", f"fat$i%05d", s"fatval-$i" * 4)): _*)))
+    store.writeBatch(Seq(req(4, ("t1", "k4", "v4"))))
+    store.writeBatch(Seq(req(5, ("t1", "k5", "v5"))))
+    val mt = store.manifestTableFor(store.tabletRowsPath)
+    def genBytes(g: Long): Long = mt.deltaRecord(g).get.entry.bytes.sum
+    def genFiles(g: Long): Long = mt.deltaRecord(g).get.entry.files.size.toLong
+    (1L to 5L).foreach(g => assert(genBytes(g) > 0L,
+      s"sidecar of gen $g must carry per-file byte sizes"))
+    val budget = genBytes(1) + genBytes(2) + 64L
+    assert(genBytes(3) > budget,
+      s"setup: the fat generation (${genBytes(3)}B) must exceed the " +
+        s"budget (${budget}B)")
+
+    def mkSource(files: Option[Long], bytes: Option[Long]) =
+      new graft.streaming.ManifestChangefeedSource(
+        spark.sqlContext, store.tabletRowsPath, graft.model.Schemas.tabletRows,
+        Some("collection"), baseGen = 0L, onRewrite = "skip",
+        maxFilesPerTrigger = files, maxBytesPerTrigger = bytes)
+    def slicesOf(src: graft.streaming.ManifestChangefeedSource): Seq[(Long, Long)] = {
+      val limit = src.getDefaultReadLimit
+      var floor = 0L
+      val out = Seq.newBuilder[(Long, Long)]
+      var o = src.latestOffset(null, limit)
+      while (o != null) {
+        val end = o.json.toLong
+        out += ((floor, end))
+        floor = end
+        o = src.latestOffset(o, limit)
+      }
+      out.result()
+    }
+
+    // BYTE budget: slices cover (0,5] contiguously, each within budget or
+    // a single (unsplittable) generation; the fat generation rides alone.
+    val byteSlices = slicesOf(mkSource(None, Some(budget)))
+    assert(byteSlices.head._1 === 0L && byteSlices.last._2 === 5L)
+    assert(byteSlices.sliding(2).forall {
+      case Seq(a, b) => a._2 == b._1
+      case _ => true })
+    byteSlices.foreach { case (from, to) =>
+      val cost = (from + 1 to to).map(genBytes).sum
+      assert(cost <= budget || to == from + 1,
+        s"slice ($from,$to] cost $cost exceeds $budget and is splittable")
+    }
+    assert(byteSlices.size >= 3, s"budget must split the backlog: $byteSlices")
+    val fatSlice = byteSlices.find(sl => sl._1 < 3L && 3L <= sl._2).get
+    assert(fatSlice === ((2L, 3L)), s"fat generation must ride alone: $fatSlice")
+
+    // FILE budget: same invariants with per-generation file counts.
+    val fileSlices = slicesOf(mkSource(Some(2L), None))
+    assert(fileSlices.head._1 === 0L && fileSlices.last._2 === 5L)
+    fileSlices.foreach { case (from, to) =>
+      val cost = (from + 1 to to).map(genFiles).sum
+      assert(cost <= 2L || to == from + 1,
+        s"slice ($from,$to] spans $cost files over the cap of 2")
+    }
+    assert(fileSlices.size >= 2, s"file cap must split the backlog: $fileSlices")
+
+    // End to end: an AvailableNow drain under the byte budget converges
+    // in ONE invocation, in multiple bounded data batches, completely.
+    val out = tmpDir("cf-vol-out")
+    val q = store.changefeedStream(maxBytesPerTrigger = Some(budget))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", tmpDir("cf-vol-ck"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000L), "AvailableNow job must self-terminate")
+    val got = spark.read.parquet(out)
+    assert(got.count() === store.tabletRows.count(),
+      "the drain must deliver the full table")
+    assert(got.select("_generation").distinct().collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "the drain must run in multiple budget-bounded batches")
+
+    // A skipped rewrite (compaction) costs the budget NOTHING: it shares
+    // a slice with the commit after it even under a one-small-gen budget.
+    // (Offset-planning only — compaction sweeps old files, so a from-0
+    // DATA read after this point would hit the documented retention
+    // trade; the probes above already covered the data path.)
+    store.compactTabletRows(2) // gen 6, rewrite
+    store.writeBatch(Seq(req(6, ("t1", "k6", "v6")))) // gen 7
+    val tail = {
+      val src = mkSource(None, Some(budget))
+      val limit = src.getDefaultReadLimit
+      src.latestOffset(new ManifestChangefeed.GenOffset(5), limit)
+    }
+    assert(tail.json === "7",
+      "compaction (cost 0 under skip) and the next commit fit one slice")
   }
 
   test("onRewrite=emitFresh: a merge generation emits ONLY its fresh-insert " +

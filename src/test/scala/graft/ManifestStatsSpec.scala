@@ -270,6 +270,43 @@ class ManifestStatsSpec extends SparkTestBase {
     assert(rowSet(t.read()) === Set(("t1", 1L, "a"), ("t1", 2L, "b")))
   }
 
+  test("reader-pins-generation vs sweepOrphans(retainGenerations): a read " +
+    "planned inside the retention window survives the sweep; one planned " +
+    "outside fails LOUDLY on missing files, never partial data") {
+    implicit val s = spark
+    val t = new ManifestTable(tmpDir("sweep-race"), schema)
+    t.commit(df(("t1", 1L, "a")), "c0") // gen 1
+    t.commit(df(("t1", 2L, "b")), "c1") // gen 2
+    t.replaceAll(t.read(), "compact")   // gen 3 rewrites — gens 1-2 now stale
+    t.commit(df(("t1", 3L, "c")), "c2") // gen 4
+
+    // A reader pins generation 2 (plans the DataFrame — the files are
+    // resolved from the immutable manifest) BEFORE any sweep runs.
+    val pinnedInWindow = t.readAt(4L)  // current: survives any sweep
+    val pinnedStale = t.readAt(2L)     // pre-compaction: outside window 1
+
+    // Sweep with a window that RETAINS generation 2's files (gens 3,4
+    // reference only the compaction output; retain 3 => gens 2,3,4).
+    t.sweepOrphans(retainGenerations = 3)
+    assert(rowSet(pinnedStale) === Set(("t1", 1L, "a"), ("t1", 2L, "b")),
+      "a read within the retention window must survive the sweep")
+
+    // Sweep down to the current generation only: generation 2's data
+    // directories are reclaimed. The pinned stale read must now fail on
+    // the missing files — loudly, not as silently partial/empty data.
+    val swept = t.sweepOrphans(retainGenerations = 1)
+    assert(swept.nonEmpty, "the narrow sweep must reclaim stale commit dirs")
+    val e = intercept[Exception] { pinnedStale.collect() }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.toLowerCase.contains("exist") ||
+      msg.toLowerCase.contains("not found") ||
+      msg.contains("FileNotFound"), s"must fail on missing files: $msg")
+    // The in-window pin keeps serving, as do fresh reads.
+    assert(rowSet(pinnedInWindow) ===
+      Set(("t1", 1L, "a"), ("t1", 2L, "b"), ("t1", 3L, "c")))
+    assert(rowSet(t.read()) === rowSet(pinnedInWindow))
+  }
+
   test("sidecar parse is positionally anchored: a stats column literally " +
     "named 'fresh' (or 'rewrite') cannot be mistaken for the per-file " +
     "dataChange fields") {

@@ -111,6 +111,56 @@ class StateMaterializerSpec extends SparkTestBase {
     assert(graft.store.ManifestTable.mergeMaxTouchedKeys === 1000000L)
   }
 
+  test("an insert-heavy merge SIZES its fresh-insert write like the " +
+    "rewrite side: multiple fresh files, each with tight key bounds; " +
+    "emitFresh sees all of them; point-read pruning holds") {
+    val t = mkTable(tmpDir("merge-fresh-sized"))
+    t.commit(df(("m1", 1, "m1v", false)), "c0")
+    val updates = df(
+      ("m1", 2, "m1v2", false), // touches the existing file (rewrite side)
+      ("f1", 2, "f1v", false), ("f2", 2, "f2v", false), ("f3", 2, "f3v", false),
+      ("f4", 2, "f4v", false), ("f5", 2, "f5v", false), ("f6", 2, "f6v", false))
+    val r = t.merge(updates, Seq("k"), "h", "del", "m-ins",
+      freshRowsPerFile = 2L)
+    assert(r.applied && r.rewritten === 1)
+    implicit val s = spark
+    val rec = t.deltaRecord(2L).get
+    assert(rec.rewrite)
+    val fresh = rec.fresh.get
+    assert(fresh.size >= 2,
+      s"6 fresh rows at 2 rows/file must split into >1 file, got $fresh")
+    // The fresh files hold exactly the new keys — the physical
+    // separation emitFresh relies on survives the multi-file write.
+    assert(t.scanOf(fresh).collect().map(_.getString(0)).toSet ===
+      Set("f1", "f2", "f3", "f4", "f5", "f6"))
+    // Range-partitioned: no fresh file's key bounds span the whole fresh
+    // range (f1..f6), so the NEXT merge's file matching stays selective.
+    val entry = rec.entry
+    val freshSet = fresh.toSet
+    def str(v: graft.store.ManifestTable.StatVal): String = v match {
+      case graft.store.ManifestTable.BytesVal(b) => new String(b, "UTF-8")
+      case other => other.toString
+    }
+    val spans = entry.files.zip(entry.stats).collect {
+      case (f, st) if freshSet.contains(f) =>
+        (str(st("k")._1), str(st("k")._2))
+    }
+    assert(spans.nonEmpty)
+    assert(spans.forall { case (lo, hi) => !(lo == "f1" && hi == "f6") },
+      s"a fresh file spans the whole key range — bounds not tight: $spans")
+    val (kept, total) = t.pruneCounts(Seq(
+      graft.store.ManifestTable.StatsEq("k", "f1")))
+    assert(kept < total, s"point filter must prune fresh files: $kept/$total")
+    // Per-file byte sizes recorded for the whole merge generation.
+    assert(entry.bytes.size === entry.files.size)
+    assert(entry.bytes.forall(_ > 0L))
+    // Contents exact.
+    assert(contents(t) === Set(
+      ("m1", 2L, "m1v2"), ("f1", 2L, "f1v"), ("f2", 2L, "f2v"),
+      ("f3", 2L, "f3v"), ("f4", 2L, "f4v"), ("f5", 2L, "f5v"),
+      ("f6", 2L, "f6v")))
+  }
+
   test("sweepOrphanFiles reclaims merge-dropped files inside partially " +
     "kept commit dirs; live files and reads untouched") {
     val t = mkTable(tmpDir("merge-sweep"))

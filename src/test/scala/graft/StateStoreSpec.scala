@@ -26,6 +26,43 @@ class StateStoreSpec extends SparkTestBase {
     assert(!store.hasSeenAnyRowForTablet("t-unknown"))
   }
 
+  test("diff durability: localCheckpoint block loss fails a held diff " +
+    "LOUDLY and a re-plan recovers; with a checkpoint dir configured the " +
+    "diff is reliably checkpointed and survives block loss") {
+    implicit val s = spark
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    val store = new StateStore(tmpDir("diff-durability"), StateStore.ManifestCommit)
+    store.writeBatch(Seq(
+      req(0, ("t1", "a", "a0")), req(1, ("t1", "b", "b1")),
+      req(2, ("t1", "a", "a2")), req(3, ("t1", "b", ""))))
+    def evs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[String]("primary_key"),
+        r.getAs[String]("change_type"), r.getAs[Long]("change_height"))).toSeq
+    val d = store.readTabletDiff("t1", 0L, 3L)
+    val expected = evs(d)
+    assert(expected.nonEmpty)
+    // Simulated executor loss: the localCheckpoint blocks vanish. A later
+    // read of the HELD frame must fail loudly (a localCheckpoint has no
+    // lineage — silent partial data would be the disaster case)...
+    GraftBridge.freeLocalCheckpoint(d)
+    val e = intercept[Exception] { d.collect() }
+    assert(e.getMessage.toLowerCase.contains("checkpoint") ||
+      Option(e.getCause).exists(_.getMessage.toLowerCase.contains("checkpoint")),
+      s"block loss must surface as a checkpoint failure, got: ${e.getMessage}")
+    // ...and the recovery is a re-plan (the diff read is pure).
+    assert(evs(store.readTabletDiff("t1", 0L, 3L)) === expected)
+    // Production posture: with a checkpoint dir, the diff materializes to
+    // FILES — block loss does not kill a held frame.
+    GraftBridge.withCheckpointDir(spark, tmpDir("diff-ckdir")) {
+      val d2 = store.readTabletDiff("t1", 0L, 3L)
+      GraftBridge.freeLocalCheckpoint(d2) // drops blocks; files remain
+      assert(evs(d2) === expected,
+        "a reliably-checkpointed diff must survive block loss")
+    }
+    // The setting did not leak into the shared session.
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+  }
+
   test("store asOfJoin: identical result with and without a snapshot, " +
     "and a snapshot inside the ignore-range is not consulted") {
     implicit val s = spark
