@@ -131,7 +131,8 @@ object SoakIngest {
       LiveBlockSource.fromSocket(spark, "localhost", server.getLocalPort),
       maxFilesPerTrigger = Some(20))
     val ingest = pipeline.start(joined, s"$base/ck-ingest", triggerMillis = 1000)
-    val serve = StateMaterializer.start(store, target, s"$base/ck-serve")
+    def startServe() = StateMaterializer.start(store, target, s"$base/ck-serve")
+    var serve = startServe()
 
     // CONCURRENT READER (round 15): a second SparkSession against the
     // same root — the TVF-reader-fleet shape — issuing as-of and diff
@@ -226,14 +227,34 @@ object SoakIngest {
       // guard that makes a sweep beside LIVE writers safe — an in-flight
       // commit's directory is unreferenced until its pointer swap).
       if (System.currentTimeMillis() - lastCompact > 300000L) {
-        val folded = StateMaterializer.compact(target)
-        val sweptStore = store.manifestTableFor(store.tabletRowsPath)
-          .sweepOrphans(retainGenerations = 180, minAgeMillis = 120000L).size
+        // Target maintenance follows the documented single-writer
+        // discipline (StateMaterializer.compact scaladoc: "pause the
+        // materializer"): STOP the serve query, compact + sweep, restart
+        // from the same checkpoint — a compact racing a live merge can
+        // clobber the merge's generation (both compute next = gen+1; the
+        // later pointer swap wins and the loser's commit is lost). The
+        // serve restart resumes exactly at its checkpointed generation;
+        // the pause's cost shows up as one serve-lag blip in the samples.
+        serve.stop()
+        val t0c = System.currentTimeMillis()
+        StateMaterializer.compact(target)
+        serve = startServe()
+        val pauseMs = System.currentTimeMillis() - t0c
+        // The SWEEPS run with the serve query back up: the minAge guard is
+        // exactly what makes a retention sweep safe BESIDE live writers,
+        // so only the compact (a competing publisher) needs the pause.
+        // The store's mutation table is append-only here (every dir stays
+        // referenced), so its sweep exercises the no-op path beside the
+        // live ingest writer.
         val targetMt = StateMaterializer.targetTable(target)
         val sweptTarget =
           targetMt.sweepOrphans(retainGenerations = 180, minAgeMillis = 120000L).size +
           targetMt.sweepOrphanFiles(retainGenerations = 180, minAgeMillis = 120000L).size
-        println(s"""{"soak_compact":{"elapsed_sec":$el,"folded":$folded,""" +
+        val sweptStore = store.manifestTableFor(store.tabletRowsPath)
+          .sweepOrphans(retainGenerations = 180, minAgeMillis = 120000L).size
+        println(s"""{"soak_compact":{"elapsed_sec":$el,""" +
+          s""""serve_pause_ms":$pauseMs,""" +
+          s""""maintenance_ms":${System.currentTimeMillis() - t0c},""" +
           s""""swept_store_dirs":$sweptStore,"swept_target":$sweptTarget}}""")
         lastCompact = System.currentTimeMillis()
       }
@@ -242,8 +263,10 @@ object SoakIngest {
     stopReader = true
     // Final drain: let the pipeline catch the feeder's last block, then
     // summarize steady state (samples after the catch-up seam, i.e. the
-    // second half).
+    // second half). The reader is JOINED before the context dies so a
+    // mid-flight read can't manufacture a shutdown-artifact error.
     Thread.sleep(3000L)
+    reader.join(15000L)
     ingest.stop(); serve.stop(); server.close()
     pipeline.stopIndexMaintenance()
     val steady = samples.drop(samples.size / 2)

@@ -315,7 +315,10 @@ final class ManifestChangefeedSource(
     * from-0 catch-up over an ~86k-generation history becomes ~86k/max
     * bounded, individually-committed micro-batches instead of one
     * all-or-nothing plan (and a crash mid-catch-up resumes at the last
-    * committed slice). */
+    * committed slice). Generation cap ONLY on this legacy V1 path: the
+    * engine always drives [[latestOffset]] (admission control is matched
+    * before the plain-Source fallback), which is where the file/byte
+    * volume budget lives. */
   override def getOffset: Option[OffsetV1] =
     table.currentGeneration()
       .map(ptr => maxGenerationsPerTrigger
