@@ -321,7 +321,10 @@ object ManifestProbe {
         val secs = (System.nanoTime() - t0) / 1e9
         require(total == 47L * rowsPerCommit + fatRows,
           s"$name drained $total rows, corpus has ${47L * rowsPerCommit + fatRows}")
-        println(f"MPROBE commits=$commits query=$name min=$secs%.2f " +
+        // commits=48 — the FAT corpus's own size (47 small + 1 fat), not
+        // the outer probe's `commits` arg, so cross-round comparisons by
+        // the commits= key attribute these rows to the right corpus.
+        println(f"MPROBE commits=48 query=$name min=$secs%.2f " +
           f"batches=$batches max_batch_rows=$maxBatchRows " +
           f"heap_delta_mb=${(heapMax - heap0) / 1e6}%.0f")
       }

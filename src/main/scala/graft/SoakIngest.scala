@@ -150,7 +150,11 @@ object SoakIngest {
     val reader = new Thread(() => IngestionPipeline.inPool(readerSpark, "graft-reader") {
       while (!stopReader) {
         try {
-          val ck = readerStore.checkpoint(StateStore.GlobalCheckpointKey)
+          // checkpointFresh, NOT checkpoint: the plain accessor is a
+          // single-writer cache and would freeze a never-writing reader
+          // at its first observation — every poll would then replay one
+          // historical window and the staleness claim would be vacuous.
+          val ck = readerStore.checkpointFresh(StateStore.GlobalCheckpointKey)
             .map(_.height).getOrElse(-1L)
           if (ck > 1L) {
             val t0 = System.nanoTime()

@@ -427,7 +427,13 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       val beforeFiles = line.split("\"files\":\\[", 2)(0)
       val rewrite = beforeFiles.split("\"rewrite\":", 2) match {
         case Array(_, rest) => rest.trim.startsWith("true")
-        case _ => false
+        // Every sidecar writer emits the rewrite field; its absence is
+        // corruption and must stay LOUD — a silent `false` would classify
+        // a malformed rewrite sidecar as a plain append and re-deliver
+        // the rewrite's whole file list as fresh mutations downstream.
+        case _ => sys.error(
+          s"delta sidecar for generation $gen of $tablePath has no " +
+            "rewrite field — corrupt sidecar")
       }
       val fresh = beforeFiles.split("\"fresh\":\\[", 2) match {
         case Array(_, rest) =>
@@ -522,25 +528,31 @@ final class ManifestTable(val tablePath: String, schema: StructType,
   }
 
   private def listDataFiles(dir: String): Seq[String] =
-    listDataFilesSized(dir).map(_._1)
+    listDataFilesStat(dir).map(_._1)
 
-  /** Commit-dir listing with per-file byte sizes — the listing already
-    * returns `FileStatus`, so sizes are free; they flow into the
-    * manifest/sidecar `bytes` field for volume-aware changefeed
-    * admission. */
-  private def listDataFilesSized(dir: String): Seq[(String, Long)] = {
+  private def listDataFilesSized(dir: String): Seq[(String, Long)] =
+    listDataFilesStat(dir).map(t => (t._1, t._2))
+
+  /** THE ONE commit-dir walk (relative path, byte size, mtime) — the
+    * commit path (names + sizes for the manifest `bytes` field), the
+    * file-level sweep (names + mtime for the age guard), and
+    * reconstruction all derive from this, so layout/relativization can
+    * never drift between writers and reclaimers. Sizes/mtimes are free:
+    * the listing already returns `FileStatus`. */
+  private def listDataFilesStat(dir: String): Seq[(String, Long, Long)] = {
     val (fs, p) = fsOf(dir)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val st = it.next()
       if (st.getPath.getName.endsWith(".parquet"))
-        buf += ((st.getPath.toString, st.getLen))
+        buf += ((st.getPath.toString, st.getLen, st.getModificationTime))
     }
     // Relative to tablePath, so the table survives a root move.
     val prefix = fsOf(tablePath)._2.toUri.getPath
-    buf.toSeq.map { case (f, len) =>
-      (new Path(f).toUri.getPath.stripPrefix(prefix).stripPrefix("/"), len)
+    buf.toSeq.map { case (f, len, mtime) =>
+      (new Path(f).toUri.getPath.stripPrefix(prefix).stripPrefix("/"),
+        len, mtime)
     }.sortBy(_._1)
   }
 
@@ -1040,23 +1052,16 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     }
     val liveDirs = liveFiles.map(_.split("/", 2)(0))
     val now = System.currentTimeMillis()
-    // Same recursive walk + root-relativization the commit path uses
-    // (listDataFiles), so the two can never drift on layout or encoding.
-    val prefix = fsOf(tablePath)._2.toUri.getPath
+    // Same walk as the commit path (listDataFilesStat), so layout and
+    // relativization can never drift between writer and reclaimer.
     val victims = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
       .filter(p => p.getName.startsWith("d-") && liveDirs.contains(p.getName))
-      .flatMap { dir =>
-        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-        val it = fs.listFiles(dir, true)
-        while (it.hasNext) {
-          val st = it.next()
-          if (st.getPath.getName.endsWith(".parquet") &&
-              (minAgeMillis <= 0L || now - st.getModificationTime >= minAgeMillis))
-            buf += st.getPath.toUri.getPath.stripPrefix(prefix).stripPrefix("/")
-        }
-        buf
+      .flatMap(dir => listDataFilesStat(dir.toString))
+      .collect {
+        case (rel, _, mtime)
+            if (minAgeMillis <= 0L || now - mtime >= minAgeMillis) &&
+              !liveFiles.contains(rel) => rel
       }
-      .filterNot(liveFiles.contains)
     victims.foreach(rel => fs.delete(new Path(s"$tablePath/$rel"), false))
     victims.toSeq
   }

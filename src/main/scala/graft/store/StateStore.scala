@@ -460,6 +460,15 @@ final class StateStore(
       fromLog
     }
 
+  /** [[checkpoint]] for READER instances: always consults the durable
+    * log. The cache above is a single-WRITER cache (warm after the first
+    * hit, advanced by this instance's own checkpoint writes), so on an
+    * instance that never writes — a reader fleet polling another
+    * process's store — [[checkpoint]] freezes at its first observation
+    * forever. One small log read per call; no cache interaction. */
+  def checkpointFresh(key: String): Option[Checkpoint] =
+    readCheckpointFromLog(key)
+
   private def readCheckpointFromLog(key: String): Option[Checkpoint] = {
     import spark.implicits._
     checkpointsDF
@@ -733,8 +742,16 @@ final class StateStore(
     // checkpoint FILES are reclaimed by the ContextCleaner only with
     // spark.cleaner.referenceTracking.cleanCheckpoints=true, otherwise
     // by checkpoint-dir hygiene.
+    // Opt-out: `spark.graft.diff.reliableCheckpoint=false` keeps
+    // localCheckpoint even with a checkpoint dir set — for sessions whose
+    // checkpoint dir exists for OTHER stateful workloads and must not
+    // accumulate per-diff files (reliable-checkpoint files are only
+    // auto-reclaimed under cleanCheckpoints=true).
+    val durable = spark.conf
+      .getOption("spark.graft.diff.reliableCheckpoint")
+      .forall(_.trim.equalsIgnoreCase("true"))
     try {
-      if (spark.sparkContext.getCheckpointDir.isDefined)
+      if (durable && spark.sparkContext.getCheckpointDir.isDefined)
         classified.checkpoint(eager = true)
       else classified.localCheckpoint(eager = true)
     } finally post.unpersist(blocking = false)
@@ -816,9 +833,18 @@ final class StateStore(
         val filePath = col("_metadata").getField("file_path")
         val dataSchema = org.apache.spark.sql.types.StructType(
           schema.fields.filterNot(_.name == "collection"))
-        spark.readStream
+        val reader = spark.readStream
           .option("recursiveFileLookup", "true")
           .schema(dataSchema)
+        // The file source has no generation axis (maxGenerationsPerTrigger
+        // does not apply), but its own admission options carry the SAME
+        // volume contract as the manifest source's — pass them through so
+        // a caller's budget is never silently dropped on this protocol.
+        maxFilesPerTrigger.foreach(m =>
+          reader.option("maxFilesPerTrigger", m.toString))
+        maxBytesPerTrigger.foreach(m =>
+          reader.option("maxBytesPerTrigger", m.toString))
+        reader
           .parquet(path)
           .select(
             regexp_extract(filePath, "/collection=([^/]+)/", 1)
@@ -1526,6 +1552,15 @@ object StateStore {
               deltaPoints.update(t, deltaPoints.getOrElse(t, 0L) + v) }
             ds.foreach { case (t, v) =>
               deltaScans.update(t, deltaScans.getOrElse(t, 0L) + v) }
+            // Restore half a window of recording credit: the snapshot
+            // step zeroed `dirty`, and without a restore the retry would
+            // need a whole fresh flushEvery window of NEW reads. Half a
+            // window both retries promptly under traffic and keeps a
+            // PERMANENTLY broken store from paying one failed I/O per
+            // recording. (With no further reads, the retained delta
+            // drains at the next explicit flush — the decision path and
+            // process-exit hooks call one.)
+            dirty = math.max(dirty, flushEvery / 2)
           }
           if (!warnedUnwritable) {
             warnedUnwritable = true

@@ -349,6 +349,18 @@ class ManifestStatsSpec extends SparkTestBase {
       s"no fresh field must parse as UNKNOWN, got ${rec2b.fresh}")
     rec2b.fresh.foreach(_.foreach(f =>
       assert(!f.startsWith("l:"), s"stats bound leaked into fresh list: $f")))
+
+    // A sidecar MISSING the rewrite field entirely (foreign writer /
+    // hand-damaged) stays LOUD corruption — a silent rewrite=false would
+    // re-deliver a rewrite's whole file list as fresh mutations.
+    val d2p = new org.apache.hadoop.fs.Path(
+      f"$dir/_manifests/d-${2L}%09d.json")
+    val out = fs.create(d2p, true)
+    try out.write(
+      """{"commit_id":"x","files":["d-x-g2/a.parquet"]}""".getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[Exception] { t.deltaRecord(2L) }
+    assert(e.getMessage.contains("no rewrite field"), e.getMessage)
   }
 
   test("min-reader gate: the first delta-only publish bumps the pointer " +
