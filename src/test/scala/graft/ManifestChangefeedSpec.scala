@@ -726,6 +726,26 @@ class ManifestChangefeedSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("rename-protocol volume caps: maxFilesPerTrigger reaches the file " +
+    "source — a catch-up splits per the budget instead of one monolith") {
+    implicit val s = spark
+    val root = tmpDir("cf-rename-cap")
+    val store = new StateStore(root) // RenameCommit default
+    (1 to 4).foreach(h => store.writeBatch(Seq(req(h, ("t1", s"k$h", s"v$h")))))
+    val out = tmpDir("cf-rename-cap-out")
+    val q = store.changefeedStream(maxFilesPerTrigger = Some(1L))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", tmpDir("cf-rename-cap-ck"))
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 4L, "complete delivery")
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 4,
+        s"4 commit files at 1 file/trigger must split into >=4 batches, got $dataBatches")
+    } finally q.stop()
+  }
+
   test("rename-protocol dispatch: the file source is the changefeed, " +
     "commit-id provenance from the committed directory name") {
     implicit val s = spark

@@ -202,6 +202,13 @@ class ManifestStatsSpec extends SparkTestBase {
       .filter(col("tablet_id") === "t1" && col("height") <= 30)))
     assert(b.pruneCounts(f) === a.pruneCounts(f),
       "delta-reconstructed stats must prune identically")
+    // Per-file BYTE sizes survive delta-only reconstruction too — the
+    // changefeed's volume budget must work on interval-N tables.
+    (1L to 6L).foreach { g =>
+      assert(b.manifestEntriesFull(g).forall(e =>
+        e.bytes.size == e.files.size && e.bytes.forall(_ > 0L)),
+        s"gen $g must carry per-file sizes through reconstruction")
+    }
 
     // Idempotent replay at a delta-only generation: same commitId skips.
     assert(!b.commit(commits.head._2, "c0"))
