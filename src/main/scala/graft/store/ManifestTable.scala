@@ -1020,8 +1020,21 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     val victims = fs.listStatus(root).filter(_.isDirectory)
       .filter { st =>
         st.getPath.getName.startsWith("d-") &&
-          !live.contains(st.getPath.getName) &&
-          (minAgeMillis <= 0L || now - st.getModificationTime >= minAgeMillis)
+          !live.contains(st.getPath.getName) && {
+            minAgeMillis <= 0L || {
+              // Age from the NEWEST dateable evidence — the dir mtime or
+              // any child file's mtime. Directory mtimes are unreliable
+              // on object stores (S3A "directories" commonly report 0),
+              // which would make a dir-mtime-only guard vacuous exactly
+              // where it matters; with no dateable evidence at all the
+              // dir is conservatively treated as young and skipped (a
+              // real commit dir gains dateable files immediately).
+              val childMax = listDataFilesStat(st.getPath.toString)
+                .map(_._3).maxOption.getOrElse(0L)
+              val newest = math.max(st.getModificationTime, childMax)
+              newest > 0L && now - newest >= minAgeMillis
+            }
+          }
       }
       .map(_.getPath)
     victims.foreach(p => fs.delete(p, true))

@@ -751,8 +751,17 @@ final class StateStore(
       .getOption("spark.graft.diff.reliableCheckpoint")
       .forall(_.trim.equalsIgnoreCase("true"))
     try {
-      if (durable && spark.sparkContext.getCheckpointDir.isDefined)
-        classified.checkpoint(eager = true)
+      if (durable && spark.sparkContext.getCheckpointDir.isDefined) {
+        // Persist first: Dataset.checkpoint(eager) runs TWO jobs (the
+        // eager action, then ReliableCheckpointRDD's file write), and
+        // without a persisted input the whole classification — join,
+        // as-of pre-resolve, sort — recomputes for the second one
+        // (Spark's own RDD.checkpoint doc makes the same point).
+        val c = classified.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try c.checkpoint(eager = true)
+        finally c.unpersist(blocking = false)
+      }
       else classified.localCheckpoint(eager = true)
     } finally post.unpersist(blocking = false)
   }
@@ -1462,7 +1471,7 @@ object StateStore {
       try fsPath.foreach { case (fs, p) =>
         if (fs.exists(p)) {
           val (fp, fsc) = readFile(fs, p)
-          basePoints ++= fp; baseScans ++= fsc
+          adoptBase(fp, fsc)
         }
       } catch {
         case scala.util.control.NonFatal(e) =>
@@ -1497,18 +1506,29 @@ object StateStore {
           (Map.empty, Map.empty)
       }
     }
-    /** One full merge-on-flush: snapshot-and-clear this instance's delta,
-      * re-read the file, write file + delta, adopt the merged view as the
-      * new base. On ANY fault the delta is restored for a later retry —
-      * counts are never lost to a transient failure, and nothing
-      * propagates to the caller. */
-    private def flushNow(): Unit = flushLock.synchronized {
-      val (dp, ds) = this.synchronized {
-        val s = (deltaPoints.toMap, deltaScans.toMap)
-        deltaPoints.clear(); deltaScans.clear(); dirty = 0
-        s
+    /** Adopt `mp`/`ms` as the new base view — the ONE place the base maps
+      * are replaced (seed, empty-delta refresh, and post-write adoption
+      * all come through here so their semantics cannot drift). */
+    private def adoptBase(mp: Map[String, Long], ms: Map[String, Long]): Unit =
+      this.synchronized {
+        basePoints.clear(); basePoints ++= mp
+        baseScans.clear(); baseScans ++= ms
       }
+    /** One full merge-on-flush: SNAPSHOT (without clearing) this
+      * instance's delta, re-read the file, write file + delta, then
+      * atomically adopt the merged view as the new base and SUBTRACT the
+      * flushed snapshot from the delta. Because the delta is never
+      * cleared up front, visible counts (base + delta) hold steady
+      * through the whole I/O window — no transient dip for concurrent
+      * observers — and a failed flush needs NO restore step: the delta
+      * was never touched, the retry credit is just a dirty floor. A
+      * persistTo-less instance is purely in-memory: flush is a no-op and
+      * nothing is ever discarded. */
+    private def flushNow(): Unit = flushLock.synchronized {
       if (persistTo.isEmpty) return
+      val (dp, ds) = this.synchronized {
+        (deltaPoints.toMap, deltaScans.toMap)
+      }
       if (dp.isEmpty && ds.isEmpty) {
         // Nothing to contribute: refresh the base view only, so a
         // decision on a process that recorded nothing still adopts the
@@ -1516,10 +1536,7 @@ object StateStore {
         try fsPath.foreach { case (fs, p) =>
           if (fs.exists(p)) {
             val (fp, fsc) = readFile(fs, p)
-            this.synchronized {
-              basePoints.clear(); basePoints ++= fp
-              baseScans.clear(); baseScans ++= fsc
-            }
+            adoptBase(fp, fsc)
           }
         } catch { case scala.util.control.NonFatal(_) => () }
         return
@@ -1544,24 +1561,27 @@ object StateStore {
         this.synchronized {
           basePoints.clear(); basePoints ++= mp
           baseScans.clear(); baseScans ++= ms
+          // Subtract exactly what was flushed; recordings that landed
+          // during the I/O stay in the delta for the next flush.
+          dp.foreach { case (t, v) =>
+            val left = deltaPoints.getOrElse(t, 0L) - v
+            if (left > 0L) deltaPoints.update(t, left) else deltaPoints.remove(t)
+          }
+          ds.foreach { case (t, v) =>
+            val left = deltaScans.getOrElse(t, 0L) - v
+            if (left > 0L) deltaScans.update(t, left) else deltaScans.remove(t)
+          }
+          dirty = math.max(0,
+            dirty - (dp.values.sum + ds.values.sum).toInt)
         }
       } catch {
         case scala.util.control.NonFatal(e) =>
-          this.synchronized {
-            dp.foreach { case (t, v) =>
-              deltaPoints.update(t, deltaPoints.getOrElse(t, 0L) + v) }
-            ds.foreach { case (t, v) =>
-              deltaScans.update(t, deltaScans.getOrElse(t, 0L) + v) }
-            // Restore half a window of recording credit: the snapshot
-            // step zeroed `dirty`, and without a restore the retry would
-            // need a whole fresh flushEvery window of NEW reads. Half a
-            // window both retries promptly under traffic and keeps a
-            // PERMANENTLY broken store from paying one failed I/O per
-            // recording. (With no further reads, the retained delta
-            // drains at the next explicit flush — the decision path and
-            // process-exit hooks call one.)
-            dirty = math.max(dirty, flushEvery / 2)
-          }
+          // Delta untouched (snapshot never cleared) — nothing to
+          // restore. Cap the retry cadence at half a window so a
+          // PERMANENTLY broken store doesn't pay one failed I/O per
+          // recording; an explicit flush (decision path / exit hooks)
+          // retries immediately either way.
+          this.synchronized { dirty = math.min(dirty, flushEvery / 2) }
           if (!warnedUnwritable) {
             warnedUnwritable = true
             log.warn("read-mix counters not persistable (read-only store? " +
@@ -1578,8 +1598,9 @@ object StateStore {
       // happens on read paths (point reads, Catalyst analysis via
       // StateAsOfRule) and must never wait on storage I/O. At most one
       // queued flush at a time; it drains whatever delta exists when it
-      // runs.
-      if (dirty >= flushEvery && flushQueued.compareAndSet(false, true))
+      // runs. In-memory-only instances never queue (nothing to flush to).
+      if (persistTo.nonEmpty &&
+          dirty >= flushEvery && flushQueued.compareAndSet(false, true))
         StateStore.readMixFlushExec.execute(() =>
           try flushNow() finally flushQueued.set(false))
     }

@@ -267,49 +267,72 @@ final class IngestionPipeline(
   // runs — the same one-writer-per-table discipline every maintenance
   // surface keeps.
 
+  /** Per-THREAD run flag: each maintenance-thread generation owns its
+    * own flag, so a stop whose join times out (an in-flight build
+    * outliving the wait) can never be undone by the NEXT start — with a
+    * shared flag, the old thread would re-read `running = true` after
+    * its build and keep looping beside the new thread, double-building
+    * and double-subtracting counters. The old thread exits at its next
+    * check of ITS OWN (permanently false) flag. */
+  private final class MaintFlag { @volatile var running = true }
   private val maintLock = new Object
-  @volatile private var maintRunning = false
-  private var maintThread: Option[Thread] = None
+  private var maintThread: Option[(Thread, MaintFlag)] = None
 
   private def signalMaintenance(): Unit = maintLock.synchronized {
-    if (maintThread.isEmpty) {
-      maintRunning = true
-      val t = new Thread(() => maintenanceLoop(), "graft-index-maint")
+    // Restart on DEATH too, not just absence: a killed daemon (stray
+    // interrupt during a wait, OOM-adjacent error) must not silently end
+    // index maintenance for the pipeline's lifetime while signals keep
+    // notifying a corpse.
+    if (maintThread.forall(!_._1.isAlive)) {
+      if (maintThread.isDefined)
+        log.warn("async index maintenance thread died — restarting")
+      val flag = new MaintFlag
+      val t = new Thread(() => maintenanceLoop(flag), "graft-index-maint")
       t.setDaemon(true)
-      maintThread = Some(t)
+      maintThread = Some((t, flag))
       t.start()
     }
     maintLock.notifyAll()
   }
 
-  private def maintenanceLoop(): Unit =
+  private def maintenanceLoop(flag: MaintFlag): Unit =
     IngestionPipeline.inPool(spark, "graft-index-maint") {
-      while (maintRunning) {
-        val pending = indexCache.tabletsToIndex().take(maxIndexBuildsPerBatch)
-        if (pending.isEmpty) {
-          maintLock.synchronized { if (maintRunning) maintLock.wait(1000L) }
-        } else pending.foreach { tablet =>
-          if (maintRunning) {
-            // Pin the floor per build: the last COMMITTED height. Data at
-            // or below it is immutable (checkpoint linearity), so the
-            // build races nothing; the snapshot's deterministic commit
-            // name makes a duplicate build a skip.
-            val hi = store.checkpoint(StateStore.GlobalCheckpointKey)
-              .map(_.height).getOrElse(-1L)
-            if (hi >= 0L)
-              try buildIndexFor(tablet, collectionAt(tablet), hi)
-              catch {
-                case _: InterruptedException => maintRunning = false
-                case scala.util.control.NonFatal(e) =>
-                  log.warn(s"async index build failed for tablet $tablet " +
-                    "at height " + hi + " — will retry (tablet stays " +
-                    "eligible; reads fall back to the previous snapshot " +
-                    "+ tail)", e)
-                  // Don't hot-loop on a persistent failure.
-                  maintLock.synchronized {
-                    if (maintRunning) maintLock.wait(1000L) }
-              }
+      while (flag.running) {
+        try {
+          val pending = indexCache.tabletsToIndex().take(maxIndexBuildsPerBatch)
+          if (pending.isEmpty) {
+            maintLock.synchronized { if (flag.running) maintLock.wait(1000L) }
+          } else pending.foreach { tablet =>
+            if (flag.running) {
+              // Pin the floor per build: the last COMMITTED height. Data
+              // at or below it is immutable (checkpoint linearity), so
+              // the build races nothing; the snapshot's deterministic
+              // commit name makes a duplicate build a skip.
+              val hi = store.checkpoint(StateStore.GlobalCheckpointKey)
+                .map(_.height).getOrElse(-1L)
+              if (hi >= 0L)
+                try buildIndexFor(tablet, collectionAt(tablet), hi)
+                catch {
+                  case _: InterruptedException => flag.running = false
+                  case scala.util.control.NonFatal(e) =>
+                    log.warn(s"async index build failed for tablet $tablet " +
+                      "at height " + hi + " — will retry (tablet stays " +
+                      "eligible; reads fall back to the previous snapshot " +
+                      "+ tail)", e)
+                    // Don't hot-loop on a persistent failure.
+                    maintLock.synchronized {
+                      if (flag.running) maintLock.wait(1000L) }
+                }
+            }
           }
+        } catch {
+          // NOTHING may escape the loop — an InterruptedException out of
+          // a wait, or any other surprise, would otherwise kill the
+          // daemon silently. Interrupt = stop; anything else warns and
+          // the loop continues.
+          case _: InterruptedException => flag.running = false
+          case scala.util.control.NonFatal(e) =>
+            log.warn("async index maintenance iteration failed — continuing", e)
         }
       }
     }
@@ -317,16 +340,18 @@ final class IngestionPipeline(
   /** Stop the async maintenance thread (no-op when never started or
     * synchronous). In-flight build finishes; pending tablets stay
     * eligible — counters persist in [[indexCache]], so a later pipeline
-    * (or a manual reindex) picks them up. */
+    * (or a manual reindex) picks them up. A thread whose in-flight build
+    * outlives `joinMillis` still exits at its next flag check and can
+    * never be resurrected (the flag is per-thread). */
   def stopIndexMaintenance(joinMillis: Long = 30000L): Unit = {
     val t = maintLock.synchronized {
-      maintRunning = false
-      maintLock.notifyAll()
       val cur = maintThread
+      cur.foreach(_._2.running = false)
+      maintLock.notifyAll()
       maintThread = None
       cur
     }
-    t.foreach(_.join(joinMillis))
+    t.foreach(_._1.join(joinMillis))
   }
 
   /** Test/soak hook: true when no tablet is currently past the index
