@@ -52,6 +52,21 @@ import org.apache.spark.sql.types.StructType
   * sweepOrphans computing an empty live set and deleting live data).
   * Same shape as Delta's minReaderVersion bump for new metadata layouts,
   * carried in the pointer so gate and generation publish atomically.
+  *
+  * OPTIMISTIC CONCURRENCY: generation N's delta sidecar doubles as N's
+  * mutual-exclusion token — every publisher exclusive-creates it
+  * (`fs.create(path, overwrite = false)`: atomic on HDFS, a conditional
+  * PUT on S3-class stores) BEFORE touching any shared metadata, so two
+  * publishers computing next = gen+1 can never both win; the loser fails
+  * LOUDLY and commit/merge retry from the new head while replaceAll
+  * surfaces [[ManifestTable.ConcurrentPublishException]] (its input is
+  * stale — [[replaceAllRetrying]] re-derives and retries, which is what
+  * lets compaction run beside live writers with no serve pause). A
+  * crashed attempt's sidecar is re-owned by its own commitId's replay,
+  * or taken over by any publisher after
+  * [[ManifestTable.publishLeaseMillis]]; the pointer swap re-verifies
+  * ownership (fencing) so a paused-then-woken owner aborts instead of
+  * regressing the pointer.
   */
 final class ManifestTable(val tablePath: String, schema: StructType,
     partitionCol: Option[String] = None,
@@ -59,6 +74,8 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     val checkpointInterval: Int = 1)(
     implicit spark: SparkSession) {
   import ManifestTable._
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   require(checkpointInterval >= 1,
     s"checkpointInterval must be >= 1, got $checkpointInterval")
@@ -85,6 +102,21 @@ final class ManifestTable(val tablePath: String, schema: StructType,
 
   /** Test hook: simulate a crash after the data write, before publish. */
   private[graft] var failBeforePublish: Boolean = false
+
+  /** Test hook: runs after the data write, immediately before this
+    * instance tries to OWN its target generation — the window a
+    * concurrent publisher races in. Lets specs interleave two publishers
+    * deterministically. */
+  private[graft] var beforeOwnHook: () => Unit = () => ()
+
+  /** Test hook: simulate a crash AFTER owning the generation (sidecar
+    * created) but before any further metadata write — the window whose
+    * orphan sidecar the lease/takeover logic exists for. */
+  private[graft] var failAfterOwn: Boolean = false
+
+  private def maybeFailAfterOwn(commitId: String): Unit =
+    if (failAfterOwn) throw new IllegalStateException(
+      s"injected crash after owning the generation for $commitId")
 
   /** Single-writer entry cache: the last published (generation, entries)
     * this INSTANCE wrote. With checkpointInterval > 1 every commit would
@@ -361,19 +393,126 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * between dropping them (skip) and halting (fail). Absent `fresh` on
     * a rewrite (pre-upgrade or backfilled sidecars) means UNKNOWN, never
     * "none". */
+  private def deltaJson(e: ManifestEntry, rewrite: Boolean,
+      fresh: Option[Seq[String]]): String = {
+    val freshPart = fresh.fold("")(fs0 =>
+      s""""fresh":[${fs0.map(quote).mkString(",")}],""")
+    s"""{"commit_id":${quote(e.commitId)},"rewrite":$rewrite,""" +
+      freshPart +
+      s""""files":[${e.files.map(quote).mkString(",")}]""" +
+      s"""${bytesJsonPart(e)}${statsJsonPart(e)}}""" + "\n"
+  }
+
   private def writeDelta(gen: Long, e: ManifestEntry, rewrite: Boolean,
       fresh: Option[Seq[String]] = None): Unit = {
     val (fs, p) = fsOf(deltaPath(gen))
     fs.mkdirs(p.getParent)
-    val freshPart = fresh.fold("")(fs0 =>
-      s""""fresh":[${fs0.map(quote).mkString(",")}],""")
-    val json = s"""{"commit_id":${quote(e.commitId)},"rewrite":$rewrite,""" +
-      freshPart +
-      s""""files":[${e.files.map(quote).mkString(",")}]""" +
-      s"""${bytesJsonPart(e)}${statsJsonPart(e)}}""" + "\n"
+    val json = deltaJson(e, rewrite, fresh)
     val out = fs.create(p, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
+
+  // ---------------------------------------------- optimistic concurrency
+  // The generation-numbered sidecar doubles as the generation's
+  // MUTUAL-EXCLUSION token (the Delta-Lake commit-file shape on graft's
+  // own layout): every publishing path exclusive-creates it BEFORE any
+  // other metadata write at that generation, so two publishers computing
+  // next = gen+1 can never both proceed — the loser gets a loud conflict
+  // (retried by commit/merge from the fresh head; surfaced as
+  // [[ConcurrentPublishException]] by replaceAll, whose input is stale by
+  // definition). `fs.create(path, overwrite = false)` is atomic on HDFS,
+  // a conditional PUT (If-None-Match) on S3-class stores, and an
+  // exists+create with a microsecond TOCTOU window on raw local mounts —
+  // strictly stronger than the blind overwrite it replaces everywhere.
+
+  private sealed trait OwnResult
+  private case object Owned extends OwnResult
+  private case object OwnConflict extends OwnResult
+  private case object AlreadyPublishedByUs extends OwnResult
+
+  /** Try to own generation `gen` by exclusive-creating its sidecar.
+    *
+    *   - fresh create                 → Owned
+    *   - exists, same commitId        → our own crashed attempt's replay:
+    *     re-own by overwrite (the data dir is deterministic per
+    *     (commitId, gen) and was just rewritten) — unless the generation
+    *     is already PUBLISHED, in which case the earlier attempt (or a
+    *     sibling process replaying the same commitId) completed it.
+    *   - exists, foreign commitId     → conflict, UNLESS the generation is
+    *     unpublished and the sidecar is older than the publish lease — a
+    *     dead attempt whose process crashed between sidecar and pointer
+    *     swap; take it over (logged). The lease must exceed any plausible
+    *     publish-path pause: a paused-not-dead owner that wakes after a
+    *     takeover is re-fenced by [[publishOwned]]'s ownership re-check,
+    *     which narrows (not closes — mtime leases have no fencing tokens)
+    *     the corruption window to the instant before its pointer swap.
+    *   - exists but unparseable       → a torn write from a crashed
+    *     attempt (or one mid-write): lease rules as above. */
+  private def tryOwnGeneration(gen: Long, entry: ManifestEntry,
+      rewrite: Boolean, fresh: Option[Seq[String]]): OwnResult = {
+    val (fs, p) = fsOf(deltaPath(gen))
+    fs.mkdirs(p.getParent)
+    val json = deltaJson(entry, rewrite, fresh)
+    def write(overwrite: Boolean): Unit = {
+      val out = fs.create(p, overwrite)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+    }
+    val created =
+      try { write(overwrite = false); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case e: java.io.IOException if fs.exists(p) => false
+      }
+    if (created) return Owned
+    val published = currentGeneration().exists(_ >= gen)
+    val holder: Option[String] =
+      try Some(deltaRecord(gen).fold("")(_.entry.commitId))
+      catch { case scala.util.control.NonFatal(_) => None } // torn write
+    holder match {
+      case Some(cid) if cid == entry.commitId =>
+        if (published) AlreadyPublishedByUs
+        else { write(overwrite = true); Owned }
+      case _ if published => OwnConflict // committed history: immutable
+      case other =>
+        val age = System.currentTimeMillis() -
+          (try fs.getFileStatus(p).getModificationTime
+           catch { case _: java.io.FileNotFoundException => Long.MaxValue })
+        if (age > publishLeaseMillis) {
+          log.warn(s"taking over generation $gen of $tablePath from a dead " +
+            s"publish attempt (holder=${other.getOrElse("<unparseable>")}, " +
+            s"sidecar age ${age / 1000}s > lease ${publishLeaseMillis / 1000}s)")
+          write(overwrite = true)
+          Owned
+        } else OwnConflict
+    }
+  }
+
+  /** Pointer swap for a generation this instance OWNS, with a fencing
+    * re-check: verify the sidecar is still ours and the pointer has not
+    * already reached `gen` immediately before the swap — what stops a
+    * lease takeover's previous owner (paused, not dead) from regressing
+    * the pointer or publishing a clobbered generation when it wakes.
+    * Returns normally when a sibling replay of the SAME commitId already
+    * published `gen` (the commit is complete either way). */
+  private def publishOwned(gen: Long, commitId: String): Unit = {
+    val ownerId =
+      try deltaRecord(gen).map(_.entry.commitId)
+      catch { case scala.util.control.NonFatal(_) => None }
+    if (!ownerId.contains(commitId))
+      throw new ConcurrentPublishException(
+        s"lost ownership of generation $gen of $tablePath before the " +
+          s"pointer swap (sidecar now held by " +
+          s"${ownerId.getOrElse("<unparseable>")}) — a concurrent publisher " +
+          "took over after this attempt's lease expired")
+    val cur = currentGeneration().getOrElse(0L)
+    if (cur >= gen) return // a sibling replay of this commitId finished it
+    publish(gen)
+  }
+
+  private def publishBackoff(attempt: Int): Unit =
+    Thread.sleep(math.min(2000L, 25L << math.min(attempt, 6)) +
+      scala.util.Random.nextInt(25).toLong)
 
   /** The `,"bytes":[...]` fragment of one entry line — per-file sizes,
     * recorded from the commit's own listing (the writer already has the
@@ -500,14 +639,36 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     var synthesized = 0
     var present = 0
     var prevFiles: Set[String] = Set.empty
+    // Legacy manifests predate per-file byte sizes, so a synthesized
+    // sidecar would inherit bytes=unknown — and a byte-budgeted
+    // changefeed catch-up over the backfilled table would STILL degrade
+    // to one-generation-per-batch (the admit-alone unbudgetable path).
+    // The data files exist; stat them once per distinct file across the
+    // whole pass (a file appears in every generation from its commit to
+    // its rewrite) and stamp real sizes. All-or-nothing per entry, like
+    // the parser's contract; a swept file (aged-out generation whose data
+    // was reclaimed) leaves its entry honestly unbudgetable.
+    val sizeCache = scala.collection.mutable.Map.empty[String, Option[Long]]
+    def statSize(rel: String): Option[Long] =
+      sizeCache.getOrElseUpdate(rel, {
+        val (fs, p) = fsOf(s"$tablePath/$rel")
+        try Some(fs.getFileStatus(p).getLen)
+        catch { case _: java.io.FileNotFoundException => None }
+      })
+    def withBytes(e: ManifestEntry): ManifestEntry =
+      if (e.bytes.size == e.files.size || e.files.isEmpty) e
+      else {
+        val sizes = e.files.map(statSize)
+        if (sizes.forall(_.isDefined)) e.copy(bytes = sizes.map(_.get)) else e
+      }
     (1L to head).foreach { g =>
       val cur = manifestEntriesFull(g) // loud if BOTH m- and d- are missing
       if (deltaEntryFull(g).isDefined) present += 1
       else {
         val curFiles = cur.iterator.flatMap(_.files).toSet
         val rewrite = prevFiles.exists(f => !curFiles.contains(f))
-        val entry = cur.lastOption.getOrElse(
-          ManifestEntry("", Seq.empty, Seq.empty))
+        val entry = withBytes(cur.lastOption.getOrElse(
+          ManifestEntry("", Seq.empty, Seq.empty)))
         writeDelta(g, entry, rewrite)
         synthesized += 1
       }
@@ -568,53 +729,87 @@ final class ManifestTable(val tablePath: String, schema: StructType,
   /** Append `df` as `commitId`. Idempotent: an already-manifested
     * commitId skips (returns false). Crash-safe: the pointer swap is the
     * last step, and a replay after a crash rewrites the same attempt
-    * directory in overwrite mode. */
+    * directory in overwrite mode. CONCURRENCY-safe: the generation is
+    * owned by exclusive sidecar create before any shared metadata is
+    * touched; a lost race re-reads the head and retries (an append's
+    * content is independent of the base generation, so a retry is just a
+    * re-stage), failing loudly after [[ManifestTable.publishMaxAttempts]]
+    * — never a silent lost commit. */
   def commit(df: DataFrame, commitId: String): Boolean = {
-    val gen = currentGeneration().getOrElse(0L)
-    val entries = cachedEntriesAt(gen)
-    if (entries.exists(_.commitId == commitId)) return false
-    val next = gen + 1
-    val dataDir = s"$tablePath/d-$commitId-g$next"
-    writeData(df, dataDir)
-    val sized = listDataFilesSized(dataDir)
-    val files = sized.map(_._1)
-    if (failBeforePublish)
-      throw new IllegalStateException(s"injected crash before publish of $commitId")
-    val entry = ManifestEntry(commitId, files, collectStats(dataDir, files),
-      sized.map(_._2))
-    // Full listing only at checkpoint generations (and always at
-    // interval 1); the delta sidecar carries everything a between-
-    // checkpoints read needs to reconstruct — O(commit) metadata write
-    // instead of O(live files).
-    if (checkpointInterval == 1 || next % checkpointInterval == 0)
-      writeManifest(next, entries :+ entry)
-    else {
-      // A CRASHED rewrite (replaceAll/merge) at this same generation may
-      // have left an orphan full manifest; under interval 1 every
-      // publisher overwrote m-<next>, which is the invariant readers'
-      // full-manifest-wins resolution relies on. A delta-only commit
-      // must restore it by deletion, and the deletion must be VERIFIED:
-      // proceeding past a failed delete would let the aborted rewrite's
-      // listing shadow this commit's sidecar — wrong reads AND a sweep
-      // computing liveness from the aborted file set (data loss). Fail
-      // the commit instead; the crash-replay contract retries it.
-      val (mfs, mp) = fsOf(manifestPath(next))
-      if (mfs.exists(mp)) require(mfs.delete(mp, false) || !mfs.exists(mp),
-        s"could not remove orphan manifest $mp left by a crashed rewrite " +
-          "— refusing to publish a sidecar it would shadow")
-      // Publishing a delta-only generation commits the table to the
-      // sidecar-aware layout: gate out pre-sidecar readers from here on.
-      minReaderV3 = true
+    var attempt = 0
+    while (true) {
+      val gen = currentGeneration().getOrElse(0L)
+      val entries = cachedEntriesAt(gen)
+      if (entries.exists(_.commitId == commitId)) return false
+      val next = gen + 1
+      val dataDir = s"$tablePath/d-$commitId-g$next"
+      writeData(df, dataDir)
+      val sized = listDataFilesSized(dataDir)
+      val files = sized.map(_._1)
+      if (failBeforePublish)
+        throw new IllegalStateException(s"injected crash before publish of $commitId")
+      val entry = ManifestEntry(commitId, files, collectStats(dataDir, files),
+        sized.map(_._2))
+      beforeOwnHook()
+      tryOwnGeneration(next, entry, rewrite = false, fresh = None) match {
+        case Owned =>
+          maybeFailAfterOwn(commitId)
+          // Full listing only at checkpoint generations (and always at
+          // interval 1); the delta sidecar carries everything a between-
+          // checkpoints read needs to reconstruct — O(commit) metadata
+          // write instead of O(live files).
+          if (checkpointInterval == 1 || next % checkpointInterval == 0)
+            writeManifest(next, entries :+ entry)
+          else {
+            // A CRASHED publisher at this same generation may have left
+            // an orphan full manifest (we own the generation now, so it
+            // can only be a dead attempt's); readers' full-manifest-wins
+            // resolution means a delta-only commit must remove it, and
+            // the deletion must be VERIFIED: proceeding past a failed
+            // delete would let the aborted listing shadow this commit's
+            // sidecar — wrong reads AND a sweep computing liveness from
+            // the aborted file set (data loss). Fail the commit instead;
+            // the crash-replay contract retries it.
+            val (mfs, mp) = fsOf(manifestPath(next))
+            if (mfs.exists(mp)) require(mfs.delete(mp, false) || !mfs.exists(mp),
+              s"could not remove orphan manifest $mp left by a crashed " +
+                "publisher — refusing to publish a sidecar it would shadow")
+            // Publishing a delta-only generation commits the table to the
+            // sidecar-aware layout: gate out pre-sidecar readers from here on.
+            minReaderV3 = true
+          }
+          publishOwned(next, commitId)
+          entriesCache = Some((next, entries :+ entry))
+          return true
+        case AlreadyPublishedByUs =>
+          // A sibling process replaying this commitId finished it between
+          // our idempotency check and the own attempt: loop — the check
+          // at the top now sees the commitId and returns false.
+          ()
+        case OwnConflict =>
+          attempt += 1
+          if (attempt >= publishMaxAttempts) throw new ConcurrentPublishException(
+            s"commit '$commitId' to $tablePath lost the generation race " +
+              s"$attempt times (another publisher keeps winning) — giving up")
+          log.info(s"commit '$commitId' to $tablePath lost generation $next " +
+            "to a concurrent publisher — retrying from the new head")
+          publishBackoff(attempt)
+      }
     }
-    writeDelta(next, entry, rewrite = false)
-    publish(next)
-    entriesCache = Some((next, entries :+ entry))
-    true
+    throw new IllegalStateException("unreachable")
   }
 
   /** Replace the WHOLE table with `df` under `commitId` (compaction): new
     * manifest references only the replacement; prior generations' files
-    * become invisible immediately and sweepable later. */
+    * become invisible immediately and sweepable later.
+    *
+    * CONCURRENCY: a lost generation race throws
+    * [[ConcurrentPublishException]] rather than retrying — `df` was
+    * derived from the pre-race table state (typically `read()`, whose
+    * file list froze at plan time), so republishing it would silently
+    * DROP the concurrent winner's rows from the table. Use
+    * [[replaceAllRetrying]] with a re-deriving thunk when the caller is a
+    * compactor running beside live writers. */
   def replaceAll(df: DataFrame, commitId: String): Unit = {
     val gen = currentGeneration().getOrElse(0L)
     // Rewrite iff prior files actually leave the manifest — a replaceAll
@@ -630,15 +825,48 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       throw new IllegalStateException(s"injected crash before publish of $commitId")
     val entry = ManifestEntry(commitId, files, collectStats(dataDir, files),
       sized.map(_._2))
-    writeManifest(next, Seq(entry))
+    beforeOwnHook()
     // A replaceAll is contents-preserving by contract (compaction), so
     // its rewrite carries NOTHING fresh — recorded explicitly (Some(Nil),
     // not None/unknown) so emitFresh subscribers ride through it silently
     // exactly like skip does.
-    writeDelta(next, entry, rewrite = hadFiles,
-      fresh = if (hadFiles) Some(Seq.empty) else None)
-    publish(next)
-    entriesCache = Some((next, Seq(entry)))
+    tryOwnGeneration(next, entry, rewrite = hadFiles,
+      fresh = if (hadFiles) Some(Seq.empty) else None) match {
+      case Owned =>
+        writeManifest(next, Seq(entry))
+        publishOwned(next, commitId)
+        entriesCache = Some((next, Seq(entry)))
+      case AlreadyPublishedByUs => () // sibling replay finished this commit
+      case OwnConflict => throw new ConcurrentPublishException(
+        s"replaceAll '$commitId' on $tablePath lost generation $next to a " +
+          "concurrent publisher — its input snapshot is stale; re-derive " +
+          "the replacement from the new head (replaceAllRetrying does this)")
+    }
+  }
+
+  /** [[replaceAll]] for compactors running BESIDE live writers: on a lost
+    * race the replacement is RE-DERIVED from the new head (`mkDf` runs
+    * again — pass a thunk like `() => clustered(read())`) and retried, so
+    * compaction no longer needs a serve pause or stop-the-world
+    * discipline; the concurrent writer's commit survives into the
+    * recomputed replacement. Fails loudly after
+    * [[ManifestTable.publishMaxAttempts]] losses (a compactor that can
+    * never win against a hot writer should run less often, not spin). */
+  def replaceAllRetrying(mkDf: () => DataFrame, commitId: String): Unit = {
+    var attempt = 0
+    while (true) {
+      try { replaceAll(mkDf(), commitId); return }
+      catch {
+        case e: ConcurrentPublishException =>
+          attempt += 1
+          if (attempt >= publishMaxAttempts) throw new ConcurrentPublishException(
+            s"replaceAll '$commitId' on $tablePath lost the generation race " +
+              s"$attempt times — giving up (last: ${e.getMessage})")
+          log.info(s"replaceAll '$commitId' on $tablePath lost a generation " +
+            "race — recomputing the replacement from the new head")
+          publishBackoff(attempt)
+      }
+    }
   }
 
   /** Per-file min/max of `statsCols` for a just-written commit directory —
@@ -852,12 +1080,45 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     require(keyCols.nonEmpty, "merge requires at least one key column")
     require(freshRowsPerFile > 0,
       s"freshRowsPerFile must be positive, got $freshRowsPerFile")
+    // Optimistic-concurrency loop: a merge's ENTIRE derivation (matched
+    // files, argmax winners, fresh split) depends on the base generation,
+    // so a lost race recomputes everything from the new head — the
+    // concurrent winner's rows then participate in the argmax, which is
+    // exactly the serializable outcome (merge-after-their-commit).
+    var attempt = 0
+    while (true) {
+      mergeOnce(updates, keyCols, orderCol, deleteCol, commitId,
+        keepTombstones, maxTouchedKeys, freshRowsPerFile) match {
+        case Some(report) => return report
+        case None =>
+          attempt += 1
+          if (attempt >= publishMaxAttempts) throw new ConcurrentPublishException(
+            s"merge '$commitId' into $tablePath lost the generation race " +
+              s"$attempt times (another publisher keeps winning) — giving up")
+          log.info(s"merge '$commitId' into $tablePath lost a generation " +
+            "race — recomputing from the new head")
+          publishBackoff(attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** One optimistic merge attempt; None = lost the generation race. */
+  private def mergeOnce(
+      updates: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      deleteCol: String,
+      commitId: String,
+      keepTombstones: Boolean,
+      maxTouchedKeys: Long,
+      freshRowsPerFile: Long): Option[MergeReport] = {
     import org.apache.spark.sql.functions._
     val gen = currentGeneration().getOrElse(0L)
     val entries = cachedEntriesAt(gen)
     if (entries.exists(_.commitId == commitId))
-      return MergeReport(rewritten = 0, kept = entries.map(_.files.size).sum,
-        applied = false)
+      return Some(MergeReport(rewritten = 0, kept = entries.map(_.files.size).sum,
+        applied = false))
 
     // Touched keys, driver-side. Micro-batch-bounded by contract — and
     // the contract is ENFORCED, not just documented: the collect itself
@@ -875,7 +1136,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
         "micro-batch-sized. Use replaceAll for table-sized updates, or " +
         "raise GRAFT_MERGE_MAX_TOUCHED_KEYS deliberately.")
     if (keyRows.isEmpty)
-      return MergeReport(0, entries.map(_.files.size).sum, applied = false)
+      return Some(MergeReport(0, entries.map(_.files.size).sum, applied = false))
     val keyTuples: Array[Array[StatVal]] =
       keyRows.map(r => keyCols.indices.map(i => toStatVal(r.get(i))).toArray)
 
@@ -974,18 +1235,29 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       throw new IllegalStateException(s"injected crash before publish of $commitId")
     val mergedEntry = ManifestEntry(commitId, allFiles,
       collectStats(dataDir, allFiles), allSized.map(_._2))
-    writeManifest(next, keptEntries :+ mergedEntry)
+    beforeOwnHook()
     // Rewrite iff some previously-live file actually left the manifest —
     // the same file-level criterion the changefeed's fallback diff
     // applies (a merge whose touched keys matched NO existing file is a
     // plain append of the update batch). The fresh list is per-file
     // dataChange for emitFresh subscribers.
-    writeDelta(next, mergedEntry, rewrite = matchedFiles.nonEmpty,
-      fresh = if (matchedFiles.nonEmpty) Some(freshFiles) else None)
-    publish(next)
-    entriesCache = Some((next, keptEntries :+ mergedEntry))
-    MergeReport(rewritten = matchedFiles.size,
-      kept = keptEntries.map(_.files.size).sum, applied = true)
+    tryOwnGeneration(next, mergedEntry, rewrite = matchedFiles.nonEmpty,
+      fresh = if (matchedFiles.nonEmpty) Some(freshFiles) else None) match {
+      case Owned =>
+        writeManifest(next, keptEntries :+ mergedEntry)
+        publishOwned(next, commitId)
+        entriesCache = Some((next, keptEntries :+ mergedEntry))
+        Some(MergeReport(rewritten = matchedFiles.size,
+          kept = keptEntries.map(_.files.size).sum, applied = true))
+      case AlreadyPublishedByUs =>
+        // A sibling replay of this commitId finished it mid-attempt: an
+        // idempotent skip, reported like the entry-cache one.
+        Some(MergeReport(rewritten = 0,
+          kept = cachedEntriesAt(currentGeneration().getOrElse(0L))
+            .map(_.files.size).sum,
+          applied = false))
+      case OwnConflict => None
+    }
   }
 
   /** Delete data directories referenced by no retained manifest
@@ -1032,6 +1304,15 @@ final class ManifestTable(val tablePath: String, schema: StructType,
               val childMax = listDataFilesStat(st.getPath.toString)
                 .map(_._3).maxOption.getOrElse(0L)
               val newest = math.max(st.getModificationTime, childMax)
+              // No dateable evidence at all (object-store dir with mtime
+              // 0 and no parquet children): conservatively young forever
+              // — but LOUDLY, so an operator can reclaim the permanently
+              // skipped directory by hand instead of leaking it silently.
+              if (newest <= 0L) log.warn(
+                s"sweepOrphans: unreferenced dir ${st.getPath} has no " +
+                  "dateable evidence (dir mtime 0, no parquet children) — " +
+                  "skipped under minAgeMillis; delete manually if it is a " +
+                  "known-dead attempt")
               newest > 0L && now - newest >= minAgeMillis
             }
           }
@@ -1081,6 +1362,38 @@ final class ManifestTable(val tablePath: String, schema: StructType,
 }
 
 object ManifestTable {
+
+  /** A publish lost its generation race to a concurrent publisher and
+    * could not (commit/merge: after retries) or must not (replaceAll:
+    * stale input) be completed. LOUD by design — the pre-optimistic
+    * protocol silently discarded the earlier commit instead. */
+  final class ConcurrentPublishException(msg: String)
+      extends RuntimeException(msg)
+
+  /** How many lost generation races commit/merge/replaceAllRetrying
+    * absorb before failing loudly. System property first (tests), env
+    * second, default 12 — at the exponential backoff cap that is ~20 s of
+    * contention, far beyond any sane co-writer cadence. */
+  def publishMaxAttempts: Int =
+    sys.props.get("graft.publish.maxAttempts")
+      .orElse(sys.env.get("GRAFT_PUBLISH_MAX_ATTEMPTS"))
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ > 0).getOrElse(12)
+
+  /** Age past which an unpublished generation's sidecar is treated as a
+    * DEAD publish attempt and taken over. Must exceed the longest
+    * plausible pause between a publisher's sidecar create and its pointer
+    * swap — that window holds only small metadata writes (manifest +
+    * pointer), so the 10-minute default is ~3 orders of magnitude of
+    * headroom; raise it on stores with pathological metadata latency
+    * rather than lowering it (a premature takeover from a paused-not-dead
+    * owner is re-fenced at the pointer swap, but mtime leases carry no
+    * fencing token — the last instant before the swap stays exposed). */
+  def publishLeaseMillis: Long =
+    sys.props.get("graft.publish.leaseMs")
+      .orElse(sys.env.get("GRAFT_PUBLISH_LEASE_MS"))
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .filter(_ > 0).getOrElse(600000L)
 
   /** What a [[ManifestTable.merge]] did: `rewritten` files re-written
     * because a touched key could live there, `kept` carried verbatim,

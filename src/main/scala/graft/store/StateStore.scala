@@ -1054,8 +1054,10 @@ final class StateStore(
         if (before == 0L) return 0L
         // replaceAll publishes a manifest referencing only the compacted
         // files; prior generations become invisible at the pointer swap
-        // and their directories are swept after.
-        t.replaceAll(clustered(t.read()), "compact")
+        // and their directories are swept after. Retrying form: a writer
+        // committing mid-compaction costs a recompute (the thunk re-reads
+        // the new head), never a silently-lost commit.
+        t.replaceAllRetrying(() => clustered(t.read()), "compact")
         t.sweepOrphans()
         before
       case RenameCommit =>

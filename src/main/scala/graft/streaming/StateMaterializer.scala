@@ -107,18 +107,23 @@ object StateMaterializer {
     * that dropped tombstones would reopen the delete→redeliver revive
     * hole); fresh per-file stats are collected, so merge pruning and
     * point reads keep working — and work better, since range
-    * partitioning re-tightens every file's key bounds. Single-writer:
-    * run between merges (pause the materializer or call from its own
-    * maintenance window); reclaim old generations with
-    * `sweepOrphans`/`sweepOrphanFiles` afterwards. */
+    * partitioning re-tightens every file's key bounds. Safe BESIDE the
+    * live materializer: the publish is optimistic — a merge landing
+    * mid-compaction wins or loses the generation race loudly, and the
+    * loser here re-derives the replacement from the new head
+    * ([[ManifestTable.replaceAllRetrying]]), so no serve pause is needed
+    * (the pre-optimistic protocol required stop-serve/compact/restart).
+    * Reclaim old generations with `sweepOrphans`/`sweepOrphanFiles`
+    * afterwards — with a `minAgeMillis` comfortably above the longest
+    * merge when the materializer keeps running. */
   def compact(targetPath: String, numFiles: Int = 0)(
       implicit spark: SparkSession): Unit = {
     val t = targetTable(targetPath)
     val n =
       if (numFiles > 0) numFiles
       else spark.sessionState.conf.numShufflePartitions
-    t.replaceAll(
-      t.read()
+    t.replaceAllRetrying(
+      () => t.read()
         .repartitionByRange(n, KeyCols.map(col): _*)
         .sortWithinPartitions(KeyCols.map(col): _*),
       commitId = "compact-" + java.util.UUID.randomUUID().toString)
