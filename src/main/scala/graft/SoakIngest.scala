@@ -162,7 +162,7 @@ object SoakIngest {
             require(n > 0, s"empty as-of read at checkpoint $ck")
             val d = readerStore.readTabletDiff("t3", math.max(0L, ck - 20L), ck)
             d.count()
-            org.apache.spark.sql.graftbridge.GraftBridge.freeLocalCheckpoint(d)
+            org.apache.spark.sql.graftbridge.GraftBridge.freeCheckpoint(d)
             readerReads.addAndGet(2L)
             lastReadMillis = (System.nanoTime() - t0) / 1000000L
           }

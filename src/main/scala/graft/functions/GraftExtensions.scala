@@ -313,8 +313,12 @@ object GraftExtensions {
     }
   }
 
-  /** Free every still-reachable diff checkpoint planned in `spark`;
-    * returns how many block sets were dropped. */
+  /** Free every still-reachable diff checkpoint planned in `spark` —
+    * blocks for local checkpoints, blocks AND files for reliable ones
+    * (reliable-checkpoint files are only auto-reclaimed under
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, so without
+    * this a durable-diff session leaks one rdd-N/ directory per diff).
+    * Returns how many checkpoint sets were dropped. */
   private[graft] def releaseDiffs(spark: SparkSession): Int = {
     val q = plannedDiffs.synchronized(plannedDiffs.remove(spark))
     if (q == null) 0
@@ -322,7 +326,7 @@ object GraftExtensions {
       var n = 0
       val it = q.iterator()
       while (it.hasNext) Option(it.next().get()).foreach { rdd =>
-        rdd.unpersist(blocking = false); n += 1
+        GraftBridge.freeRddCheckpoint(rdd); n += 1
       }
       n
     }

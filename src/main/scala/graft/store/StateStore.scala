@@ -740,8 +740,10 @@ final class StateStore(
     // when the caller drops the frame (or via
     // GraftBridge.freeLocalCheckpoint / graft_release_diffs); reliable
     // checkpoint FILES are reclaimed by the ContextCleaner only with
-    // spark.cleaner.referenceTracking.cleanCheckpoints=true, otherwise
-    // by checkpoint-dir hygiene.
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true — otherwise
+    // free them explicitly with GraftBridge.freeCheckpoint(diff) or
+    // `SELECT * FROM graft_release_diffs()` (both delete the rdd-N/
+    // checkpoint directory, the cleaner's own deletion path).
     // Opt-out: `spark.graft.diff.reliableCheckpoint=false` keeps
     // localCheckpoint even with a checkpoint dir set — for sessions whose
     // checkpoint dir exists for OTHER stateful workloads and must not

@@ -277,8 +277,15 @@ final class IngestionPipeline(
   private final class MaintFlag { @volatile var running = true }
   private val maintLock = new Object
   private var maintThread: Option[(Thread, MaintFlag)] = None
+  // STOP LATCH: once stopIndexMaintenance() ran, later signals (batches
+  // of a still-running stream) must NOT resurrect the thread — without
+  // the latch a stop during a live stream was silently undone by the
+  // next batch's signal. Cleared only by an explicit resume. Guarded by
+  // maintLock.
+  private var maintStopped = false
 
   private def signalMaintenance(): Unit = maintLock.synchronized {
+    if (maintStopped) return
     // Restart on DEATH too, not just absence: a killed daemon (stray
     // interrupt during a wait, OOM-adjacent error) must not silently end
     // index maintenance for the pipeline's lifetime while signals keep
@@ -342,9 +349,12 @@ final class IngestionPipeline(
     * eligible — counters persist in [[indexCache]], so a later pipeline
     * (or a manual reindex) picks them up. A thread whose in-flight build
     * outlives `joinMillis` still exits at its next flag check and can
-    * never be resurrected (the flag is per-thread). */
+    * never be resurrected (the flag is per-thread). STICKY: later batches
+    * of a still-running stream cannot restart maintenance — only
+    * [[resumeIndexMaintenance]] clears the stop. */
   def stopIndexMaintenance(joinMillis: Long = 30000L): Unit = {
     val t = maintLock.synchronized {
+      maintStopped = true
       val cur = maintThread
       cur.foreach(_._2.running = false)
       maintLock.notifyAll()
@@ -353,6 +363,11 @@ final class IngestionPipeline(
     }
     t.foreach(_._1.join(joinMillis))
   }
+
+  /** Clear a sticky [[stopIndexMaintenance]]: the next commit's signal
+    * starts a fresh maintenance thread again. */
+  def resumeIndexMaintenance(): Unit =
+    maintLock.synchronized { maintStopped = false }
 
   /** Test/soak hook: true when no tablet is currently past the index
     * heuristic — i.e. the maintenance backlog is drained. */

@@ -109,7 +109,12 @@ object ManifestChangefeed {
     * exactly that, in bounded steps (the reference's one-shot
     * reprocessing posture, app/fluxdb/app.go:204–247). Commits published
     * after the latch are left for the next invocation, per the trigger's
-    * semantics. */
+    * semantics.
+    *
+    * With NO cap passed at all, a DEFAULT budget of
+    * [[defaultMaxFilesPerTrigger]] files per trigger applies (the
+    * Delta-source default-1000 posture); opt out explicitly with the raw
+    * `readStream` option `maxFilesPerTrigger=none`. */
   def stream(
       spark: SparkSession,
       tablePath: String,
@@ -149,6 +154,19 @@ object ManifestChangefeed {
     * backfilled table takes the linear path, and an operator confirm a
     * [[graft.store.StateStore.backfillDeltaSidecars]] pass took. */
   private[graft] val foldFallbacks = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Default per-trigger FILE budget applied when the subscriber sets no
+    * volume cap at all — Delta's maxFilesPerTrigger=1000 posture, for the
+    * same reason: an unbudgeted from-0 subscriber over an ~86k-commits/day
+    * table must not get one all-available plan as its first micro-batch.
+    * Override per query with the `maxFilesPerTrigger` option; opt back
+    * into all-available explicitly with `maxFilesPerTrigger=none`.
+    * System property first (tests), env second. */
+  def defaultMaxFilesPerTrigger: Long =
+    sys.props.get("graft.changefeed.defaultMaxFiles")
+      .orElse(sys.env.get("GRAFT_CHANGEFEED_DEFAULT_MAX_FILES"))
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .filter(_ > 0).getOrElse(1000L)
 
   /** Balanced (tree) union: a left-deep `reduce(unionByName)` over a
     * catch-up batch spanning thousands of commits builds a plan
@@ -278,7 +296,8 @@ final class ManifestChangefeedSource(
     onRewrite: String,
     maxGenerationsPerTrigger: Option[Long] = None,
     maxFilesPerTrigger: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    uncappedExplicit: Boolean = false)
   extends Source with SupportsTriggerAvailableNow {
 
   require(onRewrite == "skip" || onRewrite == "fail" || onRewrite == "emitFresh",
@@ -346,10 +365,24 @@ final class ManifestChangefeedSource(
     * carry real data-file VOLUME, budgeted from sidecar metadata alone
     * — what keeps one fat generation-COUNTED slice (a backfill commit of
     * millions of rows) from becoming an all-or-nothing micro-batch. */
+  /** DEFAULT volume budget: with NO explicit cap of any kind (and no
+    * explicit `maxFilesPerTrigger=none` opt-out), a conservative file
+    * budget applies — the Delta-source default-1000-files posture, so an
+    * unbudgeted from-0 subscriber catches up in bounded slices instead of
+    * one all-available plan. Any explicit cap (generations, files or
+    * bytes) replaces the default: the subscriber has chosen its own
+    * admission policy. */
+  private def effectiveMaxFiles: Option[Long] =
+    maxFilesPerTrigger.orElse {
+      if (uncappedExplicit || maxGenerationsPerTrigger.isDefined ||
+        maxBytesPerTrigger.isDefined) None
+      else Some(ManifestChangefeed.defaultMaxFilesPerTrigger)
+    }
+
   override def getDefaultReadLimit: ReadLimit = {
     val limits = Seq(
       maxGenerationsPerTrigger.map(ReadLimit.maxRows),
-      maxFilesPerTrigger.map(f => ReadLimit.maxFiles(f.toInt)),
+      effectiveMaxFiles.map(f => ReadLimit.maxFiles(f.toInt)),
       maxBytesPerTrigger.map(ReadLimit.maxBytes)).flatten
     limits match {
       case Seq() => ReadLimit.allAvailable()
@@ -393,8 +426,17 @@ final class ManifestChangefeedSource(
       else None
     if (rec.rewrite) {
       if (onRewrite == "emitFresh") rec.fresh match {
+        // A fresh file absent from the size map makes the whole
+        // generation UNBUDGETABLE (None), mirroring the plain-append
+        // path's sizes-unknown handling — counting it as free would let
+        // a byte budget admit a slice it cannot actually bound.
+        // (Unreachable today: bytes are all-or-nothing per entry and
+        // fresh ⊆ files, but the asymmetry must not lie in wait.)
         case Some(fresh) => (fresh.size.toLong,
-          sizeOf.map(m => fresh.iterator.map(f => m.getOrElse(f, 0L)).sum))
+          sizeOf.flatMap { m =>
+            val sizes = fresh.map(m.get)
+            if (sizes.forall(_.isDefined)) Some(sizes.flatten.sum) else None
+          })
         case None => (0L, Some(0L)) // skipped (loudly) in getBatch
       } else (0L, Some(0L)) // skip emits nothing; fail halts at plan time
     } else (e.files.size.toLong, sizeOf.map(_.values.sum))
@@ -594,7 +636,11 @@ final class ManifestChangefeedSource(
   * computed from sidecar metadata alone: the slice stops before the
   * generation that would exceed it, but always admits at least one —
   * one commit cannot be split — so a fat backfill generation becomes
-  * its own batch instead of widening an all-or-nothing plan). */
+  * its own batch instead of widening an all-or-nothing plan). With NO
+  * cap set at all, a default file budget of
+  * [[ManifestChangefeed.defaultMaxFilesPerTrigger]] (1000) applies;
+  * pass `maxFilesPerTrigger=none` to opt into all-available
+  * explicitly. */
 final class ManifestChangefeedProvider extends StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-changefeed"
@@ -639,11 +685,17 @@ final class ManifestChangefeedProvider extends StreamSourceProvider with DataSou
             .currentGeneration().getOrElse(0L))
       case n => n.toLong
     }
+    // `maxFilesPerTrigger=none` is the EXPLICIT all-available opt-out
+    // (otherwise an entirely uncapped subscription gets the conservative
+    // default file budget — see defaultMaxFilesPerTrigger).
+    val rawMaxFiles = parameters.get("maxFilesPerTrigger").map(_.trim)
+    val uncapped = rawMaxFiles.exists(_.equalsIgnoreCase("none"))
     new ManifestChangefeedSource(sqlContext, path, dataSchema, partitionCol,
       baseGen, parameters.getOrElse("onRewrite", "skip"),
       parameters.get("maxGenerationsPerTrigger").map(_.trim.toLong),
-      parameters.get("maxFilesPerTrigger").map(_.trim.toLong),
-      parameters.get("maxBytesPerTrigger").map(_.trim.toLong))
+      rawMaxFiles.filterNot(_.equalsIgnoreCase("none")).map(_.toLong),
+      parameters.get("maxBytesPerTrigger").map(_.trim.toLong),
+      uncappedExplicit = uncapped)
   }
 }
 

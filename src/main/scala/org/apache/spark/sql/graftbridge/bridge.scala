@@ -82,6 +82,33 @@ object GraftBridge {
       case _ => ()
     }
 
+  /** Drop the blocks AND (for a RELIABLE checkpoint) the checkpoint FILES
+    * behind one RDD. Spark only auto-reclaims reliable-checkpoint files
+    * under `spark.cleaner.referenceTracking.cleanCheckpoints=true`, so a
+    * session planning many durable diffs would otherwise accumulate one
+    * `rdd-N/` directory per diff in the checkpoint dir forever — this is
+    * the deleting twin [[freeLocalCheckpoint]] never needed (local
+    * checkpoints live in executor blocks, not files). Uses the cleaner's
+    * own deletion path (`ReliableRDDCheckpointData.cleanCheckpoint`,
+    * reachable from this bridge package). Only call once nothing will
+    * read the RDD again — a checkpoint has no lineage to recompute. */
+  def freeRddCheckpoint(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    if (rdd.getCheckpointFile.isDefined)
+      org.apache.spark.rdd.ReliableRDDCheckpointData.cleanCheckpoint(
+        rdd.sparkContext, rdd.id)
+    rdd.unpersist(blocking = false)
+  }
+
+  /** [[freeLocalCheckpoint]]'s superset: frees blocks and, when the
+    * Dataset was RELIABLY checkpointed (`Dataset.checkpoint`), deletes
+    * its checkpoint files too. */
+  def freeCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        freeRddCheckpoint(lr.rdd)
+      case _ => ()
+    }
+
   /** Run `body` with the context's checkpoint directory set to `dir`,
     * restoring the previous value after (`SparkContext.checkpointDir` is
     * `private[spark]` — there is no public unset, and a shared test

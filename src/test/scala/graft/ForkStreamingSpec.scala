@@ -314,6 +314,27 @@ class ForkStreamingSpec extends SparkTestBase {
     assert(store.readTabletAt("t2", 29).count() === 1L)
     // Stop is idempotent.
     pipeline.stopIndexMaintenance()
+
+    // Stop is STICKY: a later batch's signal (the stream still running)
+    // must not silently resurrect the maintenance thread.
+    def maintThreadAlive(): Boolean = {
+      val all = new Array[Thread](Thread.activeCount() + 16)
+      Thread.enumerate(all)
+      all.exists(t => t != null && t.isAlive && t.getName == "graft-index-maint")
+    }
+    pipeline.commitBatch((30L until 45L).map(block).toDS(), 2)
+    Thread.sleep(300L)
+    assert(!maintThreadAlive(),
+      "a post-stop commit signal must not restart maintenance")
+    // Explicit resume clears the latch; the next signal rebuilds.
+    pipeline.resumeIndexMaintenance()
+    pipeline.commitBatch((45L until 60L).map(block).toDS(), 3)
+    val deadline2 = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (!pipeline.indexBacklogEmpty && System.nanoTime() < deadline2)
+      Thread.sleep(100L)
+    assert(pipeline.indexBacklogEmpty, "resume must restore maintenance")
+    assert(store.latestTabletSnapshot("t1").get._1 === 59L)
+    pipeline.stopIndexMaintenance()
   }
 
   test("PipelineMetrics gauges update from a streaming run: head, LIB, " +

@@ -769,4 +769,100 @@ class ManifestChangefeedSpec extends SparkTestBase {
         snapshots(1).map(_._3).toSeq.distinct.size === 2)
     } finally q.stop()
   }
+
+  /** Drive a source's admission loop directly, returning the slice ends. */
+  private def slicesOf(src: graft.streaming.ManifestChangefeedSource): Seq[Long] = {
+    val limit = src.getDefaultReadLimit
+    val out = Seq.newBuilder[Long]
+    var o = src.latestOffset(null, limit)
+    while (o != null) { out += o.json.toLong; o = src.latestOffset(o, limit) }
+    out.result()
+  }
+
+  test("default volume budget: an entirely uncapped subscription gets the " +
+    "default file budget; maxFilesPerTrigger=none opts back into " +
+    "all-available; any explicit cap replaces the default") {
+    implicit val s = spark
+    val root = tmpDir("cf-default")
+    val store = new StateStore(root, StateStore.ManifestCommit)
+    (1 to 5).foreach(h => store.writeBatch(Seq(req(h, ("t1", s"k$h", s"v$h")))))
+    def mkSource(files: Option[Long] = None, uncapped: Boolean = false) =
+      new graft.streaming.ManifestChangefeedSource(
+        spark.sqlContext, store.tabletRowsPath, graft.model.Schemas.tabletRows,
+        Some("collection"), baseGen = 0L, onRewrite = "skip",
+        maxFilesPerTrigger = files, uncappedExplicit = uncapped)
+    val mt = store.manifestTableFor(store.tabletRowsPath)
+    val filesPerGen = mt.deltaRecord(1L).get.entry.files.size.toLong
+    // Shrink the default so five tiny generations actually exceed it.
+    sys.props("graft.changefeed.defaultMaxFiles") = (filesPerGen * 2).toString
+    try {
+      val defaulted = slicesOf(mkSource())
+      assert(defaulted.last === 5L)
+      assert(defaulted.size >= 3,
+        s"default file budget must split the uncapped catch-up: $defaulted")
+      // Explicit opt-out: one all-available slice.
+      assert(slicesOf(mkSource(uncapped = true)) === Seq(5L))
+      // An explicit cap replaces the default rather than composing with it.
+      assert(slicesOf(mkSource(files = Some(filesPerGen * 5))) === Seq(5L))
+      // The provider parses `none` into the explicit opt-out.
+      val viaProvider = new graft.streaming.ManifestChangefeedProvider()
+        .createSource(spark.sqlContext, tmpDir("cf-default-md"), None, "",
+          Map("path" -> store.tabletRowsPath, "table" -> "tablet_rows",
+            "maxFilesPerTrigger" -> "none"))
+        .asInstanceOf[graft.streaming.ManifestChangefeedSource]
+      assert(slicesOf(viaProvider) === Seq(5L))
+    } finally sys.props.remove("graft.changefeed.defaultMaxFiles")
+  }
+
+  test("byte-backfill: a legacy table (no sidecars, pre-bytes manifests) " +
+    "backfills with REAL byte sizes from the live files — byte-budgeted " +
+    "catch-up splits on the budget instead of degrading to " +
+    "one-generation-per-batch") {
+    implicit val s = spark
+    val root = tmpDir("cf-bytefill")
+    // interval 1 = the legacy layout: a full manifest EVERY generation
+    // (pre-sidecar stores had no delta-only generations to destroy).
+    val store = new StateStore(root, StateStore.ManifestCommit,
+      manifestCheckpointInterval = 1)
+    (1 to 4).foreach(h => store.writeBatch(Seq(req(h, ("t1", s"k$h", s"v$h")))))
+    val mt = store.manifestTableFor(store.tabletRowsPath)
+    // Regress the table to the pre-sidecar, pre-bytes layout: delete every
+    // sidecar and strip the bytes field from every full manifest.
+    val fs = new org.apache.hadoop.fs.Path(store.tabletRowsPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val mdir = new org.apache.hadoop.fs.Path(s"${store.tabletRowsPath}/_manifests")
+    fs.listStatus(mdir).map(_.getPath).foreach { p =>
+      if (p.getName.startsWith("d-")) fs.delete(p, false)
+      else {
+        val in = fs.open(p)
+        val text = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+        val stripped = text.replaceAll(""","bytes":\[[0-9,]*\]""", "")
+        assert(stripped != text, s"setup must strip bytes from ${p.getName}")
+        val out = fs.create(p, true)
+        try out.write(stripped.getBytes("UTF-8")) finally out.close()
+      }
+    }
+    val (synth, present) = mt.backfillDeltaSidecars()
+    assert(synth === 4 && present === 0)
+    // The synthesized sidecars carry REAL sizes (statted from live files).
+    def genBytes(g: Long): Long = {
+      val e = mt.deltaRecord(g).get.entry
+      assert(e.bytes.size === e.files.size,
+        s"backfilled sidecar of gen $g must carry per-file bytes")
+      e.bytes.sum
+    }
+    (1L to 4L).foreach(g => assert(genBytes(g) > 0L))
+    // A byte budget covering two generations yields two-generation slices —
+    // the pre-fix behavior was admit-alone (four single-generation batches).
+    val budget = genBytes(1) + genBytes(2) + 64L
+    val src = new graft.streaming.ManifestChangefeedSource(
+      spark.sqlContext, store.tabletRowsPath, graft.model.Schemas.tabletRows,
+      Some("collection"), baseGen = 0L, onRewrite = "skip",
+      maxBytesPerTrigger = Some(budget))
+    val slices = slicesOf(src)
+    assert(slices.head === 2L,
+      s"first slice must span TWO budget-fitting generations, got $slices")
+    assert(slices.last === 4L)
+  }
 }

@@ -312,6 +312,28 @@ class RegistryExtensionsSpec extends SparkTestBase {
       // Idempotent: the session's registry is drained.
       assert(s2.sql("SELECT * FROM graft_release_diffs()")
         .collect().head.getInt(0) === 0)
+
+      // With a checkpoint dir the TVF's diffs are RELIABLY checkpointed;
+      // graft_release_diffs() must then also DELETE the checkpoint files
+      // (they are never auto-reclaimed without cleanCheckpoints=true).
+      org.apache.spark.sql.graftbridge.GraftBridge.withCheckpointDir(
+        s2, tmpDir("diff-tvf-ck")) {
+        val d3 = s2.sql(
+          s"SELECT * FROM graft_tablet_diff('${store.root}', 't1', 0, 7)")
+        d3.collect()
+        val files = d3.queryExecution.analyzed.collect {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.getCheckpointFile
+        }.flatten
+        assert(files.nonEmpty, "TVF diff must be reliably checkpointed here")
+        val p = new org.apache.hadoop.fs.Path(files.head)
+        val fs = p.getFileSystem(s2.sessionState.newHadoopConf())
+        assert(fs.exists(p))
+        assert(s2.sql("SELECT * FROM graft_release_diffs()")
+          .collect().head.getInt(0) >= 1)
+        assert(!fs.exists(p),
+          "graft_release_diffs must delete reliable-checkpoint files")
+      }
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

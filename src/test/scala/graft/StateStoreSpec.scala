@@ -58,6 +58,20 @@ class StateStoreSpec extends SparkTestBase {
       GraftBridge.freeLocalCheckpoint(d2) // drops blocks; files remain
       assert(evs(d2) === expected,
         "a reliably-checkpointed diff must survive block loss")
+      // FILE HYGIENE: reliable-checkpoint files are only auto-reclaimed
+      // under cleanCheckpoints=true, so a released diff must have a
+      // file-deleting verb — freeCheckpoint removes the rdd-N/ directory.
+      val ckFiles = d2.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.getCheckpointFile
+      }.flatten
+      assert(ckFiles.nonEmpty, "durable diff must carry a checkpoint file")
+      val ckPath = new org.apache.hadoop.fs.Path(ckFiles.head)
+      val fs = ckPath.getFileSystem(spark.sessionState.newHadoopConf())
+      assert(fs.exists(ckPath), "checkpoint files exist while the diff is held")
+      GraftBridge.freeCheckpoint(d2)
+      assert(!fs.exists(ckPath),
+        "freeCheckpoint must delete the released diff's checkpoint files")
     }
     // The setting did not leak into the shared session.
     assert(spark.sparkContext.getCheckpointDir.isEmpty)
