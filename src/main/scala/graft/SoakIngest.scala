@@ -52,6 +52,15 @@ object SoakIngest {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // Publish-retry budget: with NO-PAUSE compaction (round 16), the
+    // materializer's merges conflict-retry against the compactor's held
+    // generation reservation for the whole compaction window (tens of
+    // seconds at soak scale). The default 12-attempt budget (~16 s of
+    // backoff) is sized for writer-vs-writer blips, not a long hold —
+    // give co-located publishers enough patience to ride out the longest
+    // observed compaction (backoff caps at ~2 s/attempt → ~8 min).
+    sys.props("graft.publish.maxAttempts") = "240"
+
     val base = java.nio.file.Files.createTempDirectory("graft-soak").toString
     val root = s"$base/store"
     val target = s"$base/serving"
@@ -179,6 +188,36 @@ object SoakIngest {
     reader.setDaemon(true)
     reader.start()
 
+    // FORKED-PROCESS READER (round 16): a real second JVM — own block
+    // manager, scheduler, store instance — doing the same read mix via
+    // graft.SoakReader. What the in-JVM reader above cannot prove: the
+    // cross-process read path against live pointer swaps/sweeps, and the
+    // read-mix counters' merge-on-flush summing across processes.
+    val forkSummaryFile = s"$base/fork-reader-summary.json"
+    val forkReader: Option[Process] = {
+      val javaBin = s"${System.getProperty("java.home")}/bin/java"
+      val cp = System.getProperty("java.class.path")
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+        "-Xmx4g", "-Dspark.ui.enabled=false", "-cp", cp,
+        "graft.SoakReader", root, (minutes.toLong * 60L).toString, "7000",
+        forkSummaryFile)).toArray
+      try Some(new ProcessBuilder(cmd: _*).inheritIO().start())
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          println(s"""{"soak_fork_reader_spawn_failed":"${e.getMessage}"}""")
+          None
+      }
+    }
+
     def dirBytes(p: String): (Long, Long) = {
       val path = new org.apache.hadoop.fs.Path(p)
       val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -231,25 +270,18 @@ object SoakIngest {
       // guard that makes a sweep beside LIVE writers safe — an in-flight
       // commit's directory is unreferenced until its pointer swap).
       if (System.currentTimeMillis() - lastCompact > 300000L) {
-        // Target maintenance follows the documented single-writer
-        // discipline (StateMaterializer.compact scaladoc: "pause the
-        // materializer"): STOP the serve query, compact + sweep, restart
-        // from the same checkpoint — a compact racing a live merge can
-        // clobber the merge's generation (both compute next = gen+1; the
-        // later pointer swap wins and the loser's commit is lost). The
-        // serve restart resumes exactly at its checkpointed generation;
-        // the pause's cost shows up as one serve-lag blip in the samples.
-        serve.stop()
+        // NO-PAUSE compaction (round 16): the serve query KEEPS RUNNING.
+        // The optimistic publish makes the old compact-vs-merge race loud
+        // instead of silent — replaceAllRetrying reserves the target's
+        // next generation, merges landing mid-compaction conflict-retry
+        // until the reservation publishes (their extended retry budget is
+        // set above), and nothing is lost either way. The round-15
+        // discipline (stop serve → compact → restart, 4–52 s pauses) is
+        // gone; contention shows up only as a serve-lag excursion.
         val t0c = System.currentTimeMillis()
         StateMaterializer.compact(target)
-        serve = startServe()
-        val pauseMs = System.currentTimeMillis() - t0c
-        // The SWEEPS run with the serve query back up: the minAge guard is
-        // exactly what makes a retention sweep safe BESIDE live writers,
-        // so only the compact (a competing publisher) needs the pause.
-        // The store's mutation table is append-only here (every dir stays
-        // referenced), so its sweep exercises the no-op path beside the
-        // live ingest writer.
+        val compactMs = System.currentTimeMillis() - t0c
+        // Sweeps beside live writers, as before (minAge guard).
         val targetMt = StateMaterializer.targetTable(target)
         val sweptTarget =
           targetMt.sweepOrphans(retainGenerations = 180, minAgeMillis = 120000L).size +
@@ -257,7 +289,7 @@ object SoakIngest {
         val sweptStore = store.manifestTableFor(store.tabletRowsPath)
           .sweepOrphans(retainGenerations = 180, minAgeMillis = 120000L).size
         println(s"""{"soak_compact":{"elapsed_sec":$el,""" +
-          s""""serve_pause_ms":$pauseMs,""" +
+          s""""serve_pause_ms":0,"compact_ms":$compactMs,""" +
           s""""maintenance_ms":${System.currentTimeMillis() - t0c},""" +
           s""""swept_store_dirs":$sweptStore,"swept_target":$sweptTarget}}""")
         lastCompact = System.currentTimeMillis()
@@ -271,8 +303,44 @@ object SoakIngest {
     // mid-flight read can't manufacture a shutdown-artifact error.
     Thread.sleep(3000L)
     reader.join(15000L)
-    ingest.stop(); serve.stop(); server.close()
+    ingest.stop()
+    // ZERO-LOST-COMMITS invariant for the no-pause compaction: after the
+    // serve stream drains everything the store committed, the serving
+    // table must equal the store's own as-of read at the served height —
+    // a compaction that clobbered (or was clobbered by) a merge would
+    // surface here as missing/stale keys.
+    scala.util.Try(serve.processAllAvailable())
+    val serveEquiv: String = scala.util.Try {
+      val servedRows = StateMaterializer.read(target)
+        .filter(col("tablet_id") === "t3")
+        .select("primary_key", "height").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val servedH = servedRows.map(_._2).maxOption.getOrElse(0L)
+      val expected = store.readTabletAt("t3", servedH)
+        .select("primary_key", "height").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      s""""serve_equiv_height":$servedH,"serve_equiv_rows":${servedRows.size},""" +
+        s""""serve_equiv_match":${servedRows == expected}"""
+    }.getOrElse(""""serve_equiv_match":"error"""")
+    serve.stop(); server.close()
     pipeline.stopIndexMaintenance()
+    // Fold in the forked reader's summary (it runs to the same deadline).
+    val forkSummary: String = forkReader.map { p =>
+      p.waitFor(60L, java.util.concurrent.TimeUnit.SECONDS)
+      if (p.isAlive) p.destroy()
+      scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(forkSummaryFile)), "UTF-8").trim
+        .stripPrefix("{").stripSuffix("}"))
+        .getOrElse(""""fork_reader_errors":"no-summary"""")
+    }.getOrElse(""""fork_reader_errors":"not-spawned"""")
+    // Cross-process read-mix evidence: flush the in-JVM reader's and the
+    // writer's instances too (the forked process flushed its own at
+    // exit), then read the merged counters — all three instances' deltas
+    // must have SUMMED, not last-writer-won.
+    readerStore.readMix.flush()
+    store.readMix.flush()
+    val mergedTail = store.readMix.tailScans("t3")
+    val mergedPoint = store.readMix.pointReads("t3")
     val steady = samples.drop(samples.size / 2)
     def rate(sel: ((Long, Long, Long, Long, Long, Long)) => Long): Double = {
       if (samples.size < 2) 0.0
@@ -289,7 +357,9 @@ object SoakIngest {
       s""""heap_mb_first":${samples.head._6},"heap_mb_last":${samples.last._6},""" +
       s""""heap_mb_max":${samples.map(_._6).max},""" +
       s""""reader_reads":${readerReads.get()},"reader_errors":${readerErrors.get()},""" +
-      s""""reader_last_read_ms":$lastReadMillis}}""")
+      s""""reader_last_read_ms":$lastReadMillis,""" +
+      s""""readmix_merged_tail_t3":$mergedTail,"readmix_merged_point_t3":$mergedPoint,""" +
+      s"""$serveEquiv,$forkSummary}}""")
     spark.stop()
   }
 }

@@ -844,29 +844,63 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     }
   }
 
-  /** [[replaceAll]] for compactors running BESIDE live writers: on a lost
-    * race the replacement is RE-DERIVED from the new head (`mkDf` runs
-    * again — pass a thunk like `() => clustered(read())`) and retried, so
-    * compaction no longer needs a serve pause or stop-the-world
-    * discipline; the concurrent writer's commit survives into the
-    * recomputed replacement. Fails loudly after
-    * [[ManifestTable.publishMaxAttempts]] losses (a compactor that can
-    * never win against a hot writer should run less often, not spin). */
+  /** [[replaceAll]] for compactors running BESIDE live writers — what
+    * lets compaction drop the stop-serve/compact/restart discipline.
+    *
+    * RESERVE-FIRST: the next generation's sidecar is exclusive-created as
+    * a placeholder BEFORE the replacement is derived, then overwritten
+    * with the real content (we own it) at publish. Holding the lock
+    * through the derivation freezes the base generation — `mkDf` (pass a
+    * thunk like `() => clustered(read())`) reads a head no concurrent
+    * publisher can move — and makes the compactor's termination
+    * independent of writer traffic: the loser-recomputes alternative
+    * starves when merges land faster than the replacement derives (the
+    * derivation is table-sized, a merge is batch-sized — the merge always
+    * wins that race). Cost lands on the writers instead: their
+    * commit/merge retry loops back off until the publish (size their
+    * `graft.publish.maxAttempts` budget above the longest compaction when
+    * co-locating), and a compactor CRASH mid-hold blocks them until the
+    * [[ManifestTable.publishLeaseMillis]] takeover — the same trade
+    * Delta's long-running OPTIMIZE transactions make. */
   def replaceAllRetrying(mkDf: () => DataFrame, commitId: String): Unit = {
     var attempt = 0
     while (true) {
-      try { replaceAll(mkDf(), commitId); return }
-      catch {
-        case e: ConcurrentPublishException =>
+      val gen = currentGeneration().getOrElse(0L)
+      val next = gen + 1
+      beforeOwnHook()
+      val placeholder = ManifestEntry(commitId, Seq.empty, Seq.empty)
+      tryOwnGeneration(next, placeholder, rewrite = true,
+        fresh = Some(Seq.empty)) match {
+        case Owned =>
+          maybeFailAfterOwn(commitId)
+          // Base `gen` is frozen while we hold `next`: derive + stage.
+          val hadFiles = gen > 0 && cachedEntriesAt(gen).exists(_.files.nonEmpty)
+          val dataDir = s"$tablePath/d-$commitId-g$next"
+          writeData(mkDf(), dataDir)
+          val sized = listDataFilesSized(dataDir)
+          val files = sized.map(_._1)
+          val entry = ManifestEntry(commitId, files,
+            collectStats(dataDir, files), sized.map(_._2))
+          // Replace our placeholder with the real record (owned), then
+          // manifest + pointer — same tail as every publish path.
+          writeDelta(next, entry, rewrite = hadFiles,
+            fresh = if (hadFiles) Some(Seq.empty) else None)
+          writeManifest(next, Seq(entry))
+          publishOwned(next, commitId)
+          entriesCache = Some((next, Seq(entry)))
+          return
+        case AlreadyPublishedByUs => return // sibling replay finished it
+        case OwnConflict =>
           attempt += 1
           if (attempt >= publishMaxAttempts) throw new ConcurrentPublishException(
-            s"replaceAll '$commitId' on $tablePath lost the generation race " +
-              s"$attempt times — giving up (last: ${e.getMessage})")
-          log.info(s"replaceAll '$commitId' on $tablePath lost a generation " +
-            "race — recomputing the replacement from the new head")
+            s"replaceAll '$commitId' on $tablePath could not reserve a " +
+              s"generation after $attempt attempts — giving up")
+          log.info(s"replaceAll '$commitId' on $tablePath lost generation " +
+            s"$next to a concurrent publisher — re-reserving at the new head")
           publishBackoff(attempt)
       }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Per-file min/max of `statsCols` for a just-written commit directory —

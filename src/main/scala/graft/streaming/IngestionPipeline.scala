@@ -206,10 +206,30 @@ final class IngestionPipeline(
   private def collectionAt(tablet: String): Int =
     collectionOf.getOrDefault(tablet, 0)
 
+  // Maintenance observability: last build's wall time, completed-build
+  // count, and (on demand) backlog depth — surfaced as PipelineMetrics
+  // gauges so an operator reads maintenance health off the listener bus
+  // instead of log-grepping.
+  private val lastBuildMillis = new java.util.concurrent.atomic.AtomicLong(-1L)
+  private val buildsCompleted = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** (backlog depth, last build wall-millis or -1, builds completed). */
+  def maintenanceStats: (Int, Long, Long) =
+    (indexCache.tabletsToIndex().size, lastBuildMillis.get(), buildsCompleted.get())
+
   /** Build (or incrementally extend) `tablet`'s snapshot pinned at `hi`
     * — the reference's TabletIndex write (write.go:64–69), shared by the
     * in-commit and async maintenance paths. */
   private def buildIndexFor(tablet: String, coll: Int, hi: Long): Unit = {
+    val t0 = System.nanoTime()
+    try buildIndexForInner(tablet, coll, hi)
+    finally {
+      lastBuildMillis.set((System.nanoTime() - t0) / 1000000L)
+      buildsCompleted.incrementAndGet()
+    }
+  }
+
+  private def buildIndexForInner(tablet: String, coll: Int, hi: Long): Unit = {
     store.latestTabletSnapshotMeta(tablet, hi) match {
       case Some((prevH, prevSquelch, prevIdx)) if prevH < hi =>
         // Steady state — INCREMENTAL (indexing.go:265–271): seed from the

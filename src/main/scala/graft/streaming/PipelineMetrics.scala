@@ -20,7 +20,8 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
 final class PipelineMetrics(
     forkDB: ForkDB,
     headTimestampMillis: Option[Long => Long] = None,
-    clockMillis: () => Long = () => System.currentTimeMillis())
+    clockMillis: () => Long = () => System.currentTimeMillis(),
+    maintenanceOf: Option[() => (Int, Long, Long)] = None)
     extends StreamingQueryListener {
 
   private val headNum = new AtomicLong(-1L)
@@ -29,6 +30,9 @@ final class PipelineMetrics(
   private val driftMillis = new AtomicLong(-1L)
   private val batchCount = new AtomicLong(0L)
   private val inputRowCount = new AtomicLong(0L)
+  private val idxBacklog = new AtomicLong(-1L)
+  private val idxLastBuildMs = new AtomicLong(-1L)
+  private val idxBuilds = new AtomicLong(-1L)
 
   /** HeadBlockNumber gauge (-1 until the first sampled block). */
   def headBlockNumber: Long = headNum.get()
@@ -48,6 +52,16 @@ final class PipelineMetrics(
   /** Cumulative input rows observed via the listener bus. */
   def inputRowsObserved: Long = inputRowCount.get()
 
+  /** Index-maintenance backlog depth (-1 without a maintenance hook):
+    * tablets past the index heuristic awaiting a build. */
+  def indexBacklogDepth: Long = idxBacklog.get()
+
+  /** Wall-millis of the last snapshot build (-1 until one completes). */
+  def indexLastBuildMillis: Long = idxLastBuildMs.get()
+
+  /** Snapshot builds completed since pipeline start. */
+  def indexBuildsCompleted: Long = idxBuilds.get()
+
   /** One flat scrape of every gauge. */
   def snapshot: Map[String, Long] = Map(
     "head_block_num" -> headBlockNumber,
@@ -55,7 +69,10 @@ final class PipelineMetrics(
     "reversible_lag" -> reversibleLag,
     "head_time_drift_millis" -> headTimeDriftMillis,
     "batches_observed" -> batchesObserved,
-    "input_rows_observed" -> inputRowsObserved)
+    "input_rows_observed" -> inputRowsObserved,
+    "index_backlog_depth" -> indexBacklogDepth,
+    "index_last_build_millis" -> indexLastBuildMillis,
+    "index_builds_completed" -> indexBuildsCompleted)
 
   /** Sample the fork state now (also invoked per progress event). */
   def sample(): Unit = {
@@ -65,6 +82,12 @@ final class PipelineMetrics(
     libNum.set(l.num)
     lag.set(h.num - l.num)
     headTimestampMillis.foreach(f => driftMillis.set(clockMillis() - f(h.num)))
+    maintenanceOf.foreach { f =>
+      val (backlog, lastMs, builds) = f()
+      idxBacklog.set(backlog.toLong)
+      idxLastBuildMs.set(lastMs)
+      idxBuilds.set(builds)
+    }
   }
 
   override def onQueryStarted(

@@ -289,6 +289,18 @@ class ForkStreamingSpec extends SparkTestBase {
     assert(pipeline.indexBacklogEmpty,
       "maintenance thread must drain the index backlog")
     pipeline.stopIndexMaintenance()
+    // Maintenance observability: backlog depth / last build duration /
+    // build count read off the PipelineMetrics gauges (listener-bus
+    // surface; sampled directly here since no query is running).
+    val maintMetrics = new graft.streaming.PipelineMetrics(
+      pipeline.forkDB, maintenanceOf = Some(() => pipeline.maintenanceStats))
+    maintMetrics.sample()
+    assert(maintMetrics.indexBacklogDepth === 0L)
+    assert(maintMetrics.indexBuildsCompleted >= 1L,
+      "the drained backlog implies at least one completed build")
+    assert(maintMetrics.indexLastBuildMillis >= 0L,
+      "a completed build must stamp its wall time")
+    assert(maintMetrics.snapshot.keySet.contains("index_backlog_depth"))
     // Snapshots landed, pinned at COMMITTED heights only (14 and/or 29 —
     // how many depends on where the thread caught the commit sequence;
     // both are valid pinned floors, never an uncommitted height).

@@ -101,6 +101,44 @@ class ManifestConcurrencySpec extends SparkTestBase {
     assert(a.manifestEntries(gen).map(_._1) === Seq("compact-1"))
   }
 
+  test("replaceAllRetrying RESERVES the generation: a writer racing the " +
+    "held derivation window blocks-and-retries, lands after the " +
+    "compaction, and nothing is lost") {
+    val path = tmpDir("occ-reserve")
+    val a = table(path)
+    assert(a.commit(df(("k1", 1L, false, "v1")), "c1"))
+    val writerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    var writer: Thread = null
+    val mkDf: () => DataFrame = () => {
+      // Fire a concurrent committer INSIDE the held window, then derive
+      // slowly: the commit must conflict on our reserved sidecar and keep
+      // retrying rather than publishing into the frozen base.
+      if (writer == null) {
+        writer = new Thread(() => {
+          try { table(path).commit(df(("k2", 2L, false, "v2")), "c2") }
+          catch { case e: Throwable => writerErr.set(e) }
+          finally writerDone.set(true)
+        }, "occ-racing-writer")
+        writer.start()
+        Thread.sleep(1500L)
+        assert(!writerDone.get,
+          "the racing commit must be BLOCKED while the reservation is held")
+      }
+      a.read().coalesce(1)
+    }
+    a.replaceAllRetrying(mkDf, "compact-1")
+    writer.join(60000L)
+    assert(writerErr.get() === null,
+      s"racing commit must eventually land: ${writerErr.get()}")
+    assert(writerDone.get)
+    val t = table(path)
+    val gen = t.currentGeneration().get
+    assert(gen === 3L, "compact at gen 2, the blocked commit at gen 3")
+    assert(t.manifestEntries(gen).map(_._1) === Seq("compact-1", "c2"))
+    assert(values(t) === Set("v1", "v2"))
+  }
+
   test("merge that loses the race recomputes from the new head: the " +
     "winner's rows participate in the argmax") {
     val path = tmpDir("occ-merge")
