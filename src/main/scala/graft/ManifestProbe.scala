@@ -331,6 +331,14 @@ object ManifestProbe {
       drain("fat_catchup_uncapped", None, None)
       drain("fat_catchup_gencap8", Some(8L), None)
       drain("fat_catchup_gencap8_budget4mb", Some(8L), Some(4L * 1024 * 1024))
+      // DEFAULT budget (round 16): with NO explicit cap, the changefeed
+      // applies maxFiles = defaultMaxFilesPerTrigger. At the real default
+      // (1000) this 55-file corpus is one slice, so shrink the default to
+      // probe scale: catch-up under pure defaults must split on the file
+      // budget and still converge completely.
+      sys.props("graft.changefeed.defaultMaxFiles") = "8"
+      try drain("fat_catchup_default8files", None, None)
+      finally sys.props.remove("graft.changefeed.defaultMaxFiles")
     }
 
     // ------------------------------------------------------------------

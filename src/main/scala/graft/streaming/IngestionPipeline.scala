@@ -222,11 +222,12 @@ final class IngestionPipeline(
     * in-commit and async maintenance paths. */
   private def buildIndexFor(tablet: String, coll: Int, hi: Long): Unit = {
     val t0 = System.nanoTime()
-    try buildIndexForInner(tablet, coll, hi)
-    finally {
-      lastBuildMillis.set((System.nanoTime() - t0) / 1000000L)
+    // Duration stamps even a failed attempt (it still held the slot);
+    // the completion counter counts only builds that actually landed.
+    try {
+      buildIndexForInner(tablet, coll, hi)
       buildsCompleted.incrementAndGet()
-    }
+    } finally lastBuildMillis.set((System.nanoTime() - t0) / 1000000L)
   }
 
   private def buildIndexForInner(tablet: String, coll: Int, hi: Long): Unit = {
