@@ -861,7 +861,12 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * `graft.publish.maxAttempts` budget above the longest compaction when
     * co-locating), and a compactor CRASH mid-hold blocks them until the
     * [[ManifestTable.publishLeaseMillis]] takeover — the same trade
-    * Delta's long-running OPTIMIZE transactions make. */
+    * Delta's long-running OPTIMIZE transactions make. A retention sweep
+    * running BESIDE this call sees the reservation's in-flight data
+    * directory as unreferenced for the whole derivation, so its
+    * `minAgeMillis` must comfortably exceed the longest compaction (the
+    * same beside-writer contract [[sweepOrphans]] documents, with a
+    * longer window). */
   def replaceAllRetrying(mkDf: () => DataFrame, commitId: String): Unit = {
     var attempt = 0
     while (true) {
@@ -879,6 +884,8 @@ final class ManifestTable(val tablePath: String, schema: StructType,
           writeData(mkDf(), dataDir)
           val sized = listDataFilesSized(dataDir)
           val files = sized.map(_._1)
+          if (failBeforePublish) throw new IllegalStateException(
+            s"injected crash before publish of $commitId")
           val entry = ManifestEntry(commitId, files,
             collectStats(dataDir, files), sized.map(_._2))
           // Replace our placeholder with the real record (owned), then

@@ -139,6 +139,25 @@ class ManifestConcurrencySpec extends SparkTestBase {
     assert(values(t) === Set("v1", "v2"))
   }
 
+  test("crash mid-reservation: the compactor's own replay re-owns the " +
+    "placeholder and completes; the table never regressed") {
+    val path = tmpDir("occ-resv-crash")
+    val a = table(path)
+    assert(a.commit(df(("k1", 1L, false, "v1")), "c1"))
+    a.failBeforePublish = true
+    intercept[IllegalStateException] {
+      a.replaceAllRetrying(() => a.read(), "compact-1")
+    }
+    a.failBeforePublish = false
+    // Nothing published; the orphaned reservation holds generation 2.
+    assert(a.currentGeneration() === Some(1L))
+    val replay = table(path)
+    replay.replaceAllRetrying(() => replay.read().coalesce(1), "compact-1")
+    assert(replay.currentGeneration() === Some(2L))
+    assert(values(replay) === Set("v1"))
+    assert(replay.manifestEntries(2L).map(_._1) === Seq("compact-1"))
+  }
+
   test("merge that loses the race recomputes from the new head: the " +
     "winner's rows participate in the argmax") {
     val path = tmpDir("occ-merge")
