@@ -52,14 +52,11 @@ object SoakIngest {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // Publish-retry budget: with NO-PAUSE compaction (round 16), the
-    // materializer's merges conflict-retry against the compactor's held
-    // generation reservation for the whole compaction window (tens of
-    // seconds at soak scale). The default 12-attempt budget (~16 s of
-    // backoff) is sized for writer-vs-writer blips, not a long hold —
-    // give co-located publishers enough patience to ride out the longest
-    // observed compaction (backoff caps at ~2 s/attempt → ~8 min).
-    sys.props("graft.publish.maxAttempts") = "240"
+    // Publish-retry budget: the default (time-based, lease + 60 s ≈ 11
+    // min) already outlives any compaction hold that resolves, so no
+    // override is needed — co-located merges wait out the reservation
+    // and proceed; only a genuinely dead holder makes them wait the
+    // lease, after which the takeover path unblocks.
 
     val base = java.nio.file.Files.createTempDirectory("graft-soak").toString
     val root = s"$base/store"

@@ -514,6 +514,48 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     Thread.sleep(math.min(2000L, 25L << math.min(attempt, 6)) +
       scala.util.Random.nextInt(25).toLong)
 
+  /** This instance still holds generation `gen`'s reservation: the
+    * generation is unpublished and the sidecar carries `commitId`. */
+  private def stillOwns(gen: Long, commitId: String): Boolean =
+    currentGeneration().forall(_ < gen) && {
+      (try deltaRecord(gen).map(_.entry.commitId)
+       catch { case scala.util.control.NonFatal(_) => None }).contains(commitId)
+    }
+
+  /** Best-effort release of an owned-but-unpublished reservation — what a
+    * LIVE publisher does when its derivation fails, so one transient
+    * failure doesn't hold every other writer hostage for the lease. A
+    * dead publisher can't run this; its orphan resolves via the lease. */
+  private def tryReleaseReservation(gen: Long, commitId: String): Unit =
+    try {
+      if (stillOwns(gen, commitId)) fsOf(deltaPath(gen)) match {
+        case (fs, p) => fs.delete(p, false); ()
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) => log.warn(
+        s"could not release reservation for generation $gen of $tablePath " +
+          "— concurrent writers will wait out the publish lease", e)
+    }
+
+  /** Generation `gen` is reserved by a DIFFERENT live-looking publisher:
+    * unpublished, sidecar present, holder ≠ `commitId`, inside the lease.
+    * The cheap pre-derivation probe — a merge blocked behind a compaction
+    * hold learns it from two tiny metadata reads instead of re-running
+    * its whole derivation into a doomed own attempt. */
+  private def heldByForeign(gen: Long, commitId: String): Boolean = {
+    val (fs, p) = fsOf(deltaPath(gen))
+    if (!fs.exists(p)) return false
+    if (currentGeneration().exists(_ >= gen)) return false
+    val holder =
+      try deltaRecord(gen).map(_.entry.commitId)
+      catch { case scala.util.control.NonFatal(_) => None }
+    if (holder.contains(commitId)) return false
+    val age = System.currentTimeMillis() -
+      (try fs.getFileStatus(p).getModificationTime
+       catch { case _: java.io.FileNotFoundException => return false })
+    age <= publishLeaseMillis
+  }
+
   /** The `,"bytes":[...]` fragment of one entry line — per-file sizes,
     * recorded from the commit's own listing (the writer already has the
     * `FileStatus` in hand, so this costs nothing extra). What they buy:
@@ -732,24 +774,39 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * directory in overwrite mode. CONCURRENCY-safe: the generation is
     * owned by exclusive sidecar create before any shared metadata is
     * touched; a lost race re-reads the head and retries (an append's
-    * content is independent of the base generation, so a retry is just a
-    * re-stage), failing loudly after [[ManifestTable.publishMaxAttempts]]
-    * — never a silent lost commit. */
+    * content is independent of the base generation — and while the base
+    * is unmoved the staged data is reused, so waiting out a compaction
+    * hold costs metadata reads, not batch rewrites), failing loudly
+    * after [[ManifestTable.publishRetryMillis]] — never a silent lost
+    * commit. */
   def commit(df: DataFrame, commitId: String): Boolean = {
     var attempt = 0
+    val startedAt = System.currentTimeMillis()
+    // Staged-attempt cache: while blocked behind a HELD generation (a
+    // compaction reservation), the base does not move, so the already
+    // written data directory and its collected stats are reused verbatim
+    // — a blocked retry costs two tiny metadata reads, not a full batch
+    // rewrite per attempt. Restaged only when the target generation moves.
+    var staged: Option[(Long, ManifestEntry)] = None
     while (true) {
       val gen = currentGeneration().getOrElse(0L)
       val entries = cachedEntriesAt(gen)
       if (entries.exists(_.commitId == commitId)) return false
       val next = gen + 1
       val dataDir = s"$tablePath/d-$commitId-g$next"
-      writeData(df, dataDir)
-      val sized = listDataFilesSized(dataDir)
-      val files = sized.map(_._1)
-      if (failBeforePublish)
-        throw new IllegalStateException(s"injected crash before publish of $commitId")
-      val entry = ManifestEntry(commitId, files, collectStats(dataDir, files),
-        sized.map(_._2))
+      val entry = staged match {
+        case Some((g, e)) if g == next => e
+        case _ =>
+          writeData(df, dataDir)
+          val sized = listDataFilesSized(dataDir)
+          val files = sized.map(_._1)
+          if (failBeforePublish)
+            throw new IllegalStateException(s"injected crash before publish of $commitId")
+          val e = ManifestEntry(commitId, files, collectStats(dataDir, files),
+            sized.map(_._2))
+          staged = Some((next, e))
+          e
+      }
       beforeOwnHook()
       tryOwnGeneration(next, entry, rewrite = false, fresh = None) match {
         case Owned =>
@@ -788,9 +845,11 @@ final class ManifestTable(val tablePath: String, schema: StructType,
           ()
         case OwnConflict =>
           attempt += 1
-          if (attempt >= publishMaxAttempts) throw new ConcurrentPublishException(
-            s"commit '$commitId' to $tablePath lost the generation race " +
-              s"$attempt times (another publisher keeps winning) — giving up")
+          val elapsed = System.currentTimeMillis() - startedAt
+          if (elapsed >= publishRetryMillis) throw new ConcurrentPublishException(
+            s"commit '$commitId' to $tablePath lost the generation race for " +
+              s"${elapsed / 1000}s across $attempt attempts (a publisher keeps " +
+              "winning, or a dead reservation is inside its lease) — giving up")
           log.info(s"commit '$commitId' to $tablePath lost generation $next " +
             "to a concurrent publisher — retrying from the new head")
           publishBackoff(attempt)
@@ -857,9 +916,10 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * starves when merges land faster than the replacement derives (the
     * derivation is table-sized, a merge is batch-sized — the merge always
     * wins that race). Cost lands on the writers instead: their
-    * commit/merge retry loops back off until the publish (size their
-    * `graft.publish.maxAttempts` budget above the longest compaction when
-    * co-locating), and a compactor CRASH mid-hold blocks them until the
+    * commit/merge retry loops back off until the publish (their
+    * time-based `graft.publish.retryMs` budget defaults to the lease plus
+    * a minute, which outlives any hold that resolves), and a compactor
+    * CRASH mid-hold blocks them until the
     * [[ManifestTable.publishLeaseMillis]] takeover — the same trade
     * Delta's long-running OPTIMIZE transactions make. A retention sweep
     * running BESIDE this call sees the reservation's in-flight data
@@ -869,43 +929,77 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * longer window). */
   def replaceAllRetrying(mkDf: () => DataFrame, commitId: String): Unit = {
     var attempt = 0
+    val startedAt = System.currentTimeMillis()
     while (true) {
       val gen = currentGeneration().getOrElse(0L)
       val next = gen + 1
       beforeOwnHook()
       val placeholder = ManifestEntry(commitId, Seq.empty, Seq.empty)
+      var lostMidDerivation = false
       tryOwnGeneration(next, placeholder, rewrite = true,
         fresh = Some(Seq.empty)) match {
         case Owned =>
+          // Crash-simulation hook OUTSIDE the cleanup scope: a real death
+          // leaves its reservation behind (resolved by the lease), and so
+          // must the simulated one.
           maybeFailAfterOwn(commitId)
-          // Base `gen` is frozen while we hold `next`: derive + stage.
-          val hadFiles = gen > 0 && cachedEntriesAt(gen).exists(_.files.nonEmpty)
-          val dataDir = s"$tablePath/d-$commitId-g$next"
-          writeData(mkDf(), dataDir)
-          val sized = listDataFilesSized(dataDir)
-          val files = sized.map(_._1)
-          if (failBeforePublish) throw new IllegalStateException(
-            s"injected crash before publish of $commitId")
-          val entry = ManifestEntry(commitId, files,
-            collectStats(dataDir, files), sized.map(_._2))
-          // Replace our placeholder with the real record (owned), then
-          // manifest + pointer — same tail as every publish path.
-          writeDelta(next, entry, rewrite = hadFiles,
-            fresh = if (hadFiles) Some(Seq.empty) else None)
-          writeManifest(next, Seq(entry))
-          publishOwned(next, commitId)
-          entriesCache = Some((next, Seq(entry)))
-          return
+          var published = false
+          try {
+            // Base `gen` is frozen while we hold `next`: derive + stage.
+            val hadFiles = gen > 0 && cachedEntriesAt(gen).exists(_.files.nonEmpty)
+            val dataDir = s"$tablePath/d-$commitId-g$next"
+            writeData(mkDf(), dataDir)
+            val sized = listDataFilesSized(dataDir)
+            val files = sized.map(_._1)
+            if (failBeforePublish) throw new IllegalStateException(
+              s"injected crash before publish of $commitId")
+            val entry = ManifestEntry(commitId, files,
+              collectStats(dataDir, files), sized.map(_._2))
+            // RE-VERIFY ownership before touching shared metadata: a
+            // derivation that outlived the publish lease may have had its
+            // reservation taken over (and the generation published) by a
+            // waiting writer — blindly overwriting the sidecar + manifest
+            // here would ERASE that winner's commit while both callers
+            // report success. Losing the takeover is the safe outcome:
+            // re-derive at the new head. (The check-then-write instant
+            // stays exposed — the documented mtime-lease limit; size the
+            // lease above the longest compaction so takeovers only ever
+            // target dead compactors.)
+            if (!stillOwns(next, commitId)) {
+              lostMidDerivation = true
+            } else {
+              // Replace our placeholder with the real record (owned),
+              // then manifest + pointer — same tail as every publish path.
+              writeDelta(next, entry, rewrite = hadFiles,
+                fresh = if (hadFiles) Some(Seq.empty) else None)
+              writeManifest(next, Seq(entry))
+              publishOwned(next, commitId)
+              entriesCache = Some((next, Seq(entry)))
+              published = true
+            }
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              // A LIVE publisher whose derivation failed must not hold
+              // every other writer hostage for the lease: release the
+              // unpublished reservation, then surface the failure.
+              tryReleaseReservation(next, commitId)
+              throw e
+          }
+          if (published) return
         case AlreadyPublishedByUs => return // sibling replay finished it
-        case OwnConflict =>
-          attempt += 1
-          if (attempt >= publishMaxAttempts) throw new ConcurrentPublishException(
-            s"replaceAll '$commitId' on $tablePath could not reserve a " +
-              s"generation after $attempt attempts — giving up")
-          log.info(s"replaceAll '$commitId' on $tablePath lost generation " +
-            s"$next to a concurrent publisher — re-reserving at the new head")
-          publishBackoff(attempt)
+        case OwnConflict => ()
       }
+      attempt += 1
+      val elapsed = System.currentTimeMillis() - startedAt
+      if (elapsed >= publishRetryMillis) throw new ConcurrentPublishException(
+        s"replaceAll '$commitId' on $tablePath could not reserve-and-publish " +
+          s"for ${elapsed / 1000}s across $attempt attempts — giving up")
+      log.info(s"replaceAll '$commitId' on $tablePath " +
+        (if (lostMidDerivation)
+          s"lost its reservation of generation $next mid-derivation (lease takeover)"
+         else s"lost generation $next to a concurrent publisher") +
+        " — re-reserving at the new head")
+      publishBackoff(attempt)
     }
     throw new IllegalStateException("unreachable")
   }
@@ -1125,19 +1219,33 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     // files, argmax winners, fresh split) depends on the base generation,
     // so a lost race recomputes everything from the new head — the
     // concurrent winner's rows then participate in the argmax, which is
-    // exactly the serializable outcome (merge-after-their-commit).
+    // exactly the serializable outcome (merge-after-their-commit). While
+    // the next generation is RESERVED by a live foreign publisher (a
+    // compaction hold), the cheap probe skips the derivation entirely:
+    // the base cannot move until the hold resolves, so re-deriving into a
+    // doomed own attempt would be pure churn.
     var attempt = 0
+    val startedAt = System.currentTimeMillis()
     while (true) {
-      mergeOnce(updates, keyCols, orderCol, deleteCol, commitId,
-        keepTombstones, maxTouchedKeys, freshRowsPerFile) match {
+      val blocked = currentGeneration().getOrElse(0L) + 1 match {
+        case next => heldByForeign(next, commitId)
+      }
+      val result =
+        if (blocked) None
+        else mergeOnce(updates, keyCols, orderCol, deleteCol, commitId,
+          keepTombstones, maxTouchedKeys, freshRowsPerFile)
+      result match {
         case Some(report) => return report
         case None =>
           attempt += 1
-          if (attempt >= publishMaxAttempts) throw new ConcurrentPublishException(
-            s"merge '$commitId' into $tablePath lost the generation race " +
-              s"$attempt times (another publisher keeps winning) — giving up")
-          log.info(s"merge '$commitId' into $tablePath lost a generation " +
-            "race — recomputing from the new head")
+          val elapsed = System.currentTimeMillis() - startedAt
+          if (elapsed >= publishRetryMillis) throw new ConcurrentPublishException(
+            s"merge '$commitId' into $tablePath lost the generation race for " +
+              s"${elapsed / 1000}s across $attempt attempts (a publisher keeps " +
+              "winning, or a dead reservation is inside its lease) — giving up")
+          log.info(s"merge '$commitId' into $tablePath " +
+            (if (blocked) "is waiting out a held generation reservation"
+             else "lost a generation race — recomputing from the new head"))
           publishBackoff(attempt)
       }
     }
@@ -1411,25 +1519,33 @@ object ManifestTable {
   final class ConcurrentPublishException(msg: String)
       extends RuntimeException(msg)
 
-  /** How many lost generation races commit/merge/replaceAllRetrying
-    * absorb before failing loudly. System property first (tests), env
-    * second, default 12 — at the exponential backoff cap that is ~20 s of
-    * contention, far beyond any sane co-writer cadence. */
-  def publishMaxAttempts: Int =
-    sys.props.get("graft.publish.maxAttempts")
-      .orElse(sys.env.get("GRAFT_PUBLISH_MAX_ATTEMPTS"))
-      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
-      .filter(_ > 0).getOrElse(12)
+  /** How long commit/merge/replaceAllRetrying keep retrying lost
+    * generation races before failing loudly. TIME-based, not
+    * attempt-based, because the thing a blocked writer must outlive is a
+    * HELD RESERVATION (a no-pause compaction's derivation, or a crashed
+    * attempt waiting out its lease) — an attempt budget would need
+    * per-deployment tuning against a wall-clock window. Default =
+    * [[publishLeaseMillis]] + 60 s: by then a live holder has published
+    * (writers then proceed at the next generation) or a dead one's lease
+    * has expired and the takeover path unblocks. System property first
+    * (tests), env second. */
+  def publishRetryMillis: Long =
+    sys.props.get("graft.publish.retryMs")
+      .orElse(sys.env.get("GRAFT_PUBLISH_RETRY_MS"))
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .filter(_ > 0).getOrElse(publishLeaseMillis + 60000L)
 
   /** Age past which an unpublished generation's sidecar is treated as a
     * DEAD publish attempt and taken over. Must exceed the longest
-    * plausible pause between a publisher's sidecar create and its pointer
-    * swap — that window holds only small metadata writes (manifest +
-    * pointer), so the 10-minute default is ~3 orders of magnitude of
-    * headroom; raise it on stores with pathological metadata latency
-    * rather than lowering it (a premature takeover from a paused-not-dead
-    * owner is re-fenced at the pointer swap, but mtime leases carry no
-    * fencing token — the last instant before the swap stays exposed). */
+    * plausible HOLD between a publisher's sidecar create and its pointer
+    * swap. For commit/merge that window holds only small metadata writes
+    * (manifest + pointer — milliseconds); for [[ManifestTable.replaceAllRetrying]]
+    * it spans the WHOLE replacement derivation (reserve-first), so size
+    * the lease above the longest compaction. A premature takeover from a
+    * paused-not-dead compactor is caught by its pre-publish ownership
+    * re-verify (it loses and retries), but mtime leases carry no fencing
+    * token — the instant between a re-verify and the following write
+    * stays exposed, so prefer a generous lease over a tight one. */
   def publishLeaseMillis: Long =
     sys.props.get("graft.publish.leaseMs")
       .orElse(sys.env.get("GRAFT_PUBLISH_LEASE_MS"))

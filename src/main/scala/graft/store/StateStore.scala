@@ -1058,9 +1058,15 @@ final class StateStore(
         // files; prior generations become invisible at the pointer swap
         // and their directories are swept after. Retrying form: a writer
         // committing mid-compaction costs a recompute (the thunk re-reads
-        // the new head), never a silently-lost commit.
+        // the new head), never a silently-lost commit. The inline sweep's
+        // age guard is a SEPARATE contract from the publish's: with the
+        // default 0 it may only run when no writer is mid-commit (an
+        // in-flight commit's directory is unreferenced until its pointer
+        // swap) — a deployment compacting BESIDE live writers must set
+        // graft.compact.sweepMinAgeMs above its longest commit, or sweep
+        // on its own schedule like the soak does.
         t.replaceAllRetrying(() => clustered(t.read()), "compact")
-        t.sweepOrphans()
+        t.sweepOrphans(minAgeMillis = StateStore.compactSweepMinAgeMillis)
         before
       case RenameCommit =>
         recoverSwap(path)
@@ -1398,6 +1404,19 @@ object StateStore {
   sealed trait CommitProtocol
   case object RenameCommit extends CommitProtocol
   case object ManifestCommit extends CommitProtocol
+
+  /** Age guard for the mutation-table compaction's INLINE orphan sweep.
+    * Default 0 = the single-writer posture (sweep between the writer's
+    * own commits — r15 behavior); the optimistic publish makes the
+    * COMPACTION itself safe beside live writers, but a 0-age sweep beside
+    * one can still reclaim an in-flight commit's not-yet-published
+    * directory, so co-located deployments set this above their longest
+    * commit (or skip the inline sweep and run their own, like the soak). */
+  def compactSweepMinAgeMillis: Long =
+    sys.props.get("graft.compact.sweepMinAgeMs")
+      .orElse(sys.env.get("GRAFT_COMPACT_SWEEP_MIN_AGE_MS"))
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .filter(_ >= 0).getOrElse(0L)
 
   /** Detect which commit protocol wrote the store at `root`: a manifest
     * table is unmistakable by its generation pointer. A reader that opens

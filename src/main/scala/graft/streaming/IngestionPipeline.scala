@@ -484,7 +484,10 @@ final class IngestionPipeline(
     * session's streaming listener bus (T7 — see [[PipelineMetrics]]). */
   def registerMetrics(
       headTimestampMillis: Option[Long => Long] = None): PipelineMetrics = {
-    val m = new PipelineMetrics(forkDB, headTimestampMillis)
+    // Wire the maintenance hook too — without it the index gauges read -1
+    // forever on exactly the production instances the feature exists for.
+    val m = new PipelineMetrics(forkDB, headTimestampMillis,
+      maintenanceOf = Some(() => maintenanceStats))
     spark.streams.addListener(m)
     m
   }

@@ -166,7 +166,12 @@ object ManifestChangefeed {
     sys.props.get("graft.changefeed.defaultMaxFiles")
       .orElse(sys.env.get("GRAFT_CHANGEFEED_DEFAULT_MAX_FILES"))
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
-      .filter(_ > 0).getOrElse(1000L)
+      // Same range the explicit option gets: the limit goes through
+      // ReadLimit.maxFiles(Int), so an overflowing override would wrap
+      // negative and fail every uncapped query at planning time (use
+      // maxFilesPerTrigger=none to disable the budget, not a huge value).
+      .filter(f => f > 0 && f <= Int.MaxValue)
+      .getOrElse(1000L)
 
   /** Balanced (tree) union: a left-deep `reduce(unionByName)` over a
     * catch-up batch spanning thousands of commits builds a plan

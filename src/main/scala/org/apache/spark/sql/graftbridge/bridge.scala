@@ -88,14 +88,19 @@ object GraftBridge {
     * session planning many durable diffs would otherwise accumulate one
     * `rdd-N/` directory per diff in the checkpoint dir forever — this is
     * the deleting twin [[freeLocalCheckpoint]] never needed (local
-    * checkpoints live in executor blocks, not files). Uses the cleaner's
-    * own deletion path (`ReliableRDDCheckpointData.cleanCheckpoint`,
-    * reachable from this bridge package). Only call once nothing will
-    * read the RDD again — a checkpoint has no lineage to recompute. */
+    * checkpoints live in executor blocks, not files). Deletes the RDD's
+    * OWN recorded checkpoint path (`getCheckpointFile`) — NOT
+    * `ReliableRDDCheckpointData.cleanCheckpoint`, which recomputes the
+    * path from the context's CURRENT checkpoint dir and silently misses
+    * whenever that changed since the checkpoint was written (every
+    * `withCheckpointDir` block, and every `setCheckpointDir` call, which
+    * appends a fresh UUID subdir). Only call once nothing will read the
+    * RDD again — a checkpoint has no lineage to recompute. */
   def freeRddCheckpoint(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
-    if (rdd.getCheckpointFile.isDefined)
-      org.apache.spark.rdd.ReliableRDDCheckpointData.cleanCheckpoint(
-        rdd.sparkContext, rdd.id)
+    rdd.getCheckpointFile.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(rdd.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     rdd.unpersist(blocking = false)
   }
 

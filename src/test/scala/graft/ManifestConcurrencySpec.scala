@@ -139,16 +139,18 @@ class ManifestConcurrencySpec extends SparkTestBase {
     assert(values(t) === Set("v1", "v2"))
   }
 
-  test("crash mid-reservation: the compactor's own replay re-owns the " +
-    "placeholder and completes; the table never regressed") {
+  test("DEAD crash mid-reservation (no cleanup ran): the compactor's own " +
+    "replay re-owns the placeholder and completes") {
     val path = tmpDir("occ-resv-crash")
     val a = table(path)
     assert(a.commit(df(("k1", 1L, false, "v1")), "c1"))
-    a.failBeforePublish = true
+    // failAfterOwn fires OUTSIDE the live-failure cleanup scope — the
+    // process-death simulation, so the reservation stays behind.
+    a.failAfterOwn = true
     intercept[IllegalStateException] {
       a.replaceAllRetrying(() => a.read(), "compact-1")
     }
-    a.failBeforePublish = false
+    a.failAfterOwn = false
     // Nothing published; the orphaned reservation holds generation 2.
     assert(a.currentGeneration() === Some(1L))
     val replay = table(path)
@@ -156,6 +158,57 @@ class ManifestConcurrencySpec extends SparkTestBase {
     assert(replay.currentGeneration() === Some(2L))
     assert(values(replay) === Set("v1"))
     assert(replay.manifestEntries(2L).map(_._1) === Seq("compact-1"))
+  }
+
+  test("LIVE derivation failure releases the reservation: other writers " +
+    "proceed immediately instead of waiting out the lease") {
+    val path = tmpDir("occ-resv-release")
+    val a = table(path)
+    assert(a.commit(df(("k1", 1L, false, "v1")), "c1"))
+    a.failBeforePublish = true // fails INSIDE the derivation (cleanup runs)
+    intercept[IllegalStateException] {
+      a.replaceAllRetrying(() => a.read(), "compact-1")
+    }
+    a.failBeforePublish = false
+    // The reservation was released, so a writer lands with a TINY retry
+    // budget — no lease wait, no takeover needed.
+    sys.props("graft.publish.retryMs") = "300"
+    try {
+      val b = table(path)
+      assert(b.commit(df(("k2", 2L, false, "v2")), "c2"))
+      assert(values(b) === Set("v1", "v2"))
+    } finally sys.props.remove("graft.publish.retryMs")
+  }
+
+  test("lease takeover MID-DERIVATION: the compactor detects the stolen " +
+    "reservation before touching shared metadata, loses safely, and " +
+    "re-derives — the takeover winner's commit survives") {
+    val path = tmpDir("occ-takeover")
+    val a = table(path)
+    val b = table(path)
+    assert(a.commit(df(("k1", 1L, false, "v1")), "c1"))
+    sys.props("graft.publish.leaseMs") = "1"
+    try {
+      var calls = 0
+      val mkDf: () => DataFrame = () => {
+        calls += 1
+        if (calls == 1) {
+          // Inside A's held derivation: age the reservation past the
+          // (tiny) lease, then let B take it over AND publish.
+          Thread.sleep(50L)
+          assert(b.commit(df(("k2", 2L, false, "v2")), "cB"),
+            "B must take over the expired reservation and publish")
+        }
+        a.read().coalesce(1)
+      }
+      a.replaceAllRetrying(mkDf, "compact-1")
+      assert(calls >= 2, "A must have re-derived after losing the takeover")
+      // Zero lost commits: B's row survived A's compaction.
+      assert(values(a) === Set("v1", "v2"))
+      val gen = a.currentGeneration().get
+      assert(gen === 3L, "B published gen 2; A re-derived and compacted at 3")
+      assert(a.manifestEntries(gen).map(_._1) === Seq("compact-1"))
+    } finally sys.props.remove("graft.publish.leaseMs")
   }
 
   test("merge that loses the race recomputes from the new head: the " +
@@ -199,8 +252,9 @@ class ManifestConcurrencySpec extends SparkTestBase {
     intercept[IllegalStateException] { a.commit(df(("k1", 1L, false, "vx")), "cDead") }
     val b = table(path)
     // Inside the lease: the orphan could be an in-flight publisher —
-    // conflict, retry, give up loudly. Shrink attempts so the spec is fast.
-    sys.props("graft.publish.maxAttempts") = "2"
+    // conflict, retry, give up loudly. Shrink the TIME budget so the
+    // spec is fast.
+    sys.props("graft.publish.retryMs") = "300"
     try {
       intercept[ConcurrentPublishException] {
         b.commit(df(("k2", 1L, false, "v2")), "cB")
@@ -215,7 +269,7 @@ class ManifestConcurrencySpec extends SparkTestBase {
       val gen1 = b.manifestEntries(1L).map(_._1)
       assert(gen1 === Seq("cB"), s"dead attempt must not publish: $gen1")
     } finally {
-      sys.props.remove("graft.publish.maxAttempts")
+      sys.props.remove("graft.publish.retryMs")
       sys.props.remove("graft.publish.leaseMs")
     }
   }
