@@ -44,14 +44,15 @@ import org.apache.spark.sql.types.StructType
   * appender between compactions. All three writers publish the delta
   * BEFORE the pointer swap, so crash-replay semantics are unchanged.
   *
-  * MIN-READER GATE: the first delta-only publish permanently bumps the
-  * pointer frame `g2:` → `g3:`. A pre-sidecar reader (whose parser knows
-  * only `g2`) then fails loudly on the pointer instead of resolving a
-  * missing full manifest as an empty table — the silent-empty failure
-  * would cascade (a rolled-back binary serving empty reads; its
-  * sweepOrphans computing an empty live set and deleting live data).
-  * Same shape as Delta's minReaderVersion bump for new metadata layouts,
-  * carried in the pointer so gate and generation publish atomically.
+  * MIN-READER GATE: every publish writes the `g4` owner-carrying frame.
+  * A pre-fencing reader (whose parser knows only `g2`/`g3`) fails loudly
+  * on the pointer instead of resolving a missing full manifest as an
+  * empty table — the silent-empty failure would cascade (a rolled-back
+  * binary serving empty reads; its sweepOrphans computing an empty live
+  * set and deleting live data). Same shape as Delta's minReaderVersion
+  * bump for new metadata layouts, carried in the pointer so gate and
+  * generation publish atomically; legacy `g2`/`g3` frames and bare
+  * numbers still parse on read.
   *
   * OPTIMISTIC CONCURRENCY: generation N's delta sidecar doubles as N's
   * mutual-exclusion token — every publisher exclusive-creates it
@@ -67,6 +68,27 @@ import org.apache.spark.sql.types.StructType
   * [[ManifestTable.publishLeaseMillis]]; the pointer swap re-verifies
   * ownership (fencing) so a paused-then-woken owner aborts instead of
   * regressing the pointer.
+  *
+  * FENCING TOKEN: every own attempt carries a fresh NONCE, written into
+  * the sidecar (`"owner":"<nonce>"`) and into the pointer frame itself
+  * (`g4:<gen>:<nonce>:<gen>;`). Ownership is the NONCE, not the
+  * commitId: a takeover (foreign after the lease, or a sibling replay of
+  * the same commitId) rewrites the sidecar with ITS nonce, so the
+  * previous holder — even one paused past the lease that wakes mid-tail
+  * — is rejected by CONTENT at its next [[publishOwned]]: the sidecar no
+  * longer carries its nonce, so its swap never happens and it retries
+  * from the new head instead of clobbering the winner. [[publishOwned]]
+  * also re-reads the sidecar AFTER its swap: if the nonce changed in the
+  * check-to-swap instant, this attempt's content did not survive and the
+  * publish reports a loud conflict (the caller re-lands at the next
+  * generation) rather than a silent success over someone else's
+  * metadata. What remains exposed is only the write instant itself — a
+  * waker would have to land its blind overwrite inside ANOTHER
+  * publisher's sidecar-check-to-swap microsecond, after sleeping through
+  * the whole lease; mtime leases cannot close that last instant without
+  * a conditional-write primitive, which [[publishOwned]]'s post-swap
+  * content check converts from silent loss into a loud retry on every
+  * interleaving where the waker's overwrite precedes the re-read.
   */
 final class ManifestTable(val tablePath: String, schema: StructType,
     partitionCol: Option[String] = None,
@@ -114,6 +136,12 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * orphan sidecar the lease/takeover logic exists for. */
   private[graft] var failAfterOwn: Boolean = false
 
+  /** Test hook: runs after every metadata write of the owned tail,
+    * immediately before the pointer swap ([[publishOwned]]) — the
+    * paused-owner window the fencing nonce closes: a takeover winning
+    * here must fence this publisher's swap by content. */
+  private[graft] var beforePublishHook: () => Unit = () => ()
+
   private def maybeFailAfterOwn(commitId: String): Unit =
     if (failAfterOwn) throw new IllegalStateException(
       s"injected crash after owning the generation for $commitId")
@@ -127,17 +155,20 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * instance, or a reader-only instance, just reads). */
   @volatile private var entriesCache: Option[(Long, Seq[ManifestEntry])] = None
 
-  /** Min-reader gate (sticky): true once this table has EVER published a
-    * delta-only generation — set when this instance publishes one, or
-    * when any pointer read observes a `g3` frame (every publish path
-    * reads the pointer first, so the flag is populated before the next
-    * swap even in a fresh process). While set, [[publish]] writes `g3`
-    * frames, which pre-sidecar readers reject loudly instead of reading
-    * missing full manifests as an empty table (and then, e.g., handing
-    * sweepOrphans an empty live set). Never downgraded: later checkpoint
-    * generations don't retire the delta-only ones in history that
-    * time-travel reads and the changefeed still resolve through. */
-  @volatile private var minReaderV3: Boolean = false
+  /** Publish-contention observability (per instance): lost generation
+    * races retried by commit/merge/replaceAllRetrying, lease takeovers
+    * performed BY this instance, and publishes rejected by the fencing
+    * nonce. A rising conflict rate is the early-warning signal for an
+    * undersized lease or a hot table. */
+  val lostRaceCount = new java.util.concurrent.atomic.AtomicLong(0L)
+  val leaseTakeoverCount = new java.util.concurrent.atomic.AtomicLong(0L)
+  val fencedPublishCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // Min-reader gate: every publish writes the g4 owner-carrying frame,
+  // which pre-fencing readers (g2/g3-only parsers) reject loudly — the
+  // same posture the g3 frame took for the delta-only layout, now
+  // subsumed: a g4-aware reader is sidecar-aware by construction. Legacy
+  // g2/g3 frames and bare-number pointers still parse on read.
 
   private def cachedEntriesAt(gen: Long): Seq[ManifestEntry] =
     entriesCache match {
@@ -191,15 +222,20 @@ final class ManifestTable(val tablePath: String, schema: StructType,
           // are still accepted for pointers written before the frame
           // (legacy stores; atomic-PUT targets never tear either way).
           text match {
-            case FramedGenRe(v, a, b) if a == b =>
-              if (v == "3") minReaderV3 = true
+            case FramedGenRe(_, a, b) if a == b =>
               return Some(a.toLong)
-            case NewerFrameRe(v, a, b) if a == b && v.toLong > 3 =>
+            case Framed4Re(a, _, b) if a == b =>
+              return Some(a.toLong)
+            case NewerFrameRe(v, a, b) if a == b && v.toLong > 4 =>
               // Structurally valid, higher version: this binary predates
               // the table's layout. Refuse with the real reason — never
               // read a newer table as empty/partial.
               sys.error(s"table $tablePath uses pointer-frame version g$v, " +
-                "newer than this reader supports (g3) — upgrade the reader")
+                "newer than this reader supports (g4) — upgrade the reader")
+            case NewerFrame4Re(v, a, b) if a == b && v.toLong > 4 =>
+              // Same refusal for higher-versioned OWNER-carrying frames.
+              sys.error(s"table $tablePath uses pointer-frame version g$v, " +
+                "newer than this reader supports (g4) — upgrade the reader")
             case _ if text.nonEmpty && text.forall(_.isDigit) =>
               return Some(text.toLong)
             case _ if attempt < 3 =>
@@ -231,18 +267,70 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * documented for; an HDFS deployment wanting atomic overwrite should
     * swap via `FileContext.rename(..., Options.Rename.OVERWRITE)`
     * instead. */
-  private def publish(gen: Long): Unit = {
+  private def publish(gen: Long, owner: String): Unit = {
     val (fs, p) = fsOf(genPointerPath)
     val tmp = new Path(s"$genPointerPath.tmp")
     val out = fs.create(tmp, true)
     // Framed form (see currentGeneration): torn-read-proof on stores
-    // whose rename streams bytes into place. Version = the table's
-    // min-reader requirement (g3 once any delta-only generation exists).
-    val v = if (minReaderV3) 3 else 2
-    try out.write(s"g$v:$gen:$gen;".getBytes("UTF-8")) finally out.close()
+    // whose rename streams bytes into place. The g4 frame carries the
+    // publishing attempt's fencing nonce, so the pointer's CONTENT
+    // names who swapped it: head sidecar and pointer are
+    // cross-checkable ([[verifyHead]]), and the frame bump gates out
+    // pre-fencing readers loudly (the Delta minReaderVersion posture —
+    // same vehicle the g3 delta-only gate used).
+    try out.write(s"g4:$gen:$owner:$gen;".getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, p)) {
       if (fs.exists(p)) fs.delete(p, false)
       require(fs.rename(tmp, p), s"pointer swap failed for $tablePath")
+    }
+  }
+
+  /** The fencing owner the CURRENT pointer frame names, None on legacy
+    * frames (g2/g3/bare), missing pointers, or transient torn reads —
+    * callers treat None leniently (pre-fencing behavior). */
+  private def pointerOwner(): Option[String] = {
+    val (fs, p) = fsOf(genPointerPath)
+    try {
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val text =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        finally in.close()
+      text match {
+        case Framed4Re(a, owner, b) if a == b => Some(owner)
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Cross-check the published head's fencing metadata: the pointer
+    * frame's owner nonce vs the head generation's sidecar owner. `None`
+    * = consistent (or not checkable: legacy frames/sidecars without
+    * owners, empty table); `Some(problem)` = the head generation's
+    * sidecar was overwritten AFTER its publish — the paused-writer
+    * clobber the fencing protocol exists to surface. Costs two small
+    * reads; diagnostics/soak surface, not a hot-path gate. */
+  def verifyHead(): Option[String] = {
+    val (fs, p) = fsOf(genPointerPath)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+      finally in.close()
+    text match {
+      case Framed4Re(a, owner, b) if a == b =>
+        val gen = a.toLong
+        val sidecarOwner =
+          try deltaRecord(gen).flatMap(_.owner)
+          catch { case scala.util.control.NonFatal(_) => None }
+        sidecarOwner match {
+          case Some(o) if o != owner => Some(
+            s"head generation $gen of $tablePath: pointer was swapped by " +
+              s"owner $owner but the sidecar now carries $o — the sidecar " +
+              "was overwritten after publish (stale-writer clobber)")
+          case _ => None // consistent, or legacy sidecar without an owner
+        }
+      case _ => None // legacy frame: no owner to check
     }
   }
 
@@ -394,20 +482,25 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * a rewrite (pre-upgrade or backfilled sidecars) means UNKNOWN, never
     * "none". */
   private def deltaJson(e: ManifestEntry, rewrite: Boolean,
-      fresh: Option[Seq[String]]): String = {
+      fresh: Option[Seq[String]], owner: Option[String] = None): String = {
+    // `owner` leads the line (inside the positional anchor deltaRecord
+    // parses — strictly before `files`): the publishing attempt's fencing
+    // nonce. Absent on backfilled/legacy sidecars (published history
+    // needs no fence).
+    val ownerPart = owner.fold("")(n => s""""owner":${quote(n)},""")
     val freshPart = fresh.fold("")(fs0 =>
       s""""fresh":[${fs0.map(quote).mkString(",")}],""")
-    s"""{"commit_id":${quote(e.commitId)},"rewrite":$rewrite,""" +
+    s"""{$ownerPart"commit_id":${quote(e.commitId)},"rewrite":$rewrite,""" +
       freshPart +
       s""""files":[${e.files.map(quote).mkString(",")}]""" +
       s"""${bytesJsonPart(e)}${statsJsonPart(e)}}""" + "\n"
   }
 
   private def writeDelta(gen: Long, e: ManifestEntry, rewrite: Boolean,
-      fresh: Option[Seq[String]] = None): Unit = {
+      fresh: Option[Seq[String]] = None, owner: Option[String] = None): Unit = {
     val (fs, p) = fsOf(deltaPath(gen))
     fs.mkdirs(p.getParent)
-    val json = deltaJson(e, rewrite, fresh)
+    val json = deltaJson(e, rewrite, fresh, owner)
     val out = fs.create(p, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
@@ -430,29 +523,35 @@ final class ManifestTable(val tablePath: String, schema: StructType,
   private case object OwnConflict extends OwnResult
   private case object AlreadyPublishedByUs extends OwnResult
 
-  /** Try to own generation `gen` by exclusive-creating its sidecar.
+  /** Try to own generation `gen` by exclusive-creating its sidecar,
+    * stamped with this attempt's fencing `nonce`.
     *
     *   - fresh create                 → Owned
-    *   - exists, same commitId        → our own crashed attempt's replay:
-    *     re-own by overwrite (the data dir is deterministic per
-    *     (commitId, gen) and was just rewritten) — unless the generation
-    *     is already PUBLISHED, in which case the earlier attempt (or a
-    *     sibling process replaying the same commitId) completed it.
+    *   - exists, same commitId        → a crashed (or paused) attempt of
+    *     this same commit: re-own by overwrite with OUR nonce (the data
+    *     dir is deterministic per (commitId, gen) and was just
+    *     rewritten), fencing the previous attempt — unless the
+    *     generation is already PUBLISHED, in which case the earlier
+    *     attempt (or a sibling process replaying the same commitId)
+    *     completed it. The published state is re-checked immediately
+    *     before the overwrite.
     *   - exists, foreign commitId     → conflict, UNLESS the generation is
     *     unpublished and the sidecar is older than the publish lease — a
     *     dead attempt whose process crashed between sidecar and pointer
-    *     swap; take it over (logged). The lease must exceed any plausible
-    *     publish-path pause: a paused-not-dead owner that wakes after a
-    *     takeover is re-fenced by [[publishOwned]]'s ownership re-check,
-    *     which narrows (not closes — mtime leases have no fencing tokens)
-    *     the corruption window to the instant before its pointer swap.
+    *     swap; take it over (logged), re-verifying the generation is
+    *     STILL unpublished immediately before the overwrite (a
+    *     lease-expired-but-alive holder may have published in the
+    *     snapshot-to-takeover window — its committed generation is
+    *     immutable). The takeover installs OUR nonce, so the previous
+    *     holder — paused, not dead — is rejected by content at its own
+    *     publish instead of clobbering ours.
     *   - exists but unparseable       → a torn write from a crashed
     *     attempt (or one mid-write): lease rules as above. */
   private def tryOwnGeneration(gen: Long, entry: ManifestEntry,
-      rewrite: Boolean, fresh: Option[Seq[String]]): OwnResult = {
+      rewrite: Boolean, fresh: Option[Seq[String]], nonce: String): OwnResult = {
     val (fs, p) = fsOf(deltaPath(gen))
     fs.mkdirs(p.getParent)
-    val json = deltaJson(entry, rewrite, fresh)
+    val json = deltaJson(entry, rewrite, fresh, Some(nonce))
     def write(overwrite: Boolean): Unit = {
       val out = fs.create(p, overwrite)
       try out.write(json.getBytes("UTF-8")) finally out.close()
@@ -472,6 +571,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     holder match {
       case Some(cid) if cid == entry.commitId =>
         if (published) AlreadyPublishedByUs
+        else if (currentGeneration().exists(_ >= gen)) AlreadyPublishedByUs
         else { write(overwrite = true); Owned }
       case _ if published => OwnConflict // committed history: immutable
       case other =>
@@ -479,62 +579,152 @@ final class ManifestTable(val tablePath: String, schema: StructType,
           (try fs.getFileStatus(p).getModificationTime
            catch { case _: java.io.FileNotFoundException => Long.MaxValue })
         if (age > publishLeaseMillis) {
+          // Published-state re-check at the last responsible instant: the
+          // `published` snapshot above is several metadata round trips
+          // old by now; a lease-expired-but-ALIVE holder publishing in
+          // that window must not have its committed generation's sidecar
+          // overwritten (delta-only readers reconstruct from it).
+          if (currentGeneration().exists(_ >= gen)) return OwnConflict
           log.warn(s"taking over generation $gen of $tablePath from a dead " +
             s"publish attempt (holder=${other.getOrElse("<unparseable>")}, " +
             s"sidecar age ${age / 1000}s > lease ${publishLeaseMillis / 1000}s)")
           write(overwrite = true)
+          leaseTakeoverCount.incrementAndGet()
           Owned
         } else OwnConflict
     }
   }
 
-  /** Pointer swap for a generation this instance OWNS, with a fencing
-    * re-check: verify the sidecar is still ours and the pointer has not
-    * already reached `gen` immediately before the swap — what stops a
-    * lease takeover's previous owner (paused, not dead) from regressing
-    * the pointer or publishing a clobbered generation when it wakes.
-    * Returns normally when a sibling replay of the SAME commitId already
-    * published `gen` (the commit is complete either way). */
-  private def publishOwned(gen: Long, commitId: String): Unit = {
-    val ownerId =
-      try deltaRecord(gen).map(_.entry.commitId)
-      catch { case scala.util.control.NonFatal(_) => None }
-    if (!ownerId.contains(commitId))
+  /** Pointer swap for a generation this instance OWNS, fenced by the
+    * attempt `nonce` on BOTH sides of the swap:
+    *
+    *   - BEFORE: the sidecar must still carry our nonce. A takeover
+    *     (lease-expired foreign publisher, or a sibling replay of the
+    *     same commitId) rewrote it with theirs, so a paused-then-woken
+    *     owner is rejected by content here — it can never regress the
+    *     pointer or publish over the winner's metadata. A same-commitId
+    *     sibling that already PUBLISHED the generation completes this
+    *     commit (return normally); anything else is a loud conflict.
+    *   - AFTER: the sidecar is re-read. If the nonce changed in the
+    *     check-to-swap instant, this attempt's content did not survive
+    *     (the overwriter's record is what readers resolve), so the swap
+    *     — even though it landed — must report a conflict: the caller
+    *     retries and its commit lands whole at the next generation
+    *     instead of being silently absorbed into someone else's.
+    *
+    * The pointer frame itself carries the nonce (`g4`, see
+    * [[ManifestTable.Framed4Re]]), so head sidecar and pointer are
+    * cross-checkable by any observer ([[verifyHead]]). */
+  private def publishOwned(gen: Long, commitId: String, nonce: String): Unit = {
+    beforePublishHook()
+    def sidecarOwner(): (Option[String], Option[String]) =
+      try deltaRecord(gen) match {
+        case Some(r) => (Some(r.entry.commitId), r.owner)
+        case None => (None, None)
+      } catch { case scala.util.control.NonFatal(_) => (None, None) }
+    val (cid, own) = sidecarOwner()
+    if (!own.contains(nonce)) {
+      if (cid.contains(commitId) && currentGeneration().exists(_ >= gen))
+        return // a sibling replay of this commitId published it whole
+      fencedPublishCount.incrementAndGet()
       throw new ConcurrentPublishException(
         s"lost ownership of generation $gen of $tablePath before the " +
           s"pointer swap (sidecar now held by " +
-          s"${ownerId.getOrElse("<unparseable>")}) — a concurrent publisher " +
+          s"${cid.getOrElse("<unparseable>")}) — a concurrent publisher " +
           "took over after this attempt's lease expired")
+    }
     val cur = currentGeneration().getOrElse(0L)
-    if (cur >= gen) return // a sibling replay of this commitId finished it
-    publish(gen)
+    if (cur > gen) return // deep history: later heads built atop our gen
+    if (cur == gen) {
+      // The pointer already reached OUR generation but we never swapped:
+      // someone else published it. The swap's CONTENT is the arbiter —
+      // if the g4 frame names a different attempt, the committed
+      // generation is not ours no matter what the sidecar says (a woken
+      // stale writer may have re-clobbered the sidecar with its own
+      // record AFTER the winner's publish; the pointer it cannot fake
+      // without swapping, which is exactly what this branch refuses).
+      // Legacy frames (no owner) keep the pre-fencing lenient behavior.
+      pointerOwner() match {
+        case Some(o) if o != nonce =>
+          fencedPublishCount.incrementAndGet()
+          throw new ConcurrentPublishException(
+            s"generation $gen of $tablePath was published by a different " +
+              s"attempt (pointer owner $o) — this attempt's swap is " +
+              "rejected by content; retrying at the next generation")
+        case _ => return // ours (impossible pre-swap) or legacy: complete
+      }
+    }
+    publish(gen, nonce)
+    // Post-swap content check: our nonce must still be what the sidecar
+    // carries, else the generation's published CONTENT is not this
+    // attempt's — loud conflict, caller retries at the next generation.
+    val (cid2, own2) = sidecarOwner()
+    if (!own2.contains(nonce)) {
+      if (cid2.contains(commitId)) return // same commit, sibling's content
+      fencedPublishCount.incrementAndGet()
+      throw new ConcurrentPublishException(
+        s"generation $gen of $tablePath was overwritten by a concurrent " +
+          s"publisher (${cid2.getOrElse("<unparseable>")}) in the " +
+          "check-to-swap instant — this attempt's content did not survive; " +
+          "retrying at the next generation")
+    }
   }
 
   private def publishBackoff(attempt: Int): Unit =
     Thread.sleep(math.min(2000L, 25L << math.min(attempt, 6)) +
       scala.util.Random.nextInt(25).toLong)
 
-  /** This instance still holds generation `gen`'s reservation: the
-    * generation is unpublished and the sidecar carries `commitId`. */
-  private def stillOwns(gen: Long, commitId: String): Boolean =
+  /** This attempt still holds generation `gen`'s reservation: the
+    * generation is unpublished and the sidecar carries this attempt's
+    * `nonce` (ownership is the nonce, never just the commitId — a
+    * sibling replay of the same commit is a DIFFERENT attempt). */
+  private def stillOwns(gen: Long, nonce: String): Boolean =
     currentGeneration().forall(_ < gen) && {
-      (try deltaRecord(gen).map(_.entry.commitId)
-       catch { case scala.util.control.NonFatal(_) => None }).contains(commitId)
+      (try deltaRecord(gen).flatMap(_.owner)
+       catch { case scala.util.control.NonFatal(_) => None }).contains(nonce)
     }
 
   /** Best-effort release of an owned-but-unpublished reservation — what a
     * LIVE publisher does when its derivation fails, so one transient
     * failure doesn't hold every other writer hostage for the lease. A
     * dead publisher can't run this; its orphan resolves via the lease. */
-  private def tryReleaseReservation(gen: Long, commitId: String): Unit =
+  private def tryReleaseReservation(gen: Long, nonce: String): Unit =
     try {
-      if (stillOwns(gen, commitId)) fsOf(deltaPath(gen)) match {
+      if (stillOwns(gen, nonce)) fsOf(deltaPath(gen)) match {
         case (fs, p) => fs.delete(p, false); ()
       }
     } catch {
       case scala.util.control.NonFatal(e) => log.warn(
         s"could not release reservation for generation $gen of $tablePath " +
           "— concurrent writers will wait out the publish lease", e)
+    }
+
+  /** Delete this attempt's own dead staged data directory after a lost
+    * race — the directory is named by (commitId, generation), the
+    * winner's generation references nothing under it, and the loser is
+    * the one caller that KNOWS it is dead, so reclaiming it here keeps
+    * conflict-heavy periods from accumulating unreferenced attempt dirs
+    * until a [[sweepOrphans]]. Best-effort: a failure leaves it for the
+    * sweep, never fails the retry. */
+  /** [[dropDeadAttemptDir]] guarded against the one aliasing case: a
+    * SIBLING replay of this same commitId holds the generation — its
+    * deterministic staging directory is the very same path, so deleting
+    * it would race the sibling's in-flight write. */
+  private def dropUnlessSiblingHolds(commitId: String, gen: Long): Unit = {
+    val holderCid =
+      try deltaRecord(gen).map(_.entry.commitId)
+      catch { case scala.util.control.NonFatal(_) => None }
+    if (!holderCid.contains(commitId)) dropDeadAttemptDir(commitId, gen)
+  }
+
+  private def dropDeadAttemptDir(commitId: String, gen: Long): Unit =
+    try {
+      val (fs, p) = fsOf(s"$tablePath/d-$commitId-g$gen")
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    } catch {
+      case scala.util.control.NonFatal(e) => log.warn(
+        s"could not reclaim dead attempt dir d-$commitId-g$gen of " +
+          s"$tablePath — sweepOrphans will collect it", e)
     }
 
   /** Generation `gen` is reserved by a DIFFERENT live-looking publisher:
@@ -624,7 +814,14 @@ final class ManifestTable(val tablePath: String, schema: StructType,
             .map(_.trim.stripPrefix("\"").stripSuffix("\"")))
         case _ => None
       }
-      Some(ManifestTable.DeltaRecord(parseManifestLine(line), rewrite, fresh))
+      // Fencing nonce (same positional anchor: only ever written before
+      // `files`). Absent on legacy/backfilled sidecars.
+      val owner = beforeFiles.split("\"owner\":\"", 2) match {
+        case Array(_, rest) => Some(rest.split("\"", 2)(0))
+        case _ => None
+      }
+      Some(ManifestTable.DeltaRecord(parseManifestLine(line), rewrite, fresh,
+        owner))
     }
   }
 
@@ -786,17 +983,56 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     // compaction reservation), the base does not move, so the already
     // written data directory and its collected stats are reused verbatim
     // — a blocked retry costs two tiny metadata reads, not a full batch
-    // rewrite per attempt. Restaged only when the target generation moves.
+    // rewrite per attempt. Restaged only when the target generation moves
+    // — and the invalidated attempt's directory is reclaimed right here
+    // (the loser KNOWS it is dead; waiting for a sweep would accumulate
+    // dead attempt dirs through every conflict-heavy period).
     var staged: Option[(Long, ManifestEntry)] = None
+    def loseRace(next: Long, why: String): Unit = {
+      lostRaceCount.incrementAndGet()
+      attempt += 1
+      val elapsed = System.currentTimeMillis() - startedAt
+      if (elapsed >= publishRetryMillis) {
+        // Reclaim the staged attempt before giving up — but only after a
+        // FRESH check that no sibling replay published this commitId in
+        // the meantime (its entry would reference the same deterministic
+        // directory).
+        staged.foreach { case (g, _) =>
+          val fresh0 = try cachedEntriesAt(currentGeneration().getOrElse(0L))
+            catch { case scala.util.control.NonFatal(_) => Seq.empty }
+          if (!fresh0.exists(_.commitId == commitId))
+            dropDeadAttemptDir(commitId, g)
+        }
+        throw new ConcurrentPublishException(
+          s"commit '$commitId' to $tablePath lost the generation race for " +
+            s"${elapsed / 1000}s across $attempt attempts (a publisher keeps " +
+            "winning, or a dead reservation is inside its lease) — giving up")
+      }
+      log.info(s"commit '$commitId' to $tablePath $why — retrying from the " +
+        "new head")
+      publishBackoff(attempt)
+    }
     while (true) {
       val gen = currentGeneration().getOrElse(0L)
       val entries = cachedEntriesAt(gen)
-      if (entries.exists(_.commitId == commitId)) return false
+      if (entries.exists(_.commitId == commitId)) {
+        // Completed by a sibling replay: reclaim our staged attempt ONLY
+        // if its directory is not the one the published entry references
+        // (a sibling replaying the same commitId at the same generation
+        // rewrites the SAME deterministic dir — that one is live data).
+        staged.foreach { case (g, _) =>
+          val dir = s"d-$commitId-g$g"
+          if (!entries.exists(_.files.exists(_.startsWith(dir + "/"))))
+            dropDeadAttemptDir(commitId, g)
+        }
+        return false
+      }
       val next = gen + 1
       val dataDir = s"$tablePath/d-$commitId-g$next"
       val entry = staged match {
         case Some((g, e)) if g == next => e
         case _ =>
+          staged.foreach { case (g, _) => dropDeadAttemptDir(commitId, g) }
           writeData(df, dataDir)
           val sized = listDataFilesSized(dataDir)
           val files = sized.map(_._1)
@@ -808,51 +1044,77 @@ final class ManifestTable(val tablePath: String, schema: StructType,
           e
       }
       beforeOwnHook()
-      tryOwnGeneration(next, entry, rewrite = false, fresh = None) match {
+      val nonce = newNonce()
+      tryOwnGeneration(next, entry, rewrite = false, fresh = None,
+        nonce) match {
         case Owned =>
+          // The crash-simulation hook sits OUTSIDE the release scope: a
+          // real death leaves its reservation behind (lease resolves it),
+          // and so must the simulated one.
           maybeFailAfterOwn(commitId)
-          // Full listing only at checkpoint generations (and always at
-          // interval 1); the delta sidecar carries everything a between-
-          // checkpoints read needs to reconstruct — O(commit) metadata
-          // write instead of O(live files).
-          if (checkpointInterval == 1 || next % checkpointInterval == 0)
-            writeManifest(next, entries :+ entry)
-          else {
-            // A CRASHED publisher at this same generation may have left
-            // an orphan full manifest (we own the generation now, so it
-            // can only be a dead attempt's); readers' full-manifest-wins
-            // resolution means a delta-only commit must remove it, and
-            // the deletion must be VERIFIED: proceeding past a failed
-            // delete would let the aborted listing shadow this commit's
-            // sidecar — wrong reads AND a sweep computing liveness from
-            // the aborted file set (data loss). Fail the commit instead;
-            // the crash-replay contract retries it.
-            val (mfs, mp) = fsOf(manifestPath(next))
-            if (mfs.exists(mp)) require(mfs.delete(mp, false) || !mfs.exists(mp),
-              s"could not remove orphan manifest $mp left by a crashed " +
-                "publisher — refusing to publish a sidecar it would shadow")
-            // Publishing a delta-only generation commits the table to the
-            // sidecar-aware layout: gate out pre-sidecar readers from here on.
-            minReaderV3 = true
+          var fenced = false
+          try {
+            // Full listing only at checkpoint generations (and always at
+            // interval 1); the delta sidecar carries everything a between-
+            // checkpoints read needs to reconstruct — O(commit) metadata
+            // write instead of O(live files).
+            if (checkpointInterval == 1 || next % checkpointInterval == 0) {
+              // Ownership re-check at the last instant before the one
+              // SHARED overwrite this path performs: a lease takeover
+              // between our own and this write must not have its full
+              // manifest clobbered (the takeover may already be
+              // published). Losing here is a plain retry.
+              if (!stillOwns(next, nonce)) {
+                fencedPublishCount.incrementAndGet()
+                fenced = true
+              } else writeManifest(next, entries :+ entry)
+            } else {
+              // A CRASHED publisher at this same generation may have left
+              // an orphan full manifest (we own the generation now, so it
+              // can only be a dead attempt's); readers' full-manifest-wins
+              // resolution means a delta-only commit must remove it, and
+              // the deletion must be VERIFIED: proceeding past a failed
+              // delete would let the aborted listing shadow this commit's
+              // sidecar — wrong reads AND a sweep computing liveness from
+              // the aborted file set (data loss). Fail the commit instead;
+              // the crash-replay contract retries it.
+              val (mfs, mp) = fsOf(manifestPath(next))
+              if (mfs.exists(mp)) require(mfs.delete(mp, false) || !mfs.exists(mp),
+                s"could not remove orphan manifest $mp left by a crashed " +
+                  "publisher — refusing to publish a sidecar it would shadow")
+              // (Pre-sidecar readers are gated out by the g4 pointer
+              // frame every publish writes — see [[publish]].)
+            }
+            if (!fenced) {
+              publishOwned(next, commitId, nonce)
+              entriesCache = Some((next, entries :+ entry))
+              return true
+            }
+          } catch {
+            case _: ConcurrentPublishException =>
+              // Fenced at (or after) the swap: this attempt's content did
+              // not survive a takeover — the SAME outcome as losing the
+              // own race, handled by the same retry loop. The staged data
+              // belongs to the lost generation; the restage path reclaims
+              // it when the head moves.
+              fenced = true
+            case scala.util.control.NonFatal(e) =>
+              // A LIVE publisher whose post-own step failed (manifest IO,
+              // verified-delete refusal) must not hold every other writer
+              // hostage for the lease: release the unpublished
+              // reservation, then surface the failure.
+              tryReleaseReservation(next, nonce)
+              throw e
           }
-          publishOwned(next, commitId)
-          entriesCache = Some((next, entries :+ entry))
-          return true
+          if (fenced) loseRace(next, s"was fenced off generation $next by a " +
+            "lease takeover")
         case AlreadyPublishedByUs =>
           // A sibling process replaying this commitId finished it between
           // our idempotency check and the own attempt: loop — the check
           // at the top now sees the commitId and returns false.
           ()
         case OwnConflict =>
-          attempt += 1
-          val elapsed = System.currentTimeMillis() - startedAt
-          if (elapsed >= publishRetryMillis) throw new ConcurrentPublishException(
-            s"commit '$commitId' to $tablePath lost the generation race for " +
-              s"${elapsed / 1000}s across $attempt attempts (a publisher keeps " +
-              "winning, or a dead reservation is inside its lease) — giving up")
-          log.info(s"commit '$commitId' to $tablePath lost generation $next " +
-            "to a concurrent publisher — retrying from the new head")
-          publishBackoff(attempt)
+          loseRace(next, s"lost generation $next to a concurrent publisher")
       }
     }
     throw new IllegalStateException("unreachable")
@@ -889,17 +1151,32 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     // its rewrite carries NOTHING fresh — recorded explicitly (Some(Nil),
     // not None/unknown) so emitFresh subscribers ride through it silently
     // exactly like skip does.
+    val nonce = newNonce()
     tryOwnGeneration(next, entry, rewrite = hadFiles,
-      fresh = if (hadFiles) Some(Seq.empty) else None) match {
+      fresh = if (hadFiles) Some(Seq.empty) else None, nonce) match {
       case Owned =>
-        writeManifest(next, Seq(entry))
-        publishOwned(next, commitId)
-        entriesCache = Some((next, Seq(entry)))
+        try {
+          writeManifest(next, Seq(entry))
+          publishOwned(next, commitId, nonce)
+          entriesCache = Some((next, Seq(entry)))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            // Release the unpublished reservation (no-op if a takeover
+            // already holds it) so one failed compaction doesn't block
+            // every writer for the lease, then surface the failure — a
+            // fenced publish here has the same stale-input meaning as a
+            // lost own race.
+            tryReleaseReservation(next, nonce)
+            throw e
+        }
       case AlreadyPublishedByUs => () // sibling replay finished this commit
-      case OwnConflict => throw new ConcurrentPublishException(
-        s"replaceAll '$commitId' on $tablePath lost generation $next to a " +
-          "concurrent publisher — its input snapshot is stale; re-derive " +
-          "the replacement from the new head (replaceAllRetrying does this)")
+      case OwnConflict =>
+        lostRaceCount.incrementAndGet()
+        dropDeadAttemptDir(commitId, next) // staged replacement is dead
+        throw new ConcurrentPublishException(
+          s"replaceAll '$commitId' on $tablePath lost generation $next to a " +
+            "concurrent publisher — its input snapshot is stale; re-derive " +
+            "the replacement from the new head (replaceAllRetrying does this)")
     }
   }
 
@@ -936,8 +1213,9 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       beforeOwnHook()
       val placeholder = ManifestEntry(commitId, Seq.empty, Seq.empty)
       var lostMidDerivation = false
+      val nonce = newNonce()
       tryOwnGeneration(next, placeholder, rewrite = true,
-        fresh = Some(Seq.empty)) match {
+        fresh = Some(Seq.empty), nonce) match {
         case Owned =>
           // Crash-simulation hook OUTSIDE the cleanup scope: a real death
           // leaves its reservation behind (resolved by the lease), and so
@@ -955,39 +1233,57 @@ final class ManifestTable(val tablePath: String, schema: StructType,
               s"injected crash before publish of $commitId")
             val entry = ManifestEntry(commitId, files,
               collectStats(dataDir, files), sized.map(_._2))
-            // RE-VERIFY ownership before touching shared metadata: a
-            // derivation that outlived the publish lease may have had its
-            // reservation taken over (and the generation published) by a
-            // waiting writer — blindly overwriting the sidecar + manifest
-            // here would ERASE that winner's commit while both callers
-            // report success. Losing the takeover is the safe outcome:
-            // re-derive at the new head. (The check-then-write instant
-            // stays exposed — the documented mtime-lease limit; size the
-            // lease above the longest compaction so takeovers only ever
-            // target dead compactors.)
-            if (!stillOwns(next, commitId)) {
+            // RE-VERIFY ownership (by NONCE) before touching shared
+            // metadata: a derivation that outlived the publish lease may
+            // have had its reservation taken over (and the generation
+            // published) by a waiting writer — blindly overwriting the
+            // sidecar + manifest here would ERASE that winner's commit
+            // while both callers report success. Losing the takeover is
+            // the safe outcome: re-derive at the new head. The
+            // check-then-write instant that remains is backstopped by
+            // [[publishOwned]]'s post-swap content check: a takeover
+            // landing inside it fences THIS publisher's swap, so the
+            // interleaving resolves to a loud retry, not silent loss.
+            if (!stillOwns(next, nonce)) {
               lostMidDerivation = true
             } else {
-              // Replace our placeholder with the real record (owned),
-              // then manifest + pointer — same tail as every publish path.
+              // Replace our placeholder with the real record (owned,
+              // same nonce), then manifest + pointer — same tail as
+              // every publish path.
               writeDelta(next, entry, rewrite = hadFiles,
-                fresh = if (hadFiles) Some(Seq.empty) else None)
+                fresh = if (hadFiles) Some(Seq.empty) else None,
+                owner = Some(nonce))
               writeManifest(next, Seq(entry))
-              publishOwned(next, commitId)
+              publishOwned(next, commitId, nonce)
               entriesCache = Some((next, Seq(entry)))
               published = true
             }
           } catch {
+            case _: ConcurrentPublishException =>
+              // Fenced at the swap (takeover landed in the
+              // check-to-write instant): same outcome as losing the
+              // reservation mid-derivation — re-derive at the new head.
+              lostMidDerivation = true
             case scala.util.control.NonFatal(e) =>
               // A LIVE publisher whose derivation failed must not hold
               // every other writer hostage for the lease: release the
               // unpublished reservation, then surface the failure.
-              tryReleaseReservation(next, commitId)
+              tryReleaseReservation(next, nonce)
               throw e
           }
           if (published) return
+          if (lostMidDerivation) {
+            // The derived replacement was staged for the lost generation:
+            // reclaim it now — UNLESS the new holder is a sibling replay
+            // of this same commitId, whose deterministic directory is the
+            // very same path (deleting it would race the sibling's own
+            // staging; a foreign winner's metadata references nothing
+            // under our commitId-named directory).
+            fencedPublishCount.incrementAndGet()
+            dropUnlessSiblingHolds(commitId, next)
+          }
         case AlreadyPublishedByUs => return // sibling replay finished it
-        case OwnConflict => ()
+        case OwnConflict => lostRaceCount.incrementAndGet()
       }
       attempt += 1
       val elapsed = System.currentTimeMillis() - startedAt
@@ -1390,22 +1686,54 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     // applies (a merge whose touched keys matched NO existing file is a
     // plain append of the update batch). The fresh list is per-file
     // dataChange for emitFresh subscribers.
+    val nonce = newNonce()
     tryOwnGeneration(next, mergedEntry, rewrite = matchedFiles.nonEmpty,
-      fresh = if (matchedFiles.nonEmpty) Some(freshFiles) else None) match {
+      fresh = if (matchedFiles.nonEmpty) Some(freshFiles) else None,
+      nonce) match {
       case Owned =>
-        writeManifest(next, keptEntries :+ mergedEntry)
-        publishOwned(next, commitId)
-        entriesCache = Some((next, keptEntries :+ mergedEntry))
-        Some(MergeReport(rewritten = matchedFiles.size,
-          kept = keptEntries.map(_.files.size).sum, applied = true))
+        try {
+          // Ownership re-check at the last instant before the shared
+          // manifest overwrite (same guard as commit's checkpoint path).
+          if (!stillOwns(next, nonce)) {
+            fencedPublishCount.incrementAndGet()
+            dropUnlessSiblingHolds(commitId, next)
+            None
+          } else {
+            writeManifest(next, keptEntries :+ mergedEntry)
+            publishOwned(next, commitId, nonce)
+            entriesCache = Some((next, keptEntries :+ mergedEntry))
+            Some(MergeReport(rewritten = matchedFiles.size,
+              kept = keptEntries.map(_.files.size).sum, applied = true))
+          }
+        } catch {
+          case _: ConcurrentPublishException =>
+            // Fenced at the swap: the merge's whole derivation is stale
+            // — same outcome as a lost own race, recomputed by the
+            // caller's retry loop.
+            fencedPublishCount.incrementAndGet()
+            dropUnlessSiblingHolds(commitId, next)
+            None
+          case scala.util.control.NonFatal(e) =>
+            // A LIVE publisher whose post-own step failed must not hold
+            // every other writer hostage for the lease.
+            tryReleaseReservation(next, nonce)
+            throw e
+        }
       case AlreadyPublishedByUs =>
         // A sibling replay of this commitId finished it mid-attempt: an
-        // idempotent skip, reported like the entry-cache one.
+        // idempotent skip, reported like the entry-cache one. The staged
+        // dir is the sibling's deterministic dir too — leave it alone.
         Some(MergeReport(rewritten = 0,
           kept = cachedEntriesAt(currentGeneration().getOrElse(0L))
             .map(_.files.size).sum,
           applied = false))
-      case OwnConflict => None
+      case OwnConflict =>
+        lostRaceCount.incrementAndGet()
+        // The derivation (and its staged directory) is dead — a foreign
+        // publisher holds/published the generation; reclaim before the
+        // recompute instead of leaving it for a sweep.
+        dropUnlessSiblingHolds(commitId, next)
+        None
     }
   }
 
@@ -1611,7 +1939,8 @@ object ManifestTable {
     * tell — which of the entry's files carry genuinely new rows
     * (per-file dataChange; None = unknown, pre-upgrade sidecar). */
   final case class DeltaRecord(
-      entry: ManifestEntry, rewrite: Boolean, fresh: Option[Seq[String]])
+      entry: ManifestEntry, rewrite: Boolean, fresh: Option[Seq[String]],
+      owner: Option[String] = None)
 
   sealed trait StatsFilter { def col: String; def value: Any }
   final case class StatsEq(col: String, value: Any) extends StatsFilter
@@ -1629,9 +1958,26 @@ object ManifestTable {
     * and the generation publish in one atomic swap). */
   private[store] val FramedGenRe = """^g([23]):(\d+):(\d+);$""".r
 
+  /** The OWNER-carrying frame (`g4:<gen>:<nonce>:<gen>;`): the doubled
+    * generation keeps the torn-read self-validation, and the middle
+    * segment names the publishing attempt's fencing nonce — the swap's
+    * CONTENT identifies its author, so head sidecar and pointer are
+    * cross-checkable ([[ManifestTable.verifyHead]]) and the version bump
+    * gates pre-fencing readers out loudly. */
+  private[store] val Framed4Re = """^g4:(\d+):([0-9a-fA-F]+):(\d+);$""".r
+
   /** Any higher-versioned frame: structurally intact, written by a newer
     * writer — distinguish "needs a newer reader" from corruption. */
   private[store] val NewerFrameRe = """^g(\d+):(\d+):(\d+);$""".r
+
+  /** Higher-versioned owner-carrying frame (4 segments). */
+  private[store] val NewerFrame4Re = """^g(\d+):(\d+):[0-9a-zA-Z-]+:(\d+);$""".r
+
+  /** A fresh fencing nonce: one per own ATTEMPT (not per commitId — a
+    * sibling replay of the same commit is a different attempt and must
+    * be distinguishable, or a takeover could not fence the original). */
+  private[store] def newNonce(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "")
 
   // Tagged scalar codec for manifest JSON: `l:<decimal>` / `s:<base64 of
   // UTF-8 bytes>`. Both alphabets avoid `{ } [ ] " ,` entirely, which is

@@ -296,6 +296,156 @@ class ManifestConcurrencySpec extends SparkTestBase {
     } finally sys.props.remove("graft.publish.leaseMs")
   }
 
+  // ---------------------------------------------------------------------
+  // Fencing token (g4): a paused-past-the-lease owner that wakes at its
+  // pointer swap is rejected by CONTENT — the sidecar nonce (and, if it
+  // re-clobbered the sidecar, the pointer frame's owner), never by timing.
+  // ---------------------------------------------------------------------
+
+  private def sidecarPath(root: String, gen: Long) =
+    new org.apache.hadoop.fs.Path(f"$root/_manifests/d-$gen%09d.json")
+
+  private def attemptDirs(root: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("d-")).toSet
+  }
+
+  test("FENCING: a committer paused at its swap past the lease wakes after " +
+    "a takeover published — its swap is rejected by the sidecar nonce and " +
+    "the commit re-lands at the next generation; zero lost commits") {
+    val path = tmpDir("occ-fence")
+    val a = table(path)
+    val b = table(path)
+    assert(a.commit(df(("k1", 1L, false, "v1")), "c1"))
+    sys.props("graft.publish.leaseMs") = "1"
+    try {
+      a.beforePublishHook = oneShot {
+        Thread.sleep(10L) // age a's reservation past the (tiny) lease
+        assert(b.commit(df(("kb", 2L, false, "vb")), "cB"),
+          "B must take over the expired reservation and publish generation 2")
+      }
+      assert(a.commit(df(("ka", 2L, false, "va")), "cA"))
+      assert(a.fencedPublishCount.get() >= 1L,
+        "A's first swap must have been fenced by content")
+      assert(a.currentGeneration() === Some(3L),
+        "B won generation 2; A's commit re-landed whole at 3")
+      assert(a.manifestEntries(3L).map(_._1) === Seq("c1", "cB", "cA"))
+      assert(values(a) === Set("v1", "vb", "va"))
+      // The loser reclaimed its dead generation-2 staging; only live
+      // attempt dirs remain — no sweep was run.
+      assert(attemptDirs(path) === Set("d-c1-g1", "d-cB-g2", "d-cA-g3"))
+      assert(table(path).verifyHead() === None)
+    } finally sys.props.remove("graft.publish.leaseMs")
+  }
+
+  test("FENCING by the swap's CONTENT: a woken stale writer that " +
+    "re-clobbers the sidecar with its own record is still rejected — the " +
+    "g4 pointer frame names the real winner; verifyHead flags the damage") {
+    val path = tmpDir("occ-fence-ptr")
+    val a = table(path)
+    val b = table(path)
+    assert(a.commit(df(("k1", 1L, false, "v1")), "c1"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    sys.props("graft.publish.leaseMs") = "1"
+    try {
+      a.beforePublishHook = oneShot {
+        // Capture A's owned sidecar (A's record, A's nonce)...
+        val sp = sidecarPath(path, 2L)
+        val in = fs.open(sp)
+        val aSidecar =
+          try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+        Thread.sleep(10L)
+        // ...let B take over and PUBLISH generation 2...
+        assert(b.commit(df(("kb", 2L, false, "vb")), "cB"))
+        // ...then simulate the worst interleaving: A's blind sidecar
+        // overwrite lands AFTER B's publish (the one write the mtime
+        // lease can never serialize).
+        val out = fs.create(sp, true)
+        try out.write(aSidecar) finally out.close()
+        // The head is now inconsistent — pointer names B, sidecar says A —
+        // and the cross-check SEES it.
+        assert(table(path).verifyHead().isDefined,
+          "verifyHead must flag a published generation whose sidecar was " +
+            "overwritten after its publish")
+      }
+      val fencedBefore = a.fencedPublishCount.get()
+      assert(a.commit(df(("ka", 2L, false, "va")), "cA"))
+      assert(a.fencedPublishCount.get() > fencedBefore,
+        "A's swap must have been rejected by the pointer frame's owner")
+      assert(a.currentGeneration() === Some(3L))
+      // Nothing lost: B's manifest for generation 2 survived (full-
+      // manifest-wins), A re-landed at 3.
+      assert(a.manifestEntries(3L).map(_._1) === Seq("c1", "cB", "cA"))
+      assert(values(a) === Set("v1", "vb", "va"))
+    } finally sys.props.remove("graft.publish.leaseMs")
+  }
+
+  test("FENCING on the compactor: replaceAllRetrying paused at its swap " +
+    "past the lease loses to the takeover by content, reclaims its dead " +
+    "staging, re-derives, and the takeover winner's commit survives") {
+    val path = tmpDir("occ-fence-compact")
+    val a = table(path)
+    val b = table(path)
+    assert(a.commit(df(("k1", 1L, false, "v1")), "c1"))
+    sys.props("graft.publish.leaseMs") = "1"
+    try {
+      a.beforePublishHook = oneShot {
+        Thread.sleep(10L)
+        assert(b.commit(df(("kb", 2L, false, "vb")), "cB"),
+          "B must take over the compactor's expired reservation")
+      }
+      a.replaceAllRetrying(() => a.read().coalesce(1), "compact-1")
+      assert(a.fencedPublishCount.get() >= 1L)
+      assert(a.currentGeneration() === Some(3L))
+      assert(a.manifestEntries(3L).map(_._1) === Seq("compact-1"))
+      assert(values(a) === Set("v1", "vb"),
+        "the takeover winner's row must survive the re-derived compaction")
+      // The fenced first attempt's staging (d-compact-1-g2) was reclaimed
+      // by the loser itself; what remains is the live replacement plus
+      // prior generations' dirs (retained for time travel, sweepOrphans'
+      // contract) — no DEAD attempt dir lingers without a sweep.
+      assert(attemptDirs(path) ===
+        Set("d-c1-g1", "d-cB-g2", "d-compact-1-g3"))
+    } finally sys.props.remove("graft.publish.leaseMs")
+  }
+
+  test("LOSER CLEANUP: a merge that loses its race reclaims its dead " +
+    "staged directory before recomputing — no unreferenced attempt dirs " +
+    "remain without a sweep") {
+    val path = tmpDir("occ-clean-merge")
+    val a = table(path)
+    val b = table(path)
+    assert(a.commit(df(("k1", 1L, false, "v1"), ("k2", 1L, false, "v2")), "c1"))
+    a.beforeOwnHook = oneShot { b.commit(df(("k3", 2L, false, "v3")), "cB") }
+    val report = a.merge(df(("k2", 2L, false, "v2x")), Seq("k"),
+      orderCol = "height", deleteCol = "del", commitId = "m1")
+    assert(report.applied)
+    assert(a.currentGeneration() === Some(3L))
+    // d-m1-g2 (the lost first derivation) is gone; only referenced dirs
+    // (c1's and the winning merge's) plus the race winner's remain.
+    assert(attemptDirs(path) === Set("d-c1-g1", "d-cB-g2", "d-m1-g3"))
+    val byKey = a.read().collect().map(r =>
+      r.getAs[String]("k") -> r.getAs[String]("v")).toMap
+    assert(byKey === Map("k1" -> "v1", "k2" -> "v2x", "k3" -> "v3"))
+  }
+
+  test("LOSER CLEANUP: replaceAll that throws on a lost race reclaims its " +
+    "dead staged replacement") {
+    val path = tmpDir("occ-clean-replace")
+    val a = table(path)
+    val b = table(path)
+    assert(a.commit(df(("k1", 1L, false, "v1")), "c1"))
+    val stale = a.read()
+    a.beforeOwnHook = oneShot { b.commit(df(("k2", 2L, false, "v2")), "c2") }
+    intercept[ConcurrentPublishException] { a.replaceAll(stale, "compact-1") }
+    assert(attemptDirs(path) === Set("d-c1-g1", "d-c2-g2"))
+    assert(values(b) === Set("v1", "v2"))
+  }
+
   test("stress: two live writers race unsynchronized — every commit lands " +
     "exactly once, generations = total commits") {
     val path = tmpDir("occ-stress")

@@ -370,9 +370,9 @@ class ManifestStatsSpec extends SparkTestBase {
     assert(e.getMessage.contains("no rewrite field"), e.getMessage)
   }
 
-  test("min-reader gate: the first delta-only publish bumps the pointer " +
-    "frame g2→g3, stickily — a pre-sidecar (g2-only) reader fails loudly " +
-    "instead of reading missing full manifests as an empty table") {
+  test("min-reader gate: every publish writes the owner-carrying g4 frame " +
+    "— a pre-fencing (g2/g3-only) reader fails loudly instead of reading " +
+    "missing full manifests as an empty table; legacy frames still read") {
     implicit val s = spark
     val fsc = spark.sessionState.newHadoopConf()
     def pointerOf(dir: String): String = {
@@ -381,55 +381,71 @@ class ManifestStatsSpec extends SparkTestBase {
       try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
       finally in.close()
     }
-    // Interval 1 (base layout): every publish stays g2 — no gate, old
-    // readers unaffected.
+    val G4 = """^g4:(\d+):([0-9a-f]+):(\d+);$""".r
+    def g4Gen(text: String): Long = text match {
+      case G4(x, _, y) if x == y => x.toLong
+      case _ => fail(s"not a valid g4 frame: '$text'")
+    }
+    // Interval 1 (base layout) publishes g4 like every other path.
     val dirA = tmpDir("mgate-a")
     val a = new ManifestTable(dirA, schema)
     a.commit(df(("t1", 1L, "a")), "c0")
-    assert(pointerOf(dirA) === "g2:1:1;")
+    assert(g4Gen(pointerOf(dirA)) === 1L)
 
-    // Interval 4: generation 1 is delta-only → g3 from the first commit.
+    // Interval 4: delta-only generations ride the same frame; the owner
+    // segment changes per publishing attempt, the doubled generation
+    // keeps the torn-read self-validation.
     val dirB = tmpDir("mgate-b")
     val b = new ManifestTable(dirB, schema, checkpointInterval = 4)
     b.commit(df(("t1", 1L, "a")), "c0")
-    assert(pointerOf(dirB) === "g3:1:1;")
-    // Sticky across later CHECKPOINT generations: gen 4 has a full
-    // manifest, but gens 1–3 in history are still delta-only — a g2
-    // reader time-traveling or folding the changefeed would misread them.
+    assert(g4Gen(pointerOf(dirB)) === 1L)
     (2 to 4).foreach(i => b.commit(df(("t1", i.toLong, s"k$i")), s"c$i"))
-    assert(pointerOf(dirB).startsWith("g3:"), "gate survives a checkpoint gen")
-    // ...and across a rewrite (full listing) and a fresh process: a new
-    // instance learns the requirement from its first pointer READ, before
-    // it ever publishes.
     b.replaceAll(b.read(), "compact")
-    assert(pointerOf(dirB) === "g3:5:5;")
+    assert(g4Gen(pointerOf(dirB)) === 5L)
     val b2 = new ManifestTable(dirB, schema, checkpointInterval = 4)
     b2.commit(df(("t2", 9L, "z")), "c9")
-    assert(pointerOf(dirB) === "g3:6:6;")
-    // New readers accept both frames.
+    assert(g4Gen(pointerOf(dirB)) === 6L)
     assert(a.currentGeneration() === Some(1L))
     assert(b2.currentGeneration() === Some(6L))
     assert(rowSet(b2.read()).nonEmpty)
+    // The pointer's owner matches the head sidecar's: the fencing
+    // cross-check reads clean after every normal publish.
+    assert(b2.verifyHead() === None)
 
-    // The pre-sidecar reader's exact parse (g2-only frame or bare digits,
-    // else corrupt): a g3 pointer fails it loudly — the gate's whole point.
-    val legacyRe = """^g2:(\d+):(\d+);$""".r
+    // The pre-fencing reader's exact parse (g2/g3 frame or bare digits,
+    // else corrupt): a g4 pointer fails it loudly — the gate's whole
+    // point (a rolled-back binary must never read this table as empty).
+    val legacyRe = """^g([23]):(\d+):(\d+);$""".r
     val text = pointerOf(dirB)
     val legacyParses = text match {
-      case legacyRe(x, y) if x == y => true
+      case legacyRe(_, x, y) if x == y => true
       case _ if text.nonEmpty && text.forall(_.isDigit) => true
       case _ => false
     }
-    assert(!legacyParses, s"a pre-sidecar reader must NOT parse '$text'")
+    assert(!legacyParses, s"a pre-fencing reader must NOT parse '$text'")
 
-    // Forward compatibility: a FUTURE frame (g4) is refused with an
-    // upgrade message, not mistaken for corruption or an empty table.
+    // Legacy frames written by older binaries still READ: g2, g3, bare.
     val gp = new org.apache.hadoop.fs.Path(s"$dirB/_gen")
-    val out2 = gp.getFileSystem(fsc).create(gp, true)
-    out2.write("g4:6:6;".getBytes("UTF-8")); out2.close()
-    val e = intercept[Exception] {
-      new ManifestTable(dirB, schema).currentGeneration()
+    def writePointer(content: String): Unit = {
+      val out = gp.getFileSystem(fsc).create(gp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
     }
-    assert(e.getMessage.contains("newer than this reader"), e.getMessage)
+    writePointer("g3:6:6;")
+    assert(new ManifestTable(dirB, schema).currentGeneration() === Some(6L))
+    writePointer("g2:6:6;")
+    assert(new ManifestTable(dirB, schema).currentGeneration() === Some(6L))
+    writePointer("6")
+    assert(new ManifestTable(dirB, schema).currentGeneration() === Some(6L))
+
+    // Forward compatibility: FUTURE frames (3- or 4-segment g5) are
+    // refused with an upgrade message, not mistaken for corruption or an
+    // empty table.
+    for (future <- Seq("g5:6:6;", "g5:6:deadbeef:6;")) {
+      writePointer(future)
+      val e = intercept[Exception] {
+        new ManifestTable(dirB, schema).currentGeneration()
+      }
+      assert(e.getMessage.contains("newer than this reader"), e.getMessage)
+    }
   }
 }
