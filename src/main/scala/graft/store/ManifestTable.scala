@@ -517,6 +517,11 @@ final class ManifestTable(val tablePath: String, schema: StructType,
   // a conditional PUT (If-None-Match) on S3-class stores, and an
   // exists+create with a microsecond TOCTOU window on raw local mounts —
   // strictly stronger than the blind overwrite it replaces everywhere.
+  // The per-store-class contract (and required connector config) is the
+  // README's "Store requirements" table; ObjectStoreProtocolSpec pins
+  // BOTH classes with a mode-switched shim: conditional create keeps
+  // the race fully serialized, TOCTOU degrades to fenced-but-detectable
+  // (verifyHead) sidecar mis-attribution, never a lost pointer.
 
   private sealed trait OwnResult
   private case object Owned extends OwnResult

@@ -176,6 +176,100 @@ class ObjectStoreProtocolSpec extends SparkTestBase {
     intercept[Exception] { setAt(2) }
   }
 
+  test("CONDITIONAL CREATE store class (HDFS / S3 with conditional PUT): " +
+    "two publishers racing the same generation through the shim — the " +
+    "atomic create-if-absent serializes them end-to-end, zero loss, " +
+    "clean fencing metadata") {
+    implicit val s = spark
+    import s.implicits._
+    RenamelessFileSystem.reset() // default mode: ConditionalCreate
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val root = objDir("obj-cond")
+    val a = new graft.store.ManifestTable(root, schema)
+    val b = new graft.store.ManifestTable(root, schema)
+    def df(rows: (Long, String)*) = rows.toDF("id", "v").coalesce(1)
+    assert(a.commit(df(1L -> "v1"), "c1"))
+    // B commits INSIDE A's create call, immediately before A's atomic
+    // PUT for the generation-2 sidecar: the conditional create must
+    // reject A (the object now exists), never silently overwrite.
+    RenamelessFileSystem.armCreateWindow(
+      f"/_manifests/d-${2L}%09d.json") {
+      assert(b.commit(df(2L -> "vb"), "cB"))
+    }
+    assert(a.commit(df(3L -> "va"), "cA"))
+    assert(a.currentGeneration() === Some(3L))
+    assert(a.manifestEntries(3L).map(_._1) === Seq("c1", "cB", "cA"))
+    assert(a.read().collect().map(_.getString(1)).toSet ===
+      Set("v1", "vb", "va"))
+    // Generation 2's metadata is the WINNER's, coherently: sidecar and
+    // manifest agree, head cross-check is clean.
+    assert(a.deltaRecord(2L).map(_.entry.commitId) === Some("cB"))
+    assert(a.verifyHead() === None)
+  }
+
+  test("TOCTOU store class (raw local mount, no conditional create): a " +
+    "racer landing inside the exists-to-create window is silently " +
+    "overwritten — mutual exclusion demonstrably fails at the primitive, " +
+    "and the protocol degrades to fenced-but-corrupted metadata (the " +
+    "README's store-requirements table names the required config)") {
+    implicit val s = spark
+    import s.implicits._
+    RenamelessFileSystem.reset()
+    RenamelessFileSystem.createMode = RenamelessFileSystem.ToctouCreate
+    try {
+      // PRIMITIVE level: create(overwrite=false) with a racer in the
+      // window raises no error and truncates the racer's object — the
+      // exact contract violation the protocol's safety note documents.
+      val fs = new org.apache.hadoop.fs.Path(objDir("obj-toctou-prim"))
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val probe = new org.apache.hadoop.fs.Path(
+        objDir("obj-toctou-prim"), "token.json")
+      RenamelessFileSystem.armCreateWindow("/token.json") {
+        val out = fs.create(probe, true)
+        try out.write("racer".getBytes("UTF-8")) finally out.close()
+      }
+      val out = fs.create(probe, false) // must throw on a safe store
+      try out.write("blind".getBytes("UTF-8")) finally out.close()
+      val in = fs.open(probe)
+      val won = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      assert(won === "blind",
+        "TOCTOU create silently overwrote the racer — mutual exclusion " +
+          "does NOT hold on this store class")
+
+      // PROTOCOL level: the same race through commit(). The g4 fencing
+      // keeps both commits' ROWS (the stale publisher is rejected by the
+      // pointer's content and re-lands), but generation 2's sidecar was
+      // blindly overwritten AFTER the winner published — the changefeed
+      // would mis-attribute that generation. Detectable (verifyHead),
+      // not preventable without a conditional create: this store class
+      // is documented UNSAFE for multi-writer deployments.
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType)))
+      val root = objDir("obj-toctou")
+      val a = new graft.store.ManifestTable(root, schema)
+      val b = new graft.store.ManifestTable(root, schema)
+      def df(rows: (Long, String)*) = rows.toDF("id", "v").coalesce(1)
+      assert(a.commit(df(1L -> "v1"), "c1"))
+      RenamelessFileSystem.armCreateWindow(
+        f"/_manifests/d-${2L}%09d.json") {
+        assert(b.commit(df(2L -> "vb"), "cB"))
+      }
+      assert(a.commit(df(3L -> "va"), "cA"))
+      // Zero lost ROWS here (the fencing held the pointer)...
+      assert(a.currentGeneration() === Some(3L))
+      assert(a.read().collect().map(_.getString(1)).toSet ===
+        Set("v1", "vb", "va"))
+      // ...but generation 2's sidecar carries the LOSER's record while
+      // its manifest carries the winner's — the metadata corruption a
+      // conditional create prevents.
+      assert(a.deltaRecord(2L).map(_.entry.commitId) === Some("cA"))
+      assert(a.manifestEntries(2L).map(_._1) === Seq("c1", "cB"))
+    } finally RenamelessFileSystem.reset()
+  }
+
   test("merge through the shim: a publish that lands its pointer copy but " +
     "reports failure replays as an idempotent skip; fail-before-copy " +
     "leaves the old generation whole and a retry completes") {

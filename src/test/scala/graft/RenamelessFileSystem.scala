@@ -35,6 +35,65 @@ class RenamelessFileSystem extends RawLocalFileSystem {
   override def listStatus(f: Path): Array[org.apache.hadoop.fs.FileStatus] =
     super.listStatus(f).map(eager)
 
+  /** Non-overwrite create, per [[RenamelessFileSystem.createMode]] — the
+    * primitive [[graft.store.ManifestTable]]'s mutual exclusion rests on:
+    *
+    *   - [[RenamelessFileSystem.ConditionalCreate]] (default): a true
+    *     atomic create-if-absent — HDFS semantics, and S3 once the
+    *     connector issues conditional PUTs (If-None-Match). Modeled with
+    *     POSIX `createNewFile` (itself atomic).
+    *   - [[RenamelessFileSystem.ToctouCreate]]: exists-then-create with
+    *     an injectable window between the halves — what a RAW LOCAL
+    *     MOUNT (or an S3 connector without conditional create) actually
+    *     does; a racer landing in the window is silently overwritten.
+    *
+    * Both modes fire [[RenamelessFileSystem.armCreateWindow]]'s one-shot
+    * hook at their decision point so specs can interleave a second
+    * publisher deterministically. */
+  /** The mode logic shared by both public create arities: returns true
+    * when the caller should proceed with overwrite=true (the object is
+    * now ours), throws FileAlreadyExistsException when the store class
+    * refuses. Overwrite creates pass straight through. */
+  private def admitCreate(f: Path, overwrite: Boolean): Boolean = {
+    import RenamelessFileSystem._
+    if (overwrite) return false
+    createMode match {
+      case ToctouCreate =>
+        if (exists(f)) throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+          s"$f already exists")
+        fireCreateWindow(f) // the TOCTOU gap: a racer creates here
+        true // blind — silently overwrites the racer
+      case ConditionalCreate =>
+        fireCreateWindow(f) // scheduling delay before the atomic PUT
+        val local = pathToFile(f)
+        Option(local.getParentFile).foreach(_.mkdirs())
+        if (!local.createNewFile())
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            s"$f already exists")
+        true
+    }
+  }
+
+  override def create(f: Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    val admitted = admitCreate(f, overwrite)
+    super.create(f, permission, overwrite || admitted, bufferSize,
+      replication, blockSize, progress)
+  }
+
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    val admitted = admitCreate(f, overwrite)
+    super.create(f, overwrite || admitted, bufferSize, replication,
+      blockSize, progress)
+  }
+
   override def rename(src: Path, dst: Path): Boolean = {
     import RenamelessFileSystem._
     val srcIsDir =
@@ -87,6 +146,37 @@ object RenamelessFileSystem {
     * rename window. */
   case object FailBetweenCopyAndDelete extends FailMode
 
+  /** How non-overwrite `create` behaves — which store class is modeled. */
+  sealed trait CreateMode
+  /** Atomic create-if-absent: HDFS, or S3 with conditional PUT enabled. */
+  case object ConditionalCreate extends CreateMode
+  /** exists-then-create with a real window: raw local mounts / connectors
+    * without conditional create — the documented UNSAFE posture. */
+  case object ToctouCreate extends CreateMode
+
+  @volatile var createMode: CreateMode = ConditionalCreate
+
+  @volatile private var windowBody: () => Unit = () => ()
+  @volatile private var windowSuffix: Option[String] = None
+
+  /** Arm a ONE-SHOT interleave fired inside the next non-overwrite create
+    * whose path ends with `suffix` — at the TOCTOU gap (Toctou mode) or
+    * just before the atomic PUT (Conditional mode). */
+  def armCreateWindow(suffix: String)(body: => Unit): Unit = {
+    windowBody = () => body
+    windowSuffix = Some(suffix)
+  }
+
+  private def fireCreateWindow(f: Path): Unit =
+    windowSuffix match {
+      case Some(sfx) if f.toUri.getPath.endsWith(sfx) =>
+        windowSuffix = None // one-shot, disarmed BEFORE the body runs
+        val body = windowBody
+        windowBody = () => ()
+        body()
+      case _ => ()
+    }
+
   @volatile private var armed: FailMode = NoFail
   @volatile private var armedDstSuffix: String = ""
   val renames = new ConcurrentLinkedQueue[Rename]()
@@ -98,7 +188,11 @@ object RenamelessFileSystem {
     armed = mode
   }
 
-  def reset(): Unit = { armed = NoFail; armedDstSuffix = ""; renames.clear() }
+  def reset(): Unit = {
+    armed = NoFail; armedDstSuffix = ""; renames.clear()
+    createMode = ConditionalCreate
+    windowSuffix = None; windowBody = () => ()
+  }
 
   def recorded: Seq[Rename] = {
     val b = Seq.newBuilder[Rename]
