@@ -354,6 +354,21 @@ final class StateStore(
   private[graft] def manifestTableFor(path: String): ManifestTable =
     if (path == tabletRowsPath) manifestTabletRows else manifestSingletEntries
 
+  /** Publish-contention counters summed over this store's manifest
+    * tables: (lost generation races retried, lease takeovers performed,
+    * publishes fenced by the nonce). The operator's early-warning signal
+    * for an undersized lease or a hot table — surfaced as
+    * [[graft.streaming.PipelineMetrics]] gauges. Zeros under
+    * [[StateStore.RenameCommit]] (no optimistic publish there). */
+  def publishContentionStats: (Long, Long, Long) = commitProtocol match {
+    case ManifestCommit =>
+      val ts = Seq(manifestTabletRows, manifestSingletEntries)
+      (ts.map(_.lostRaceCount.get()).sum,
+        ts.map(_.leaseTakeoverCount.get()).sum,
+        ts.map(_.fencedPublishCount.get()).sum)
+    case RenameCommit => (0L, 0L, 0L)
+  }
+
   def writeTabletRows(
       df: DataFrame,
       commitId: String = java.util.UUID.randomUUID().toString): Boolean = {
@@ -1058,13 +1073,15 @@ final class StateStore(
         // files; prior generations become invisible at the pointer swap
         // and their directories are swept after. Retrying form: a writer
         // committing mid-compaction costs a recompute (the thunk re-reads
-        // the new head), never a silently-lost commit. The inline sweep's
-        // age guard is a SEPARATE contract from the publish's: with the
-        // default 0 it may only run when no writer is mid-commit (an
-        // in-flight commit's directory is unreferenced until its pointer
-        // swap) — a deployment compacting BESIDE live writers must set
-        // graft.compact.sweepMinAgeMs above its longest commit, or sweep
-        // on its own schedule like the soak does.
+        // the new head), never a silently-lost commit. The inline sweep
+        // defaults to the publish-lease age guard so it is ALSO safe
+        // beside live writers (an in-flight commit's directory is
+        // unreferenced until its pointer swap — younger than the lease
+        // by the protocol's own bound, so it is skipped); pre-compaction
+        // generations' directories are reclaimed by the NEXT compaction
+        // (or a dedicated sweep) once older than the lease. Single-writer
+        // deployments opt into immediate reclamation with
+        // graft.compact.sweepMinAgeMs=0.
         t.replaceAllRetrying(() => clustered(t.read()), "compact")
         t.sweepOrphans(minAgeMillis = StateStore.compactSweepMinAgeMillis)
         before
@@ -1406,17 +1423,25 @@ object StateStore {
   case object ManifestCommit extends CommitProtocol
 
   /** Age guard for the mutation-table compaction's INLINE orphan sweep.
-    * Default 0 = the single-writer posture (sweep between the writer's
-    * own commits — r15 behavior); the optimistic publish makes the
-    * COMPACTION itself safe beside live writers, but a 0-age sweep beside
-    * one can still reclaim an in-flight commit's not-yet-published
-    * directory, so co-located deployments set this above their longest
-    * commit (or skip the inline sweep and run their own, like the soak). */
+    *
+    * DEFAULT = [[graft.store.ManifestTable.publishLeaseMillis]] (10 min
+    * unless overridden): the compaction itself (replaceAllRetrying) is
+    * safe beside live writers, and the default sweep must be too — a
+    * 0-age sweep beside one can reclaim an in-flight commit's
+    * not-yet-published directory (it is exactly "unreferenced" until its
+    * pointer swap), which is data loss on the co-located deployments the
+    * no-pause compaction invites. The lease is the protocol's own upper
+    * bound on how long a legitimate publish stays unpublished, so any
+    * directory older than it is either published (referenced → never
+    * swept) or a dead attempt. A deployment that KNOWS it is the only
+    * writer can opt into immediate reclamation with
+    * `graft.compact.sweepMinAgeMs=0` (the r15 posture) — the unsafe
+    * setting is the opt-in, not the default. */
   def compactSweepMinAgeMillis: Long =
     sys.props.get("graft.compact.sweepMinAgeMs")
       .orElse(sys.env.get("GRAFT_COMPACT_SWEEP_MIN_AGE_MS"))
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
-      .filter(_ >= 0).getOrElse(0L)
+      .filter(_ >= 0).getOrElse(ManifestTable.publishLeaseMillis)
 
   /** Detect which commit protocol wrote the store at `root`: a manifest
     * table is unmistakable by its generation pointer. A reader that opens

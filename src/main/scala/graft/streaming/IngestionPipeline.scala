@@ -486,8 +486,11 @@ final class IngestionPipeline(
       headTimestampMillis: Option[Long => Long] = None): PipelineMetrics = {
     // Wire the maintenance hook too — without it the index gauges read -1
     // forever on exactly the production instances the feature exists for.
+    // Same for publish contention: the conflict rate is the operator's
+    // early-warning signal for an undersized lease or a hot table.
     val m = new PipelineMetrics(forkDB, headTimestampMillis,
-      maintenanceOf = Some(() => maintenanceStats))
+      maintenanceOf = Some(() => maintenanceStats),
+      contentionOf = Some(() => store.publishContentionStats))
     spark.streams.addListener(m)
     m
   }

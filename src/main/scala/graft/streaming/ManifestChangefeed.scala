@@ -161,7 +161,21 @@ object ManifestChangefeed {
     * table must not get one all-available plan as its first micro-batch.
     * Override per query with the `maxFilesPerTrigger` option; opt back
     * into all-available explicitly with `maxFilesPerTrigger=none`.
-    * System property first (tests), env second. */
+    * System property first (tests), env second.
+    *
+    * WHY FILES-ONLY (no default BYTE budget — a considered decision, not
+    * an omission): (a) it is Delta's posture — their default caps files,
+    * never bytes, so subscriber expectations transfer; (b) a file count
+    * is ALWAYS known from the sidecar, while byte sizes are absent on
+    * pre-bytes manifests/sidecars — a default byte budget would silently
+    * flip those entries onto the admit-alone unbudgetable path,
+    * one-generation-per-batch, a worse surprise than a fat batch; (c) the
+    * failure a default budget exists to prevent (an unbounded FIRST plan
+    * over deep catch-up) is bounded by file count already — 1000 files is
+    * a hard ceiling on scan fan-out and a soft one on bytes, since the
+    * writers' flush discipline bounds file size. A subscriber with
+    * genuinely fat files sets `maxBytesPerTrigger` explicitly, which
+    * composes with (and replaces) the default. */
   def defaultMaxFilesPerTrigger: Long =
     sys.props.get("graft.changefeed.defaultMaxFiles")
       .orElse(sys.env.get("GRAFT_CHANGEFEED_DEFAULT_MAX_FILES"))
@@ -377,11 +391,23 @@ final class ManifestChangefeedSource(
     * one all-available plan. Any explicit cap (generations, files or
     * bytes) replaces the default: the subscriber has chosen its own
     * admission policy. */
-  private def effectiveMaxFiles: Option[Long] =
+  private lazy val effectiveMaxFiles: Option[Long] =
     maxFilesPerTrigger.orElse {
       if (uncappedExplicit || maxGenerationsPerTrigger.isDefined ||
         maxBytesPerTrigger.isDefined) None
-      else Some(ManifestChangefeed.defaultMaxFilesPerTrigger)
+      else {
+        val d = ManifestChangefeed.defaultMaxFilesPerTrigger
+        // Logged ONCE per source (lazy val): the implicit budget changes
+        // batch boundaries for previously-uncapped subscribers (catch-up
+        // arrives in bounded slices, not one monolith) — completeness is
+        // unchanged, but external logic keyed on one-trigger-drains-all
+        // must opt out explicitly.
+        log.info(s"changefeed on $tablePath has no explicit volume cap — " +
+          s"applying the default budget of $d files/trigger " +
+          "(override with maxFilesPerTrigger, or maxFilesPerTrigger=none " +
+          "for all-available)")
+        Some(d)
+      }
     }
 
   override def getDefaultReadLimit: ReadLimit = {

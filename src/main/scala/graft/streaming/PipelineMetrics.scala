@@ -21,7 +21,8 @@ final class PipelineMetrics(
     forkDB: ForkDB,
     headTimestampMillis: Option[Long => Long] = None,
     clockMillis: () => Long = () => System.currentTimeMillis(),
-    maintenanceOf: Option[() => (Int, Long, Long)] = None)
+    maintenanceOf: Option[() => (Int, Long, Long)] = None,
+    contentionOf: Option[() => (Long, Long, Long)] = None)
     extends StreamingQueryListener {
 
   private val headNum = new AtomicLong(-1L)
@@ -33,6 +34,9 @@ final class PipelineMetrics(
   private val idxBacklog = new AtomicLong(-1L)
   private val idxLastBuildMs = new AtomicLong(-1L)
   private val idxBuilds = new AtomicLong(-1L)
+  private val pubLost = new AtomicLong(-1L)
+  private val pubTakeovers = new AtomicLong(-1L)
+  private val pubFenced = new AtomicLong(-1L)
 
   /** HeadBlockNumber gauge (-1 until the first sampled block). */
   def headBlockNumber: Long = headNum.get()
@@ -62,6 +66,22 @@ final class PipelineMetrics(
   /** Snapshot builds completed since pipeline start. */
   def indexBuildsCompleted: Long = idxBuilds.get()
 
+  /** Publish races lost and retried (-1 without a contention hook). A
+    * steadily rising rate is the early-warning signal for a hot table or
+    * an undersized publish lease — the commit still lands (retried), but
+    * each loss costs a backoff (commit) or a recompute (merge). */
+  def publishLostRaces: Long = pubLost.get()
+
+  /** Lease takeovers performed by this process's publishers (-1 without
+    * a hook): nonzero means some publisher looked dead past the lease —
+    * crashes, or pauses longer than graft.publish.leaseMs. */
+  def publishLeaseTakeovers: Long = pubTakeovers.get()
+
+  /** Publishes rejected by the fencing nonce at the swap (-1 without a
+    * hook): a woken stale publisher was fenced — the protocol working as
+    * designed, but frequent hits mean the lease is badly undersized. */
+  def publishFenced: Long = pubFenced.get()
+
   /** One flat scrape of every gauge. */
   def snapshot: Map[String, Long] = Map(
     "head_block_num" -> headBlockNumber,
@@ -72,7 +92,10 @@ final class PipelineMetrics(
     "input_rows_observed" -> inputRowsObserved,
     "index_backlog_depth" -> indexBacklogDepth,
     "index_last_build_millis" -> indexLastBuildMillis,
-    "index_builds_completed" -> indexBuildsCompleted)
+    "index_builds_completed" -> indexBuildsCompleted,
+    "publish_lost_races" -> publishLostRaces,
+    "publish_lease_takeovers" -> publishLeaseTakeovers,
+    "publish_fenced" -> publishFenced)
 
   /** Sample the fork state now (also invoked per progress event). */
   def sample(): Unit = {
@@ -87,6 +110,12 @@ final class PipelineMetrics(
       idxBacklog.set(backlog.toLong)
       idxLastBuildMs.set(lastMs)
       idxBuilds.set(builds)
+    }
+    contentionOf.foreach { f =>
+      val (lost, takeovers, fenced) = f()
+      pubLost.set(lost)
+      pubTakeovers.set(takeovers)
+      pubFenced.set(fenced)
     }
   }
 

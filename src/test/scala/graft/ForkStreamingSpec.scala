@@ -293,7 +293,8 @@ class ForkStreamingSpec extends SparkTestBase {
     // build count read off the PipelineMetrics gauges (listener-bus
     // surface; sampled directly here since no query is running).
     val maintMetrics = new graft.streaming.PipelineMetrics(
-      pipeline.forkDB, maintenanceOf = Some(() => pipeline.maintenanceStats))
+      pipeline.forkDB, maintenanceOf = Some(() => pipeline.maintenanceStats),
+      contentionOf = Some(() => store.publishContentionStats))
     maintMetrics.sample()
     assert(maintMetrics.indexBacklogDepth === 0L)
     assert(maintMetrics.indexBuildsCompleted >= 1L,
@@ -301,6 +302,12 @@ class ForkStreamingSpec extends SparkTestBase {
     assert(maintMetrics.indexLastBuildMillis >= 0L,
       "a completed build must stamp its wall time")
     assert(maintMetrics.snapshot.keySet.contains("index_backlog_depth"))
+    // Publish-contention gauges ride the same hook plumbing: wired (>= 0,
+    // not the -1 unwired default) and flat on an uncontended store.
+    assert(maintMetrics.publishLostRaces === 0L)
+    assert(maintMetrics.publishLeaseTakeovers === 0L)
+    assert(maintMetrics.publishFenced === 0L)
+    assert(maintMetrics.snapshot.keySet.contains("publish_lost_races"))
     // Snapshots landed, pinned at COMMITTED heights only (14 and/or 29 —
     // how many depends on where the thread caught the commit sequence;
     // both are valid pinned floors, never an uncommitted height).

@@ -31,14 +31,24 @@ class ManifestChangefeedSpec extends SparkTestBase {
     * caller assert on the settled value — the bound only absorbs reporter
     * lag, never weakens the assertion. */
   private def settledDataBatches(
-      q: StreamingQuery, atLeast: Int, timeoutMs: Long = 15000L): Int = {
+      q: StreamingQuery, atLeast: Int, timeoutMs: Long = 15000L): Int =
+    settledProgress(q, atLeast, timeoutMs).count(_.numInputRows > 0)
+
+  /** The settled `recentProgress` SNAPSHOT (same bounded poll): one
+    * array captured once the data-batch floor is reached, so assertions
+    * on row shape/order can never race the reporter appending the
+    * just-finished batch. */
+  private def settledProgress(
+      q: StreamingQuery, atLeastData: Int, timeoutMs: Long = 15000L)
+      : Array[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
     val deadline = System.currentTimeMillis() + timeoutMs
-    var n = q.recentProgress.count(_.numInputRows > 0)
-    while (n < atLeast && System.currentTimeMillis() < deadline) {
+    var rows = q.recentProgress
+    while (rows.count(_.numInputRows > 0) < atLeastData &&
+        System.currentTimeMillis() < deadline) {
       Thread.sleep(100L)
-      n = q.recentProgress.count(_.numInputRows > 0)
+      rows = q.recentProgress
     }
-    n
+    rows
   }
 
   /** Run one streaming query over `df` into a memory sink; `step` commits
@@ -260,7 +270,10 @@ class ManifestChangefeedSpec extends SparkTestBase {
         .collect().map(_.getLong(0))
       assert(gens.sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
       // ...across at least ceil(5/2)=3 data batches, not one monolith.
-      val dataBatches = settledDataBatches(q, atLeast = 3)
+      // ONE settled snapshot feeds both assertions — no raw re-read that
+      // could race the reporter appending the just-finished batch.
+      val settled = settledProgress(q, atLeastData = 3)
+      val dataBatches = settled.count(_.numInputRows > 0)
       assert(dataBatches >= 3,
         s"catch-up ran in $dataBatches data batch(es); cap=2 over 5 " +
           "pending generations must split into >=3")
@@ -268,7 +281,7 @@ class ManifestChangefeedSpec extends SparkTestBase {
       // progress row (`sources[0].latestOffset`), so an operator reads
       // catch-up lag as latestOffset − endOffset instead of inferring it —
       // mid-drain rows show endOffset BELOW the head (the capped slice).
-      val progress = q.recentProgress.filter(_.numInputRows > 0)
+      val progress = settled.filter(_.numInputRows > 0)
         .flatMap(_.sources.headOption)
         .map(s => (Option(s.endOffset), Option(s.latestOffset)))
       assert(progress.forall(_._2.exists(_.trim == "5")),

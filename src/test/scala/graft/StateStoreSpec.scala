@@ -393,6 +393,41 @@ class StateStoreSpec extends SparkTestBase {
     assert(mt.readAt(0L).count() === 0L)
   }
 
+  test("compaction's inline sweep is SAFE-BY-DEFAULT beside live writers: " +
+    "the age guard defaults to the publish lease (young unreferenced dirs " +
+    "survive), and the single-writer 0 override reclaims immediately") {
+    implicit val s = spark
+    // Default: tied to the publish lease, never 0.
+    assert(StateStore.compactSweepMinAgeMillis ===
+      graft.store.ManifestTable.publishLeaseMillis)
+    val store = new StateStore(tmpDir("sweep-default"), StateStore.ManifestCommit)
+    store.writeBatch(Seq(req(0, ("t1", "a", "a0"))))
+    store.writeBatch(Seq(req(1, ("t1", "b", "b1"))))
+    def dirs: Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"${store.root}/tablet_rows")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("d-")).toSet
+    }
+    val before = dirs
+    assert(before.size === 2)
+    // Under the default lease-aged guard, compaction must NOT reclaim the
+    // seconds-old pre-compaction directories (they could as well be a
+    // concurrent writer's in-flight commit — the sweep cannot tell).
+    assert(store.compactTabletRows(numFiles = 1) === 2L)
+    assert(dirs.intersect(before) === before,
+      "young unreferenced dirs must survive the default inline sweep")
+    assert(store.tabletRows.count() === 2L)
+    // The single-writer opt-in (0) reclaims them on the next compaction.
+    sys.props("graft.compact.sweepMinAgeMs") = "0"
+    try {
+      assert(store.compactTabletRows(numFiles = 1) === 1L)
+      assert(dirs.intersect(before) === Set.empty,
+        "the 0 override must reclaim the now-old unreferenced dirs")
+      assert(store.tabletRows.count() === 2L)
+    } finally sys.props.remove("graft.compact.sweepMinAgeMs")
+  }
+
   test("collection predicate prunes partition DIRECTORIES " +
     "(PartitionFilters in the scan, SURVEY §1.4 layout)") {
     implicit val s = spark
