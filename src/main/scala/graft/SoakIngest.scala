@@ -191,7 +191,7 @@ object SoakIngest {
     // cross-process read path against live pointer swaps/sweeps, and the
     // read-mix counters' merge-on-flush summing across processes.
     val forkSummaryFile = s"$base/fork-reader-summary.json"
-    val forkReader: Option[Process] = {
+    def forkJvm(mainClass: String, jvmArgs: Seq[String], tag: String): Option[Process] = {
       val javaBin = s"${System.getProperty("java.home")}/bin/java"
       val cp = System.getProperty("java.class.path")
       val addOpens = Seq(
@@ -204,16 +204,32 @@ object SoakIngest {
         "java.base/sun.security.action", "java.base/sun.util.calendar"
       ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
       val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
-        "-Xmx4g", "-Dspark.ui.enabled=false", "-cp", cp,
-        "graft.SoakReader", root, (minutes.toLong * 60L).toString, "7000",
-        forkSummaryFile)).toArray
+        "-Xmx4g", "-Dspark.ui.enabled=false", "-cp", cp, mainClass) ++
+        jvmArgs).toArray
       try Some(new ProcessBuilder(cmd: _*).inheritIO().start())
       catch {
         case scala.util.control.NonFatal(e) =>
-          println(s"""{"soak_fork_reader_spawn_failed":"${e.getMessage}"}""")
+          println(s"""{"soak_fork_${tag}_spawn_failed":"${e.getMessage}"}""")
           None
       }
     }
+    val forkReader: Option[Process] = forkJvm("graft.SoakReader",
+      Seq(root, (minutes.toLong * 60L).toString, "7000", forkSummaryFile),
+      "reader")
+
+    // FORKED-PROCESS WRITER (round 17): a real second PUBLISHING JVM —
+    // graft.SoakWriter compacts the serving target every ~45 s while the
+    // materializer in THIS process merges into it every second (and this
+    // process's own 5-min compaction races it too). What the in-JVM
+    // concurrency specs cannot prove: exclusive-create, reservation
+    // blocking, the fencing nonce, and the time-based retry budget across
+    // real process boundaries. serve_equiv_match at the end is the
+    // zero-lost-commits arbiter.
+    val forkWriterSummaryFile = s"$base/fork-writer-summary.json"
+    val forkWriter: Option[Process] = forkJvm("graft.SoakWriter",
+      Seq(target, (minutes.toLong * 60L).toString, "45000",
+        forkWriterSummaryFile),
+      "writer")
 
     def dirBytes(p: String): (Long, Long) = {
       val path = new org.apache.hadoop.fs.Path(p)
@@ -322,14 +338,19 @@ object SoakIngest {
     serve.stop(); server.close()
     pipeline.stopIndexMaintenance()
     // Fold in the forked reader's summary (it runs to the same deadline).
-    val forkSummary: String = forkReader.map { p =>
-      p.waitFor(60L, java.util.concurrent.TimeUnit.SECONDS)
-      if (p.isAlive) p.destroy()
-      scala.util.Try(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(forkSummaryFile)), "UTF-8").trim
-        .stripPrefix("{").stripSuffix("}"))
-        .getOrElse(""""fork_reader_errors":"no-summary"""")
-    }.getOrElse(""""fork_reader_errors":"not-spawned"""")
+    def foldForkSummary(p: Option[Process], file: String, tag: String): String =
+      p.map { proc =>
+        proc.waitFor(120L, java.util.concurrent.TimeUnit.SECONDS)
+        if (proc.isAlive) proc.destroy()
+        scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(file)), "UTF-8").trim
+          .stripPrefix("{").stripSuffix("}"))
+          .getOrElse(s""""fork_${tag}_errors":"no-summary"""")
+      }.getOrElse(s""""fork_${tag}_errors":"not-spawned"""")
+    val forkSummary: String =
+      foldForkSummary(forkReader, forkSummaryFile, "reader")
+    val forkWriterSummary: String =
+      foldForkSummary(forkWriter, forkWriterSummaryFile, "writer")
     // Cross-process read-mix evidence: flush the in-JVM reader's and the
     // writer's instances too (the forked process flushed its own at
     // exit), then read the merged counters — all three instances' deltas
@@ -356,7 +377,8 @@ object SoakIngest {
       s""""reader_reads":${readerReads.get()},"reader_errors":${readerErrors.get()},""" +
       s""""reader_last_read_ms":$lastReadMillis,""" +
       s""""readmix_merged_tail_t3":$mergedTail,"readmix_merged_point_t3":$mergedPoint,""" +
-      s"""$serveEquiv,$forkSummary}}""")
+      s""""store_contention":"${store.publishContentionStats}",""" +
+      s"""$serveEquiv,$forkSummary,$forkWriterSummary}}""")
     spark.stop()
   }
 }

@@ -1782,20 +1782,31 @@ final class ManifestTable(val tablePath: String, schema: StructType,
               // which would make a dir-mtime-only guard vacuous exactly
               // where it matters; with no dateable evidence at all the
               // dir is conservatively treated as young and skipped (a
-              // real commit dir gains dateable files immediately).
-              val childMax = listDataFilesStat(st.getPath.toString)
+              // real commit dir gains dateable files immediately). A dir
+              // that VANISHES between the root listing and this probe
+              // was reclaimed by a concurrent cleaner (a lost-race
+              // publisher dropping its own dead attempt, another
+              // process's sweep) — already gone is the sweep's goal
+              // state, not an error: skip it.
+              val childMax =
+                (try listDataFilesStat(st.getPath.toString)
+                 catch { case _: java.io.FileNotFoundException =>
+                   Seq.empty[(String, Long, Long)] })
                 .map(_._3).maxOption.getOrElse(0L)
-              val newest = math.max(st.getModificationTime, childMax)
-              // No dateable evidence at all (object-store dir with mtime
-              // 0 and no parquet children): conservatively young forever
-              // — but LOUDLY, so an operator can reclaim the permanently
-              // skipped directory by hand instead of leaking it silently.
-              if (newest <= 0L) log.warn(
-                s"sweepOrphans: unreferenced dir ${st.getPath} has no " +
-                  "dateable evidence (dir mtime 0, no parquet children) — " +
-                  "skipped under minAgeMillis; delete manually if it is a " +
-                  "known-dead attempt")
-              newest > 0L && now - newest >= minAgeMillis
+              if (!fs.exists(st.getPath)) false // vanished: already reclaimed
+              else {
+                val newest = math.max(st.getModificationTime, childMax)
+                // No dateable evidence at all (object-store dir with mtime
+                // 0 and no parquet children): conservatively young forever
+                // — but LOUDLY, so an operator can reclaim the permanently
+                // skipped directory by hand instead of leaking it silently.
+                if (newest <= 0L) log.warn(
+                  s"sweepOrphans: unreferenced dir ${st.getPath} has no " +
+                    "dateable evidence (dir mtime 0, no parquet children) — " +
+                    "skipped under minAgeMillis; delete manually if it is a " +
+                    "known-dead attempt")
+                newest > 0L && now - newest >= minAgeMillis
+              }
             }
           }
       }
@@ -1829,10 +1840,14 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     val liveDirs = liveFiles.map(_.split("/", 2)(0))
     val now = System.currentTimeMillis()
     // Same walk as the commit path (listDataFilesStat), so layout and
-    // relativization can never drift between writer and reclaimer.
+    // relativization can never drift between writer and reclaimer. A dir
+    // vanishing mid-walk was reclaimed by a concurrent cleaner — skip.
     val victims = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
       .filter(p => p.getName.startsWith("d-") && liveDirs.contains(p.getName))
-      .flatMap(dir => listDataFilesStat(dir.toString))
+      .flatMap(dir =>
+        try listDataFilesStat(dir.toString)
+        catch { case _: java.io.FileNotFoundException =>
+          Seq.empty[(String, Long, Long)] })
       .collect {
         case (rel, _, mtime)
             if (minAgeMillis <= 0L || now - mtime >= minAgeMillis) &&

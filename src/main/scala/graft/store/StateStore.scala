@@ -486,15 +486,52 @@ final class StateStore(
 
   private def readCheckpointFromLog(key: String): Option[Checkpoint] = {
     import spark.implicits._
-    checkpointsDF
-      .filter(col("key") === lit(key))
-      .orderBy(col("height").desc)
-      .limit(1)
-      .select(col("key"), col("height"),
-        col("block_id").as("blockId"), col("block_num").as("blockNum"))
-      .as[Checkpoint]
-      .collect()
-      .headOption
+    // Bounded replan-and-retry: a READER-fleet poll scans the checkpoint
+    // log's files while the writer's compactCheckpoints may be rewriting
+    // them — a file listed at plan time can be gone at execution time
+    // (FAILED_READ_FILE.FILE_NOT_EXIST). Each retry RE-PLANS (fresh
+    // listing of the now-compacted log), so one bounce resolves it; the
+    // log's content is latest-per-key either way, so the retried answer
+    // is never stale. Persistent failures still surface loudly.
+    var attempt = 0
+    while (true) {
+      try {
+        return checkpointsDF
+          .filter(col("key") === lit(key))
+          .orderBy(col("height").desc)
+          .limit(1)
+          .select(col("key"), col("height"),
+            col("block_id").as("blockId"), col("block_num").as("blockNum"))
+          .as[Checkpoint]
+          .collect()
+          .headOption
+      } catch {
+        case e: Throwable if attempt < 3 && fileVanishedUnder(e) =>
+          attempt += 1
+          Thread.sleep(50L << attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The exception chain indicates a scanned file vanished mid-read (a
+    * concurrent log compaction/sweep) — the retriable class, distinct
+    * from corruption or genuine IO failure. */
+  private def fileVanishedUnder(e: Throwable): Boolean = {
+    var cur: Throwable = e
+    var depth = 0
+    while (cur != null && depth < 10) {
+      cur match {
+        case _: java.io.FileNotFoundException => return true
+        case _ =>
+          if (Option(cur.getMessage).exists(m =>
+            m.contains("FILE_NOT_EXIST") || m.contains("does not exist")))
+            return true
+      }
+      cur = cur.getCause
+      depth += 1
+    }
+    false
   }
 
   /** Append one tablet snapshot (the reference's TabletIndex write,

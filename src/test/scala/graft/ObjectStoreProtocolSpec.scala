@@ -270,6 +270,37 @@ class ObjectStoreProtocolSpec extends SparkTestBase {
     } finally RenamelessFileSystem.reset()
   }
 
+  test("sweep races a concurrent cleaner: a directory vanishing between " +
+    "the root listing and the age probe is skipped, never thrown — the " +
+    "16-min two-writer soak's observed interleaving, pinned") {
+    implicit val s = spark
+    import s.implicits._
+    RenamelessFileSystem.reset()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val root = objDir("obj-sweep-race")
+    val mt = new graft.store.ManifestTable(root, schema)
+    def df(rows: (Long, String)*) = rows.toDF("id", "v").coalesce(1)
+    assert(mt.commit(df(1L -> "a"), "c1"))
+    assert(mt.commit(df(2L -> "b"), "c2"))
+    mt.replaceAll(df(9L -> "z"), "c3") // d-c1-g1 and d-c2-g2 now orphans
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // A "concurrent cleaner" (a lost-race publisher reclaiming its own
+    // dead attempt, another process's sweep) deletes d-c1-g1 exactly
+    // between the sweep's root listing and its per-directory age probe
+    // — the interleaving that killed the first round-17 soak run.
+    RenamelessFileSystem.armListWindow("/d-c1-g1") {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/d-c1-g1"), true)
+    }
+    Thread.sleep(5L) // both orphans older than the 1 ms age guard
+    val swept = mt.sweepOrphans(retainGenerations = 1, minAgeMillis = 1L)
+    // No throw; the vanished dir is simply not a victim (already gone —
+    // the sweep's goal state); the other orphan swept normally.
+    assert(swept === Seq("d-c2-g2"))
+    assert(mt.read().collect().map(_.getString(1)).toSet === Set("z"))
+  }
+
   test("merge through the shim: a publish that lands its pointer copy but " +
     "reports failure replays as an idempotent skip; fail-before-copy " +
     "leaves the old generation whole and a retry completes") {

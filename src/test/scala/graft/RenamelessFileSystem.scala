@@ -94,6 +94,16 @@ class RenamelessFileSystem extends RawLocalFileSystem {
       blockSize, progress)
   }
 
+  /** Recursive-listing hook: fires [[RenamelessFileSystem.armListWindow]]'s
+    * one-shot body before delegating — lets a spec interleave a
+    * concurrent cleaner (deleting the listed directory) between a
+    * sweep's root listing and its per-directory probe. */
+  override def listLocatedStatus(f: Path)
+      : org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] = {
+    RenamelessFileSystem.fireListWindow(f)
+    super.listLocatedStatus(f)
+  }
+
   override def rename(src: Path, dst: Path): Boolean = {
     import RenamelessFileSystem._
     val srcIsDir =
@@ -177,6 +187,26 @@ object RenamelessFileSystem {
       case _ => ()
     }
 
+  @volatile private var listBody: () => Unit = () => ()
+  @volatile private var listSuffix: Option[String] = None
+
+  /** Arm a ONE-SHOT interleave fired just before the next recursive
+    * listing of a path ending with `suffix`. */
+  def armListWindow(suffix: String)(body: => Unit): Unit = {
+    listBody = () => body
+    listSuffix = Some(suffix)
+  }
+
+  private def fireListWindow(f: Path): Unit =
+    listSuffix match {
+      case Some(sfx) if f.toUri.getPath.endsWith(sfx) =>
+        listSuffix = None
+        val body = listBody
+        listBody = () => ()
+        body()
+      case _ => ()
+    }
+
   @volatile private var armed: FailMode = NoFail
   @volatile private var armedDstSuffix: String = ""
   val renames = new ConcurrentLinkedQueue[Rename]()
@@ -192,6 +222,7 @@ object RenamelessFileSystem {
     armed = NoFail; armedDstSuffix = ""; renames.clear()
     createMode = ConditionalCreate
     windowSuffix = None; windowBody = () => ()
+    listSuffix = None; listBody = () => ()
   }
 
   def recorded: Seq[Rename] = {
