@@ -78,17 +78,30 @@ import org.apache.spark.sql.types.StructType
   * — is rejected by CONTENT at its next [[publishOwned]]: the sidecar no
   * longer carries its nonce, so its swap never happens and it retries
   * from the new head instead of clobbering the winner. [[publishOwned]]
-  * also re-reads the sidecar AFTER its swap: if the nonce changed in the
-  * check-to-swap instant, this attempt's content did not survive and the
-  * publish reports a loud conflict (the caller re-lands at the next
-  * generation) rather than a silent success over someone else's
-  * metadata. What remains exposed is only the write instant itself — a
-  * waker would have to land its blind overwrite inside ANOTHER
-  * publisher's sidecar-check-to-swap microsecond, after sleeping through
-  * the whole lease; mtime leases cannot close that last instant without
-  * a conditional-write primitive, which [[publishOwned]]'s post-swap
-  * content check converts from silent loss into a loud retry on every
-  * interleaving where the waker's overwrite precedes the re-read.
+  * also re-reads the sidecar AFTER its swap: when the pointer frame
+  * proves the swap was this attempt's, a sidecar clobbered in the
+  * check-to-swap instant is REPAIRED in place from the record in hand;
+  * when the pointer names someone else, the publish reports a loud
+  * conflict (the caller re-lands at the next generation) rather than a
+  * silent success over someone else's metadata.
+  *
+  * What remains exposed, stated honestly: the write instant itself.
+  * Without a conditional-write primitive, a waker that slept through
+  * the entire lease can still land ONE blind overwrite (its sidecar or
+  * manifest write, `overwrite = true`) in the microsecond between its
+  * own ownership re-check and that write. If the takeover winner has
+  * not yet published, the nonce checks resolve it loudly (one side
+  * retries, nothing lost). If the winner HAS published — its whole
+  * takeover tail fit inside the waker's check-to-write instant — the
+  * waker's overwrite damages the published generation's metadata before
+  * any check can fire: a clobbered sidecar is detected by
+  * [[verifyHead]] (and repaired when the pointer's owner republishes);
+  * a clobbered full manifest can silently drop the winner's rows from
+  * the head. That interleaving requires a µs-precision wake after a
+  * ≥10-minute sleep — [[ManifestTable.publishLeaseMillis]] is the real
+  * mitigation (size it above any plausible pause), and a store with
+  * transactional/conditional writes closes it outright, which is what
+  * the reference's KV backend provides (store/kv/store.go:332–467).
   */
 final class ManifestTable(val tablePath: String, schema: StructType,
     partitionCol: Option[String] = None,
@@ -142,6 +155,12 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * here must fence this publisher's swap by content. */
   private[graft] var beforePublishHook: () => Unit = () => ()
 
+  /** Test hook: runs immediately AFTER the pointer swap, before the
+    * post-swap sidecar re-read — the check-to-swap instant's other half,
+    * where a fenced publisher's clobber lands after our swap and the
+    * repair path must restore the published record. */
+  private[graft] var afterSwapHook: () => Unit = () => ()
+
   private def maybeFailAfterOwn(commitId: String): Unit =
     if (failAfterOwn) throw new IllegalStateException(
       s"injected crash after owning the generation for $commitId")
@@ -187,7 +206,17 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * by the object-store spec's async changefeed poll racing a pointer
     * swap. A transient torn read retries briefly; persistent garbage
     * still fails loudly instead of reading as an empty table. */
-  def currentGeneration(): Option[Long] = {
+  def currentGeneration(): Option[Long] = pointerFrame().map(_._1)
+
+  /** THE pointer read: (generation, owner) with bounded torn-read retry —
+    * the ONE parse all pointer consumers share ([[currentGeneration]],
+    * [[publishOwned]]'s arbitration, [[verifyHead]]), so retry and
+    * refusal discipline cannot drift between them. Owner is None on
+    * legacy frames (g2/g3/bare number) and present on g4; unreadable
+    * after retries fails LOUDLY — a torn read must never feed a lenient
+    * branch (e.g. a stale publisher reading its way into false
+    * success). */
+  private def pointerFrame(): Option[(Long, Option[String])] = {
     val (fs, p) = fsOf(genPointerPath)
     var attempt = 0
     while (true) {
@@ -223,9 +252,9 @@ final class ManifestTable(val tablePath: String, schema: StructType,
           // (legacy stores; atomic-PUT targets never tear either way).
           text match {
             case FramedGenRe(_, a, b) if a == b =>
-              return Some(a.toLong)
-            case Framed4Re(a, _, b) if a == b =>
-              return Some(a.toLong)
+              return Some((a.toLong, None))
+            case Framed4Re(a, o, b) if a == b =>
+              return Some((a.toLong, Some(o)))
             case NewerFrameRe(v, a, b) if a == b && v.toLong > 4 =>
               // Structurally valid, higher version: this binary predates
               // the table's layout. Refuse with the real reason — never
@@ -237,7 +266,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
               sys.error(s"table $tablePath uses pointer-frame version g$v, " +
                 "newer than this reader supports (g4) — upgrade the reader")
             case _ if text.nonEmpty && text.forall(_.isDigit) =>
-              return Some(text.toLong)
+              return Some((text.toLong, None))
             case _ if attempt < 3 =>
               attempt += 1
               Thread.sleep(10L << attempt)
@@ -285,24 +314,6 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     }
   }
 
-  /** The fencing owner the CURRENT pointer frame names, None on legacy
-    * frames (g2/g3/bare), missing pointers, or transient torn reads —
-    * callers treat None leniently (pre-fencing behavior). */
-  private def pointerOwner(): Option[String] = {
-    val (fs, p) = fsOf(genPointerPath)
-    try {
-      if (!fs.exists(p)) return None
-      val in = fs.open(p)
-      val text =
-        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
-        finally in.close()
-      text match {
-        case Framed4Re(a, owner, b) if a == b => Some(owner)
-        case _ => None
-      }
-    } catch { case scala.util.control.NonFatal(_) => None }
-  }
-
   /** Cross-check the published head's fencing metadata: the pointer
     * frame's owner nonce vs the head generation's sidecar owner. `None`
     * = consistent (or not checkable: legacy frames/sidecars without
@@ -310,16 +321,9 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * sidecar was overwritten AFTER its publish — the paused-writer
     * clobber the fencing protocol exists to surface. Costs two small
     * reads; diagnostics/soak surface, not a hot-path gate. */
-  def verifyHead(): Option[String] = {
-    val (fs, p) = fsOf(genPointerPath)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val text =
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
-      finally in.close()
-    text match {
-      case Framed4Re(a, owner, b) if a == b =>
-        val gen = a.toLong
+  def verifyHead(): Option[String] =
+    pointerFrame() match {
+      case Some((gen, Some(owner))) =>
         val sidecarOwner =
           try deltaRecord(gen).flatMap(_.owner)
           catch { case scala.util.control.NonFatal(_) => None }
@@ -330,9 +334,8 @@ final class ManifestTable(val tablePath: String, schema: StructType,
               "was overwritten after publish (stale-writer clobber)")
           case _ => None // consistent, or legacy sidecar without an owner
         }
-      case _ => None // legacy frame: no owner to check
+      case _ => None // legacy frame or empty table: no owner to check
     }
-  }
 
   // ------------------------------------------------------------- manifest
 
@@ -620,7 +623,9 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * The pointer frame itself carries the nonce (`g4`, see
     * [[ManifestTable.Framed4Re]]), so head sidecar and pointer are
     * cross-checkable by any observer ([[verifyHead]]). */
-  private def publishOwned(gen: Long, commitId: String, nonce: String): Unit = {
+  private def publishOwned(gen: Long, commitId: String, nonce: String,
+      entry: ManifestEntry, rewrite: Boolean,
+      fresh: Option[Seq[String]]): Unit = {
     beforePublishHook()
     def sidecarOwner(): (Option[String], Option[String]) =
       try deltaRecord(gen) match {
@@ -638,40 +643,66 @@ final class ManifestTable(val tablePath: String, schema: StructType,
           s"${cid.getOrElse("<unparseable>")}) — a concurrent publisher " +
           "took over after this attempt's lease expired")
     }
-    val cur = currentGeneration().getOrElse(0L)
-    if (cur > gen) return // deep history: later heads built atop our gen
-    if (cur == gen) {
-      // The pointer already reached OUR generation but we never swapped:
-      // someone else published it. The swap's CONTENT is the arbiter —
-      // if the g4 frame names a different attempt, the committed
-      // generation is not ours no matter what the sidecar says (a woken
-      // stale writer may have re-clobbered the sidecar with its own
-      // record AFTER the winner's publish; the pointer it cannot fake
-      // without swapping, which is exactly what this branch refuses).
-      // Legacy frames (no owner) keep the pre-fencing lenient behavior.
-      pointerOwner() match {
-        case Some(o) if o != nonce =>
-          fencedPublishCount.incrementAndGet()
-          throw new ConcurrentPublishException(
-            s"generation $gen of $tablePath was published by a different " +
-              s"attempt (pointer owner $o) — this attempt's swap is " +
-              "rejected by content; retrying at the next generation")
-        case _ => return // ours (impossible pre-swap) or legacy: complete
-      }
+    pointerFrame() match {
+      case Some((cur, _)) if cur > gen =>
+        return // deep history: later heads built atop our gen
+      case Some((cur, frameOwner)) if cur == gen =>
+        // The pointer already reached OUR generation but we never
+        // swapped: someone else published it. The swap's CONTENT is the
+        // arbiter — if the g4 frame names a different attempt, the
+        // committed generation is not ours no matter what the sidecar
+        // says (a woken stale writer may have re-clobbered the sidecar
+        // with its own record AFTER the winner's publish; the pointer it
+        // cannot fake without swapping, which is exactly what this
+        // branch refuses). A torn/unreadable pointer THREW above
+        // (pointerFrame's bounded retry) rather than feeding this
+        // leniency. Legacy frames (no owner) keep the pre-fencing
+        // lenient behavior.
+        frameOwner match {
+          case Some(o) if o != nonce =>
+            fencedPublishCount.incrementAndGet()
+            throw new ConcurrentPublishException(
+              s"generation $gen of $tablePath was published by a different " +
+                s"attempt (pointer owner $o) — this attempt's swap is " +
+                "rejected by content; retrying at the next generation")
+          case _ => return // ours (impossible pre-swap) or legacy: complete
+        }
+      case _ => () // cur < gen (or empty table): proceed to the swap
     }
     publish(gen, nonce)
-    // Post-swap content check: our nonce must still be what the sidecar
-    // carries, else the generation's published CONTENT is not this
-    // attempt's — loud conflict, caller retries at the next generation.
+    afterSwapHook()
+    // Post-swap content check. The POINTER is the commit point and we
+    // just swapped it, so this attempt's commit is live; if the sidecar
+    // no longer carries our nonce, a fenced concurrent publisher
+    // clobbered it in the check-to-swap instant (it will lose at its own
+    // pointer arbitration above). REPAIR the sidecar with our record —
+    // we hold the authoritative content — so readers, the changefeed,
+    // and reconstruction see the generation the pointer actually
+    // published; without the repair, delta-only readers would resolve
+    // the clobberer's record and emit its files as this generation's.
     val (cid2, own2) = sidecarOwner()
     if (!own2.contains(nonce)) {
-      if (cid2.contains(commitId)) return // same commit, sibling's content
-      fencedPublishCount.incrementAndGet()
-      throw new ConcurrentPublishException(
-        s"generation $gen of $tablePath was overwritten by a concurrent " +
-          s"publisher (${cid2.getOrElse("<unparseable>")}) in the " +
-          "check-to-swap instant — this attempt's content did not survive; " +
-          "retrying at the next generation")
+      pointerFrame() match {
+        case Some((cur2, Some(o))) if cur2 == gen && o == nonce =>
+          log.warn(s"sidecar of generation $gen of $tablePath was " +
+            s"overwritten by a fenced concurrent publisher " +
+            s"(${cid2.getOrElse("<unparseable>")}) in the check-to-swap " +
+            "instant — repairing with this attempt's record (the pointer " +
+            "names this attempt as the published owner)")
+          writeDelta(gen, entry, rewrite, fresh, Some(nonce))
+        case _ if cid2.contains(commitId) =>
+          return // same commit, a sibling's equivalent content: complete
+        case _ =>
+          // The pointer moved past (or away from) our swap too: this
+          // attempt's content is not the committed generation — loud
+          // conflict, the caller re-lands whole at the next generation.
+          fencedPublishCount.incrementAndGet()
+          throw new ConcurrentPublishException(
+            s"generation $gen of $tablePath was overwritten by a " +
+              s"concurrent publisher (${cid2.getOrElse("<unparseable>")}) " +
+              "in the check-to-swap instant — this attempt's content did " +
+              "not survive; retrying at the next generation")
+      }
     }
   }
 
@@ -711,15 +742,33 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * conflict-heavy periods from accumulating unreferenced attempt dirs
     * until a [[sweepOrphans]]. Best-effort: a failure leaves it for the
     * sweep, never fails the retry. */
-  /** [[dropDeadAttemptDir]] guarded against the one aliasing case: a
-    * SIBLING replay of this same commitId holds the generation — its
-    * deterministic staging directory is the very same path, so deleting
-    * it would race the sibling's in-flight write. */
-  private def dropUnlessSiblingHolds(commitId: String, gen: Long): Unit = {
-    val holderCid =
-      try deltaRecord(gen).map(_.entry.commitId)
-      catch { case scala.util.control.NonFatal(_) => None }
-    if (!holderCid.contains(commitId)) dropDeadAttemptDir(commitId, gen)
+  /** [[dropDeadAttemptDir]] guarded to fire ONLY when the staged
+    * directory is provably dead:
+    *
+    *   - no live same-commitId sibling attempt holds the generation (its
+    *     deterministic staging directory is the very same path — deleting
+    *     it would race the sibling's in-flight write);
+    *   - no PUBLISHED metadata at that generation references the
+    *     directory (a fenced publisher whose swap actually landed, or a
+    *     sibling that published the same commitId at the same
+    *     generation, makes the "staged" files the live head — or
+    *     time-travel-readable history within the retention window);
+    *   - and the verification reads themselves SUCCEEDED — a transient
+    *     metadata failure keeps the directory (the sweep collects a
+    *     genuinely dead one later); it must never authorize deleting
+    *     what might be published data. */
+  private def dropStagedIfDead(commitId: String, gen: Long): Unit = {
+    val dirPrefix = s"d-$commitId-g$gen/"
+    val dead =
+      try {
+        val holder = deltaRecord(gen).map(_.entry.commitId)
+        val head = currentGeneration().getOrElse(0L)
+        if (holder.contains(commitId) && head < gen) false // live sibling attempt
+        else if (head >= gen)
+          !manifestEntriesFull(gen).exists(_.files.exists(_.startsWith(dirPrefix)))
+        else true // unpublished and foreign-held (or unowned): ours is dead
+      } catch { case scala.util.control.NonFatal(_) => false }
+    if (dead) dropDeadAttemptDir(commitId, gen)
   }
 
   private def dropDeadAttemptDir(commitId: String, gen: Long): Unit =
@@ -998,16 +1047,11 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       attempt += 1
       val elapsed = System.currentTimeMillis() - startedAt
       if (elapsed >= publishRetryMillis) {
-        // Reclaim the staged attempt before giving up — but only after a
-        // FRESH check that no sibling replay published this commitId in
-        // the meantime (its entry would reference the same deterministic
-        // directory).
-        staged.foreach { case (g, _) =>
-          val fresh0 = try cachedEntriesAt(currentGeneration().getOrElse(0L))
-            catch { case scala.util.control.NonFatal(_) => Seq.empty }
-          if (!fresh0.exists(_.commitId == commitId))
-            dropDeadAttemptDir(commitId, g)
-        }
+        // Reclaim the staged attempt before giving up — through the
+        // provably-dead guard (a sibling replay may have published this
+        // commitId meanwhile, referencing the same deterministic dir;
+        // and a failed verification read must keep, not authorize).
+        staged.foreach { case (g, _) => dropStagedIfDead(commitId, g) }
         throw new ConcurrentPublishException(
           s"commit '$commitId' to $tablePath lost the generation race for " +
             s"${elapsed / 1000}s across $attempt attempts (a publisher keeps " +
@@ -1021,15 +1065,12 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       val gen = currentGeneration().getOrElse(0L)
       val entries = cachedEntriesAt(gen)
       if (entries.exists(_.commitId == commitId)) {
-        // Completed by a sibling replay: reclaim our staged attempt ONLY
-        // if its directory is not the one the published entry references
-        // (a sibling replaying the same commitId at the same generation
-        // rewrites the SAME deterministic dir — that one is live data).
-        staged.foreach { case (g, _) =>
-          val dir = s"d-$commitId-g$g"
-          if (!entries.exists(_.files.exists(_.startsWith(dir + "/"))))
-            dropDeadAttemptDir(commitId, g)
-        }
+        // Completed by a sibling replay: reclaim our staged attempt
+        // through the provably-dead guard (a sibling replaying the same
+        // commitId at the same generation rewrites the SAME deterministic
+        // dir — that one is live data; and history inside the retention
+        // window may still reference an earlier staging).
+        staged.foreach { case (g, _) => dropStagedIfDead(commitId, g) }
         return false
       }
       val next = gen + 1
@@ -1037,7 +1078,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       val entry = staged match {
         case Some((g, e)) if g == next => e
         case _ =>
-          staged.foreach { case (g, _) => dropDeadAttemptDir(commitId, g) }
+          staged.foreach { case (g, _) => dropStagedIfDead(commitId, g) }
           writeData(df, dataDir)
           val sized = listDataFilesSized(dataDir)
           val files = sized.map(_._1)
@@ -1091,7 +1132,8 @@ final class ManifestTable(val tablePath: String, schema: StructType,
               // frame every publish writes — see [[publish]].)
             }
             if (!fenced) {
-              publishOwned(next, commitId, nonce)
+              publishOwned(next, commitId, nonce, entry,
+                rewrite = false, fresh = None)
               entriesCache = Some((next, entries :+ entry))
               return true
             }
@@ -1162,7 +1204,8 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       case Owned =>
         try {
           writeManifest(next, Seq(entry))
-          publishOwned(next, commitId, nonce)
+          publishOwned(next, commitId, nonce, entry, rewrite = hadFiles,
+            fresh = if (hadFiles) Some(Seq.empty) else None)
           entriesCache = Some((next, Seq(entry)))
         } catch {
           case scala.util.control.NonFatal(e) =>
@@ -1177,7 +1220,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       case AlreadyPublishedByUs => () // sibling replay finished this commit
       case OwnConflict =>
         lostRaceCount.incrementAndGet()
-        dropDeadAttemptDir(commitId, next) // staged replacement is dead
+        dropStagedIfDead(commitId, next)
         throw new ConcurrentPublishException(
           s"replaceAll '$commitId' on $tablePath lost generation $next to a " +
             "concurrent publisher — its input snapshot is stale; re-derive " +
@@ -1245,10 +1288,13 @@ final class ManifestTable(val tablePath: String, schema: StructType,
             // sidecar + manifest here would ERASE that winner's commit
             // while both callers report success. Losing the takeover is
             // the safe outcome: re-derive at the new head. The
-            // check-then-write instant that remains is backstopped by
-            // [[publishOwned]]'s post-swap content check: a takeover
-            // landing inside it fences THIS publisher's swap, so the
-            // interleaving resolves to a loud retry, not silent loss.
+            // check-then-write instant that remains: a takeover landing
+            // between this check and the writes below is resolved loudly
+            // by [[publishOwned]]'s pointer arbitration when the winner
+            // has not yet published; a winner whose ENTIRE tail fits
+            // inside the instant can still have its published metadata
+            // blind-overwritten here — the documented irreducible window
+            // (class doc), sized against by the lease.
             if (!stillOwns(next, nonce)) {
               lostMidDerivation = true
             } else {
@@ -1259,7 +1305,9 @@ final class ManifestTable(val tablePath: String, schema: StructType,
                 fresh = if (hadFiles) Some(Seq.empty) else None,
                 owner = Some(nonce))
               writeManifest(next, Seq(entry))
-              publishOwned(next, commitId, nonce)
+              publishOwned(next, commitId, nonce, entry,
+                rewrite = hadFiles,
+                fresh = if (hadFiles) Some(Seq.empty) else None)
               entriesCache = Some((next, Seq(entry)))
               published = true
             }
@@ -1285,7 +1333,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
             // staging; a foreign winner's metadata references nothing
             // under our commitId-named directory).
             fencedPublishCount.incrementAndGet()
-            dropUnlessSiblingHolds(commitId, next)
+            dropStagedIfDead(commitId, next)
           }
         case AlreadyPublishedByUs => return // sibling replay finished it
         case OwnConflict => lostRaceCount.incrementAndGet()
@@ -1701,11 +1749,13 @@ final class ManifestTable(val tablePath: String, schema: StructType,
           // manifest overwrite (same guard as commit's checkpoint path).
           if (!stillOwns(next, nonce)) {
             fencedPublishCount.incrementAndGet()
-            dropUnlessSiblingHolds(commitId, next)
+            dropStagedIfDead(commitId, next)
             None
           } else {
             writeManifest(next, keptEntries :+ mergedEntry)
-            publishOwned(next, commitId, nonce)
+            publishOwned(next, commitId, nonce, mergedEntry,
+              rewrite = matchedFiles.nonEmpty,
+              fresh = if (matchedFiles.nonEmpty) Some(freshFiles) else None)
             entriesCache = Some((next, keptEntries :+ mergedEntry))
             Some(MergeReport(rewritten = matchedFiles.size,
               kept = keptEntries.map(_.files.size).sum, applied = true))
@@ -1716,7 +1766,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
             // — same outcome as a lost own race, recomputed by the
             // caller's retry loop.
             fencedPublishCount.incrementAndGet()
-            dropUnlessSiblingHolds(commitId, next)
+            dropStagedIfDead(commitId, next)
             None
           case scala.util.control.NonFatal(e) =>
             // A LIVE publisher whose post-own step failed must not hold
@@ -1737,7 +1787,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
         // The derivation (and its staged directory) is dead — a foreign
         // publisher holds/published the generation; reclaim before the
         // recompute instead of leaving it for a sweep.
-        dropUnlessSiblingHolds(commitId, next)
+        dropStagedIfDead(commitId, next)
         None
     }
   }

@@ -413,6 +413,38 @@ class ManifestConcurrencySpec extends SparkTestBase {
     } finally sys.props.remove("graft.publish.leaseMs")
   }
 
+  test("REPAIR at the swap: a clobber landing AFTER this attempt's " +
+    "pointer swap is detected by the post-swap re-read and the sidecar " +
+    "is repaired from the record in hand — the publish succeeds, the " +
+    "head is coherent") {
+    val path = tmpDir("occ-repair")
+    val a = table(path)
+    assert(a.commit(df(("k1", 1L, false, "v1")), "c1"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // Simulate a fenced concurrent publisher's blind overwrite landing
+    // in the instant between A's swap and A's post-swap re-read: foreign
+    // record, foreign nonce. (A real one would shortly lose at its own
+    // pointer arbitration; its overwrite is what A must repair.)
+    a.afterSwapHook = oneShot {
+      val sp = sidecarPath(path, 2L)
+      val out = fs.create(sp, true)
+      try out.write(
+        ("""{"owner":"deadbeefdeadbeefdeadbeefdeadbeef","commit_id":"intruder",""" +
+          """"rewrite":false,"files":["d-intruder-g2/x.parquet"]}""" + "\n")
+          .getBytes("UTF-8"))
+      finally out.close()
+    }
+    assert(a.commit(df(("k2", 2L, false, "v2")), "c2"),
+      "the publish must SUCCEED — the pointer names this attempt")
+    assert(a.currentGeneration() === Some(2L))
+    // The sidecar was repaired: generation 2's record is c2's again, and
+    // the head cross-check is clean.
+    assert(a.deltaRecord(2L).map(_.entry.commitId) === Some("c2"))
+    assert(table(path).verifyHead() === None)
+    assert(values(a) === Set("v1", "v2"))
+  }
+
   test("LOSER CLEANUP: a merge that loses its race reclaims its dead " +
     "staged directory before recomputing — no unreferenced attempt dirs " +
     "remain without a sweep") {

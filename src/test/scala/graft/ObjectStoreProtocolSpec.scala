@@ -239,13 +239,19 @@ class ObjectStoreProtocolSpec extends SparkTestBase {
         "TOCTOU create silently overwrote the racer — mutual exclusion " +
           "does NOT hold on this store class")
 
-      // PROTOCOL level: the same race through commit(). The g4 fencing
-      // keeps both commits' ROWS (the stale publisher is rejected by the
-      // pointer's content and re-lands), but generation 2's sidecar was
-      // blindly overwritten AFTER the winner published — the changefeed
-      // would mis-attribute that generation. Detectable (verifyHead),
-      // not preventable without a conditional create: this store class
-      // is documented UNSAFE for multi-writer deployments.
+      // PROTOCOL level: the same race through commit(), on an
+      // interval-1 table (every generation checkpointed). Here the g4
+      // fencing keeps both commits' ROWS (the stale publisher is
+      // rejected by the pointer's content and re-lands; readers resolve
+      // the full manifest, which wins over the clobbered sidecar), but
+      // generation 2's sidecar was blindly overwritten AFTER the winner
+      // published — the changefeed would mis-attribute that generation.
+      // On DELTA-ONLY generations (checkpointInterval > 1) the same
+      // overwrite is strictly worse: reconstruction reads the sidecar
+      // alone, so the winner's commit is silently lost (README scopes
+      // the claim). Detectable here (verifyHead), not preventable
+      // without a conditional create: this store class is documented
+      // UNSAFE for multi-writer deployments, full stop.
       val schema = StructType(Seq(
         StructField("id", LongType), StructField("v", StringType)))
       val root = objDir("obj-toctou")
