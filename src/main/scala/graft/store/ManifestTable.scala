@@ -680,29 +680,46 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     // and reconstruction see the generation the pointer actually
     // published; without the repair, delta-only readers would resolve
     // the clobberer's record and emit its files as this generation's.
-    val (cid2, own2) = sidecarOwner()
-    if (!own2.contains(nonce)) {
-      pointerFrame() match {
-        case Some((cur2, Some(o))) if cur2 == gen && o == nonce =>
-          log.warn(s"sidecar of generation $gen of $tablePath was " +
-            s"overwritten by a fenced concurrent publisher " +
-            s"(${cid2.getOrElse("<unparseable>")}) in the check-to-swap " +
-            "instant — repairing with this attempt's record (the pointer " +
-            "names this attempt as the published owner)")
-          writeDelta(gen, entry, rewrite, fresh, Some(nonce))
-        case _ if cid2.contains(commitId) =>
-          return // same commit, a sibling's equivalent content: complete
-        case _ =>
-          // The pointer moved past (or away from) our swap too: this
-          // attempt's content is not the committed generation — loud
-          // conflict, the caller re-lands whole at the next generation.
-          fencedPublishCount.incrementAndGet()
-          throw new ConcurrentPublishException(
-            s"generation $gen of $tablePath was overwritten by a " +
-              s"concurrent publisher (${cid2.getOrElse("<unparseable>")}) " +
-              "in the check-to-swap instant — this attempt's content did " +
-              "not survive; retrying at the next generation")
+    //
+    // EVERYTHING from here down runs AFTER the commit point: a transient
+    // failure in the verification reads or the repair write must NOT
+    // surface as a failed publish — the caller would re-submit under a
+    // fresh commitId and append duplicate rows for a commit that is
+    // already live. Only the deliberate content-lost conflict (the
+    // pointer provably names someone else) propagates; anything else is
+    // logged (verifyHead keeps flagging an unrepaired sidecar).
+    try {
+      val (cid2, own2) = sidecarOwner()
+      if (!own2.contains(nonce)) {
+        pointerFrame() match {
+          case Some((cur2, Some(o))) if cur2 == gen && o == nonce =>
+            log.warn(s"sidecar of generation $gen of $tablePath was " +
+              s"overwritten by a fenced concurrent publisher " +
+              s"(${cid2.getOrElse("<unparseable>")}) in the check-to-swap " +
+              "instant — repairing with this attempt's record (the pointer " +
+              "names this attempt as the published owner)")
+            writeDelta(gen, entry, rewrite, fresh, Some(nonce))
+          case _ if cid2.contains(commitId) =>
+            return // same commit, a sibling's equivalent content: complete
+          case _ =>
+            // The pointer moved past (or away from) our swap too: this
+            // attempt's content is not the committed generation — loud
+            // conflict, the caller re-lands whole at the next generation.
+            fencedPublishCount.incrementAndGet()
+            throw new ConcurrentPublishException(
+              s"generation $gen of $tablePath was overwritten by a " +
+                s"concurrent publisher (${cid2.getOrElse("<unparseable>")}) " +
+                "in the check-to-swap instant — this attempt's content did " +
+                "not survive; retrying at the next generation")
+        }
       }
+    } catch {
+      case e: ConcurrentPublishException => throw e
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"post-swap verification/repair of generation $gen of " +
+          s"$tablePath failed transiently — the publish itself LANDED " +
+          "(pointer swapped); a clobbered sidecar, if any, remains until " +
+          "verifyHead/a later publish repairs it", e)
     }
   }
 
