@@ -155,6 +155,12 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * here must fence this publisher's swap by content. */
   private[graft] var beforePublishHook: () => Unit = () => ()
 
+  /** Test hook: runs immediately after OWNING the generation (sidecar
+    * created, nothing else written) — the paused-past-the-lease window
+    * between own and the owned tail's first shared metadata touch, where
+    * a takeover may already have PUBLISHED this generation. */
+  private[graft] var afterOwnHook: () => Unit = () => ()
+
   /** Test hook: runs immediately AFTER the pointer swap, before the
     * post-swap sidecar re-read — the check-to-swap instant's other half,
     * where a fenced publisher's clobber lands after our swap and the
@@ -298,7 +304,14 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * instead. */
   private def publish(gen: Long, owner: String): Unit = {
     val (fs, p) = fsOf(genPointerPath)
-    val tmp = new Path(s"$genPointerPath.tmp")
+    // The staging object is UNIQUE PER ATTEMPT (the owner nonce is in
+    // the name): concurrent publishers at the same or adjacent
+    // generations never share a tmp, so an interleaved create/write/
+    // rename can never install another attempt's frame under this one's
+    // rename — the exact check-to-swap window the fencing protocol
+    // models. A shared `.tmp` was the one staging object two live
+    // publishers could both touch.
+    val tmp = new Path(s"$genPointerPath.$owner.tmp")
     val out = fs.create(tmp, true)
     // Framed form (see currentGeneration): torn-read-proof on stores
     // whose rename streams bytes into place. The g4 frame carries the
@@ -309,8 +322,17 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     // same vehicle the g3 delta-only gate used).
     try out.write(s"g4:$gen:$owner:$gen;".getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, p)) {
+      // Rename-refuses-existing-destination filesystems only (see the
+      // class doc above): the delete→rename pair reopens a residual
+      // no-pointer window, so the second rename failing must not leave
+      // the table headless AND an orphan tmp behind — surface loudly
+      // with the tmp cleaned up (the caller's retry re-stages).
       if (fs.exists(p)) fs.delete(p, false)
-      require(fs.rename(tmp, p), s"pointer swap failed for $tablePath")
+      if (!fs.rename(tmp, p)) {
+        try fs.delete(tmp, false) catch {
+          case scala.util.control.NonFatal(_) => () }
+        sys.error(s"pointer swap failed for $tablePath")
+      }
     }
   }
 
@@ -762,14 +784,20 @@ final class ManifestTable(val tablePath: String, schema: StructType,
   /** [[dropDeadAttemptDir]] guarded to fire ONLY when the staged
     * directory is provably dead:
     *
-    *   - no live same-commitId sibling attempt holds the generation (its
-    *     deterministic staging directory is the very same path — deleting
-    *     it would race the sibling's in-flight write);
-    *   - no PUBLISHED metadata at that generation references the
-    *     directory (a fenced publisher whose swap actually landed, or a
-    *     sibling that published the same commitId at the same
-    *     generation, makes the "staged" files the live head — or
-    *     time-travel-readable history within the retention window);
+    *   - the generation must be PUBLISHED (head >= gen). While it is
+    *     unpublished, a same-commitId sibling replay may be mid-staging
+    *     into the very same deterministic directory BEFORE owning the
+    *     sidecar — no holder check can see it, so "unpublished and
+    *     foreign-held/unowned" proves nothing about the directory;
+    *     deleting then could hand the sibling an empty/partial file set
+    *     that it later publishes (silent data loss). Deferred to the
+    *     next head-moved cleanup or the age-gated sweep instead;
+    *   - no PUBLISHED metadata references the directory — checked across
+    *     every generation from `gen` to the head (bounded; a wide range
+    *     conservatively keeps), because a rebased merge can publish a
+    *     staged directory under a LATER generation than the one in its
+    *     name, and history within the retention window stays
+    *     time-travel readable;
     *   - and the verification reads themselves SUCCEEDED — a transient
     *     metadata failure keeps the directory (the sweep collects a
     *     genuinely dead one later); it must never authorize deleting
@@ -778,12 +806,11 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     val dirPrefix = s"d-$commitId-g$gen/"
     val dead =
       try {
-        val holder = deltaRecord(gen).map(_.entry.commitId)
         val head = currentGeneration().getOrElse(0L)
-        if (holder.contains(commitId) && head < gen) false // live sibling attempt
-        else if (head >= gen)
-          !manifestEntriesFull(gen).exists(_.files.exists(_.startsWith(dirPrefix)))
-        else true // unpublished and foreign-held (or unowned): ours is dead
+        if (head < gen) false // unpublished: a sibling may be mid-staging
+        else if (head - gen > 16L) false // too wide to verify cheaply: sweep's job
+        else !(gen to head).exists(g =>
+          manifestEntriesFull(g).exists(_.files.exists(_.startsWith(dirPrefix))))
       } catch { case scala.util.control.NonFatal(_) => false }
     if (dead) dropDeadAttemptDir(commitId, gen)
   }
@@ -1115,6 +1142,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
           // real death leaves its reservation behind (lease resolves it),
           // and so must the simulated one.
           maybeFailAfterOwn(commitId)
+          afterOwnHook()
           var fenced = false
           try {
             // Full listing only at checkpoint generations (and always at
@@ -1131,6 +1159,17 @@ final class ManifestTable(val tablePath: String, schema: StructType,
                 fencedPublishCount.incrementAndGet()
                 fenced = true
               } else writeManifest(next, entries :+ entry)
+            } else if (!stillOwns(next, nonce)) {
+              // Ownership re-check before the DELETE below, mirroring the
+              // checkpoint branch's guard: a publisher paused past the
+              // lease between its own and this point may find a takeover
+              // (a merge or compaction writes a full manifest at EVERY
+              // generation) already PUBLISHED here — deleting that
+              // manifest as an "orphan" would destroy a committed rewrite
+              // generation that delta reconstruction cannot recover.
+              // Losing here is the same fenced retry as the swap's.
+              fencedPublishCount.incrementAndGet()
+              fenced = true
             } else {
               // A CRASHED publisher at this same generation may have left
               // an orphan full manifest (we own the generation now, so it
@@ -1140,7 +1179,9 @@ final class ManifestTable(val tablePath: String, schema: StructType,
               // delete would let the aborted listing shadow this commit's
               // sidecar — wrong reads AND a sweep computing liveness from
               // the aborted file set (data loss). Fail the commit instead;
-              // the crash-replay contract retries it.
+              // the crash-replay contract retries it. (The check-to-delete
+              // instant above is the same irreducible lease-guarded window
+              // every shared overwrite in this protocol carries.)
               val (mfs, mp) = fsOf(manifestPath(next))
               if (mfs.exists(mp)) require(mfs.delete(mp, false) || !mfs.exists(mp),
                 s"could not remove orphan manifest $mp left by a crashed " +
@@ -1879,7 +1920,23 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       }
       .map(_.getPath)
     victims.foreach(p => fs.delete(p, true))
-    victims.map(_.getName).toSeq
+    // Stale pointer-staging objects: every publish attempt stages its
+    // pointer frame as `_gen.<nonce>.tmp` (unique per attempt, see
+    // [[publish]]); a publisher crashing between create and rename
+    // leaves its tmp behind. Tiny objects, but a crash-heavy table would
+    // accumulate them — collect any older than the publish lease (by
+    // then the attempt is either published, via a rename that consumed
+    // the tmp, or dead).
+    val tmpPrefix = new Path(genPointerPath).getName + "."
+    val staleTmps = fs.listStatus(root)
+      .filter(st => st.isFile && st.getPath.getName.startsWith(tmpPrefix) &&
+        st.getPath.getName.endsWith(".tmp") &&
+        now - st.getModificationTime > math.max(minAgeMillis, publishLeaseMillis))
+      .map(_.getPath)
+    staleTmps.foreach(p =>
+      try fs.delete(p, false)
+      catch { case scala.util.control.NonFatal(_) => () })
+    (victims.map(_.getName) ++ staleTmps.map(_.getName)).toSeq
   }
 
   /** FILE-granularity companion to [[sweepOrphans]], needed once

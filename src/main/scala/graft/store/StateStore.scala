@@ -506,7 +506,9 @@ final class StateStore(
           .collect()
           .headOption
       } catch {
-        case e: Throwable if attempt < 3 && fileVanishedUnder(e) =>
+        // Exception, not Throwable: a fatal error (OOM, linkage) must
+        // propagate immediately, never be message-inspected and slept on.
+        case e: Exception if attempt < 3 && fileVanishedUnder(e) =>
           attempt += 1
           Thread.sleep(50L << attempt)
       }
@@ -516,7 +518,11 @@ final class StateStore(
 
   /** The exception chain indicates a scanned file vanished mid-read (a
     * concurrent log compaction/sweep) — the retriable class, distinct
-    * from corruption or genuine IO failure. */
+    * from corruption or genuine IO failure. Matched NARROWLY: a
+    * FileNotFoundException cause, or Spark's FAILED_READ_FILE.FILE_NOT_EXIST
+    * error class — NOT a generic "does not exist" substring, which would
+    * also match an AnalysisException for a missing table/path (a
+    * non-retriable condition that three sleep-retries would only delay). */
   private def fileVanishedUnder(e: Throwable): Boolean = {
     var cur: Throwable = e
     var depth = 0
@@ -524,8 +530,7 @@ final class StateStore(
       cur match {
         case _: java.io.FileNotFoundException => return true
         case _ =>
-          if (Option(cur.getMessage).exists(m =>
-            m.contains("FILE_NOT_EXIST") || m.contains("does not exist")))
+          if (Option(cur.getMessage).exists(_.contains("FILE_NOT_EXIST")))
             return true
       }
       cur = cur.getCause
@@ -1461,24 +1466,28 @@ object StateStore {
 
   /** Age guard for the mutation-table compaction's INLINE orphan sweep.
     *
-    * DEFAULT = [[graft.store.ManifestTable.publishLeaseMillis]] (10 min
-    * unless overridden): the compaction itself (replaceAllRetrying) is
-    * safe beside live writers, and the default sweep must be too — a
-    * 0-age sweep beside one can reclaim an in-flight commit's
+    * DEFAULT = [[graft.store.ManifestTable.publishLeaseMillis]] +
+    * [[graft.store.ManifestTable.publishRetryMillis]] (≈ 21 min unless
+    * overridden): the compaction itself (replaceAllRetrying) is safe
+    * beside live writers, and the default sweep must be too — a 0-age
+    * sweep beside one can reclaim an in-flight commit's
     * not-yet-published directory (it is exactly "unreferenced" until its
     * pointer swap), which is data loss on the co-located deployments the
-    * no-pause compaction invites. The lease is the protocol's own upper
-    * bound on how long a legitimate publish stays unpublished, so any
-    * directory older than it is either published (referenced → never
-    * swept) or a dead attempt. A deployment that KNOWS it is the only
-    * writer can opt into immediate reclamation with
+    * no-pause compaction invites. The lease alone is NOT the bound: a
+    * commit blocked behind a reservation legitimately reuses its staged
+    * directory for up to the lease (the takeover point) PLUS its retry
+    * budget before publishing, so the threshold must clear lease + retry
+    * or a sweep at the boundary could reclaim a staged directory an
+    * instant before the blocked commit references it. A deployment that
+    * KNOWS it is the only writer can opt into immediate reclamation with
     * `graft.compact.sweepMinAgeMs=0` (the r15 posture) — the unsafe
     * setting is the opt-in, not the default. */
   def compactSweepMinAgeMillis: Long =
     sys.props.get("graft.compact.sweepMinAgeMs")
       .orElse(sys.env.get("GRAFT_COMPACT_SWEEP_MIN_AGE_MS"))
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
-      .filter(_ >= 0).getOrElse(ManifestTable.publishLeaseMillis)
+      .filter(_ >= 0).getOrElse(
+        ManifestTable.publishLeaseMillis + ManifestTable.publishRetryMillis)
 
   /** Detect which commit protocol wrote the store at `root`: a manifest
     * table is unmistakable by its generation pointer. A reader that opens

@@ -478,6 +478,87 @@ class ManifestConcurrencySpec extends SparkTestBase {
     assert(values(b) === Set("v1", "v2"))
   }
 
+  test("ORPHAN-MANIFEST GUARD: a delta-only committer paused past the " +
+    "lease between own and its orphan-manifest delete is fenced before " +
+    "the delete — a takeover's PUBLISHED full manifest survives") {
+    val path = tmpDir("occ-orphan-guard")
+    val a = table(path, interval = 4)
+    val b = table(path, interval = 4)
+    assert(a.commit(df(("k1", 1L, false, "v1")), "c1")) // gen 1, delta-only
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val fullManifest2 = new org.apache.hadoop.fs.Path(
+      f"$path/_manifests/m-${2L}%09d.json")
+    sys.props("graft.publish.leaseMs") = "1"
+    try {
+      // A owns generation 2 (delta-only: 2 % 4 != 0), then pauses past
+      // the lease. B's compaction takes over the reservation and
+      // publishes generation 2 WITH a full manifest (replaceAll writes
+      // one at every generation). A wakes exactly at its orphan-manifest
+      // delete — the one write that, unguarded, would destroy B's
+      // committed rewrite (whose content a delta walk cannot recover).
+      a.afterOwnHook = oneShot {
+        Thread.sleep(10L)
+        b.replaceAllRetrying(() => b.read().coalesce(1), "compact-B")
+        assert(fs.exists(fullManifest2),
+          "B's compaction must have published a full manifest at gen 2")
+      }
+      val fencedBefore = a.fencedPublishCount.get()
+      assert(a.commit(df(("ka", 2L, false, "va")), "cA"))
+      assert(a.fencedPublishCount.get() > fencedBefore,
+        "A must have been fenced BEFORE the orphan-manifest delete")
+      assert(fs.exists(fullManifest2),
+        "the takeover's published full manifest must survive A's wake-up")
+      assert(a.currentGeneration() === Some(3L))
+      assert(a.manifestEntries(3L).map(_._1) === Seq("compact-B", "cA"))
+      assert(values(a) === Set("v1", "va"))
+      assert(table(path, interval = 4).verifyHead() === None)
+    } finally sys.props.remove("graft.publish.leaseMs")
+  }
+
+  test("LOSER CLEANUP defers while the generation is UNPUBLISHED: a " +
+    "give-up against a live foreign reservation keeps its staged dir (a " +
+    "same-commitId sibling may be mid-staging into the very same path); " +
+    "the age-gated sweep reclaims it once provably dead") {
+    val path = tmpDir("occ-defer-clean")
+    val a = table(path)
+    assert(a.commit(df(("k1", 1L, false, "v1")), "c1"))
+    // A live-looking FOREIGN reservation holds generation 2 (fresh
+    // mtime, inside the default lease), so a's commit can neither own
+    // nor take over — it gives up after its (shortened) retry budget.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val sp = sidecarPath(path, 2L)
+    fs.mkdirs(sp.getParent)
+    val out = fs.create(sp, false)
+    try out.write(
+      ("""{"owner":"feedfacefeedfacefeedfacefeedface","commit_id":"foreign",""" +
+        """"rewrite":false,"files":[]}""" + "\n").getBytes("UTF-8"))
+    finally out.close()
+    sys.props("graft.publish.retryMs") = "300"
+    try {
+      intercept[ConcurrentPublishException] {
+        a.commit(df(("kx", 2L, false, "vx")), "cX")
+      }
+      // The staged dir SURVIVES the give-up: generation 2 is unpublished,
+      // so "foreign-held" proves nothing about d-cX-g2 — a sibling replay
+      // of cX could be staging into that exact path right now, invisible
+      // to any holder check. Deleting here could hand it a partial file
+      // set to publish.
+      assert(attemptDirs(path).contains("d-cX-g2"),
+        "give-up must NOT reclaim a staged dir under an unpublished generation")
+      // Once the generation resolves (the foreign holder dies; a real
+      // commit wins it), the dir is provably dead and the normal
+      // reclamation paths apply — here via the sweep.
+      assert(fs.delete(sp, false))
+      val b = table(path)
+      assert(b.commit(df(("kb", 2L, false, "vb")), "cB"))
+      val swept = b.sweepOrphans(retainGenerations = 1, minAgeMillis = 0L)
+      assert(swept.contains("d-cX-g2"), s"sweep must reclaim the dead dir: $swept")
+      assert(values(b) === Set("v1", "vb"))
+    } finally sys.props.remove("graft.publish.retryMs")
+  }
+
   test("stress: two live writers race unsynchronized — every commit lands " +
     "exactly once, generations = total commits") {
     val path = tmpDir("occ-stress")

@@ -55,7 +55,10 @@ class ObjectStoreProtocolSpec extends SparkTestBase {
     assert(pointerSwaps.nonEmpty)
     pointerSwaps.foreach { r =>
       assert(!r.srcIsDir, s"pointer swap must be a file: $r")
-      assert(r.src.endsWith("/_gen.tmp"), s"unexpected pointer source: $r")
+      // Attempt-unique staging: `_gen.<nonce>.tmp`, never a shared tmp
+      // two live publishers could interleave on.
+      assert(r.src.matches(".*/_gen\\.[0-9a-f]+\\.tmp"),
+        s"unexpected pointer source: $r")
     }
     // Manifests are never renamed into place (create-overwrite only).
     assert(!renames.exists(_.dst.contains("/_manifests/")))

@@ -397,9 +397,13 @@ class StateStoreSpec extends SparkTestBase {
     "the age guard defaults to the publish lease (young unreferenced dirs " +
     "survive), and the single-writer 0 override reclaims immediately") {
     implicit val s = spark
-    // Default: tied to the publish lease, never 0.
+    // Default: lease PLUS retry budget, never 0 — a commit blocked behind
+    // a reservation legitimately reuses its staged dir for up to the
+    // lease (takeover point) plus its retry budget before publishing, so
+    // the sweep threshold must clear both.
     assert(StateStore.compactSweepMinAgeMillis ===
-      graft.store.ManifestTable.publishLeaseMillis)
+      graft.store.ManifestTable.publishLeaseMillis +
+        graft.store.ManifestTable.publishRetryMillis)
     val store = new StateStore(tmpDir("sweep-default"), StateStore.ManifestCommit)
     store.writeBatch(Seq(req(0, ("t1", "a", "a0"))))
     store.writeBatch(Seq(req(1, ("t1", "b", "b1"))))
