@@ -267,12 +267,18 @@ object SoakIngest {
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
       val el = (System.currentTimeMillis() - t0) / 1000
       samples += ((el, head - ckpt, head - served, gen, mBytes, heapMb))
+      // head_checks_*: the pipeline's periodic head consistency probe
+      // (fires on the commit path every graft.headCheck.intervalMs) —
+      // the soak proves it RUNS beside live cross-process publishers,
+      // and that it stays clean on a conditional-create-honoring store.
+      val (hcClean, hcDamaged, _) = pipeline.headCheckStats
       println(s"""{"soak_sample":{"elapsed_sec":$el,"feeder_head":$head,""" +
         s""""ckpt_height":$ckpt,"commit_lag_blocks":${head - ckpt},""" +
         s""""served_height":$served,"serve_lag_blocks":${head - served},""" +
         s""""generation":$gen,"store_manifest_bytes":$mBytes,""" +
         s""""store_manifest_files":$mFiles,"target_manifest_bytes":$tBytes,""" +
-        s""""target_manifest_files":$tFiles,"heap_mb":$heapMb}}""")
+        s""""target_manifest_files":$tFiles,"heap_mb":$heapMb,""" +
+        s""""head_checks_clean":$hcClean,"head_checks_damaged":$hcDamaged}}""")
       // Operator-cadence maintenance: compact the serving table's accreted
       // merge generations every ~5 min (rides through the changefeed as a
       // dataChange=false rewrite), then RETENTION-SWEEP both the store's
@@ -301,10 +307,14 @@ object SoakIngest {
           targetMt.sweepOrphanFiles(retainGenerations = 180, minAgeMillis = 120000L).size
         val sweptStore = store.manifestTableFor(store.tabletRowsPath)
           .sweepOrphans(retainGenerations = 180, minAgeMillis = 120000L).size
+        // The serving target has two cross-process publishers racing on
+        // it — check ITS head too, each maintenance cycle.
+        val targetHead = targetMt.verifyHead().getOrElse("clean")
         println(s"""{"soak_compact":{"elapsed_sec":$el,""" +
           s""""serve_pause_ms":0,"compact_ms":$compactMs,""" +
           s""""maintenance_ms":${System.currentTimeMillis() - t0c},""" +
-          s""""swept_store_dirs":$sweptStore,"swept_target":$sweptTarget}}""")
+          s""""swept_store_dirs":$sweptStore,"swept_target":$sweptTarget,""" +
+          s""""target_head_check":"$targetHead"}}""")
         lastCompact = System.currentTimeMillis()
       }
     }

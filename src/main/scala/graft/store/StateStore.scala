@@ -369,6 +369,23 @@ final class StateStore(
     case RenameCommit => (0L, 0L, 0L)
   }
 
+  /** Head consistency cross-check over this store's manifest tables
+    * ([[graft.store.ManifestTable.verifyHead]]): empty = every published
+    * head's pointer owner matches its sidecar owner. A non-empty result
+    * is the signature of a stale-writer clobber that landed AFTER a
+    * publish — on a conditional-create store the fencing protocol
+    * prevents it, so this firing means the store is NOT honoring the
+    * documented contract (e.g. multi-writer on a blind-PUT object
+    * store). Two small metadata reads per table; cheap enough for a
+    * periodic maintenance probe ([[graft.streaming.IngestionPipeline]]
+    * runs it on `graft.headCheck.intervalMs`). Empty under
+    * [[StateStore.RenameCommit]] (no pointer to check). */
+  def verifyHeads(): Seq[String] = commitProtocol match {
+    case ManifestCommit =>
+      Seq(manifestTabletRows, manifestSingletEntries).flatMap(_.verifyHead())
+    case RenameCommit => Seq.empty
+  }
+
   def writeTabletRows(
       df: DataFrame,
       commitId: String = java.util.UUID.randomUUID().toString): Boolean = {

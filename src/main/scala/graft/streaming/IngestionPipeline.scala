@@ -199,6 +199,12 @@ final class IngestionPipeline(
     if (asyncIndexMaintenance) signalMaintenance()
     else indexCache.tabletsToIndex().take(maxIndexBuildsPerBatch)
       .foreach(t => buildIndexFor(t, collectionAt(t), hi))
+
+    // (5) Periodic head consistency probe (time-gated; two small reads
+    // per manifest table per interval) — the operational detector for
+    // stale-writer clobber damage on a store that does not honor the
+    // conditional-create contract.
+    maybeHeadCheck()
   }
 
   private val collectionOf =
@@ -216,6 +222,73 @@ final class IngestionPipeline(
   /** (backlog depth, last build wall-millis or -1, builds completed). */
   def maintenanceStats: (Int, Long, Long) =
     (indexCache.tabletsToIndex().size, lastBuildMillis.get(), buildsCompleted.get())
+
+  // ------------------------------------------------- periodic head check
+  // [[StateStore.verifyHeads]] is the ONLY detector for the damage a
+  // store without conditional create can admit (a stale publisher's
+  // blind sidecar overwrite landing after a publish — documented in
+  // README's store-requirements table). Running it only in specs and at
+  // soak exit means an operator on a misconfigured store finds out at an
+  // audit; running it here, time-gated on the commit path, means they
+  // find out within minutes. Cost: two small metadata reads per manifest
+  // table per interval — invisible at any commit cadence.
+
+  private val headChecksClean = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val headChecksDamaged = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val lastHeadCheckMs = new java.util.concurrent.atomic.AtomicLong(-1L)
+  @volatile private var lastHeadProblemVar: Option[String] = None
+
+  /** The most recent damage report (sticky until a clean check clears
+    * it), for operators following up a nonzero damaged gauge. */
+  def lastHeadProblem: Option[String] = lastHeadProblemVar
+
+  /** (clean checks, damaged checks, last-check epoch millis or -1) —
+    * surfaced as PipelineMetrics gauges beside the contention counters. */
+  def headCheckStats: (Long, Long, Long) =
+    (headChecksClean.get(), headChecksDamaged.get(), lastHeadCheckMs.get())
+
+  /** Run the head cross-check NOW; returns the problems (empty = clean)
+    * and updates the gauges. Never throws — a failed check is a logged
+    * gauge, not a failed commit. */
+  def headCheckNow(): Seq[String] = {
+    val problems =
+      try store.verifyHeads()
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          log.warn("head consistency check failed to run — will retry " +
+            "next interval", e)
+          return Seq.empty // ran into IO trouble: neither clean nor damaged
+      }
+    lastHeadCheckMs.set(System.currentTimeMillis())
+    if (problems.isEmpty) {
+      headChecksClean.incrementAndGet()
+      lastHeadProblemVar = None
+    } else {
+      headChecksDamaged.incrementAndGet()
+      lastHeadProblemVar = Some(problems.mkString("; "))
+      problems.foreach(p => log.error(
+        s"HEAD CONSISTENCY CHECK FAILED — a published generation's sidecar " +
+          s"was overwritten after its publish (is this store honoring the " +
+          s"conditional-create contract? see README store requirements): $p"))
+    }
+    problems
+  }
+
+  /** [[IngestionPipeline.headCheckIntervalMillis]] gate, piggybacked on
+    * every commit (both sync and async maintenance modes commit): no-op
+    * until the interval elapses, so the probe cost is per-interval, not
+    * per-batch. */
+  private def maybeHeadCheck(): Unit = {
+    val interval = IngestionPipeline.headCheckIntervalMillis
+    if (interval <= 0L) return
+    val last = lastHeadCheckMs.get()
+    val now = System.currentTimeMillis()
+    if ((last < 0L || now - last >= interval) &&
+        lastHeadCheckMs.compareAndSet(last, now)) {
+      headCheckNow()
+      ()
+    }
+  }
 
   /** Build (or incrementally extend) `tablet`'s snapshot pinned at `hi`
     * — the reference's TabletIndex write (write.go:64–69), shared by the
@@ -490,7 +563,8 @@ final class IngestionPipeline(
     // early-warning signal for an undersized lease or a hot table.
     val m = new PipelineMetrics(forkDB, headTimestampMillis,
       maintenanceOf = Some(() => maintenanceStats),
-      contentionOf = Some(() => store.publishContentionStats))
+      contentionOf = Some(() => store.publishContentionStats),
+      headCheckOf = Some(() => headCheckStats))
     spark.streams.addListener(m)
     m
   }
@@ -502,6 +576,19 @@ final class IngestionPipeline(
 }
 
 object IngestionPipeline {
+  /** Cadence of the pipeline's periodic head consistency probe
+    * ([[graft.store.StateStore.verifyHeads]]), piggybacked on commits.
+    * Default 3 minutes; `graft.headCheck.intervalMs=0` disables. On a
+    * conditional-create store the probe never fires damaged — it exists
+    * for the operator whose store configuration is NOT what they think
+    * it is (e.g. S3A without `fs.s3a.create.conditional.enabled`), whose
+    * first clobber should surface in minutes, not at an audit. */
+  def headCheckIntervalMillis: Long =
+    sys.props.get("graft.headCheck.intervalMs")
+      .orElse(sys.env.get("GRAFT_HEAD_CHECK_INTERVAL_MS"))
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(180000L)
+
   /** Run `body` (typically a `writeStream.start()`) with the calling
     * thread's scheduler pool set to `pool`, restoring the previous value
     * after. Structured Streaming captures the START thread's local

@@ -22,7 +22,8 @@ final class PipelineMetrics(
     headTimestampMillis: Option[Long => Long] = None,
     clockMillis: () => Long = () => System.currentTimeMillis(),
     maintenanceOf: Option[() => (Int, Long, Long)] = None,
-    contentionOf: Option[() => (Long, Long, Long)] = None)
+    contentionOf: Option[() => (Long, Long, Long)] = None,
+    headCheckOf: Option[() => (Long, Long, Long)] = None)
     extends StreamingQueryListener {
 
   private val headNum = new AtomicLong(-1L)
@@ -37,6 +38,9 @@ final class PipelineMetrics(
   private val pubLost = new AtomicLong(-1L)
   private val pubTakeovers = new AtomicLong(-1L)
   private val pubFenced = new AtomicLong(-1L)
+  private val headClean = new AtomicLong(-1L)
+  private val headDamaged = new AtomicLong(-1L)
+  private val headLastMs = new AtomicLong(-1L)
 
   /** HeadBlockNumber gauge (-1 until the first sampled block). */
   def headBlockNumber: Long = headNum.get()
@@ -82,6 +86,21 @@ final class PipelineMetrics(
     * designed, but frequent hits mean the lease is badly undersized. */
   def publishFenced: Long = pubFenced.get()
 
+  /** Periodic head consistency checks that came back CLEAN (-1 without a
+    * hook). See [[graft.store.StateStore.verifyHeads]]. */
+  def headChecksClean: Long = headClean.get()
+
+  /** Head checks that found a published generation's sidecar overwritten
+    * AFTER its publish (-1 without a hook). NONZERO IS AN INCIDENT: the
+    * store admitted a write the conditional-create contract forbids —
+    * committed data may resolve to a stale publisher's record. Check the
+    * pipeline's `lastHeadProblem` for the damaged table/generation. */
+  def headChecksDamaged: Long = headDamaged.get()
+
+  /** Epoch millis of the last head check (-1 until one runs) — proves
+    * the probe is actually running at its configured cadence. */
+  def headCheckLastMillis: Long = headLastMs.get()
+
   /** One flat scrape of every gauge. */
   def snapshot: Map[String, Long] = Map(
     "head_block_num" -> headBlockNumber,
@@ -95,7 +114,10 @@ final class PipelineMetrics(
     "index_builds_completed" -> indexBuildsCompleted,
     "publish_lost_races" -> publishLostRaces,
     "publish_lease_takeovers" -> publishLeaseTakeovers,
-    "publish_fenced" -> publishFenced)
+    "publish_fenced" -> publishFenced,
+    "head_checks_clean" -> headChecksClean,
+    "head_checks_damaged" -> headChecksDamaged,
+    "head_check_last_millis" -> headCheckLastMillis)
 
   /** Sample the fork state now (also invoked per progress event). */
   def sample(): Unit = {
@@ -116,6 +138,12 @@ final class PipelineMetrics(
       pubLost.set(lost)
       pubTakeovers.set(takeovers)
       pubFenced.set(fenced)
+    }
+    headCheckOf.foreach { f =>
+      val (clean, damaged, lastMs) = f()
+      headClean.set(clean)
+      headDamaged.set(damaged)
+      headLastMs.set(lastMs)
     }
   }
 

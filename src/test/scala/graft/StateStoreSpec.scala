@@ -393,6 +393,50 @@ class StateStoreSpec extends SparkTestBase {
     assert(mt.readAt(0L).count() === 0L)
   }
 
+  test("OPERATIONAL HEAD CHECK: clean on an honest store; a post-publish " +
+    "sidecar clobber flips the damaged gauge, lastHeadProblem names the " +
+    "table, and the PipelineMetrics snapshot carries all three gauges") {
+    implicit val s = spark
+    val root = tmpDir("head-check")
+    val store = new StateStore(root, StateStore.ManifestCommit)
+    val pipeline = new graft.streaming.IngestionPipeline(store)
+    store.writeBatch(Seq(req(0, ("t1", "a", "a0")), req(1, ("t1", "b", "b1"))))
+    // Clean store: the probe passes, the clean counter moves.
+    assert(pipeline.headCheckNow() === Seq.empty)
+    assert(pipeline.headCheckStats._1 === 1L)
+    assert(pipeline.headCheckStats._2 === 0L)
+    assert(pipeline.lastHeadProblem === None)
+    // Simulate the damage only a non-conditional-create store admits: a
+    // stale publisher's blind sidecar overwrite landing AFTER the
+    // winner's publish (foreign owner, same generation).
+    val sp = new org.apache.hadoop.fs.Path(
+      f"$root/tablet_rows/_manifests/d-${1L}%09d.json")
+    val fs = sp.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(sp)
+    val orig =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    val clobbered = orig.replaceAll(
+      """"owner":"[0-9a-f]+"""", """"owner":"deadbeefdeadbeefdeadbeefdeadbeef"""")
+    assert(clobbered !== orig, "sidecar must have carried an owner to clobber")
+    val out = fs.create(sp, true)
+    try out.write(clobbered.getBytes("UTF-8")) finally out.close()
+    // The next probe sees pointer owner != sidecar owner and flags it.
+    val problems = pipeline.headCheckNow()
+    assert(problems.nonEmpty, "the clobber must be detected")
+    assert(pipeline.headCheckStats._2 === 1L)
+    assert(pipeline.lastHeadProblem.exists(_.contains("tablet_rows")))
+    // The gauges ride the same listener-bus snapshot as everything else.
+    val m = pipeline.registerMetrics()
+    try {
+      m.sample()
+      val snap = m.snapshot
+      assert(snap("head_checks_clean") === 1L)
+      assert(snap("head_checks_damaged") === 1L)
+      assert(snap("head_check_last_millis") > 0L)
+    } finally spark.streams.removeListener(m)
+  }
+
   test("compaction's inline sweep is SAFE-BY-DEFAULT beside live writers: " +
     "the age guard defaults to the publish lease (young unreferenced dirs " +
     "survive), and the single-writer 0 override reclaims immediately") {
