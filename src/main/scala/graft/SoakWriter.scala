@@ -62,7 +62,8 @@ object SoakWriter {
           lastMs = System.currentTimeMillis() - t0
           println(s"""{"soak_fork_writer":{"compactions":$compactions,""" +
             s""""compact_ms":$lastMs,"lost_races":${t.lostRaceCount.get()},""" +
-            s""""fenced":${t.fencedPublishCount.get()}}}""")
+            s""""fenced":${t.fencedPublishCount.get()},""" +
+            s""""rebased":${t.rebasedMergeCount.get()}}}""")
         } else skipped += 1L
       } catch {
         case scala.util.control.NonFatal(e) =>
@@ -79,6 +80,7 @@ object SoakWriter {
       s""""fork_writer_lost_races":${t.lostRaceCount.get()},""" +
       s""""fork_writer_takeovers":${t.leaseTakeoverCount.get()},""" +
       s""""fork_writer_fenced":${t.fencedPublishCount.get()},""" +
+      s""""fork_writer_rebased":${t.rebasedMergeCount.get()},""" +
       s""""fork_writer_head_check":"${t.verifyHead().getOrElse("clean")}"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(summaryFile),
       summary.getBytes("UTF-8"))

@@ -188,6 +188,10 @@ final class ManifestTable(val tablePath: String, schema: StructType,
   val lostRaceCount = new java.util.concurrent.atomic.AtomicLong(0L)
   val leaseTakeoverCount = new java.util.concurrent.atomic.AtomicLong(0L)
   val fencedPublishCount = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Merge attempts re-stamped onto a new head WITHOUT re-deriving
+    * ([[rebaseStagedMerge]]): each one is a whole merge derivation
+    * (scan + argmax + write) that a lost race did NOT cost. */
+  val rebasedMergeCount = new java.util.concurrent.atomic.AtomicLong(0L)
 
   // Min-reader gate: every publish writes the g4 owner-carrying frame,
   // which pre-fencing readers (g2/g3-only parsers) reject loudly — the
@@ -1622,45 +1626,157 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     require(keyCols.nonEmpty, "merge requires at least one key column")
     require(freshRowsPerFile > 0,
       s"freshRowsPerFile must be positive, got $freshRowsPerFile")
-    // Optimistic-concurrency loop: a merge's ENTIRE derivation (matched
-    // files, argmax winners, fresh split) depends on the base generation,
-    // so a lost race recomputes everything from the new head — the
-    // concurrent winner's rows then participate in the argmax, which is
-    // exactly the serializable outcome (merge-after-their-commit). While
-    // the next generation is RESERVED by a live foreign publisher (a
-    // compaction hold), the cheap probe skips the derivation entirely:
-    // the base cannot move until the hold resolves, so re-deriving into a
-    // doomed own attempt would be pure churn.
+    // Optimistic-concurrency loop. A merge's derivation (matched files,
+    // argmax winners, fresh split) depends on the base generation, but a
+    // lost race does NOT automatically recompute it: the staged attempt
+    // is RETAINED and rebased onto the new head when every generation
+    // that landed since is provably disjoint ([[rebaseStagedMerge]]) —
+    // two metadata reads and a re-own instead of re-running the whole
+    // derivation. Only an overlapping or matched-file-rewriting
+    // intervener forces the recompute, whose argmax then includes the
+    // winner's rows — the serializable merge-after-their-commit outcome
+    // either way. While the next generation is RESERVED by a live
+    // foreign publisher (a compaction hold), the cheap probe skips the
+    // attempt entirely: the base cannot move until the hold resolves.
     var attempt = 0
     val startedAt = System.currentTimeMillis()
-    while (true) {
-      val blocked = currentGeneration().getOrElse(0L) + 1 match {
-        case next => heldByForeign(next, commitId)
+    var staged: Option[StagedMerge] = None
+    var lastBlocked = false
+    try {
+      while (true) {
+        val head = currentGeneration().getOrElse(0L)
+        val next = head + 1
+        lastBlocked = heldByForeign(next, commitId)
+        if (!lastBlocked) {
+          val headEntries = cachedEntriesAt(head)
+          if (headEntries.exists(_.commitId == commitId)) {
+            // A sibling replay of this commitId published it first: an
+            // idempotent skip. Our own retained attempt (if any) is dead
+            // — reclaim it (the guard keeps it if anything could still
+            // reference it).
+            staged.foreach(s => dropStagedIfDead(commitId, s.stagedGen))
+            staged = None
+            return MergeReport(rewritten = 0,
+              kept = headEntries.map(_.files.size).sum, applied = false)
+          }
+          staged match {
+            case Some(s) if s.baseGen != head =>
+              rebaseStagedMerge(s, head, headEntries, keyCols) match {
+                case Some(rebased) =>
+                  rebasedMergeCount.incrementAndGet()
+                  log.info(s"merge '$commitId' into $tablePath rebased its " +
+                    s"staged attempt from generation ${s.baseGen} onto $head " +
+                    "(landed changes disjoint from the touched keys)")
+                  staged = Some(rebased)
+                case None =>
+                  log.info(s"merge '$commitId' into $tablePath cannot rebase " +
+                    s"onto generation $head (overlapping keys, or a matched " +
+                    "file was rewritten) — recomputing")
+                  dropStagedIfDead(commitId, s.stagedGen)
+                  staged = None
+              }
+            case _ => ()
+          }
+          if (staged.isEmpty)
+            deriveMerge(head, headEntries, updates, keyCols, orderCol,
+              deleteCol, commitId, keepTombstones, maxTouchedKeys,
+              freshRowsPerFile) match {
+              case Left(report) => return report
+              case Right(s) => staged = Some(s)
+            }
+          publishStagedMerge(staged.get, next, headEntries, commitId) match {
+            case Some(report) =>
+              staged = None
+              return report
+            case None => () // lost/fenced: retained for a rebase attempt
+          }
+        }
+        attempt += 1
+        val elapsed = System.currentTimeMillis() - startedAt
+        if (elapsed >= publishRetryMillis) throw new ConcurrentPublishException(
+          s"merge '$commitId' into $tablePath lost the generation race for " +
+            s"${elapsed / 1000}s across $attempt attempts (a publisher keeps " +
+            "winning, or a dead reservation is inside its lease) — giving up")
+        log.info(s"merge '$commitId' into $tablePath " +
+          (if (lastBlocked) "is waiting out a held generation reservation"
+           else "lost a generation race — reconciling with the new head"))
+        publishBackoff(attempt)
       }
-      val result =
-        if (blocked) None
-        else mergeOnce(updates, keyCols, orderCol, deleteCol, commitId,
-          keepTombstones, maxTouchedKeys, freshRowsPerFile)
-      result match {
-        case Some(report) => return report
-        case None =>
-          attempt += 1
-          val elapsed = System.currentTimeMillis() - startedAt
-          if (elapsed >= publishRetryMillis) throw new ConcurrentPublishException(
-            s"merge '$commitId' into $tablePath lost the generation race for " +
-              s"${elapsed / 1000}s across $attempt attempts (a publisher keeps " +
-              "winning, or a dead reservation is inside its lease) — giving up")
-          log.info(s"merge '$commitId' into $tablePath " +
-            (if (blocked) "is waiting out a held generation reservation"
-             else "lost a generation race — recomputing from the new head"))
-          publishBackoff(attempt)
-      }
+      throw new IllegalStateException("unreachable")
+    } finally {
+      // Give-up (retry budget exhausted) or a propagated failure:
+      // best-effort reclaim of the retained attempt. The guard refuses
+      // while the generation is unpublished or anything references the
+      // directory; the age-gated sweep collects what it keeps.
+      staged.foreach(s => dropStagedIfDead(commitId, s.stagedGen))
     }
-    throw new IllegalStateException("unreachable")
   }
 
-  /** One optimistic merge attempt; None = lost the generation race. */
-  private def mergeOnce(
+  /** Does a file whose per-column bounds are `bounds` possibly contain
+    * any touched key? Conservative in both directions a merge needs: no
+    * recorded bounds always matches, and bounds are true min/max so an
+    * exclusion is definitive. The ONE matcher for derivation-time file
+    * matching and rebase-time overlap checks — a drifted copy would let
+    * the two disagree about what "touches" a key. */
+  private def fileMatchesKeys(bounds: Map[String, (StatVal, StatVal)],
+      keyTuples: Array[Array[StatVal]], keyCols: Seq[String]): Boolean =
+    keyTuples.exists { tup =>
+      keyCols.indices.forall { i =>
+        bounds.get(keyCols(i)) match {
+          case None => true // no bounds recorded: conservatively match
+          case Some((lo, hi)) =>
+            cmp(lo, tup(i)) <= 0 && cmp(hi, tup(i)) >= 0
+        }
+      }
+    }
+
+  /** `entries` with the named files removed (stats/bytes kept aligned);
+    * entries left empty disappear. The kept side of a merge publish —
+    * untouched files carry into the new generation verbatim. */
+  private def entriesWithout(entries: Seq[ManifestEntry],
+      drop: Set[String]): Seq[ManifestEntry] =
+    entries.map { e =>
+      val sizeOf: Map[String, Long] =
+        if (e.bytes.size == e.files.size) e.files.zip(e.bytes).toMap
+        else Map.empty
+      val kept = e.files.zip(e.stats).filterNot { case (f, _) => drop.contains(f) }
+      ManifestEntry(e.commitId, kept.map(_._1), kept.map(_._2),
+        if (sizeOf.isEmpty) Nil else kept.map(p => sizeOf(p._1)))
+    }.filter(_.files.nonEmpty)
+
+  /** Re-stamp a staged merge onto a NEW head without re-deriving.
+    * Eligible iff (a) every file the derivation rewrote is still live at
+    * the new head (a compaction/merge that rewrote one changed rows the
+    * staged result consumed — including a tombstone merge that dropped a
+    * touched key, since dropping it required rewriting the file that
+    * held it), and (b) no file ADDED since the derivation's base can
+    * contain any touched key, judged by the same per-file bounds the
+    * derivation matched with (missing bounds conservatively overlap).
+    * Under (a)+(b) the staged argmax equals what a recompute at the new
+    * head would produce — the landed generations touched only foreign
+    * keys — so publishing it IS the serializable outcome. Pure metadata:
+    * no Spark job, no data movement. None = ineligible, recompute. */
+  private def rebaseStagedMerge(s: StagedMerge, head: Long,
+      headEntries: Seq[ManifestEntry],
+      keyCols: Seq[String]): Option[StagedMerge] = {
+    val headFileStats: Seq[(String, Map[String, (StatVal, StatVal)])] =
+      headEntries.flatMap(e => e.files.zip(e.stats))
+    val headFiles = headFileStats.iterator.map(_._1).toSet
+    if (!s.matchedFiles.forall(headFiles.contains)) return None
+    val overlap = headFileStats.exists { case (f, bounds) =>
+      !s.baseFiles.contains(f) && fileMatchesKeys(bounds, s.keyTuples, keyCols)
+    }
+    if (overlap) None
+    else Some(s.copy(baseGen = head, baseFiles = headFiles))
+  }
+
+  /** One merge derivation from base generation `head`: touched keys,
+    * matched files, argmax winners, staged data write — the heavy half
+    * of a merge; everything after it is metadata. Left = nothing to do
+    * (empty update batch). */
+  private def deriveMerge(
+      head: Long,
+      headEntries: Seq[ManifestEntry],
       updates: DataFrame,
       keyCols: Seq[String],
       orderCol: String,
@@ -1668,14 +1784,8 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       commitId: String,
       keepTombstones: Boolean,
       maxTouchedKeys: Long,
-      freshRowsPerFile: Long): Option[MergeReport] = {
+      freshRowsPerFile: Long): Either[MergeReport, StagedMerge] = {
     import org.apache.spark.sql.functions._
-    val gen = currentGeneration().getOrElse(0L)
-    val entries = cachedEntriesAt(gen)
-    if (entries.exists(_.commitId == commitId))
-      return Some(MergeReport(rewritten = 0, kept = entries.map(_.files.size).sum,
-        applied = false))
-
     // Touched keys, driver-side. Micro-batch-bounded by contract — and
     // the contract is ENFORCED, not just documented: the collect itself
     // is limited to budget+1 rows, so an accidental table-sized update
@@ -1692,31 +1802,15 @@ final class ManifestTable(val tablePath: String, schema: StructType,
         "micro-batch-sized. Use replaceAll for table-sized updates, or " +
         "raise GRAFT_MERGE_MAX_TOUCHED_KEYS deliberately.")
     if (keyRows.isEmpty)
-      return Some(MergeReport(0, entries.map(_.files.size).sum, applied = false))
+      return Left(MergeReport(0, headEntries.map(_.files.size).sum, applied = false))
     val keyTuples: Array[Array[StatVal]] =
       keyRows.map(r => keyCols.indices.map(i => toStatVal(r.get(i))).toArray)
 
-    def fileMatches(bounds: Map[String, (StatVal, StatVal)]): Boolean =
-      keyTuples.exists { tup =>
-        keyCols.indices.forall { i =>
-          bounds.get(keyCols(i)) match {
-            case None => true // no bounds recorded: conservatively match
-            case Some((lo, hi)) =>
-              cmp(lo, tup(i)) <= 0 && cmp(hi, tup(i)) >= 0
-          }
-        }
+    val matchedFiles = headEntries.flatMap { e =>
+      e.files.zip(e.stats).collect {
+        case (f, st) if fileMatchesKeys(st, keyTuples, keyCols) => f
       }
-
-    val (matched, kept) = entries.map { e =>
-      val sizeOf: Map[String, Long] =
-        if (e.bytes.size == e.files.size) e.files.zip(e.bytes).toMap
-        else Map.empty
-      val (m, k) = e.files.zip(e.stats).partition { case (_, st) => fileMatches(st) }
-      (m.map(_._1), ManifestEntry(e.commitId, k.map(_._1), k.map(_._2),
-        if (sizeOf.isEmpty) Nil else k.map(f => sizeOf(f._1))))
-    }.unzip
-    val matchedFiles = matched.flatten
-    val keptEntries = kept.filter(_.files.nonEmpty)
+    }
 
     // Rewrite = LWW argmax over (matched files' rows ∪ updates); ties on
     // orderCol go to the updates side; winning tombstones drop the key.
@@ -1741,7 +1835,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       .select(col("__had") +: cols.map(n => col(s"w.$n").as(n)): _*)
     val merged = if (keepTombstones) winners else winners.where(!col(deleteCol))
 
-    val next = gen + 1
+    val next = head + 1
     val dataDir = s"$tablePath/d-$commitId-g$next"
     val (rwFiles, allSized) =
       if (matchedFiles.isEmpty) {
@@ -1791,6 +1885,19 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       throw new IllegalStateException(s"injected crash before publish of $commitId")
     val mergedEntry = ManifestEntry(commitId, allFiles,
       collectStats(dataDir, allFiles), allSized.map(_._2))
+    Right(StagedMerge(head, headEntries.iterator.flatMap(_.files).toSet,
+      next, matchedFiles, keyTuples, mergedEntry, freshFiles))
+  }
+
+  /** Publish a staged merge attempt as generation `next` on top of
+    * `headEntries` (= generation `next - 1`). Pure metadata: kept
+    * entries are the head minus the matched files, the staged entry is
+    * appended, and the own/fence/swap protocol is the same one every
+    * publisher walks. None = lost the race or fenced — the caller keeps
+    * the staged attempt and reconciles with the new head. */
+  private def publishStagedMerge(s: StagedMerge, next: Long,
+      headEntries: Seq[ManifestEntry], commitId: String): Option[MergeReport] = {
+    val keptEntries = entriesWithout(headEntries, s.matchedFiles.toSet)
     beforeOwnHook()
     // Rewrite iff some previously-live file actually left the manifest —
     // the same file-level criterion the changefeed's fallback diff
@@ -1798,8 +1905,8 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     // plain append of the update batch). The fresh list is per-file
     // dataChange for emitFresh subscribers.
     val nonce = newNonce()
-    tryOwnGeneration(next, mergedEntry, rewrite = matchedFiles.nonEmpty,
-      fresh = if (matchedFiles.nonEmpty) Some(freshFiles) else None,
+    tryOwnGeneration(next, s.entry, rewrite = s.rewrite,
+      fresh = if (s.rewrite) Some(s.freshFiles) else None,
       nonce) match {
       case Owned =>
         try {
@@ -1807,24 +1914,22 @@ final class ManifestTable(val tablePath: String, schema: StructType,
           // manifest overwrite (same guard as commit's checkpoint path).
           if (!stillOwns(next, nonce)) {
             fencedPublishCount.incrementAndGet()
-            dropStagedIfDead(commitId, next)
             None
           } else {
-            writeManifest(next, keptEntries :+ mergedEntry)
-            publishOwned(next, commitId, nonce, mergedEntry,
-              rewrite = matchedFiles.nonEmpty,
-              fresh = if (matchedFiles.nonEmpty) Some(freshFiles) else None)
-            entriesCache = Some((next, keptEntries :+ mergedEntry))
-            Some(MergeReport(rewritten = matchedFiles.size,
+            writeManifest(next, keptEntries :+ s.entry)
+            publishOwned(next, commitId, nonce, s.entry,
+              rewrite = s.rewrite,
+              fresh = if (s.rewrite) Some(s.freshFiles) else None)
+            entriesCache = Some((next, keptEntries :+ s.entry))
+            Some(MergeReport(rewritten = s.matchedFiles.size,
               kept = keptEntries.map(_.files.size).sum, applied = true))
           }
         } catch {
           case _: ConcurrentPublishException =>
-            // Fenced at the swap: the merge's whole derivation is stale
-            // — same outcome as a lost own race, recomputed by the
-            // caller's retry loop.
+            // Fenced at the swap: someone else published this generation.
+            // The staged attempt is NOT dead — the caller rebases it onto
+            // the new head when the landed change is disjoint.
             fencedPublishCount.incrementAndGet()
-            dropStagedIfDead(commitId, next)
             None
           case scala.util.control.NonFatal(e) =>
             // A LIVE publisher whose post-own step failed must not hold
@@ -1834,18 +1939,18 @@ final class ManifestTable(val tablePath: String, schema: StructType,
         }
       case AlreadyPublishedByUs =>
         // A sibling replay of this commitId finished it mid-attempt: an
-        // idempotent skip, reported like the entry-cache one. The staged
-        // dir is the sibling's deterministic dir too — leave it alone.
+        // idempotent skip, reported like the entry-cache one. Leave the
+        // staged dir alone (when the sibling staged at the same
+        // generation it IS the sibling's dir; otherwise the sweep
+        // collects ours once aged).
         Some(MergeReport(rewritten = 0,
           kept = cachedEntriesAt(currentGeneration().getOrElse(0L))
             .map(_.files.size).sum,
           applied = false))
       case OwnConflict =>
         lostRaceCount.incrementAndGet()
-        // The derivation (and its staged directory) is dead — a foreign
-        // publisher holds/published the generation; reclaim before the
-        // recompute instead of leaving it for a sweep.
-        dropStagedIfDead(commitId, next)
+        // Retained: the caller reconciles (rebase or recompute) once the
+        // holder publishes or its lease lapses.
         None
     }
   }
@@ -2066,6 +2171,25 @@ object ManifestTable {
     * Spark prune predicates evaluated by Spark without ordering drift
     * (Java `String.compareTo` is UTF-16 code-unit order and DISAGREES on
     * supplementary characters). */
+  /** A fully-derived, staged-but-unpublished merge attempt: everything a
+    * publish needs, retained across lost generation races so a disjoint
+    * rebase can re-stamp the staged result onto a new head without
+    * re-running the derivation. `stagedGen` is the generation in the
+    * staged directory's NAME (base+1 at derivation time) — a rebased
+    * attempt publishes that directory under a LATER generation, which
+    * `dropStagedIfDead` and the sweeps already accommodate (liveness is
+    * judged by path references, not by the name's generation). */
+  private[store] final case class StagedMerge(
+      baseGen: Long,
+      baseFiles: Set[String],
+      stagedGen: Long,
+      matchedFiles: Seq[String],
+      keyTuples: Array[Array[StatVal]],
+      entry: ManifestEntry,
+      freshFiles: Seq[String]) {
+    def rewrite: Boolean = matchedFiles.nonEmpty
+  }
+
   private[graft] sealed trait StatVal
   private[graft] final case class LongVal(v: Long) extends StatVal
   private[graft] final case class BytesVal(v: Array[Byte]) extends StatVal

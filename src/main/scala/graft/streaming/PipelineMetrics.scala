@@ -22,7 +22,7 @@ final class PipelineMetrics(
     headTimestampMillis: Option[Long => Long] = None,
     clockMillis: () => Long = () => System.currentTimeMillis(),
     maintenanceOf: Option[() => (Int, Long, Long)] = None,
-    contentionOf: Option[() => (Long, Long, Long)] = None,
+    contentionOf: Option[() => (Long, Long, Long, Long)] = None,
     headCheckOf: Option[() => (Long, Long, Long)] = None)
     extends StreamingQueryListener {
 
@@ -38,6 +38,7 @@ final class PipelineMetrics(
   private val pubLost = new AtomicLong(-1L)
   private val pubTakeovers = new AtomicLong(-1L)
   private val pubFenced = new AtomicLong(-1L)
+  private val pubRebased = new AtomicLong(-1L)
   private val headClean = new AtomicLong(-1L)
   private val headDamaged = new AtomicLong(-1L)
   private val headLastMs = new AtomicLong(-1L)
@@ -86,6 +87,15 @@ final class PipelineMetrics(
     * designed, but frequent hits mean the lease is badly undersized. */
   def publishFenced: Long = pubFenced.get()
 
+  /** Merge publishes that lost a race but REBASED their staged attempt
+    * onto the new head instead of re-deriving (-1 without a hook): each
+    * one is a whole merge derivation the contention did not cost. High
+    * fenced/lost counts with high rebased counts = contention is being
+    * absorbed cheaply; high lost with ZERO rebased = every loss pays a
+    * recompute (overlapping key sets, or compactions rewriting the
+    * merge's matched files). */
+  def publishRebasedMerges: Long = pubRebased.get()
+
   /** Periodic head consistency checks that came back CLEAN (-1 without a
     * hook). See [[graft.store.StateStore.verifyHeads]]. */
   def headChecksClean: Long = headClean.get()
@@ -115,6 +125,7 @@ final class PipelineMetrics(
     "publish_lost_races" -> publishLostRaces,
     "publish_lease_takeovers" -> publishLeaseTakeovers,
     "publish_fenced" -> publishFenced,
+    "publish_rebased_merges" -> publishRebasedMerges,
     "head_checks_clean" -> headChecksClean,
     "head_checks_damaged" -> headChecksDamaged,
     "head_check_last_millis" -> headCheckLastMillis)
@@ -134,10 +145,11 @@ final class PipelineMetrics(
       idxBuilds.set(builds)
     }
     contentionOf.foreach { f =>
-      val (lost, takeovers, fenced) = f()
+      val (lost, takeovers, fenced, rebased) = f()
       pubLost.set(lost)
       pubTakeovers.set(takeovers)
       pubFenced.set(fenced)
+      pubRebased.set(rebased)
     }
     headCheckOf.foreach { f =>
       val (clean, damaged, lastMs) = f()

@@ -37,6 +37,10 @@ class ManifestConcurrencySpec extends SparkTestBase {
   private def values(t: ManifestTable): Set[String] =
     t.read().collect().map(_.getAs[String]("v")).toSet
 
+  private def byKeyOf(t: ManifestTable): Map[String, String] =
+    t.read().collect().map(r =>
+      r.getAs[String]("k") -> r.getAs[String]("v")).toMap
+
   private def oneShot(body: => Unit): () => Unit = {
     val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
     () => if (fired.compareAndSet(false, true)) body
@@ -445,24 +449,79 @@ class ManifestConcurrencySpec extends SparkTestBase {
     assert(values(a) === Set("v1", "v2"))
   }
 
-  test("LOSER CLEANUP: a merge that loses its race reclaims its dead " +
-    "staged directory before recomputing — no unreferenced attempt dirs " +
-    "remain without a sweep") {
-    val path = tmpDir("occ-clean-merge")
+  test("MERGE REBASE: a merge that loses its race to a DISJOINT commit " +
+    "re-stamps its staged attempt onto the new head — no recompute, the " +
+    "staged directory publishes under the later generation") {
+    val path = tmpDir("occ-rebase-merge")
     val a = table(path)
     val b = table(path)
     assert(a.commit(df(("k1", 1L, false, "v1"), ("k2", 1L, false, "v2")), "c1"))
+    // B lands k3 in exactly A's own window — disjoint from A's touched
+    // key k2, and c1's matched file is untouched, so the staged argmax
+    // is still the serializable outcome at the new head.
     a.beforeOwnHook = oneShot { b.commit(df(("k3", 2L, false, "v3")), "cB") }
     val report = a.merge(df(("k2", 2L, false, "v2x")), Seq("k"),
       orderCol = "height", deleteCol = "del", commitId = "m1")
     assert(report.applied)
     assert(a.currentGeneration() === Some(3L))
-    // d-m1-g2 (the lost first derivation) is gone; only referenced dirs
-    // (c1's and the winning merge's) plus the race winner's remain.
-    assert(attemptDirs(path) === Set("d-c1-g1", "d-cB-g2", "d-m1-g3"))
+    assert(a.rebasedMergeCount.get() === 1L)
+    // The staged dir keeps its DERIVATION-time name (g2) and is published
+    // under generation 3 — liveness is path references, not dir names.
+    assert(attemptDirs(path) === Set("d-c1-g1", "d-cB-g2", "d-m1-g2"))
+    val m1Files = a.manifestEntries(3L).collect { case ("m1", fs) => fs }.flatten
+    assert(m1Files.nonEmpty && m1Files.forall(_.startsWith("d-m1-g2/")))
     val byKey = a.read().collect().map(r =>
       r.getAs[String]("k") -> r.getAs[String]("v")).toMap
     assert(byKey === Map("k1" -> "v1", "k2" -> "v2x", "k3" -> "v3"))
+    // The reclaim guard and the sweep both treat the rebased dir as live.
+    assert(a.sweepOrphans(retainGenerations = 1).forall(_ != s"$path/d-m1-g2"))
+    assert(attemptDirs(path).contains("d-m1-g2"))
+    assert(byKeyOf(a) === Map("k1" -> "v1", "k2" -> "v2x", "k3" -> "v3"))
+  }
+
+  test("MERGE REBASE rejected on OVERLAP: a lost race against a commit " +
+    "touching the same key recomputes — the winner's row participates in " +
+    "the argmax (serializable), the dead staged dir is reclaimed") {
+    val path = tmpDir("occ-rebase-overlap")
+    val a = table(path)
+    val b = table(path)
+    assert(a.commit(df(("k1", 1L, false, "v1"), ("k2", 1L, false, "v2")), "c1"))
+    // B lands a HIGHER row for the same key A is merging: the rebase
+    // check sees an added file whose bounds contain k2 and refuses; the
+    // recompute's argmax then includes B's row, which outranks A's
+    // update — merge-after-their-commit, exactly serializable.
+    a.beforeOwnHook = oneShot { b.commit(df(("k2", 5L, false, "v2w")), "cB") }
+    val report = a.merge(df(("k2", 2L, false, "v2x")), Seq("k"),
+      orderCol = "height", deleteCol = "del", commitId = "m1")
+    assert(report.applied)
+    assert(a.currentGeneration() === Some(3L))
+    assert(a.rebasedMergeCount.get() === 0L)
+    assert(a.lostRaceCount.get() + a.fencedPublishCount.get() >= 1L)
+    // The first derivation (g2) was reclaimed at recompute time; the
+    // recomputed attempt published as g3.
+    assert(attemptDirs(path) === Set("d-c1-g1", "d-cB-g2", "d-m1-g3"))
+    assert(byKeyOf(a) === Map("k1" -> "v1", "k2" -> "v2w"))
+  }
+
+  test("MERGE REBASE rejected when a MATCHED file was rewritten: a " +
+    "compaction landing in the window forces the recompute even though " +
+    "the key sets are disjoint") {
+    val path = tmpDir("occ-rebase-compact")
+    val a = table(path)
+    val b = table(path)
+    assert(a.commit(df(("k1", 1L, false, "v1"), ("k2", 1L, false, "v2")), "c1"))
+    // B compacts (rewrites every file, including the one A's derivation
+    // consumed): A's staged argmax read rows that may no longer be the
+    // head's truth — matched-file liveness fails, recompute.
+    a.beforeOwnHook = oneShot {
+      b.replaceAllRetrying(() => b.read().coalesce(1), "compact-B")
+    }
+    val report = a.merge(df(("k2", 2L, false, "v2x")), Seq("k"),
+      orderCol = "height", deleteCol = "del", commitId = "m1")
+    assert(report.applied)
+    assert(a.currentGeneration() === Some(3L))
+    assert(a.rebasedMergeCount.get() === 0L)
+    assert(byKeyOf(a) === Map("k1" -> "v1", "k2" -> "v2x"))
   }
 
   test("LOSER CLEANUP: replaceAll that throws on a lost race reclaims its " +
