@@ -70,9 +70,10 @@ final class StateStore(
     * layout choice — the same observed-counters-drive-maintenance posture
     * the reference's index heuristic takes (indexing.go:527–575), applied
     * to the clustering decision. Driver-side, PERSISTED under the root
-    * (`_readmix.json` — seeds at construction, flushes periodically and
-    * at each auto-compaction decision) so the evidence survives process
-    * churn; see [[StateStore.ReadMixStats]]. */
+    * (one object per instance under `_readmix.json.d/`, plus the legacy
+    * `_readmix.json` as read-only evidence — seeds at construction,
+    * flushes periodically and at each auto-compaction decision) so the
+    * evidence survives process churn; see [[StateStore.ReadMixStats]]. */
   val readMix = new StateStore.ReadMixStats(
     Some((spark.sessionState.newHadoopConf(), s"$root/_readmix.json")))
 
@@ -1533,70 +1534,114 @@ object StateStore {
     * compaction (the mix, not the layout, is the signal).
     *
     * PERSISTED (when constructed with a path, as the store does): the
-    * counters seed from the file at construction and flush back every
+    * counters seed from storage at construction and flush back every
     * `flushEvery` recordings (plus explicitly at each
     * [[StateStore.compactTabletRowsAuto]] decision), so the layout
     * choice survives process churn — a fresh process no longer compacts
-    * height-sorted for lack of evidence its predecessor had. The file is
-    * one tiny object (a line per observed tablet), swapped via
-    * tmp+rename like the generation pointer; at most `flushEvery − 1`
-    * recordings are lost to a crash, which only ever delays a layout
-    * flip (the reference's analogous counters lose EVERYTHING on
-    * restart, indexing.go:486–583). Tablet ids travel base64 so no
-    * delimiter in an id can corrupt a line.
+    * height-sorted for lack of evidence its predecessor had. At most
+    * `flushEvery − 1` recordings are lost to a crash, which only ever
+    * delays a layout flip (the reference's analogous counters lose
+    * EVERYTHING on restart, indexing.go:486–583). Tablet ids travel
+    * base64 so no delimiter in an id can corrupt a line.
     *
-    * MULTI-WRITER SAFE (merge-on-flush): each instance tracks only its
-    * OWN unflushed increments; a flush re-reads the file and writes
-    * file + delta, so a reader FLEET against one root accumulates every
-    * process's evidence instead of last-writer-winning the whole file.
-    * Two flushes racing the read-modify-write can still drop one delta
-    * (no object-store CAS to build on) — bounded at one in-flight delta,
-    * advisory data, self-corrects as counting continues.
+    * MULTI-WRITER SAFE (one delta object per instance): each instance
+    * persists ONLY its own cumulative counts, as one tiny object under
+    * `<path>.d/<instance-id>` swapped via tmp+rename (the tmp name is
+    * instance-unique too); the fleet view is the SUM of every instance's
+    * object plus the legacy single file at `<path>`, re-read at each
+    * flush. No shared object is ever read-modify-written, so there is no
+    * interleaving in which one writer's counts are lost — the previous
+    * single-file merge-on-flush could drop one in-flight delta when two
+    * flushes raced the read-modify-write (no object-store CAS to build
+    * on); summing private objects needs no CAS at all. The legacy file
+    * is read-only evidence (pre-upgrade processes' counts still count);
+    * instance objects from dead processes simply keep contributing their
+    * final counts, which is the semantics — evidence is cumulative.
     *
     * NEVER blocks or throws on a read path: threshold flushes are handed
     * to a shared single-thread background executor (recording itself is
     * a map bump under the lock), all flush I/O runs OUTSIDE the instance
     * lock, and every fault — seed-time included — degrades to
     * warn-and-continue-in-memory (a wrong layout is a perf miss, not
-    * wrong contents). A failed flush keeps its delta for retry. */
+    * wrong contents). A failed flush keeps its delta for retry. A
+    * corrupt counters object reads as empty WITHOUT poisoning the rest
+    * of the fleet's objects (per-file parse isolation). */
   final class ReadMixStats(
       persistTo: Option[(org.apache.hadoop.conf.Configuration, String)] = None,
       flushEvery: Int = 256) {
     private val log = org.slf4j.LoggerFactory.getLogger(classOf[ReadMixStats])
-    // `base*` = last observed FILE content; `delta*` = this instance's
-    // increments not yet merged into the file. Visible counts are
-    // base + delta. Guarded by `this`; flush I/O never runs under it.
+    // `base*` = the rest of the fleet's persisted evidence (legacy single
+    // file + every OTHER instance's delta object, re-read at flushes);
+    // `ownFlushed*` = what THIS instance has already persisted to its own
+    // object; `delta*` = this instance's unflushed increments. Visible
+    // counts are base + ownFlushed + delta. Guarded by `this`; flush I/O
+    // never runs under it. ownFlushed* is only MUTATED under `flushLock`
+    // (single flush at a time), read under `this`.
     private val basePoints = scala.collection.mutable.Map.empty[String, Long]
     private val baseScans = scala.collection.mutable.Map.empty[String, Long]
+    private val ownFlushedPoints = scala.collection.mutable.Map.empty[String, Long]
+    private val ownFlushedScans = scala.collection.mutable.Map.empty[String, Long]
     private val deltaPoints = scala.collection.mutable.Map.empty[String, Long]
     private val deltaScans = scala.collection.mutable.Map.empty[String, Long]
     private var dirty = 0
     private var warnedUnwritable = false
     private val flushLock = new Object // serializes whole flushes
     private val flushQueued = new java.util.concurrent.atomic.AtomicBoolean(false)
-    private def fsPath: Option[(FileSystem, Path)] = persistTo.map {
+    /** This instance's private object name — unique per instance
+      * LIFETIME, so no two live writers (or a writer and its own
+      * restart) ever touch the same object. */
+    private val instanceId =
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    private def legacyFsPath: Option[(FileSystem, Path)] = persistTo.map {
       case (conf, p) => val path = new Path(p); (path.getFileSystem(conf), path) }
+    private def deltaDirFsPath: Option[(FileSystem, Path)] = persistTo.map {
+      case (conf, p) =>
+        val path = new Path(p + ".d"); (path.getFileSystem(conf), path) }
     locally {
       // Everything inside the try — including getFileSystem/exists: a
       // transient filesystem fault at construction must degrade to the
       // same warn-and-start-empty path the flush side follows, not
       // propagate out of the StateStore constructor.
-      try fsPath.foreach { case (fs, p) =>
-        if (fs.exists(p)) {
-          val (fp, fsc) = readFile(fs, p)
-          adoptBase(fp, fsc)
-        }
-      } catch {
+      try refreshBase()
+      catch {
         case scala.util.control.NonFatal(e) =>
-          basePoints.clear(); baseScans.clear()
+          this.synchronized { basePoints.clear(); baseScans.clear() }
           log.warn("unreadable read-mix counters — starting empty (layout " +
             "choice falls back to height-sorted until re-observed)", e)
       }
     }
-    /** Parse the persisted file. I/O faults propagate (the caller decides
-      * whether that loses anything); PARSE faults — a torn or corrupt
-      * file — warn and read as empty, so a later flush self-heals by
-      * overwriting the garbage. */
+    /** Re-read the fleet's persisted evidence — the legacy single file
+      * plus every OTHER instance's delta object — and adopt the sum as
+      * the base view. Parse faults inside ONE object read as empty
+      * (per-file isolation, [[readFile]]); I/O faults propagate (the
+      * caller decides whether that loses anything). */
+    private def refreshBase(): Unit = {
+      val mp = scala.collection.mutable.Map.empty[String, Long]
+      val ms = scala.collection.mutable.Map.empty[String, Long]
+      def add(counts: (Map[String, Long], Map[String, Long])): Unit = {
+        counts._1.foreach { case (t, v) =>
+          mp.update(t, mp.getOrElse(t, 0L) + v) }
+        counts._2.foreach { case (t, v) =>
+          ms.update(t, ms.getOrElse(t, 0L) + v) }
+      }
+      legacyFsPath.foreach { case (fs, p) =>
+        if (fs.exists(p)) add(readFile(fs, p))
+      }
+      deltaDirFsPath.foreach { case (fs, d) =>
+        if (fs.exists(d)) fs.listStatus(d).foreach { st =>
+          val name = st.getPath.getName
+          if (st.isFile && name != instanceId && !name.endsWith(".tmp"))
+            add(readFile(fs, st.getPath))
+        }
+      }
+      this.synchronized {
+        basePoints.clear(); basePoints ++= mp
+        baseScans.clear(); baseScans ++= ms
+      }
+    }
+    /** Parse one persisted counters object. I/O faults propagate; PARSE
+      * faults — a torn or corrupt object — warn and read as empty, so
+      * one bad object cannot poison the fleet sum. */
     private def readFile(fs: FileSystem, p: Path): (Map[String, Long], Map[String, Long]) = {
       val in = fs.open(p)
       val text =
@@ -1615,23 +1660,15 @@ object StateStore {
       } catch {
         case scala.util.control.NonFatal(e) =>
           log.warn(s"corrupt read-mix counters at $p — reading as empty " +
-            "(next flush overwrites)", e)
+            "(the rest of the fleet's objects still count)", e)
           (Map.empty, Map.empty)
       }
     }
-    /** Adopt `mp`/`ms` as the new base view — the ONE place the base maps
-      * are replaced (seed, empty-delta refresh, and post-write adoption
-      * all come through here so their semantics cannot drift). */
-    private def adoptBase(mp: Map[String, Long], ms: Map[String, Long]): Unit =
-      this.synchronized {
-        basePoints.clear(); basePoints ++= mp
-        baseScans.clear(); baseScans ++= ms
-      }
-    /** One full merge-on-flush: SNAPSHOT (without clearing) this
-      * instance's delta, re-read the file, write file + delta, then
-      * atomically adopt the merged view as the new base and SUBTRACT the
-      * flushed snapshot from the delta. Because the delta is never
-      * cleared up front, visible counts (base + delta) hold steady
+    /** One full flush: SNAPSHOT (without clearing) this instance's
+      * delta, write own object = ownFlushed + delta via tmp+rename, then
+      * move the flushed snapshot from the delta into ownFlushed and
+      * refresh the base view. Because the delta is never cleared up
+      * front, visible counts (base + ownFlushed + delta) hold steady
       * through the whole I/O window — no transient dip for concurrent
       * observers — and a failed flush needs NO restore step: the delta
       * was never touched, the retry credit is just a dirty floor. A
@@ -1645,20 +1682,20 @@ object StateStore {
       if (dp.isEmpty && ds.isEmpty) {
         // Nothing to contribute: refresh the base view only, so a
         // decision on a process that recorded nothing still adopts the
-        // fleet's persisted evidence (no write — don't churn the file).
-        try fsPath.foreach { case (fs, p) =>
-          if (fs.exists(p)) {
-            val (fp, fsc) = readFile(fs, p)
-            adoptBase(fp, fsc)
-          }
-        } catch { case scala.util.control.NonFatal(_) => () }
+        // fleet's persisted evidence (no write — don't churn storage).
+        try refreshBase()
+        catch { case scala.util.control.NonFatal(_) => () }
         return
       }
-      try fsPath.foreach { case (fs, p) =>
-        val (fp, fsc) = if (fs.exists(p)) readFile(fs, p) else (Map.empty[String, Long], Map.empty[String, Long])
-        val mp = fp ++ dp.map { case (t, v) => t -> (fp.getOrElse(t, 0L) + v) }
-        val ms = fsc ++ ds.map { case (t, v) => t -> (fsc.getOrElse(t, 0L) + v) }
-        val tmp = new Path(p.toString + ".tmp")
+      try deltaDirFsPath.foreach { case (fs, d) =>
+        val (ofp, ofs) = this.synchronized {
+          (ownFlushedPoints.toMap, ownFlushedScans.toMap)
+        }
+        val mp = ofp ++ dp.map { case (t, v) => t -> (ofp.getOrElse(t, 0L) + v) }
+        val ms = ofs ++ ds.map { case (t, v) => t -> (ofs.getOrElse(t, 0L) + v) }
+        val p = new Path(d, instanceId)
+        val tmp = new Path(d, instanceId + ".tmp")
+        fs.mkdirs(d)
         val out = fs.create(tmp, true)
         val body = (mp.keySet ++ ms.keySet).toSeq.sorted.map { t =>
           val b64 = java.util.Base64.getEncoder
@@ -1672,8 +1709,8 @@ object StateStore {
             sys.error(s"could not persist read-mix counters to $p")
         }
         this.synchronized {
-          basePoints.clear(); basePoints ++= mp
-          baseScans.clear(); baseScans ++= ms
+          ownFlushedPoints.clear(); ownFlushedPoints ++= mp
+          ownFlushedScans.clear(); ownFlushedScans ++= ms
           // Subtract exactly what was flushed; recordings that landed
           // during the I/O stay in the delta for the next flush.
           dp.foreach { case (t, v) =>
@@ -1687,6 +1724,11 @@ object StateStore {
           dirty = math.max(0,
             dirty - (dp.values.sum + ds.values.sum).toInt)
         }
+        // Adopt the rest of the fleet's evidence while we're here (a
+        // refresh failure must not mark the flush failed — our own
+        // object landed).
+        try refreshBase()
+        catch { case scala.util.control.NonFatal(_) => () }
       } catch {
         case scala.util.control.NonFatal(e) =>
           // Delta untouched (snapshot never cleared) — nothing to
@@ -1722,9 +1764,13 @@ object StateStore {
     def recordTailScan(tabletId: String): Unit =
       synchronized(bump(deltaScans, tabletId))
     def pointReads(tabletId: String): Long = synchronized(
-      basePoints.getOrElse(tabletId, 0L) + deltaPoints.getOrElse(tabletId, 0L))
+      basePoints.getOrElse(tabletId, 0L) +
+        ownFlushedPoints.getOrElse(tabletId, 0L) +
+        deltaPoints.getOrElse(tabletId, 0L))
     def tailScans(tabletId: String): Long = synchronized(
-      baseScans.getOrElse(tabletId, 0L) + deltaScans.getOrElse(tabletId, 0L))
+      baseScans.getOrElse(tabletId, 0L) +
+        ownFlushedScans.getOrElse(tabletId, 0L) +
+        deltaScans.getOrElse(tabletId, 0L))
     /** Interleave when point reads strictly outnumber tail scans (an
       * unobserved or balanced tablet keeps the height-sorted default —
       * the cheaper layout to be wrong about, since tail scans are the
@@ -1738,6 +1784,7 @@ object StateStore {
     }
     def observedTablets: Seq[String] = synchronized(
       (basePoints.keySet ++ baseScans.keySet ++
+        ownFlushedPoints.keySet ++ ownFlushedScans.keySet ++
         deltaPoints.keySet ++ deltaScans.keySet).toSeq.sorted)
   }
 

@@ -233,16 +233,25 @@ class ZOrderSpec extends SparkTestBase {
     assert(storeC.compactTabletRowsAutoReport(Map("pt" -> "sorted"))
       .find(_._1 == "pt").get._4 === "sorted")
 
-    // Corrupt counters: warn, start empty, serve height-sorted — never
-    // fail the store open over advisory data.
+    // Corrupt counters: one bad object warns and reads as EMPTY without
+    // poisoning the rest of the fleet's evidence (per-file isolation) —
+    // and never fails the store open over advisory data. Here the legacy
+    // single file is garbage; the per-instance objects A and B flushed
+    // still sum.
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val mixPath = new org.apache.hadoop.fs.Path(s"$root/_readmix.json")
     val out = fs.create(mixPath, true)
     try out.write("not base64 at all".getBytes("UTF-8")) finally out.close()
     val storeD = new StateStore(root)
-    assert(storeD.readMix.pointReads("pt") === 0L)
-    assert(!storeD.readMix.prefersInterleaved("pt"))
+    assert(storeD.readMix.pointReads("pt") === 4L,
+      "the corrupt legacy file must not poison the instance objects")
+    // And when EVERY persisted object is unreadable, start empty.
+    val dirPath = new org.apache.hadoop.fs.Path(s"$root/_readmix.json.d")
+    fs.delete(dirPath, true)
+    val storeE = new StateStore(root)
+    assert(storeE.readMix.pointReads("pt") === 0L)
+    assert(!storeE.readMix.prefersInterleaved("pt"))
   }
 
   test("read-mix counters are multi-writer safe: two instances against one " +
@@ -257,12 +266,13 @@ class ZOrderSpec extends SparkTestBase {
     (0 until 2).foreach(_ => a.recordPointRead("pt"))
     (0 until 3).foreach(_ => b.recordPointRead("pt"))
     b.recordTailScan("sc")
-    // Interleaved flushes: the pre-fix last-writer-wins file would end at
-    // whichever instance flushed last (3), clobbering the other's 2.
-    a.flush() // file: pt=2
-    b.flush() // merge-on-flush: file pt=2+3=5, sc=1
+    // Interleaved flushes: a last-writer-wins shared file would end at
+    // whichever instance flushed last (3), clobbering the other's 2;
+    // per-instance objects make the fleet view the exact sum.
+    a.flush() // a's object: pt=2
+    b.flush() // b's object: pt=3, sc=1; b adopts a's 2
     a.recordPointRead("pt")
-    a.flush() // file: pt=5+1=6
+    a.flush() // a's object: pt=3
     val c = new StateStore.ReadMixStats(Some((conf, path)))
     assert(c.pointReads("pt") === 6L, "fleet evidence must SUM, not clobber")
     assert(c.tailScans("sc") === 1L)
@@ -280,6 +290,34 @@ class ZOrderSpec extends SparkTestBase {
     val d = new StateStore.ReadMixStats(Some((conf, path)))
     d.recordPointRead("pt")
     assert(d.pointReads("pt") === 8L)
+  }
+
+  test("read-mix counters lose NOTHING under racing flushes: two instances " +
+    "flushing concurrently against one root, every recording lands — the " +
+    "interleaving that could drop one in-flight delta under a shared " +
+    "read-modify-write file cannot exist with per-instance objects") {
+    implicit val s = spark
+    val root = tmpDir("store_mix_race")
+    val conf = spark.sessionState.newHadoopConf()
+    val path = s"$root/_readmix.json"
+    val a = new StateStore.ReadMixStats(Some((conf, path)))
+    val b = new StateStore.ReadMixStats(Some((conf, path)))
+    val rounds = 50
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def worker(m: StateStore.ReadMixStats): Thread = {
+      val t = new Thread(() => (0 until rounds).foreach { _ =>
+        m.recordPointRead("pt")
+        barrier.await() // flushes collide on purpose, every round
+        m.flush()
+      })
+      t.start(); t
+    }
+    val (ta, tb) = (worker(a), worker(b))
+    ta.join(60000L); tb.join(60000L)
+    assert(!ta.isAlive && !tb.isAlive)
+    val fresh = new StateStore.ReadMixStats(Some((conf, path)))
+    assert(fresh.pointReads("pt") === 2L * rounds,
+      "every recording from both instances must survive racing flushes")
   }
 
   test("read-mix counters degrade on every filesystem fault: a broken " +
@@ -311,11 +349,10 @@ class ZOrderSpec extends SparkTestBase {
     val path = s"$root/_readmix.json"
     val m = new StateStore.ReadMixStats(Some((conf, path)), flushEvery = 4)
     (0 until 4).foreach(_ => m.recordPointRead("pt")) // 4th queues a flush
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val deadline = System.nanoTime() + 5000000000L
     var flushed = false
     while (!flushed && System.nanoTime() < deadline) {
-      flushed = fs.exists(new org.apache.hadoop.fs.Path(path)) &&
+      flushed =
         new StateStore.ReadMixStats(Some((conf, path))).pointReads("pt") == 4L
       if (!flushed) Thread.sleep(50L)
     }
