@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,18 +65,20 @@ object Bench {
     // samples of a single query (observed in round 9: simhash min-of-3
     // reported 4.07 s back-to-back while the isolated warm cost was 0.84 s).
     // Fixed-work CALIBRATION probe: a constant 1e8-row range sum —
-    // corpus-independent, shuffle-free, pure codegen throughput. FIVE
-    // probes spaced across the run (start, mid-first-pass, after the
-    // first pass, between the two re-sample sweeps, end) after one
-    // untimed warm probe (the probe's own codegen compile must not count
-    // as host noise). The spread (min/med/max, all reported) makes a
-    // noisy host window self-evident in the artifact itself; the
-    // cross-round scale factor uses the MEDIAN — round 13 showed a
-    // single-probe min swinging 0.33→0.24 between same-code rounds,
-    // moving the scaled total 16 s while raw times improved; the median
-    // of five spaced probes is stable against both one noisy window AND
-    // one lucky clean one. Round-over-round regression comparisons
-    // should scale by calib.med before judging a delta.
+    // corpus-independent, shuffle-free, pure codegen throughput. FIFTEEN
+    // probes, three at each of five points spaced across the run (start,
+    // mid-first-pass, after the first pass, between the two re-sample
+    // sweeps, end) after one untimed warm probe (the probe's own codegen
+    // compile must not count as host noise). The spread (min/med/max,
+    // all reported) makes a noisy host window self-evident in the
+    // artifact itself; the cross-round scale factor uses the MEDIAN —
+    // round 13 showed a single-probe min swinging 0.33→0.24 between
+    // same-code rounds, and round 17 showed even a 5-probe median moving
+    // the scaled total 28% on an unchanged box (0.25→0.22 flipped a
+    // ÷1.12 discount into a ×1.14 surcharge); 15 probes tighten the
+    // denominator the headline number divides by. Round-over-round
+    // regression comparisons should scale by calib.med before judging a
+    // delta — and adjudicate on MEDIAN-OF-3 full runs, never one.
     def calibOnce(): Double = {
       val t0 = System.nanoTime()
       // bit_xor fold: overflow-free under ANSI (a plain sum of id*const
@@ -86,20 +88,29 @@ object Bench {
     }
     calibOnce() // untimed: compile the probe itself
     val calibBuf = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // Every probe is separated from the next by real query work:
+    // back-to-back probes measure a JIT-hot state the spaced 0.25 s
+    // reference was never pinned against (observed 0.25 spaced vs
+    // 0.04-0.09 consecutive on the same box — a 3x artifact that would
+    // dominate the scaled total). Chunked interleaving keeps all 15
+    // probes the SAME kind of measurement as the original five.
+    def interleaveProbes(names: Seq[(String, (SparkSession, String) => DataFrame)],
+        nChunks: Int): Seq[(String, Double)] =
+      if (names.isEmpty) Seq.empty
+      else {
+        val size = math.max(1, (names.size + nChunks - 1) / nChunks)
+        names.grouped(size).toSeq.flatMap { g =>
+          val r = g.map { case (name, fn) => name -> once(name, fn) }
+          calibBuf += calibOnce()
+          r
+        }
+      }
     calibBuf += calibOnce()
-    val (namedA, namedB) = named.splitAt(named.size / 2)
-    val firstPassA = namedA.map { case (name, fn) => name -> once(name, fn) }
-    calibBuf += calibOnce()
-    val firstPassB = namedB.map { case (name, fn) => name -> once(name, fn) }
-    val firstPass = firstPassA ++ firstPassB
-    calibBuf += calibOnce()
+    val firstPass = interleaveProbes(named, 7)
     val firstByName = firstPass.toMap
     val slow = named.filter { case (name, _) => firstByName(name) >= 0.3 }
-    def sweep(): Seq[(String, Double)] =
-      slow.map { case (name, fn) => name -> once(name, fn) }
-    val sweepA = sweep()
-    calibBuf += calibOnce()
-    val sweepB = sweep()
+    val sweepA = interleaveProbes(slow, 3)
+    val sweepB = interleaveProbes(slow, 3)
     val resamples: Seq[(String, Double)] = sweepA ++ sweepB
     calibBuf += calibOnce()
     val calibs = calibBuf.toSeq

@@ -1,0 +1,256 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import graft.model.Schemas
+import graft.streaming.StateMaterializer
+
+/** FORCED-CONTENTION soak: N real publishing JVMs merging into ONE
+  * serving-shape [[graft.store.ManifestTable]] at a tight cadence, so the
+  * optimistic publish protocol's contended paths — exclusive-create loss,
+  * fencing at the swap, and the disjoint-merge REBASE — fire in the wild
+  * across process boundaries, not just under the deterministic in-JVM
+  * hooks of ManifestConcurrencySpec. The steady-state soak
+  * ([[SoakIngest]]) serializes its cross-process publishers through
+  * reservations at production cadences, so its contention counters
+  * correctly read zero; this harness exists to make them NONZERO while
+  * proving the same end-state guarantee the reference gets from its
+  * transactional KV store (store/kv/store.go:332–467): no interleaving
+  * loses a commit.
+  *
+  * Workload shape (chosen so the EXACT final state is computable):
+  *   - each child owns a private key range (`own-<child>-k*`) and merges
+  *     ALL of its own keys most rounds — cross-child these batches are
+  *     key-disjoint AND bounds-disjoint, so a lost race should REBASE;
+  *   - every 5th round merges the SHARED keys (`sh-k*`) instead — those
+  *     collide across children by content, forcing the recompute path
+  *     (the landed winner's higher row must survive the loser's argmax);
+  *   - occasionally a child compacts the whole target
+  *     (range-partitioned, so per-file bounds re-tighten rather than
+  *     spanning every child's range), racing everyone's merges with a
+  *     whole-table rewrite — the rebase-ineligible class.
+  *
+  * Heights are globally unique (`round * children + child`), so LWW
+  * expectations are exact: an own key's final row must be its owner's
+  * LAST APPLIED own round; a shared key's final row must be the max
+  * height any child reports applied. The parent recomputes that expected
+  * state from the children's summaries and compares it to the table —
+  * `equiv_match:true` with nonzero lost/fenced/rebased counters is the
+  * round's proof obligation.
+  *
+  * Parent: `runMain graft.SoakContend [children] [minutes] [intervalMs]`.
+  * Child (spawned by the parent): `child target idx n seconds intervalMs file`.
+  */
+object SoakContend {
+  val OwnKeys = 8
+  val SharedKeys = 2
+  private val Tablet = "t0"
+
+  def main(args: Array[String]): Unit =
+    if (args.nonEmpty && args(0) == "child") child(args.drop(1)) else parent(args)
+
+  private def rowsDf(spark: SparkSession, keys: Seq[String], h: Long,
+      v: String): DataFrame = {
+    val rows = keys.map(k =>
+      Row(1, Tablet, h, k, v.getBytes("UTF-8"), false))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Schemas.tabletRows)
+  }
+
+  // ------------------------------------------------------------- child
+
+  private def child(args: Array[String]): Unit = {
+    val target = args(0)
+    val idx = args(1).toInt
+    val children = args(2).toInt
+    val seconds = args(3).toLong
+    val intervalMs = args(4).toLong
+    val summaryFile = args(5)
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master("local[4]")
+      .appName(s"graft-soak-contend-$idx")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t = StateMaterializer.targetTable(target)
+    val ownKeys = (0 until OwnKeys).map(j => f"own-$idx%02d-k$j")
+    val sharedKeys = (0 until SharedKeys).map(j => s"sh-k$j")
+    val rnd = new scala.util.Random(idx.toLong * 7919L)
+    // WILD-TYPE takeover/fencing injector: once in a while this child
+    // pauses at the pre-swap window PAST the (shortened) publish lease --
+    // the paused-owner class the fencing nonce exists for, here with a
+    // real foreign JVM performing the takeover instead of a spec hook.
+    // The pause is one-shot per arm so a single round pays it; the
+    // fenced merge's staged attempt then rebases or recomputes like any
+    // other loss. Zero lost commits stays the invariant either way.
+    val pauseMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    t.beforePublishHook = () => {
+      val p = pauseMs.getAndSet(0L)
+      if (p > 0L) {
+        println(s"""{"contend_pause":{"child":$idx,"ms":$p}}""")
+        Thread.sleep(p)
+      }
+    }
+    var r = 0
+    var lastOwnR = -1L
+    var lastSharedR = -1L
+    var compactions = 0L
+    var errors = 0L
+    val deadline = System.currentTimeMillis() + seconds * 1000L
+    while (System.currentTimeMillis() < deadline) {
+      val shared = r % 5 == 4
+      val h = r.toLong * children + idx
+      if (rnd.nextInt(40) == 0)
+        pauseMs.set(graft.store.ManifestTable.publishLeaseMillis + 1500L)
+      try {
+        if (r % 97 == 96) {
+          // Whole-table rewrite racing everyone's merges: the
+          // rebase-ineligible class. Range-partitioned so per-file key
+          // bounds re-tighten to contiguous runs instead of spanning
+          // every child's range (which would starve the rebase path for
+          // the rest of the run).
+          StateMaterializer.compact(target, 8)
+          compactions += 1L
+        }
+        val report = t.merge(
+          rowsDf(spark, if (shared) sharedKeys else ownKeys, h, s"c$idx-r$r"),
+          StateMaterializer.KeyCols, orderCol = "height",
+          deleteCol = "is_deletion", commitId = s"c$idx-r$r",
+          keepTombstones = true)
+        if (report.applied) {
+          if (shared) lastSharedR = r.toLong else lastOwnR = r.toLong
+        } else errors += 1L // unique commitIds: a skip here is a bug
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          errors += 1L
+          println(s"""{"contend_child_error":{"child":$idx,"round":$r,""" +
+            s""""error":"${e.getClass.getSimpleName}: ${
+              Option(e.getMessage).getOrElse("").take(160)
+                .replace("\"", "'").replace("\n", " ")}"}}""")
+      }
+      r += 1
+      Thread.sleep(intervalMs + rnd.nextInt(50).toLong)
+    }
+    val summary = s"""{"child":$idx,"rounds":$r,""" +
+      s""""last_own_r":$lastOwnR,"last_shared_r":$lastSharedR,""" +
+      s""""compactions":$compactions,"errors":$errors,""" +
+      s""""lost_races":${t.lostRaceCount.get()},""" +
+      s""""takeovers":${t.leaseTakeoverCount.get()},""" +
+      s""""fenced":${t.fencedPublishCount.get()},""" +
+      s""""rebased":${t.rebasedMergeCount.get()},""" +
+      s""""head_check":"${t.verifyHead().getOrElse("clean")}"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(summaryFile),
+      summary.getBytes("UTF-8"))
+    println(summary)
+    spark.stop()
+  }
+
+  // ------------------------------------------------------------ parent
+
+  private def parent(args: Array[String]): Unit = {
+    val children = if (args.length > 0) args(0).toInt else 3
+    val minutes = if (args.length > 1) args(1).toInt else 5
+    val intervalMs = if (args.length > 2) args(2).toLong else 150L
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-soak-contend")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = java.nio.file.Files.createTempDirectory("graft-contend").toString
+    val target = s"$base/serving"
+    val seconds = minutes.toLong * 60L
+
+    def fork(idx: Int, file: String): Option[Process] = {
+      val javaBin = s"${System.getProperty("java.home")}/bin/java"
+      val cp = System.getProperty("java.class.path")
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+        "-Xmx3g", "-Dspark.ui.enabled=false",
+        // Short lease so the injected pre-swap pauses overrun it and real
+        // cross-process takeovers + content-fencings happen in-run.
+        "-Dgraft.publish.leaseMs=4000", "-cp", cp,
+        "graft.SoakContend", "child", target, idx.toString,
+        children.toString, seconds.toString, intervalMs.toString,
+        file)).toArray
+      try Some(new ProcessBuilder(cmd: _*).inheritIO().start())
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          println(s"""{"contend_spawn_failed":{"child":$idx,"error":"${e.getMessage}"}}""")
+          None
+      }
+    }
+
+    val procs = (0 until children).map { i =>
+      (i, s"$base/child-$i.json", fork(i, s"$base/child-$i.json"))
+    }
+    procs.foreach { case (_, _, p) =>
+      p.foreach { proc =>
+        proc.waitFor(seconds + 180L, java.util.concurrent.TimeUnit.SECONDS)
+        if (proc.isAlive) proc.destroy()
+      }
+    }
+
+    def field(json: String, name: String): Long =
+      json.split("\"" + name + "\":", 2) match {
+        case Array(_, rest) => rest.takeWhile(c => c == '-' || c.isDigit).toLong
+        case _ => -1L
+      }
+    val summaries = procs.map { case (i, file, _) =>
+      (i, scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(file)), "UTF-8")).getOrElse(""))
+    }
+
+    // Exact expected final state from the children's reports.
+    val expected = scala.collection.mutable.Map.empty[String, (Long, String)]
+    summaries.foreach { case (c, json) =>
+      val lastOwn = field(json, "last_own_r")
+      if (lastOwn >= 0L)
+        (0 until OwnKeys).foreach { j =>
+          expected.update(f"own-$c%02d-k$j",
+            (lastOwn * children + c, s"c$c-r$lastOwn"))
+        }
+    }
+    val sharedWinner = summaries
+      .map { case (c, json) => (c, field(json, "last_shared_r")) }
+      .filter(_._2 >= 0L)
+      .map { case (c, r) => (r * children + c, c, r) }
+      .sortBy(_._1).lastOption
+    sharedWinner.foreach { case (h, c, r) =>
+      (0 until SharedKeys).foreach(j =>
+        expected.update(s"sh-k$j", (h, s"c$c-r$r")))
+    }
+
+    val t = StateMaterializer.targetTable(target)
+    val actual = t.read().collect().map(row =>
+      row.getAs[String]("primary_key") ->
+        ((row.getAs[Long]("height"),
+          new String(row.getAs[Array[Byte]]("value"), "UTF-8")))).toMap
+    val equiv = actual == expected.toMap
+    if (!equiv) {
+      val keys = (actual.keySet ++ expected.keySet).toSeq.sorted
+      keys.filter(k => actual.get(k) != expected.get(k)).take(20).foreach(k =>
+        println(s"""{"contend_mismatch":{"key":"$k","actual":"${actual.get(k)}","expected":"${expected.get(k)}"}}"""))
+    }
+    def sum(name: String): Long = summaries.map(s => math.max(0L, field(s._2, name))).sum
+    println(s"""{"contend_summary":{"children":$children,"minutes":$minutes,""" +
+      s""""interval_ms":$intervalMs,""" +
+      s""""rounds":${sum("rounds")},"compactions":${sum("compactions")},""" +
+      s""""errors":${sum("errors")},""" +
+      s""""lost_races":${sum("lost_races")},"takeovers":${sum("takeovers")},""" +
+      s""""fenced":${sum("fenced")},"rebased":${sum("rebased")},""" +
+      s""""final_generation":${t.currentGeneration().getOrElse(0L)},""" +
+      s""""head_check":"${t.verifyHead().getOrElse("clean")}",""" +
+      s""""keys":${actual.size},"equiv_match":$equiv}}""")
+    spark.stop()
+  }
+}

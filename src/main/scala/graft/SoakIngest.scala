@@ -29,13 +29,19 @@ import graft.streaming.{IngestionPipeline, JoiningSource, LiveBlockSource, State
   * manifest metadata bytes/files for both tables, and driver heap after a
   * GC. The last line is a summary (max/steady lags, growth rates).
   *
-  * Run: `sbt "runMain graft.SoakIngest [minutes] [blocksPerSec] [rowsPerBlock]"`
+  * Run: `sbt "runMain graft.SoakIngest [minutes] [blocksPerSec] [rowsPerBlock] [forkCompactMs]"`
   */
 object SoakIngest {
   def main(args: Array[String]): Unit = {
     val minutes = if (args.length > 0) args(0).toInt else 30
     val blocksPerSec = if (args.length > 1) args(1).toInt else 10
     val rowsPerBlock = if (args.length > 2) args(2).toInt else 500
+    // CONTENTION MODE knob: how often the forked second publisher
+    // compacts the serving target. The 45 s default is the operator
+    // cadence (steady-state soak); ~5 s makes cross-process publish
+    // contention land for real — merges lose races / get fenced / rebase
+    // in the wild instead of only under deterministic spec hooks.
+    val forkCompactMs = if (args.length > 3) args(3).toLong else 45000L
     implicit val spark: SparkSession = SparkSession.builder()
       .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -227,7 +233,7 @@ object SoakIngest {
     // zero-lost-commits arbiter.
     val forkWriterSummaryFile = s"$base/fork-writer-summary.json"
     val forkWriter: Option[Process] = forkJvm("graft.SoakWriter",
-      Seq(target, (minutes.toLong * 60L).toString, "45000",
+      Seq(target, (minutes.toLong * 60L).toString, forkCompactMs.toString,
         forkWriterSummaryFile),
       "writer")
 
@@ -334,16 +340,24 @@ object SoakIngest {
     // surface here as missing/stale keys.
     scala.util.Try(serve.processAllAvailable())
     val serveEquiv: String = scala.util.Try {
-      val servedRows = StateMaterializer.read(target)
+      // DISTRIBUTED equivalence: symmetric anti-join, no driver collect —
+      // the r17 version collected both sides (one 3.9 GB heap spike at
+      // ~10k keys; at 10x the key space it would OOM the soak driver
+      // before proving anything). Count + two exceptAll keep the driver
+      // at O(1) and scale with the cluster like every other read.
+      val served = StateMaterializer.read(target)
         .filter(col("tablet_id") === "t3")
-        .select("primary_key", "height").collect()
-        .map(r => (r.getString(0), r.getLong(1))).toSet
-      val servedH = servedRows.map(_._2).maxOption.getOrElse(0L)
+        .select("primary_key", "height")
+      val servedH = served.agg(max("height")).collect()
+        .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+        .getOrElse(0L)
       val expected = store.readTabletAt("t3", servedH)
-        .select("primary_key", "height").collect()
-        .map(r => (r.getString(0), r.getLong(1))).toSet
-      s""""serve_equiv_height":$servedH,"serve_equiv_rows":${servedRows.size},""" +
-        s""""serve_equiv_match":${servedRows == expected}"""
+        .select("primary_key", "height")
+      val servedCount = served.count()
+      val diverged =
+        served.exceptAll(expected).count() + expected.exceptAll(served).count()
+      s""""serve_equiv_height":$servedH,"serve_equiv_rows":$servedCount,""" +
+        s""""serve_equiv_match":${diverged == 0L}"""
     }.getOrElse(""""serve_equiv_match":"error"""")
     serve.stop(); server.close()
     pipeline.stopIndexMaintenance()
