@@ -143,7 +143,11 @@ object SoakIngest {
       LiveBlockSource.fromSocket(spark, "localhost", server.getLocalPort),
       maxFilesPerTrigger = Some(20))
     val ingest = pipeline.start(joined, s"$base/ck-ingest", triggerMillis = 1000)
-    def startServe() = StateMaterializer.start(store, target, s"$base/ck-serve")
+    // One shared target handle so the MERGE side's publish-contention
+    // counters (vs the fork writer's compactions) are readable at exit.
+    val targetHandle = StateMaterializer.targetTable(target)
+    def startServe() = StateMaterializer.start(store, target, s"$base/ck-serve",
+      targetHandle = Some(targetHandle))
     var serve = startServe()
 
     // CONCURRENT READER (round 15): a second SparkSession against the
@@ -402,6 +406,10 @@ object SoakIngest {
       s""""reader_last_read_ms":$lastReadMillis,""" +
       s""""readmix_merged_tail_t3":$mergedTail,"readmix_merged_point_t3":$mergedPoint,""" +
       s""""store_contention":"${store.publishContentionStats}",""" +
+      s""""serve_merge_contention":"(${targetHandle.lostRaceCount.get()},""" +
+      s"""${targetHandle.leaseTakeoverCount.get()},""" +
+      s"""${targetHandle.fencedPublishCount.get()},""" +
+      s"""${targetHandle.rebasedMergeCount.get()})",""" +
       s"""$serveEquiv,$forkSummary,$forkWriterSummary}}""")
     spark.stop()
   }

@@ -1642,6 +1642,29 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     val startedAt = System.currentTimeMillis()
     var staged: Option[StagedMerge] = None
     var lastBlocked = false
+    // Touched keys, driver-side, collected ONCE per merge call (they
+    // depend only on the update batch, never on the head, so retries and
+    // recomputes reuse them — one Spark job saved per lost race).
+    // Micro-batch-bounded by contract — and the contract is ENFORCED,
+    // not just documented: the collect itself is limited to budget+1
+    // rows, so an accidental table-sized update batch fails loudly
+    // (pointing at replaceAll) instead of OOMing the driver. Same
+    // posture as the GRAFT_EMBED_EXACT_MAX_ROWS guard. Clamp BEFORE the
+    // +1: a Long.MaxValue "disable the cap" override must not overflow
+    // into limit(0) and silently drop the batch.
+    val maxKeys = math.min(maxTouchedKeys, Int.MaxValue.toLong - 1)
+    val keyRows = {
+      import org.apache.spark.sql.functions.col
+      updates.select(keyCols.map(col): _*).distinct()
+        .limit((maxKeys + 1).toInt).collect()
+    }
+    if (keyRows.length > maxKeys) throw new IllegalArgumentException(
+      s"merge '$commitId' touches more than $maxKeys distinct keys — the " +
+        "touched-key set is collected to the driver and must stay " +
+        "micro-batch-sized. Use replaceAll for table-sized updates, or " +
+        "raise GRAFT_MERGE_MAX_TOUCHED_KEYS deliberately.")
+    val keyTuples: Array[Array[StatVal]] =
+      keyRows.map(r => keyCols.indices.map(i => toStatVal(r.get(i))).toArray)
     try {
       while (true) {
         val head = currentGeneration().getOrElse(0L)
@@ -1677,13 +1700,13 @@ final class ManifestTable(val tablePath: String, schema: StructType,
               }
             case _ => ()
           }
+          if (keyRows.isEmpty)
+            return MergeReport(0, headEntries.map(_.files.size).sum,
+              applied = false)
           if (staged.isEmpty)
-            deriveMerge(head, headEntries, updates, keyCols, orderCol,
-              deleteCol, commitId, keepTombstones, maxTouchedKeys,
-              freshRowsPerFile) match {
-              case Left(report) => return report
-              case Right(s) => staged = Some(s)
-            }
+            staged = Some(deriveMerge(head, headEntries, updates, keyTuples,
+              keyCols, orderCol, deleteCol, commitId, keepTombstones,
+              freshRowsPerFile))
           publishStagedMerge(staged.get, next, headEntries, commitId) match {
             case Some(report) =>
               staged = None
@@ -1770,42 +1793,22 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     else Some(s.copy(baseGen = head, baseFiles = headFiles))
   }
 
-  /** One merge derivation from base generation `head`: touched keys,
-    * matched files, argmax winners, staged data write — the heavy half
-    * of a merge; everything after it is metadata. Left = nothing to do
-    * (empty update batch). */
+  /** One merge derivation from base generation `head`: matched files,
+    * argmax winners, staged data write — the heavy half of a merge;
+    * everything after it is metadata. Touched keys arrive precomputed
+    * (they are head-independent; the caller collects them once). */
   private def deriveMerge(
       head: Long,
       headEntries: Seq[ManifestEntry],
       updates: DataFrame,
+      keyTuples: Array[Array[StatVal]],
       keyCols: Seq[String],
       orderCol: String,
       deleteCol: String,
       commitId: String,
       keepTombstones: Boolean,
-      maxTouchedKeys: Long,
-      freshRowsPerFile: Long): Either[MergeReport, StagedMerge] = {
+      freshRowsPerFile: Long): StagedMerge = {
     import org.apache.spark.sql.functions._
-    // Touched keys, driver-side. Micro-batch-bounded by contract — and
-    // the contract is ENFORCED, not just documented: the collect itself
-    // is limited to budget+1 rows, so an accidental table-sized update
-    // batch fails loudly (pointing at replaceAll) instead of OOMing the
-    // driver. Same posture as the GRAFT_EMBED_EXACT_MAX_ROWS guard.
-    // Clamp BEFORE the +1: a Long.MaxValue "disable the cap" override
-    // must not overflow into limit(0) and silently drop the batch.
-    val maxKeys = math.min(maxTouchedKeys, Int.MaxValue.toLong - 1)
-    val keyRows = updates.select(keyCols.map(col): _*).distinct()
-      .limit((maxKeys + 1).toInt).collect()
-    if (keyRows.length > maxKeys) throw new IllegalArgumentException(
-      s"merge '$commitId' touches more than $maxKeys distinct keys — the " +
-        "touched-key set is collected to the driver and must stay " +
-        "micro-batch-sized. Use replaceAll for table-sized updates, or " +
-        "raise GRAFT_MERGE_MAX_TOUCHED_KEYS deliberately.")
-    if (keyRows.isEmpty)
-      return Left(MergeReport(0, headEntries.map(_.files.size).sum, applied = false))
-    val keyTuples: Array[Array[StatVal]] =
-      keyRows.map(r => keyCols.indices.map(i => toStatVal(r.get(i))).toArray)
-
     val matchedFiles = headEntries.flatMap { e =>
       e.files.zip(e.stats).collect {
         case (f, st) if fileMatchesKeys(st, keyTuples, keyCols) => f
@@ -1885,8 +1888,8 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       throw new IllegalStateException(s"injected crash before publish of $commitId")
     val mergedEntry = ManifestEntry(commitId, allFiles,
       collectStats(dataDir, allFiles), allSized.map(_._2))
-    Right(StagedMerge(head, headEntries.iterator.flatMap(_.files).toSet,
-      next, matchedFiles, keyTuples, mergedEntry, freshFiles))
+    StagedMerge(head, headEntries.iterator.flatMap(_.files).toSet,
+      next, matchedFiles, keyTuples, mergedEntry, freshFiles)
   }
 
   /** Publish a staged merge attempt as generation `next` on top of
@@ -2171,6 +2174,10 @@ object ManifestTable {
     * Spark prune predicates evaluated by Spark without ordering drift
     * (Java `String.compareTo` is UTF-16 code-unit order and DISAGREES on
     * supplementary characters). */
+  private[graft] sealed trait StatVal
+  private[graft] final case class LongVal(v: Long) extends StatVal
+  private[graft] final case class BytesVal(v: Array[Byte]) extends StatVal
+
   /** A fully-derived, staged-but-unpublished merge attempt: everything a
     * publish needs, retained across lost generation races so a disjoint
     * rebase can re-stamp the staged result onto a new head without
@@ -2189,10 +2196,6 @@ object ManifestTable {
       freshFiles: Seq[String]) {
     def rewrite: Boolean = matchedFiles.nonEmpty
   }
-
-  private[graft] sealed trait StatVal
-  private[graft] final case class LongVal(v: Long) extends StatVal
-  private[graft] final case class BytesVal(v: Array[Byte]) extends StatVal
 
   /** File-pruning predicates over manifest bounds. Semantics per file:
     *   - [[StatsEq]]  `col = v`  → survive iff min ≤ v ≤ max

@@ -55,9 +55,14 @@ object StateMaterializer {
       store: StateStore,
       targetPath: String,
       checkpointDir: String,
-      startingGeneration: String = "0"): StreamingQuery = {
+      startingGeneration: String = "0",
+      targetHandle: Option[ManifestTable] = None): StreamingQuery = {
     implicit val spark: SparkSession = store.tabletRows.sparkSession
-    val target = targetTable(targetPath)
+    // Caller-supplied handle lets an embedder read the MERGE side's
+    // publish-contention counters (lost races / fenced / rebased live on
+    // the ManifestTable instance doing the publishing — a separate
+    // handle on the same path shows zeros).
+    val target = targetHandle.getOrElse(targetTable(targetPath))
     // Fresh token per start(): the merge commitId must be unique per
     // (stream run, batch) — a bare batchId would collide with a previous
     // checkpoint's batches against the same target (cleared/new
