@@ -32,6 +32,9 @@ import graft.streaming.{BlockArchiveSource, IngestionPipeline}
   *   checkpoint <root>                        print the live global checkpoint
   *   read-tablet <root> <tablet> <height>     snapshot-aware as-of read
   *   table-generations <root>                 manifest-protocol commit history
+  *   head-check <root|tablePath>              fencing-metadata cross-check
+  *                                            (pointer owner vs head sidecar)
+  *                                            for a store root or one table
   *   read-tablet-at-gen <root> <gen> <tablet> <height>   time-travel as-of read
   *   diff <root> <tablet> <from> <to>         changefeed diff (added/updated/deleted)
   *   materialize <root> <target> <ckptDir>    catch the serving table up to the store
@@ -128,6 +131,33 @@ object Tools {
             val ids = mt.manifestEntries(gen).map(_._1)
             s"g$gen: ${ids.size} commits [${ids.mkString(", ")}]"
           }.mkString("\n")
+      }
+    case "head-check" :: root :: Nil =>
+      // The stale-clobber damage detector as a standalone verb: the
+      // ingestion pipeline's periodic probe (graft.headCheck.intervalMs)
+      // covers daemons; this covers batch deployments and cron. Accepts
+      // a STORE root (cross-checks both manifest tables) or one bare
+      // manifest-table path (e.g. a StateMaterializer serving target —
+      // its `_gen` pointer sits directly under the path). Two small
+      // metadata reads per table. A non-empty report means the store
+      // admitted a write the conditional-create contract forbids (see
+      // README store requirements): committed data may resolve to a
+      // stale publisher's record — treat as an incident.
+      val genAt = new org.apache.hadoop.fs.Path(s"$root/_gen")
+      val isBareTable =
+        genAt.getFileSystem(spark.sessionState.newHadoopConf()).exists(genAt)
+      if (!isBareTable &&
+          StateStore.detectProtocol(root) == StateStore.RenameCommit)
+        "nothing to check: rename-protocol store (no generation pointer — " +
+          "single-writer rename commits carry no fencing metadata)"
+      else {
+        val problems =
+          if (isBareTable)
+            graft.streaming.StateMaterializer.targetTable(root)
+              .verifyHead().toSeq
+          else new StateStore(root, StateStore.ManifestCommit).verifyHeads()
+        if (problems.isEmpty) "head check clean"
+        else problems.mkString("HEAD CHECK FAILED:\n", "\n", "")
       }
     case "read-tablet-at-gen" :: root :: gen :: tablet :: height :: Nil =>
       // TIME-TRAVEL as-of read: the flagship read over the mutation table

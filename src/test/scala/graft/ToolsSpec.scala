@@ -227,4 +227,54 @@ class ToolsSpec extends SparkTestBase {
       "backfilled table must take the sidecar fast path")
     assert(viaFast === viaFold)
   }
+
+  test("head-check verb: clean on a healthy store root and on a bare " +
+    "serving table; a post-publish sidecar owner clobber is reported; a " +
+    "rename-protocol store has nothing to check") {
+    implicit val s = spark
+
+    // Store root (manifest protocol): both tables cross-check clean.
+    val root = tmpDir("tools-hc-store")
+    val store = new StateStore(root, StateStore.ManifestCommit)
+    store.writeBatch(Seq(WriteRequest(0, BlockRef("b0", 0),
+      Seq(TabletRowM(1, "t1", 0, "a", "v0".getBytes("UTF-8"), false)), Nil)))
+    assert(Tools.run(Seq("head-check", root)) === "head check clean")
+
+    // Bare manifest table (the serving-target shape): `_gen` sits
+    // directly under the path, no store layout around it.
+    val target = tmpDir("tools-hc-target")
+    val t = graft.streaming.StateMaterializer.targetTable(target)
+    val rows = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        1, "t1", 0L, "a", "v0".getBytes("UTF-8"), false)), 1),
+      Schemas.tabletRows)
+    assert(t.commit(rows, "c1"))
+    assert(Tools.run(Seq("head-check", target)) === "head check clean")
+
+    // Clobber the head sidecar's owner AFTER the publish — the damage a
+    // non-conditional-create store can admit. The verb must name it.
+    val sp = new org.apache.hadoop.fs.Path(
+      f"$target/_manifests/d-${1L}%09d.json")
+    val fs = sp.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(sp)
+    val orig =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    val clobbered = orig.replaceAll(
+      """"owner":"[0-9a-f]+"""", """"owner":"deadbeefdeadbeefdeadbeefdeadbeef"""")
+    assert(clobbered !== orig, "sidecar must have carried an owner to clobber")
+    val out = fs.create(sp, true)
+    try out.write(clobbered.getBytes("UTF-8")) finally out.close()
+    val report = Tools.run(Seq("head-check", target))
+    assert(report.startsWith("HEAD CHECK FAILED:"), report)
+    assert(report.contains("overwritten after publish"), report)
+
+    // Rename-protocol store: no pointer, nothing to cross-check.
+    val renameRoot = tmpDir("tools-hc-rename")
+    new StateStore(renameRoot).writeBatch(Seq(WriteRequest(0,
+      BlockRef("b0", 0),
+      Seq(TabletRowM(1, "t1", 0, "a", "v0".getBytes("UTF-8"), false)), Nil)))
+    assert(Tools.run(Seq("head-check", renameRoot))
+      .startsWith("nothing to check: rename-protocol store"))
+  }
 }
