@@ -618,6 +618,67 @@ class ManifestConcurrencySpec extends SparkTestBase {
     } finally sys.props.remove("graft.publish.retryMs")
   }
 
+  test("stress: two live MERGERS race barrier-synchronized rounds over " +
+    "disjoint and shared keys with a mid-storm compaction — the final " +
+    "state equals the sequential LWW oracle and generations = applied " +
+    "merges + compactions (every loss reconciled, nothing lost, nothing " +
+    "double-published)") {
+    // The in-CI distillation of graft.SoakContend: same workload shape
+    // (private key ranges → the rebase-eligible class; shared keys every
+    // 4th round → overlap recomputes; one whole-table compaction → the
+    // rebase-ineligible class), same exact-state obligation, two real
+    // unsynchronized handles in one JVM instead of N processes. Heights
+    // are globally unique (round*2 + writer), so the expected LWW state
+    // is computable without reference to race outcomes — every merge
+    // must APPLY (unique commitIds; a skip would be a lost commit).
+    val path = tmpDir("occ-merge-storm")
+    val rounds = 8
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val handles = Seq(table(path), table(path))
+    assert(handles.head.commit(df(("seed", 0L, false, "v0")), "c-seed"))
+    val threads = (0 to 1).map { w =>
+      new Thread(() => {
+        try {
+          val t = handles(w)
+          (1 to rounds).foreach { r =>
+            val shared = r % 4 == 0
+            val keys =
+              if (shared) Seq("sh-k0", "sh-k1")
+              else (0 until 3).map(j => s"own-$w-k$j")
+            val h = r.toLong * 2 + w
+            barrier.await(60, java.util.concurrent.TimeUnit.SECONDS)
+            val report = t.merge(
+              df(keys.map(k => (k, h, false, s"w$w-r$r")): _*),
+              Seq("k"), orderCol = "height", deleteCol = "del",
+              commitId = s"m-$w-$r")
+            assert(report.applied, s"merge m-$w-$r must apply exactly once")
+            if (w == 0 && r == 5)
+              t.replaceAllRetrying(() => t.read().coalesce(1), "compact-mid")
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      }, s"occ-merger-$w")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(180000L))
+    assert(errs.isEmpty, s"merger failed: ${Option(errs.peek()).map(_.toString)}")
+    val t = table(path)
+    // Exact LWW oracle: own keys end at their owner's last own round;
+    // shared keys end at the highest shared-round height (writer 1's
+    // round 8 = height 17); the seed row rides through untouched.
+    val lastOwn = (1 to rounds).filter(_ % 4 != 0).max
+    val expected = (for {
+      w <- 0 to 1; j <- 0 until 3
+    } yield s"own-$w-k$j" -> s"w$w-r$lastOwn").toMap ++
+      Map("sh-k0" -> "w1-r8", "sh-k1" -> "w1-r8", "seed" -> "v0")
+    assert(byKeyOf(t) === expected)
+    // One generation per applied publish: seed + 16 merges + 1 compaction.
+    assert(t.currentGeneration() === Some(2L * rounds + 2L))
+    // Every commitId present exactly once in the final history.
+    val ids = t.manifestEntries(2L * rounds + 2L).map(_._1)
+    assert(ids.sorted === ids.distinct.sorted)
+  }
+
   test("stress: two live writers race unsynchronized — every commit lands " +
     "exactly once, generations = total commits") {
     val path = tmpDir("occ-stress")
