@@ -105,14 +105,19 @@ object Bench {
           r
         }
       }
-    calibBuf += calibOnce()
-    val firstPass = interleaveProbes(named, 7)
+    // No probe outside the chunked interleaving: a leading probe right
+    // after the untimed warm one, or a trailing probe right after a
+    // chunk's own closing probe, is back-to-back by construction — the
+    // round-18 median-of-3 session recorded calib minima of 0.05–0.11
+    // (vs 0.21–0.26 medians) from exactly those two positions. Hot
+    // probes read LOW, which scales the total UP: a bias, not noise.
+    // 8 + 3 + 4 chunks keep the probe count at 15, all query-spaced.
+    val firstPass = interleaveProbes(named, 8)
     val firstByName = firstPass.toMap
     val slow = named.filter { case (name, _) => firstByName(name) >= 0.3 }
     val sweepA = interleaveProbes(slow, 3)
-    val sweepB = interleaveProbes(slow, 3)
+    val sweepB = interleaveProbes(slow, 4)
     val resamples: Seq[(String, Double)] = sweepA ++ sweepB
-    calibBuf += calibOnce()
     val calibs = calibBuf.toSeq
     val calibMed = calibs.sorted.apply(calibs.size / 2)
     val samplesByName = (firstPass ++ resamples).groupBy(_._1)
