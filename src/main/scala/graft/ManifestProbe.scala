@@ -96,13 +96,24 @@ object ManifestProbe {
       // Deepest generation with a FULL manifest (under the store's
       // checkpoint interval that is the last multiple of the interval,
       // not necessarily `commits` itself).
-      val deepFull = (commits.toLong to 1L by -1L).find { g =>
-        fs.exists(new org.apache.hadoop.fs.Path(
-          f"${store.tabletRowsPath}/_manifests/m-$g%09d.json"))
-      }.getOrElse(sys.error("no full manifest found"))
-      val mPath = new org.apache.hadoop.fs.Path(
-        f"${store.tabletRowsPath}/_manifests/m-$deepFull%09d.json")
-      val mBytes = fs.getFileStatus(mPath).getLen
+      // Full manifests are owner-suffixed objects (m-<gen>.<nonce>.json;
+      // legacy tables carry the unsuffixed name) — match either by
+      // prefix when pricing the deepest full manifest.
+      def fullManifestAt(g: Long): Option[org.apache.hadoop.fs.FileStatus] = {
+        val prefix = f"m-$g%09d"
+        fs.listStatus(new org.apache.hadoop.fs.Path(
+          s"${store.tabletRowsPath}/_manifests"))
+          .find { st =>
+            val n = st.getPath.getName
+            n == s"$prefix.json" ||
+              (n.startsWith(s"$prefix.") && n.endsWith(".json") &&
+                n.length > s"$prefix.json".length)
+          }
+      }
+      val (deepFull, mBytes) = (commits.toLong to 1L by -1L).iterator
+        .flatMap(g => fullManifestAt(g).map(st => (g, st.getLen)))
+        .nextOption()
+        .getOrElse(sys.error("no full manifest found"))
       val tParse = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
         manifest.manifestEntriesFull(deepFull)

@@ -193,9 +193,40 @@ object SoakContend {
     val procs = (0 until children).map { i =>
       (i, s"$base/child-$i.json", fork(i, s"$base/child-$i.json"))
     }
+
+    // MID-STORM READER: while the children race, the parent reads the
+    // table continuously — the reader-isolation half of the guarantee.
+    // Every poll must parse the head (no torn pointer ever surfaces),
+    // the generation must never REGRESS (a regressed pointer would make
+    // a changefeed re-emit delivered commits), and a snapshot read at
+    // the current head must never error — across hundreds of contended
+    // publishes, takeovers, and fencings happening underneath it.
+    val deadline = System.currentTimeMillis() + (seconds + 180L) * 1000L
+    val t0 = StateMaterializer.targetTable(target)
+    var readerReads = 0L
+    var readerErrors = 0L
+    var lastGen = 0L
+    var genRegressions = 0L
+    def childrenLive = procs.exists(_._3.exists(_.isAlive))
+    while (childrenLive && System.currentTimeMillis() < deadline) {
+      try {
+        val g = t0.currentGeneration().getOrElse(0L)
+        if (g < lastGen) genRegressions += 1L
+        lastGen = math.max(lastGen, g)
+        if (g > 0L) { t0.read().count(); () }
+        readerReads += 1L
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          readerErrors += 1L
+          println(s"""{"contend_reader_error":"${e.getClass.getSimpleName}: ${
+            Option(e.getMessage).getOrElse("").take(160)
+              .replace("\"", "'").replace("\n", " ")}"}""")
+      }
+      Thread.sleep(2000L)
+    }
     procs.foreach { case (_, _, p) =>
       p.foreach { proc =>
-        proc.waitFor(seconds + 180L, java.util.concurrent.TimeUnit.SECONDS)
+        proc.waitFor(60L, java.util.concurrent.TimeUnit.SECONDS)
         if (proc.isAlive) proc.destroy()
       }
     }
@@ -248,6 +279,8 @@ object SoakContend {
       s""""errors":${sum("errors")},""" +
       s""""lost_races":${sum("lost_races")},"takeovers":${sum("takeovers")},""" +
       s""""fenced":${sum("fenced")},"rebased":${sum("rebased")},""" +
+      s""""reader_reads":$readerReads,"reader_errors":$readerErrors,""" +
+      s""""gen_regressions":$genRegressions,""" +
       s""""final_generation":${t.currentGeneration().getOrElse(0L)},""" +
       s""""head_check":"${t.verifyHead().getOrElse("clean")}",""" +
       s""""keys":${actual.size},"equiv_match":$equiv}}""")

@@ -16,8 +16,13 @@ import org.apache.spark.sql.types.StructType
   *   1. `d-<commitId>-g<gen>/` — the commit's data files. Deterministic
   *      per (commitId, generation): a crash-replay rewrites the SAME
   *      directory in overwrite mode, so orphans self-clean on retry.
-  *   2. `_manifests/m-<gen>.json` — the full committed file list as of
-  *      generation `gen` (JSON lines, one per commit).
+  *   2. `_manifests/m-<gen>.<nonce>.json` — the full committed file list
+  *      as of generation `gen` (JSON lines, one per commit), written to
+  *      the publishing ATTEMPT's own object and resolved through the
+  *      generation sidecar's owner — attempts never share a manifest
+  *      object, so a stale writer can neither clobber nor shadow a
+  *      committed one ([[manifestPathOwned]]). Pre-r18 tables carry the
+  *      unsuffixed `m-<gen>.json`, still read as a fallback.
   *   3. `_gen` — the generation POINTER. The swap of this one small file
   *      is the only "atomic" operation the protocol needs: a single-object
   *      PUT on an object store (here: tmp file + single-file rename, the
@@ -44,7 +49,7 @@ import org.apache.spark.sql.types.StructType
   * appender between compactions. All three writers publish the delta
   * BEFORE the pointer swap, so crash-replay semantics are unchanged.
   *
-  * MIN-READER GATE: every publish writes the `g4` owner-carrying frame.
+  * MIN-READER GATE: every publish writes the `g5` owner-carrying frame.
   * A pre-fencing reader (whose parser knows only `g2`/`g3`) fails loudly
   * on the pointer instead of resolving a missing full manifest as an
   * empty table — the silent-empty failure would cascade (a rolled-back
@@ -71,7 +76,7 @@ import org.apache.spark.sql.types.StructType
   *
   * FENCING TOKEN: every own attempt carries a fresh NONCE, written into
   * the sidecar (`"owner":"<nonce>"`) and into the pointer frame itself
-  * (`g4:<gen>:<nonce>:<gen>;`). Ownership is the NONCE, not the
+  * (`g5:<gen>:<nonce>:<gen>;`). Ownership is the NONCE, not the
   * commitId: a takeover (foreign after the lease, or a sibling replay of
   * the same commitId) rewrites the sidecar with ITS nonce, so the
   * previous holder — even one paused past the lease that wakes mid-tail
@@ -167,6 +172,14 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * repair path must restore the published record. */
   private[graft] var afterSwapHook: () => Unit = () => ()
 
+  /** Test hook: runs immediately before a full-manifest write — the
+    * paused-past-the-lease window between the `stillOwns` re-check and
+    * the manifest object landing, where a takeover may have published
+    * this generation already. Owner-suffixed manifest objects make a
+    * stale write here an ignored orphan instead of a shadow/clobber
+    * ([[manifestPathOwned]]); this hook lets specs pin exactly that. */
+  private[graft] var beforeManifestWriteHook: () => Unit = () => ()
+
   private def maybeFailAfterOwn(commitId: String): Unit =
     if (failAfterOwn) throw new IllegalStateException(
       s"injected crash after owning the generation for $commitId")
@@ -193,10 +206,11 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * (scan + argmax + write) that a lost race did NOT cost. */
   val rebasedMergeCount = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  // Min-reader gate: every publish writes the g4 owner-carrying frame,
+  // Min-reader gate: every publish writes the g5 owner-carrying frame,
   // which pre-fencing readers (g2/g3-only parsers) reject loudly — the
   // same posture the g3 frame took for the delta-only layout, now
-  // subsumed: a g4-aware reader is sidecar-aware by construction. Legacy
+  // subsumed: a g5-aware reader is sidecar- and owned-manifest-aware by
+  // construction. Legacy
   // g2/g3 frames and bare-number pointers still parse on read.
 
   private def cachedEntriesAt(gen: Long): Seq[ManifestEntry] =
@@ -222,7 +236,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * the ONE parse all pointer consumers share ([[currentGeneration]],
     * [[publishOwned]]'s arbitration, [[verifyHead]]), so retry and
     * refusal discipline cannot drift between them. Owner is None on
-    * legacy frames (g2/g3/bare number) and present on g4; unreadable
+    * legacy frames (g2/g3/bare number) and present on g4/g5; unreadable
     * after retries fails LOUDLY — a torn read must never feed a lenient
     * branch (e.g. a stale publisher reading its way into false
     * success). */
@@ -263,18 +277,18 @@ final class ManifestTable(val tablePath: String, schema: StructType,
           text match {
             case FramedGenRe(_, a, b) if a == b =>
               return Some((a.toLong, None))
-            case Framed4Re(a, o, b) if a == b =>
+            case FramedOwnerRe(_, a, o, b) if a == b =>
               return Some((a.toLong, Some(o)))
-            case NewerFrameRe(v, a, b) if a == b && v.toLong > 4 =>
+            case NewerFrameRe(v, a, b) if a == b && v.toLong > 5 =>
               // Structurally valid, higher version: this binary predates
               // the table's layout. Refuse with the real reason — never
               // read a newer table as empty/partial.
               sys.error(s"table $tablePath uses pointer-frame version g$v, " +
-                "newer than this reader supports (g4) — upgrade the reader")
-            case NewerFrame4Re(v, a, b) if a == b && v.toLong > 4 =>
+                "newer than this reader supports (g5) — upgrade the reader")
+            case NewerFrame4Re(v, a, b) if a == b && v.toLong > 5 =>
               // Same refusal for higher-versioned OWNER-carrying frames.
               sys.error(s"table $tablePath uses pointer-frame version g$v, " +
-                "newer than this reader supports (g4) — upgrade the reader")
+                "newer than this reader supports (g5) — upgrade the reader")
             case _ if text.nonEmpty && text.forall(_.isDigit) =>
               return Some((text.toLong, None))
             case _ if attempt < 3 =>
@@ -318,13 +332,13 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     val tmp = new Path(s"$genPointerPath.$owner.tmp")
     val out = fs.create(tmp, true)
     // Framed form (see currentGeneration): torn-read-proof on stores
-    // whose rename streams bytes into place. The g4 frame carries the
+    // whose rename streams bytes into place. The g5 frame carries the
     // publishing attempt's fencing nonce, so the pointer's CONTENT
     // names who swapped it: head sidecar and pointer are
     // cross-checkable ([[verifyHead]]), and the frame bump gates out
     // pre-fencing readers loudly (the Delta minReaderVersion posture —
     // same vehicle the g3 delta-only gate used).
-    try out.write(s"g4:$gen:$owner:$gen;".getBytes("UTF-8")) finally out.close()
+    try out.write(s"g5:$gen:$owner:$gen;".getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, p)) {
       // Rename-refuses-existing-destination filesystems only (see the
       // class doc above): the delete→rename pair reopens a residual
@@ -367,6 +381,92 @@ final class ManifestTable(val tablePath: String, schema: StructType,
 
   private def manifestPath(gen: Long): String = f"$manifestDir/m-$gen%09d.json"
 
+  /** The ATTEMPT-UNIQUE full-manifest object (r18). The unsuffixed
+    * legacy path was the ONE shared metadata object without content
+    * arbitration: the sidecar has [[verifyHead]]'s owner cross-check and
+    * the pointer has the nonce frame, but a publisher paused past the
+    * lease between its `stillOwns` re-check and its manifest write could
+    * land (or overwrite) `m-<gen>.json` AFTER the takeover winner
+    * published — and full-manifest-wins resolution would then SILENTLY
+    * shadow the winner's committed generation (wrong reads, and the
+    * sweep computing liveness from the stale file set — data loss).
+    * Suffixing the owner nonce makes the write target attempt-unique, so
+    * no interleaving can clobber or shadow another attempt's manifest;
+    * which object is authoritative is decided by CONTENT
+    * ([[resolvedManifestPath]]): the generation sidecar's owner. */
+  private def manifestPathOwned(gen: Long, owner: String): String =
+    f"$manifestDir/m-$gen%09d.$owner.json"
+
+  /** The generation's AUTHORITATIVE full-manifest object, or None when
+    * the generation is delta-only (or doesn't exist). Resolution order:
+    *
+    *   1. sidecar names an owner → that owner's suffixed object
+    *      (`m-<gen>.<owner>.json`). A fenced loser's manifest is a dead
+    *      orphan OBJECT under a different name — never consulted, never
+    *      a shadow; [[sweepOrphans]] collects it once aged.
+    *   2. owner's suffixed object absent (or no owner recorded) → the
+    *      legacy unsuffixed path, for tables written before the suffix
+    *      (whose pointer still reads g4/g3/g2). Among PRE-r18 writers
+    *      the shadow window remains what it was — closed by upgrading
+    *      writers, per README's rolling-upgrade order.
+    *
+    * When `gen` is the HEAD, the POINTER's owner outranks the sidecar's:
+    * the pointer is the one object a stale writer cannot fake without
+    * winning the swap, so under a post-publish sidecar clobber (the
+    * TOCTOU class [[verifyHead]] detects) resolution still follows the
+    * real winner's manifest instead of the clobberer's.
+    *
+    * Sidecar read faults PROPAGATE: an unreadable sidecar must not
+    * authorize the lenient legacy branch (the round-17 torn-pointer
+    * lesson — a failed read never feeds a lenient fallback). */
+  private def resolvedManifestPath(gen: Long): Option[Path] = {
+    val owners = authoritativeOwners(gen)
+    (owners.map(o => fsOf(manifestPathOwned(gen, o))) ++
+      Seq(fsOf(manifestPath(gen))))
+      .collectFirst { case (fs, p) if fs.exists(p) => p }
+      .orElse {
+        // NO owner evidence at all (no owner frame at the pointer, no —
+        // or a pre-owner — sidecar): a damaged-or-stripped-metadata
+        // context, not a contended one. If exactly ONE owned manifest
+        // object exists for the generation it is unambiguous — use it
+        // (e.g. a table whose sidecars were lost but whose manifests
+        // survive). With owner evidence present this fallback must NOT
+        // run: in the shadow interleaving the only object at the
+        // generation is the fenced loser's, and the sidecar naming the
+        // delta-only winner is exactly what proves it dead. Ambiguous
+        // (2+) candidates stay unresolved — the loud missing-metadata
+        // path beats guessing between attempts.
+        if (owners.nonEmpty) None
+        else {
+          val (fs, d) = fsOf(manifestDir)
+          if (!fs.exists(d)) None
+          else {
+            val prefix = f"m-$gen%09d."
+            val candidates = fs.listStatus(d).map(_.getPath).filter { p =>
+              val n = p.getName
+              n.startsWith(prefix) && n.endsWith(".json") &&
+                n != f"m-$gen%09d.json"
+            }
+            if (candidates.length == 1) Some(candidates.head) else None
+          }
+        }
+      }
+  }
+
+  /** Owners whose manifest object for `gen` may be trusted, strongest
+    * arbiter first: the pointer's owner when `gen` is the published
+    * head, then the generation sidecar's owner. Distinct single source
+    * for read-side resolution and the sweep's deadness judgment — a
+    * drifted copy would let the sweep reclaim what a reader trusts. */
+  private def authoritativeOwners(gen: Long): Seq[String] = {
+    val fromPointer = pointerFrame() match {
+      case Some((g, owner)) if g == gen => owner
+      case _ => None
+    }
+    val fromSidecar = deltaRecord(gen).flatMap(_.owner)
+    (fromPointer.toSeq ++ fromSidecar.toSeq).distinct
+  }
+
   private def quote(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
@@ -382,8 +482,10 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * statsCols-less instance; such files are never pruned). */
   private[graft] def manifestEntriesFull(gen: Long): Seq[ManifestEntry] = {
     if (gen <= 0) return Seq.empty
-    val (fs, p) = fsOf(manifestPath(gen))
-    if (fs.exists(p)) {
+    val resolved = resolvedManifestPath(gen)
+    if (resolved.isDefined) {
+      val p = resolved.get
+      val fs = fsOf(tablePath)._1
       val in = fs.open(p)
       val text =
         try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
@@ -409,7 +511,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       }
       else {
         var base = gen - 1
-        while (base > 0 && !fs.exists(fsOf(manifestPath(base))._2)) base -= 1
+        while (base > 0 && resolvedManifestPath(base).isEmpty) base -= 1
         val start: Seq[ManifestEntry] =
           if (base == 0) Seq.empty else manifestEntriesFull(base)
         (base + 1 to gen).foldLeft(start) { (acc, h) =>
@@ -646,7 +748,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     *     retries and its commit lands whole at the next generation
     *     instead of being silently absorbed into someone else's.
     *
-    * The pointer frame itself carries the nonce (`g4`, see
+    * The pointer frame itself carries the nonce (`g5`, see
     * [[ManifestTable.Framed4Re]]), so head sidecar and pointer are
     * cross-checkable by any observer ([[verifyHead]]). */
   private def publishOwned(gen: Long, commitId: String, nonce: String,
@@ -675,7 +777,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       case Some((cur, frameOwner)) if cur == gen =>
         // The pointer already reached OUR generation but we never
         // swapped: someone else published it. The swap's CONTENT is the
-        // arbiter — if the g4 frame names a different attempt, the
+        // arbiter — if the owner frame names a different attempt, the
         // committed generation is not ours no matter what the sidecar
         // says (a woken stale writer may have re-clobbered the sidecar
         // with its own record AFTER the winner's publish; the pointer it
@@ -1018,8 +1120,16 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     (synthesized, present)
   }
 
-  private def writeManifest(gen: Long, entries: Seq[ManifestEntry]): Unit = {
-    val (fs, p) = fsOf(manifestPath(gen))
+  /** Write this ATTEMPT's full manifest for `gen` — to the attempt's own
+    * object ([[manifestPathOwned]]), so concurrent/stale attempts can
+    * never clobber or shadow each other's manifests; which object a
+    * reader trusts is decided by the sidecar's owner
+    * ([[resolvedManifestPath]]). `owner` must be the attempt's fencing
+    * nonce — the one in the generation sidecar this attempt owns. */
+  private def writeManifest(gen: Long, entries: Seq[ManifestEntry],
+      owner: String): Unit = {
+    beforeManifestWriteHook()
+    val (fs, p) = fsOf(manifestPathOwned(gen, owner))
     fs.mkdirs(p.getParent)
     val json = entries.map { e =>
       s"""{"commit_id":${quote(e.commitId)},"files":[${e.files.map(quote).mkString(",")}]""" +
@@ -1162,7 +1272,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
               if (!stillOwns(next, nonce)) {
                 fencedPublishCount.incrementAndGet()
                 fenced = true
-              } else writeManifest(next, entries :+ entry)
+              } else writeManifest(next, entries :+ entry, nonce)
             } else if (!stillOwns(next, nonce)) {
               // Ownership re-check before the DELETE below, mirroring the
               // checkpoint branch's guard: a publisher paused past the
@@ -1175,10 +1285,13 @@ final class ManifestTable(val tablePath: String, schema: StructType,
               fencedPublishCount.incrementAndGet()
               fenced = true
             } else {
-              // A CRASHED publisher at this same generation may have left
-              // an orphan full manifest (we own the generation now, so it
-              // can only be a dead attempt's); readers' full-manifest-wins
-              // resolution means a delta-only commit must remove it, and
+              // A CRASHED PRE-r18 publisher at this same generation may
+              // have left an orphan LEGACY (unsuffixed) full manifest
+              // (we own the generation now, so it can only be a dead
+              // attempt's; r18 attempts write owner-suffixed objects
+              // that resolution never consults without a matching
+              // sidecar). The legacy fallback in resolution means a
+              // delta-only commit must still remove it, and
               // the deletion must be VERIFIED: proceeding past a failed
               // delete would let the aborted listing shadow this commit's
               // sidecar — wrong reads AND a sweep computing liveness from
@@ -1190,7 +1303,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
               if (mfs.exists(mp)) require(mfs.delete(mp, false) || !mfs.exists(mp),
                 s"could not remove orphan manifest $mp left by a crashed " +
                   "publisher — refusing to publish a sidecar it would shadow")
-              // (Pre-sidecar readers are gated out by the g4 pointer
+              // (Pre-sidecar readers are gated out by the owner-frame pointer
               // frame every publish writes — see [[publish]].)
             }
             if (!fenced) {
@@ -1265,7 +1378,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       fresh = if (hadFiles) Some(Seq.empty) else None, nonce) match {
       case Owned =>
         try {
-          writeManifest(next, Seq(entry))
+          writeManifest(next, Seq(entry), nonce)
           publishOwned(next, commitId, nonce, entry, rewrite = hadFiles,
             fresh = if (hadFiles) Some(Seq.empty) else None)
           entriesCache = Some((next, Seq(entry)))
@@ -1366,7 +1479,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
               writeDelta(next, entry, rewrite = hadFiles,
                 fresh = if (hadFiles) Some(Seq.empty) else None,
                 owner = Some(nonce))
-              writeManifest(next, Seq(entry))
+              writeManifest(next, Seq(entry), nonce)
               publishOwned(next, commitId, nonce, entry,
                 rewrite = hadFiles,
                 fresh = if (hadFiles) Some(Seq.empty) else None)
@@ -1919,7 +2032,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
             fencedPublishCount.incrementAndGet()
             None
           } else {
-            writeManifest(next, keptEntries :+ s.entry)
+            writeManifest(next, keptEntries :+ s.entry, nonce)
             publishOwned(next, commitId, nonce, s.entry,
               rewrite = s.rewrite,
               fresh = if (s.rewrite) Some(s.freshFiles) else None)
@@ -2044,7 +2157,53 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     staleTmps.foreach(p =>
       try fs.delete(p, false)
       catch { case scala.util.control.NonFatal(_) => () })
-    (victims.map(_.getName) ++ staleTmps.map(_.getName)).toSeq
+    // Dead ATTEMPT manifests: every publish writes its full manifest to
+    // its own owner-suffixed object (m-<gen>.<nonce>.json) before the
+    // swap, so a fenced/crashed attempt leaves its object behind — never
+    // consulted (resolution follows the authoritative owner), but a
+    // conflict-heavy table would accumulate them. Reclaim once provably
+    // dead: the generation's authoritative owners ([[authoritativeOwners]]
+    // — the SAME arbiter reads use) exist and exclude this object's (or
+    // the generation is beyond the head), AND the object has aged past
+    // lease + retry (a commit blocked behind a reservation legitimately
+    // re-owns and rewrites for up to that long). A failed sidecar read
+    // KEEPS the object, and a DAMAGED head (verifyHead non-empty — the
+    // fencing metadata is inconsistent, so ownership judgments are not
+    // trustworthy) suspends this reclamation class entirely — only proof
+    // deletes.
+    val mdir = fsOf(manifestDir)._2
+    val ownedManifestRe = """^m-(\d+)\.([0-9a-fA-F]+)\.json$""".r
+    val manifestAgeFloor =
+      math.max(minAgeMillis, publishLeaseMillis + publishRetryMillis)
+    val head = currentGeneration().getOrElse(0L)
+    val headDamaged =
+      try verifyHead().isDefined
+      catch { case scala.util.control.NonFatal(_) => true }
+    val deadManifests =
+      if (headDamaged || !fs.exists(mdir)) Array.empty[Path]
+      else fs.listStatus(mdir).flatMap { st =>
+        st.getPath.getName match {
+          case ownedManifestRe(g, o)
+              if st.isFile &&
+                now - st.getModificationTime > manifestAgeFloor =>
+            val gen = g.toLong
+            val dead =
+              if (gen > head) true // aged well past any live attempt
+              else {
+                val owners =
+                  try authoritativeOwners(gen)
+                  catch { case scala.util.control.NonFatal(_) => Seq.empty }
+                owners.nonEmpty && !owners.contains(o)
+              }
+            if (dead) Some(st.getPath) else None
+          case _ => None
+        }
+      }
+    deadManifests.foreach(p =>
+      try fs.delete(p, false)
+      catch { case scala.util.control.NonFatal(_) => () })
+    (victims.map(_.getName) ++ staleTmps.map(_.getName) ++
+      deadManifests.map(_.getName)).toSeq
   }
 
   /** FILE-granularity companion to [[sweepOrphans]], needed once
@@ -2229,13 +2388,20 @@ object ManifestTable {
     * and the generation publish in one atomic swap). */
   private[store] val FramedGenRe = """^g([23]):(\d+):(\d+);$""".r
 
-  /** The OWNER-carrying frame (`g4:<gen>:<nonce>:<gen>;`): the doubled
-    * generation keeps the torn-read self-validation, and the middle
-    * segment names the publishing attempt's fencing nonce — the swap's
-    * CONTENT identifies its author, so head sidecar and pointer are
-    * cross-checkable ([[ManifestTable.verifyHead]]) and the version bump
-    * gates pre-fencing readers out loudly. */
-  private[store] val Framed4Re = """^g4:(\d+):([0-9a-fA-F]+):(\d+);$""".r
+  /** The OWNER-carrying frames (`g4:<gen>:<nonce>:<gen>;` and the
+    * structurally identical `g5:...`): the doubled generation keeps the
+    * torn-read self-validation, and the middle segment names the
+    * publishing attempt's fencing nonce — the swap's CONTENT identifies
+    * its author, so head sidecar and pointer are cross-checkable
+    * ([[ManifestTable.verifyHead]]) and each version bump gates
+    * too-old readers out loudly. g4 (r17) gated pre-fencing readers;
+    * g5 (r18) additionally marks tables whose full manifests are
+    * OWNER-SUFFIXED objects (`m-<gen>.<nonce>.json`, resolved through
+    * the generation sidecar's owner) — a g4 reader consulting only the
+    * legacy unsuffixed path would misread a checkpoint generation as
+    * delta-only, so it must refuse, and does. New publishes write g5;
+    * g4 tables (legacy unsuffixed manifests) remain fully readable. */
+  private[store] val FramedOwnerRe = """^g([45]):(\d+):([0-9a-fA-F]+):(\d+);$""".r
 
   /** Any higher-versioned frame: structurally intact, written by a newer
     * writer — distinguish "needs a newer reader" from corruption. */

@@ -546,8 +546,14 @@ class ManifestConcurrencySpec extends SparkTestBase {
     assert(a.commit(df(("k1", 1L, false, "v1")), "c1")) // gen 1, delta-only
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val fullManifest2 = new org.apache.hadoop.fs.Path(
-      f"$path/_manifests/m-${2L}%09d.json")
+    // Full manifests are owner-suffixed objects (m-<gen>.<nonce>.json).
+    def fullManifest2Exists: Boolean = {
+      val d = new org.apache.hadoop.fs.Path(s"$path/_manifests")
+      fs.exists(d) && fs.listStatus(d).exists { st =>
+        val n = st.getPath.getName
+        n.startsWith(f"m-${2L}%09d.") && n.endsWith(".json")
+      }
+    }
     sys.props("graft.publish.leaseMs") = "1"
     try {
       // A owns generation 2 (delta-only: 2 % 4 != 0), then pauses past
@@ -559,20 +565,146 @@ class ManifestConcurrencySpec extends SparkTestBase {
       a.afterOwnHook = oneShot {
         Thread.sleep(10L)
         b.replaceAllRetrying(() => b.read().coalesce(1), "compact-B")
-        assert(fs.exists(fullManifest2),
+        assert(fullManifest2Exists,
           "B's compaction must have published a full manifest at gen 2")
       }
       val fencedBefore = a.fencedPublishCount.get()
       assert(a.commit(df(("ka", 2L, false, "va")), "cA"))
       assert(a.fencedPublishCount.get() > fencedBefore,
         "A must have been fenced BEFORE the orphan-manifest delete")
-      assert(fs.exists(fullManifest2),
+      assert(fullManifest2Exists,
         "the takeover's published full manifest must survive A's wake-up")
       assert(a.currentGeneration() === Some(3L))
       assert(a.manifestEntries(3L).map(_._1) === Seq("compact-B", "cA"))
       assert(values(a) === Set("v1", "va"))
       assert(table(path, interval = 4).verifyHead() === None)
     } finally sys.props.remove("graft.publish.leaseMs")
+  }
+
+  test("MANIFEST SHADOW closed (delta-only winner): a merge paused past " +
+    "the lease between its stillOwns re-check and its manifest write " +
+    "lands an ignored orphan OBJECT — the winner's delta-only generation " +
+    "resolves to the winner, and the sweep reclaims the orphan") {
+    val path = tmpDir("occ-manifest-shadow")
+    val a = table(path, interval = 4)
+    val b = table(path, interval = 4)
+    assert(a.commit(df(("k1", 1L, false, "v1")), "c1")) // gen 1, delta-only
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def gen2Manifests: Seq[String] = {
+      val d = new org.apache.hadoop.fs.Path(s"$path/_manifests")
+      fs.listStatus(d).map(_.getPath.getName).toSeq
+        .filter(n => n.startsWith(f"m-${2L}%09d.") && n.endsWith(".json"))
+        .sorted
+    }
+    sys.props("graft.publish.leaseMs") = "1"
+    try {
+      // A's merge owns generation 2, passes its stillOwns re-check, then
+      // pauses past the (shortened) lease AT the manifest write. B's
+      // plain commit takes over and publishes generation 2 DELTA-ONLY
+      // (2 % 4 != 0 — B writes no full manifest of its own). A wakes,
+      // writes its manifest, and is fenced at the swap. On the old
+      // unsuffixed layout A's late write WAS the generation-2 manifest:
+      // full-manifest-wins would read A's uncommitted merge, B's commit
+      // would vanish from every read, and the sweep would compute
+      // liveness from the stale file set — silent loss that verifyHead
+      // cannot see (pointer and sidecar both name B). Owner-suffixed
+      // objects make A's write an orphan nobody consults.
+      a.beforeManifestWriteHook = oneShot {
+        Thread.sleep(10L)
+        assert(b.commit(df(("kb", 2L, false, "vb")), "cB"))
+      }
+      val report = a.merge(df(("k1", 5L, false, "v1x")), Seq("k"),
+        orderCol = "height", deleteCol = "del", commitId = "m1")
+      assert(report.applied)
+      assert(a.fencedPublishCount.get() >= 1L,
+        "A must have been fenced at its swap after the takeover")
+      assert(a.currentGeneration() === Some(3L))
+      // Generation 2 resolves to B's COMMIT, not A's stale manifest: the
+      // core assertion — B's row is visible at 2, A's merge only at 3.
+      assert(byKeyOf(table(path, interval = 4)) ===
+        Map("k1" -> "v1x", "kb" -> "vb"))
+      val at2 = a.readAt(2L).collect()
+        .map(r => r.getAs[String]("k") -> r.getAs[String]("v")).toMap
+      assert(at2 === Map("k1" -> "v1", "kb" -> "vb"),
+        "generation 2 must be the winner's delta-only state")
+      // A's stale attempt manifest exists as an orphan object at gen 2
+      // (the retried merge published ITS manifest at gen 3).
+      assert(gen2Manifests.size === 1, gen2Manifests)
+      // The sweep reclaims it once aged past lease + retry (shrunk here;
+      // retryMs only shrinks AFTER the merge so the merge's own retry
+      // budget was never in play).
+      sys.props("graft.publish.retryMs") = "1"
+      Thread.sleep(30L)
+      val swept = a.sweepOrphans(retainGenerations = 3, minAgeMillis = 0L)
+      assert(swept.exists(_.startsWith(f"m-${2L}%09d.")),
+        s"the orphan attempt manifest must be swept: $swept")
+      assert(gen2Manifests.isEmpty)
+      // And the authoritative metadata is untouched by the sweep.
+      assert(byKeyOf(table(path, interval = 4)) ===
+        Map("k1" -> "v1x", "kb" -> "vb"))
+    } finally {
+      sys.props.remove("graft.publish.leaseMs")
+      sys.props.remove("graft.publish.retryMs")
+    }
+  }
+
+  test("MANIFEST SHADOW closed (full-manifest winner): a paused loser's " +
+    "late manifest write cannot CLOBBER a takeover compaction's published " +
+    "manifest — attempts never share a manifest object") {
+    val path = tmpDir("occ-manifest-clobber")
+    val a = table(path, interval = 4)
+    val b = table(path, interval = 4)
+    assert(a.commit(df(("k1", 1L, false, "v1")), "c1"))
+    sys.props("graft.publish.leaseMs") = "1"
+    try {
+      // B's compaction publishes generation 2 WITH a full manifest while
+      // A is paused at its own manifest write for the same generation.
+      // Unsuffixed, A's wake-up overwrote B's committed rewrite manifest
+      // in place — a corrupted committed generation (B's kept files
+      // invisible, the sweep eating them). Now they are different
+      // objects; resolution follows the sidecar owner (B).
+      a.beforeManifestWriteHook = oneShot {
+        Thread.sleep(10L)
+        b.replaceAllRetrying(() => b.read().coalesce(1), "compact-B")
+      }
+      val report = a.merge(df(("k1", 5L, false, "v1x")), Seq("k"),
+        orderCol = "height", deleteCol = "del", commitId = "m1")
+      assert(report.applied)
+      assert(a.currentGeneration() === Some(3L))
+      // Generation 2 IS the compaction, fully intact.
+      assert(a.manifestEntries(2L).map(_._1) === Seq("compact-B"))
+      val at2 = a.readAt(2L).collect()
+        .map(r => r.getAs[String]("k") -> r.getAs[String]("v")).toMap
+      assert(at2 === Map("k1" -> "v1"))
+      assert(byKeyOf(a) === Map("k1" -> "v1x"))
+      assert(table(path, interval = 4).verifyHead() === None)
+    } finally sys.props.remove("graft.publish.leaseMs")
+  }
+
+  test("legacy layout compatibility: a generation whose sidecar names an " +
+    "owner but whose manifest is the pre-r18 UNSUFFIXED object (an r17 " +
+    "writer) still resolves through the legacy fallback") {
+    val path = tmpDir("occ-legacy-manifest")
+    val a = table(path)
+    assert(a.commit(df(("k1", 1L, false, "v1")), "c1"))
+    // Simulate the r17 layout: move the owned manifest to the unsuffixed
+    // legacy name (r17 writers wrote m-<gen>.json with owner sidecars).
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val mdir = new org.apache.hadoop.fs.Path(s"$path/_manifests")
+    val owned = fs.listStatus(mdir).map(_.getPath)
+      .filter(p => p.getName.startsWith(f"m-${1L}%09d.") &&
+        p.getName != f"m-${1L}%09d.json")
+    assert(owned.length === 1, owned.map(_.getName).toSeq)
+    assert(fs.rename(owned.head,
+      new org.apache.hadoop.fs.Path(mdir, f"m-${1L}%09d.json")))
+    val fresh = table(path)
+    assert(fresh.manifestEntries(1L).map(_._1) === Seq("c1"))
+    assert(values(fresh) === Set("v1"))
+    // And new commits on top of the legacy generation work unchanged.
+    assert(fresh.commit(df(("k2", 2L, false, "v2")), "c2"))
+    assert(values(table(path)) === Set("v1", "v2"))
   }
 
   test("LOSER CLEANUP defers while the generation is UNPUBLISHED: a " +

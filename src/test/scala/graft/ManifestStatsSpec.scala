@@ -184,8 +184,15 @@ class ManifestStatsSpec extends SparkTestBase {
 
     val fs = new org.apache.hadoop.fs.Path(dirB)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    def fullManifestExists(dir: String, g: Long): Boolean =
-      fs.exists(new org.apache.hadoop.fs.Path(f"$dir/_manifests/m-$g%09d.json"))
+    def fullManifestExists(dir: String, g: Long): Boolean = {
+      // Full manifests are owner-suffixed objects (m-<gen>.<nonce>.json);
+      // the unsuffixed legacy name still counts for pre-r18 layouts.
+      val d = new org.apache.hadoop.fs.Path(s"$dir/_manifests")
+      fs.exists(d) && fs.listStatus(d).exists { st =>
+        val n = st.getPath.getName
+        n.startsWith(f"m-$g%09d.") && n.endsWith(".json")
+      }
+    }
     // Interval 4: full listings at generation 4 ONLY; 1,2,3,5,6 delta-only.
     assert((1L to 6L).filter(fullManifestExists(dirB, _)) === Seq(4L))
     assert((1L to 6L).forall(fullManifestExists(dirA, _)))
@@ -370,9 +377,9 @@ class ManifestStatsSpec extends SparkTestBase {
     assert(e.getMessage.contains("no rewrite field"), e.getMessage)
   }
 
-  test("min-reader gate: every publish writes the owner-carrying g4 frame " +
-    "— a pre-fencing (g2/g3-only) reader fails loudly instead of reading " +
-    "missing full manifests as an empty table; legacy frames still read") {
+  test("min-reader gate: every publish writes the owner-carrying g5 frame " +
+    "— a too-old reader fails loudly instead of misreading owner-suffixed " +
+    "manifests or missing full manifests; legacy frames still read") {
     implicit val s = spark
     val fsc = spark.sessionState.newHadoopConf()
     def pointerOf(dir: String): String = {
@@ -381,10 +388,10 @@ class ManifestStatsSpec extends SparkTestBase {
       try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
       finally in.close()
     }
-    val G4 = """^g4:(\d+):([0-9a-f]+):(\d+);$""".r
+    val G5 = """^g5:(\d+):([0-9a-f]+):(\d+);$""".r
     def g4Gen(text: String): Long = text match {
-      case G4(x, _, y) if x == y => x.toLong
-      case _ => fail(s"not a valid g4 frame: '$text'")
+      case G5(x, _, y) if x == y => x.toLong
+      case _ => fail(s"not a valid g5 frame: '$text'")
     }
     // Interval 1 (base layout) publishes g4 like every other path.
     val dirA = tmpDir("mgate-a")
@@ -437,10 +444,14 @@ class ManifestStatsSpec extends SparkTestBase {
     writePointer("6")
     assert(new ManifestTable(dirB, schema).currentGeneration() === Some(6L))
 
-    // Forward compatibility: FUTURE frames (3- or 4-segment g5) are
+    // The r17 owner frame (g4) remains fully readable — the r18 g5 bump
+    // gates only readers that predate owner-suffixed manifests.
+    writePointer("g4:6:deadbeef:6;")
+    assert(new ManifestTable(dirB, schema).currentGeneration() === Some(6L))
+    // Forward compatibility: FUTURE frames (3- or 4-segment g6) are
     // refused with an upgrade message, not mistaken for corruption or an
     // empty table.
-    for (future <- Seq("g5:6:6;", "g5:6:deadbeef:6;")) {
+    for (future <- Seq("g6:6:6;", "g6:6:deadbeef:6;")) {
       writePointer(future)
       val e = intercept[Exception] {
         new ManifestTable(dirB, schema).currentGeneration()

@@ -243,18 +243,22 @@ class ObjectStoreProtocolSpec extends SparkTestBase {
           "does NOT hold on this store class")
 
       // PROTOCOL level: the same race through commit(), on an
-      // interval-1 table (every generation checkpointed). Here the g4
-      // fencing keeps both commits' ROWS (the stale publisher is
-      // rejected by the pointer's content and re-lands; readers resolve
-      // the full manifest, which wins over the clobbered sidecar), but
-      // generation 2's sidecar was blindly overwritten AFTER the winner
-      // published — the changefeed would mis-attribute that generation.
-      // On DELTA-ONLY generations (checkpointInterval > 1) the same
-      // overwrite is strictly worse: reconstruction reads the sidecar
-      // alone, so the winner's commit is silently lost (README scopes
-      // the claim). Detectable here (verifyHead), not preventable
-      // without a conditional create: this store class is documented
-      // UNSAFE for multi-writer deployments, full stop.
+      // interval-1 table (every generation checkpointed). The fencing
+      // keeps both commits' ROWS: the stale publisher is rejected by
+      // the pointer's content and re-lands — and its RETRY reads the
+      // winner's manifest because resolution follows the POINTER's
+      // owner while the damaged generation is the head (the one object
+      // the clobberer cannot fake). But generation 2's sidecar was
+      // blindly overwritten AFTER the winner published, so once the
+      // head moves on, that generation's attribution follows the lying
+      // sidecar (delta reconstruction) — the winner's own manifest
+      // object survives on disk as evidence, unreferenced. On
+      // DELTA-ONLY generations (checkpointInterval > 1) the same
+      // overwrite is strictly worse: the winner's commit is silently
+      // lost (README scopes the claim). Detectable at the head
+      // (verifyHead), not preventable without a conditional create:
+      // this store class is documented UNSAFE for multi-writer
+      // deployments, full stop.
       val schema = StructType(Seq(
         StructField("id", LongType), StructField("v", StringType)))
       val root = objDir("obj-toctou")
@@ -271,11 +275,20 @@ class ObjectStoreProtocolSpec extends SparkTestBase {
       assert(a.currentGeneration() === Some(3L))
       assert(a.read().collect().map(_.getString(1)).toSet ===
         Set("v1", "vb", "va"))
-      // ...but generation 2's sidecar carries the LOSER's record while
-      // its manifest carries the winner's — the metadata corruption a
-      // conditional create prevents.
+      // ...but generation 2's sidecar carries the LOSER's record, so
+      // its HISTORICAL attribution now follows the lie — the metadata
+      // corruption a conditional create prevents. The winner's manifest
+      // object survives under its own nonce (attempt-unique manifests),
+      // and the winner's files stay live through the head's manifest.
       assert(a.deltaRecord(2L).map(_.entry.commitId) === Some("cA"))
-      assert(a.manifestEntries(2L).map(_._1) === Seq("c1", "cB"))
+      assert(a.manifestEntries(2L).map(_._1) === Seq("c1", "cA"))
+      val mdir = new org.apache.hadoop.fs.Path(s"$root/_manifests")
+      val gen2Objects = fs.listStatus(mdir).map(_.getPath.getName)
+        .filter(n => n.startsWith(f"m-${2L}%09d.") && n.endsWith(".json"))
+      assert(gen2Objects.length === 1,
+        "the winner's gen-2 manifest object must survive the clobber " +
+          s"as on-disk evidence: ${gen2Objects.toSeq}")
+      assert(a.manifestEntries(3L).map(_._1) === Seq("c1", "cB", "cA"))
     } finally RenamelessFileSystem.reset()
   }
 

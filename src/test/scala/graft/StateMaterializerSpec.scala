@@ -274,11 +274,11 @@ class StateMaterializerSpec extends SparkTestBase {
       val out = fs.create(p, true)
       try out.write(content.getBytes("UTF-8")) finally out.close()
     }
-    // On-disk form IS the frame (g4: owner-carrying, doubled generation).
+    // On-disk form IS the frame (g5: owner-carrying, doubled generation).
     val in = fs.open(p)
     val onDisk = try new String(
       org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
-    assert(onDisk.matches("""g4:2:[0-9a-f]+:2;"""), onDisk)
+    assert(onDisk.matches("""g5:2:[0-9a-f]+:2;"""), onDisk)
     // Every PREFIX of the frame (a torn read on a streaming-rename mount)
     // must fail loudly after retries — never parse as a smaller
     // generation, which would make a changefeed re-emit old commits.
