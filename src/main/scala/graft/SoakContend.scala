@@ -138,6 +138,7 @@ object SoakContend {
       s""""takeovers":${t.leaseTakeoverCount.get()},""" +
       s""""fenced":${t.fencedPublishCount.get()},""" +
       s""""rebased":${t.rebasedMergeCount.get()},""" +
+      s""""escalated":${t.escalatedMergeCount.get()},""" +
       s""""head_check":"${t.verifyHead().getOrElse("clean")}"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(summaryFile),
       summary.getBytes("UTF-8"))
@@ -279,6 +280,7 @@ object SoakContend {
       s""""errors":${sum("errors")},""" +
       s""""lost_races":${sum("lost_races")},"takeovers":${sum("takeovers")},""" +
       s""""fenced":${sum("fenced")},"rebased":${sum("rebased")},""" +
+      s""""escalated":${sum("escalated")},""" +
       s""""reader_reads":$readerReads,"reader_errors":$readerErrors,""" +
       s""""gen_regressions":$genRegressions,""" +
       s""""final_generation":${t.currentGeneration().getOrElse(0L)},""" +

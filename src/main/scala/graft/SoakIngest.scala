@@ -409,7 +409,8 @@ object SoakIngest {
       s""""serve_merge_contention":"(${targetHandle.lostRaceCount.get()},""" +
       s"""${targetHandle.leaseTakeoverCount.get()},""" +
       s"""${targetHandle.fencedPublishCount.get()},""" +
-      s"""${targetHandle.rebasedMergeCount.get()})",""" +
+      s"""${targetHandle.rebasedMergeCount.get()},""" +
+      s"""${targetHandle.escalatedMergeCount.get()})",""" +
       s"""$serveEquiv,$forkSummary,$forkWriterSummary}}""")
     spark.stop()
   }

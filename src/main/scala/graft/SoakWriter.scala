@@ -63,7 +63,8 @@ object SoakWriter {
           println(s"""{"soak_fork_writer":{"compactions":$compactions,""" +
             s""""compact_ms":$lastMs,"lost_races":${t.lostRaceCount.get()},""" +
             s""""fenced":${t.fencedPublishCount.get()},""" +
-            s""""rebased":${t.rebasedMergeCount.get()}}}""")
+            s""""rebased":${t.rebasedMergeCount.get()},""" +
+            s""""escalated":${t.escalatedMergeCount.get()}}}""")
         } else skipped += 1L
       } catch {
         case scala.util.control.NonFatal(e) =>
@@ -81,6 +82,7 @@ object SoakWriter {
       s""""fork_writer_takeovers":${t.leaseTakeoverCount.get()},""" +
       s""""fork_writer_fenced":${t.fencedPublishCount.get()},""" +
       s""""fork_writer_rebased":${t.rebasedMergeCount.get()},""" +
+      s""""fork_writer_escalated":${t.escalatedMergeCount.get()},""" +
       s""""fork_writer_head_check":"${t.verifyHead().getOrElse("clean")}"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(summaryFile),
       summary.getBytes("UTF-8"))

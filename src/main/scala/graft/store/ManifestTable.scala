@@ -205,6 +205,12 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * ([[rebaseStagedMerge]]): each one is a whole merge derivation
     * (scan + argmax + write) that a lost race did NOT cost. */
   val rebasedMergeCount = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Merge recomputes that ran under a loss-escalation RESERVATION
+    * (see [[merge]]): the starvation-proofing path. A rising rate says
+    * a racing rewriter (usually a compactor) keeps invalidating merges
+    * past rebasing — at a cadence near the merge derivation time that
+    * is the recompute-spiral regime this path exists to bound. */
+  val escalatedMergeCount = new java.util.concurrent.atomic.AtomicLong(0L)
 
   // Min-reader gate: every publish writes the g5 owner-carrying frame,
   // which pre-fencing readers (g2/g3-only parsers) reject loudly — the
@@ -1755,6 +1761,9 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     val startedAt = System.currentTimeMillis()
     var staged: Option[StagedMerge] = None
     var lastBlocked = false
+    // Set once a derivation is invalidated past rebasing: the next
+    // recompute runs under a reservation (see the escalation block).
+    var escalate = false
     // Touched keys, driver-side, collected ONCE per merge call (they
     // depend only on the update batch, never on the head, so retries and
     // recomputes reuse them — one Spark job saved per lost race).
@@ -1807,24 +1816,108 @@ final class ManifestTable(val tablePath: String, schema: StructType,
                 case None =>
                   log.info(s"merge '$commitId' into $tablePath cannot rebase " +
                     s"onto generation $head (overlapping keys, or a matched " +
-                    "file was rewritten) — recomputing")
+                    "file was rewritten) — recomputing under a reservation")
                   dropStagedIfDead(commitId, s.stagedGen)
                   staged = None
+                  escalate = true
               }
             case _ => ()
           }
           if (keyRows.isEmpty)
             return MergeReport(0, headEntries.map(_.files.size).sum,
               applied = false)
-          if (staged.isEmpty)
-            staged = Some(deriveMerge(head, headEntries, updates, keyTuples,
-              keyCols, orderCol, deleteCol, commitId, keepTombstones,
-              freshRowsPerFile))
-          publishStagedMerge(staged.get, next, headEntries, commitId) match {
-            case Some(report) =>
-              staged = None
-              return report
-            case None => () // lost/fenced: retained for a rebase attempt
+          if (staged.isEmpty && escalate) {
+            // LOSS ESCALATION: this merge already paid a full derivation
+            // that a racing publisher invalidated past rebasing
+            // (typically a compaction rewriting its matched files).
+            // Deriving optimistically AGAIN invites a spiral: under a
+            // compactor cadence shorter than the derivation time, every
+            // recompute loses to the next compaction — each loss handled
+            // "correctly", the materializer's lag growing without bound
+            // (observed end-to-end in the round-18 contention soak once
+            // host slowdown pushed derivations past the 5 s compactor
+            // interval). So the recompute runs under a RESERVATION — the
+            // same placeholder own [[replaceAllRetrying]] uses: the base
+            // is frozen while we hold the generation, foreign publishers
+            // wait out the hold (their heldByForeign probe), and the
+            // derivation cannot lose. Total derivations are bounded at
+            // two (modulo lease expiry on a stalled one). The crash cost
+            // is symmetrical with the compactor's: a death mid-derivation
+            // leaves a reservation the lease resolves; a LIVE failure
+            // releases it. The uncontended path never pays any of this.
+            val nonce = newNonce()
+            val placeholder = ManifestEntry(commitId, Seq.empty, Seq.empty)
+            beforeOwnHook()
+            tryOwnGeneration(next, placeholder, rewrite = true,
+              fresh = Some(Seq.empty), nonce) match {
+              case Owned =>
+                maybeFailAfterOwn(commitId)
+                var published: Option[MergeReport] = None
+                try {
+                  escalatedMergeCount.incrementAndGet()
+                  val s = deriveMerge(head, headEntries, updates, keyTuples,
+                    keyCols, orderCol, deleteCol, commitId, keepTombstones,
+                    freshRowsPerFile)
+                  staged = Some(s)
+                  if (!stillOwns(next, nonce)) {
+                    // Reservation lost mid-derivation (the derivation
+                    // outlived the lease): the staged attempt is retained
+                    // for a rebase at the new head.
+                    fencedPublishCount.incrementAndGet()
+                  } else {
+                    val keptEntries =
+                      entriesWithout(headEntries, s.matchedFiles.toSet)
+                    // Replace the placeholder with the real record
+                    // (owned, same nonce), then manifest + pointer — the
+                    // same tail as every publish path.
+                    writeDelta(next, s.entry, rewrite = s.rewrite,
+                      fresh = if (s.rewrite) Some(s.freshFiles) else None,
+                      owner = Some(nonce))
+                    writeManifest(next, keptEntries :+ s.entry, nonce)
+                    publishOwned(next, commitId, nonce, s.entry,
+                      rewrite = s.rewrite,
+                      fresh = if (s.rewrite) Some(s.freshFiles) else None)
+                    entriesCache = Some((next, keptEntries :+ s.entry))
+                    published = Some(MergeReport(
+                      rewritten = s.matchedFiles.size,
+                      kept = keptEntries.map(_.files.size).sum,
+                      applied = true))
+                  }
+                } catch {
+                  case _: ConcurrentPublishException =>
+                    // Fenced at the swap (takeover in the check-to-write
+                    // instant): retained for a rebase, loop reconciles.
+                    fencedPublishCount.incrementAndGet()
+                  case scala.util.control.NonFatal(e) =>
+                    // LIVE failure must not hold other writers hostage
+                    // for the lease.
+                    tryReleaseReservation(next, nonce)
+                    throw e
+                }
+                published.foreach { r =>
+                  staged = None
+                  return r
+                }
+              case AlreadyPublishedByUs =>
+                // A sibling replay finished this commitId mid-escalation.
+                return MergeReport(rewritten = 0,
+                  kept = cachedEntriesAt(currentGeneration().getOrElse(0L))
+                    .map(_.files.size).sum,
+                  applied = false)
+              case OwnConflict =>
+                lostRaceCount.incrementAndGet()
+            }
+          } else {
+            if (staged.isEmpty)
+              staged = Some(deriveMerge(head, headEntries, updates, keyTuples,
+                keyCols, orderCol, deleteCol, commitId, keepTombstones,
+                freshRowsPerFile))
+            publishStagedMerge(staged.get, next, headEntries, commitId) match {
+              case Some(report) =>
+                staged = None
+                return report
+              case None => () // lost/fenced: retained for a rebase attempt
+            }
           }
         }
         attempt += 1

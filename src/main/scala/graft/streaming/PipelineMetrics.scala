@@ -22,7 +22,7 @@ final class PipelineMetrics(
     headTimestampMillis: Option[Long => Long] = None,
     clockMillis: () => Long = () => System.currentTimeMillis(),
     maintenanceOf: Option[() => (Int, Long, Long)] = None,
-    contentionOf: Option[() => (Long, Long, Long, Long)] = None,
+    contentionOf: Option[() => (Long, Long, Long, Long, Long)] = None,
     headCheckOf: Option[() => (Long, Long, Long)] = None)
     extends StreamingQueryListener {
 
@@ -39,6 +39,7 @@ final class PipelineMetrics(
   private val pubTakeovers = new AtomicLong(-1L)
   private val pubFenced = new AtomicLong(-1L)
   private val pubRebased = new AtomicLong(-1L)
+  private val pubEscalated = new AtomicLong(-1L)
   private val headClean = new AtomicLong(-1L)
   private val headDamaged = new AtomicLong(-1L)
   private val headLastMs = new AtomicLong(-1L)
@@ -96,6 +97,14 @@ final class PipelineMetrics(
     * merge's matched files). */
   def publishRebasedMerges: Long = pubRebased.get()
 
+  /** Merge recomputes that ran under a loss-escalation RESERVATION (-1
+    * without a hook): the starvation-proofing path. Nonzero means a
+    * racing rewriter (usually a compactor) keeps invalidating merges
+    * past rebasing; a rate tracking the compaction rate means the
+    * compactor cadence sits near the merge derivation time — the
+    * recompute-spiral regime the escalation exists to bound. */
+  def publishEscalatedMerges: Long = pubEscalated.get()
+
   /** Periodic head consistency checks that came back CLEAN (-1 without a
     * hook). See [[graft.store.StateStore.verifyHeads]]. */
   def headChecksClean: Long = headClean.get()
@@ -126,6 +135,7 @@ final class PipelineMetrics(
     "publish_lease_takeovers" -> publishLeaseTakeovers,
     "publish_fenced" -> publishFenced,
     "publish_rebased_merges" -> publishRebasedMerges,
+    "publish_escalated_merges" -> publishEscalatedMerges,
     "head_checks_clean" -> headChecksClean,
     "head_checks_damaged" -> headChecksDamaged,
     "head_check_last_millis" -> headCheckLastMillis)
@@ -145,11 +155,12 @@ final class PipelineMetrics(
       idxBuilds.set(builds)
     }
     contentionOf.foreach { f =>
-      val (lost, takeovers, fenced, rebased) = f()
+      val (lost, takeovers, fenced, rebased, escalated) = f()
       pubLost.set(lost)
       pubTakeovers.set(takeovers)
       pubFenced.set(fenced)
       pubRebased.set(rebased)
+      pubEscalated.set(escalated)
     }
     headCheckOf.foreach { f =>
       val (clean, damaged, lastMs) = f()

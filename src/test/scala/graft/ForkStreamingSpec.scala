@@ -308,8 +308,10 @@ class ForkStreamingSpec extends SparkTestBase {
     assert(maintMetrics.publishLeaseTakeovers === 0L)
     assert(maintMetrics.publishFenced === 0L)
     assert(maintMetrics.publishRebasedMerges === 0L)
+    assert(maintMetrics.publishEscalatedMerges === 0L)
     assert(maintMetrics.snapshot.keySet.contains("publish_lost_races"))
     assert(maintMetrics.snapshot.keySet.contains("publish_rebased_merges"))
+    assert(maintMetrics.snapshot.keySet.contains("publish_escalated_merges"))
     // Snapshots landed, pinned at COMMITTED heights only (14 and/or 29 —
     // how many depends on where the thread caught the commit sequence;
     // both are valid pinned floors, never an uncommitted height).

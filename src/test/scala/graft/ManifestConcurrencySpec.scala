@@ -581,6 +581,57 @@ class ManifestConcurrencySpec extends SparkTestBase {
     } finally sys.props.remove("graft.publish.leaseMs")
   }
 
+  test("LOSS ESCALATION: a merge whose derivation was invalidated past " +
+    "rebasing recomputes under a RESERVATION — the recompute cannot lose " +
+    "(a writer racing the reserved window blocks and lands after), " +
+    "bounding derivations at two under any compactor cadence") {
+    val path = tmpDir("occ-escalate")
+    val a = table(path)
+    val b = table(path)
+    assert(a.commit(df(("k1", 1L, false, "v1"), ("k2", 1L, false, "v2")), "c1"))
+    // B's compaction lands in A's first own window: A's derivation is
+    // invalidated past rebasing (every matched file rewritten) — the
+    // recompute-spiral trigger. The escalated recompute then RESERVES
+    // its generation; a commit racing that window must block (the same
+    // reservation contract replaceAllRetrying pins) and land after.
+    val racerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val racerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    var racer: Thread = null
+    a.beforeOwnHook = oneShot {
+      b.replaceAllRetrying(() => b.read().coalesce(1), "compact-B")
+    }
+    val escalatedBefore = a.escalatedMergeCount.get()
+    a.beforeManifestWriteHook = oneShot {
+      // Fires inside the ESCALATED publish tail (first manifest write
+      // after the recompute): the reservation is held here — launch a
+      // racing commit and give it time to collide with the hold.
+      racer = new Thread(() => {
+        try { table(path).commit(df(("k9", 9L, false, "v9")), "c9") }
+        catch { case e: Throwable => racerErr.set(e) }
+        finally racerDone.set(true)
+      }, "occ-escalate-racer")
+      racer.start()
+      Thread.sleep(1500L)
+      assert(!racerDone.get,
+        "the racing commit must be BLOCKED while the escalated merge " +
+          "holds its reservation")
+    }
+    val report = a.merge(df(("k2", 5L, false, "v2x")), Seq("k"),
+      orderCol = "height", deleteCol = "del", commitId = "m1")
+    assert(report.applied)
+    assert(a.escalatedMergeCount.get() === escalatedBefore + 1L,
+      "the recompute must have run under the escalation reservation")
+    racer.join(60000L)
+    assert(racerErr.get() === null, s"racer must land after: ${racerErr.get()}")
+    assert(racerDone.get)
+    val t = table(path)
+    // compact-B at 2, the escalated merge at 3, the blocked commit at 4.
+    assert(t.currentGeneration() === Some(4L))
+    assert(byKeyOf(t) ===
+      Map("k1" -> "v1", "k2" -> "v2x", "k9" -> "v9"))
+    assert(t.verifyHead() === None)
+  }
+
   test("MANIFEST SHADOW closed (delta-only winner): a merge paused past " +
     "the lease between its stillOwns re-check and its manifest write " +
     "lands an ignored orphan OBJECT — the winner's delta-only generation " +
