@@ -96,6 +96,14 @@ object SoakContend {
     var lastSharedR = -1L
     var compactions = 0L
     var errors = 0L
+    // STARVATION-WAIT gauge: the wall time each merge spent from call to
+    // landed (losses, rebases, escalations and reservation waits
+    // included). The give-up class this bounds surfaced as
+    // ConcurrentPublishException after the retry budget; with loss
+    // escalation the claim is that no merge ever approaches it — the MAX
+    // is the evidence, not just the error count.
+    var maxMergeWaitMs = 0L
+    var mergesOver10s = 0L
     val deadline = System.currentTimeMillis() + seconds * 1000L
     while (System.currentTimeMillis() < deadline) {
       val shared = r % 5 == 4
@@ -112,11 +120,15 @@ object SoakContend {
           StateMaterializer.compact(target, 8)
           compactions += 1L
         }
+        val mergeT0 = System.currentTimeMillis()
         val report = t.merge(
           rowsDf(spark, if (shared) sharedKeys else ownKeys, h, s"c$idx-r$r"),
           StateMaterializer.KeyCols, orderCol = "height",
           deleteCol = "is_deletion", commitId = s"c$idx-r$r",
           keepTombstones = true)
+        val mergeWait = System.currentTimeMillis() - mergeT0
+        if (mergeWait > maxMergeWaitMs) maxMergeWaitMs = mergeWait
+        if (mergeWait > 10000L) mergesOver10s += 1L
         if (report.applied) {
           if (shared) lastSharedR = r.toLong else lastOwnR = r.toLong
         } else errors += 1L // unique commitIds: a skip here is a bug
@@ -139,6 +151,9 @@ object SoakContend {
       s""""fenced":${t.fencedPublishCount.get()},""" +
       s""""rebased":${t.rebasedMergeCount.get()},""" +
       s""""escalated":${t.escalatedMergeCount.get()},""" +
+      s""""heartbeats":${t.reservationHeartbeatCount.get()},""" +
+      s""""max_merge_wait_ms":$maxMergeWaitMs,""" +
+      s""""merges_over_10s":$mergesOver10s,""" +
       s""""head_check":"${t.verifyHead().getOrElse("clean")}"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(summaryFile),
       summary.getBytes("UTF-8"))

@@ -180,6 +180,12 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * ([[manifestPathOwned]]); this hook lets specs pin exactly that. */
   private[graft] var beforeManifestWriteHook: () => Unit = () => ()
 
+  /** Test hook: runs inside an ESCALATED merge's reservation,
+    * immediately before its derivation — lets specs stretch the
+    * derivation past the short escalation lease to pin that the
+    * heartbeat (not luck) keeps a live derivation owned. */
+  private[graft] var duringEscalatedDeriveHook: () => Unit = () => ()
+
   private def maybeFailAfterOwn(commitId: String): Unit =
     if (failAfterOwn) throw new IllegalStateException(
       s"injected crash after owning the generation for $commitId")
@@ -211,6 +217,13 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * past rebasing — at a cadence near the merge derivation time that
     * is the recompute-spiral regime this path exists to bound. */
   val escalatedMergeCount = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Reservation-heartbeat refreshes written by an escalated merge's
+    * derivation (see [[merge]]): each one re-arms the SHORT escalation
+    * lease, so a live derivation of any length is never taken over while
+    * a crashed one stalls foreign publishers only for
+    * [[ManifestTable.escalationLeaseMillis]] instead of the full publish
+    * lease. */
+  val reservationHeartbeatCount = new java.util.concurrent.atomic.AtomicLong(0L)
 
   // Min-reader gate: every publish writes the g5 owner-carrying frame,
   // which pre-fencing readers (g2/g3-only parsers) reject loudly — the
@@ -682,25 +695,33 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * a rewrite (pre-upgrade or backfilled sidecars) means UNKNOWN, never
     * "none". */
   private def deltaJson(e: ManifestEntry, rewrite: Boolean,
-      fresh: Option[Seq[String]], owner: Option[String] = None): String = {
+      fresh: Option[Seq[String]], owner: Option[String] = None,
+      leaseMillis: Option[Long] = None): String = {
     // `owner` leads the line (inside the positional anchor deltaRecord
     // parses — strictly before `files`): the publishing attempt's fencing
     // nonce. Absent on backfilled/legacy sidecars (published history
-    // needs no fence).
+    // needs no fence). `lease` (same anchor region) is the holder's own
+    // ADVERTISED takeover lease in millis — written by reservations that
+    // heartbeat (escalated merges), so foreign publishers wait out
+    // seconds, not the crash-sized global lease; absent = the global
+    // [[ManifestTable.publishLeaseMillis]] applies, so legacy records
+    // keep their generous floor.
     val ownerPart = owner.fold("")(n => s""""owner":${quote(n)},""")
+    val leasePart = leaseMillis.fold("")(l => s""""lease":$l,""")
     val freshPart = fresh.fold("")(fs0 =>
       s""""fresh":[${fs0.map(quote).mkString(",")}],""")
-    s"""{$ownerPart"commit_id":${quote(e.commitId)},"rewrite":$rewrite,""" +
+    s"""{$ownerPart$leasePart"commit_id":${quote(e.commitId)},"rewrite":$rewrite,""" +
       freshPart +
       s""""files":[${e.files.map(quote).mkString(",")}]""" +
       s"""${bytesJsonPart(e)}${statsJsonPart(e)}}""" + "\n"
   }
 
   private def writeDelta(gen: Long, e: ManifestEntry, rewrite: Boolean,
-      fresh: Option[Seq[String]] = None, owner: Option[String] = None): Unit = {
+      fresh: Option[Seq[String]] = None, owner: Option[String] = None,
+      leaseMillis: Option[Long] = None): Unit = {
     val (fs, p) = fsOf(deltaPath(gen))
     fs.mkdirs(p.getParent)
-    val json = deltaJson(e, rewrite, fresh, owner)
+    val json = deltaJson(e, rewrite, fresh, owner, leaseMillis)
     val out = fs.create(p, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
@@ -753,10 +774,11 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     *   - exists but unparseable       → a torn write from a crashed
     *     attempt (or one mid-write): lease rules as above. */
   private def tryOwnGeneration(gen: Long, entry: ManifestEntry,
-      rewrite: Boolean, fresh: Option[Seq[String]], nonce: String): OwnResult = {
+      rewrite: Boolean, fresh: Option[Seq[String]], nonce: String,
+      leaseMillis: Option[Long] = None): OwnResult = {
     val (fs, p) = fsOf(deltaPath(gen))
     fs.mkdirs(p.getParent)
-    val json = deltaJson(entry, rewrite, fresh, Some(nonce))
+    val json = deltaJson(entry, rewrite, fresh, Some(nonce), leaseMillis)
     def write(overwrite: Boolean): Unit = {
       val out = fs.create(p, overwrite)
       try out.write(json.getBytes("UTF-8")) finally out.close()
@@ -770,9 +792,13 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       }
     if (created) return Owned
     val published = currentGeneration().exists(_ >= gen)
-    val holder: Option[String] =
-      try Some(deltaRecord(gen).fold("")(_.entry.commitId))
+    val record: Option[ManifestTable.DeltaRecord] =
+      try deltaRecord(gen)
       catch { case scala.util.control.NonFatal(_) => None } // torn write
+    // Torn and vanished-mid-probe both land in the lease path below —
+    // a vanished sidecar's age read is FileNotFound → never past the
+    // lease → conflict, and the caller's retry re-owns it cleanly.
+    val holder: Option[String] = record.map(_.entry.commitId)
     holder match {
       case Some(cid) if cid == entry.commitId =>
         if (published) AlreadyPublishedByUs
@@ -780,10 +806,16 @@ final class ManifestTable(val tablePath: String, schema: StructType,
         else { write(overwrite = true); Owned }
       case _ if published => OwnConflict // committed history: immutable
       case other =>
+        // The holder's own advertised lease (escalated reservations
+        // heartbeat under a short one) bounds the crash stall; a torn or
+        // legacy record keeps the generous global floor.
+        val holderLease = record.flatMap(_.leaseMillis)
+          .map(l => math.min(l, publishLeaseMillis))
+          .getOrElse(publishLeaseMillis)
         val age = System.currentTimeMillis() -
           (try fs.getFileStatus(p).getModificationTime
            catch { case _: java.io.FileNotFoundException => Long.MaxValue })
-        if (age > publishLeaseMillis) {
+        if (age > holderLease) {
           // Published-state re-check at the last responsible instant: the
           // `published` snapshot above is several metadata round trips
           // old by now; a lease-expired-but-ALIVE holder publishing in
@@ -792,7 +824,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
           if (currentGeneration().exists(_ >= gen)) return OwnConflict
           log.warn(s"taking over generation $gen of $tablePath from a dead " +
             s"publish attempt (holder=${other.getOrElse("<unparseable>")}, " +
-            s"sidecar age ${age / 1000}s > lease ${publishLeaseMillis / 1000}s)")
+            s"sidecar age ${age / 1000}s > lease ${holderLease / 1000}s)")
           write(overwrite = true)
           leaseTakeoverCount.incrementAndGet()
           Owned
@@ -1009,14 +1041,19 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     val (fs, p) = fsOf(deltaPath(gen))
     if (!fs.exists(p)) return false
     if (currentGeneration().exists(_ >= gen)) return false
-    val holder =
-      try deltaRecord(gen).map(_.entry.commitId)
+    val record =
+      try deltaRecord(gen)
       catch { case scala.util.control.NonFatal(_) => None }
-    if (holder.contains(commitId)) return false
+    if (record.map(_.entry.commitId).contains(commitId)) return false
+    // The holder's advertised lease (heartbeating escalated reservations
+    // run a short one) bounds how long this probe reports "blocked".
+    val holderLease = record.flatMap(_.leaseMillis)
+      .map(l => math.min(l, publishLeaseMillis))
+      .getOrElse(publishLeaseMillis)
     val age = System.currentTimeMillis() -
       (try fs.getFileStatus(p).getModificationTime
        catch { case _: java.io.FileNotFoundException => return false })
-    age <= publishLeaseMillis
+    age <= holderLease
   }
 
   /** The `,"bytes":[...]` fragment of one entry line — per-file sizes,
@@ -1093,8 +1130,15 @@ final class ManifestTable(val tablePath: String, schema: StructType,
         case Array(_, rest) => Some(rest.split("\"", 2)(0))
         case _ => None
       }
+      // Advertised takeover lease (same anchor; see deltaJson). A
+      // malformed value reads as absent — the conservative global lease.
+      val lease = beforeFiles.split("\"lease\":", 2) match {
+        case Array(_, rest) =>
+          scala.util.Try(rest.takeWhile(_.isDigit).toLong).toOption
+        case _ => None
+      }
       Some(ManifestTable.DeltaRecord(parseManifestLine(line), rewrite, fresh,
-        owner))
+        owner, lease))
     }
   }
 
@@ -1905,22 +1949,66 @@ final class ManifestTable(val tablePath: String, schema: StructType,
             // wait out the hold (their heldByForeign probe), and the
             // derivation cannot lose. Total derivations are bounded at
             // two (modulo lease expiry on a stalled one). The crash cost
-            // is symmetrical with the compactor's: a death mid-derivation
-            // leaves a reservation the lease resolves; a LIVE failure
-            // releases it. The uncontended path never pays any of this.
+            // is NOT the compactor's: the reservation advertises the
+            // SHORT escalation lease and HEARTBEATS it while the
+            // derivation runs (sidecar rewrite every lease/3 — same
+            // nonce, fresh mtime), so a death mid-derivation stalls
+            // foreign publishers for seconds, not the crash-sized global
+            // lease the 1 Hz serving path cannot afford; a LIVE failure
+            // still releases it eagerly. A heartbeat racing a takeover
+            // in its stillOwns-to-write instant is the documented TOCTOU
+            // class: the taker is fenced at its own swap by content, or
+            // — if it already published — its post-swap repair restores
+            // the record; either way the arbitration converges with zero
+            // lost commits. The uncontended path never pays any of this.
             val nonce = newNonce()
             val placeholder = ManifestEntry(commitId, Seq.empty, Seq.empty)
+            val hbLease = ManifestTable.escalationLeaseMillis
             beforeOwnHook()
             tryOwnGeneration(next, placeholder, rewrite = true,
-              fresh = Some(Seq.empty), nonce) match {
+              fresh = Some(Seq.empty), nonce,
+              leaseMillis = Some(hbLease)) match {
               case Owned =>
                 maybeFailAfterOwn(commitId)
                 var published: Option[MergeReport] = None
                 try {
                   escalatedMergeCount.incrementAndGet()
-                  val s = deriveMerge(head, headEntries, updates, keyTuples,
-                    keyCols, orderCol, deleteCol, commitId, keepTombstones,
-                    freshRowsPerFile)
+                  val hbStop = new java.util.concurrent.CountDownLatch(1)
+                  val hb = new Thread(() => {
+                    try {
+                      val interval = math.max(1L, hbLease / 3)
+                      var live = true
+                      while (live && !hbStop.await(interval,
+                          java.util.concurrent.TimeUnit.MILLISECONDS)) {
+                        if (stillOwns(next, nonce)) {
+                          writeDelta(next, placeholder, rewrite = true,
+                            fresh = Some(Seq.empty), owner = Some(nonce),
+                            leaseMillis = Some(hbLease))
+                          reservationHeartbeatCount.incrementAndGet()
+                        } else live = false // taken over: stop rewriting
+                      }
+                    } catch {
+                      case scala.util.control.NonFatal(e) => log.warn(
+                        s"escalation heartbeat for generation $next of " +
+                          s"$tablePath failed — a stalled derivation may " +
+                          "now be taken over at the escalation lease", e)
+                    }
+                  }, s"graft-escalation-heartbeat-$next")
+                  hb.setDaemon(true)
+                  hb.start()
+                  // The heartbeat must be provably STOPPED before the
+                  // real record replaces the placeholder below — a
+                  // straggler rewrite would clobber it.
+                  val s =
+                    try {
+                      duringEscalatedDeriveHook()
+                      deriveMerge(head, headEntries, updates, keyTuples,
+                        keyCols, orderCol, deleteCol, commitId,
+                        keepTombstones, freshRowsPerFile)
+                    } finally {
+                      hbStop.countDown()
+                      hb.join(30000L)
+                    }
                   staged = Some(s)
                   if (!stillOwns(next, nonce)) {
                     // Reservation lost mid-derivation (the derivation
@@ -2469,6 +2557,31 @@ object ManifestTable {
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
       .filter(_ > 0).getOrElse(600000L)
 
+  /** Takeover lease an ESCALATED merge reservation advertises in its
+    * sidecar (`"lease"` field). Escalations sit on the 1 Hz serving
+    * path, so a crash mid-escalated-derivation must not stall foreign
+    * publishers for the crash-sized global lease — the reservation
+    * HEARTBEATS (rewrites its sidecar every lease/3, refreshing the
+    * mtime the takeover clock reads), which lets the advertised lease be
+    * seconds: a live derivation of any length keeps re-arming it; a dead
+    * one stops and is taken over within this bound. 30 s default: ~3
+    * heartbeat losses of slack against GC/host hiccups (the round-18
+    * soaks saw multi-minute HOST freezes — under one of those the
+    * reservation is legitimately taken over and the woken merge rebases
+    * or recomputes, the same loss class as any fenced publish — zero
+    * lost commits either way, spec-pinned). The COMPACTOR's reservation
+    * deliberately stays on the global lease: a 45 s maintenance rewrite
+    * blocking writers for minutes on a crash is the documented trade,
+    * and its derivation (one big Spark job) has no natural heartbeat
+    * cadence; the merge path is where the stall hurts. Clamped to the
+    * global lease. System property first (tests), env second. */
+  def escalationLeaseMillis: Long =
+    math.min(publishLeaseMillis,
+      sys.props.get("graft.escalation.leaseMs")
+        .orElse(sys.env.get("GRAFT_ESCALATION_LEASE_MS"))
+        .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+        .filter(_ > 0).getOrElse(30000L))
+
   /** What a [[ManifestTable.merge]] did: `rewritten` files re-written
     * because a touched key could live there, `kept` carried verbatim,
     * `applied` false for an idempotent skip / empty update set. */
@@ -2545,10 +2658,12 @@ object ManifestTable {
   /** One generation's sidecar: the new manifest entry, whether prior
     * files left the manifest (rewrite), and — when the writer could
     * tell — which of the entry's files carry genuinely new rows
-    * (per-file dataChange; None = unknown, pre-upgrade sidecar). */
+    * (per-file dataChange; None = unknown, pre-upgrade sidecar).
+    * `leaseMillis` = the holder's self-advertised takeover lease (set by
+    * heartbeating reservations; None = the global publish lease). */
   final case class DeltaRecord(
       entry: ManifestEntry, rewrite: Boolean, fresh: Option[Seq[String]],
-      owner: Option[String] = None)
+      owner: Option[String] = None, leaseMillis: Option[Long] = None)
 
   sealed trait StatsFilter { def col: String; def value: Any }
   final case class StatsEq(col: String, value: Any) extends StatsFilter

@@ -358,20 +358,22 @@ final class StateStore(
   /** Publish-contention counters summed over this store's manifest
     * tables: (lost generation races retried, lease takeovers performed,
     * publishes fenced by the nonce, merges rebased instead of
-    * recomputed, merge recomputes escalated to a reservation). The
+    * recomputed, merge recomputes escalated to a reservation,
+    * escalation-lease heartbeats written). The
     * operator's early-warning signal for an undersized
     * lease or a hot table — surfaced as
     * [[graft.streaming.PipelineMetrics]] gauges. Zeros under
     * [[StateStore.RenameCommit]] (no optimistic publish there). */
-  def publishContentionStats: (Long, Long, Long, Long, Long) = commitProtocol match {
+  def publishContentionStats: (Long, Long, Long, Long, Long, Long) = commitProtocol match {
     case ManifestCommit =>
       val ts = Seq(manifestTabletRows, manifestSingletEntries)
       (ts.map(_.lostRaceCount.get()).sum,
         ts.map(_.leaseTakeoverCount.get()).sum,
         ts.map(_.fencedPublishCount.get()).sum,
         ts.map(_.rebasedMergeCount.get()).sum,
-        ts.map(_.escalatedMergeCount.get()).sum)
-    case RenameCommit => (0L, 0L, 0L, 0L, 0L)
+        ts.map(_.escalatedMergeCount.get()).sum,
+        ts.map(_.reservationHeartbeatCount.get()).sum)
+    case RenameCommit => (0L, 0L, 0L, 0L, 0L, 0L)
   }
 
   /** Head consistency cross-check over this store's manifest tables

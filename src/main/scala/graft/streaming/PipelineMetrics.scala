@@ -22,7 +22,7 @@ final class PipelineMetrics(
     headTimestampMillis: Option[Long => Long] = None,
     clockMillis: () => Long = () => System.currentTimeMillis(),
     maintenanceOf: Option[() => (Int, Long, Long)] = None,
-    contentionOf: Option[() => (Long, Long, Long, Long, Long)] = None,
+    contentionOf: Option[() => (Long, Long, Long, Long, Long, Long)] = None,
     headCheckOf: Option[() => (Long, Long, Long)] = None)
     extends StreamingQueryListener {
 
@@ -40,6 +40,7 @@ final class PipelineMetrics(
   private val pubFenced = new AtomicLong(-1L)
   private val pubRebased = new AtomicLong(-1L)
   private val pubEscalated = new AtomicLong(-1L)
+  private val pubHeartbeats = new AtomicLong(-1L)
   private val headClean = new AtomicLong(-1L)
   private val headDamaged = new AtomicLong(-1L)
   private val headLastMs = new AtomicLong(-1L)
@@ -105,6 +106,14 @@ final class PipelineMetrics(
     * recompute-spiral regime the escalation exists to bound. */
   def publishEscalatedMerges: Long = pubEscalated.get()
 
+  /** Escalation-lease heartbeats written by escalated merge derivations
+    * (-1 without a hook). A live escalation refreshes its SHORT takeover
+    * lease every lease/3; escalated > 0 with heartbeats stuck at 0 means
+    * derivations finish inside one interval (healthy) — while a foreign
+    * `publish_lease_takeovers` rise paired with escalations says
+    * derivations are outliving even the heartbeat (host stalls). */
+  def publishEscalationHeartbeats: Long = pubHeartbeats.get()
+
   /** Periodic head consistency checks that came back CLEAN (-1 without a
     * hook). See [[graft.store.StateStore.verifyHeads]]. */
   def headChecksClean: Long = headClean.get()
@@ -136,6 +145,7 @@ final class PipelineMetrics(
     "publish_fenced" -> publishFenced,
     "publish_rebased_merges" -> publishRebasedMerges,
     "publish_escalated_merges" -> publishEscalatedMerges,
+    "publish_escalation_heartbeats" -> publishEscalationHeartbeats,
     "head_checks_clean" -> headChecksClean,
     "head_checks_damaged" -> headChecksDamaged,
     "head_check_last_millis" -> headCheckLastMillis)
@@ -155,12 +165,13 @@ final class PipelineMetrics(
       idxBuilds.set(builds)
     }
     contentionOf.foreach { f =>
-      val (lost, takeovers, fenced, rebased, escalated) = f()
+      val (lost, takeovers, fenced, rebased, escalated, heartbeats) = f()
       pubLost.set(lost)
       pubTakeovers.set(takeovers)
       pubFenced.set(fenced)
       pubRebased.set(rebased)
       pubEscalated.set(escalated)
+      pubHeartbeats.set(heartbeats)
     }
     headCheckOf.foreach { f =>
       val (clean, damaged, lastMs) = f()

@@ -984,6 +984,100 @@ class ManifestConcurrencySpec extends SparkTestBase {
     }
   }
 
+  test("ESCALATION LEASE bounds the crash stall: a dead escalated " +
+    "reservation (sidecar advertising a short lease) is taken over in " +
+    "seconds, while an equivalent record without one holds the full " +
+    "publish lease") {
+    val path = tmpDir("occ-esc-lease")
+    val a = table(path)
+    assert(a.commit(df(("k1", 1L, false, "v1")), "c1"))
+    // A crashed escalated merge: a generation-2 reservation advertising
+    // a 300 ms lease that no heartbeat will ever refresh again.
+    plantFile(path, f"_manifests/d-${2L}%09d.json",
+      """{"owner":"deadbeefdeadbeef","lease":300,"commit_id":"dead-esc",""" +
+        """"rewrite":true,"fresh":[],"files":[]}""" + "\n")
+    Thread.sleep(400L)
+    val t0 = System.currentTimeMillis()
+    val b = table(path)
+    assert(b.commit(df(("k2", 2L, false, "v2")), "c2"))
+    val elapsed = System.currentTimeMillis() - t0
+    assert(b.leaseTakeoverCount.get() === 1L,
+      "the dead escalation must be taken over at its advertised lease")
+    assert(elapsed < 30000L,
+      s"takeover must not wait out the 10-minute publish lease (${elapsed}ms)")
+    assert(values(b) === Set("v1", "v2"))
+    assert(b.verifyHead() === None)
+    // CONTROL: the same record WITHOUT an advertised lease keeps the
+    // generous global floor — a short-retry commit gives up loudly
+    // instead of taking over.
+    plantFile(path, f"_manifests/d-${3L}%09d.json",
+      """{"owner":"deadbeefdeadbeef","commit_id":"dead-full",""" +
+        """"rewrite":true,"fresh":[],"files":[]}""" + "\n")
+    sys.props("graft.publish.retryMs") = "1500"
+    try {
+      intercept[ConcurrentPublishException] {
+        table(path).commit(df(("k3", 3L, false, "v3")), "c3")
+      }
+    } finally sys.props.remove("graft.publish.retryMs")
+  }
+
+  test("ESCALATION HEARTBEAT keeps a live derivation owned past the " +
+    "short lease: a commit racing the stalled-but-heartbeating window " +
+    "blocks and lands after the merge; the merge never loses its " +
+    "reservation") {
+    val path = tmpDir("occ-esc-heartbeat")
+    val a = table(path)
+    val b = table(path)
+    assert(a.commit(df(("k1", 1L, false, "v1"), ("k2", 1L, false, "v2")), "c1"))
+    // B's compaction invalidates A's derivation past rebasing — the
+    // escalation trigger (same scaffolding as the LOSS ESCALATION spec).
+    a.beforeOwnHook = oneShot {
+      b.replaceAllRetrying(() => b.read().coalesce(1), "compact-B")
+    }
+    sys.props("graft.escalation.leaseMs") = "1000"
+    val racerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val racerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    var racer: Thread = null
+    a.duringEscalatedDeriveHook = oneShot {
+      // Inside the escalated reservation, before the derivation: stall
+      // 3.5× the escalation lease. Without heartbeats the racing commit
+      // below would take the reservation over at ~1 s and the merge
+      // would lose mid-derivation; with them the reservation's mtime
+      // keeps re-arming and the racer stays blocked.
+      racer = new Thread(() => {
+        try { table(path).commit(df(("k9", 9L, false, "v9")), "c9"); () }
+        catch { case e: Throwable => racerErr.set(e) }
+        finally racerDone.set(true)
+      }, "esc-hb-racer")
+      racer.start()
+      Thread.sleep(3500L)
+      assert(!racerDone.get,
+        "the racing commit must stay blocked while heartbeats re-arm " +
+          "the short escalation lease")
+    }
+    try {
+      val hbBefore = a.reservationHeartbeatCount.get()
+      val report = a.merge(df(("k2", 5L, false, "v2x")), Seq("k"),
+        orderCol = "height", deleteCol = "del", commitId = "m1")
+      assert(report.applied)
+      assert(a.reservationHeartbeatCount.get() - hbBefore >= 2L,
+        "the stalled derivation must have written heartbeats")
+    } finally sys.props.remove("graft.escalation.leaseMs")
+    racer.join(60000L)
+    assert(racerErr.get() === null, s"racer must land after: ${racerErr.get()}")
+    assert(racerDone.get)
+    val t = table(path)
+    // compact-B at 2, the heartbeat-protected merge at 3, the racer at
+    // 4 — generation ORDER proves the merge never lost its reservation.
+    assert(t.currentGeneration() === Some(4L))
+    assert(t.deltaEntry(3L).exists(_._1 == "m1"),
+      "the escalated merge must have published at its reserved generation")
+    assert(t.deltaEntry(4L).exists(_._1 == "c9"))
+    assert(byKeyOf(t) ===
+      Map("k1" -> "v1", "k2" -> "v2x", "k9" -> "v9"))
+    assert(t.verifyHead() === None)
+  }
+
   test("MIXED-FLEET SHADOW suppressed: a published generation whose " +
     "winner was a pre-fencing delta-only writer (ownerless sidecar) does " +
     "NOT resolve to a surviving post-upgrade loser's attempt manifest") {
