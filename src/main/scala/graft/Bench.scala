@@ -56,10 +56,16 @@ object Bench {
           -1.0
       }
     }
-    // Queries at or above 0.3 s are sampled three times and report the MIN:
-    // a single sample mixes one-time analysis/codegen and ±40% host noise
-    // into round-over-round deltas (both measured), so single runs could not
-    // adjudicate even 2x regressions. The re-samples are INTERLEAVED — two
+    // Queries at or above 0.3 s are sampled three times and report the
+    // MEDIAN: a single sample mixes one-time analysis/codegen and ±40% host
+    // noise into round-over-round deltas (both measured), so single runs
+    // could not adjudicate even 2x regressions; the MIN (used through round
+    // 18) is set by the luckiest window and under-reports the steady warm
+    // cost, so cross-round adjudication kept happening on out-of-artifact
+    // median tables — the recorded artifact now IS the comparable number
+    // (median of {cold, warm, warm} ≈ the warm sample, the statistic the
+    // round-over-round watch adjudicates on). The re-samples are
+    // INTERLEAVED — two
     // extra sweeps over the whole slow set, not three back-to-back runs of
     // one query — so a multi-second host-noise window can't own all three
     // samples of a single query (observed in round 9: simhash min-of-3
@@ -125,8 +131,18 @@ object Bench {
       val ss = samplesByName(name).map(_._2)
       // Any crashed sample marks the query failed — a query that crashes
       // intermittently must not report its lucky fast run.
+      name -> (if (ss.exists(_ < 0)) -1.0
+               else ss.sorted.apply(ss.size / 2)) // median of the samples
+    }
+    // CONTINUITY statistic: per-query MIN (the headline statistic through
+    // round 18) — medians read systematically higher than mins on the
+    // same samples, so the round the artifact switched statistics needs
+    // both totals or every cross-round comparison silently inflates.
+    val resultsMin = named.map { case (name, _) =>
+      val ss = samplesByName(name).map(_._2)
       name -> (if (ss.exists(_ < 0)) -1.0 else ss.min)
     }
+    val totalMin = resultsMin.map(_._2).filter(_ >= 0).sum
     // 2-decimal times and a basename sf keep the whole line under the
     // driver's 2,000-char tail capture with headroom for more queries
     // (round 9's full-precision line was 2,393 chars and lost its own
@@ -141,8 +157,8 @@ object Bench {
     // or the leading `{"metric":...` is cut and the JSON is lost (happened
     // in round 9). At 83 queries the full per-query dict alone is ~1,900
     // chars, so the line reports individual times ONLY for the >= 0.3 s
-    // slow set (the same queries the min-of-3 re-sampling covers — every
-    // number printed here is a sampled minimum) plus every crashed query
+    // slow set (the same queries the median-of-3 re-sampling covers — every
+    // number printed here is a sampled median) plus every crashed query
     // by name; the sub-0.3 s tail, where a single sample is host-noise
     // anyway, folds into one {n, sum, max} rollup. The COMPLETE per-query
     // table for the round is recorded in PLANS.md, which has no size cap.
@@ -169,8 +185,12 @@ object Bench {
     // incomparable at a glance — a crashed heavy query must not read as a
     // speedup.
     val sfName = new java.io.File(sfDir).getName
-    // Full table to stderr for humans / PLANS.md (driver parses stdout only).
+    // Full tables to stderr for humans / PLANS.md (driver parses stdout
+    // only): medians (the artifact statistic) and mins (the pre-r19
+    // continuity statistic, for like-for-like cross-round watches).
     System.err.println("[bench-full] " + results
+      .map { case (k, v) => s"$k=${fmt(v, 2)}" }.mkString(" "))
+    System.err.println("[bench-min] " + resultsMin
       .map { case (k, v) => s"$k=${fmt(v, 2)}" }.mkString(" "))
     // Mechanical cross-round normalization (round-11 verdict item 6,
     // statistic fixed per round-13 item 5): the host's clean-window calib
@@ -191,7 +211,7 @@ object Bench {
       s"""{"min":${fmtQ(calibs.min)},"med":${fmtQ(calibMed)},""" +
         s""""max":${fmtQ(calibs.max)},"n":${calibs.size},""" +
         s""""stat":"median","ref":$CalibRef}"""
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","failed":$failed,"calib":$calibStr,"calib_scaled_total":${fmt(calibScaledTotal, 3)},"queries":$qs,"fast":$fastStr,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","failed":$failed,"qstat":"median_of_3","total_min":${fmt(totalMin, 3)},"calib":$calibStr,"calib_scaled_total":${fmt(calibScaledTotal, 3)},"calib_scaled_total_min":${fmt(totalMin * (CalibRef / calibMed), 3)},"queries":$qs,"fast":$fastStr,"sf":"$sfName"}""")
     spark.stop()
   }
 }

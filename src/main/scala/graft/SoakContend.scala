@@ -289,6 +289,7 @@ object SoakContend {
         println(s"""{"contend_mismatch":{"key":"$k","actual":"${actual.get(k)}","expected":"${expected.get(k)}"}}"""))
     }
     def sum(name: String): Long = summaries.map(s => math.max(0L, field(s._2, name))).sum
+    def maxOf(name: String): Long = summaries.map(s => field(s._2, name)).max
     println(s"""{"contend_summary":{"children":$children,"minutes":$minutes,""" +
       s""""interval_ms":$intervalMs,""" +
       s""""rounds":${sum("rounds")},"compactions":${sum("compactions")},""" +
@@ -296,11 +297,73 @@ object SoakContend {
       s""""lost_races":${sum("lost_races")},"takeovers":${sum("takeovers")},""" +
       s""""fenced":${sum("fenced")},"rebased":${sum("rebased")},""" +
       s""""escalated":${sum("escalated")},""" +
+      s""""heartbeats":${sum("heartbeats")},""" +
+      s""""max_merge_wait_ms":${maxOf("max_merge_wait_ms")},""" +
+      s""""merges_over_10s":${sum("merges_over_10s")},""" +
       s""""reader_reads":$readerReads,"reader_errors":$readerErrors,""" +
       s""""gen_regressions":$genRegressions,""" +
       s""""final_generation":${t.currentGeneration().getOrElse(0L)},""" +
       s""""head_check":"${t.verifyHead().getOrElse("clean")}",""" +
       s""""keys":${actual.size},"equiv_match":$equiv}}""")
+
+    // METADATA CENSUS: the contended-run object accounting the amortized
+    // single-writer depth probe cannot see — owner-suffixed attempt
+    // manifests (losers linger until swept), pointer staging tmps — plus
+    // the read-side resolution cost at this depth. Printed RAW (end of
+    // storm), then again after a maintenance sweep under the children's
+    // short lease (the parent's default 10-minute floor would reclaim
+    // nothing this young), so both the accumulation rate and the
+    // steady-state footprint land in the artifact.
+    def census(label: String): Unit = {
+      val conf = spark.sessionState.newHadoopConf()
+      val rootP = new org.apache.hadoop.fs.Path(target)
+      val cfs = rootP.getFileSystem(conf)
+      val mdir = new org.apache.hadoop.fs.Path(s"$target/_manifests")
+      val entries =
+        if (cfs.exists(mdir)) cfs.listStatus(mdir)
+        else Array.empty[org.apache.hadoop.fs.FileStatus]
+      def cls(re: String) = entries.filter(_.getPath.getName.matches(re))
+      val owned = cls("""m-\d+\.[0-9a-fA-F]+\.json""")
+      val sidecars = cls("""d-\d+\.json""")
+      val legacy = cls("""m-\d+\.json""")
+      val ownedGens = owned.map(_.getPath.getName.split("\\.")(0)).distinct
+      val tmps = cfs.listStatus(rootP)
+        .filter(e => e.isFile && e.getPath.getName.endsWith(".tmp"))
+      // Fresh handle: the parent's long-lived reader has a warm
+      // resolution cache — the census prices a COLD reader at depth.
+      val tc = StateMaterializer.targetTable(target)
+      val head = tc.currentGeneration().getOrElse(0L)
+      val rt0 = System.nanoTime()
+      tc.manifestEntriesFull(head)
+      val resolveHeadMs = (System.nanoTime() - rt0) / 1000000L
+      val lo = math.max(1L, head - 255L)
+      val ft0 = System.nanoTime()
+      (lo to head).foreach(g => tc.manifestEntries(g))
+      val fold256Ms = (System.nanoTime() - ft0) / 1000000L
+      println(s"""{"contend_metadata_census":{"label":"$label",""" +
+        s""""generation":$head,""" +
+        s""""owned_manifests":${owned.length},""" +
+        s""""orphan_owned":${owned.length - ownedGens.length},""" +
+        s""""owned_bytes":${owned.map(_.getLen).sum},""" +
+        s""""sidecars":${sidecars.length},""" +
+        s""""sidecar_bytes":${sidecars.map(_.getLen).sum},""" +
+        s""""legacy_manifests":${legacy.length},""" +
+        s""""pointer_tmps":${tmps.length},""" +
+        s""""metadata_objects":${entries.length + tmps.length},""" +
+        s""""metadata_bytes":${entries.map(_.getLen).sum + tmps.map(_.getLen).sum},""" +
+        s""""resolve_head_ms":$resolveHeadMs,"fold_256_ms":$fold256Ms}}""")
+    }
+    census("raw")
+    sys.props("graft.publish.leaseMs") = "4000"  // the children's lease
+    sys.props("graft.publish.retryMs") = "5000"
+    try {
+      val swept = t.sweepOrphans(retainGenerations = 8, minAgeMillis = 30000L)
+      println(s"""{"contend_sweep":{"reclaimed":${swept.size}}}""")
+    } finally {
+      sys.props.remove("graft.publish.leaseMs")
+      sys.props.remove("graft.publish.retryMs")
+    }
+    census("swept")
     spark.stop()
   }
 }

@@ -32,9 +32,12 @@ import graft.streaming.{BlockArchiveSource, IngestionPipeline}
   *   checkpoint <root>                        print the live global checkpoint
   *   read-tablet <root> <tablet> <height>     snapshot-aware as-of read
   *   table-generations <root>                 manifest-protocol commit history
-  *   head-check <root|tablePath>              fencing-metadata cross-check
+  *   head-check <root|tablePath> [--history]  fencing-metadata cross-check
   *                                            (pointer owner vs head sidecar)
-  *                                            for a store root or one table
+  *                                            for a store root or one table;
+  *                                            --history adds the forensic
+  *                                            attribution audit over every
+  *                                            generation's surviving objects
   *   read-tablet-at-gen <root> <gen> <tablet> <height>   time-travel as-of read
   *   diff <root> <tablet> <from> <to>         changefeed diff (added/updated/deleted)
   *   materialize <root> <target> <ckptDir>    catch the serving table up to the store
@@ -132,7 +135,7 @@ object Tools {
             s"g$gen: ${ids.size} commits [${ids.mkString(", ")}]"
           }.mkString("\n")
       }
-    case "head-check" :: root :: Nil =>
+    case "head-check" :: root :: rest if rest.isEmpty || rest == List("--history") =>
       // The stale-clobber damage detector as a standalone verb: the
       // ingestion pipeline's periodic probe (graft.headCheck.intervalMs)
       // covers daemons; this covers batch deployments and cron. Accepts
@@ -143,6 +146,16 @@ object Tools {
       // admitted a write the conditional-create contract forbids (see
       // README store requirements): committed data may resolve to a
       // stale publisher's record — treat as an incident.
+      //
+      // `--history` additionally runs the FORENSIC attribution audit
+      // (ManifestTable.auditHistory): verifyHead only sees the head, so
+      // once the pointer moves past a damaged generation its attribution
+      // follows the clobbered sidecar — the audit lists every generation
+      // whose SURVIVING owned manifest objects disagree with their
+      // recorded owner (`conflict:` = inspect by hand, `debris:` =
+      // pre-sweep loser residue), turning post-incident forensics into
+      // one verb instead of a by-hand object listing.
+      val history = rest.nonEmpty
       val genAt = new org.apache.hadoop.fs.Path(s"$root/_gen")
       val isBareTable =
         genAt.getFileSystem(spark.sessionState.newHadoopConf()).exists(genAt)
@@ -151,13 +164,22 @@ object Tools {
         "nothing to check: rename-protocol store (no generation pointer — " +
           "single-writer rename commits carry no fencing metadata)"
       else {
-        val problems =
-          if (isBareTable)
-            graft.streaming.StateMaterializer.targetTable(root)
-              .verifyHead().toSeq
-          else new StateStore(root, StateStore.ManifestCommit).verifyHeads()
-        if (problems.isEmpty) "head check clean"
-        else problems.mkString("HEAD CHECK FAILED:\n", "\n", "")
+        val (problems, audit) =
+          if (isBareTable) {
+            val t = graft.streaming.StateMaterializer.targetTable(root)
+            (t.verifyHead().toSeq,
+              if (history) t.auditHistory() else Seq.empty)
+          } else {
+            val s = new StateStore(root, StateStore.ManifestCommit)
+            (s.verifyHeads(), if (history) s.auditHistories() else Seq.empty)
+          }
+        val headLine =
+          if (problems.isEmpty) "head check clean"
+          else problems.mkString("HEAD CHECK FAILED:\n", "\n", "")
+        if (!history) headLine
+        else if (audit.isEmpty) s"$headLine\nhistory audit clean"
+        else s"$headLine\nHISTORY AUDIT (${audit.size} finding(s)):\n" +
+          audit.mkString("\n")
       }
     case "read-tablet-at-gen" :: root :: gen :: tablet :: height :: Nil =>
       // TIME-TRAVEL as-of read: the flagship read over the mutation table

@@ -396,6 +396,95 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       case _ => None // legacy frame or empty table: no owner to check
     }
 
+  /** FORENSIC history audit (the `head-check --history` verb):
+    * generations at or below the head whose SURVIVING owned manifest
+    * objects disagree with the generation's recorded owner.
+    * [[verifyHead]] detects a sidecar clobber while the damaged
+    * generation IS the head; once the head moves on, attribution follows
+    * the lying sidecar and the real winner's manifest survives only as
+    * an on-disk object under a different nonce (the documented
+    * TOCTOU-store degradation) — this walk makes that post-hoc evidence
+    * mechanical to find instead of a by-hand listing. Lines are
+    * severity-prefixed:
+    *
+    *   - `conflict:` — the recorded owner has no manifest object of its
+    *     own (delta-only or lost) while attempt manifests from OTHER
+    *     nonces survive, or a no-owner-evidence generation is ambiguous
+    *     (2+ candidates, or a candidate shadowing a pre-fencing
+    *     delta-only winner). Inspect the surviving objects by hand.
+    *   - `debris:` — not-yet-swept loser attempts beside an intact
+    *     authoritative object: routine contention residue, the age-gated
+    *     sweep's job.
+    *   - `unreadable:` — the generation's sidecar did not parse; no
+    *     judgment possible.
+    *
+    * One directory listing plus one sidecar read per generation that has
+    * owned objects — diagnostics cost, not a hot-path gate. Empty =
+    * nothing to report. */
+  def auditHistory(): Seq[String] = {
+    val (fs, d) = fsOf(manifestDir)
+    if (!fs.exists(d)) return Seq.empty
+    val frame = pointerFrame()
+    val head = frame.map(_._1).getOrElse(0L)
+    val OwnedRe = """^m-(\d+)\.([0-9a-fA-F]+)\.json$""".r
+    val LegacyRe = """^m-(\d+)\.json$""".r
+    val names = fs.listStatus(d).map(_.getPath.getName).toSeq
+    val ownedByGen: Map[Long, Seq[String]] = names.flatMap {
+      case OwnedRe(g, o) => Some(g.toLong -> o)
+      case _ => None
+    }.groupBy(_._1).map { case (g, ps) => g -> ps.map(_._2) }
+    val legacyGens: Set[Long] =
+      names.collect { case LegacyRe(g) => g.toLong }.toSet
+    ownedByGen.toSeq.sortBy(_._1).flatMap { case (gen, nonces) =>
+      if (gen > head) Seq.empty // unpublished attempts: the sweep's domain
+      else {
+        val ownersTry =
+          try Right(authoritativeOwners(gen, frame))
+          catch { case scala.util.control.NonFatal(e) => Left(e) }
+        ownersTry match {
+          case Left(e) => Seq(s"unreadable: generation $gen of $tablePath " +
+            s"has ${nonces.size} owned manifest object(s) but its sidecar " +
+            s"did not parse (${e.getMessage}) — no attribution judgment " +
+            "possible")
+          case Right(owners) if owners.nonEmpty =>
+            val foreign = nonces.filterNot(owners.contains)
+            if (foreign.isEmpty) Seq.empty
+            else if (owners.exists(nonces.contains) || legacyGens.contains(gen))
+              Seq(s"debris: generation $gen of $tablePath carries " +
+                s"${foreign.size} not-yet-swept loser attempt manifest(s) " +
+                s"(${foreign.mkString(", ")}); the authoritative object is " +
+                "intact")
+            else
+              Seq(s"conflict: generation $gen of $tablePath resolves via " +
+                s"owner ${owners.mkString("/")} which has NO manifest " +
+                "object of its own (delta-only winner, or lost), while " +
+                s"attempt manifest(s) from ${foreign.mkString(", ")} " +
+                "survive — if this generation was ever head-check damaged, " +
+                "the surviving object may be the real winner's evidence")
+          case Right(_) =>
+            // No owner evidence at all. A single candidate beside NO
+            // sidecar is the sanctioned lost-metadata repair fallback —
+            // clean. A candidate beside an ownerless NON-rewrite sidecar
+            // is the suppressed mixed-fleet shadow; 2+ candidates are
+            // ambiguous either way.
+            val shadowed =
+              try deltaRecord(gen).exists(!_.rewrite)
+              catch { case scala.util.control.NonFatal(_) => true }
+            if (nonces.size >= 2)
+              Seq(s"conflict: generation $gen of $tablePath has " +
+                s"${nonces.size} attempt manifests (${nonces.mkString(", ")}) " +
+                "and no owner evidence — ambiguous, resolution refuses")
+            else if (shadowed)
+              Seq(s"conflict: generation $gen of $tablePath has an attempt " +
+                s"manifest (${nonces.head}) shadowing an ownerless " +
+                "delta-only sidecar (pre-fencing winner) — resolution " +
+                "suppresses it; the object is a fenced loser's")
+            else Seq.empty
+        }
+      }
+    }
+  }
+
   // ------------------------------------------------------------- manifest
 
   private def manifestPath(gen: Long): String = f"$manifestDir/m-$gen%09d.json"

@@ -393,6 +393,16 @@ final class StateStore(
     case RenameCommit => Seq.empty
   }
 
+  /** Forensic attribution audit over this store's manifest tables
+    * ([[graft.store.ManifestTable.auditHistory]]): generations whose
+    * surviving owned manifest objects disagree with their recorded
+    * owner. Empty under [[StateStore.RenameCommit]]. */
+  def auditHistories(): Seq[String] = commitProtocol match {
+    case ManifestCommit =>
+      Seq(manifestTabletRows, manifestSingletEntries).flatMap(_.auditHistory())
+    case RenameCommit => Seq.empty
+  }
+
   def writeTabletRows(
       df: DataFrame,
       commitId: String = java.util.UUID.randomUUID().toString): Boolean = {

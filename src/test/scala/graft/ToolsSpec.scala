@@ -277,4 +277,57 @@ class ToolsSpec extends SparkTestBase {
     assert(Tools.run(Seq("head-check", renameRoot))
       .startsWith("nothing to check: rename-protocol store"))
   }
+
+  test("head-check --history: the forensic attribution audit is clean on " +
+    "a healthy table, reports pre-sweep loser residue as debris, and a " +
+    "generation whose recorded owner lost its manifest object while a " +
+    "foreign attempt's survives as a conflict") {
+    implicit val s = spark
+    val target = tmpDir("tools-audit")
+    val t = graft.streaming.StateMaterializer.targetTable(target)
+    def row(h: Long, pk: String, v: String) = org.apache.spark.sql.Row(
+      1, "t1", h, pk, v.getBytes("UTF-8"), false)
+    def commit(h: Long, pk: String, v: String, cid: String): Unit =
+      assert(t.commit(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(row(h, pk, v)), 1),
+        Schemas.tabletRows), cid))
+    commit(1L, "a", "v1", "c1")
+    commit(2L, "b", "v2", "c2")
+    commit(3L, "c", "v3", "c3")
+    val clean = Tools.run(Seq("head-check", target, "--history"))
+    assert(clean === "head check clean\nhistory audit clean", clean)
+
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def plant(rel: String, body: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$target/$rel")
+      val out = fs.create(p, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    // DEBRIS: a fenced loser's attempt manifest beside generation 2's
+    // intact authoritative object.
+    plant(f"_manifests/m-${2L}%09d.deadbeef.json",
+      """{"commit_id":"loser","files":[]}""" + "\n")
+    val withDebris = Tools.run(Seq("head-check", target, "--history"))
+    assert(withDebris.contains("HISTORY AUDIT (1 finding(s))"), withDebris)
+    assert(withDebris.contains("debris: generation 2"), withDebris)
+
+    // CONFLICT: generation 1's recorded owner loses its own object while
+    // a foreign attempt's survives — the shape a post-head TOCTOU
+    // clobber leaves behind (the lying sidecar names the clobberer; the
+    // real winner's manifest persists only as this foreign object).
+    val mdir = new org.apache.hadoop.fs.Path(s"$target/_manifests")
+    fs.listStatus(mdir).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith(f"m-${1L}%09d.") && n.endsWith(".json")
+      }.foreach(fs.delete(_, false))
+    plant(f"_manifests/m-${1L}%09d.cafebabe.json",
+      """{"commit_id":"real-winner","files":[]}""" + "\n")
+    val withConflict = Tools.run(Seq("head-check", target, "--history"))
+    assert(withConflict.contains("conflict: generation 1"), withConflict)
+    assert(withConflict.contains("debris: generation 2"), withConflict)
+    // Plain head-check (no flag) is unchanged by historical damage.
+    assert(Tools.run(Seq("head-check", target)) === "head check clean")
+  }
 }
