@@ -2087,7 +2087,14 @@ final class ManifestTable(val tablePath: String, schema: StructType,
                   hb.start()
                   // The heartbeat must be provably STOPPED before the
                   // real record replaces the placeholder below — a
-                  // straggler rewrite would clobber it.
+                  // straggler rewrite would clobber the published
+                  // record's fresh list (the changefeed reads it).
+                  // UNBOUNDED join deliberately: a timed join that
+                  // expires while the heartbeat is stuck in a slow
+                  // sidecar write would let exactly that clobber race
+                  // the tail — and an FS slow enough to strand the
+                  // heartbeat would strand the tail's own writes anyway,
+                  // so the unbounded wait adds no new failure mode.
                   val s =
                     try {
                       duringEscalatedDeriveHook()
@@ -2096,7 +2103,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
                         keepTombstones, freshRowsPerFile)
                     } finally {
                       hbStop.countDown()
-                      hb.join(30000L)
+                      hb.join()
                     }
                   staged = Some(s)
                   if (!stillOwns(next, nonce)) {
