@@ -105,10 +105,13 @@ object ManifestProbe {
       val manifestList = fs.listStatus(new org.apache.hadoop.fs.Path(
         s"${store.tabletRowsPath}/_manifests"))
       val fullManifestByGen: Map[Long, org.apache.hadoop.fs.FileStatus] = {
-        val GenRe = """^m-(\d+)(?:\.[0-9a-fA-F]+)?\.json$""".r
+        // THE shared name patterns (ManifestTable companion).
         manifestList.flatMap { st =>
           st.getPath.getName match {
-            case GenRe(g) => Some(g.toLong -> st)
+            case graft.store.ManifestTable.OwnedManifestNameRe(g, _) =>
+              Some(g.toLong -> st)
+            case graft.store.ManifestTable.LegacyManifestNameRe(g) =>
+              Some(g.toLong -> st)
             case _ => None
           }
         }.groupBy(_._1).map { case (g, sts) =>

@@ -289,7 +289,8 @@ object SoakContend {
         println(s"""{"contend_mismatch":{"key":"$k","actual":"${actual.get(k)}","expected":"${expected.get(k)}"}}"""))
     }
     def sum(name: String): Long = summaries.map(s => math.max(0L, field(s._2, name))).sum
-    def maxOf(name: String): Long = summaries.map(s => field(s._2, name)).max
+    def maxOf(name: String): Long =
+      summaries.foldLeft(0L)((m, s) => math.max(m, field(s._2, name)))
     println(s"""{"contend_summary":{"children":$children,"minutes":$minutes,""" +
       s""""interval_ms":$intervalMs,""" +
       s""""rounds":${sum("rounds")},"compactions":${sum("compactions")},""" +
@@ -322,10 +323,14 @@ object SoakContend {
       val entries =
         if (cfs.exists(mdir)) cfs.listStatus(mdir)
         else Array.empty[org.apache.hadoop.fs.FileStatus]
-      def cls(re: String) = entries.filter(_.getPath.getName.matches(re))
-      val owned = cls("""m-\d+\.[0-9a-fA-F]+\.json""")
-      val sidecars = cls("""d-\d+\.json""")
-      val legacy = cls("""m-\d+\.json""")
+      // THE shared name patterns (ManifestTable companion) — a drifted
+      // local copy would make this census disagree with the sweep/audit.
+      def cls(re: scala.util.matching.Regex) =
+        entries.filter(e => re.findFirstIn(e.getPath.getName).isDefined)
+      val owned = cls(graft.store.ManifestTable.OwnedManifestNameRe)
+      val sidecars = cls(graft.store.ManifestTable.SidecarNameRe)
+      val legacy = cls(graft.store.ManifestTable.LegacyManifestNameRe)
+      val hbs = cls(graft.store.ManifestTable.HeartbeatNameRe)
       val ownedGens = owned.map(_.getPath.getName.split("\\.")(0)).distinct
       val tmps = cfs.listStatus(rootP)
         .filter(e => e.isFile && e.getPath.getName.endsWith(".tmp"))
@@ -348,6 +353,7 @@ object SoakContend {
         s""""sidecars":${sidecars.length},""" +
         s""""sidecar_bytes":${sidecars.map(_.getLen).sum},""" +
         s""""legacy_manifests":${legacy.length},""" +
+        s""""heartbeat_markers":${hbs.length},""" +
         s""""pointer_tmps":${tmps.length},""" +
         s""""metadata_objects":${entries.length + tmps.length},""" +
         s""""metadata_bytes":${entries.map(_.getLen).sum + tmps.map(_.getLen).sum},""" +

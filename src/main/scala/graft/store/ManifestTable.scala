@@ -426,60 +426,61 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     if (!fs.exists(d)) return Seq.empty
     val frame = pointerFrame()
     val head = frame.map(_._1).getOrElse(0L)
-    val OwnedRe = """^m-(\d+)\.([0-9a-fA-F]+)\.json$""".r
-    val LegacyRe = """^m-(\d+)\.json$""".r
     val names = fs.listStatus(d).map(_.getPath.getName).toSeq
     val ownedByGen: Map[Long, Seq[String]] = names.flatMap {
-      case OwnedRe(g, o) => Some(g.toLong -> o)
+      case ManifestTable.OwnedManifestNameRe(g, o) => Some(g.toLong -> o)
       case _ => None
     }.groupBy(_._1).map { case (g, ps) => g -> ps.map(_._2) }
-    val legacyGens: Set[Long] =
-      names.collect { case LegacyRe(g) => g.toLong }.toSet
+    val legacyGens: Set[Long] = names.collect {
+      case ManifestTable.LegacyManifestNameRe(g) => g.toLong
+    }.toSet
     ownedByGen.toSeq.sortBy(_._1).flatMap { case (gen, nonces) =>
       if (gen > head) Seq.empty // unpublished attempts: the sweep's domain
       else {
-        val ownersTry =
-          try Right(authoritativeOwners(gen, frame))
+        // ONE sidecar read per audited generation, feeding both the
+        // owner arbitration and the shadow judgment.
+        val recordTry =
+          try Right(deltaRecord(gen))
           catch { case scala.util.control.NonFatal(e) => Left(e) }
-        ownersTry match {
+        recordTry match {
           case Left(e) => Seq(s"unreadable: generation $gen of $tablePath " +
             s"has ${nonces.size} owned manifest object(s) but its sidecar " +
             s"did not parse (${e.getMessage}) — no attribution judgment " +
             "possible")
-          case Right(owners) if owners.nonEmpty =>
-            val foreign = nonces.filterNot(owners.contains)
-            if (foreign.isEmpty) Seq.empty
-            else if (owners.exists(nonces.contains) || legacyGens.contains(gen))
-              Seq(s"debris: generation $gen of $tablePath carries " +
-                s"${foreign.size} not-yet-swept loser attempt manifest(s) " +
-                s"(${foreign.mkString(", ")}); the authoritative object is " +
-                "intact")
-            else
-              Seq(s"conflict: generation $gen of $tablePath resolves via " +
-                s"owner ${owners.mkString("/")} which has NO manifest " +
-                "object of its own (delta-only winner, or lost), while " +
-                s"attempt manifest(s) from ${foreign.mkString(", ")} " +
-                "survive — if this generation was ever head-check damaged, " +
-                "the surviving object may be the real winner's evidence")
-          case Right(_) =>
-            // No owner evidence at all. A single candidate beside NO
-            // sidecar is the sanctioned lost-metadata repair fallback —
-            // clean. A candidate beside an ownerless NON-rewrite sidecar
-            // is the suppressed mixed-fleet shadow; 2+ candidates are
-            // ambiguous either way.
-            val shadowed =
-              try deltaRecord(gen).exists(!_.rewrite)
-              catch { case scala.util.control.NonFatal(_) => true }
-            if (nonces.size >= 2)
-              Seq(s"conflict: generation $gen of $tablePath has " +
-                s"${nonces.size} attempt manifests (${nonces.mkString(", ")}) " +
-                "and no owner evidence — ambiguous, resolution refuses")
-            else if (shadowed)
-              Seq(s"conflict: generation $gen of $tablePath has an attempt " +
-                s"manifest (${nonces.head}) shadowing an ownerless " +
-                "delta-only sidecar (pre-fencing winner) — resolution " +
-                "suppresses it; the object is a fenced loser's")
-            else Seq.empty
+          case Right(record) =>
+            val owners = ownersFrom(gen, frame, record)
+            if (owners.nonEmpty) {
+              val foreign = nonces.filterNot(owners.contains)
+              if (foreign.isEmpty) Seq.empty
+              else if (owners.exists(nonces.contains) || legacyGens.contains(gen))
+                Seq(s"debris: generation $gen of $tablePath carries " +
+                  s"${foreign.size} not-yet-swept loser attempt manifest(s) " +
+                  s"(${foreign.mkString(", ")}); the authoritative object is " +
+                  "intact")
+              else
+                Seq(s"conflict: generation $gen of $tablePath resolves via " +
+                  s"owner ${owners.mkString("/")} which has NO manifest " +
+                  "object of its own (delta-only winner, or lost), while " +
+                  s"attempt manifest(s) from ${foreign.mkString(", ")} " +
+                  "survive — if this generation was ever head-check damaged, " +
+                  "the surviving object may be the real winner's evidence")
+            } else {
+              // No owner evidence at all. A single candidate beside NO
+              // sidecar is the sanctioned lost-metadata repair fallback —
+              // clean. A candidate beside an ownerless NON-rewrite sidecar
+              // is the suppressed mixed-fleet shadow; 2+ candidates are
+              // ambiguous either way.
+              if (nonces.size >= 2)
+                Seq(s"conflict: generation $gen of $tablePath has " +
+                  s"${nonces.size} attempt manifests (${nonces.mkString(", ")}) " +
+                  "and no owner evidence — ambiguous, resolution refuses")
+              else if (record.exists(!_.rewrite))
+                Seq(s"conflict: generation $gen of $tablePath has an attempt " +
+                  s"manifest (${nonces.head}) shadowing an ownerless " +
+                  "delta-only sidecar (pre-fencing winner) — resolution " +
+                  "suppresses it; the object is a fenced loser's")
+              else Seq.empty
+            }
         }
       }
     }
@@ -556,7 +557,12 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       val hit = resolvedPathCache.get(gen)
       if (hit != null) return hit
     }
-    val owners = authoritativeOwners(gen, frame)
+    // ONE sidecar read per resolution: the record feeds both the owner
+    // arbitration and the fallback's rewrite judgment below (a second
+    // deltaRecord there was an extra billed GET per uncached no-owner
+    // resolution). Read faults propagate, per the method contract.
+    val record = deltaRecord(gen)
+    val owners = ownersFrom(gen, frame, record)
     val resolved = (owners.map(o => fsOf(manifestPathOwned(gen, o))) ++
       Seq(fsOf(manifestPath(gen))))
       .collectFirst { case (fs, p) if fs.exists(p) => p }
@@ -587,7 +593,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
         // path beats guessing between attempts. Sidecar read faults
         // propagate, per the method contract.
         if (owners.nonEmpty) None
-        else if (gen <= headGen && deltaRecord(gen).exists(!_.rewrite)) None
+        else if (gen <= headGen && record.exists(!_.rewrite)) None
         else {
           val (fs, d) = fsOf(manifestDir)
           if (!fs.exists(d)) None
@@ -621,13 +627,19 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * multi-generation walks (delta reconstruction, the sweep) read the
     * pointer ONCE instead of once per probed generation. */
   private def authoritativeOwners(gen: Long,
-      frame: Option[(Long, Option[String])]): Seq[String] = {
+      frame: Option[(Long, Option[String])]): Seq[String] =
+    ownersFrom(gen, frame, deltaRecord(gen))
+
+  /** The one owners derivation, against an already-read frame AND
+    * sidecar record — callers that hold the record (resolution) avoid a
+    * second sidecar fetch without risking drift from the arbiter. */
+  private def ownersFrom(gen: Long, frame: Option[(Long, Option[String])],
+      record: Option[ManifestTable.DeltaRecord]): Seq[String] = {
     val fromPointer = frame match {
       case Some((g, owner)) if g == gen => owner
       case _ => None
     }
-    val fromSidecar = deltaRecord(gen).flatMap(_.owner)
-    (fromPointer.toSeq ++ fromSidecar.toSeq).distinct
+    (fromPointer.toSeq ++ record.flatMap(_.owner).toSeq).distinct
   }
 
   private def quote(s: String): String =
@@ -772,6 +784,34 @@ final class ManifestTable(val tablePath: String, schema: StructType,
 
   private def deltaPath(gen: Long): String = f"$manifestDir/d-$gen%09d.json"
 
+  /** The ATTEMPT-UNIQUE reservation-heartbeat marker for `gen`. A
+    * heartbeating holder overwrites its OWN marker (fresh mtime) instead
+    * of rewriting the shared sidecar: no shared metadata object is ever
+    * written by a heartbeat, so no interleaving — however long a stale
+    * holder freezes — can clobber another attempt's record. The takeover
+    * clock ([[tryOwnGeneration]], [[heldByForeign]]) reads the CURRENT
+    * sidecar owner's marker, so a fenced attempt's marker is inert by
+    * name. */
+  private def heartbeatPath(gen: Long, nonce: String): String =
+    f"$manifestDir/hb-$gen%09d.$nonce"
+
+  /** Freshest evidence-of-life for a reservation: the sidecar's own
+    * mtime, advanced by the holder's heartbeat marker when the record
+    * advertises a lease (only escalations heartbeat — one extra
+    * getFileStatus, paid only on contended own attempts). A marker read
+    * fault falls back to the sidecar mtime: the conservative direction
+    * is a possibly-premature takeover, which the fencing nonce resolves
+    * as an ordinary loss, never corruption. */
+  private def reservationFreshMillis(gen: Long,
+      record: Option[ManifestTable.DeltaRecord], sidecarMtime: Long): Long =
+    if (record.flatMap(_.leaseMillis).isEmpty) sidecarMtime
+    else record.flatMap(_.owner).map { o =>
+      try {
+        val (hfs, hp) = fsOf(heartbeatPath(gen, o))
+        math.max(sidecarMtime, hfs.getFileStatus(hp).getModificationTime)
+      } catch { case scala.util.control.NonFatal(_) => sidecarMtime }
+    }.getOrElse(sidecarMtime)
+
   /** The sidecar line is a manifest line (commit_id, files, stats — so a
     * delta-only generation reconstructs with its pruning bounds intact)
     * plus a leading `rewrite` flag and, for rewrite generations whose
@@ -897,13 +937,17 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       case other =>
         // The holder's own advertised lease (escalated reservations
         // heartbeat under a short one) bounds the crash stall; a torn or
-        // legacy record keeps the generous global floor.
+        // legacy record keeps the generous global floor. The age clock
+        // reads the holder's heartbeat marker too — a LIVE escalated
+        // derivation of any length keeps re-arming it.
         val holderLease = record.flatMap(_.leaseMillis)
           .map(l => math.min(l, publishLeaseMillis))
           .getOrElse(publishLeaseMillis)
+        val sidecarMtime =
+          try fs.getFileStatus(p).getModificationTime
+          catch { case _: java.io.FileNotFoundException => Long.MaxValue }
         val age = System.currentTimeMillis() -
-          (try fs.getFileStatus(p).getModificationTime
-           catch { case _: java.io.FileNotFoundException => Long.MaxValue })
+          reservationFreshMillis(gen, record, sidecarMtime)
         if (age > holderLease) {
           // Published-state re-check at the last responsible instant: the
           // `published` snapshot above is several metadata round trips
@@ -1135,13 +1179,16 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       catch { case scala.util.control.NonFatal(_) => None }
     if (record.map(_.entry.commitId).contains(commitId)) return false
     // The holder's advertised lease (heartbeating escalated reservations
-    // run a short one) bounds how long this probe reports "blocked".
+    // run a short one) bounds how long this probe reports "blocked"; the
+    // age clock reads the holder's heartbeat marker too.
     val holderLease = record.flatMap(_.leaseMillis)
       .map(l => math.min(l, publishLeaseMillis))
       .getOrElse(publishLeaseMillis)
+    val sidecarMtime =
+      try fs.getFileStatus(p).getModificationTime
+      catch { case _: java.io.FileNotFoundException => return false }
     val age = System.currentTimeMillis() -
-      (try fs.getFileStatus(p).getModificationTime
-       catch { case _: java.io.FileNotFoundException => return false })
+      reservationFreshMillis(gen, record, sidecarMtime)
     age <= holderLease
   }
 
@@ -2040,16 +2087,20 @@ final class ManifestTable(val tablePath: String, schema: StructType,
             // two (modulo lease expiry on a stalled one). The crash cost
             // is NOT the compactor's: the reservation advertises the
             // SHORT escalation lease and HEARTBEATS it while the
-            // derivation runs (sidecar rewrite every lease/3 — same
-            // nonce, fresh mtime), so a death mid-derivation stalls
-            // foreign publishers for seconds, not the crash-sized global
-            // lease the 1 Hz serving path cannot afford; a LIVE failure
-            // still releases it eagerly. A heartbeat racing a takeover
-            // in its stillOwns-to-write instant is the documented TOCTOU
-            // class: the taker is fenced at its own swap by content, or
-            // — if it already published — its post-swap repair restores
-            // the record; either way the arbitration converges with zero
-            // lost commits. The uncontended path never pays any of this.
+            // derivation runs — by overwriting its own ATTEMPT-UNIQUE
+            // marker object (hb-<gen>.<nonce>, every lease/3; the
+            // takeover clock reads max(sidecar mtime, marker mtime)) —
+            // so a death mid-derivation stalls foreign publishers for
+            // seconds, not the crash-sized global lease the 1 Hz serving
+            // path cannot afford; a LIVE failure still releases the
+            // reservation eagerly. The marker is attempt-unique ON
+            // PURPOSE: a heartbeat never writes SHARED metadata, so a
+            // stale holder frozen for any length can never clobber a
+            // takeover winner's record the way a sidecar-rewriting
+            // heartbeat could (an unfenced check-to-write pair executed
+            // hundreds of times per derivation would dominate the
+            // TOCTOU exposure). The uncontended path never pays any of
+            // this.
             val nonce = newNonce()
             val placeholder = ManifestEntry(commitId, Seq.empty, Seq.empty)
             val hbLease = ManifestTable.escalationLeaseMillis
@@ -2064,23 +2115,35 @@ final class ManifestTable(val tablePath: String, schema: StructType,
                   escalatedMergeCount.incrementAndGet()
                   val hbStop = new java.util.concurrent.CountDownLatch(1)
                   val hb = new Thread(() => {
+                    val (hfs, hp) = fsOf(heartbeatPath(next, nonce))
+                    val interval = math.max(1L, hbLease / 3)
                     try {
-                      val interval = math.max(1L, hbLease / 3)
-                      var live = true
-                      while (live && !hbStop.await(interval,
+                      while (!hbStop.await(interval,
                           java.util.concurrent.TimeUnit.MILLISECONDS)) {
-                        if (stillOwns(next, nonce)) {
-                          writeDelta(next, placeholder, rewrite = true,
-                            fresh = Some(Seq.empty), owner = Some(nonce),
-                            leaseMillis = Some(hbLease))
+                        // Unconditionally safe: the marker is this
+                        // attempt's own object — writing it can never
+                        // affect another attempt's state (a fenced
+                        // holder's marker is inert by name). So no
+                        // ownership pre-check, and a transient fault
+                        // skips ONE beat (the lease is three intervals
+                        // deep) instead of killing the thread — a long
+                        // derivation must not lose its short-lease
+                        // protection to one flaky metadata write.
+                        try {
+                          val out = hfs.create(hp, true)
+                          try out.write('1'.toInt) finally out.close()
                           reservationHeartbeatCount.incrementAndGet()
-                        } else live = false // taken over: stop rewriting
+                        } catch {
+                          case scala.util.control.NonFatal(e) => log.warn(
+                            s"escalation heartbeat for generation $next " +
+                              s"of $tablePath skipped a beat", e)
+                        }
                       }
-                    } catch {
-                      case scala.util.control.NonFatal(e) => log.warn(
-                        s"escalation heartbeat for generation $next of " +
-                          s"$tablePath failed — a stalled derivation may " +
-                          "now be taken over at the escalation lease", e)
+                    } finally {
+                      // Best-effort reclaim of the marker; a crash
+                      // leaves it for the sweep (attempt-unique debris).
+                      try { hfs.delete(hp, false); () }
+                      catch { case scala.util.control.NonFatal(_) => () }
                     }
                   }, s"graft-escalation-heartbeat-$next")
                   hb.setDaemon(true)
@@ -2120,6 +2183,26 @@ final class ManifestTable(val tablePath: String, schema: StructType,
                     writeDelta(next, s.entry, rewrite = s.rewrite,
                       fresh = if (s.rewrite) Some(s.freshFiles) else None,
                       owner = Some(nonce))
+                    // Published re-check AFTER the sidecar replacement:
+                    // a process freeze longer than the escalation lease
+                    // inside the stillOwns-to-write instant above lets a
+                    // takeover publish this generation before our write
+                    // lands (the documented mtime-lease TOCTOU). If that
+                    // happened, do NOT compound the sidecar damage with
+                    // a manifest object — an owned manifest here would
+                    // RESOLVE (the clobbered sidecar names us) and turn
+                    // detectable damage (verifyHead) into a readable
+                    // shadow. Throw instead; the loop reconciles at the
+                    // new head.
+                    if (currentGeneration().exists(_ >= next)) {
+                      fencedPublishCount.incrementAndGet()
+                      throw new ConcurrentPublishException(
+                        s"generation $next of $tablePath was published by " +
+                          "a takeover in the check-to-write instant — this " +
+                          "attempt's record landed late (head-check " +
+                          "detectable while head); retrying at the next " +
+                          "generation")
+                    }
                     writeManifest(next, keptEntries :+ s.entry, nonce)
                     publishOwned(next, commitId, nonce, s.entry,
                       rewrite = s.rewrite,
@@ -2521,43 +2604,52 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     // trustworthy) suspends this reclamation class entirely — only proof
     // deletes.
     val mdir = fsOf(manifestDir)._2
-    val ownedManifestRe = """^m-(\d+)\.([0-9a-fA-F]+)\.json$""".r
     val manifestAgeFloor =
       math.max(minAgeMillis, publishLeaseMillis + publishRetryMillis)
     val head = currentGeneration().getOrElse(0L)
     val headDamaged =
       try verifyHead().isDefined
       catch { case scala.util.control.NonFatal(_) => true }
+    // Shared with attempt MANIFESTS and heartbeat MARKERS: an attempt
+    // object beyond the head is dead only on sidecar EVIDENCE — absent
+    // (released) or a foreign nonce (taken over). A sidecar still
+    // carrying the object's nonce is a live un-taken-over reservation —
+    // a >= lease-stalled holder is explicitly in the class's threat
+    // model, and deleting its manifest would corrupt the generation it
+    // later commits. Unreadable sidecar (torn mid-write by a live
+    // publisher) keeps the object.
+    def deadBeyondHead(gen: Long, o: String): Boolean =
+      (try Some(deltaRecord(gen).flatMap(_.owner))
+       catch { case scala.util.control.NonFatal(_) => None }) match {
+        case Some(holder) => !holder.contains(o)
+        case None => false // read fault: keep
+      }
     val deadManifests =
       if (headDamaged || !fs.exists(mdir)) Array.empty[Path]
       else fs.listStatus(mdir).flatMap { st =>
         st.getPath.getName match {
-          case ownedManifestRe(g, o)
+          case ManifestTable.OwnedManifestNameRe(g, o)
               if st.isFile &&
                 now - st.getModificationTime > manifestAgeFloor =>
             val gen = g.toLong
             val dead =
-              if (gen > head) {
-                // Only sidecar EVIDENCE proves an unpublished attempt
-                // dead: absent (released) or a foreign nonce (taken
-                // over). A sidecar still carrying this object's nonce is
-                // a live un-taken-over reservation — a >= lease-stalled
-                // holder is explicitly in the class's threat model, and
-                // deleting its manifest would corrupt the generation it
-                // later commits. Unreadable sidecar (torn mid-write by a
-                // live publisher) keeps the object.
-                (try Some(deltaRecord(gen).flatMap(_.owner))
-                 catch { case scala.util.control.NonFatal(_) => None }) match {
-                  case Some(holder) => !holder.contains(o)
-                  case None => false // read fault: keep
-                }
-              } else {
+              if (gen > head) deadBeyondHead(gen, o)
+              else {
                 val owners =
                   try authoritativeOwners(gen)
                   catch { case scala.util.control.NonFatal(_) => Seq.empty }
                 owners.nonEmpty && !owners.contains(o)
               }
             if (dead) Some(st.getPath) else None
+          case ManifestTable.HeartbeatNameRe(g, o)
+              if st.isFile &&
+                now - st.getModificationTime > manifestAgeFloor =>
+            // A crashed escalation's marker. At or below the head the
+            // reservation is over (published) — always dead once aged;
+            // beyond it, the same evidence rule as attempt manifests.
+            val gen = g.toLong
+            if (gen <= head || deadBeyondHead(gen, o)) Some(st.getPath)
+            else None
           case _ => None
         }
       }
@@ -2657,8 +2749,11 @@ object ManifestTable {
     * sidecar (`"lease"` field). Escalations sit on the 1 Hz serving
     * path, so a crash mid-escalated-derivation must not stall foreign
     * publishers for the crash-sized global lease — the reservation
-    * HEARTBEATS (rewrites its sidecar every lease/3, refreshing the
-    * mtime the takeover clock reads), which lets the advertised lease be
+    * HEARTBEATS (overwrites its own attempt-unique `hb-<gen>.<nonce>`
+    * marker every lease/3; the takeover clock reads
+    * max(sidecar mtime, marker mtime) — never a shared-object write, so
+    * a frozen stale heartbeat can clobber nothing), which lets the
+    * advertised lease be
     * seconds: a live derivation of any length keeps re-arming it; a dead
     * one stops and is taken over within this bound. 30 s default: ~3
     * heartbeat losses of slack against GC/host hiccups (the round-18
@@ -2804,6 +2899,20 @@ object ManifestTable {
     * be distinguishable, or a takeover could not fence the original). */
   private[store] def newNonce(): String =
     java.util.UUID.randomUUID().toString.replace("-", "")
+
+  // THE metadata-object name patterns — one definition each, shared by
+  // the writer paths, the sweep, the history audit, and the diagnostic
+  // probes/censuses. A drifted copy of these is how a sweep and a reader
+  // come to disagree about what an attempt object is.
+  /** Owner-suffixed full-manifest object: `m-<gen>.<nonce>.json`. */
+  private[graft] val OwnedManifestNameRe = """^m-(\d+)\.([0-9a-fA-F]+)\.json$""".r
+  /** Legacy unsuffixed full-manifest object: `m-<gen>.json`. */
+  private[graft] val LegacyManifestNameRe = """^m-(\d+)\.json$""".r
+  /** Delta sidecar object: `d-<gen>.json`. */
+  private[graft] val SidecarNameRe = """^d-(\d+)\.json$""".r
+  /** Reservation heartbeat marker: `hb-<gen>.<nonce>` (attempt-unique;
+    * see the escalation block in [[ManifestTable.merge]]). */
+  private[graft] val HeartbeatNameRe = """^hb-(\d+)\.([0-9a-fA-F]+)$""".r
 
   // Tagged scalar codec for manifest JSON: `l:<decimal>` / `s:<base64 of
   // UTF-8 bytes>`. Both alphabets avoid `{ } [ ] " ,` entirely, which is

@@ -970,6 +970,12 @@ class ManifestConcurrencySpec extends SparkTestBase {
     plantFile(path, f"_manifests/m-${7L}%09d.cafebabe.json", manifestLine)
     plantFile(path, f"_manifests/d-${7L}%09d.json",
       """{"owner":"cafebabe","commit_id":"z","rewrite":false,"files":[]}""" + "\n")
+    // HEARTBEAT MARKERS follow the same evidence rule: published (gen 1
+    // <= head) always dead once aged; taken-over (gen 6) dead;
+    // un-taken-over (gen 7) kept.
+    plantFile(path, f"_manifests/hb-${1L}%09d.feedface", "1")
+    plantFile(path, f"_manifests/hb-${6L}%09d.deadbeef", "1")
+    plantFile(path, f"_manifests/hb-${7L}%09d.cafebabe", "1")
     sys.props("graft.publish.leaseMs") = "1"
     sys.props("graft.publish.retryMs") = "1"
     try {
@@ -978,6 +984,9 @@ class ManifestConcurrencySpec extends SparkTestBase {
       assert(swept.contains(f"m-${5L}%09d.deadbeef.json"), swept)
       assert(swept.contains(f"m-${6L}%09d.deadbeef.json"), swept)
       assert(!swept.contains(f"m-${7L}%09d.cafebabe.json"), swept)
+      assert(swept.contains(f"hb-${1L}%09d.feedface"), swept)
+      assert(swept.contains(f"hb-${6L}%09d.deadbeef"), swept)
+      assert(!swept.contains(f"hb-${7L}%09d.cafebabe"), swept)
     } finally {
       sys.props.remove("graft.publish.leaseMs")
       sys.props.remove("graft.publish.retryMs")
@@ -1076,6 +1085,14 @@ class ManifestConcurrencySpec extends SparkTestBase {
     assert(byKeyOf(t) ===
       Map("k1" -> "v1", "k2" -> "v2x", "k9" -> "v9"))
     assert(t.verifyHead() === None)
+    // The heartbeat MARKER (attempt-unique hb-<gen>.<nonce>) is reclaimed
+    // when the heartbeat stops — no shared metadata was ever written.
+    val fs = new org.apache.hadoop.fs.Path(s"$path/_manifests")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val markers = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$path/_manifests"))
+      .map(_.getPath.getName).filter(_.startsWith("hb-"))
+    assert(markers.isEmpty, s"heartbeat markers must be reclaimed: ${markers.toSeq}")
   }
 
   test("MIXED-FLEET SHADOW suppressed: a published generation whose " +
