@@ -99,9 +99,13 @@ object ManifestProbe {
       // Full manifests are owner-suffixed objects (m-<gen>.<nonce>.json;
       // legacy tables carry the unsuffixed name). ONE directory listing
       // feeds the whole descending probe (a listing per generation was
-      // O(commits × dir-entries) at depth), and the UNSUFFIXED object
-      // wins over an arbitrary suffixed candidate when both exist —
-      // this diagnostic must not price a dead loser's attempt manifest.
+      // O(commits × dir-entries) at depth). Candidate arbitration so the
+      // diagnostic never prices a dead loser's attempt manifest: the
+      // UNSUFFIXED object wins when present; among 2+ suffixed
+      // candidates the generation SIDECAR's owner (the shared arbiter
+      // resolution itself consults) picks — only a sidecar-less or
+      // ownerless ambiguity falls back to smallest name, a
+      // diagnostic-only tiebreak.
       val manifestList = fs.listStatus(new org.apache.hadoop.fs.Path(
         s"${store.tabletRowsPath}/_manifests"))
       val fullManifestByGen: Map[Long, org.apache.hadoop.fs.FileStatus] = {
@@ -115,8 +119,15 @@ object ManifestProbe {
             case _ => None
           }
         }.groupBy(_._1).map { case (g, sts) =>
-          g -> sts.map(_._2)
-            .minBy(st => (st.getPath.getName != f"m-$g%09d.json", st.getPath.getName))
+          val cands = sts.map(_._2)
+          val chosen = cands.find(_.getPath.getName == f"m-$g%09d.json")
+            .orElse {
+              if (cands.length == 1) Some(cands.head)
+              else manifest.deltaRecord(g).flatMap(_.owner).flatMap(o =>
+                cands.find(_.getPath.getName == f"m-$g%09d.$o.json"))
+            }
+            .getOrElse(cands.minBy(_.getPath.getName))
+          g -> chosen
         }
       }
       val (deepFull, mBytes) = (commits.toLong to 1L by -1L).iterator

@@ -65,6 +65,15 @@ object SoakContend {
     val seconds = args(3).toLong
     val intervalMs = args(4).toLong
     val summaryFile = args(5)
+    // KILL-ESCALATED victim ("1"): announce the first escalated
+    // derivation via a bait file and stall inside it so the parent can
+    // SIGKILL this JVM mid-escalation — reservation, placeholder sidecar
+    // and heartbeat marker all left live on disk. The victim never
+    // merges shared keys and never compacts, so the SURVIVORS' reports
+    // stay sufficient for the parent's exact-state compare (the victim's
+    // own keys get a LWW self-consistency check instead — its last
+    // applied round dies with it).
+    val killBait = args.length > 6 && args(6) == "1"
     implicit val spark: SparkSession = SparkSession.builder()
       .master("local[4]")
       .appName(s"graft-soak-contend-$idx")
@@ -91,6 +100,14 @@ object SoakContend {
         Thread.sleep(p)
       }
     }
+    if (killBait) t.duringEscalatedDeriveHook = () => {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(summaryFile + ".escalating"),
+        "1".getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(_) => () }
+      println(s"""{"contend_bait":{"child":$idx,"escalating":true}}""")
+      Thread.sleep(20000L) // the parent kills -9 inside this window
+    }
     var r = 0
     var lastOwnR = -1L
     var lastSharedR = -1L
@@ -106,12 +123,12 @@ object SoakContend {
     var mergesOver10s = 0L
     val deadline = System.currentTimeMillis() + seconds * 1000L
     while (System.currentTimeMillis() < deadline) {
-      val shared = r % 5 == 4
+      val shared = !killBait && r % 5 == 4
       val h = r.toLong * children + idx
-      if (rnd.nextInt(40) == 0)
+      if (!killBait && rnd.nextInt(40) == 0)
         pauseMs.set(graft.store.ManifestTable.publishLeaseMillis + 1500L)
       try {
-        if (r % 97 == 96) {
+        if (!killBait && r % 97 == 96) {
           // Whole-table rewrite racing everyone's merges: the
           // rebase-ineligible class. Range-partitioned so per-file key
           // bounds re-tighten to contiguous runs instead of spanning
@@ -167,6 +184,15 @@ object SoakContend {
     val children = if (args.length > 0) args(0).toInt else 3
     val minutes = if (args.length > 1) args(1).toInt else 5
     val intervalMs = if (args.length > 2) args(2).toLong else 150L
+    // "kill-escalated": child 0 becomes the VICTIM — short escalation
+    // lease, bait-file announcement, SIGKILLed by this parent mid-
+    // escalated-derivation. Proof obligations on top of the ordinary
+    // storm: the dead reservation (placeholder + heartbeat marker) is
+    // taken over at the short lease by a real foreign JVM, the
+    // generation republishes cleanly, the survivors' exact-state compare
+    // still holds, and the post-storm sweep returns the marker count to
+    // the takeover-survivor baseline.
+    val killEscalated = args.length > 3 && args(3) == "kill-escalated"
     implicit val spark: SparkSession = SparkSession.builder()
       .master("local[8]")
       .appName("graft-soak-contend")
@@ -190,14 +216,19 @@ object SoakContend {
         "java.base/sun.nio.ch", "java.base/sun.nio.cs",
         "java.base/sun.security.action", "java.base/sun.util.calendar"
       ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val victim = killEscalated && idx == 0
       val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
         "-Xmx3g", "-Dspark.ui.enabled=false",
         // Short lease so the injected pre-swap pauses overrun it and real
         // cross-process takeovers + content-fencings happen in-run.
-        "-Dgraft.publish.leaseMs=4000", "-cp", cp,
+        "-Dgraft.publish.leaseMs=4000") ++
+        // The victim's escalated reservation advertises a 3 s lease so
+        // its post-kill takeover is measured in seconds in-run.
+        (if (victim) Seq("-Dgraft.escalation.leaseMs=3000") else Seq.empty) ++
+        Seq("-cp", cp,
         "graft.SoakContend", "child", target, idx.toString,
         children.toString, seconds.toString, intervalMs.toString,
-        file)).toArray
+        file) ++ (if (victim) Seq("1") else Seq.empty)).toArray
       try Some(new ProcessBuilder(cmd: _*).inheritIO().start())
       catch {
         case scala.util.control.NonFatal(e) =>
@@ -224,7 +255,20 @@ object SoakContend {
     var lastGen = 0L
     var genRegressions = 0L
     def childrenLive = procs.exists(_._3.exists(_.isAlive))
+    val baitFile = java.nio.file.Paths.get(s"$base/child-0.json.escalating")
+    var killedAtMs = -1L
+    val stormT0 = System.currentTimeMillis()
     while (childrenLive && System.currentTimeMillis() < deadline) {
+      if (killEscalated && killedAtMs < 0L &&
+          java.nio.file.Files.exists(baitFile)) {
+        // The victim announced its escalated derivation and is stalled
+        // inside it: reservation owned, placeholder + heartbeat marker
+        // on disk. SIGKILL it there — no shutdown hooks, no cleanup.
+        Thread.sleep(700L)
+        procs.head._3.foreach(_.destroyForcibly())
+        killedAtMs = System.currentTimeMillis() - stormT0
+        println(s"""{"contend_kill":{"victim":0,"at_ms":$killedAtMs}}""")
+      }
       try {
         val g = t0.currentGeneration().getOrElse(0L)
         if (g < lastGen) genRegressions += 1L
@@ -278,15 +322,30 @@ object SoakContend {
     }
 
     val t = StateMaterializer.targetTable(target)
-    val actual = t.read().collect().map(row =>
+    val allRows = t.read().collect().map(row =>
       row.getAs[String]("primary_key") ->
         ((row.getAs[Long]("height"),
           new String(row.getAs[Array[Byte]]("value"), "UTF-8")))).toMap
-    val equiv = actual == expected.toMap
+    // In kill mode the victim's summary died with it, so its own keys
+    // cannot join the exact compare — each surviving victim row is
+    // instead checked for LWW SELF-consistency (height stamped by child
+    // 0, value naming exactly that round): any clobbered / torn / half-
+    // merged state fails it. Survivors' keys stay on the exact compare.
+    val (victimRows, actual) =
+      if (killEscalated) allRows.partition(_._1.startsWith("own-00-"))
+      else (Map.empty[String, (Long, String)], allRows)
+    val victimConsistent = victimRows.forall { case (_, (h, v)) =>
+      h % children == 0 && v == s"c0-r${h / children}"
+    }
+    val equiv = actual == expected.toMap && victimConsistent
     if (!equiv) {
       val keys = (actual.keySet ++ expected.keySet).toSeq.sorted
       keys.filter(k => actual.get(k) != expected.get(k)).take(20).foreach(k =>
         println(s"""{"contend_mismatch":{"key":"$k","actual":"${actual.get(k)}","expected":"${expected.get(k)}"}}"""))
+      victimRows.filterNot { case (_, (h, v)) =>
+        h % children == 0 && v == s"c0-r${h / children}" }.take(20)
+        .foreach { case (k, hv) => println(
+          s"""{"contend_victim_inconsistent":{"key":"$k","actual":"$hv"}}""") }
     }
     def sum(name: String): Long = summaries.map(s => math.max(0L, field(s._2, name))).sum
     def maxOf(name: String): Long =
@@ -305,6 +364,11 @@ object SoakContend {
       s""""gen_regressions":$genRegressions,""" +
       s""""final_generation":${t.currentGeneration().getOrElse(0L)},""" +
       s""""head_check":"${t.verifyHead().getOrElse("clean")}",""" +
+      (if (killEscalated)
+        s""""killed_victim":0,"killed_at_ms":$killedAtMs,""" +
+          s""""victim_keys":${victimRows.size},""" +
+          s""""victim_consistent":$victimConsistent,"""
+       else "") +
       s""""keys":${actual.size},"equiv_match":$equiv}}""")
 
     // METADATA CENSUS: the contended-run object accounting the amortized
@@ -360,14 +424,26 @@ object SoakContend {
         s""""resolve_head_ms":$resolveHeadMs,"fold_256_ms":$fold256Ms}}""")
     }
     census("raw")
+    // Capture-and-RESTORE the process-global properties rather than
+    // remove(): a bare remove would silently unset any harness-provided
+    // settings for the rest of the parent run, and the parent's
+    // still-live table handles read these dynamically.
+    val prevLease = sys.props.get("graft.publish.leaseMs")
+    val prevRetry = sys.props.get("graft.publish.retryMs")
     sys.props("graft.publish.leaseMs") = "4000"  // the children's lease
     sys.props("graft.publish.retryMs") = "5000"
     try {
       val swept = t.sweepOrphans(retainGenerations = 8, minAgeMillis = 30000L)
       println(s"""{"contend_sweep":{"reclaimed":${swept.size}}}""")
     } finally {
-      sys.props.remove("graft.publish.leaseMs")
-      sys.props.remove("graft.publish.retryMs")
+      prevLease match {
+        case Some(v) => sys.props("graft.publish.leaseMs") = v
+        case None => sys.props.remove("graft.publish.leaseMs")
+      }
+      prevRetry match {
+        case Some(v) => sys.props("graft.publish.retryMs") = v
+        case None => sys.props.remove("graft.publish.retryMs")
+      }
     }
     census("swept")
     spark.stop()

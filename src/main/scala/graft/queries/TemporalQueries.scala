@@ -405,31 +405,35 @@ object TemporalQueries {
          |ORDER BY s.primary_key""".stripMargin) { (s, dir) =>
       implicit val is = s
       import org.apache.spark.sql.types._
-      val root = java.nio.file.Files.createTempDirectory("graft-ef-gate").toString
       val target = java.nio.file.Files.createTempDirectory("graft-ef-target").toString
-      val store = new graft.store.StateStore(root, graft.store.StateStore.ManifestCommit)(s)
       val m = mutations(s, dir).filter(col("tablet_id") === "view")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        // One merge per window: drain the materializer after each commit,
-        // so each window is its own serving-table generation (a single
-        // drain would fold all three into one append and there would be
-        // no rewrite generations to subscribe through).
-        val q = graft.streaming.StateMaterializer.start(store, target,
-          java.nio.file.Files.createTempDirectory("graft-ef-ck").toString)
-        try {
-          Seq((-1L, 2000L), (2000L, 4000L), (4000L, 6000L)).zipWithIndex.foreach {
-            case ((lo, hi), i) =>
-              store.writeTabletRows(
-                m.filter(col("height") > lo && col("height") <= hi)
-                  .select(lit(1).as("collection"), col("tablet_id"), col("height"),
-                    col("primary_key"), col("value").cast("binary").as("value"),
-                    col("is_deletion")),
-                commitId = s"w$i")
-              q.processAllAvailable()
-          }
-        } finally q.stop()
+        // One merge generation per window, applied SYNCHRONOUSLY — the
+        // same per-batch winners→merge the materializer's foreachBatch
+        // performs (StateMaterializer.start), without paying three
+        // streaming micro-batch drains of fixed overhead for it. The
+        // store→materializer streaming path is its own gate
+        // (t_materialized_state + StateMaterializerSpec); THIS gate's
+        // subject is the emitFresh changefeed riding the resulting
+        // append + rewrite generations, and that drain stays streaming
+        // below.
+        val t = graft.streaming.StateMaterializer.targetTable(target)
+        val keyCols = graft.streaming.StateMaterializer.KeyCols
+        Seq((-1L, 2000L), (2000L, 4000L), (4000L, 6000L)).zipWithIndex.foreach {
+          case ((lo, hi), i) =>
+            val windowRows = m.filter(col("height") > lo && col("height") <= hi)
+              .select(lit(1).as("collection"), col("tablet_id"), col("height"),
+                col("primary_key"), col("value").cast("binary").as("value"),
+                col("is_deletion"))
+            val winners = graft.read.TemporalReads
+              .latestPerKey(windowRows, keyCols, Seq("value", "collection"))
+              .select(graft.model.Schemas.tabletRows.fieldNames.map(col).toSeq: _*)
+            t.merge(winners, keyCols, orderCol = "height",
+              deleteCol = "is_deletion", commitId = s"w$i",
+              keepTombstones = true)
+        }
         // Contents-preserving rewrite mid-history: emitFresh must ride
         // through it with nothing emitted (fresh recorded as known-none).
         graft.streaming.StateMaterializer.compact(target, numFiles = 4)

@@ -90,23 +90,30 @@ import org.apache.spark.sql.types.StructType
   * conflict (the caller re-lands at the next generation) rather than a
   * silent success over someone else's metadata.
   *
-  * What remains exposed, stated honestly: the write instant itself.
-  * Without a conditional-write primitive, a waker that slept through
-  * the entire lease can still land ONE blind overwrite (its sidecar or
-  * manifest write, `overwrite = true`) in the microsecond between its
-  * own ownership re-check and that write. If the takeover winner has
-  * not yet published, the nonce checks resolve it loudly (one side
-  * retries, nothing lost). If the winner HAS published — its whole
-  * takeover tail fit inside the waker's check-to-write instant — the
-  * waker's overwrite damages the published generation's metadata before
-  * any check can fire: a clobbered sidecar is detected by
-  * [[verifyHead]] (and repaired when the pointer's owner republishes);
-  * a clobbered full manifest can silently drop the winner's rows from
-  * the head. That interleaving requires a µs-precision wake after a
-  * ≥10-minute sleep — [[ManifestTable.publishLeaseMillis]] is the real
-  * mitigation (size it above any plausible pause), and a store with
-  * transactional/conditional writes closes it outright, which is what
-  * the reference's KV backend provides (store/kv/store.go:332–467).
+  * What remains exposed, stated honestly: the write instant itself —
+  * on stores WITHOUT a conditional-replace primitive. There, a waker
+  * that slept through the entire lease can still land ONE blind
+  * overwrite (its sidecar or manifest write, `overwrite = true`) in the
+  * microsecond between its own ownership re-check and that write. If
+  * the takeover winner has not yet published, the nonce checks resolve
+  * it loudly (one side retries, nothing lost). If the winner HAS
+  * published — its whole takeover tail fit inside the waker's
+  * check-to-write instant — the waker's overwrite damages the published
+  * generation's metadata before any check can fire: a clobbered sidecar
+  * is detected by [[verifyHead]] (and repaired when the pointer's owner
+  * republishes); a clobbered full manifest can silently drop the
+  * winner's rows from the head. That interleaving requires a
+  * µs-precision wake after a ≥10-minute sleep —
+  * [[ManifestTable.publishLeaseMillis]] is the real mitigation there
+  * (size it above any plausible pause). On a store whose FileSystem
+  * implements [[ConditionalWriteSupport]] (If-Match / ETag / generation
+  * preconditions) the family is CLOSED outright: every contended
+  * sidecar replacement — takeover, same-commit re-own, and both
+  * reserve-first publish tails — is a compare-and-swap against the
+  * exact bytes the replacer's ownership judgment read, so the late
+  * write is refused AT the store (ObjectStoreProtocolSpec pins it).
+  * That matches the transactional guarantee the reference's KV backend
+  * provides (store/kv/store.go:332–467).
   */
 final class ManifestTable(val tablePath: String, schema: StructType,
     partitionCol: Option[String] = None,
@@ -139,6 +146,15 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     val path = new Path(p)
     (path.getFileSystem(spark.sessionState.newHadoopConf()), path)
   }
+
+  /** The store's conditional-replace capability, when its FileSystem
+    * advertises one ([[ConditionalWriteSupport]]; see the README "Store
+    * requirements" table for which store classes can). */
+  private def conditionalOf(fs: FileSystem): Option[ConditionalWriteSupport] =
+    fs match {
+      case c: ConditionalWriteSupport => Some(c)
+      case _ => None
+    }
 
   /** Test hook: simulate a crash after the data write, before publish. */
   private[graft] var failBeforePublish: Boolean = false
@@ -186,6 +202,31 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * heartbeat (not luck) keeps a live derivation owned. */
   private[graft] var duringEscalatedDeriveHook: () => Unit = () => ()
 
+  /** Test hook: runs inside an ESCALATED merge's reservation, after the
+    * derivation returns but before the publish tail (stillOwns →
+    * writeDelta → manifest → pointer) — lets specs stretch the TAIL past
+    * the short escalation lease to pin that the heartbeat stays armed
+    * through the tail's shared writes, not just the derivation. */
+  private[graft] var beforeEscalatedTailHook: () => Unit = () => ()
+
+  /** Test hook: runs in the escalated tail AFTER the stillOwns check
+    * passes, immediately before the placeholder→record sidecar swap —
+    * the exact check-to-write instant of the residual mtime-lease
+    * TOCTOU. Specs interleave a legal takeover here to pin that a
+    * conditional-write store refuses the late swap (no damage) while a
+    * plain store's damage stays loud. */
+  private[graft] var beforeEscalatedSwapHook: () => Unit = () => ()
+
+  /** Test hook: runs inside a lease takeover AFTER its published-state
+    * re-check, immediately before the sidecar overwrite — the takeover
+    * side of the same check-to-write window. */
+  private[graft] var beforeTakeoverWriteHook: () => Unit = () => ()
+
+  /** Test switch: while true, the escalation heartbeat thread SKIPS its
+    * marker writes — deterministically simulating a frozen holder
+    * (missed beats) without relying on scheduler timing. */
+  @volatile private[graft] var pauseEscalationHeartbeat: Boolean = false
+
   private def maybeFailAfterOwn(commitId: String): Unit =
     if (failAfterOwn) throw new IllegalStateException(
       s"injected crash after owning the generation for $commitId")
@@ -219,10 +260,11 @@ final class ManifestTable(val tablePath: String, schema: StructType,
   val escalatedMergeCount = new java.util.concurrent.atomic.AtomicLong(0L)
   /** Reservation-heartbeat refreshes written by an escalated merge's
     * derivation (see [[merge]]): each one re-arms the SHORT escalation
-    * lease, so a live derivation of any length is never taken over while
-    * a crashed one stalls foreign publishers only for
-    * [[ManifestTable.escalationLeaseMillis]] instead of the full publish
-    * lease. */
+    * lease, so a live derivation of any length is never taken over (the
+    * marker stays armed through the publish tail, reclaimed only after
+    * the pointer swap) while a crashed one stalls foreign publishers
+    * only for [[ManifestTable.escalationLeaseMillis]] instead of the
+    * full publish lease. */
   val reservationHeartbeatCount = new java.util.concurrent.atomic.AtomicLong(0L)
 
   // Min-reader gate: every publish writes the g5 owner-carrying frame,
@@ -545,9 +587,25 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * reads stop paying ~3 metadata round trips (pointer + sidecar +
     * exists) per historical generation per call — the exact steady-path
     * LIST/read amplification the round-18 verdict flagged on the
-    * serving-table merge loop. */
+    * serving-table merge loop.
+    *
+    * Staleness: committed-history immutability has one documented crack —
+    * after a post-publish sidecar clobber (the TOCTOU damage class), a
+    * sweep reading the CLOBBERED sidecar's owner can reclaim the object a
+    * pre-clobber resolution cached. A consumer hitting FileNotFound on a
+    * cached path therefore invalidates the entry and re-resolves ONCE
+    * ([[manifestEntriesFull]]) — fresh resolution either finds the
+    * arbitration's current answer or raises the loud missing-metadata
+    * diagnosis, never a raw FNF from a stale pointer. Eviction is LRU
+    * (access-order), not a wholesale clear — a long history walk must not
+    * flush the hot head region it just warmed. */
   private val resolvedPathCache =
-    new java.util.concurrent.ConcurrentHashMap[Long, Option[Path]]()
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[Long, Option[Path]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Long, Option[Path]]): Boolean =
+          size() > 8192
+      })
 
   private def resolvedManifestPath(gen: Long,
       frame: Option[(Long, Option[String])]): Option[Path] = {
@@ -608,10 +666,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
           }
         }
       }
-    if (cacheable) {
-      if (resolvedPathCache.size() > 8192) resolvedPathCache.clear()
-      resolvedPathCache.put(gen, resolved)
-    }
+    if (cacheable) resolvedPathCache.put(gen, resolved)
     resolved
   }
 
@@ -661,8 +716,26 @@ final class ManifestTable(val tablePath: String, schema: StructType,
   /** [[manifestEntriesFull]] against an already-read pointer `frame`:
     * the public entry reads the pointer ONCE and the whole
     * reconstruction walk (base probe + recursion) reuses it — one
-    * metadata read per call instead of one per probed generation. */
+    * metadata read per call instead of one per probed generation.
+    *
+    * A FileNotFound under a CACHED resolution retries once with the
+    * entry invalidated: the one way committed-history resolution goes
+    * stale is a sweep (fed by a post-publish sidecar clobber) reclaiming
+    * an object after we cached its path — fresh resolution then returns
+    * the arbitration's current answer or the loud missing-metadata
+    * diagnosis, never a raw FNF from the stale pointer. */
   private def manifestEntriesFull(gen: Long,
+      frame: Option[(Long, Option[String])]): Seq[ManifestEntry] =
+    try manifestEntriesFullOnce(gen, frame)
+    catch {
+      case e: java.io.FileNotFoundException
+          if resolvedPathCache.remove(gen) != null =>
+        log.warn(s"cached manifest resolution for generation $gen of " +
+          s"$tablePath went stale (${e.getMessage}) — re-resolving once")
+        manifestEntriesFullOnce(gen, frame)
+    }
+
+  private def manifestEntriesFullOnce(gen: Long,
       frame: Option[(Long, Option[String])]): Seq[ManifestEntry] = {
     if (gen <= 0) return Seq.empty
     val resolved = resolvedManifestPath(gen, frame)
@@ -795,6 +868,50 @@ final class ManifestTable(val tablePath: String, schema: StructType,
   private def heartbeatPath(gen: Long, nonce: String): String =
     f"$manifestDir/hb-$gen%09d.$nonce"
 
+  /** Start the reservation heartbeat for generation `gen` under attempt
+    * `nonce`: a daemon thread overwrites the attempt-unique marker
+    * (`hb-<gen>.<nonce>`) every `leaseMillis`/3, re-arming the SHORT
+    * advertised lease for as long as the holder is alive — however long
+    * its derivation and publish tail run. Writing the marker is
+    * unconditionally safe: it is this attempt's own object, never shared
+    * metadata, so a fenced/frozen holder's beat can clobber nothing (a
+    * stale marker is inert by name), and a transient write fault skips
+    * ONE beat (the lease is three intervals deep) instead of killing the
+    * thread. Returns the stop handle: call it AFTER the publish tail —
+    * it joins the thread, whose finally reclaims the marker (a crash
+    * leaves the marker for the sweep as attempt-unique debris). Shared
+    * by the escalated merge and the compactor's reservation. */
+  private def startReservationHeartbeat(gen: Long, nonce: String,
+      leaseMillis: Long): () => Unit = {
+    val hbStop = new java.util.concurrent.CountDownLatch(1)
+    val hb = new Thread(() => {
+      val (hfs, hp) = fsOf(heartbeatPath(gen, nonce))
+      val interval = math.max(1L, leaseMillis / 3)
+      try {
+        while (!hbStop.await(interval,
+            java.util.concurrent.TimeUnit.MILLISECONDS)) {
+          try if (!pauseEscalationHeartbeat) {
+            val out = hfs.create(hp, true)
+            try out.write('1'.toInt) finally out.close()
+            reservationHeartbeatCount.incrementAndGet()
+          } catch {
+            case scala.util.control.NonFatal(e) => log.warn(
+              s"reservation heartbeat for generation $gen " +
+                s"of $tablePath skipped a beat", e)
+          }
+        }
+      } finally {
+        // Best-effort reclaim of the marker; a crash leaves it for the
+        // sweep (attempt-unique debris).
+        try { hfs.delete(hp, false); () }
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }, s"graft-reservation-heartbeat-$gen")
+    hb.setDaemon(true)
+    hb.start()
+    () => { hbStop.countDown(); hb.join() }
+  }
+
   /** Freshest evidence-of-life for a reservation: the sidecar's own
     * mtime, advanced by the holder's heartbeat marker when the record
     * advertises a lease (only escalations heartbeat — one extra
@@ -853,6 +970,29 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     val json = deltaJson(e, rewrite, fresh, owner, leaseMillis)
     val out = fs.create(p, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** [[writeDelta]] under the store's conditional-replace capability:
+    * the swap lands only if the sidecar still holds `expected` (the
+    * placeholder bytes this attempt wrote at reservation). Returns false
+    * ONLY when a conditional store REFUSED the precondition — a takeover
+    * replaced the sidecar in the check-to-write instant, and refusing
+    * here converts the documented TOCTOU damage class into an ordinary
+    * loud conflict with ZERO shared-metadata damage. Plain stores
+    * perform the guarded overwrite and return true (the caller's
+    * published re-check keeps their residual window detectable). */
+  private def writeDeltaIfMatch(gen: Long, e: ManifestEntry, rewrite: Boolean,
+      fresh: Option[Seq[String]], owner: Option[String],
+      expected: Array[Byte]): Boolean = {
+    val (fs, p) = fsOf(deltaPath(gen))
+    conditionalOf(fs) match {
+      case Some(c) =>
+        val json = deltaJson(e, rewrite, fresh, owner, None)
+        c.replaceIfMatch(p, expected, json.getBytes("UTF-8"))
+      case None =>
+        writeDelta(gen, e, rewrite, fresh, owner)
+        true
+    }
   }
 
   // ---------------------------------------------- optimistic concurrency
@@ -921,9 +1061,29 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       }
     if (created) return Owned
     val published = currentGeneration().exists(_ >= gen)
+    // Raw bytes read ONCE: the ownership judgment below parses THESE
+    // bytes, and on a conditional-write store the replacement is a
+    // compare-and-swap against exactly them — judgment and store
+    // precondition can never diverge (a fresher read between the two
+    // would let a CAS succeed against content the judgment never saw).
+    val raw: Option[Array[Byte]] =
+      try readRawIfExists(fs, p)
+      catch { case scala.util.control.NonFatal(_) => None }
     val record: Option[ManifestTable.DeltaRecord] =
-      try deltaRecord(gen)
+      try raw.map(b => parseDeltaLine(new String(b, "UTF-8").trim, gen))
       catch { case scala.util.control.NonFatal(_) => None } // torn write
+    // Conditional store (README "Store requirements"): the re-own /
+    // takeover overwrite lands only if the sidecar still holds the
+    // judged bytes; a refusal means it moved under us — a woken holder
+    // re-owned or published, or a rival takeover won — and surfaces as
+    // the ordinary loud conflict, never a clobber. Plain stores keep
+    // the guarded blind overwrite (the re-checks around it bound the
+    // window; residual damage stays head-check-detectable).
+    def replaceJudged(): Boolean = conditionalOf(fs) match {
+      case Some(c) =>
+        raw.exists(b => c.replaceIfMatch(p, b, json.getBytes("UTF-8")))
+      case None => write(overwrite = true); true
+    }
     // Torn and vanished-mid-probe both land in the lease path below —
     // a vanished sidecar's age read is FileNotFound → never past the
     // lease → conflict, and the caller's retry re-owns it cleanly.
@@ -932,7 +1092,8 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       case Some(cid) if cid == entry.commitId =>
         if (published) AlreadyPublishedByUs
         else if (currentGeneration().exists(_ >= gen)) AlreadyPublishedByUs
-        else { write(overwrite = true); Owned }
+        else if (replaceJudged()) Owned
+        else OwnConflict // CAS refused: the attempt moved under us
       case _ if published => OwnConflict // committed history: immutable
       case other =>
         // The holder's own advertised lease (escalated reservations
@@ -955,10 +1116,11 @@ final class ManifestTable(val tablePath: String, schema: StructType,
           // that window must not have its committed generation's sidecar
           // overwritten (delta-only readers reconstruct from it).
           if (currentGeneration().exists(_ >= gen)) return OwnConflict
-          log.warn(s"taking over generation $gen of $tablePath from a dead " +
+          beforeTakeoverWriteHook()
+          if (!replaceJudged()) return OwnConflict // moved under us
+          log.warn(s"took over generation $gen of $tablePath from a dead " +
             s"publish attempt (holder=${other.getOrElse("<unparseable>")}, " +
             s"sidecar age ${age / 1000}s > lease ${holderLease / 1000}s)")
-          write(overwrite = true)
           leaseTakeoverCount.incrementAndGet()
           Owned
         } else OwnConflict
@@ -1225,12 +1387,22 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * one). None on pre-sidecar tables. */
   private[graft] def deltaRecord(gen: Long): Option[ManifestTable.DeltaRecord] = {
     val (fs, p) = fsOf(deltaPath(gen))
+    readRawIfExists(fs, p).map(bytes =>
+      parseDeltaLine(new String(bytes, "UTF-8").trim, gen))
+  }
+
+  /** The object's raw bytes, or None when absent (read it ONCE — the
+    * conditional-write paths CAS against exactly the bytes their
+    * judgment parsed, so judgment and precondition can never diverge). */
+  private def readRawIfExists(fs: FileSystem, p: Path): Option[Array[Byte]] =
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      val line =
-        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
-        finally in.close()
+      try Some(org.apache.commons.io.IOUtils.toByteArray(in))
+      finally in.close()
+    }
+
+  private def parseDeltaLine(line: String, gen: Long): ManifestTable.DeltaRecord = {
       // POSITIONAL anchor: `rewrite` and `fresh` are only ever written
       // BEFORE the `files` array, while the stats section (after it) can
       // contain a user column literally named `rewrite` or `fresh` —
@@ -1273,9 +1445,8 @@ final class ManifestTable(val tablePath: String, schema: StructType,
           scala.util.Try(rest.takeWhile(_.isDigit).toLong).toOption
         case _ => None
       }
-      Some(ManifestTable.DeltaRecord(parseManifestLine(line), rewrite, fresh,
-        owner, lease))
-    }
+      ManifestTable.DeltaRecord(parseManifestLine(line), rewrite, fresh,
+        owner, lease)
   }
 
   /** [[deltaRecord]] minus the fresh list (the reconstruction path's
@@ -1667,10 +1838,12 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * wins that race). Cost lands on the writers instead: their
     * commit/merge retry loops back off until the publish (their
     * time-based `graft.publish.retryMs` budget defaults to the lease plus
-    * a minute, which outlives any hold that resolves), and a compactor
-    * CRASH mid-hold blocks them until the
-    * [[ManifestTable.publishLeaseMillis]] takeover — the same trade
-    * Delta's long-running OPTIMIZE transactions make. A retention sweep
+    * a minute, which outlives any hold that resolves). A compactor CRASH
+    * mid-hold stalls them only for the SHORT heartbeating lease
+    * ([[ManifestTable.escalationLeaseMillis]], ~30 s): the reservation
+    * advertises it and a daemon beat re-arms it while the derivation
+    * lives — the long-OPTIMIZE-crash trade Delta makes is paid here as
+    * one tiny marker object per attempt instead. A retention sweep
     * running BESIDE this call sees the reservation's in-flight data
     * directory as unreferenced for the whole derivation, so its
     * `minAgeMillis` must comfortably exceed the longest compaction (the
@@ -1686,14 +1859,28 @@ final class ManifestTable(val tablePath: String, schema: StructType,
       val placeholder = ManifestEntry(commitId, Seq.empty, Seq.empty)
       var lostMidDerivation = false
       val nonce = newNonce()
+      // The compactor's reservation advertises the SHORT heartbeating
+      // lease too (same machinery as the escalated merge): a live
+      // replacement of any length keeps re-arming it, while a CRASH
+      // mid-compaction stalls every publisher for seconds instead of
+      // the full publish lease — the maintenance path used to be the
+      // documented minutes-long-stall trade, now closed for the cost of
+      // one marker object per attempt.
+      val hbLease = ManifestTable.escalationLeaseMillis
+      val placeholderBytes = deltaJson(placeholder, rewrite = true,
+        fresh = Some(Seq.empty), Some(nonce), Some(hbLease))
+        .getBytes("UTF-8")
       tryOwnGeneration(next, placeholder, rewrite = true,
-        fresh = Some(Seq.empty), nonce) match {
+        fresh = Some(Seq.empty), nonce,
+        leaseMillis = Some(hbLease)) match {
         case Owned =>
           // Crash-simulation hook OUTSIDE the cleanup scope: a real death
           // leaves its reservation behind (resolved by the lease), and so
           // must the simulated one.
           maybeFailAfterOwn(commitId)
           var published = false
+          val stopHeartbeat =
+            startReservationHeartbeat(next, nonce, hbLease)
           try {
             // Base `gen` is frozen while we hold `next`: derive + stage.
             val hadFiles = gen > 0 && cachedEntriesAt(gen).exists(_.files.nonEmpty)
@@ -1712,22 +1899,31 @@ final class ManifestTable(val tablePath: String, schema: StructType,
             // sidecar + manifest here would ERASE that winner's commit
             // while both callers report success. Losing the takeover is
             // the safe outcome: re-derive at the new head. The
-            // check-then-write instant that remains: a takeover landing
-            // between this check and the writes below is resolved loudly
-            // by [[publishOwned]]'s pointer arbitration when the winner
-            // has not yet published; a winner whose ENTIRE tail fits
-            // inside the instant can still have its published metadata
-            // blind-overwritten here — the documented irreducible window
-            // (class doc), sized against by the lease.
+            // check-then-write instant that remains on PLAIN stores: a
+            // takeover landing between this check and the writes below
+            // is resolved loudly by [[publishOwned]]'s pointer
+            // arbitration when the winner has not yet published; a
+            // winner whose ENTIRE tail fits inside the instant can still
+            // have its published metadata blind-overwritten here — the
+            // documented residual window (class doc), sized against by
+            // the lease and heartbeat. On a CONDITIONAL-WRITE store the
+            // swap below CASes against our placeholder bytes, so that
+            // window does not exist at all — the takeover's record
+            // refuses our late swap at the store.
             if (!stillOwns(next, nonce)) {
               lostMidDerivation = true
-            } else {
-              // Replace our placeholder with the real record (owned,
-              // same nonce), then manifest + pointer — same tail as
-              // every publish path.
-              writeDelta(next, entry, rewrite = hadFiles,
+            } else if (!writeDeltaIfMatch(next, entry, rewrite = hadFiles,
                 fresh = if (hadFiles) Some(Seq.empty) else None,
-                owner = Some(nonce))
+                owner = Some(nonce), expected = placeholderBytes)) {
+              // Conditional store refused the placeholder→record swap: a
+              // takeover landed in the check-to-write instant. Zero
+              // damage written — same outcome as losing the reservation
+              // mid-derivation.
+              lostMidDerivation = true
+            } else {
+              // Placeholder replaced with the real record (owned, same
+              // nonce; CAS on conditional stores), then manifest +
+              // pointer — same tail as every publish path.
               writeManifest(next, Seq(entry), nonce)
               publishOwned(next, commitId, nonce, entry,
                 rewrite = hadFiles,
@@ -1747,7 +1943,7 @@ final class ManifestTable(val tablePath: String, schema: StructType,
               // unpublished reservation, then surface the failure.
               tryReleaseReservation(next, nonce)
               throw e
-          }
+          } finally stopHeartbeat()
           if (published) return
           if (lostMidDerivation) {
             // The derived replacement was staged for the lost generation:
@@ -2104,6 +2300,12 @@ final class ManifestTable(val tablePath: String, schema: StructType,
             val nonce = newNonce()
             val placeholder = ManifestEntry(commitId, Seq.empty, Seq.empty)
             val hbLease = ManifestTable.escalationLeaseMillis
+            // The exact bytes every Owned path of tryOwnGeneration wrote
+            // for this reservation — the conditional store's If-Match
+            // precondition for the tail's placeholder→record swap.
+            val placeholderBytes = deltaJson(placeholder, rewrite = true,
+              fresh = Some(Seq.empty), Some(nonce), Some(hbLease))
+              .getBytes("UTF-8")
             beforeOwnHook()
             tryOwnGeneration(next, placeholder, rewrite = true,
               fresh = Some(Seq.empty), nonce,
@@ -2113,106 +2315,94 @@ final class ManifestTable(val tablePath: String, schema: StructType,
                 var published: Option[MergeReport] = None
                 try {
                   escalatedMergeCount.incrementAndGet()
-                  val hbStop = new java.util.concurrent.CountDownLatch(1)
-                  val hb = new Thread(() => {
-                    val (hfs, hp) = fsOf(heartbeatPath(next, nonce))
-                    val interval = math.max(1L, hbLease / 3)
-                    try {
-                      while (!hbStop.await(interval,
-                          java.util.concurrent.TimeUnit.MILLISECONDS)) {
-                        // Unconditionally safe: the marker is this
-                        // attempt's own object — writing it can never
-                        // affect another attempt's state (a fenced
-                        // holder's marker is inert by name). So no
-                        // ownership pre-check, and a transient fault
-                        // skips ONE beat (the lease is three intervals
-                        // deep) instead of killing the thread — a long
-                        // derivation must not lose its short-lease
-                        // protection to one flaky metadata write.
-                        try {
-                          val out = hfs.create(hp, true)
-                          try out.write('1'.toInt) finally out.close()
-                          reservationHeartbeatCount.incrementAndGet()
-                        } catch {
-                          case scala.util.control.NonFatal(e) => log.warn(
-                            s"escalation heartbeat for generation $next " +
-                              s"of $tablePath skipped a beat", e)
-                        }
-                      }
-                    } finally {
-                      // Best-effort reclaim of the marker; a crash
-                      // leaves it for the sweep (attempt-unique debris).
-                      try { hfs.delete(hp, false); () }
-                      catch { case scala.util.control.NonFatal(_) => () }
-                    }
-                  }, s"graft-escalation-heartbeat-$next")
-                  hb.setDaemon(true)
-                  hb.start()
-                  // The heartbeat must be provably STOPPED before the
-                  // real record replaces the placeholder below — a
-                  // straggler rewrite would clobber the published
-                  // record's fresh list (the changefeed reads it).
-                  // UNBOUNDED join deliberately: a timed join that
-                  // expires while the heartbeat is stuck in a slow
-                  // sidecar write would let exactly that clobber race
-                  // the tail — and an FS slow enough to strand the
-                  // heartbeat would strand the tail's own writes anyway,
-                  // so the unbounded wait adds no new failure mode.
-                  val s =
-                    try {
-                      duringEscalatedDeriveHook()
-                      deriveMerge(head, headEntries, updates, keyTuples,
-                        keyCols, orderCol, deleteCol, commitId,
-                        keepTombstones, freshRowsPerFile)
-                    } finally {
-                      hbStop.countDown()
-                      hb.join()
-                    }
-                  staged = Some(s)
-                  if (!stillOwns(next, nonce)) {
-                    // Reservation lost mid-derivation (the derivation
-                    // outlived the lease): the staged attempt is retained
-                    // for a rebase at the new head.
-                    fencedPublishCount.incrementAndGet()
-                  } else {
-                    val keptEntries =
-                      entriesWithout(headEntries, s.matchedFiles.toSet)
-                    // Replace the placeholder with the real record
-                    // (owned, same nonce), then manifest + pointer — the
-                    // same tail as every publish path.
-                    writeDelta(next, s.entry, rewrite = s.rewrite,
-                      fresh = if (s.rewrite) Some(s.freshFiles) else None,
-                      owner = Some(nonce))
-                    // Published re-check AFTER the sidecar replacement:
-                    // a process freeze longer than the escalation lease
-                    // inside the stillOwns-to-write instant above lets a
-                    // takeover publish this generation before our write
-                    // lands (the documented mtime-lease TOCTOU). If that
-                    // happened, do NOT compound the sidecar damage with
-                    // a manifest object — an owned manifest here would
-                    // RESOLVE (the clobbered sidecar names us) and turn
-                    // detectable damage (verifyHead) into a readable
-                    // shadow. Throw instead; the loop reconciles at the
-                    // new head.
-                    if (currentGeneration().exists(_ >= next)) {
+                  val stopHeartbeat =
+                    startReservationHeartbeat(next, nonce, hbLease)
+                  // The heartbeat stays alive through the PUBLISH TAIL
+                  // (stillOwns → writeDelta → manifest → pointer), not
+                  // just the derivation: the marker write never touches
+                  // shared metadata (attempt-unique hb-<gen>.<nonce>),
+                  // so a beat during the tail is harmless — but
+                  // deleting the marker BEFORE the tail would drop the
+                  // takeover clock back to the placeholder sidecar's
+                  // mtime (derivation start). For a derivation longer
+                  // than the lease that reads as already-expired, and a
+                  // heldByForeign-polling contender could legally take
+                  // over in exactly the window where our shared writes
+                  // are in flight — the stall/clobber the heartbeat
+                  // exists to prevent. Stop + join (which reclaims the
+                  // marker) happens in the finally below, AFTER
+                  // publishOwned; past the pointer swap the marker is
+                  // inert (the age clock only consults reservations).
+                  // UNBOUNDED join deliberately: an FS slow enough to
+                  // strand the heartbeat thread would strand the tail's
+                  // own writes anyway, so the wait adds no failure mode.
+                  try {
+                    duringEscalatedDeriveHook()
+                    val s = deriveMerge(head, headEntries, updates,
+                      keyTuples, keyCols, orderCol, deleteCol, commitId,
+                      keepTombstones, freshRowsPerFile)
+                    staged = Some(s)
+                    beforeEscalatedTailHook()
+                    if (!stillOwns(next, nonce)) {
+                      // Reservation lost mid-derivation (the derivation
+                      // outlived the lease despite heartbeats — e.g. a
+                      // host freeze): the staged attempt is retained
+                      // for a rebase at the new head.
                       fencedPublishCount.incrementAndGet()
-                      throw new ConcurrentPublishException(
-                        s"generation $next of $tablePath was published by " +
-                          "a takeover in the check-to-write instant — this " +
-                          "attempt's record landed late (head-check " +
-                          "detectable while head); retrying at the next " +
-                          "generation")
+                    } else {
+                      val keptEntries =
+                        entriesWithout(headEntries, s.matchedFiles.toSet)
+                      // Replace the placeholder with the real record
+                      // (owned, same nonce), then manifest + pointer — the
+                      // same tail as every publish path. On a
+                      // conditional-write store the swap CASes against
+                      // the placeholder bytes: a takeover in the
+                      // check-to-write instant REFUSES it at the store —
+                      // the TOCTOU family closed outright, zero damage.
+                      beforeEscalatedSwapHook()
+                      if (!writeDeltaIfMatch(next, s.entry,
+                          rewrite = s.rewrite,
+                          fresh = if (s.rewrite) Some(s.freshFiles) else None,
+                          owner = Some(nonce), expected = placeholderBytes)) {
+                        fencedPublishCount.incrementAndGet()
+                        throw new ConcurrentPublishException(
+                          s"generation $next of $tablePath was taken over " +
+                            "in the check-to-write instant — the store's " +
+                            "conditional replace refused the placeholder " +
+                            "swap (no damage written); retrying at the " +
+                            "next generation")
+                      }
+                      // Published re-check AFTER the sidecar replacement:
+                      // a process freeze longer than the escalation lease
+                      // inside the stillOwns-to-write instant above lets a
+                      // takeover publish this generation before our write
+                      // lands (the documented mtime-lease TOCTOU). If that
+                      // happened, do NOT compound the sidecar damage with
+                      // a manifest object — an owned manifest here would
+                      // RESOLVE (the clobbered sidecar names us) and turn
+                      // detectable damage (verifyHead) into a readable
+                      // shadow. Throw instead; the loop reconciles at the
+                      // new head.
+                      if (currentGeneration().exists(_ >= next)) {
+                        fencedPublishCount.incrementAndGet()
+                        throw new ConcurrentPublishException(
+                          s"generation $next of $tablePath was published by " +
+                            "a takeover in the check-to-write instant — this " +
+                            "attempt's record landed late (head-check " +
+                            "detectable while head); retrying at the next " +
+                            "generation")
+                      }
+                      writeManifest(next, keptEntries :+ s.entry, nonce)
+                      publishOwned(next, commitId, nonce, s.entry,
+                        rewrite = s.rewrite,
+                        fresh = if (s.rewrite) Some(s.freshFiles) else None)
+                      entriesCache = Some((next, keptEntries :+ s.entry))
+                      published = Some(MergeReport(
+                        rewritten = s.matchedFiles.size,
+                        kept = keptEntries.map(_.files.size).sum,
+                        applied = true))
                     }
-                    writeManifest(next, keptEntries :+ s.entry, nonce)
-                    publishOwned(next, commitId, nonce, s.entry,
-                      rewrite = s.rewrite,
-                      fresh = if (s.rewrite) Some(s.freshFiles) else None)
-                    entriesCache = Some((next, keptEntries :+ s.entry))
-                    published = Some(MergeReport(
-                      rewritten = s.matchedFiles.size,
-                      kept = keptEntries.map(_.files.size).sum,
-                      applied = true))
-                  }
+                  } finally stopHeartbeat()
                 } catch {
                   case _: ConcurrentPublishException =>
                     // Fenced at the swap (takeover in the check-to-write
@@ -2761,11 +2951,12 @@ object ManifestTable {
     * reservation is legitimately taken over and the woken merge rebases
     * or recomputes, the same loss class as any fenced publish — zero
     * lost commits either way, spec-pinned). The COMPACTOR's reservation
-    * deliberately stays on the global lease: a 45 s maintenance rewrite
-    * blocking writers for minutes on a crash is the documented trade,
-    * and its derivation (one big Spark job) has no natural heartbeat
-    * cadence; the merge path is where the stall hurts. Clamped to the
-    * global lease. System property first (tests), env second. */
+    * ([[replaceAllRetrying]]) advertises and heartbeats the same short
+    * lease: its derivation has no natural cadence, but the daemon beat
+    * is independent of it, so a crash mid-compaction now stalls
+    * publishers for seconds too instead of the documented minutes-long
+    * trade. Clamped to the global lease. System property first (tests),
+    * env second. */
   def escalationLeaseMillis: Long =
     math.min(publishLeaseMillis,
       sys.props.get("graft.escalation.leaseMs")

@@ -70,10 +70,12 @@ final class StateStore(
     * layout choice — the same observed-counters-drive-maintenance posture
     * the reference's index heuristic takes (indexing.go:527–575), applied
     * to the clustering decision. Driver-side, PERSISTED under the root
-    * (one object per instance under `_readmix.json.d/`, plus the legacy
+    * (one object per LIVE instance under `_readmix.json.d/` plus one
+    * absorbed snapshot of dead instances' totals, plus the legacy
     * `_readmix.json` as read-only evidence — seeds at construction,
-    * flushes periodically and at each auto-compaction decision) so the
-    * evidence survives process churn; see [[StateStore.ReadMixStats]]. */
+    * flushes periodically and at each auto-compaction decision, which
+    * also absorbs idle objects) so the evidence survives process churn
+    * with a BOUNDED object count; see [[StateStore.ReadMixStats]]. */
   val readMix = new StateStore.ReadMixStats(
     Some((spark.sessionState.newHadoopConf(), s"$root/_readmix.json")))
 
@@ -1075,6 +1077,11 @@ final class StateStore(
     // Persist the evidence the decision is about to run on: the NEXT
     // process's auto-compaction then sees at least this decision's counts.
     readMix.flush()
+    // Fold dead instances' counter objects while we're on the maintenance
+    // path — bounds the readmix directory at (live instances + 1) objects
+    // instead of one per instance lifetime; exact under races by the
+    // max-merge format (ReadMixStats.absorb).
+    readMix.absorb(StateStore.readMixAbsorbAgeMillis)
     val auto = readMix.observedTablets.filter(readMix.prefersInterleaved).toSet
     val interleaved =
       (auto ++ overrides.collect { case (t, "interleaved") => t }) --
@@ -1523,6 +1530,19 @@ object StateStore {
       .filter(_ >= 0).getOrElse(
         ManifestTable.publishLeaseMillis + ManifestTable.publishRetryMillis)
 
+  /** Idle age past which a read-mix counter object is absorbed into the
+    * shared snapshot ([[ReadMixStats.absorb]], run from
+    * [[StateStore.compactTabletRowsAuto]]). Default = the publish lease:
+    * a healthy instance flushes far more often than that (every 256
+    * recordings or at each maintenance pass), and absorbing a
+    * live-but-idle instance is harmless anyway — the max-merge format
+    * re-adopts its next flush exactly. */
+  def readMixAbsorbAgeMillis: Long =
+    sys.props.get("graft.readmix.absorbAgeMs")
+      .orElse(sys.env.get("GRAFT_READMIX_ABSORB_AGE_MS"))
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .filter(_ >= 0).getOrElse(ManifestTable.publishLeaseMillis)
+
   /** Detect which commit protocol wrote the store at `root`: a manifest
     * table is unmistakable by its generation pointer. A reader that opens
     * a manifest store under [[RenameCommit]] would scan the raw `d-*`
@@ -1624,33 +1644,191 @@ object StateStore {
             "choice falls back to height-sorted until re-observed)", e)
       }
     }
-    /** Re-read the fleet's persisted evidence — the legacy single file
-      * plus every OTHER instance's delta object — and adopt the sum as
-      * the base view. Parse faults inside ONE object read as empty
-      * (per-file isolation, [[readFile]]); I/O faults propagate (the
-      * caller decides whether that loses anything). */
+    /** Re-read the fleet's persisted evidence — the legacy single file,
+      * every OTHER instance's delta object, and the absorbed snapshots
+      * ([[absorb]]) — and adopt the sum as the base view.
+      *
+      * Per-INSTANCE views are merged by elementwise MAX, never addition:
+      * an instance's object is its cumulative monotone total, so when
+      * both an absorbed snapshot and a live object (or two absorbed
+      * snapshots from racing absorbers) exist for the same instance, the
+      * larger value IS that instance's total. This is what makes
+      * absorption exact with zero coordination — absorbing a
+      * live-but-idle instance's object double-counts nothing, because
+      * its next flush recreates the object and the max picks the fresher
+      * cumulative view. The fleet sum is then Σ over instances.
+      *
+      * Parse faults inside ONE object read as empty (per-file isolation,
+      * [[readFile]]/[[readAbsorbed]]); I/O faults propagate (the caller
+      * decides whether that loses anything). */
     private def refreshBase(): Unit = {
+      val per = perInstanceViews(excludeOwn = true)
       val mp = scala.collection.mutable.Map.empty[String, Long]
       val ms = scala.collection.mutable.Map.empty[String, Long]
-      def add(counts: (Map[String, Long], Map[String, Long])): Unit = {
-        counts._1.foreach { case (t, v) =>
-          mp.update(t, mp.getOrElse(t, 0L) + v) }
-        counts._2.foreach { case (t, v) =>
-          ms.update(t, ms.getOrElse(t, 0L) + v) }
-      }
-      legacyFsPath.foreach { case (fs, p) =>
-        if (fs.exists(p)) add(readFile(fs, p))
-      }
-      deltaDirFsPath.foreach { case (fs, d) =>
-        if (fs.exists(d)) fs.listStatus(d).foreach { st =>
-          val name = st.getPath.getName
-          if (st.isFile && name != instanceId && !name.endsWith(".tmp"))
-            add(readFile(fs, st.getPath))
-        }
+      per.values.foreach { case (pc, sc) =>
+        pc.foreach { case (t, v) => mp.update(t, mp.getOrElse(t, 0L) + v) }
+        sc.foreach { case (t, v) => ms.update(t, ms.getOrElse(t, 0L) + v) }
       }
       this.synchronized {
         basePoints.clear(); basePoints ++= mp
         baseScans.clear(); baseScans ++= ms
+      }
+    }
+
+    /** The fleet's persisted per-instance cumulative views, elementwise
+      * MAX-merged across live objects and absorbed snapshots (see
+      * [[refreshBase]] for why max). The legacy pre-delta file reads as
+      * one synthetic instance. */
+    private def perInstanceViews(excludeOwn: Boolean): scala.collection.mutable.Map[
+        String, (scala.collection.mutable.Map[String, Long],
+                 scala.collection.mutable.Map[String, Long])] = {
+      val per = scala.collection.mutable.Map.empty[String,
+        (scala.collection.mutable.Map[String, Long],
+         scala.collection.mutable.Map[String, Long])]
+      def viewOf(iid: String) = per.getOrElseUpdate(iid,
+        (scala.collection.mutable.Map.empty[String, Long],
+         scala.collection.mutable.Map.empty[String, Long]))
+      def maxInto(iid: String,
+          counts: (Map[String, Long], Map[String, Long])): Unit = {
+        val (mp, ms) = viewOf(iid)
+        counts._1.foreach { case (t, v) =>
+          if (v > mp.getOrElse(t, 0L)) mp.update(t, v) }
+        counts._2.foreach { case (t, v) =>
+          if (v > ms.getOrElse(t, 0L)) ms.update(t, v) }
+      }
+      legacyFsPath.foreach { case (fs, p) =>
+        if (fs.exists(p)) maxInto("_legacy", readFile(fs, p))
+      }
+      deltaDirFsPath.foreach { case (fs, d) =>
+        if (fs.exists(d)) fs.listStatus(d).foreach { st =>
+          val name = st.getPath.getName
+          if (st.isFile && !name.endsWith(".tmp")) {
+            if (name.startsWith("absorbed-"))
+              readAbsorbed(fs, st.getPath).foreach { case (iid, counts) =>
+                if (!excludeOwn || iid != instanceId) maxInto(iid, counts)
+              }
+            else if (!excludeOwn || name != instanceId)
+              maxInto(name, readFile(fs, st.getPath))
+          }
+        }
+      }
+      per
+    }
+
+    /** MAINTENANCE: fold per-instance objects untouched for
+      * `minAgeMillis` (dead or long-idle instances) plus every prior
+      * absorbed snapshot into ONE new absorbed object, then delete the
+      * folded sources — bounding the delta directory at (live instances
+      * + 1) objects instead of one per instance LIFETIME. Exact under
+      * every race by construction: absorbed entries keep their
+      * per-instance identity and readers MAX-merge them with any live
+      * object for the same instance ([[refreshBase]]), so absorbing a
+      * live-but-idle instance loses nothing (its next flush recreates
+      * the object and the max adopts it), a crash between the snapshot
+      * rename and the source deletes leaves only redundant objects whose
+      * max equals either alone, and two RACING absorbers produce two
+      * snapshots that max-merge to identical sums and collapse to one at
+      * the next pass. No reservation needed — the identity-preserving
+      * format is the arbitration. Returns the number of instance objects
+      * folded. */
+    def absorb(minAgeMillis: Long): Int = flushLock.synchronized {
+      deltaDirFsPath match {
+        case None => 0
+        case Some((fs, d)) =>
+          if (!fs.exists(d)) return 0
+          val now = System.currentTimeMillis()
+          val sts = fs.listStatus(d).filter(_.isFile)
+          val priorAbsorbed = sts.filter(
+            _.getPath.getName.startsWith("absorbed-"))
+          val deadObjs = sts.filter { st =>
+            val n = st.getPath.getName
+            !n.startsWith("absorbed-") && !n.endsWith(".tmp") &&
+              n != instanceId &&
+              now - st.getModificationTime >= minAgeMillis
+          }
+          if (deadObjs.isEmpty && priorAbsorbed.length <= 1) return 0
+          try {
+            val per = scala.collection.mutable.Map.empty[String,
+              (scala.collection.mutable.Map[String, Long],
+               scala.collection.mutable.Map[String, Long])]
+            def viewOf(iid: String) = per.getOrElseUpdate(iid,
+              (scala.collection.mutable.Map.empty[String, Long],
+               scala.collection.mutable.Map.empty[String, Long]))
+            def maxInto(iid: String,
+                counts: (Map[String, Long], Map[String, Long])): Unit = {
+              val (mp, ms) = viewOf(iid)
+              counts._1.foreach { case (t, v) =>
+                if (v > mp.getOrElse(t, 0L)) mp.update(t, v) }
+              counts._2.foreach { case (t, v) =>
+                if (v > ms.getOrElse(t, 0L)) ms.update(t, v) }
+            }
+            priorAbsorbed.foreach(st =>
+              readAbsorbed(fs, st.getPath).foreach { case (iid, counts) =>
+                maxInto(iid, counts) })
+            deadObjs.foreach(st =>
+              maxInto(st.getPath.getName, readFile(fs, st.getPath)))
+            val snapName = "absorbed-" +
+              java.util.UUID.randomUUID().toString.replace("-", "")
+            val tmp = new Path(d, snapName + ".tmp")
+            val out = fs.create(tmp, true)
+            val body = per.toSeq.sortBy(_._1).flatMap { case (iid, (mp, ms)) =>
+              (mp.keySet ++ ms.keySet).toSeq.sorted.map { t =>
+                val b64 = java.util.Base64.getEncoder
+                  .encodeToString(t.getBytes("UTF-8"))
+                s"$iid $b64 ${mp.getOrElse(t, 0L)} ${ms.getOrElse(t, 0L)}"
+              }
+            }.mkString("", "\n", "\n")
+            try out.write(body.getBytes("UTF-8")) finally out.close()
+            val snap = new Path(d, snapName)
+            if (!fs.rename(tmp, snap))
+              sys.error(s"could not persist absorbed read-mix snapshot $snap")
+            // Sources folded into the durable snapshot: reclaim them.
+            // A failure here leaves redundant objects (max-identical),
+            // not wrong sums.
+            (priorAbsorbed ++ deadObjs).foreach { st =>
+              try { fs.delete(st.getPath, false); () }
+              catch { case scala.util.control.NonFatal(_) => () }
+            }
+            try refreshBase()
+            catch { case scala.util.control.NonFatal(_) => () }
+            deadObjs.length
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              log.warn("read-mix absorption failed — objects left in " +
+                "place (sums unaffected), will retry next maintenance", e)
+              0
+          }
+      }
+    }
+
+    /** Parse one absorbed snapshot: `instanceId b64(tablet) points
+      * scans` per line, per-instance cumulative views. Parse faults read
+      * as empty, same per-file isolation as [[readFile]]. */
+    private def readAbsorbed(fs: FileSystem, p: Path)
+        : Seq[(String, (Map[String, Long], Map[String, Long]))] = {
+      val in = fs.open(p)
+      val text =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      try {
+        val per = scala.collection.mutable.LinkedHashMap.empty[String,
+          (scala.collection.mutable.Map[String, Long],
+           scala.collection.mutable.Map[String, Long])]
+        text.linesIterator.filter(_.nonEmpty).foreach { line =>
+          val Array(iid, b64, pc, sc) = line.split(" ", 4)
+          val t = new String(java.util.Base64.getDecoder.decode(b64), "UTF-8")
+          val (mp, ms) = per.getOrElseUpdate(iid,
+            (scala.collection.mutable.Map.empty[String, Long],
+             scala.collection.mutable.Map.empty[String, Long]))
+          if (pc.toLong > 0L) mp.update(t, pc.toLong)
+          if (sc.toLong > 0L) ms.update(t, sc.toLong)
+        }
+        per.toSeq.map { case (iid, (mp, ms)) => (iid, (mp.toMap, ms.toMap)) }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          log.warn(s"corrupt absorbed read-mix snapshot at $p — reading " +
+            "as empty (live objects still count)", e)
+          Seq.empty
       }
     }
     /** Parse one persisted counters object. I/O faults propagate; PARSE

@@ -164,6 +164,88 @@ class ManifestConcurrencySpec extends SparkTestBase {
     assert(replay.manifestEntries(2L).map(_._1) === Seq("compact-1"))
   }
 
+  test("COMPACTOR LEASE bounds the crash stall: a crashed replaceAll " +
+    "reservation advertises the short heartbeating lease and is taken " +
+    "over in seconds, not the global publish lease") {
+    val path = tmpDir("occ-compact-lease")
+    val a = table(path)
+    assert(a.commit(df(("k1", 1L, false, "v1")), "c1"))
+    sys.props("graft.escalation.leaseMs") = "300"
+    try {
+      // Crash AFTER owning, BEFORE the heartbeat starts — the worst
+      // case: the reservation is left behind with no beat ever written.
+      a.failAfterOwn = true
+      intercept[IllegalStateException] {
+        a.replaceAllRetrying(() => a.read(), "compact-dead")
+      }
+      a.failAfterOwn = false
+      Thread.sleep(400L) // past the advertised lease
+      val b = table(path)
+      val t0 = System.currentTimeMillis()
+      assert(b.commit(df(("k2", 2L, false, "v2")), "c2"))
+      val elapsed = System.currentTimeMillis() - t0
+      assert(b.leaseTakeoverCount.get() === 1L,
+        "the dead compactor reservation must be taken over at its " +
+          "advertised lease")
+      assert(elapsed < 30000L,
+        s"takeover must ride the short advertised lease (${elapsed}ms), " +
+          "not the global publish lease")
+      assert(values(b) === Set("v1", "v2"))
+      assert(b.verifyHead() === None)
+    } finally sys.props.remove("graft.escalation.leaseMs")
+  }
+
+  test("COMPACTOR HEARTBEAT keeps a live replacement owned past the " +
+    "short lease: a racing commit stays blocked through a derivation " +
+    "3.5x the lease and lands after the compaction — no double publish") {
+    val path = tmpDir("occ-compact-hb")
+    val a = table(path)
+    assert(a.commit(df(("k1", 1L, false, "v1")), "c1"))
+    sys.props("graft.escalation.leaseMs") = "1000"
+    val racerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val racerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    var racer: Thread = null
+    try {
+      val hbBefore = a.reservationHeartbeatCount.get()
+      a.replaceAllRetrying(() => {
+        // Inside the held reservation: stall the derivation 3.5× the
+        // advertised lease while a foreign commit polls. Without the
+        // compactor heartbeat the racer would take the reservation over
+        // at ~1 s and fence the live replacement.
+        racer = new Thread(() => {
+          try { table(path).commit(df(("k9", 9L, false, "v9")), "c9"); () }
+          catch { case e: Throwable => racerErr.set(e) }
+          finally racerDone.set(true)
+        }, "compact-hb-racer")
+        racer.start()
+        Thread.sleep(3500L)
+        assert(!racerDone.get,
+          "the racing commit must stay blocked while the compactor's " +
+            "heartbeats re-arm the short lease")
+        a.read().coalesce(1)
+      }, "compact-slow")
+      assert(a.reservationHeartbeatCount.get() - hbBefore >= 2L,
+        "the stalled compaction must have written heartbeats")
+    } finally sys.props.remove("graft.escalation.leaseMs")
+    racer.join(60000L)
+    assert(racerErr.get() === null, s"racer must land after: ${racerErr.get()}")
+    assert(racerDone.get)
+    val t = table(path)
+    // compact-slow at 2, the racer at 3 — generation ORDER proves the
+    // compaction never lost its reservation.
+    assert(t.currentGeneration() === Some(3L))
+    assert(t.deltaEntry(2L).exists(_._1 == "compact-slow"))
+    assert(t.deltaEntry(3L).exists(_._1 == "c9"))
+    assert(byKeyOf(t) === Map("k1" -> "v1", "k9" -> "v9"))
+    assert(t.verifyHead() === None)
+    val fs = new org.apache.hadoop.fs.Path(s"$path/_manifests")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val markers = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$path/_manifests"))
+      .map(_.getPath.getName).filter(_.startsWith("hb-"))
+    assert(markers.isEmpty, s"heartbeat markers must be reclaimed: ${markers.toSeq}")
+  }
+
   test("LIVE derivation failure releases the reservation: other writers " +
     "proceed immediately instead of waiting out the lease") {
     val path = tmpDir("occ-resv-release")
@@ -1087,6 +1169,70 @@ class ManifestConcurrencySpec extends SparkTestBase {
     assert(t.verifyHead() === None)
     // The heartbeat MARKER (attempt-unique hb-<gen>.<nonce>) is reclaimed
     // when the heartbeat stops — no shared metadata was ever written.
+    val fs = new org.apache.hadoop.fs.Path(s"$path/_manifests")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val markers = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$path/_manifests"))
+      .map(_.getPath.getName).filter(_.startsWith("hb-"))
+    assert(markers.isEmpty, s"heartbeat markers must be reclaimed: ${markers.toSeq}")
+  }
+
+  test("ESCALATION HEARTBEAT spans the publish TAIL: a merge whose " +
+    "derivation-to-publish tail outlives the short lease keeps its " +
+    "reservation — the marker is reclaimed only after the pointer swap, " +
+    "so no takeover window opens between derivation end and publish") {
+    val path = tmpDir("occ-esc-hb-tail")
+    val a = table(path)
+    val b = table(path)
+    assert(a.commit(df(("k1", 1L, false, "v1"), ("k2", 1L, false, "v2")), "c1"))
+    // B's compaction invalidates A's derivation past rebasing — the
+    // escalation trigger (same scaffolding as the heartbeat spec above).
+    a.beforeOwnHook = oneShot {
+      b.replaceAllRetrying(() => b.read().coalesce(1), "compact-B")
+    }
+    sys.props("graft.escalation.leaseMs") = "1000"
+    val racerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val racerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    var racer: Thread = null
+    a.beforeEscalatedTailHook = oneShot {
+      // AFTER the derivation returns, BEFORE the publish tail: stall
+      // 3.5× the escalation lease. The old design stopped the heartbeat
+      // (deleting the marker) at exactly this point, dropping the
+      // takeover clock back to the placeholder's mtime — a polling
+      // contender would read the reservation as expired and take over,
+      // fencing a COMPLETED derivation. With the marker armed through
+      // the tail the racer must stay blocked.
+      racer = new Thread(() => {
+        try { table(path).commit(df(("k9", 9L, false, "v9")), "c9"); () }
+        catch { case e: Throwable => racerErr.set(e) }
+        finally racerDone.set(true)
+      }, "esc-hb-tail-racer")
+      racer.start()
+      Thread.sleep(3500L)
+      assert(!racerDone.get,
+        "the racing commit must stay blocked while heartbeats keep the " +
+          "finished-but-unpublished derivation's reservation armed")
+    }
+    try {
+      val report = a.merge(df(("k2", 5L, false, "v2x")), Seq("k"),
+        orderCol = "height", deleteCol = "del", commitId = "m1")
+      assert(report.applied,
+        "the merge must publish — a takeover during the tail would fence it")
+      assert(a.fencedPublishCount.get() === 0L,
+        "no tail-window fencing: the heartbeat kept the reservation")
+    } finally sys.props.remove("graft.escalation.leaseMs")
+    racer.join(60000L)
+    assert(racerErr.get() === null, s"racer must land after: ${racerErr.get()}")
+    assert(racerDone.get)
+    val t = table(path)
+    // compact-B at 2, the tail-stalled merge at 3, the racer at 4 —
+    // generation ORDER proves the reservation survived the stalled tail.
+    assert(t.currentGeneration() === Some(4L))
+    assert(t.deltaEntry(3L).exists(_._1 == "m1"),
+      "the escalated merge must have published at its reserved generation")
+    assert(t.deltaEntry(4L).exists(_._1 == "c9"))
+    assert(byKeyOf(t) === Map("k1" -> "v1", "k2" -> "v2x", "k9" -> "v9"))
+    assert(t.verifyHead() === None)
     val fs = new org.apache.hadoop.fs.Path(s"$path/_manifests")
       .getFileSystem(spark.sessionState.newHadoopConf())
     val markers = fs.listStatus(

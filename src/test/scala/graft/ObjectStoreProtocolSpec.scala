@@ -422,4 +422,163 @@ class ObjectStoreProtocolSpec extends SparkTestBase {
       assert(serving === asOf(4))
     } finally q2.stop()
   }
+
+  // ------------------------------------------------------------------
+  // CONDITIONAL-WRITE store class ([[ConditionalFileSystem]] — the same
+  // object-store shim plus If-Match preconditions). These pin that the
+  // capability CLOSES the residual mtime-lease TOCTOU family outright;
+  // stores WITHOUT it keep the guarded behavior the specs above and
+  // ManifestConcurrencySpec pin (re-checks + head-check-detectable
+  // damage). README "Store requirements" documents both classes.
+  // ------------------------------------------------------------------
+
+  spark.sparkContext.hadoopConfiguration.set(
+    s"fs.${ConditionalFileSystem.Scheme}.impl",
+    classOf[ConditionalFileSystem].getName)
+
+  private val mtSchema = StructType(Seq(
+    StructField("k", StringType), StructField("height", LongType),
+    StructField("del", org.apache.spark.sql.types.BooleanType),
+    StructField("v", StringType)))
+
+  private def mdf(rows: (String, Long, Boolean, String)*) = {
+    import spark.implicits._
+    rows.toDF("k", "height", "del", "v")
+  }
+
+  private def mtable(path: String): graft.store.ManifestTable =
+    new graft.store.ManifestTable(path, mtSchema, statsCols = Seq("k"))(spark)
+
+  private def oneShot(body: => Unit): () => Unit = {
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    () => if (fired.compareAndSet(false, true)) body
+  }
+
+  private def condDir(prefix: String): String =
+    s"${ConditionalFileSystem.Scheme}:" + tmpDir(prefix)
+
+  private def rawSidecar(path: String, gen: Long): String = {
+    val p = new org.apache.hadoop.fs.Path(
+      f"$path/_manifests/d-$gen%09d.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+  }
+
+  test("conditional store, uncontended path: commits/merges ride the " +
+    "ordinary protocol and never consult the precondition machinery") {
+    implicit val s = spark
+    RenamelessFileSystem.reset(); ConditionalFileSystem.reset()
+    val path = condDir("cond-smoke")
+    val t = mtable(path)
+    assert(t.commit(mdf(("k1", 1L, false, "v1"), ("k2", 1L, false, "v2")), "c1"))
+    assert(t.merge(mdf(("k2", 5L, false, "v2x")), Seq("k"),
+      orderCol = "height", deleteCol = "del", commitId = "m1").applied)
+    assert(t.read().collect().map(_.getAs[String]("v")).toSet ===
+      Set("v1", "v2x"))
+    assert(t.verifyHead() === None)
+    assert(ConditionalFileSystem.casAttempts.get() === 0,
+      "an uncontended publish must never pay a conditional call")
+  }
+
+  test("conditional store closes the escalated-tail TOCTOU: a legal " +
+    "takeover in the check-to-write instant is REFUSED by the store's " +
+    "If-Match — zero sidecar damage, both commits land at distinct " +
+    "generations") {
+    implicit val s = spark
+    RenamelessFileSystem.reset(); ConditionalFileSystem.reset()
+    val path = condDir("cond-esc-tail")
+    val a = mtable(path)
+    val b = mtable(path)
+    assert(a.commit(mdf(("k1", 1L, false, "v1"), ("k2", 1L, false, "v2")), "c1"))
+    // B's compaction invalidates A's derivation past rebasing — the
+    // escalation trigger (ManifestConcurrencySpec scaffolding).
+    a.beforeOwnHook = oneShot {
+      b.replaceAllRetrying(() => b.read().coalesce(1), "compact-B")
+    }
+    sys.props("graft.escalation.leaseMs") = "1000"
+    a.beforeEscalatedSwapHook = oneShot {
+      // Simulate a HOST FREEZE inside the stillOwns-to-write instant:
+      // beats stop, the reservation ages past its advertised lease, and
+      // a foreign publisher performs a fully LEGAL takeover + publish.
+      a.pauseEscalationHeartbeat = true
+      Thread.sleep(700L) // let any in-flight beat land before aging
+      val dir = new org.apache.hadoop.fs.Path(s"$path/_manifests")
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.startsWith("hb-")).foreach(fs.delete(_, false))
+      val sidecar = new org.apache.hadoop.fs.Path(
+        f"$path/_manifests/d-${3L}%09d.json")
+      fs.setTimes(sidecar, System.currentTimeMillis() - 10000L, -1L)
+      assert(b.commit(mdf(("k9", 9L, false, "v9")), "c9"),
+        "the takeover commit must land at the escalated generation")
+      assert(b.leaseTakeoverCount.get() === 1L)
+    }
+    try {
+      val report = a.merge(mdf(("k2", 5L, false, "v2x")), Seq("k"),
+        orderCol = "height", deleteCol = "del", commitId = "m1")
+      assert(report.applied, "the fenced merge must recover and publish")
+    } finally {
+      sys.props.remove("graft.escalation.leaseMs")
+      a.pauseEscalationHeartbeat = false
+    }
+    // The store REFUSED A's late placeholder→record swap: c9's published
+    // record at generation 3 was never clobbered (a blind overwrite
+    // would have replaced it with m1's entry before any re-check).
+    assert(ConditionalFileSystem.casRefusals.get() >= 1,
+      "the late swap must be refused by the precondition, not guarded after")
+    assert(a.fencedPublishCount.get() >= 1L)
+    val t = mtable(path)
+    assert(t.currentGeneration() === Some(4L))
+    assert(t.deltaEntry(3L).exists(_._1 == "c9"),
+      s"generation 3 must be the takeover's record: ${rawSidecar(path, 3L)}")
+    assert(t.deltaEntry(4L).exists(_._1 == "m1"))
+    assert(t.read().collect().map(r =>
+      r.getAs[String]("k") -> r.getAs[String]("v")).toMap ===
+      Map("k1" -> "v1", "k2" -> "v2x", "k9" -> "v9"))
+    assert(t.verifyHead() === None)
+  }
+
+  test("conditional store refuses a takeover racing a woken holder: the " +
+    "holder's re-owned sidecar survives byte-intact and the contender " +
+    "conflicts loudly instead of clobbering") {
+    implicit val s = spark
+    RenamelessFileSystem.reset(); ConditionalFileSystem.reset()
+    val path = condDir("cond-takeover")
+    val b = mtable(path)
+    assert(b.commit(mdf(("k1", 1L, false, "v1")), "c1"))
+    // A dead-LOOKING reservation at generation 2: short advertised
+    // lease, no heartbeat — expired by the time the contender probes.
+    val fs = new org.apache.hadoop.fs.Path(s"$path/_manifests")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val sidecar = new org.apache.hadoop.fs.Path(
+      f"$path/_manifests/d-${2L}%09d.json")
+    val deadLine = """{"owner":"deadbeefdeadbeef","lease":300,""" +
+      """"commit_id":"slow-holder","rewrite":false,"files":[]}""" + "\n"
+    val out = fs.create(sidecar, true)
+    try out.write(deadLine.getBytes("UTF-8")) finally out.close()
+    Thread.sleep(400L) // past the advertised lease
+    // The holder WAKES inside the contender's check-to-write instant and
+    // re-owns its reservation under a fresh nonce — on the GLOBAL lease
+    // now (no "lease" field), as a woken holder's real re-own would be.
+    val wokenLine = """{"owner":"feedfacefeedface",""" +
+      """"commit_id":"slow-holder","rewrite":false,"files":[]}""" + "\n"
+    b.beforeTakeoverWriteHook = oneShot {
+      val o2 = fs.create(sidecar, true)
+      try o2.write(wokenLine.getBytes("UTF-8")) finally o2.close()
+    }
+    sys.props("graft.publish.retryMs") = "1500"
+    try {
+      intercept[graft.store.ManifestTable.ConcurrentPublishException] {
+        b.commit(mdf(("k2", 2L, false, "v2")), "c2")
+      }
+    } finally sys.props.remove("graft.publish.retryMs")
+    assert(ConditionalFileSystem.casRefusals.get() >= 1,
+      "the takeover's overwrite must be refused by the precondition")
+    assert(b.leaseTakeoverCount.get() === 0L,
+      "a refused takeover must never count as performed")
+    assert(rawSidecar(path, 2L) === wokenLine,
+      "the woken holder's record must survive byte-intact")
+  }
 }

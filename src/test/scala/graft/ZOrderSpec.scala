@@ -292,6 +292,57 @@ class ZOrderSpec extends SparkTestBase {
     assert(d.pointReads("pt") === 8L)
   }
 
+  test("read-mix ABSORPTION bounds the delta directory: dead instances' " +
+    "objects fold into one snapshot with exact sums — including when the " +
+    "absorbed instance was alive and flushes again (the racing-flush " +
+    "case), because readers MAX-merge per-instance cumulative views") {
+    implicit val s = spark
+    val root = tmpDir("store_mix_absorb")
+    val conf = spark.sessionState.newHadoopConf()
+    val path = s"$root/_readmix.json"
+    val a = new StateStore.ReadMixStats(Some((conf, path)))
+    val b = new StateStore.ReadMixStats(Some((conf, path)))
+    (0 until 3).foreach(_ => a.recordPointRead("pt"))
+    a.recordTailScan("sc")
+    a.flush() // a's object: pt=3, sc=1
+    (0 until 2).foreach(_ => b.recordPointRead("pt"))
+    b.flush() // b's object: pt=2
+    val dirPath = new org.apache.hadoop.fs.Path(s"$root/_readmix.json.d")
+    val fs = dirPath.getFileSystem(conf)
+    def objNames: Seq[String] = fs.listStatus(dirPath)
+      .map(_.getPath.getName).filterNot(_.endsWith(".tmp")).toSeq.sorted
+    assert(objNames.size === 2)
+    // A third instance absorbs everything idle ≥ 0 ms — the WORST case:
+    // B is actually still alive (an mtime age cannot know).
+    val c = new StateStore.ReadMixStats(Some((conf, path)))
+    assert(c.absorb(0L) === 2, "both idle objects must fold")
+    assert(objNames.count(_.startsWith("absorbed-")) === 1)
+    assert(objNames.size === 1,
+      s"folded objects must be reclaimed: $objNames")
+    assert(c.pointReads("pt") === 5L, "absorption must preserve exact sums")
+    assert(c.tailScans("sc") === 1L)
+    // RACING FLUSH: the absorbed-but-alive B keeps counting and flushes
+    // again. Its recreated object (cumulative pt=3) must MAX-merge with
+    // its absorbed snapshot entry (pt=2) — never add — so the fleet sum
+    // gains exactly the new recording.
+    b.recordPointRead("pt")
+    b.flush()
+    val d = new StateStore.ReadMixStats(Some((conf, path)))
+    assert(d.pointReads("pt") === 6L,
+      "absorption must preserve exact sums under a racing flush")
+    assert(d.tailScans("sc") === 1L)
+    // Second absorption folds B's recreated object and the prior
+    // snapshot into one — sums unchanged, directory still bounded.
+    assert(d.absorb(0L) === 1)
+    assert(objNames.count(_.startsWith("absorbed-")) === 1)
+    assert(objNames.size === 1)
+    val e = new StateStore.ReadMixStats(Some((conf, path)))
+    assert(e.pointReads("pt") === 6L)
+    assert(e.tailScans("sc") === 1L)
+    // Nothing to fold → no-op, no snapshot churn.
+    assert(e.absorb(0L) === 0)
+  }
+
   test("read-mix counters lose NOTHING under racing flushes: two instances " +
     "flushing concurrently against one root, every recording lands — the " +
     "interleaving that could drop one in-flight delta under a shared " +
