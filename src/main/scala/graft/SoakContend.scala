@@ -112,6 +112,12 @@ object SoakContend {
     var lastOwnR = -1L
     var lastSharedR = -1L
     var compactions = 0L
+    // Kill-mode parents shorten the compaction cadence (the escalation
+    // TRIGGER: a compaction invalidating a staged merge past rebasing)
+    // so the victim reaches an escalated derivation within the short
+    // run instead of waiting out the default every-97-rounds cadence.
+    val compactEvery = sys.props.get("graft.soak.compactEvery")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(97)
     var errors = 0L
     // STARVATION-WAIT gauge: the wall time each merge spent from call to
     // landed (losses, rebases, escalations and reservation waits
@@ -128,7 +134,7 @@ object SoakContend {
       if (!killBait && rnd.nextInt(40) == 0)
         pauseMs.set(graft.store.ManifestTable.publishLeaseMillis + 1500L)
       try {
-        if (!killBait && r % 97 == 96) {
+        if (!killBait && r % compactEvery == compactEvery - 1) {
           // Whole-table rewrite racing everyone's merges: the
           // rebase-ineligible class. Range-partitioned so per-file key
           // bounds re-tighten to contiguous runs instead of spanning
@@ -225,6 +231,10 @@ object SoakContend {
         // The victim's escalated reservation advertises a 3 s lease so
         // its post-kill takeover is measured in seconds in-run.
         (if (victim) Seq("-Dgraft.escalation.leaseMs=3000") else Seq.empty) ++
+        // Kill mode: survivors compact every ~12 rounds so the victim's
+        // merges keep losing past rebasing — the escalation trigger.
+        (if (killEscalated && !victim)
+          Seq("-Dgraft.soak.compactEvery=12") else Seq.empty) ++
         Seq("-cp", cp,
         "graft.SoakContend", "child", target, idx.toString,
         children.toString, seconds.toString, intervalMs.toString,
@@ -305,7 +315,11 @@ object SoakContend {
     val expected = scala.collection.mutable.Map.empty[String, (Long, String)]
     summaries.foreach { case (c, json) =>
       val lastOwn = field(json, "last_own_r")
-      if (lastOwn >= 0L)
+      // Kill mode: the victim's keys NEVER join the exact compare —
+      // whether it died (summary missing, last applied round unknowable)
+      // or survived to write one (its rows are then checked by the same
+      // LWW self-consistency rule either way).
+      if (lastOwn >= 0L && !(killEscalated && c == 0))
         (0 until OwnKeys).foreach { j =>
           expected.update(f"own-$c%02d-k$j",
             (lastOwn * children + c, s"c$c-r$lastOwn"))
