@@ -123,8 +123,11 @@ object ManifestProbe {
           val chosen = cands.find(_.getPath.getName == f"m-$g%09d.json")
             .orElse {
               if (cands.length == 1) Some(cands.head)
-              else manifest.deltaRecord(g).flatMap(_.owner).flatMap(o =>
-                cands.find(_.getPath.getName == f"m-$g%09d.$o.json"))
+              // A torn/mid-write sidecar must not abort the probe — on
+              // parse failure fall through to the name tiebreak.
+              else scala.util.Try(manifest.deltaRecord(g)).toOption.flatten
+                .flatMap(_.owner).flatMap(o =>
+                  cands.find(_.getPath.getName == f"m-$g%09d.$o.json"))
             }
             .getOrElse(cands.minBy(_.getPath.getName))
           g -> chosen

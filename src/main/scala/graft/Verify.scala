@@ -44,11 +44,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       try {
         try attempt()
-        catch { case e1: Throwable =>
-          // One retry: the observed failure class is transient host
-          // contention tripping a streaming-drain or wait bound, not a
-          // wrong plan — a second attempt on a settled host recovers the
-          // row instead of shrinking the board.
+        catch { case e1: Throwable if scala.util.control.NonFatal(e1) =>
+          // One retry, NonFatal ONLY: the observed failure class is
+          // transient host contention tripping a streaming-drain or
+          // wait bound, not a wrong plan — a second attempt on a
+          // settled host recovers the row instead of shrinking the
+          // board. A fatal VM error (OOM, stack overflow) must NOT
+          // re-run the heaviest query on a heap in unknown state; it
+          // falls through to the recording layer below.
           System.err.println(s"[verify] $name failed " +
             s"(${e1.getMessage}); retrying once")
           spark.catalog.clearCache()

@@ -596,16 +596,15 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * cached path therefore invalidates the entry and re-resolves ONCE
     * ([[manifestEntriesFull]]) — fresh resolution either finds the
     * arbitration's current answer or raises the loud missing-metadata
-    * diagnosis, never a raw FNF from a stale pointer. Eviction is LRU
-    * (access-order), not a wholesale clear — a long history walk must not
-    * flush the hot head region it just warmed. */
+    * diagnosis, never a raw FNF from a stale pointer. Eviction is
+    * APPROXIMATE (drop an arbitrary eighth when over the cap), not a
+    * wholesale clear and not exact LRU: a long history walk must not
+    * flush the hot head region it just warmed, but exact recency isn't
+    * load-bearing for a pure cache and an access-ordered map would put
+    * a global lock + list mutation on every HIT — this keeps gets
+    * lock-free on the hot resolution path. */
   private val resolvedPathCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[Long, Option[Path]](64, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[Long, Option[Path]]): Boolean =
-          size() > 8192
-      })
+    new java.util.concurrent.ConcurrentHashMap[Long, Option[Path]]()
 
   private def resolvedManifestPath(gen: Long,
       frame: Option[(Long, Option[String])]): Option[Path] = {
@@ -666,7 +665,14 @@ final class ManifestTable(val tablePath: String, schema: StructType,
           }
         }
       }
-    if (cacheable) resolvedPathCache.put(gen, resolved)
+    if (cacheable) {
+      if (resolvedPathCache.size() > 8192) {
+        val it = resolvedPathCache.keySet().iterator()
+        var n = 1024
+        while (n > 0 && it.hasNext) { it.next(); it.remove(); n -= 1 }
+      }
+      resolvedPathCache.put(gen, resolved)
+    }
     resolved
   }
 
@@ -2360,11 +2366,15 @@ final class ManifestTable(val tablePath: String, schema: StructType,
                       // check-to-write instant REFUSES it at the store —
                       // the TOCTOU family closed outright, zero damage.
                       beforeEscalatedSwapHook()
+                      // Both throw sites below leave the fenced COUNT to
+                      // the outer ConcurrentPublishException catch — an
+                      // increment here would double-count one fencing
+                      // event and make the metric's unit inconsistent
+                      // with the stillOwns-detected loss (counted once).
                       if (!writeDeltaIfMatch(next, s.entry,
                           rewrite = s.rewrite,
                           fresh = if (s.rewrite) Some(s.freshFiles) else None,
                           owner = Some(nonce), expected = placeholderBytes)) {
-                        fencedPublishCount.incrementAndGet()
                         throw new ConcurrentPublishException(
                           s"generation $next of $tablePath was taken over " +
                             "in the check-to-write instant — the store's " +
@@ -2384,7 +2394,6 @@ final class ManifestTable(val tablePath: String, schema: StructType,
                       // shadow. Throw instead; the loop reconciles at the
                       // new head.
                       if (currentGeneration().exists(_ >= next)) {
-                        fencedPublishCount.incrementAndGet()
                         throw new ConcurrentPublishException(
                           s"generation $next of $tablePath was published by " +
                             "a takeover in the check-to-write instant — this " +

@@ -1675,29 +1675,33 @@ object StateStore {
       }
     }
 
+    /** THE max-merge invariant, in one place: fold `counts` into `per`'s
+      * view for `iid` by elementwise MAX. Both the reader side
+      * ([[perInstanceViews]]) and the absorber's fold ([[absorb]]) go
+      * through this single helper — the absorption exactness argument
+      * rests entirely on the two sides merging identically. */
+    private type PerInstance = scala.collection.mutable.Map[
+      String, (scala.collection.mutable.Map[String, Long],
+               scala.collection.mutable.Map[String, Long])]
+    private def maxMergeInto(per: PerInstance, iid: String,
+        counts: (Map[String, Long], Map[String, Long])): Unit = {
+      val (mp, ms) = per.getOrElseUpdate(iid,
+        (scala.collection.mutable.Map.empty[String, Long],
+         scala.collection.mutable.Map.empty[String, Long]))
+      counts._1.foreach { case (t, v) =>
+        if (v > mp.getOrElse(t, 0L)) mp.update(t, v) }
+      counts._2.foreach { case (t, v) =>
+        if (v > ms.getOrElse(t, 0L)) ms.update(t, v) }
+    }
+
     /** The fleet's persisted per-instance cumulative views, elementwise
       * MAX-merged across live objects and absorbed snapshots (see
       * [[refreshBase]] for why max). The legacy pre-delta file reads as
       * one synthetic instance. */
-    private def perInstanceViews(excludeOwn: Boolean): scala.collection.mutable.Map[
-        String, (scala.collection.mutable.Map[String, Long],
-                 scala.collection.mutable.Map[String, Long])] = {
-      val per = scala.collection.mutable.Map.empty[String,
-        (scala.collection.mutable.Map[String, Long],
-         scala.collection.mutable.Map[String, Long])]
-      def viewOf(iid: String) = per.getOrElseUpdate(iid,
-        (scala.collection.mutable.Map.empty[String, Long],
-         scala.collection.mutable.Map.empty[String, Long]))
-      def maxInto(iid: String,
-          counts: (Map[String, Long], Map[String, Long])): Unit = {
-        val (mp, ms) = viewOf(iid)
-        counts._1.foreach { case (t, v) =>
-          if (v > mp.getOrElse(t, 0L)) mp.update(t, v) }
-        counts._2.foreach { case (t, v) =>
-          if (v > ms.getOrElse(t, 0L)) ms.update(t, v) }
-      }
+    private def perInstanceViews(excludeOwn: Boolean): PerInstance = {
+      val per: PerInstance = scala.collection.mutable.Map.empty
       legacyFsPath.foreach { case (fs, p) =>
-        if (fs.exists(p)) maxInto("_legacy", readFile(fs, p))
+        if (fs.exists(p)) maxMergeInto(per, "_legacy", readFile(fs, p))
       }
       deltaDirFsPath.foreach { case (fs, d) =>
         if (fs.exists(d)) fs.listStatus(d).foreach { st =>
@@ -1705,10 +1709,11 @@ object StateStore {
           if (st.isFile && !name.endsWith(".tmp")) {
             if (name.startsWith("absorbed-"))
               readAbsorbed(fs, st.getPath).foreach { case (iid, counts) =>
-                if (!excludeOwn || iid != instanceId) maxInto(iid, counts)
+                if (!excludeOwn || iid != instanceId)
+                  maxMergeInto(per, iid, counts)
               }
             else if (!excludeOwn || name != instanceId)
-              maxInto(name, readFile(fs, st.getPath))
+              maxMergeInto(per, name, readFile(fs, st.getPath))
           }
         }
       }
@@ -1720,7 +1725,7 @@ object StateStore {
       * absorbed snapshot into ONE new absorbed object, then delete the
       * folded sources — bounding the delta directory at (live instances
       * + 1) objects instead of one per instance LIFETIME. Exact under
-      * every race by construction: absorbed entries keep their
+      * races by FORMAT, not locking: absorbed entries keep their
       * per-instance identity and readers MAX-merge them with any live
       * object for the same instance ([[refreshBase]]), so absorbing a
       * live-but-idle instance loses nothing (its next flush recreates
@@ -1728,9 +1733,13 @@ object StateStore {
       * rename and the source deletes leaves only redundant objects whose
       * max equals either alone, and two RACING absorbers produce two
       * snapshots that max-merge to identical sums and collapse to one at
-      * the next pass. No reservation needed — the identity-preserving
-      * format is the arbitration. Returns the number of instance objects
-      * folded. */
+      * the next pass. A flush REPLACING a source object mid-fold is
+      * caught by the (len, mtime) verify before its delete — the
+      * replacement stays live and the next pass absorbs it; the residual
+      * check-to-delete instant is micro-seconds against a minAge of
+      * minutes, worst case one flush window of a layout heuristic. No
+      * reservation needed — the identity-preserving format is the
+      * arbitration. Returns the number of instance objects folded. */
     def absorb(minAgeMillis: Long): Int = flushLock.synchronized {
       deltaDirFsPath match {
         case None => 0
@@ -1746,31 +1755,27 @@ object StateStore {
               n != instanceId &&
               now - st.getModificationTime >= minAgeMillis
           }
+          // Stale .tmp debris (a crashed flush or absorber) is never
+          // live and never folded — reclaim it past the same age gate so
+          // failed passes can't grow the directory this feature bounds.
+          sts.filter { st =>
+            st.getPath.getName.endsWith(".tmp") &&
+              now - st.getModificationTime >= math.max(minAgeMillis, 60000L)
+          }.foreach { st =>
+            try { fs.delete(st.getPath, false); () }
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
           if (deadObjs.isEmpty && priorAbsorbed.length <= 1) return 0
           try {
-            val per = scala.collection.mutable.Map.empty[String,
-              (scala.collection.mutable.Map[String, Long],
-               scala.collection.mutable.Map[String, Long])]
-            def viewOf(iid: String) = per.getOrElseUpdate(iid,
-              (scala.collection.mutable.Map.empty[String, Long],
-               scala.collection.mutable.Map.empty[String, Long]))
-            def maxInto(iid: String,
-                counts: (Map[String, Long], Map[String, Long])): Unit = {
-              val (mp, ms) = viewOf(iid)
-              counts._1.foreach { case (t, v) =>
-                if (v > mp.getOrElse(t, 0L)) mp.update(t, v) }
-              counts._2.foreach { case (t, v) =>
-                if (v > ms.getOrElse(t, 0L)) ms.update(t, v) }
-            }
+            val per: PerInstance = scala.collection.mutable.Map.empty
             priorAbsorbed.foreach(st =>
               readAbsorbed(fs, st.getPath).foreach { case (iid, counts) =>
-                maxInto(iid, counts) })
+                maxMergeInto(per, iid, counts) })
             deadObjs.foreach(st =>
-              maxInto(st.getPath.getName, readFile(fs, st.getPath)))
+              maxMergeInto(per, st.getPath.getName, readFile(fs, st.getPath)))
             val snapName = "absorbed-" +
               java.util.UUID.randomUUID().toString.replace("-", "")
             val tmp = new Path(d, snapName + ".tmp")
-            val out = fs.create(tmp, true)
             val body = per.toSeq.sortBy(_._1).flatMap { case (iid, (mp, ms)) =>
               (mp.keySet ++ ms.keySet).toSeq.sorted.map { t =>
                 val b64 = java.util.Base64.getEncoder
@@ -1778,15 +1783,40 @@ object StateStore {
                 s"$iid $b64 ${mp.getOrElse(t, 0L)} ${ms.getOrElse(t, 0L)}"
               }
             }.mkString("", "\n", "\n")
-            try out.write(body.getBytes("UTF-8")) finally out.close()
-            val snap = new Path(d, snapName)
-            if (!fs.rename(tmp, snap))
-              sys.error(s"could not persist absorbed read-mix snapshot $snap")
-            // Sources folded into the durable snapshot: reclaim them.
-            // A failure here leaves redundant objects (max-identical),
-            // not wrong sums.
+            try {
+              val out = fs.create(tmp, true)
+              try out.write(body.getBytes("UTF-8")) finally out.close()
+              val snap = new Path(d, snapName)
+              if (!fs.rename(tmp, snap))
+                sys.error(s"could not persist absorbed read-mix snapshot $snap")
+            } catch {
+              case e: Throwable =>
+                // Don't leave this pass's tmp behind on failure.
+                try { fs.delete(tmp, false); () }
+                catch { case scala.util.control.NonFatal(_) => () }
+                throw e
+            }
+            // Sources folded into the durable snapshot: reclaim them —
+            // but VERIFY each object is still the one we folded first
+            // ((len, mtime) from the pre-fold listing). A live
+            // instance's flush landing during the fold replaces the
+            // object in place; deleting the replacement would discard
+            // its already-durable counts with only the stale snapshot
+            // value surviving. A changed object is left live — the
+            // snapshot max-merges against it, sums stay exact, and the
+            // next pass absorbs it. (The residual check-to-delete
+            // instant is micro-seconds against a minAge of minutes, and
+            // its worst case loses one flush window of a layout
+            // heuristic, not data.) A delete failure likewise leaves
+            // only max-identical redundancy, never wrong sums.
             (priorAbsorbed ++ deadObjs).foreach { st =>
-              try { fs.delete(st.getPath, false); () }
+              try {
+                val cur = fs.getFileStatus(st.getPath)
+                if (cur.getLen == st.getLen &&
+                    cur.getModificationTime == st.getModificationTime) {
+                  fs.delete(st.getPath, false); ()
+                }
+              }
               catch { case scala.util.control.NonFatal(_) => () }
             }
             try refreshBase()
