@@ -1621,6 +1621,11 @@ object StateStore {
     private var warnedUnwritable = false
     private val flushLock = new Object // serializes whole flushes
     private val flushQueued = new java.util.concurrent.atomic.AtomicBoolean(false)
+    /** Test hook: runs inside [[absorb]] after the snapshot rename,
+      * immediately before the source-delete loop — the window where a
+      * racing flush can replace a folded object in place. Specs
+      * interleave exactly that to pin the (len, mtime) verify. */
+    private[graft] var beforeAbsorbDeleteHook: () => Unit = () => ()
     /** This instance's private object name — unique per instance
       * LIFETIME, so no two live writers (or a writer and its own
       * restart) ever touch the same object. */
@@ -1809,6 +1814,7 @@ object StateStore {
             // its worst case loses one flush window of a layout
             // heuristic, not data.) A delete failure likewise leaves
             // only max-identical redundancy, never wrong sums.
+            beforeAbsorbDeleteHook()
             (priorAbsorbed ++ deadObjs).foreach { st =>
               try {
                 val cur = fs.getFileStatus(st.getPath)

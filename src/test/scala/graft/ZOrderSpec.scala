@@ -343,6 +343,47 @@ class ZOrderSpec extends SparkTestBase {
     assert(e.absorb(0L) === 0)
   }
 
+  test("read-mix ABSORPTION verify-before-delete: a flush REPLACING a " +
+    "source object between the absorber's fold and its delete is left " +
+    "LIVE — the replacement's durable counts survive even if its " +
+    "instance never flushes again") {
+    implicit val s = spark
+    val root = tmpDir("store_mix_absorb_race")
+    val conf = spark.sessionState.newHadoopConf()
+    val path = s"$root/_readmix.json"
+    val b = new StateStore.ReadMixStats(Some((conf, path)))
+    (0 until 2).foreach(_ => b.recordPointRead("pt"))
+    b.flush() // B's object: pt=2
+    val c = new StateStore.ReadMixStats(Some((conf, path)))
+    c.beforeAbsorbDeleteHook = () => {
+      // The race: B's flush lands AFTER the absorber folded pt=2 into
+      // its snapshot but BEFORE the delete loop — replacing B's object
+      // in place with the cumulative pt=3. A blind delete here would
+      // discard the durable pt=3 forever (only the stale snapshot
+      // value would survive).
+      Thread.sleep(10L)
+      b.recordPointRead("pt")
+      b.flush()
+    }
+    assert(c.absorb(0L) === 1)
+    // The (len, mtime) verify must have left B's REPLACED object live:
+    // sums reflect the durable pt=3, not the absorbed pt=2 — even
+    // though B never flushes again.
+    val d = new StateStore.ReadMixStats(Some((conf, path)))
+    assert(d.pointReads("pt") === 3L,
+      "the racing flush's durable counts must survive absorption")
+    val dirPath = new org.apache.hadoop.fs.Path(s"$root/_readmix.json.d")
+    val fs = dirPath.getFileSystem(conf)
+    def names: Seq[String] = fs.listStatus(dirPath)
+      .map(_.getPath.getName).filterNot(_.endsWith(".tmp")).toSeq
+    assert(names.count(_.startsWith("absorbed-")) === 1)
+    assert(names.size === 2, s"B's replaced object must stay live: $names")
+    // The next pass absorbs the survivor; sums unchanged.
+    assert(d.absorb(0L) === 1)
+    val e = new StateStore.ReadMixStats(Some((conf, path)))
+    assert(e.pointReads("pt") === 3L)
+  }
+
   test("read-mix counters lose NOTHING under racing flushes: two instances " +
     "flushing concurrently against one root, every recording lands — the " +
     "interleaving that could drop one in-flight delta under a shared " +
