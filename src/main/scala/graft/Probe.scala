@@ -30,6 +30,10 @@ object Probe {
     // non-broadcast paths on scaled corpora.
     sys.env.get("PROBE_BC_THRESHOLD")
       .foreach(spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    sys.env.get("PROBE_OPEN_COST")
+      .foreach(spark.conf.set("spark.sql.files.openCostInBytes", _))
+    sys.env.get("PROBE_MIN_PARTS")
+      .foreach(spark.conf.set("spark.sql.files.minPartitionNum", _))
     spark.range(1000).selectExpr("sum(id)").collect()
     val fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
       if (name == "entry") (s, _) => SparkEntry.entry(s)

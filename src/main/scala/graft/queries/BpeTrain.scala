@@ -61,8 +61,20 @@ object BpeTrain {
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("n")).as("cnt"))
 
-  /** Greedy left-to-right application of merge (l, r) -> l||r. */
+  /** Greedy left-to-right application of merge (l, r) -> l||r, as a
+    * compiled single-pass kernel ([[graft.functions.BpeApplyMerges]]).
+    * The declarative `aggregate` HOF formulation it replaced
+    * ([[applyMergeReference]]) is interpreted per element AND copies the
+    * accumulator array per element — it was the hottest loop of both BPE
+    * queries (encode 3.45 s warm at sf0.1; the spec pins kernel ≡
+    * reference on the real vocab plus adversarial merge chains). */
   private def applyMerge(syms: Column, l: String, r: String): Column =
+    graft.functions.BpeApplyMerges.applyOne(syms, l, r)
+
+  /** The original declarative fold — kept as the executable REFERENCE
+    * MODEL the spec checks the compiled kernel against (never on the
+    * query path). */
+  private[queries] def applyMergeReference(syms: Column, l: String, r: String): Column =
     aggregate(syms, array().cast("array<string>"), (acc, x) =>
       when(size(acc) > 0 &&
           element_at(acc, -1) === lit(l) && x === lit(r),
@@ -85,15 +97,16 @@ object BpeTrain {
     * word/char/token counts and chars-per-token in exact ppm. */
   def encode(docs: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
-    val tokensPerWord: Column => Column = w =>
-      merges.foldLeft(split(w, ""))((syms, m) =>
-        applyMerge(syms, m._1, m._2))
     val words = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
+    // Token COUNT per distinct word in one compiled pass over the merge
+    // list (split semantics unchanged; only the fold chain is fused) —
+    // see [[graft.functions.BpeTokenCount]].
     val wordTokens = words.select("word").distinct()
       .select(col("word"),
-        size(tokensPerWord(col("word"))).cast("long").as("w_tokens"))
+        graft.functions.BpeTokenCount.count(split(col("word"), ""), merges)
+          .as("w_tokens"))
     val perDoc = words.join(wordTokens, "word")
       .groupBy("doc_id").agg(sum(col("w_tokens")).as("n_bpe_tokens"))
     docs.select(col("doc_id"),

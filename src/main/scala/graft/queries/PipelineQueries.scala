@@ -1618,9 +1618,12 @@ object PipelineQueries {
       val w = docs(s, dir).select(split(col("text"), " ").as("ws"))
       val uni = w.select(explode(col("ws")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("c"))
-      val bi = w.select(explode(expr(
-          "transform(slice(ws, 1, size(ws) - 1), (w, i) -> concat(w, ' ', ws[i + 1]))"))
-          .as("bigram"))
+      // Compiled positional-bigram kernel (one pass, codegen) — the
+      // interpreted transform-lambda formulation it replaces is pinned
+      // equivalent in FunctionsSpec.
+      val bi = docs(s, dir)
+        .select(explode(
+          graft.functions.WordNgrams.ngrams(col("text"), 2)).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
         .filter(col("c_xy") >= 5)
       val nw = uni.agg(sum(col("c")).as("n_words"))
@@ -2401,11 +2404,12 @@ object PipelineQueries {
          |       (CAST(count(*) FILTER (WHERE h IN (SELECT h FROM dup)) AS BIGINT)
          |        * 1000000) // CAST(count(*) AS BIGINT) AS dup_ratio_micro
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // Compiled positional 8-gram kernel (codegen; replaces the
+      // interpreted transform + per-element slice/concat_ws lambda —
+      // FunctionsSpec pins the equivalence).
       val spans = docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"), explode(expr(
-          "transform(slice(ws, 1, greatest(size(ws) - 7, 0)), " +
-            "(x, i) -> concat_ws(' ', slice(ws, i + 1, 8)))")).as("span"))
+        .select(col("doc_id"), explode(
+          graft.functions.WordNgrams.ngrams(col("text"), 8)).as("span"))
         .select(col("doc_id"), h60(col("span")).as("h"))
         .persist()
       val dup = spans.groupBy("h")
@@ -2588,10 +2592,8 @@ object PipelineQueries {
         |SELECT bigram, CAST(count(*) AS BIGINT) AS n
         |FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin) { (s, dir) =>
       docs(s, dir)
-        .select(split(col("text"), " ").as("ws"))
-        .select(explode(expr(
-          "transform(slice(ws, 1, size(ws) - 1), (w, i) -> concat(w, ' ', ws[i + 1]))"))
-          .as("bigram"))
+        .select(explode(
+          graft.functions.WordNgrams.ngrams(col("text"), 2)).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)
@@ -2620,10 +2622,8 @@ object PipelineQueries {
       // count both consume the exploded bigrams — the corpus's most
       // expensive pass must not run twice.
       val bigrams = docs(s, dir)
-        .select(split(col("text"), " ").as("ws"))
-        .select(explode(expr(
-          "transform(slice(ws, 1, size(ws) - 1), (w, i) -> concat(w, ' ', ws[i + 1]))"))
-          .as("bigram"))
+        .select(explode(
+          graft.functions.WordNgrams.ngrams(col("text"), 2)).as("bigram"))
         .persist()
       val cms = graft.functions.CmsSketch.serialize(
         bigrams.stat.countMinSketch("bigram", 1e-4, 0.999, 42))
@@ -2677,10 +2677,8 @@ object PipelineQueries {
         |       CAST(sum(p_ppm) // count(*) AS BIGINT) AS score_ppm
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val bi = docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"), explode(expr(
-          "transform(slice(ws, 1, size(ws) - 1), (w, i) -> concat(w, ' ', ws[i + 1]))"))
-          .as("bigram"))
+        .select(col("doc_id"), explode(
+          graft.functions.WordNgrams.ngrams(col("text"), 2)).as("bigram"))
         // One explode pass feeds both counts and the probability join.
         .persist()
       val w1 = element_at(split(col("bigram"), " "), 1)
@@ -2750,10 +2748,8 @@ object PipelineQueries {
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val isEval = col("source").isin("src0", "src1")
       def bigramsOf(d: DataFrame): DataFrame = d
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"), explode(expr(
-          "transform(slice(ws, 1, size(ws) - 1), (w, i) -> concat(w, ' ', ws[i + 1]))"))
-          .as("bigram"))
+        .select(col("doc_id"), explode(
+          graft.functions.WordNgrams.ngrams(col("text"), 2)).as("bigram"))
       val d = docs(s, dir)
       val bt = bigramsOf(d.filter(isEval))
       val bc = bigramsOf(d.filter(!isEval)).persist()
@@ -2823,18 +2819,18 @@ object PipelineQueries {
         |         AS n_shared_fp
         |FROM fp p JOIN df d USING (fp)
         |GROUP BY p.doc_id, p.n_grams ORDER BY p.doc_id""".stripMargin) { (s, dir) =>
+      // Gram→hash→window-min→distinct fused into ONE compiled pass
+      // ([[graft.functions.WinnowFingerprints]] — replaces four interpreted
+      // HOF lambdas and three intermediate arrays per row; FunctionsSpec
+      // pins equivalence against the declarative chain). n_grams =
+      // size(ws) - 3 is the gram count by construction under the >= 4
+      // filter.
       val fpRows = docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 4)
-        .select(col("doc_id"), expr(
-          "transform(slice(ws, 1, size(ws) - 3)," +
-            " (w, i) -> concat_ws(' ', w, ws[i+1], ws[i+2], ws[i+3]))").as("gs"))
-        .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"), expr(
-          "transform(gs, g -> CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT))")
-          .as("hs"))
-        .select(col("doc_id"), col("n_grams"), explode(expr(
-          "array_distinct(transform(sequence(1, greatest(size(hs) - 3, 1))," +
-            " i -> array_min(slice(hs, i, 4))))")).as("fp"))
+        .filter(size(split(col("text"), " ")) >= 4)
+        .select(col("doc_id"),
+          (size(split(col("text"), " ")) - 3).cast("long").as("n_grams"),
+          explode(graft.functions.WinnowFingerprints
+            .fingerprints(col("text"), 4, 4)).as("fp"))
         // One selection pass feeds both the df counts and the per-doc roll-up.
         .persist()
       val dfCounts = fpRows.groupBy("fp").agg(count(lit(1)).as("n_docs"))
@@ -3348,6 +3344,11 @@ object PipelineQueries {
          |FROM per pa JOIN per pb ON pa.source < pb.source
          |LEFT JOIN inter ON src_a = pa.source AND src_b = pb.source
          |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      // Deliberately NOT persisted: the overlap self-join's two sides are
+      // the identical exchange subtree (AQE plans a ReusedExchange), and a
+      // CacheManager persist forces columnar materialization of the wide
+      // string relation instead — measured +0.6 s at sf0.1 when tried in
+      // round 21.
       val sh = docs(s, dir)
         .select(col("source"), explode(shingles3(col("text"))).as("sh"))
         .distinct()
@@ -3664,7 +3665,18 @@ object PipelineQueries {
         .select(col("a_id").as("src"), col("b_id").as("dst"))
         .persist()
       val nodes = bucketed.select(col("vec_id"))
-      val scores = GraphRank.pageRank(nodes, edges, PrIters)
+      // SIZE-GATED broadcast iteration (same driver-side estimate
+      // discipline as the jaccard/shingle gates — never Catalyst's
+      // scan-derived guess): top-3 edges ≈ 3 rows/vector ≈ 120 B/vector
+      // framed, score/inflow tables ≈ 32 B/vector. Under the session
+      // threshold each iteration is two broadcast joins + the one
+      // unavoidable groupBy(dst) exchange; past it (the 100 TB case) the
+      // canonical shuffle plan runs unchanged.
+      val nVecs = embs(s, dir).count()
+      val bcThreshold = s.sessionState.conf.autoBroadcastJoinThreshold
+      val smallGraph = bcThreshold > 0 && nVecs * 120L <= bcThreshold
+      val scores = GraphRank.pageRank(nodes, edges, PrIters,
+        broadcastSmall = smallGraph)
       val indeg = edges.groupBy("dst").agg(count(lit(1)).as("in_deg"))
       scores
         .join(indeg.withColumnRenamed("dst", "idst"),

@@ -2000,10 +2000,22 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     }
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    val rows = base
-      .groupBy(input_file_name().as("_file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
+    // AQE scoped OFF for this one statement: its output is one row per
+    // file at ANY scale (the partial agg collapses everything map-side),
+    // so adaptive re-planning has nothing to optimize — it only splits
+    // the statement into one Spark job per stage, and the extra driver
+    // round-trip is the dominant cost of a small commit (measured: 3
+    // jobs per commit, 2 of them this read-back). Session-conf scoping
+    // is safe here: the store is single-writer and AQE is a pure
+    // optimization for any concurrent reader that plans in the window.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val rows =
+      try base
+        .groupBy(input_file_name().as("_file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     val rootPrefix = fsOf(tablePath)._2.toUri.getPath
     val byRel: Map[String, Map[String, (StatVal, StatVal)]] = rows.map { r =>
       val rel = new Path(new java.net.URI(r.getAs[String]("_file")))

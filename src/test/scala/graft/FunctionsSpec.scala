@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{ArrayDotProduct, WordShingles}
+import org.apache.spark.sql.graftbridge.GraftBridge
+import graft.functions.{ArrayDotProduct, BpeApplyMerges, BpeTokenCount, WordShingles}
 
 /** Custom codegen expressions: ArrayDotProduct and WordShingles must agree
   * with straightforward Scala computations (and, by extension, with the
@@ -146,5 +147,120 @@ class FunctionsSpec extends SparkTestBase {
     both.foreach { r =>
       assert(r.getSeq[String](0).sorted === r.getSeq[String](1).sorted)
     }
+  }
+
+  test("WordNgrams: equivalent to the interpreted transform-lambda " +
+    "formulation, positional and duplicate-keeping") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a a a a a b a a",
+      "one two",
+      "short",
+      "",
+      " leading and  double  spaces ",
+      "x y z x y z x y")
+    val df = texts.toDF("text")
+    for (n <- Seq(2, 8)) {
+      val guard = if (n == 2) "size(ws) - 1" else s"greatest(size(ws) - ${n - 1}, 0)"
+      val lambda = (1 until n).map(k => s"ws[i + $k]").mkString(
+        "(w, i) -> concat_ws(' ', w, ", ", ", ")")
+      val rows = df
+        .select(col("text"), split(col("text"), " ").as("ws"))
+        .select(
+          graft.functions.WordNgrams.ngrams(col("text"), n).as("fast"),
+          expr(s"transform(slice(ws, 1, $guard), $lambda)").as("ref"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1), s"n=$n")
+      }
+    }
+  }
+
+  test("WinnowFingerprints: equivalent to the declarative " +
+    "gram→md5-hash→window-min→distinct chain") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog today",
+      "a b c d",          // exactly gramN words: one gram, one window
+      "a b c d e f",      // 3 grams < window 4: single whole-array window
+      "w w w w w w w w w w w w",
+      "join filter agg sort scan merge group table key column row hash")
+    val df = texts.toDF("text")
+    val rows = df
+      .select(col("text"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 4)
+      .withColumn("gs", expr(
+        "transform(slice(ws, 1, size(ws) - 3), " +
+          "(w, i) -> concat_ws(' ', w, ws[i+1], ws[i+2], ws[i+3]))"))
+      .withColumn("hs", expr(
+        "transform(gs, g -> CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT))"))
+      .select(
+        graft.functions.WinnowFingerprints.fingerprints(col("text"), 4, 4)
+          .as("fast"),
+        expr(
+          "array_distinct(transform(sequence(1, greatest(size(hs) - 3, 1)), " +
+            "i -> array_min(slice(hs, i, 4))))").as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0).sorted === r.getSeq[Long](1).sorted)
+    }
+  }
+
+  // Reference model of the greedy BPE fold — the exact semantics of the
+  // declarative `aggregate` HOF the compiled kernel replaced (and of
+  // BpeTrain.applyMergeReference, which stays in the codebase for the
+  // query-level pin in PipelineQueriesSpec).
+  private def refFold(syms: Seq[String], merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(syms) { case (cur, (l, r)) =>
+      cur.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r)
+          acc.init :+ (l + r)
+        else acc :+ x
+      }
+    }
+
+  test("BpeApplyMerges/BpeTokenCount ≡ greedy reference fold, " +
+    "including chained-merge and self-merge edge cases") {
+    val merges = Seq(("a", "b"), ("ab", "c"), ("x", "x"), ("abc", "abc"))
+    val words = Seq(
+      "abc",        // cascading: ab then abc
+      "abcabc",     // then abc+abc self-merge
+      "xxxx",       // greedy non-overlap: xx, xx
+      "xxx",        // xx, x (the merged symbol does not re-match as left)
+      "aab", "ba", "", "a", "zzz",
+      "ababab", "cab", "abab")
+    val df = words.toDF("w")
+    val syms = split(col("w"), "")
+    // The reference folds over the ENGINE's split result (same input array
+    // the kernel sees), so split semantics are out of scope here — only the
+    // fold is under test.
+    val got = df.select(col("w"), syms.as("syms"),
+      GraftBridge.column(
+        BpeApplyMerges(GraftBridge.expression(syms), merges)).as("fast"),
+      BpeTokenCount.count(syms, merges).as("cnt"))
+      .collect()
+    got.foreach { r =>
+      val w = r.getString(0)
+      val expect = refFold(r.getSeq[String](1), merges)
+      assert(r.getSeq[String](2) === expect, s"word '$w'")
+      assert(r.getLong(3) === expect.size.toLong, s"count for '$w'")
+    }
+  }
+
+  test("BpeApplyMerges: interpreted eval agrees with the codegen path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val symsLit = Literal.create(Seq("a", "b", "c", "a", "b"),
+      ArrayType(StringType))
+    val expr = BpeApplyMerges(symsLit, merges)
+    val viaEval = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toObjectArray(StringType).map(_.toString).toSeq
+    val viaCodegen = spark.range(1)
+      .select(GraftBridge.column(
+        BpeApplyMerges(GraftBridge.expression(split(lit("abcab"), "")), merges))
+        .as("r")).collect()(0).getSeq[String](0)
+    assert(viaEval === viaCodegen)
+    assert(BpeTokenCount(symsLit, merges).eval(null) === viaCodegen.size.toLong)
   }
 }

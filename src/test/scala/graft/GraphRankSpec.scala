@@ -42,6 +42,16 @@ class GraphRankSpec extends SparkTestBase {
     val got3 = GraphRank.pageRank(nodes, edges, iterations = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got3 === model(3))
+    // The size-gated broadcast plan (small-graph path) is arithmetic-
+    // identical to the shuffle plan.
+    val gotBc = GraphRank.pageRank(nodes, edges, iterations = 3,
+      broadcastSmall = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotBc === model(3))
+    val gotBc12 = GraphRank.pageRank(nodes, edges, iterations = 12,
+      checkpointEvery = 5, broadcastSmall = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotBc12 === model(12))
   }
 
   test("the analyzed plan stays bounded: a 12-iteration run carries no more " +
