@@ -2682,8 +2682,14 @@ object PipelineQueries {
         // One explode pass feeds both counts and the probability join.
         .persist()
       val w1 = element_at(split(col("bigram"), " "), 1)
-      val cBi = bi.groupBy("bigram").agg(count(lit(1)).as("c12"))
-      val cUni = bi.groupBy(w1.as("w1")).agg(count(lit(1)).as("c1"))
+      val cBi = bi.groupBy("bigram").agg(count(lit(1)).as("c12")).persist()
+      // Unigram counts DERIVED from the distinct-bigram count table, not
+      // re-aggregated from the corpus-sized occurrence relation: the count
+      // of bigrams starting with w1 is by definition the sum of c12 over
+      // the (vocabulary-bounded) distinct bigrams with that first word —
+      // one full corpus shuffle replaced by a pass over the tiny count
+      // table (guide §2.3 "aggregate before you shuffle").
+      val cUni = cBi.groupBy(w1.as("w1")).agg(sum(col("c12")).as("c1"))
       bi.join(cBi, "bigram")
         .join(cUni, w1 === col("w1"))
         .select(col("doc_id"),
@@ -2754,9 +2760,19 @@ object PipelineQueries {
       val bt = bigramsOf(d.filter(isEval))
       val bc = bigramsOf(d.filter(!isEval)).persist()
       val w1 = element_at(split(col("bigram"), " "), 1)
-      def model(b: DataFrame, suffix: String): (DataFrame, DataFrame) = (
-        b.groupBy("bigram").agg(count(lit(1)).as(s"c12$suffix")),
-        b.groupBy(w1.as(s"w1$suffix")).agg(count(lit(1)).as(s"c1$suffix")))
+      // Each model's unigram table is derived from its (vocabulary-
+      // bounded) distinct-bigram count table instead of a second
+      // corpus-sized aggregation — sum(c12) per first word is exactly
+      // count(*) per first word over the occurrences (same rewrite as
+      // p_lm_bigram_score; the oracle states the direct form and the
+      // hash-compare pins the equality).
+      def model(b: DataFrame, suffix: String): (DataFrame, DataFrame) = {
+        val cbi = b.groupBy("bigram").agg(count(lit(1)).as(s"c12$suffix"))
+          .persist()
+        val cuni = cbi.groupBy(w1.as(s"w1$suffix"))
+          .agg(sum(col(s"c12$suffix")).as(s"c1$suffix"))
+        (cbi, cuni)
+      }
       val (cbiT, cuniT) = model(bt, "_t")
       val (cbiC, cuniC) = model(bc, "_c")
       def ppm(c12: String, c1: String): Column = coalesce(

@@ -1979,6 +1979,22 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     throw new IllegalStateException("unreachable")
   }
 
+  /** Run `body` with adaptive query execution scoped OFF — for the
+    * protocol's METADATA-SIZED statements only (an aggregate collapsing to
+    * one row per file / a single count / a micro-batch-bounded key
+    * collect), where AQE has nothing to re-plan and its per-stage job
+    * materialization only adds driver round-trips — the dominant cost of
+    * a small commit. Session-conf scoping is safe: the store is
+    * single-writer, and AQE is a pure optimization for any concurrent
+    * reader that happens to plan inside the window. NEVER use this around
+    * the data-sized derivation statements (winners argmax, rewrites) —
+    * those want AQE's coalescing and skew handling at scale. */
+  private def withAqeOff[T](body: => T): T = {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   /** Per-file min/max of `statsCols` for a just-written commit directory —
     * the manifest-side data-skipping index (the Delta/Iceberg per-file
     * stats pattern). One extra column-pruned scan of the files this commit
@@ -2005,17 +2021,13 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     // so adaptive re-planning has nothing to optimize — it only splits
     // the statement into one Spark job per stage, and the extra driver
     // round-trip is the dominant cost of a small commit (measured: 3
-    // jobs per commit, 2 of them this read-back). Session-conf scoping
-    // is safe here: the store is single-writer and AQE is a pure
-    // optimization for any concurrent reader that plans in the window.
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val rows =
-      try base
+    // jobs per commit, 2 of them this read-back).
+    val rows = withAqeOff {
+      base
         .groupBy(input_file_name().as("_file"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
-      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
     val rootPrefix = fsOf(tablePath)._2.toUri.getPath
     val byRel: Map[String, Map[String, (StatVal, StatVal)]] = rows.map { r =>
       val rel = new Path(new java.net.URI(r.getAs[String]("_file")))
@@ -2232,7 +2244,9 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     // +1: a Long.MaxValue "disable the cap" override must not overflow
     // into limit(0) and silently drop the batch.
     val maxKeys = math.min(maxTouchedKeys, Int.MaxValue.toLong - 1)
-    val keyRows = {
+    val keyRows = withAqeOff {
+      // Micro-batch-bounded by the enforced contract below — AQE's
+      // per-stage jobs only add round-trips to a statement this small.
       import org.apache.spark.sql.functions.col
       updates.select(keyCols.map(col): _*).distinct()
         .limit((maxKeys + 1).toInt).collect()
@@ -2616,7 +2630,9 @@ final class ManifestTable(val tablePath: String, schema: StructType,
             .sortWithinPartitions(keyCols.map(col): _*), dataDir)
           val rw = listDataFiles(dataDir)
           val freshSide = m.where(col("__had") === 0).drop("__had")
-          val freshCount = freshSide.count()
+          // One-row output over the persisted winners: metadata-sized at
+          // any scale, so AQE's stage-per-job split is pure latency here.
+          val freshCount = withAqeOff { freshSide.count() }
           if (freshCount > 0L) {
             val parts = math.max(1L,
               (freshCount + freshRowsPerFile - 1L) / freshRowsPerFile)
