@@ -1984,16 +1984,18 @@ final class ManifestTable(val tablePath: String, schema: StructType,
     * one row per file / a single count / a micro-batch-bounded key
     * collect), where AQE has nothing to re-plan and its per-stage job
     * materialization only adds driver round-trips — the dominant cost of
-    * a small commit. Session-conf scoping is safe: the store is
-    * single-writer, and AQE is a pure optimization for any concurrent
-    * reader that happens to plan inside the window. NEVER use this around
-    * the data-sized derivation statements (winners argmax, rewrites) —
-    * those want AQE's coalescing and skew handling at scale. */
-  private def withAqeOff[T](body: => T): T = {
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try body finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-  }
+    * a small commit. AQE is a pure optimization for any concurrent
+    * planner that happens to land inside the window, so the scoping is
+    * semantically safe — but the set/restore pair itself must be
+    * DEPTH-COUNTED per session ([[ManifestTable.aqeScopeOff]]): two
+    * overlapping naive scopes would capture each other's "false" as the
+    * previous value and leave AQE disabled for the session's lifetime
+    * (ingestion runs maintenance threads beside commits). NEVER use this
+    * around the data-sized derivation statements (winners argmax,
+    * rewrites) — those want AQE's coalescing and skew handling at
+    * scale. */
+  private def withAqeOff[T](body: => T): T =
+    ManifestTable.aqeScopeOff(spark)(body)
 
   /** Per-file min/max of `statsCols` for a just-written commit directory —
     * the manifest-side data-skipping index (the Delta/Iceberg per-file
@@ -2938,6 +2940,35 @@ object ManifestTable {
     * protocol silently discarded the earlier commit instead. */
   final class ConcurrentPublishException(msg: String)
       extends RuntimeException(msg)
+
+  /** Depth-counted AQE-off scope, per session (see the instance-side
+    * [[ManifestTable.withAqeOff]] doc): the OUTERMOST scope captures the
+    * real previous value and only the OUTERMOST exit restores it, so
+    * overlapping scopes from concurrent store threads can never pin the
+    * session to AQE-off by restoring each other's "false". */
+  private final class AqeScopeState {
+    var depth = 0
+    var saved: String = "true"
+  }
+  private val aqeScopes =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, AqeScopeState]()
+
+  private[graft] def aqeScopeOff[T](spark: SparkSession)(body: => T): T = {
+    val st = aqeScopes.computeIfAbsent(spark, _ => new AqeScopeState)
+    st.synchronized {
+      if (st.depth == 0) {
+        st.saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+      }
+      st.depth += 1
+    }
+    try body
+    finally st.synchronized {
+      st.depth -= 1
+      if (st.depth == 0)
+        spark.conf.set("spark.sql.adaptive.enabled", st.saved)
+    }
+  }
 
   /** How long commit/merge/replaceAllRetrying keep retrying lost
     * generation races before failing loudly. TIME-based, not

@@ -459,4 +459,46 @@ class ManifestStatsSpec extends SparkTestBase {
       assert(e.getMessage.contains("newer than this reader"), e.getMessage)
     }
   }
+
+  test("aqeScopeOff is depth-counted: overlapping scopes from concurrent " +
+    "threads restore the ORIGINAL value, never each other's 'false'") {
+    val key = "spark.sql.adaptive.enabled"
+    val original = spark.conf.get(key, "true")
+    spark.conf.set(key, "true")
+    try {
+      // Nested (same thread): inner exit must NOT restore yet.
+      ManifestTable.aqeScopeOff(spark) {
+        assert(spark.conf.get(key) === "false")
+        ManifestTable.aqeScopeOff(spark) {
+          assert(spark.conf.get(key) === "false")
+        }
+        assert(spark.conf.get(key) === "false",
+          "inner scope exit must not restore while the outer is active")
+      }
+      assert(spark.conf.get(key) === "true")
+      // Overlapping (two threads): the naive set/restore pair would let
+      // the second thread capture "false" as the previous value and pin
+      // the session; the depth counter must restore "true" at the end.
+      val enteredA = new java.util.concurrent.CountDownLatch(1)
+      val enteredB = new java.util.concurrent.CountDownLatch(1)
+      val exitA = new java.util.concurrent.CountDownLatch(1)
+      val a = new Thread(() => ManifestTable.aqeScopeOff(spark) {
+        enteredA.countDown()
+        enteredB.await(10, java.util.concurrent.TimeUnit.SECONDS)
+        exitA.await(10, java.util.concurrent.TimeUnit.SECONDS)
+      })
+      val b = new Thread(() => ManifestTable.aqeScopeOff(spark) {
+        enteredB.countDown()
+        // B exits FIRST while A is still inside.
+      })
+      a.start()
+      enteredA.await(10, java.util.concurrent.TimeUnit.SECONDS)
+      b.start(); b.join(10000)
+      assert(spark.conf.get(key) === "false",
+        "A still inside: the scope must stay off after B's exit")
+      exitA.countDown(); a.join(10000)
+      assert(spark.conf.get(key) === "true",
+        "the outermost exit restores the value captured BEFORE any scope")
+    } finally spark.conf.set(key, original)
+  }
 }
