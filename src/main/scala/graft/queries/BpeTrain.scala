@@ -72,9 +72,10 @@ object BpeTrain {
     graft.functions.BpeApplyMerges.applyOne(syms, l, r)
 
   /** The original declarative fold — kept as the executable REFERENCE
-    * MODEL the spec checks the compiled kernel against (never on the
-    * query path). */
-  private[queries] def applyMergeReference(syms: Column, l: String, r: String): Column =
+    * MODEL FunctionsSpec pins the compiled kernel against ("BpeApplyMerges
+    * ≡ the declarative aggregate-HOF reference"); never on the query
+    * path. */
+  private[graft] def applyMergeReference(syms: Column, l: String, r: String): Column =
     aggregate(syms, array().cast("array<string>"), (acc, x) =>
       when(size(acc) > 0 &&
           element_at(acc, -1) === lit(l) && x === lit(r),
@@ -135,9 +136,17 @@ object BpeTrain {
       var v: DataFrame = base
       val merges = Seq.newBuilder[(Long, String, String, String, Long)]
       for (rank <- 1 to rounds) {
-        val top = pairCounts(v)
-          .orderBy(col("cnt").desc, col("l"), col("r"))
-          .limit(1).collect()
+        // One-row argmax over the CACHED vocab (vocabulary-bounded at any
+        // corpus scale): AQE's per-stage job materialization only adds a
+        // driver round-trip per round — and the rounds are sequential by
+        // definition, so round-trips are the whole cost. Scoped off with
+        // the store's depth-counted scope; the corpus-sized vocab
+        // aggregation above (base.count()) deliberately keeps AQE.
+        val top = graft.store.ManifestTable.aqeScopeOff(s) {
+          pairCounts(v)
+            .orderBy(col("cnt").desc, col("l"), col("r"))
+            .limit(1).collect()
+        }
         if (top.nonEmpty) {
           val (l, r, cnt) =
             (top(0).getString(0), top(0).getString(1), top(0).getLong(2))

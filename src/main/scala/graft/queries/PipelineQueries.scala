@@ -42,6 +42,36 @@ object PipelineQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Exact row count of a parquet file (or directory of parquet files)
+    * read from the footers on the DRIVER — a metadata-only read, no Spark
+    * job. Used by the size gates that must decide a plan shape at
+    * DataFrame-construction time (GraphRank's broadcast gate, the
+    * p_dedup_embed row ceiling): a `df.count()` there launches a full
+    * Spark job just to build the query object, which breaks lazy
+    * construction for every explain/plan-capture caller. The same number
+    * a manifest-backed table serves from its stats — here the footer IS
+    * the manifest. Memoized per path: the bench corpora are immutable by
+    * contract (deterministic inputs, read-only mount). */
+  private val parquetCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] def parquetRowCount(s: SparkSession, path: String): Long =
+    parquetCountMemo.computeIfAbsent(path, _ => {
+      val conf = s.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(conf)
+      def leafFiles(st: org.apache.hadoop.fs.FileStatus)
+          : Seq[org.apache.hadoop.fs.FileStatus] =
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(leafFiles)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
+        else Seq.empty
+      leafFiles(fs.getFileStatus(root)).map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    })
+
   // ---------------------------------------------------------------- hashing
 
   /** 60-bit md5-derived hash, identical in Spark and DuckDB. (Shared with
@@ -148,7 +178,9 @@ object PipelineQueries {
 
   private[graft] def guardEmbedExact(s: SparkSession, dir: String,
       maxRows: Long = embedExactMaxRows): Unit = {
-    val n = embs(s, dir).count()
+    // Footer row count, not a count() job: the guard runs at DataFrame
+    // construction time (see [[parquetRowCount]]).
+    val n = parquetRowCount(s, s"$dir/embeddings.parquet")
     require(n <= maxRows,
       s"p_dedup_embed is the exact O(n²) yardstick: $n vectors exceed the " +
         s"$maxRows-row guard (≈${n * n / 2} candidate pairs). Use " +
@@ -3251,12 +3283,11 @@ object PipelineQueries {
       val e = embs(s, dir)
       // Encode: argmin_j ||x_m − c_{m,j}||²; the ||x_m||² term is constant
       // per (vector, subspace), so argmin(cn2 − 2·x_m·c), ties to lowest j.
-      val codes = e.crossJoin(cb)
-        .withColumn("cost", col("cn2") - lit(2.0) *
-          dot(expr(s"slice(embedding, m * $PqD + 1, $PqD)"), col("cvec")))
-        .groupBy(col("vec_id"), col("m"))
-        .agg(max_by(col("j"),
-          struct((-col("cost")).as("nc"), (-col("j")).as("nj"))).as("j"))
+      // One compiled scan-local pass ([[graft.functions.PqEncodeCodes]] —
+      // bit-exact with the crossJoin+max_by formulation it replaced, pinned
+      // in FunctionsSpec): the codebook is a driver-side constant, so the
+      // k·m× row expansion and the groupBy argmin shuffle buy nothing.
+      val codes = pqCodes(e)
       val lut = e.filter(col("vec_id") < 20)
         .crossJoin(cb)
         .select(col("vec_id").as("query_id"), col("m"), col("j"),
@@ -3291,12 +3322,8 @@ object PipelineQueries {
     QuerySpec.sql("p_ann_ivfpq", annIvfPqOracle) { (s, dir) =>
       val scored = ivfScored(s, dir).persist()
       val cb = broadcast(pqCodebook(s))
-      val codes = embs(s, dir).crossJoin(cb)
-        .withColumn("cost", col("cn2") - lit(2.0) *
-          dot(expr(s"slice(embedding, m * $PqD + 1, $PqD)"), col("cvec")))
-        .groupBy(col("vec_id"), col("m"))
-        .agg(max_by(col("j"),
-          struct((-col("cost")).as("nc"), (-col("j")).as("nj"))).as("j"))
+      // Same compiled PQ encoder as p_ann_pq (see that query's comment).
+      val codes = pqCodes(embs(s, dir))
       val base = ivfAssigned(scored).join(codes, "vec_id")
       val wc = Window.partitionBy("vec_id").orderBy(col("dk").desc, col("k"))
       val probeClusters = scored.filter(col("vec_id") < 20)
@@ -3687,8 +3714,11 @@ object PipelineQueries {
       // framed, score/inflow tables ≈ 32 B/vector. Under the session
       // threshold each iteration is two broadcast joins + the one
       // unavoidable groupBy(dst) exchange; past it (the 100 TB case) the
-      // canonical shuffle plan runs unchanged.
-      val nVecs = embs(s, dir).count()
+      // canonical shuffle plan runs unchanged. The vector count comes from
+      // the parquet FOOTERS (a driver-side metadata read), not a count()
+      // job: sizing a gate must not cost an action at DataFrame-
+      // construction time (see [[parquetRowCount]]).
+      val nVecs = parquetRowCount(s, s"$dir/embeddings.parquet")
       val bcThreshold = s.sessionState.conf.autoBroadcastJoinThreshold
       val smallGraph = bcThreshold > 0 && nVecs * 120L <= bcThreshold
       val scores = GraphRank.pageRank(nodes, edges, PrIters,
@@ -3834,6 +3864,21 @@ object PipelineQueries {
     while (i < c.length) { acc += c(i) * c(i); i += 1 }
     acc
   }
+
+  /** PQ codes `(vec_id, m, j)` via the compiled scan-local encoder
+    * ([[graft.functions.PqEncodeCodes]]): argmin-by-(cost, j) per subspace
+    * with the identical double arithmetic and tie order as the
+    * crossJoin+max_by formulation it replaced (FunctionsSpec pins the
+    * equivalence on real embeddings). The codebook is bound into the
+    * expression as the driver-side constant it already was — a trained
+    * refresh re-plans the query exactly like re-collecting a trained
+    * table. */
+  private def pqCodes(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      posexplode(graft.functions.PqEncodeCodes.encode(col("embedding"),
+        IndexedSeq.tabulate(PqM)(m => IndexedSeq.tabulate(PqK)(j => pqCoefs(m, j))),
+        IndexedSeq.tabulate(PqM)(m => IndexedSeq.tabulate(PqK)(j => pqNorm2(m, j)))))
+        .as(Seq("m", "j")))
 
   /** The PQ codebook as a 128-row broadcastable TABLE `(m, j, cvec, cn2)`
     * — a trained codebook (per-subspace k-means) is a data swap, exactly

@@ -2608,10 +2608,16 @@ final class ManifestTable(val tablePath: String, schema: StructType,
         // Nothing rewritten (touched keys matched no existing file): the
         // generation is a plain append of the update batch — one write,
         // no persist, no per-file dataChange to record (rewrite=false
-        // means everything is fresh by definition).
-        writeData(merged.drop("__had")
-          .repartitionByRange(1, keyCols.map(col): _*)
-          .sortWithinPartitions(keyCols.map(col): _*), dataDir)
+        // means everything is fresh by definition). The statement's input
+        // is the UPDATE BATCH alone — micro-batch-bounded by the enforced
+        // touched-keys contract — so AQE's per-stage job materialization
+        // is pure driver latency here (measured: 4 jobs → 1 for this one
+        // write); the single-range-partition write needs no sampling job.
+        withAqeOff {
+          writeData(merged.drop("__had")
+            .repartitionByRange(1, keyCols.map(col): _*)
+            .sortWithinPartitions(keyCols.map(col): _*), dataDir)
+        }
         (Seq.empty[String], listDataFilesSized(dataDir))
       } else {
         // TWO physical passes over the persisted winners: rewritten rows
@@ -2632,17 +2638,27 @@ final class ManifestTable(val tablePath: String, schema: StructType,
             .sortWithinPartitions(keyCols.map(col): _*), dataDir)
           val rw = listDataFiles(dataDir)
           val freshSide = m.where(col("__had") === 0).drop("__had")
-          // One-row output over the persisted winners: metadata-sized at
-          // any scale, so AQE's stage-per-job split is pure latency here.
-          val freshCount = withAqeOff { freshSide.count() }
-          if (freshCount > 0L) {
-            val parts = math.max(1L,
-              (freshCount + freshRowsPerFile - 1L) / freshRowsPerFile)
-            val freshDf = freshSide
-              .repartitionByRange(parts.toInt, keyCols.map(col): _*)
-              .sortWithinPartitions(keyCols.map(col): _*)
-            val w = freshDf.write.mode(SaveMode.Append)
-            partitionCol.fold(w)(c => w.partitionBy(c)).parquet(dataDir)
+          // The whole fresh-insert side — count AND write — runs with AQE
+          // scoped off: fresh rows are a subset of the UPDATE BATCH
+          // (__had = 0 ⇒ the key existed in no matched file), so the side
+          // is micro-batch-bounded by the enforced touched-keys contract
+          // at any table scale, and AQE's per-stage job materialization is
+          // pure driver latency on it (the count is one row; the write is
+          // a cached-scan + range shuffle whose partition count this code
+          // sizes EXPLICITLY from the row count — nothing for AQE to
+          // coalesce). The rewrite side above deliberately KEEPS AQE: its
+          // volume is the matched files', not the batch's.
+          withAqeOff {
+            val freshCount = freshSide.count()
+            if (freshCount > 0L) {
+              val parts = math.max(1L,
+                (freshCount + freshRowsPerFile - 1L) / freshRowsPerFile)
+              val freshDf = freshSide
+                .repartitionByRange(parts.toInt, keyCols.map(col): _*)
+                .sortWithinPartitions(keyCols.map(col): _*)
+              val w = freshDf.write.mode(SaveMode.Append)
+              partitionCol.fold(w)(c => w.partitionBy(c)).parquet(dataDir)
+            }
           }
           (rw, listDataFilesSized(dataDir))
         } finally m.unpersist(blocking = false)
@@ -2949,24 +2965,66 @@ object ManifestTable {
   private final class AqeScopeState {
     var depth = 0
     var saved: String = "true"
+    var savedLimitParts: Option[String] = None
+    // Set when the last exit removed this entry from the map: a thread
+    // that raced computeIfAbsent against that removal must retry, or two
+    // live states for one session would each believe they are outermost
+    // (and one would capture the other's "false" as the previous value —
+    // the exact race the depth count exists to prevent).
+    var retired = false
   }
   private val aqeScopes =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, AqeScopeState]()
 
+  /** Live scope-state entries — exposed for the leak pin in
+    * ManifestStatsSpec (entries must not outlive their scopes: the map
+    * would otherwise strongly retain every session that ever entered a
+    * scope for the JVM lifetime). */
+  private[graft] def aqeScopeCount: Int = aqeScopes.size
+
   private[graft] def aqeScopeOff[T](spark: SparkSession)(body: => T): T = {
-    val st = aqeScopes.computeIfAbsent(spark, _ => new AqeScopeState)
-    st.synchronized {
-      if (st.depth == 0) {
-        st.saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    var st: AqeScopeState = null
+    var entered = false
+    while (!entered) {
+      st = aqeScopes.computeIfAbsent(spark, _ => new AqeScopeState)
+      st.synchronized {
+        if (!st.retired) {
+          if (st.depth == 0) {
+            st.saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            // A scoped statement's take()/limit-collect must read ALL of
+            // its (metadata-sized) output in ONE job: the default
+            // initialNumPartitions=1 makes executeTake scan one partition,
+            // come back to the driver, and scale up 4× per round — the
+            // touched-keys collect measured 3 jobs for one statement. A
+            // concurrent query planned inside the window merely loses the
+            // incremental-take optimization (it reads all partitions of
+            // its final stage at once) — same perf-only posture as the
+            // AQE flag itself.
+            st.savedLimitParts =
+              spark.conf.getOption("spark.sql.limit.initialNumPartitions")
+            spark.conf.set("spark.sql.limit.initialNumPartitions", "1000000")
+          }
+          st.depth += 1
+          entered = true
+        }
       }
-      st.depth += 1
     }
     try body
     finally st.synchronized {
       st.depth -= 1
-      if (st.depth == 0)
+      if (st.depth == 0) {
         spark.conf.set("spark.sql.adaptive.enabled", st.saved)
+        st.savedLimitParts match {
+          case Some(v) => spark.conf.set("spark.sql.limit.initialNumPartitions", v)
+          case None => spark.conf.unset("spark.sql.limit.initialNumPartitions")
+        }
+        // Drop the entry so the map never strongly retains a finished
+        // session (short-lived newSession() services): retire-then-remove
+        // under the same lock keeps the depth-count race-safe.
+        st.retired = true
+        aqeScopes.remove(spark, st)
+      }
     }
   }
 

@@ -206,9 +206,9 @@ class FunctionsSpec extends SparkTestBase {
   }
 
   // Reference model of the greedy BPE fold — the exact semantics of the
-  // declarative `aggregate` HOF the compiled kernel replaced (and of
-  // BpeTrain.applyMergeReference, which stays in the codebase for the
-  // query-level pin in PipelineQueriesSpec).
+  // declarative `aggregate` HOF the compiled kernel replaced. (The
+  // executable Column-level reference, BpeTrain.applyMergeReference, is
+  // pinned against the kernel in its own test below.)
   private def refFold(syms: Seq[String], merges: Seq[(String, String)]): Seq[String] =
     merges.foldLeft(syms) { case (cur, (l, r)) =>
       cur.foldLeft(Vector.empty[String]) { (acc, x) =>
@@ -262,5 +262,104 @@ class FunctionsSpec extends SparkTestBase {
         .as("r")).collect()(0).getSeq[String](0)
     assert(viaEval === viaCodegen)
     assert(BpeTokenCount(symsLit, merges).eval(null) === viaCodegen.size.toLong)
+  }
+
+  test("BpeApplyMerges ≡ the declarative aggregate-HOF reference " +
+    "(BpeTrain.applyMergeReference) it replaced, merge by merge") {
+    val merges = Seq(("a", "b"), ("ab", "c"), ("x", "x"))
+    val words = Seq("abc", "abcabc", "xxxx", "xxx", "aab", "", "cab", "ababab")
+    val df = words.toDF("w").select(col("w"), split(col("w"), "").as("syms"))
+    merges.foreach { case (l, r) =>
+      val rows = df.select(
+        GraftBridge.column(BpeApplyMerges(
+          GraftBridge.expression(col("syms")), Seq((l, r)))).as("fast"),
+        graft.queries.BpeTrain.applyMergeReference(col("syms"), l, r).as("ref"))
+        .collect()
+      rows.foreach(rw =>
+        assert(rw.getSeq[String](0) === rw.getSeq[String](1), s"merge ($l,$r)"))
+    }
+  }
+
+  // ------------------------------------------------------------- PQ encode
+
+  // Deterministic synthetic vectors/codebook (md5-free: plain index
+  // arithmetic with sign flips is enough to exercise every code path).
+  private def synthVec(seed: Int, dims: Int): Array[Float] =
+    Array.tabulate(dims)(i =>
+      (((seed * 31 + i * 17) % 13) - 6).toFloat / (1 + (i % 3)).toFloat)
+
+  test("PqEncodeCodes ≡ the crossJoin + max_by(-cost,-j) formulation, " +
+    "including exact-tie codewords (lowest j wins)") {
+    import graft.functions.PqEncodeCodes
+    val (m, k, d) = (4, 5, 3)
+    val cb = IndexedSeq.tabulate(m) { mi =>
+      IndexedSeq.tabulate(k) { ji =>
+        // Codewords 1 and 3 of every subspace are IDENTICAL: every vector
+        // ties exactly on them, so the argmin tie-break is always hit.
+        val base = if (ji == 3) 1 else ji
+        Array.tabulate(d)(i => (((mi + base * 7 + i * 5) % 9) - 4).toDouble / 4.0)
+      }
+    }
+    val cn2 = cb.map(_.map(c => { var a = 0.0; var i = 0
+      while (i < c.length) { a += c(i) * c(i); i += 1 }; a }).toIndexedSeq)
+    val vecs = (0 until 40).map(s => (s.toLong, synthVec(s, m * d)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val fast = df.select(col("vec_id"),
+        posexplode(PqEncodeCodes.encode(col("embedding"), cb, cn2)).as(Seq("m", "j")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    // Reference: the relational formulation the kernel replaced.
+    val cbDf = (for (mi <- 0 until m; ji <- 0 until k)
+      yield (mi, ji, cb(mi)(ji).toSeq, cn2(mi)(ji))).toDF("m", "j", "cvec", "cn2")
+    val ref = df.crossJoin(broadcast(cbDf))
+      .withColumn("cost", col("cn2") - lit(2.0) *
+        ArrayDotProduct.dot(expr(s"slice(embedding, m * $d + 1, $d)"), col("cvec")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(max_by(col("j"),
+        struct((-col("cost")).as("nc"), (-col("j")).as("nj"))).as("j"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(fast.size === vecs.size * m)
+    assert(fast === ref)
+    // The tied pair (codewords 1 and 3 identical): j=1 must always win.
+    assert(fast.values.forall(_ != 3))
+  }
+
+  test("PqEncodeCodes: null/short contract and interpreted ≡ codegen") {
+    import graft.functions.PqEncodeCodes
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val (m, k, d) = (2, 3, 2)
+    val cb = IndexedSeq.tabulate(m)(mi => IndexedSeq.tabulate(k)(ji =>
+      Array.tabulate(d)(i => (mi + ji - i).toDouble / 2.0)))
+    val cn2 = cb.map(_.map(c => c.map(x => x * x).sum).toIndexedSeq)
+    val rows = Seq(
+      (1L, synthVec(1, m * d)),            // full length
+      (2L, synthVec(2, m * d + 3)),        // longer: extra dims ignored
+      (3L, synthVec(3, m * d - 1)),        // short: null
+      (4L, null.asInstanceOf[Array[Float]])) // null input: null
+    val out = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        PqEncodeCodes.encode(col("embedding"), cb, cn2).as("codes"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).isDefined && out(2L).isDefined)
+    assert(out(3L).isEmpty && out(4L).isEmpty)
+    // Longer input encodes identically to its m*d prefix.
+    val prefixed = Seq((2L, synthVec(2, m * d + 3).take(m * d))).toDF("vec_id", "embedding")
+      .select(PqEncodeCodes.encode(col("embedding"), cb, cn2)).collect()(0).getSeq[Int](0)
+    assert(out(2L).get.asInstanceOf[scala.collection.Seq[Int]].toSeq === prefixed)
+    // Interpreted eval ≡ codegen on the same literal.
+    val flatCb = new Array[Double](m * k * d)
+    val flatN = new Array[Double](m * k)
+    for (mi <- 0 until m; ji <- 0 until k) {
+      System.arraycopy(cb(mi)(ji), 0, flatCb, (mi * k + ji) * d, d)
+      flatN(mi * k + ji) = cn2(mi)(ji)
+    }
+    val lit4 = Literal.create(synthVec(7, m * d).toSeq, ArrayType(FloatType))
+    val viaEval = graft.functions.PqEncodeCodes(lit4, m, d, k, flatCb, flatN)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray().toSeq
+    val viaCodegen = Seq((7L, synthVec(7, m * d))).toDF("vec_id", "embedding")
+      .select(PqEncodeCodes.encode(col("embedding"), cb, cn2))
+      .collect()(0).getSeq[Int](0)
+    assert(viaEval === viaCodegen)
   }
 }

@@ -499,6 +499,16 @@ class ManifestStatsSpec extends SparkTestBase {
       exitA.countDown(); a.join(10000)
       assert(spark.conf.get(key) === "true",
         "the outermost exit restores the value captured BEFORE any scope")
+      // Leak pin: the per-session entry dies with its last scope — the map
+      // must not strongly retain the session for the JVM lifetime.
+      assert(ManifestTable.aqeScopeCount === 0,
+        "scope-state entries must be removed when the depth returns to 0")
+      // And a fresh scope after the removal still round-trips correctly.
+      ManifestTable.aqeScopeOff(spark) {
+        assert(spark.conf.get(key) === "false")
+      }
+      assert(spark.conf.get(key) === "true")
+      assert(ManifestTable.aqeScopeCount === 0)
     } finally spark.conf.set(key, original)
   }
 }
