@@ -769,12 +769,25 @@ object PipelineQueries {
       // corpus has exact-dup texts (with no dups the collapse and the
       // expansion are identities — skip their five joins entirely) AND
       // sizes the verification join's build side, all in a single scan.
-      // (The oracle's fixed SQL computes the same result either way.)
+      // The gate is PURELY a performance choice — BOTH branches produce
+      // the oracle result (identical texts have identical shingle sets,
+      // so the un-collapsed candidate join finds the same pairs, and
+      // identical empty-shingle texts pair in neither branch) — so the
+      // distinct-text count can be a SKETCH: approx_count_distinct (HLL,
+      // 2% rsd) ships fixed-size sketches through the exchange instead of
+      // countDistinct's corpus-sized Expand + distinct shuffle (guide
+      // §2.3 — at 100 TB that exchange carried every distinct digest).
+      // Round 22 measured the exact form at ~0.5 s of this query's
+      // ~2.3 s warm cost at sf0.1. hasDups triggers at ≥ 5% duplication
+      // — comfortably past the sketch's error band; a sub-5%-dup corpus
+      // runs the direct join, whose candidate cost the dup rate barely
+      // inflates (the collapse exists for REPLICATED corpora, where
+      // distinct/total is far below 1).
       val Array(nDocs, nGrps, totalChars) = raw
-        .agg(count(lit(1)), countDistinct(md5(col("text"))),
+        .agg(count(lit(1)), approx_count_distinct(md5(col("text")), 0.02),
           coalesce(sum(length(col("text"))), lit(0L))).collect()
         .head.toSeq.map(_.asInstanceOf[Long]).toArray
-      val hasDups = nGrps < nDocs
+      val hasDups = nGrps.toDouble < nDocs.toDouble * 0.95
       val d = raw.withColumn("grp", md5(col("text")))
       val members = if (hasDups) d.select(col("grp"), col("doc_id")).persist() else null
       val reps =
@@ -2443,6 +2456,14 @@ object PipelineQueries {
         .select(col("doc_id"), explode(
           graft.functions.WordNgrams.ngrams(col("text"), 8)).as("span"))
         .select(col("doc_id"), h60(col("span")).as("h"))
+        // Persisted — unlike the bigram family, measured to PAY here
+        // (round 22: warm 1.5 s persisted vs 1.7-1.9 s recomputed at
+        // sf0.1): the 8-gram hash rows are consumed by the dup aggregate
+        // AND as the probe side of the dup join, and the h60 (md5) hash
+        // is the expensive part of the recompute. At 100 TB the operator
+        // would swap this for a two-pass recompute if cache pressure
+        // bites (MEMORY_AND_DISK of ~1 row/word spills); local evidence
+        // keeps the persist.
         .persist()
       val dup = spans.groupBy("h")
         .agg(countDistinct(col("doc_id")).as("nd"))
@@ -2650,13 +2671,14 @@ object PipelineQueries {
     // rides the generated class's references array like Spark's own
     // Bloom join-filter probes; no closure UDF anywhere on the path.
     QuerySpec.rowsOnly("p_ngram_topk_cms") { (s, dir) =>
-      // Persisted: the sketch build (eager treeAggregate) and the exact
-      // count both consume the exploded bigrams — the corpus's most
-      // expensive pass must not run twice.
+      // NOT persisted (measured round 22): the sketch build and the exact
+      // count each re-derive the exploded bigrams from the column-pruned
+      // scan through the compiled kernel — warm 0.9 s persisted vs 0.6 s
+      // recomputed at sf0.1, and caching the corpus-multiple exploded
+      // relation is the guide-§5 spill cliff at 100 TB.
       val bigrams = docs(s, dir)
         .select(explode(
           graft.functions.WordNgrams.ngrams(col("text"), 2)).as("bigram"))
-        .persist()
       val cms = graft.functions.CmsSketch.serialize(
         bigrams.stat.countMinSketch("bigram", 1e-4, 0.999, 42))
       bigrams
@@ -2711,8 +2733,13 @@ object PipelineQueries {
       val bi = docs(s, dir)
         .select(col("doc_id"), explode(
           graft.functions.WordNgrams.ngrams(col("text"), 2)).as("bigram"))
-        // One explode pass feeds both counts and the probability join.
-        .persist()
+      // NOT persisted (measured round 22): both consumers (the count build
+      // and the probability join) re-derive the exploded bigrams from the
+      // column-pruned scan through the compiled kernel — warm 1.6 s
+      // persisted vs 1.1 s recomputed at sf0.1. Materializing a
+      // corpus-multiple exploded relation also IS the guide-§5 spill
+      // cliff at 100 TB: two scans of the raw corpus beat one scan plus a
+      // cache write+read of a larger-than-corpus intermediate.
       val w1 = element_at(split(col("bigram"), " "), 1)
       val cBi = bi.groupBy("bigram").agg(count(lit(1)).as("c12")).persist()
       // Unigram counts DERIVED from the distinct-bigram count table, not
@@ -2790,7 +2817,12 @@ object PipelineQueries {
           graft.functions.WordNgrams.ngrams(col("text"), 2)).as("bigram"))
       val d = docs(s, dir)
       val bt = bigramsOf(d.filter(isEval))
-      val bc = bigramsOf(d.filter(!isEval)).persist()
+      // bc NOT persisted (measured round 22, same verdict as
+      // p_lm_bigram_score): warm 1.9 s persisted vs 1.4 s recomputed at
+      // sf0.1 — recomputing the compiled explode per consumer beats
+      // caching the corpus-multiple relation, and avoids the §5 spill
+      // cliff at scale.
+      val bc = bigramsOf(d.filter(!isEval))
       val w1 = element_at(split(col("bigram"), " "), 1)
       // Each model's unigram table is derived from its (vocabulary-
       // bounded) distinct-bigram count table instead of a second
