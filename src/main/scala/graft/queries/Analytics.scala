@@ -21,6 +21,29 @@ object Analytics {
 
   private val dec = "decimal(20,4)"
 
+  /** ROLLUP/CUBE over (l_returnflag, l_linestatus) computed from the base
+    * aggregate: one plain groupBy collapses the corpus to ≤|flag×status|
+    * rows, the grouping-set Expand and re-aggregation run on those. Exact
+    * because count and DECIMAL sums are decomposable; requires non-null
+    * grouping keys (TPC-H contract) — see the q_rollup comment. */
+  private def groupingSetsOverBaseAgg(lineitem: DataFrame, moneyCol: String,
+      outName: String, rollup: Boolean): DataFrame = {
+    val base = lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("pc"), sum(col(moneyCol).cast(dec)).as("ps"))
+    val grouped =
+      if (rollup) base.rollup("l_returnflag", "l_linestatus")
+      else base.cube("l_returnflag", "l_linestatus")
+    grouped
+      .agg(sum(col("pc")).as("n_rows"),
+        floor(sum(col("ps")) * 10000).cast("long").as(outName))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("n_rows"), col(outName))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // TPC-H Q1-style pricing summary. Money columns are emitted as
@@ -185,16 +208,17 @@ object Analytics {
         |       CAST(floor(sum(CAST(l_quantity AS DECIMAL(20,4))) * 10000) AS BIGINT) AS sum_qty_x10k
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
-      t(s, dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n_rows"),
-          floor(sum(col("l_quantity").cast(dec)) * 10000).cast("long")
-            .as("sum_qty_x10k"))
-        .select(
-          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
-          col("n_rows"), col("sum_qty_x10k"))
-        .orderBy("l_returnflag", "l_linestatus")
+      // Grouping sets over the BASE AGGREGATE, not the raw table: count
+      // and the exact DECIMAL sum are decomposable (sum of group sums ≡
+      // total sum, bit-exact for decimals; count ≡ sum of group counts),
+      // so the corpus-sized Expand — 3 rows per input row, 3× the map-side
+      // aggregation work — collapses to an Expand over the ≤|flag×status|
+      // pre-aggregated rows. Valid because the grouping keys are non-null
+      // by the TPC-H data contract (a data NULL would be indistinguishable
+      // from a super-aggregate row after the re-group); the oracle states
+      // the direct ROLLUP and the hash-compare pins the equality.
+      groupingSetsOverBaseAgg(t(s, dir, "lineitem"), "l_quantity",
+        "sum_qty_x10k", rollup = true)
     },
 
     // CUBE over (return flag, line status): all 2^2 grouping sets in one
@@ -208,16 +232,9 @@ object Analytics {
         |       CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(20,4))) * 10000) AS BIGINT) AS sum_price_x10k
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
-      t(s, dir, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n_rows"),
-          floor(sum(col("l_extendedprice").cast(dec)) * 10000).cast("long")
-            .as("sum_price_x10k"))
-        .select(
-          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
-          col("n_rows"), col("sum_price_x10k"))
-        .orderBy("l_returnflag", "l_linestatus")
+      // Same base-aggregate rewrite as q_rollup (4 grouping sets here).
+      groupingSetsOverBaseAgg(t(s, dir, "lineitem"), "l_extendedprice",
+        "sum_price_x10k", rollup = false)
     },
 
     // Semi/anti joins: customers with and without orders.

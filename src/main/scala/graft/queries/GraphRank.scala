@@ -23,7 +23,17 @@ import org.apache.spark.sql.graftbridge.GraftBridge
   * does not cover checkpoint RDDs), so arbitrarily many iterations hold
   * at most one materialized score generation plus a bounded plan tail.
   * The final result may root at the last checkpoint; callers looping far
-  * beyond the default can free it the same way once consumed. */
+  * beyond the default can free it the same way once consumed.
+  *
+  * CALLER CONTRACT — cache lifetime: the returned plan depends on two
+  * persisted intermediates (the node set and the degree-folded edge
+  * table), which this function can therefore never unpersist itself.
+  * Bench/Verify-style callers are covered by their per-query
+  * `spark.catalog.clearCache()`; a long-lived service invoking this
+  * repeatedly without clearing the catalog must drop the blocks itself
+  * (`spark.catalog.clearCache()`, or unpersist the specific cached plans
+  * via the CacheManager) once the scores are consumed, or cached edge
+  * generations accumulate. */
 object GraphRank {
 
   def pageRank(

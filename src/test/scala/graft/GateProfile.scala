@@ -3,9 +3,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** TEMPORARY scratch profiler for the streaming gate queries — phase-level
-  * wall-clock breakdown of t_changefeed_cdc / t_changefeed_emit_fresh /
-  * t_materialized_state. Not part of the driver contract.
+/** Dev-only profiler for the streaming gate queries — phase-level
+  * wall-clock/job/stage/task breakdown of t_changefeed_cdc /
+  * t_changefeed_emit_fresh / t_materialized_state, the evidence tool
+  * behind the rounds' merge-path job-count claims. Lives in the TEST
+  * source set (it is measurement tooling, not product code — the
+  * round-21 advice):
+  *
+  *   SPARK_GRAFT_SF_DIR=... sbt "Test/runMain graft.GateProfile emit_fresh"
+  *
+  * Env knobs: GATE_REPS (default 2), GATE_JOB_NAMES=1 to print one line
+  * per Spark job with its call site. Session config mirrors Bench
+  * (local dir on /dev/shm, 64 MB broadcast threshold) so the measured
+  * job counts are the bench's.
   */
 object GateProfile {
   def main(args: Array[String]): Unit = {
